@@ -1,0 +1,26 @@
+"""Ray-Data-native inverted-index build + BM25 query engine.
+
+A from-scratch re-expression of the capabilities of
+yuniko-software/bge-m3-onnx (reference at /root/reference) on Ray Data:
+the reference's per-document neural sparse-lexical weights
+(`samples/python/bge_m3_embedder.py:132-143`) become an exact Okapi BM25
+inverted index built by a SPIMI-style ``map_batches`` stage, merged by a
+``groupby`` shuffle into delta/varint-compressed postings with per-block
+max-score metadata, and queried by block-max-WAND top-k scoring actors.
+
+Nothing here calls ``ray.init`` — callers own the Ray session.
+"""
+
+from bge_m3_onnx_ray.config import IndexConfig, QueryConfig
+
+__all__ = ["IndexConfig", "QueryConfig", "build_index", "search"]
+
+
+def __getattr__(name):  # lazy: keep `import bge_m3_onnx_ray` cheap
+    if name == "build_index":
+        from bge_m3_onnx_ray.index.build import build_index
+        return build_index
+    if name == "search":
+        from bge_m3_onnx_ray.index.search import search
+        return search
+    raise AttributeError(name)

@@ -1,0 +1,67 @@
+"""Config surface for the engine.
+
+Mirrors the reference's config-object + factory pattern
+(``samples/dotnet/BgeM3.Onnx/M3EmbedderConfig.cs:8-39``,
+``samples/python/bge_m3_embedder.py:179-186``): a pair of small
+dataclasses with sensible factories instead of constructor soup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Parameters of an index build.
+
+    ``docs_per_shard`` is the document-sharding unit: every shard holds a
+    complete sub-index over a contiguous docID range, which is what makes
+    (a) the ``groupby`` merge skew-bounded (a hot term's postings are
+    split across shards — deterministic salting by doc range), (b) the
+    query side trivially parallel (one WAND run per shard, merge top-k),
+    and (c) the build resumable per shard. At 100 TB this is the unit
+    that maps to "partition of the cluster"; in the sandbox it is small.
+    """
+
+    k1: float = 1.2
+    b: float = 0.75
+    docs_per_shard: int = 65536
+    # term buckets per shard: bounds the size of one merge group to
+    # ~(docs_per_shard * avg_doc_len / term_buckets) postings.
+    term_buckets: int = 8
+    block_size: int = 128  # postings entries per skip block
+    tokenize_batch_size: int = 4096
+    tokenize_concurrency: int | tuple[int, int] = (2, 8)
+    # reserved token ids 0-3 ([PAD],[UNK],[CLS],[SEP]) — kept so the term-id
+    # space lines up with the reference's special-token filter
+    # (reference samples/python/bge_m3_embedder.py:30).
+    n_reserved_ids: int = 4
+
+    def fingerprint(self) -> str:
+        payload = {k: v for k, v in asdict(self).items()
+                   if k not in ("tokenize_batch_size", "tokenize_concurrency")}
+        return hashlib.sha256(
+            json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
+
+
+@dataclass(frozen=True)
+class QueryConfig:
+    k: int = 10
+    method: str = "wand"  # "wand" | "exhaustive"
+    scorer_concurrency: int | tuple[int, int] = (1, 8)
+    scorer_batch_size: int = 64
+    shard_cache_size: int = 64  # decoded shards cached per scorer actor
+
+
+def create_default_index_config() -> IndexConfig:
+    """Factory preset (reference: ``M3EmbedderFactory.CreateCpuOptimized``,
+    ``samples/dotnet/BgeM3.Onnx/M3EmbedderFactory.cs:16-80``)."""
+    return IndexConfig()
+
+
+def create_tiny_index_config() -> IndexConfig:
+    """Preset for unit tests: small shards so sharding paths are exercised."""
+    return IndexConfig(docs_per_shard=64, term_buckets=4, block_size=8)

@@ -1,0 +1,151 @@
+"""Deterministic synthetic transcript corpus + reference query set.
+
+The engine's authoritative input shape (BASELINE.json ``input_hint``) is a
+Parquet table of multi-turn conversation transcripts::
+
+    conv_id: string, turn_idx: int32, role: string, text: string,
+    tool: string, ts: timestamp[us]
+
+The sandbox test data has no transcripts table, so this module
+synthesises one — a pure function of ``(n_turns, seed)``, mirroring the
+reference's seeded corpus generator
+(``samples/performance_data/generate_dataset.py:363`` ``random.seed(42)``;
+text mix modeled on its category pools ``:13-151``): short/medium/long
+word-salad, multilingual rows (Latin/Cyrillic/CJK/Arabic), digit/symbol
+rows (cf. ``samples/python/generate_reference_embeddings.py:67``), a few
+EMPTY strings (cf. ``:64``), and deliberately hot terms (>10% document
+frequency) to exercise the salted/sharded merge path. Conversation
+lengths are Zipf-ish (1..max) so long-conversation skew is present.
+
+Generated parquet is cached under ``/tmp/bm25_fixtures`` keyed by
+``(n_turns, seed)`` and written atomically (temp dir + rename).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+CACHE_ROOT = "/tmp/bm25_fixtures"
+_EPOCH_US = 1_700_000_000_000_000  # fixed epoch; no wall clock anywhere
+
+_EN = ("the quick brown fox jumps over lazy dog machine learning model "
+       "pipeline data stream batch shuffle index query term score rank "
+       "document conversation agent tool search engine distributed actor "
+       "cluster memory block partition merge sort hash token text user "
+       "assistant system answer question error retry plan code test run").split()
+_RU = "данные поиск индекс запрос модель система ответ вопрос код тест".split()
+_ZH = list("数据索引查询模型系统回答问题代码测试分布式集群")
+_AR = "بيانات فهرس استعلام نموذج نظام جواب سؤال".split()
+_HOT = ["the", "data", "query"]  # forced-hot terms (df > 10%)
+_ROLES = ["user", "assistant", "system", "tool"]
+_TOOLS = ["", "search", "python", "browser", "calculator"]
+
+
+def gen_transcripts(n_turns: int, seed: int = 42) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    # conversation lengths: zipf-ish, clipped to [1, 200]
+    lens = []
+    total = 0
+    while total < n_turns:
+        l = int(min(200, max(1, rng.zipf(1.6))))
+        lens.append(l)
+        total += l
+    lens[-1] -= total - n_turns
+    if lens[-1] == 0:
+        lens.pop()
+    lens = np.array(lens, np.int64)
+    n_convs = len(lens)
+    conv_ids = np.array([f"conv-{i:08d}" for i in range(n_convs)], dtype=object)
+    conv_col = np.repeat(conv_ids, lens)
+    turn_idx = np.concatenate([np.arange(l, dtype=np.int32) for l in lens])
+    n = len(conv_col)
+
+    role_col = np.array(_ROLES, dtype=object)[rng.integers(0, 4, n)]
+    tool_col = np.where(role_col == "tool",
+                        np.array(_TOOLS, dtype=object)[rng.integers(1, len(_TOOLS), n)],
+                        "")
+
+    # text: category per row
+    cat = rng.random(n)
+    word_counts = rng.integers(3, 15, n)
+    long_rows = cat > 0.97
+    word_counts[long_rows] = rng.integers(40, 120, int(long_rows.sum()))
+    texts = np.empty(n, dtype=object)
+    en_idx = rng.integers(0, len(_EN), int(word_counts.sum()) + n)
+    pos = 0
+    hot_draw = rng.random(n)
+    ml_draw = rng.random(n)
+    num_draw = rng.integers(0, 100000, n)
+    for i in range(n):
+        c = cat[i]
+        if c < 0.005:
+            texts[i] = ""  # empty-string docs (reference golden set includes "")
+            continue
+        wc = int(word_counts[i])
+        words = [_EN[j] for j in en_idx[pos:pos + wc]]
+        pos += wc
+        if hot_draw[i] < 0.3:
+            words.insert(0, _HOT[i % len(_HOT)])
+        if ml_draw[i] < 0.06:
+            words.append(_RU[i % len(_RU)])
+            words.append(_ZH[i % len(_ZH)])
+        elif ml_draw[i] < 0.08:
+            words.append(_AR[i % len(_AR)])
+        if c > 0.99:
+            words.append(f"num{num_draw[i]} !@#$%^&*() 12345")
+        texts[i] = " ".join(words)
+
+    ts = _EPOCH_US + np.arange(n, dtype=np.int64) * 1_000_000 + turn_idx.astype(np.int64)
+    return pa.table({
+        "conv_id": pa.array(conv_col, pa.string()),
+        "turn_idx": pa.array(turn_idx, pa.int32()),
+        "role": pa.array(role_col, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "tool": pa.array(tool_col, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+
+
+def gen_queries(n_queries: int = 50, seed: int = 43) -> list[tuple[int, str]]:
+    """Reference query set: in-vocab single/multi-term, duplicate-term,
+    hot-term-only, out-of-vocab, mixed-script, empty (FIXTURES.md §2)."""
+    rng = np.random.default_rng(seed)
+    out: list[tuple[int, str]] = []
+    fixed = [
+        "data query",             # hot terms only
+        "zzzqx notinvocab",       # out-of-vocab → empty result
+        "fox fox",                # duplicate term
+        "поиск 索",               # mixed script
+        "",                       # empty query → empty result
+        "distributed actor cluster memory",
+    ]
+    for i, q in enumerate(fixed):
+        out.append((i, q))
+    for i in range(len(fixed), n_queries):
+        k = int(rng.integers(1, 5))
+        words = [_EN[int(j)] for j in rng.integers(0, len(_EN), k)]
+        out.append((i, " ".join(words)))
+    return out
+
+
+def transcripts_path(n_turns: int, seed: int = 42) -> str:
+    """Cached deterministic parquet for (n_turns, seed); atomic write."""
+    d = os.path.join(CACHE_ROOT, f"transcripts-n{n_turns}-s{seed}")
+    final = os.path.join(d, "transcripts.parquet")
+    if os.path.exists(final):
+        return final
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    tmp = d + f".tmp-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    t = gen_transcripts(n_turns, seed)
+    pq.write_table(t, os.path.join(tmp, "transcripts.parquet"))
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
+    return final

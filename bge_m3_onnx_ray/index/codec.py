@@ -1,0 +1,161 @@
+"""Posting-list codec: delta + LEB128 varint, fixed-size skip blocks,
+per-block max-score metadata.
+
+Per term the on-disk record is::
+
+    n          total posting entries
+    last_ids   int64[n_blocks]   last docID of each block (skip pointers)
+    max_tf     int32[n_blocks]   max term frequency in block
+    min_dl     int32[n_blocks]   min doc length in block
+    offs       int32[n_blocks+1] byte offsets of blocks inside ``blob``
+    blob       bytes             per block: varint(docID deltas) ++
+                                 varint(tfs) ++ varint(dls)
+
+``(max_tf, min_dl)`` give an exact-at-load-time upper bound for block-max
+WAND: ``bm25_term_score`` is increasing in tf and decreasing in dl, so
+``score(max_tf, min_dl)`` bounds every posting in the block. Storing the
+two ints (instead of a float score) means global stats (N, avgdl) — which
+are only known after the full build pass — are NOT needed at encode time:
+no second sweep over the index (SURVEY.md §7.4 "global stats before
+per-block max-scores"). Doc lengths are stored inline per posting so a
+scorer needs no side doc-length table (at 10^12 docs a doc-length array
+is not broadcastable); the ~1 byte/posting cost buys locality.
+
+Encode/decode are numpy-vectorized (no per-value Python loop).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def encode_varints(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array. Returns (bytes, per-value byte counts)."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(a)
+    if n == 0:
+        return b"", np.empty(0, np.int64)
+    nb = np.ones(n, np.int64)
+    v = a >> np.uint64(7)
+    while v.any():
+        nb += v > 0
+        v >>= np.uint64(7)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(nb, out=offs[1:])
+    out = np.zeros(offs[-1], np.uint8)
+    starts = offs[:-1]
+    for j in range(int(nb.max())):
+        sel = nb > j
+        byte = ((a[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = ((nb[sel] > j + 1).astype(np.uint8)) << 7
+        out[starts[sel] + j] = byte | cont
+    return out.tobytes(), nb
+
+
+def decode_varints(buf: bytes, count: int | None = None) -> np.ndarray:
+    """Decode a LEB128 stream to uint64. Vectorized: O(max byte-length) passes."""
+    b = np.frombuffer(buf, np.uint8)
+    if len(b) == 0:
+        return np.empty(0, np.uint64)
+    is_end = (b & 0x80) == 0
+    ends = np.flatnonzero(is_end)
+    if count is not None:
+        ends = ends[:count]
+    starts = np.empty(len(ends), np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(len(ends), np.uint64)
+    for j in range(int(lengths.max())):
+        sel = lengths > j
+        vals[sel] |= (b[starts[sel] + j].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * j)
+    return vals
+
+
+class EncodedPostings:
+    __slots__ = ("n", "last_ids", "max_tf", "min_dl", "offs", "blob")
+
+    def __init__(self, n, last_ids, max_tf, min_dl, offs, blob):
+        self.n = n
+        self.last_ids = last_ids
+        self.max_tf = max_tf
+        self.min_dl = min_dl
+        self.offs = offs
+        self.blob = blob
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                    block_size: int = 128) -> EncodedPostings:
+    """``doc_ids`` must be strictly increasing int64."""
+    n = len(doc_ids)
+    doc_ids = np.ascontiguousarray(doc_ids, np.int64)
+    tfs = np.ascontiguousarray(tfs, np.int64)
+    dls = np.ascontiguousarray(dls, np.int64)
+    n_blocks = (n + block_size - 1) // block_size
+    gaps = np.empty(n, np.int64)
+    gaps[0] = doc_ids[0] + 1  # delta from implicit previous docID -1
+    gaps[1:] = np.diff(doc_ids)
+    # block boundaries: re-base the first gap of each block on the previous
+    # block's last docID so blocks decode independently (skip support)
+    bstarts = np.arange(1, n_blocks) * block_size
+    gaps[bstarts] = doc_ids[bstarts] - doc_ids[bstarts - 1]
+    # value stream: per block [gaps][tfs][dls]
+    pieces = []
+    for bi in range(n_blocks):
+        s, e = bi * block_size, min((bi + 1) * block_size, n)
+        pieces.append(gaps[s:e])
+        pieces.append(tfs[s:e])
+        pieces.append(dls[s:e])
+    stream = np.concatenate(pieces).astype(np.uint64)
+    blob, nbytes = encode_varints(stream)
+    # byte offset of each block = cumsum of its 3 sections' byte counts
+    offs = np.zeros(n_blocks + 1, np.int64)
+    pos = 0
+    vpos = 0
+    for bi in range(n_blocks):
+        cnt = min(block_size, n - bi * block_size)
+        pos += int(nbytes[vpos:vpos + 3 * cnt].sum())
+        vpos += 3 * cnt
+        offs[bi + 1] = pos
+    ends = np.minimum(np.arange(1, n_blocks + 1) * block_size, n) - 1
+    last_ids = doc_ids[ends]
+    idx = np.arange(n) // block_size
+    max_tf = np.zeros(n_blocks, np.int64)
+    np.maximum.at(max_tf, idx, tfs)
+    min_dl = np.full(n_blocks, np.iinfo(np.int64).max)
+    np.minimum.at(min_dl, idx, dls)
+    return EncodedPostings(n, last_ids.astype(np.int64), max_tf.astype(np.int32),
+                           min_dl.astype(np.int32), offs.astype(np.int32), blob)
+
+
+def decode_block(enc: EncodedPostings, bi: int, block_size: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one skip block → (doc_ids, tfs, dls)."""
+    cnt = min(block_size, enc.n - bi * block_size)
+    raw = enc.blob[enc.offs[bi]:enc.offs[bi + 1]]
+    vals = decode_varints(raw, 3 * cnt).astype(np.int64)
+    gaps, tfs, dls = vals[:cnt], vals[cnt:2 * cnt], vals[2 * cnt:]
+    base = int(enc.last_ids[bi - 1]) if bi > 0 else -1
+    doc_ids = np.cumsum(gaps) + base
+    if bi == 0:
+        pass  # first gap already encodes docID+1 relative to -1
+    return doc_ids, tfs, dls
+
+
+def decode_postings(enc: EncodedPostings, block_size: int = 128) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode all blocks → (doc_ids, tfs, dls)."""
+    n_blocks = len(enc.offs) - 1
+    vals = decode_varints(enc.blob, 3 * enc.n).astype(np.int64)
+    doc_ids = np.empty(enc.n, np.int64)
+    tfs = np.empty(enc.n, np.int64)
+    dls = np.empty(enc.n, np.int64)
+    vpos = 0
+    for bi in range(n_blocks):
+        s = bi * block_size
+        cnt = min(block_size, enc.n - s)
+        gaps = vals[vpos:vpos + cnt]
+        tfs[s:s + cnt] = vals[vpos + cnt:vpos + 2 * cnt]
+        dls[s:s + cnt] = vals[vpos + 2 * cnt:vpos + 3 * cnt]
+        base = int(enc.last_ids[bi - 1]) if bi > 0 else -1
+        doc_ids[s:s + cnt] = np.cumsum(gaps) + base
+        vpos += 3 * cnt
+    return doc_ids, tfs, dls
