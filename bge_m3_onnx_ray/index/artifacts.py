@@ -1,0 +1,173 @@
+"""On-disk index layout, manifests, and the shard reader.
+
+Layout of ``index_dir``::
+
+    stats.json                    {n_docs, total_len, avgdl, n_shards, config...}
+    manifest.json                 per-shard lineage + metrics (resume gate)
+    conv_offsets.parquet          conv_id (sorted), start_doc_id, n_turns
+    doc_lens/shard-SSSSS.parquet  doc_id, dl            (one per shard)
+    postings/shard-SSSSS-bucket-BB.parquet   per-term encoded postings
+    dict_partials/shard-SSSSS-bucket-BB.parquet  term, df, cf  (per group)
+    dictionary/*.parquet          term, df, cf (globally aggregated)
+
+Resumability contract (north rule): every per-shard artifact is written
+to a temp path and ``os.replace``d (atomic on POSIX), and ``manifest.json``
+records, per shard, the input fingerprint, doc count, total length and
+postings bytes. A re-run skips shards whose manifest entry is complete;
+an interrupted shard is simply rewritten (same deterministic bytes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+POSTINGS_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("df", pa.int64()),
+    ("cf", pa.int64()),
+    ("n_blocks", pa.int32()),
+    ("last_ids", pa.list_(pa.int64())),
+    ("max_tf", pa.list_(pa.int32())),
+    ("min_dl", pa.list_(pa.int32())),
+    ("offs", pa.list_(pa.int32())),
+    ("blob", pa.binary()),
+])
+
+
+def atomic_write_parquet(table: pa.Table, path: str) -> int:
+    """Deterministic, atomic parquet write; returns file size in bytes."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    pq.write_table(table, tmp, compression="zstd", write_statistics=True)
+    os.replace(tmp, path)
+    return os.path.getsize(path)
+
+
+def atomic_write_json(obj, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def postings_file(index_dir: str, shard: int, bucket: int) -> str:
+    return os.path.join(index_dir, "postings", f"shard-{shard:05d}-bucket-{bucket:02d}.parquet")
+
+
+def dict_partial_file(index_dir: str, shard: int, bucket: int) -> str:
+    return os.path.join(index_dir, "dict_partials", f"shard-{shard:05d}-bucket-{bucket:02d}.parquet")
+
+
+def doc_lens_file(index_dir: str, shard: int) -> str:
+    return os.path.join(index_dir, "doc_lens", f"shard-{shard:05d}.parquet")
+
+
+class ConvOffsets:
+    """docID assignment: docID = start(conv_id) + turn_idx, where ``start``
+    is the prefix sum of per-conversation turn counts in lexicographic
+    conv_id order. This makes docIDs a pure function of the data — stable
+    under any partitioning / execution order (SURVEY.md §4.2 "ordering").
+
+    Requires dense 0-based ``turn_idx`` per conversation (validated at
+    build time); non-dense conversations get an explicit rank map.
+    """
+
+    def __init__(self, conv_ids: np.ndarray, starts: np.ndarray, counts: np.ndarray,
+                 nondense: dict[str, dict[int, int]] | None = None):
+        self.conv_ids = conv_ids      # sorted, dtype=object
+        self.starts = starts          # int64
+        self.counts = counts          # int64
+        self.nondense = nondense or {}
+        self.n_docs = int(starts[-1] + counts[-1]) if len(starts) else 0
+
+    def lookup(self, conv_id) -> int:
+        i = np.searchsorted(self.conv_ids, conv_id)
+        return int(self.starts[i])
+
+    def doc_ids_for(self, conv_arr: np.ndarray, turn_arr: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.conv_ids, conv_arr)
+        base = self.starts[idx]
+        if self.nondense:
+            out = base + turn_arr.astype(np.int64)
+            for j, c in enumerate(conv_arr):
+                m = self.nondense.get(c)
+                if m is not None:
+                    out[j] = self.starts[np.searchsorted(self.conv_ids, c)] + m[int(turn_arr[j])]
+            return out
+        return base + turn_arr.astype(np.int64)
+
+    def doc_to_conv(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Map docIDs back to (conv_id, turn_idx); dense convs only for the
+        reverse of nondense maps (rare path handled by linear scan)."""
+        i = np.searchsorted(self.starts, doc_ids, side="right") - 1
+        conv = self.conv_ids[i]
+        turn = (doc_ids - self.starts[i]).astype(np.int32)
+        if self.nondense:
+            for j, c in enumerate(conv):
+                m = self.nondense.get(c)
+                if m is not None:
+                    inv = {v: k for k, v in m.items()}
+                    turn[j] = inv[int(turn[j])]
+        return conv, turn
+
+    def save(self, index_dir: str) -> None:
+        t = pa.table({
+            "conv_id": pa.array(self.conv_ids, pa.string()),
+            "start_doc_id": pa.array(self.starts, pa.int64()),
+            "n_turns": pa.array(self.counts, pa.int64()),
+        })
+        atomic_write_parquet(t, os.path.join(index_dir, "conv_offsets.parquet"))
+        if self.nondense:
+            atomic_write_json(
+                {c: {str(k): v for k, v in m.items()} for c, m in self.nondense.items()},
+                os.path.join(index_dir, "nondense_turns.json"))
+
+    @classmethod
+    def load(cls, index_dir: str) -> "ConvOffsets":
+        t = pq.read_table(os.path.join(index_dir, "conv_offsets.parquet"))
+        nondense = {}
+        p = os.path.join(index_dir, "nondense_turns.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                nondense = {c: {int(k): v for k, v in m.items()}
+                            for c, m in json.load(f).items()}
+        return cls(np.asarray(t.column("conv_id").to_pylist(), dtype=object),
+                   t.column("start_doc_id").to_numpy(),
+                   t.column("n_turns").to_numpy(), nondense)
+
+
+class IndexMeta:
+    """Loaded stats + manifest; the query-side handle on an index."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.n_docs = self.stats["n_docs"]
+        self.total_len = self.stats["total_len"]
+        self.avgdl = self.stats["avgdl"]
+        self.k1 = self.stats["k1"]
+        self.b = self.stats["b"]
+        self.block_size = self.stats["block_size"]
+        self.term_buckets = self.stats["term_buckets"]
+        self.docs_per_shard = self.stats["docs_per_shard"]
+        self.shards = sorted(int(s) for s in self.manifest["shards"])
+
+    def load_term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Global df for a small set of query terms — predicate-pushdown
+        scan of the dictionary (no broadcast of the full dictionary)."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        d = os.path.join(self.index_dir, "dictionary")
+        dset = pads.dataset(d, format="parquet")
+        t = dset.to_table(filter=pc.field("term").isin(terms), columns=["term", "df"])
+        return dict(zip(t.column("term").to_pylist(), t.column("df").to_pylist()))
