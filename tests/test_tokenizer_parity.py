@@ -1,0 +1,66 @@
+"""Tokenizer determinism + edge texts, mirroring the reference's
+hand-picked golden set (``generate_reference_embeddings.py:60-69``:
+empty string, long text, multilingual, numbers/symbols) plus FIXTURES.md
+§5 extras (whitespace-only, single char, 10k-char turn, emoji,
+mixed-script token)."""
+
+import numpy as np
+
+from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer, tokenize
+
+EDGE_TEXTS = [
+    "",                                            # reference golden incl. ""
+    "Hello world",
+    "This is a test sentence for ONNX conversion verification.",
+    "Short text",
+    "A longer text that contains multiple sentences. It should test the "
+    "model's ability to handle varying lengths.",
+    "Text with numbers: 12345 and symbols: !@#$%^&*()",  # cf. reference :67
+    "多语言文本测试",                                 # CJK
+    "Многоязычный тест",                            # Cyrillic
+    "اختبار متعدد اللغات",                          # Arabic
+    "   \t\n  ",                                    # whitespace only
+    "x",
+    "word " * 2000,                                 # 10k-char turn
+    "🙂🎉🔥",                                        # pure emoji → no \w tokens
+    "abc日本語def",                                  # mixed-script token
+    "Café naïve façade",                            # NFKC + casefold
+]
+
+
+def test_edge_texts_deterministic():
+    tok = DeterministicTokenizer()
+    for t in EDGE_TEXTS:
+        a, b = tok.tokenize(t), tok.tokenize(t)
+        assert a == b
+        for w in a:
+            assert w and "\x00" not in w
+
+
+def test_empty_and_whitespace():
+    assert tokenize("") == []
+    assert tokenize("   \t\n  ") == []
+    assert tokenize("🙂🎉🔥") == []
+
+
+def test_cjk_char_segmentation():
+    assert tokenize("abc日本語def") == ["abc", "日", "本", "語", "def"]
+    assert tokenize("多语言文本测试") == list("多语言文本测试")
+
+
+def test_case_and_nfkc():
+    assert tokenize("Hello WORLD") == ["hello", "world"]
+    # NFKC folds full-width forms
+    assert tokenize("ＡＢＣ１２３") == ["abc123"]
+
+
+def test_batch_counts_match_scalar_path():
+    tok = DeterministicTokenizer()
+    from collections import Counter
+    doc_idx, terms, tfs, doc_lens = tok.batch_term_counts(EDGE_TEXTS)
+    assert len(doc_lens) == len(EDGE_TEXTS)
+    for i, text in enumerate(EDGE_TEXTS):
+        want = Counter(tok.tokenize(text))
+        got = {terms[j]: int(tfs[j]) for j in np.flatnonzero(doc_idx == i)}
+        assert got == dict(want), text
+        assert int(doc_lens[i]) == sum(want.values())
