@@ -1,0 +1,104 @@
+"""Flagship pipeline: BM25 index build + top-k search.
+
+Two corpora:
+
+- the ``documents`` table of the sandbox test data, framed as one-turn
+  transcripts (``conv_id = f"doc-{doc_id:08d}", turn_idx = 0``) — this
+  variant is verified row-for-row against a full BM25 oracle written in
+  SQL (DuckDB) by the driver;
+- the synthetic multi-turn ``transcripts`` fixture (the authoritative
+  input_hint shape) — verified against the pure-Python oracle in pytest.
+
+Indexes are cached under /tmp keyed by corpus identity; rebuild of an
+existing complete index is a no-op thanks to the resume manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from bge_m3_onnx_ray.config import IndexConfig, QueryConfig
+from bge_m3_onnx_ray.index.build import build_index
+from bge_m3_onnx_ray.index.search import search
+
+# Fixed reference query set for the documents corpus (vocabulary of the
+# sandbox documents tables). Duplicate + OOV terms included on purpose.
+DOC_QUERIES: list[tuple[int, str]] = [
+    (0, "key order sort"),
+    (1, "spark group query"),
+    (2, "join filter window"),
+    (3, "data data data"),          # duplicate terms
+    (4, "customer stream merge scan"),
+    (5, "zzzneverseen oov"),        # out-of-vocabulary
+    (6, "table"),
+    (7, "slow small filter count row"),
+]
+
+_DOC_CFG = IndexConfig(docs_per_shard=4096, term_buckets=8, block_size=128)
+
+
+def documents_as_transcripts(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def to_transcript(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table({
+            "conv_id": pa.array([f"doc-{i:08d}" for i in ids], pa.string()),
+            "turn_idx": pa.array(np.zeros(len(ids), np.int32), pa.int32()),
+            "text": batch.column("text"),
+        })
+
+    return ds.map_batches(to_transcript, batch_format="pyarrow")
+
+
+def _cached_index(corpus_ds: rd.Dataset, cache_key: str,
+                  cfg: IndexConfig) -> str:
+    idx = os.path.join("/tmp/bm25_indexes", cache_key)
+    stats = os.path.join(idx, "stats.json")
+    if not os.path.exists(stats):
+        build_index(corpus_ds, idx, cfg)
+    else:
+        with open(stats) as f:
+            if json.load(f).get("config_fingerprint") != cfg.fingerprint():
+                import shutil
+                shutil.rmtree(idx)
+                build_index(corpus_ds, idx, cfg)
+    return idx
+
+
+def bm25_documents_topk(sf_dir: str, method: str = "wand", k: int = 10) -> pa.Table:
+    """Top-k BM25 over the documents table; output (query_id, rank,
+    doc_id, score_q6) — shaped to hash-match the DuckDB SQL oracle."""
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    out = search(idx, DOC_QUERIES, QueryConfig(k=k, method=method)).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
+
+
+def bm25_transcripts_topk(sf_dir: str, method: str = "wand", k: int = 10,
+                          n_turns: int | None = None) -> pa.Table:
+    """Flagship over the synthetic multi-turn transcripts fixture at a
+    scale derived from sf_dir (sf0.001→2k, sf0.01→20k, sf0.1→200k turns).
+    Driver check is rows-only (no SQL view of transcripts exists); exact
+    parity is covered by the pytest golden suite."""
+    from bge_m3_onnx_ray.fixtures import gen_queries, transcripts_path
+
+    if n_turns is None:
+        base = os.path.basename(os.path.normpath(sf_dir))
+        sf = float(base.replace("sf", "")) if base.startswith("sf") else 0.001
+        n_turns = max(2000, int(sf * 2_000_000))
+    path = transcripts_path(n_turns)
+    cfg = IndexConfig(docs_per_shard=65536, term_buckets=8)
+    idx = _cached_index(rd.read_parquet(path), f"transcripts-n{n_turns}", cfg)
+    out = search(idx, gen_queries(50), QueryConfig(k=k, method=method))
+    return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)

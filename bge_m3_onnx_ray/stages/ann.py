@@ -1,0 +1,110 @@
+"""Similarity search over an embedding column (vec_id, embedding:
+list<float>, ...).
+
+Baseline: brute-force cosine top-k — per-batch numpy matmul against a
+broadcast query matrix (``ray.put`` once, read in every task; never
+re-shipped per batch), per-batch partial top-k, tiny groupby merge.
+Scale path: random-hyperplane LSH bucketing (``lsh_buckets``) which
+turns the all-pairs scan into per-bucket scans; bucket scans reuse the
+same brute-force kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+def brute_force_topk(ds: rd.Dataset, query_vecs: np.ndarray,
+                     query_ids: np.ndarray, k: int = 10,
+                     exclude: dict[int, int] | None = None) -> rd.Dataset:
+    """Exact cosine top-k for each query vector.
+
+    Output (query_id, rank, vec_id, cos_q2); ties (cos equal) break by
+    ascending vec_id. ``exclude`` maps query_id -> vec_id to drop (self-
+    match exclusion when queries come from the corpus)."""
+    import ray
+
+    q = _normalize(np.asarray(query_vecs, np.float64))
+    q_ref = ray.put((np.asarray(query_ids, np.int64), q,
+                     dict(exclude or {})))
+
+    class PartialTopK:
+        def __init__(self):
+            self.qids, self.q, self.exclude = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = batch.column("vec_id").to_numpy()
+            m = _normalize(np.stack(batch.column("embedding").to_pylist())
+                           .astype(np.float64))
+            sims = self.q @ m.T                      # (n_q, n_batch)
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                s = sims[qi]
+                mask = np.ones(len(vids), bool)
+                ex = self.exclude.get(int(qid))
+                if ex is not None:
+                    mask &= vids != ex
+                idx = np.flatnonzero(mask)
+                if not len(idx):
+                    continue
+                kk = min(k, len(idx))
+                top = idx[np.argpartition(-s[idx], kk - 1)[:kk]] \
+                    if len(idx) > kk else idx
+                out_q.extend([qid] * len(top))
+                out_v.extend(vids[top].tolist())
+                out_s.extend(s[top].tolist())
+            return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                             "vec_id": pa.array(out_v, pa.int64()),
+                             "cos": pa.array(out_s, pa.float64())})
+
+    partials = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        PartialTopK, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 4))
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        s = group.column("cos").to_numpy()
+        v = group.column("vec_id").to_numpy()
+        order = np.lexsort((v, -s))[:k]
+        return pa.table({
+            "query_id": pa.array(np.full(len(order), qid), pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32), pa.int32()),
+            "vec_id": pa.array(v[order], pa.int64()),
+            # q2: DuckDB computes list_cosine_similarity in float32 (~1e-7
+            # error), so a 1e-6 grid would flip floor boundaries cross-engine
+            "cos_q2": pa.array(np.floor(s[order] * 100.0).astype(np.int64), pa.int64()),
+        })
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+class LshBucketStage:
+    """Random-hyperplane LSH: bucket = sign-bits of (v . H) — the scale
+    path for ANN / near-dup (bucket co-location turns all-pairs into
+    per-bucket work). Deterministic: fixed-seed hyperplanes generated in
+    __init__, once per actor."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.h = rng.standard_normal((dim, n_planes))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        bits = (m @ self.h) > 0
+        bucket = np.zeros(len(m), np.int64)
+        for j in range(bits.shape[1]):
+            bucket |= bits[:, j].astype(np.int64) << j
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "bucket": pa.array(bucket, pa.int64())})
+
+
+def lsh_buckets(ds: rd.Dataset, dim: int, n_planes: int = 12) -> rd.Dataset:
+    return ds.select_columns(["vec_id", "embedding"]).map_batches(
+        LshBucketStage, fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))

@@ -1,0 +1,72 @@
+"""Event-stream-shaped operators over the ``events`` table
+(event_id, ts, user_id, event_type, value, props).
+
+Ray Data has no event-time windows; these follow the guide's pattern:
+tumbling windows = keyed truncation + pre-aggregated groupby; session
+windows = ``groupby(user).map_groups`` over ts-sorted groups
+(gaps-and-islands). Ordering assumption: windowing is per-key and each
+key's rows fit one group (bounded per-user history)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def hourly_agg(ds: rd.Dataset) -> rd.Dataset:
+    """Tumbling 1h window per event_type: n_events, sum_value_q6.
+    Pre-aggregated per batch before the groupby (partial combine)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["ts", "event_type", "value"]).to_pandas()
+        # hour as epoch seconds (int64) — engine-neutral window key.
+        # Explicit [s] cast: pandas keeps arrow's us-precision, so a naive
+        # astype(int64)//1e9 would be off by 10^3.
+        df["hour"] = df["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+        g = df.groupby(["event_type", "hour"], sort=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.select_columns(["ts", "event_type", "value"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby(["event_type", "hour"]).aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        # round-half-up at q2: event values are 2-decimal, so exact sums
+        # lie ON the 0.01 grid and floor would straddle the boundary under
+        # summation-order float noise; half-grid points cannot occur for
+        # decimal data, so +0.5-then-floor is engine-stable.
+        sv = batch.column("sum_value").to_numpy()
+        return batch.drop_columns(["sum_value"]).append_column(
+            "sum_value_q2",
+            pa.array(np.floor(sv * 100.0 + 0.5).astype(np.int64), pa.int64()))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def sessionize(ds: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
+    """Session windows per user (new session when the gap to the previous
+    event exceeds ``gap_minutes``). Output one row per session:
+    (user_id, session_id, n_events, start_ts, end_ts)."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        new = (g["ts"].diff() > gap).cumsum()
+        out = g.groupby(new).agg(
+            user_id=("user_id", "first"), n_events=("event_id", "size"),
+            start_ts=("ts", "min"), end_ts=("ts", "max")).reset_index(drop=True)
+        out["session_id"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        # epoch-us ints, not timestamps (engine-neutral); explicit [us]
+        # cast so the integer unit does not depend on pandas' resolution
+        out["start_us"] = out.pop("start_ts").astype("datetime64[us]").astype("int64")
+        out["end_us"] = out.pop("end_ts").astype("datetime64[us]").astype("int64")
+        return out[["user_id", "session_id", "n_events", "start_us", "end_us"]]
+
+    return ds.select_columns(["event_id", "ts", "user_id"]) \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")

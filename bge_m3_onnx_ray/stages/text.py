@@ -1,0 +1,256 @@
+"""Text-analysis operators over a documents-style table
+(doc_id, text, ...): token counting, corpus stats, df ranking, per-doc
+top terms, length categorization (reference M9,
+``generate_dataset.py:170-178``), language-ID heuristic (reference M10,
+``:180-193``), quality scoring, fingerprinting.
+
+All operators are vectorized ``map_batches`` transforms with partial
+(per-batch) pre-aggregation before any ``groupby`` — the SPIMI pattern —
+so the only shuffled rows are per-(term, batch) partials, not tokens.
+
+Float outputs are quantized as ``floor(x * 1e6)`` int64 (``_q6``): floor
+is exactly rounded in IEEE-754 and identical in every engine, which makes
+results hash-comparable against a DuckDB oracle (ROUND is not — DuckDB
+rounds half-away-from-zero, Python half-even).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
+
+# Fixed stopword lists for the language-ID heuristic (M10) and quality
+# stop-ratio. These are part of the operator contract — the DuckDB oracle
+# embeds the same lists.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une"),
+}
+LANG_ORDER = ("en", "es", "de", "fr")
+
+
+def q6(x: np.ndarray) -> np.ndarray:
+    """floor(x*1e6) as int64 — the cross-engine-stable quantization."""
+    return np.floor(np.asarray(x, np.float64) * 1e6).astype(np.int64)
+
+
+class _TokenStage:
+    """Base for actor-pool stages needing the tokenizer once per actor."""
+
+    def __init__(self):
+        self.tok = DeterministicTokenizer()
+
+    def _token_lists(self, batch: pa.Table) -> list[list[str]]:
+        return [self.tok.tokenize(t) if t is not None else []
+                for t in batch.column("text").to_pylist()]
+
+
+class TokenCount(_TokenStage):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = self._token_lists(batch)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array([len(t) for t in toks], pa.int64()),
+        })
+
+
+def token_count(ds: rd.Dataset) -> rd.Dataset:
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        TokenCount, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+
+
+class _CorpusPartial(_TokenStage):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = self._token_lists(batch)
+        return pa.table({"n_docs": pa.array([len(toks)], pa.int64()),
+                         "n_tokens": pa.array([sum(len(t) for t in toks)], pa.int64())})
+
+
+def corpus_stats(ds: rd.Dataset) -> pa.Table:
+    """One row: n_docs, n_tokens, avg_tokens_q6."""
+    p = ds.select_columns(["doc_id", "text"]).map_batches(
+        _CorpusPartial, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 4)).to_pandas()
+    n_docs, n_tokens = int(p.n_docs.sum()), int(p.n_tokens.sum())
+    avg = n_tokens / n_docs if n_docs else 0.0
+    return pa.table({"n_docs": pa.array([n_docs], pa.int64()),
+                     "n_tokens": pa.array([n_tokens], pa.int64()),
+                     "avg_tokens_q6": pa.array(q6(np.array([avg])), pa.int64())})
+
+
+class _DfPartial(_TokenStage):
+    """Per-batch partial (term, df, cf) — the pre-aggregation that keeps
+    the groupby small (one row per term per batch, not per token)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_idx, terms, tfs, _ = self.tok.batch_term_counts(
+            batch.column("text").to_pylist())
+        if not len(terms):
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "cf": pa.array([], pa.int64())})
+        s = pd.DataFrame({"term": terms, "tf": tfs}).groupby("term", sort=False) \
+            .agg(df=("tf", "size"), cf=("tf", "sum")).reset_index()
+        return pa.table({"term": pa.array(s.term, pa.string()),
+                         "df": pa.array(s.df, pa.int64()),
+                         "cf": pa.array(s.cf, pa.int64())})
+
+
+def term_df(ds: rd.Dataset, top_n: int = 100) -> pa.Table:
+    """Top-N terms by (df desc, term asc) with global df and cf."""
+    agg = ds.select_columns(["doc_id", "text"]).map_batches(
+        _DfPartial, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 4)).groupby("term").aggregate(
+            Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+    pdf = agg.to_pandas().sort_values(["df", "term"],
+                                      ascending=[False, True]).head(top_n)
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+class TopTermsPerDoc(_TokenStage):
+    def __init__(self, k: int):
+        super().__init__()
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_idx, terms, tfs, _ = self.tok.batch_term_counts(
+            batch.column("text").to_pylist())
+        doc_ids = batch.column("doc_id").to_numpy()
+        if not len(terms):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "term_rank": pa.array([], pa.int64())})
+        df = pd.DataFrame({"doc_id": doc_ids[doc_idx], "term": terms,
+                           "tf": tfs.astype(np.int64)})
+        df = df.sort_values(["doc_id", "tf", "term"],
+                            ascending=[True, False, True], kind="stable")
+        df["term_rank"] = df.groupby("doc_id").cumcount() + 1
+        df = df[df.term_rank <= self.k]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def top_terms_per_doc(ds: rd.Dataset, k: int = 5,
+                      max_doc_id: int | None = None) -> rd.Dataset:
+    """Per-doc top-k terms by (tf desc, term asc) — the reference's
+    top-5 sparse-token display (A3, ``Program.cs:54-60``) as a table op."""
+    ds = ds.select_columns(["doc_id", "text"])
+    if max_doc_id is not None:
+        import pyarrow.compute as pc
+        ds = ds.map_batches(lambda t: t.filter(pc.less(t["doc_id"], max_doc_id)),
+                            batch_format="pyarrow")
+    return ds.map_batches(TopTermsPerDoc, fn_constructor_kwargs={"k": k},
+                          batch_format="pyarrow", batch_size=4096,
+                          concurrency=(1, 4))
+
+
+class LengthCategorize(_TokenStage):
+    """Reference M9 (``generate_dataset.py:170-178``): word-count →
+    short (<=10) / medium (<=30) / long."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = np.array([len(t) for t in self._token_lists(batch)], np.int64)
+        cat = np.where(n <= 10, "short", np.where(n <= 30, "medium", "long"))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_words": pa.array(n, pa.int64()),
+                         "category": pa.array(cat, pa.string())})
+
+
+def length_categorize(ds: rd.Dataset) -> rd.Dataset:
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        LengthCategorize, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 4))
+
+
+class LangId(_TokenStage):
+    """Reference M10 heuristic re-expressed as stopword-hit voting with a
+    fixed language priority for ties (en > es > de > fr; all-zero →
+    'other'). Sets compiled once per actor."""
+
+    def __init__(self):
+        super().__init__()
+        self.sets = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = self._token_lists(batch)
+        counts = {lang: np.array([sum(t in s for t in ts) for ts in toks], np.int64)
+                  for lang, s in self.sets.items()}
+        n = len(toks)
+        lang = np.full(n, "other", object)
+        best = np.zeros(n, np.int64)
+        for lg in reversed(LANG_ORDER):  # earlier langs win ties (>=)
+            c = counts[lg]
+            sel = (c > 0) & (c >= best)
+            lang[sel] = lg
+            best = np.maximum(best, c)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang_guess": pa.array(lang, pa.string())})
+
+
+def langid(ds: rd.Dataset) -> rd.Dataset:
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+
+
+class QualityScore(_TokenStage):
+    """Length/stopword quality signals: n_chars, n_words, avg word length
+    and English-stopword ratio (both _q6-quantized)."""
+
+    def __init__(self):
+        super().__init__()
+        self.stop = frozenset(STOPWORDS["en"])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        toks = [self.tok.tokenize(t) if t is not None else [] for t in texts]
+        n_words = np.array([len(t) for t in toks], np.int64)
+        tok_chars = np.array([sum(len(w) for w in ts) for ts in toks], np.float64)
+        n_stop = np.array([sum(w in self.stop for w in ts) for ts in toks], np.float64)
+        denom = np.maximum(n_words, 1).astype(np.float64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "avg_word_len_q6": pa.array(q6(tok_chars / denom), pa.int64()),
+            "stop_ratio_q6": pa.array(q6(n_stop / denom), pa.int64()),
+        })
+
+
+def quality_score(ds: rd.Dataset) -> rd.Dataset:
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        QualityScore, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+
+
+_FP_BASE = np.uint64(1099511628211)   # FNV-ish rolling base
+_FP_OFFSET = np.uint64(14695981039346656037)
+
+
+class Fingerprint(_TokenStage):
+    """Order-sensitive document fingerprint: FNV-1a rolling hash over the
+    token stream (content-defined identity that survives re-partitioning;
+    not SQL-expressible → covered by pytest, rows-only driver check)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = np.empty(batch.num_rows, np.uint64)
+        with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+            for i, ts in enumerate(self._token_lists(batch)):
+                # vectorized FNV-1a over the byte stream of "tok tok ..."
+                data = np.frombuffer(" ".join(ts).encode(), np.uint8).astype(np.uint64)
+                h = _FP_OFFSET
+                for bch in data:
+                    h = (h ^ bch) * _FP_BASE
+                out[i] = h
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "fingerprint": pa.array(out.view(np.int64), pa.int64())})
+
+
+def fingerprint(ds: rd.Dataset) -> rd.Dataset:
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        Fingerprint, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
