@@ -28,13 +28,17 @@ class IndexConfig:
 
     k1: float = 1.2
     b: float = 0.75
-    docs_per_shard: int = 65536
+    docs_per_shard: int = 131072
     # term buckets per shard: bounds the size of one merge group to
     # ~(docs_per_shard * avg_doc_len / term_buckets) postings.
-    term_buckets: int = 8
+    term_buckets: int = 4
     block_size: int = 128  # postings entries per skip block
-    tokenize_batch_size: int = 4096
+    tokenize_batch_size: int = 16384
     tokenize_concurrency: int | tuple[int, int] = (2, 8)
+    # "tasks": warm task pool (no actor-startup cost; right for a
+    # stateless tokenizer). "actors": actor pool (right when the
+    # tokenizer loads a real vocabulary/model once per worker).
+    tokenize_compute: str = "tasks"
     # reserved token ids 0-3 ([PAD],[UNK],[CLS],[SEP]) — kept so the term-id
     # space lines up with the reference's special-token filter
     # (reference samples/python/bge_m3_embedder.py:30).
@@ -42,7 +46,8 @@ class IndexConfig:
 
     def fingerprint(self) -> str:
         payload = {k: v for k, v in asdict(self).items()
-                   if k not in ("tokenize_batch_size", "tokenize_concurrency")}
+                   if k not in ("tokenize_batch_size", "tokenize_concurrency",
+                                "tokenize_compute")}
         return hashlib.sha256(
             json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
 

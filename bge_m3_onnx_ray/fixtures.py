@@ -134,18 +134,31 @@ def gen_queries(n_queries: int = 50, seed: int = 43) -> list[tuple[int, str]]:
 
 
 def transcripts_path(n_turns: int, seed: int = 42) -> str:
-    """Cached deterministic parquet for (n_turns, seed); atomic write."""
-    d = os.path.join(CACHE_ROOT, f"transcripts-n{n_turns}-s{seed}")
-    final = os.path.join(d, "transcripts.parquet")
-    if os.path.exists(final):
-        return final
+    """Cached deterministic parquet DIRECTORY for (n_turns, seed).
+
+    Written as multiple files with bounded row groups — a single-file
+    single-row-group corpus is read by ONE Ray task and serializes the
+    whole pipeline (observed: the read, not the tokenize, capped 32-CPU
+    runs). Multiple files = parallel read, like any real corpus layout.
+    """
+    d = os.path.join(CACHE_ROOT, f"transcripts-v2-n{n_turns}-s{seed}")
+    if os.path.isdir(d):
+        return d
     os.makedirs(CACHE_ROOT, exist_ok=True)
     tmp = d + f".tmp-{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
     t = gen_transcripts(n_turns, seed)
-    pq.write_table(t, os.path.join(tmp, "transcripts.parquet"))
+    rows_per_file = max(65536, n_turns // 32)
+    i = 0
+    start = 0
+    while start < t.num_rows:
+        pq.write_table(t.slice(start, rows_per_file),
+                       os.path.join(tmp, f"part-{i:04d}.parquet"),
+                       row_group_size=32768)
+        start += rows_per_file
+        i += 1
     try:
         os.rename(tmp, d)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
-    return final
+    return d

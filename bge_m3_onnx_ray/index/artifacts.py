@@ -79,29 +79,55 @@ class ConvOffsets:
     build time); non-dense conversations get an explicit rank map.
     """
 
-    def __init__(self, conv_ids: np.ndarray, starts: np.ndarray, counts: np.ndarray,
+    def __init__(self, conv_ids, starts: np.ndarray, counts: np.ndarray,
                  nondense: dict[str, dict[int, int]] | None = None):
-        self.conv_ids = conv_ids      # sorted, dtype=object
-        self.starts = starts          # int64
-        self.counts = counts          # int64
+        # conv_ids: sorted; pa.Array (fast pickle, C++ lookups) or numpy
+        # object array (accepted for convenience, converted once)
+        if isinstance(conv_ids, (pa.Array, pa.ChunkedArray)):
+            self._conv_arrow = (conv_ids.combine_chunks()
+                                if isinstance(conv_ids, pa.ChunkedArray)
+                                else conv_ids).cast(pa.large_string())
+        else:
+            self._conv_arrow = pa.array(conv_ids, pa.large_string())
+        self._conv_np = None           # lazy numpy view for searchsorted
+        self.starts = np.asarray(starts, np.int64)
+        self.counts = np.asarray(counts, np.int64)
         self.nondense = nondense or {}
         self.n_docs = int(starts[-1] + counts[-1]) if len(starts) else 0
+
+    @property
+    def conv_ids(self) -> np.ndarray:
+        if self._conv_np is None:
+            self._conv_np = np.asarray(self._conv_arrow.to_pylist(), dtype=object)
+        return self._conv_np
 
     def lookup(self, conv_id) -> int:
         i = np.searchsorted(self.conv_ids, conv_id)
         return int(self.starts[i])
 
-    def doc_ids_for(self, conv_arr: np.ndarray, turn_arr: np.ndarray) -> np.ndarray:
-        idx = np.searchsorted(self.conv_ids, conv_arr)
+    def doc_ids_for(self, conv_arr, turn_arr: np.ndarray) -> np.ndarray:
+        """``conv_arr``: numpy object array OR pyarrow (Chunked)Array —
+        the arrow path avoids per-row Python string comparisons."""
+        import pyarrow.compute as pc
+        if isinstance(conv_arr, (pa.Array, pa.ChunkedArray)):
+            idx = pc.index_in(conv_arr.cast(pa.large_string()),
+                              value_set=self._conv_arrow).to_numpy(
+                                  zero_copy_only=False).astype(np.int64)
+        else:
+            idx = np.searchsorted(self.conv_ids, conv_arr)
         base = self.starts[idx]
+        turn_np = np.asarray(turn_arr, np.int64)
         if self.nondense:
-            out = base + turn_arr.astype(np.int64)
-            for j, c in enumerate(conv_arr):
+            out = base + turn_np
+            conv_py = (conv_arr.to_pylist()
+                       if isinstance(conv_arr, (pa.Array, pa.ChunkedArray))
+                       else conv_arr)
+            for j, c in enumerate(conv_py):
                 m = self.nondense.get(c)
                 if m is not None:
-                    out[j] = self.starts[np.searchsorted(self.conv_ids, c)] + m[int(turn_arr[j])]
+                    out[j] = base[j] + m[int(turn_np[j])]
             return out
-        return base + turn_arr.astype(np.int64)
+        return base + turn_np
 
     def doc_to_conv(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Map docIDs back to (conv_id, turn_idx); dense convs only for the
@@ -117,9 +143,16 @@ class ConvOffsets:
                     turn[j] = inv[int(turn[j])]
         return conv, turn
 
+    def __getstate__(self):
+        return {"conv": self._conv_arrow, "starts": self.starts,
+                "counts": self.counts, "nondense": self.nondense}
+
+    def __setstate__(self, st):
+        self.__init__(st["conv"], st["starts"], st["counts"], st["nondense"])
+
     def save(self, index_dir: str) -> None:
         t = pa.table({
-            "conv_id": pa.array(self.conv_ids, pa.string()),
+            "conv_id": self._conv_arrow.cast(pa.string()),
             "start_doc_id": pa.array(self.starts, pa.int64()),
             "n_turns": pa.array(self.counts, pa.int64()),
         })
@@ -138,7 +171,7 @@ class ConvOffsets:
             with open(p) as f:
                 nondense = {c: {int(k): v for k, v in m.items()}
                             for c, m in json.load(f).items()}
-        return cls(np.asarray(t.column("conv_id").to_pylist(), dtype=object),
+        return cls(t.column("conv_id").combine_chunks(),
                    t.column("start_doc_id").to_numpy(),
                    t.column("n_turns").to_numpy(), nondense)
 

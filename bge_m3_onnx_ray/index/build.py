@@ -43,7 +43,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Max, Min, Sum
 
 from bge_m3_onnx_ray.config import IndexConfig
 from bge_m3_onnx_ray.index.artifacts import (
@@ -58,18 +57,26 @@ from bge_m3_onnx_ray.index.artifacts import (
 from bge_m3_onnx_ray.index.codec import encode_postings
 from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
 
+# SPIMI segment rows: ONE row per (term, shard) per input batch, postings
+# carried as list columns. This is the partial pre-aggregation that keeps
+# the merge shuffle small — the sort moves ~vocab x n_batches rows instead
+# of one row per token occurrence (~20x fewer at avg dl ~ 11).
 _POSTROW_SCHEMA = pa.schema([
-    ("term", pa.string()),
-    ("doc_id", pa.int64()),
-    ("tf", pa.int32()),
-    ("dl", pa.int32()),
+    ("term", pa.large_string()),
     ("gkey", pa.int64()),
+    ("min_doc", pa.int64()),
+    ("doc_ids", pa.large_list(pa.int64())),
+    ("tfs", pa.large_list(pa.int32())),
+    ("dls", pa.large_list(pa.int32())),
 ])
 
 
-def term_bucket(terms: np.ndarray, n_buckets: int) -> np.ndarray:
+def term_bucket(terms, n_buckets: int) -> np.ndarray:
     """Deterministic term→bucket hash (crc32; NEVER Python ``hash`` — it is
     per-process salted and would scatter a term across buckets)."""
+    if isinstance(terms, pa.Array):
+        return np.fromiter((zlib.crc32(t.encode()) % n_buckets
+                            for t in terms.to_pylist()), np.int64, len(terms))
     codes, uniques = pd.factorize(terms, sort=False)
     ub = np.fromiter((zlib.crc32(u.encode()) % n_buckets for u in uniques),
                      np.int64, len(uniques))
@@ -83,23 +90,34 @@ def _conv_partial(batch: pa.Table) -> pa.Table:
 
 
 def compute_conv_offsets(ds: rd.Dataset) -> ConvOffsets:
-    """Pass A: stable docID assignment. Pre-aggregated per batch so the
-    groupby shuffles one row per (conv, batch), not one per turn."""
-    partials = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
+    """Pass A: stable docID assignment. Pre-aggregated per batch (one row
+    per conv per batch) and finished on the driver with a pandas groupby —
+    cheaper than a Ray sort shuffle for the partials, which are tiny
+    relative to the input (a conv rarely spans two 64k-row batches). At
+    10^12 turns the driver finish becomes one more Ray reduce by conv_id
+    range; the partial-aggregation shape is unchanged."""
+    import pyarrow.compute as pc
+    partial_ds = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
         _conv_partial, batch_format="pyarrow", batch_size=65536)
-    agg = partials.groupby("conv_id").aggregate(
-        Sum("n", alias_name="n"),
-        Min("min_t", alias_name="min_t"),
-        Max("max_t", alias_name="max_t"))
-    pdf = agg.to_pandas().sort_values("conv_id").reset_index(drop=True)
-    counts = pdf["n"].to_numpy(np.int64)
+    # finish in arrow C++ on the driver: group, sort, prefix-sum
+    batches = list(partial_ds.iter_batches(batch_size=None,
+                                           batch_format="pyarrow"))
+    if not batches:
+        return ConvOffsets(pa.array([], pa.large_string()),
+                           np.empty(0, np.int64), np.empty(0, np.int64))
+    tbl = pa.concat_tables(batches)
+    agg = tbl.group_by("conv_id").aggregate(
+        [("n", "sum"), ("min_t", "min"), ("max_t", "max")])
+    agg = agg.take(pc.sort_indices(agg.column("conv_id")))
+    conv_arrow = agg.column("conv_id").combine_chunks()
+    counts = agg.column("n_sum").to_numpy().astype(np.int64)
     starts = np.zeros(len(counts), np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
-    dense = (pdf["min_t"].to_numpy() == 0) & \
-            (pdf["max_t"].to_numpy(np.int64) == counts - 1)
+    dense = (agg.column("min_t_min").to_numpy() == 0) & \
+            (agg.column("max_t_max").to_numpy().astype(np.int64) == counts - 1)
     nondense: dict[str, dict[int, int]] = {}
     if not dense.all():
-        bad = set(pdf["conv_id"][~dense])
+        bad = set(np.asarray(conv_arrow.to_pylist(), dtype=object)[~dense])
         # rare path: collect the offending convs' turn indices and rank them
         sub = ds.select_columns(["conv_id", "turn_idx"]) \
                 .filter(lambda r: r["conv_id"] in bad) \
@@ -107,58 +125,122 @@ def compute_conv_offsets(ds: rd.Dataset) -> ConvOffsets:
         for c, g in sub.groupby("conv_id"):
             ts = sorted(g["turn_idx"].tolist())
             nondense[c] = {int(t): i for i, t in enumerate(ts)}
-    return ConvOffsets(pdf["conv_id"].to_numpy(dtype=object), starts, counts, nondense)
+    return ConvOffsets(conv_arrow, starts, counts, nondense)
+
+
+# Per-worker-process cache of deserialized broadcast objects: plain-task
+# stages re-fetch constructor state per task; worker processes persist
+# across tasks, so one ray.get + unpickle per worker, not per task.
+_BROADCAST_CACHE: dict[str, object] = {}
+
+
+def get_broadcast(ref):
+    import ray
+    if isinstance(ref, ray.ObjectRef):
+        key = ref.hex()
+        obj = _BROADCAST_CACHE.get(key)
+        if obj is None:
+            obj = ray.get(ref)
+            _BROADCAST_CACHE[key] = obj
+        return obj
+    return ref
 
 
 class TokenizePostings:
-    """SPIMI stage (stateful actor pool). Per batch: docIDs from the
-    broadcast offsets, tokenize (vectorized, §tokenizer), per-doc tf
-    counts, shard/bucket keys. Setup cost (offsets ``ray.get``) is paid
-    once per actor — the reference's load-sessions-in-``__init__``
-    pattern (``samples/python/bge_m3_embedder.py:36-50``)."""
+    """SPIMI stage. Per batch: docIDs from the broadcast offsets, tokenize
+    (vectorized, §tokenizer), per-doc tf counts, shard/bucket keys.
+
+    Runs as a plain TASK pool by default (``IndexConfig.tokenize_compute``):
+    our deterministic tokenizer has no heavy state, and a task pool reuses
+    warm worker processes with zero pool-startup cost (measured 2.5x
+    faster end-to-end than an actor pool at sandbox scale). A tokenizer
+    that loads a real vocabulary (the reference's session-load pattern,
+    ``samples/python/bge_m3_embedder.py:36-50``) flips the config to
+    ``"actors"`` and this same class becomes the actor."""
 
     def __init__(self, offsets_ref, docs_per_shard: int, term_buckets: int,
                  done_shards: tuple[int, ...] = ()):
-        import ray
-        self.offsets: ConvOffsets = ray.get(offsets_ref) \
-            if not isinstance(offsets_ref, ConvOffsets) else offsets_ref
+        # scheduled at num_cpus=1 — keep arrow's intra-op pool from
+        # oversubscribing the machine across the pool
+        pa.set_cpu_count(1)
+        self.offsets: ConvOffsets = get_broadcast(offsets_ref)
         self.tok = DeterministicTokenizer()
         self.docs_per_shard = docs_per_shard
         self.nb = term_buckets
         self.done = np.array(sorted(done_shards), np.int64)
 
+    @staticmethod
+    def _segments(sort_keys, min_doc_src, values_cols, terms_for, gkeys_for):
+        """Group consecutive equal sort_keys into arrow list segments."""
+        bounds = np.concatenate([[0], np.flatnonzero(np.diff(sort_keys)) + 1,
+                                 [len(sort_keys)]])
+        offsets = pa.array(bounds, pa.int64())
+        heads = bounds[:-1]
+        lists = [pa.LargeListArray.from_arrays(offsets, pa.array(v, t))
+                 for v, t in values_cols]
+        return heads, min_doc_src[heads], lists
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
+        conv = batch.column("conv_id")
         turn = batch.column("turn_idx").to_numpy()
         doc_ids = self.offsets.doc_ids_for(conv, turn)
         shard = doc_ids // self.docs_per_shard
+        texts = batch.column("text")
         if len(self.done):
             keep = ~np.isin(shard, self.done)
             if not keep.any():
                 return _POSTROW_SCHEMA.empty_table()
             doc_ids, shard = doc_ids[keep], shard[keep]
-            texts = np.asarray(batch.column("text").to_pylist(), dtype=object)[keep]
-        else:
-            texts = batch.column("text").to_pylist()
-        doc_idx, terms, tfs, doc_lens = self.tok.batch_term_counts(texts)
+            texts = texts.filter(pa.array(keep))
+        doc_idx, codes, uniques, tfs, doc_lens = \
+            self.tok.batch_term_counts_coded(texts)
         stride = self.nb + 1
-        # posting rows
-        p_doc = doc_ids[doc_idx]
-        p_shard = shard[doc_idx]
-        p_bucket = term_bucket(terms, self.nb) if len(terms) else np.empty(0, np.int64)
-        p_gkey = p_shard * stride + p_bucket + 1
-        # one doc-length row per document (term "", bucket -1): becomes the
-        # per-shard doc_lens table + corpus stats at merge time
-        d_gkey = shard * stride
-        n_p, n_d = len(p_doc), len(doc_ids)
-        return pa.table({
-            "term": pa.array(np.concatenate([terms, np.full(n_d, "", object)]), pa.string()),
-            "doc_id": pa.array(np.concatenate([p_doc, doc_ids]), pa.int64()),
-            "tf": pa.array(np.concatenate([tfs, doc_lens]).astype(np.int32), pa.int32()),
-            "dl": pa.array(np.concatenate([doc_lens[doc_idx] if n_p else np.empty(0, np.int32),
-                                           doc_lens]).astype(np.int32), pa.int32()),
-            "gkey": pa.array(np.concatenate([p_gkey, d_gkey]), pa.int64()),
-        })
+        tables = []
+
+        if len(codes):
+            p_doc = doc_ids[doc_idx]
+            p_shard = shard[doc_idx]
+            p_dl = doc_lens[doc_idx].astype(np.int32)
+            # segment key = (shard, term code); docs ascending within
+            order = np.lexsort((p_doc, codes, p_shard))
+            skey = p_shard[order] * (len(uniques) + 1) + codes[order]
+            p_doc, p_tf, p_dl = p_doc[order], tfs[order], p_dl[order]
+            heads, min_docs, lists = self._segments(
+                skey, p_doc,
+                [(p_doc, pa.int64()), (p_tf, pa.int32()), (p_dl, pa.int32())],
+                None, None)
+            seg_codes = codes[order][heads]
+            ub = np.fromiter(
+                (zlib.crc32(u.encode()) % self.nb for u in uniques.to_pylist()),
+                np.int64, len(uniques))
+            seg_gkey = p_shard[order][heads] * stride + ub[seg_codes] + 1
+            tables.append(pa.table({
+                "term": uniques.take(pa.array(seg_codes)).cast(pa.large_string()),
+                "gkey": pa.array(seg_gkey, pa.int64()),
+                "min_doc": pa.array(min_docs, pa.int64()),
+                "doc_ids": lists[0], "tfs": lists[1], "dls": lists[2],
+            }, schema=_POSTROW_SCHEMA))
+
+        if len(doc_ids):
+            # one doc-length segment per shard (term "", bucket -1): becomes
+            # the per-shard doc_lens table + corpus stats at merge time
+            order = np.lexsort((doc_ids, shard))
+            d_doc, d_shard = doc_ids[order], shard[order]
+            d_dl = doc_lens[order].astype(np.int32)
+            heads, min_docs, lists = self._segments(
+                d_shard, d_doc,
+                [(d_doc, pa.int64()), (d_dl, pa.int32()), (d_dl, pa.int32())],
+                None, None)
+            tables.append(pa.table({
+                "term": pa.array([""] * len(heads), pa.large_string()),
+                "gkey": pa.array(d_shard[heads] * stride, pa.int64()),
+                "min_doc": pa.array(min_docs, pa.int64()),
+                "doc_ids": lists[0], "tfs": lists[1], "dls": lists[2],
+            }, schema=_POSTROW_SCHEMA))
+
+        if not tables:
+            return _POSTROW_SCHEMA.empty_table()
+        return pa.concat_tables(tables)
 
 
 _META_SCHEMA = pa.schema([
@@ -179,11 +261,25 @@ def make_encode_group_fn(index_dir: str, cfg: IndexConfig):
     def encode_group(group: pa.Table) -> pa.Table:
         gkey = int(group.column("gkey")[0].as_py())
         shard, bucket = gkey // stride, gkey % stride - 1
-        doc_id = group.column("doc_id").to_numpy()
-        if bucket == -1:  # doc-length rows → per-shard doc table slice
-            order = np.argsort(doc_id, kind="stable")
-            dl = group.column("dl").to_numpy()[order]
-            t = pa.table({"doc_id": pa.array(doc_id[order], pa.int64()),
+        # flatten the segment list columns (zero-copy arrow values)
+        docs_col = group.column("doc_ids").combine_chunks()
+        seg_offs = np.asarray(docs_col.offsets)
+        flat_doc = np.asarray(docs_col.values)
+        flat_tf = np.asarray(group.column("tfs").combine_chunks().values)
+        flat_dl = np.asarray(group.column("dls").combine_chunks().values)
+
+        def gather(row_order):
+            """Concatenate segment slices in the given row order."""
+            idx = np.concatenate([np.arange(seg_offs[r], seg_offs[r + 1])
+                                  for r in row_order]) if len(row_order) else \
+                np.empty(0, np.int64)
+            return flat_doc[idx], flat_tf[idx], flat_dl[idx]
+
+        if bucket == -1:  # doc-length segments → per-shard doc table slice
+            row_order = np.argsort(group.column("min_doc").to_numpy(),
+                                   kind="stable")
+            doc_id, dl, _ = gather(row_order)
+            t = pa.table({"doc_id": pa.array(doc_id, pa.int64()),
                           "dl": pa.array(dl.astype(np.int32), pa.int32())})
             path = doc_lens_file(index_dir, shard)
             nbytes = atomic_write_parquet(t, path)
@@ -192,11 +288,21 @@ def make_encode_group_fn(index_dir: str, cfg: IndexConfig):
                      "n_terms": 0, "nbytes": nbytes, "file": path}
         else:
             terms = np.asarray(group.column("term").to_pylist(), dtype=object)
-            tf = group.column("tf").to_numpy()
-            dl = group.column("dl").to_numpy()
-            codes, uniques = pd.factorize(terms, sort=True)
-            order = np.lexsort((doc_id, codes))
-            codes, doc_id, tf, dl = codes[order], doc_id[order], tf[order], dl[order]
+            seg_codes, uniques = pd.factorize(terms, sort=True)
+            # segments of one term are disjoint doc ranges (input batches
+            # are contiguous row slices) → ordering by (term, min_doc)
+            # concatenates into a fully doc-sorted posting list
+            row_order = np.lexsort((group.column("min_doc").to_numpy(),
+                                    seg_codes))
+            doc_id, tf, dl = gather(row_order)
+            codes = np.repeat(seg_codes[row_order],
+                              np.diff(seg_offs)[row_order])
+            # safety net for unsorted inputs (batch doc-ranges overlap):
+            # re-sort globally by (term, doc) — (term, doc) pairs are unique
+            d = np.diff(doc_id)
+            if len(d) and not (d[np.diff(codes) == 0] > 0).all():
+                full = np.lexsort((doc_id, codes))
+                codes, doc_id, tf, dl = codes[full], doc_id[full], tf[full], dl[full]
             bounds = np.concatenate([[0], np.flatnonzero(np.diff(codes)) + 1, [len(codes)]])
             rows = {k: [] for k in ("term", "df", "cf", "n_blocks", "last_ids",
                                     "max_tf", "min_dl", "offs", "blob")}
@@ -284,6 +390,9 @@ def build_index(transcripts, index_dir: str, cfg: IndexConfig | None = None,
     per-group manifest entries are complete and reproduces byte-identical
     artifacts for the rest (deterministic encode + atomic writes).
     """
+    import time
+    phases: dict[str, float] = {}
+    t_start = time.perf_counter()
     cfg = cfg or IndexConfig()
     if isinstance(transcripts, str):
         ds = rd.read_parquet(transcripts, columns=["conv_id", "turn_idx", "text"])
@@ -304,28 +413,57 @@ def build_index(transcripts, index_dir: str, cfg: IndexConfig | None = None,
     atomic_write_json({"fingerprint": cfg.fingerprint()}, fp_path)
 
     if offsets is None:
+        t0 = time.perf_counter()
         offsets = compute_conv_offsets(ds)
         offsets.save(index_dir)
+        phases["offsets"] = round(time.perf_counter() - t0, 2)
 
     import ray
     offsets_ref = ray.put(offsets)
     n_shards = (offsets.n_docs + cfg.docs_per_shard - 1) // cfg.docs_per_shard
 
     if len(done) < n_shards:
-        post = ds.map_batches(
-            TokenizePostings,
-            fn_constructor_kwargs={
-                "offsets_ref": offsets_ref,
-                "docs_per_shard": cfg.docs_per_shard,
-                "term_buckets": cfg.term_buckets,
-                "done_shards": tuple(sorted(done)),
-            },
-            batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=cfg.tokenize_batch_size,
-            concurrency=cfg.tokenize_concurrency, num_cpus=1)
+        kwargs = {
+            "offsets_ref": offsets_ref,
+            "docs_per_shard": cfg.docs_per_shard,
+            "term_buckets": cfg.term_buckets,
+            "done_shards": tuple(sorted(done)),
+        }
+        if cfg.tokenize_compute == "actors":
+            post = ds.map_batches(
+                TokenizePostings, fn_constructor_kwargs=kwargs,
+                batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=cfg.tokenize_batch_size,
+                concurrency=cfg.tokenize_concurrency, num_cpus=1)
+        else:  # warm task pool: per-worker cached state via get_broadcast
+            def tokenize_fn(batch: pa.Table,
+                            _k=kwargs) -> pa.Table:
+                worker = _BROADCAST_CACHE.get("__tokenizer_stage__")
+                if worker is None or worker._kargs != _k:  # type: ignore[attr-defined]
+                    worker = TokenizePostings(**_k)
+                    worker._kargs = _k  # type: ignore[attr-defined]
+                    _BROADCAST_CACHE["__tokenizer_stage__"] = worker
+                return worker(batch)
+
+            post = ds.map_batches(
+                tokenize_fn, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=cfg.tokenize_batch_size, num_cpus=1)
         meta = post.groupby("gkey").map_groups(
             make_encode_group_fn(index_dir, cfg), batch_format="pyarrow")
-        meta.materialize()  # drive the build; meta rows are tiny
+        # push-based sort shuffle roughly halves the merge exchange cost
+        # for the (small-row-count) segment tables; restore the strategy
+        # afterwards — it is session-global state
+        from ray.data import DataContext
+        from ray.data.context import ShuffleStrategy
+        ctx = DataContext.get_current()
+        prev = ctx.shuffle_strategy
+        t0 = time.perf_counter()
+        try:
+            ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+            meta.materialize()  # drive the build; meta rows are tiny
+        finally:
+            ctx.shuffle_strategy = prev
+        phases["tokenize_merge_encode"] = round(time.perf_counter() - t0, 2)
 
     # consolidate per-group entries → stats + manifest (idempotent)
     shards: dict[str, dict] = {}
@@ -347,7 +485,10 @@ def build_index(transcripts, index_dir: str, cfg: IndexConfig | None = None,
             s["postings_bytes"] += e["nbytes"]
             postings_bytes += e["nbytes"]
 
+    t0 = time.perf_counter()
     n_terms = _merge_dictionary(index_dir, cfg.term_buckets)
+    phases["dictionary"] = round(time.perf_counter() - t0, 2)
+    phases["total"] = round(time.perf_counter() - t_start, 2)
 
     stats = {
         "n_docs": n_docs, "total_len": total_len,
@@ -365,4 +506,4 @@ def build_index(transcripts, index_dir: str, cfg: IndexConfig | None = None,
         f"doc count mismatch: merged {n_docs} vs offsets {offsets.n_docs}"
     return {"n_docs": n_docs, "n_terms": n_terms, "n_shards": n_shards,
             "avgdl": stats["avgdl"], "postings_bytes": postings_bytes,
-            "resumed_shards": len(done)}
+            "resumed_shards": len(done), "phases": phases}

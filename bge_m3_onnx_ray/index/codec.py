@@ -128,6 +128,69 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                            min_dl.astype(np.int32), offs.astype(np.int32), blob)
 
 
+def encode_postings_many(codes: np.ndarray, doc_ids: np.ndarray,
+                         tfs: np.ndarray, dls: np.ndarray,
+                         bounds: np.ndarray,
+                         block_size: int = 128) -> list[EncodedPostings]:
+    """Encode MANY terms' postings in one vectorized pass (one varint
+    encode for the whole group instead of one per term) — byte-identical
+    to per-term :func:`encode_postings`.
+
+    Inputs are the group's rows sorted by (term code, doc_id); ``bounds``
+    are the term boundaries (len = n_terms + 1).
+    """
+    n = len(doc_ids)
+    if n == 0:
+        return []
+    codes = np.ascontiguousarray(codes, np.int64)
+    doc_ids = np.ascontiguousarray(doc_ids, np.int64)
+    tfs = np.ascontiguousarray(tfs, np.int64)
+    dls = np.ascontiguousarray(dls, np.int64)
+    counts = np.diff(bounds)
+    pos = np.arange(n) - np.repeat(bounds[:-1], counts)
+    blk = pos // block_size
+    gaps = np.empty(n, np.int64)
+    gaps[1:] = doc_ids[1:] - doc_ids[:-1]
+    starts_mask = pos == 0
+    gaps[starts_mask] = doc_ids[starts_mask] + 1  # delta from virtual -1
+    # value-stream order: per (term, block): [gaps][tfs][dls]
+    rows3 = np.concatenate([np.arange(n)] * 3)
+    sec3 = np.repeat(np.arange(3, dtype=np.int64), n)
+    order = np.lexsort((pos[rows3], sec3, blk[rows3], codes[rows3]))
+    vals3 = np.concatenate([gaps, tfs, dls]).astype(np.uint64)
+    blob_all, nbytes3 = encode_varints(vals3[order])
+    nbytes_o = nbytes3  # per stream element, already in stream order
+    # block boundaries in ROW space (sorted by code, then pos)
+    gid = codes * ((n // block_size) + 2) + blk
+    row_block_starts = np.concatenate([[0], np.flatnonzero(np.diff(gid)) + 1])
+    row_block_ends = np.concatenate([row_block_starts[1:] - 1, [n - 1]])
+    blk_last = doc_ids[row_block_ends]
+    blk_max_tf = np.maximum.reduceat(tfs, row_block_starts)
+    blk_min_dl = np.minimum.reduceat(dls, row_block_starts)
+    blk_term = codes[row_block_starts]
+    # byte size per block: blocks appear in the stream in the same
+    # (code, blk) order as in row space; block b holds 3*cnt_b elements
+    cnt_b = row_block_ends - row_block_starts + 1
+    elem_starts = np.concatenate([[0], np.cumsum(3 * cnt_b)[:-1]])
+    stream_block_sizes = np.add.reduceat(nbytes_o, elem_starts)
+    byte_starts = np.concatenate([[0], np.cumsum(stream_block_sizes)])
+    # per-term assembly (cheap slicing only)
+    out: list[EncodedPostings] = []
+    term_block_bounds = np.concatenate(
+        [[0], np.flatnonzero(np.diff(blk_term)) + 1, [len(blk_term)]])
+    for ti in range(len(bounds) - 1):
+        bs, be = term_block_bounds[ti], term_block_bounds[ti + 1]
+        offs = (byte_starts[bs:be + 1] - byte_starts[bs]).astype(np.int32)
+        out.append(EncodedPostings(
+            int(counts[ti]),
+            blk_last[bs:be].astype(np.int64),
+            blk_max_tf[bs:be].astype(np.int32),
+            blk_min_dl[bs:be].astype(np.int32),
+            offs,
+            blob_all[byte_starts[bs]:byte_starts[be]]))
+    return out
+
+
 def decode_block(enc: EncodedPostings, bi: int, block_size: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode one skip block → (doc_ids, tfs, dls)."""
     cnt = min(block_size, enc.n - bi * block_size)

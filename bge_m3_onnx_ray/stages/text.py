@@ -54,10 +54,10 @@ class _TokenStage:
 
 class TokenCount(_TokenStage):
     def __call__(self, batch: pa.Table) -> pa.Table:
-        toks = self._token_lists(batch)
+        _, _, _, _, doc_lens = self.tok.batch_term_counts_coded(batch.column("text"))
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "n_tokens": pa.array([len(t) for t in toks], pa.int64()),
+            "n_tokens": pa.array(doc_lens.astype(np.int64), pa.int64()),
         })
 
 
@@ -68,9 +68,9 @@ def token_count(ds: rd.Dataset) -> rd.Dataset:
 
 class _CorpusPartial(_TokenStage):
     def __call__(self, batch: pa.Table) -> pa.Table:
-        toks = self._token_lists(batch)
-        return pa.table({"n_docs": pa.array([len(toks)], pa.int64()),
-                         "n_tokens": pa.array([sum(len(t) for t in toks)], pa.int64())})
+        _, _, _, _, doc_lens = self.tok.batch_term_counts_coded(batch.column("text"))
+        return pa.table({"n_docs": pa.array([len(doc_lens)], pa.int64()),
+                         "n_tokens": pa.array([int(doc_lens.sum())], pa.int64())})
 
 
 def corpus_stats(ds: rd.Dataset) -> pa.Table:
@@ -90,17 +90,16 @@ class _DfPartial(_TokenStage):
     the groupby small (one row per term per batch, not per token)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_idx, terms, tfs, _ = self.tok.batch_term_counts(
-            batch.column("text").to_pylist())
-        if not len(terms):
+        _, codes, uniques, tfs, _ = self.tok.batch_term_counts_coded(batch.column("text"))
+        if not len(codes):
             return pa.table({"term": pa.array([], pa.string()),
                              "df": pa.array([], pa.int64()),
                              "cf": pa.array([], pa.int64())})
-        s = pd.DataFrame({"term": terms, "tf": tfs}).groupby("term", sort=False) \
-            .agg(df=("tf", "size"), cf=("tf", "sum")).reset_index()
-        return pa.table({"term": pa.array(s.term, pa.string()),
-                         "df": pa.array(s.df, pa.int64()),
-                         "cf": pa.array(s.cf, pa.int64())})
+        df = np.bincount(codes, minlength=len(uniques))
+        cf = np.bincount(codes, weights=tfs, minlength=len(uniques))
+        return pa.table({"term": uniques.cast(pa.string()),
+                         "df": pa.array(df.astype(np.int64), pa.int64()),
+                         "cf": pa.array(cf.astype(np.int64), pa.int64())})
 
 
 def term_df(ds: rd.Dataset, top_n: int = 100) -> pa.Table:
@@ -156,7 +155,8 @@ class LengthCategorize(_TokenStage):
     short (<=10) / medium (<=30) / long."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = np.array([len(t) for t in self._token_lists(batch)], np.int64)
+        _, _, _, _, doc_lens = self.tok.batch_term_counts_coded(batch.column("text"))
+        n = doc_lens.astype(np.int64)
         cat = np.where(n <= 10, "short", np.where(n <= 30, "medium", "long"))
         return pa.table({"doc_id": batch.column("doc_id"),
                          "n_words": pa.array(n, pa.int64()),
@@ -179,10 +179,17 @@ class LangId(_TokenStage):
         self.sets = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        toks = self._token_lists(batch)
-        counts = {lang: np.array([sum(t in s for t in ts) for ts in toks], np.int64)
-                  for lang, s in self.sets.items()}
-        n = len(toks)
+        texts = batch.column("text")
+        doc_idx, codes, uniques, tfs, doc_lens = \
+            self.tok.batch_term_counts_coded(texts)
+        n = len(texts)
+        uni = uniques.to_pylist()
+        counts = {}
+        for lang, s in self.sets.items():
+            mask = np.fromiter((u in s for u in uni), bool, len(uni))
+            w = tfs * mask[codes] if len(codes) else np.empty(0, np.int64)
+            counts[lang] = np.bincount(doc_idx, weights=w, minlength=n) \
+                .astype(np.int64) if len(codes) else np.zeros(n, np.int64)
         lang = np.full(n, "other", object)
         best = np.zeros(n, np.int64)
         for lg in reversed(LANG_ORDER):  # earlier langs win ties (>=)
@@ -208,11 +215,23 @@ class QualityScore(_TokenStage):
         self.stop = frozenset(STOPWORDS["en"])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        toks = [self.tok.tokenize(t) if t is not None else [] for t in texts]
-        n_words = np.array([len(t) for t in toks], np.int64)
-        tok_chars = np.array([sum(len(w) for w in ts) for ts in toks], np.float64)
-        n_stop = np.array([sum(w in self.stop for w in ts) for ts in toks], np.float64)
+        import pyarrow.compute as pc
+        texts = batch.column("text")
+        doc_idx, codes, uniques, tfs, doc_lens = \
+            self.tok.batch_term_counts_coded(texts)
+        n = len(texts)
+        n_words = doc_lens.astype(np.int64)
+        if len(codes):
+            ulen = np.asarray(pc.utf8_length(uniques), np.float64)
+            tok_chars = np.bincount(doc_idx, weights=tfs * ulen[codes],
+                                    minlength=n)
+            smask = np.fromiter((u in self.stop for u in uniques.to_pylist()),
+                                bool, len(uniques))
+            n_stop = np.bincount(doc_idx, weights=tfs * smask[codes],
+                                 minlength=n)
+        else:
+            tok_chars = np.zeros(n, np.float64)
+            n_stop = np.zeros(n, np.float64)
         denom = np.maximum(n_words, 1).astype(np.float64)
         return pa.table({
             "doc_id": batch.column("doc_id"),

@@ -54,6 +54,25 @@ def test_case_and_nfkc():
     assert tokenize("ＡＢＣ１２３") == ["abc123"]
 
 
+def test_fast_path_equals_python_path():
+    """The polars/arrow ASCII fast path and the pure-Python path must
+    produce the same (doc, term, tf) multiset and doc_lens (internal code
+    numbering may differ; downstream sorts normalize it)."""
+    import bge_m3_onnx_ray.tokenizer as tk
+    tok = tk.DeterministicTokenizer()
+    texts = EDGE_TEXTS * 3
+    a = tok.batch_term_counts(texts)
+    had = tk._HAVE_POLARS
+    tk._HAVE_POLARS = False
+    try:
+        b = tok.batch_term_counts(texts)
+    finally:
+        tk._HAVE_POLARS = had
+    assert sorted(zip(a[0].tolist(), a[1].tolist(), a[2].tolist())) == \
+           sorted(zip(b[0].tolist(), b[1].tolist(), b[2].tolist()))
+    assert (a[3] == b[3]).all()
+
+
 def test_batch_counts_match_scalar_path():
     tok = DeterministicTokenizer()
     from collections import Counter
