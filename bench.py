@@ -1,0 +1,163 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: BM25 index build turns/s + query p50 latency over the synthetic
+transcript corpus (the north-star metric), plus per-query wall times for
+the documents-table operator suite over $GRAFT_SF_DIR.
+
+Protocol (why the warmups exist — measured, see BASELINE.md):
+- page-cache warm: one untimed read of the input (the guide's rule;
+  first-touch disk reads at 600 MB swamp the measurement),
+- cluster warm: one untimed small build (Ray worker processes pay ~2 s
+  of imports each on first task; a 100 TB job pays this once, a 30 s
+  benchmark pays it 30x unless warmed).
+
+``--scaling``: the same timed job in fresh processes at 8 and 32 CPUs
+(the sandbox stand-in for the N vs 4N-node two-cluster-size criterion),
+reporting both throughputs + efficiency = (T/s@32) / (4 * T/s@8).
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "4000000"))
+WARM_TURNS = 100_000
+
+
+def run_bench() -> dict:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+
+    from bge_m3_onnx_ray.config import IndexConfig
+    from bge_m3_onnx_ray.fixtures import gen_queries, transcripts_path
+    from bge_m3_onnx_ray.index.build import build_index
+
+    # ---- corpus + warmups
+    path = transcripts_path(BENCH_TURNS)
+    for f in sorted(os.listdir(path)):          # page-cache warm
+        with open(os.path.join(path, f), "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+    widx = "/tmp/bm25_bench/warm_idx"
+    shutil.rmtree(widx, ignore_errors=True)
+    build_index(transcripts_path(WARM_TURNS), widx, IndexConfig())  # cluster warm
+
+    # ---- timed build: best of 2 (this sandbox shows ~2x wall-time noise
+    # between identical runs minutes apart; min damps the noise while
+    # staying an honest end-to-end measurement)
+    idx = "/tmp/bm25_bench/idx"
+    build_sec = float("inf")
+    res = None
+    for _ in range(2):
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.perf_counter()
+        r = build_index(path, idx, IndexConfig())
+        dt = time.perf_counter() - t0
+        if dt < build_sec:
+            build_sec, res = dt, r
+
+    # ---- timed queries: persistent scorer actors (index/serve.py),
+    # postings decoded once in actor __init__, then per-query RPC fan-out
+    from bge_m3_onnx_ray.index.serve import Searcher
+    queries = gen_queries(50)
+    searcher = Searcher(idx, n_actors=min(8, NCPU))
+    searcher.search("warm up the actors")          # untimed warm call
+    lat = []
+    for qid, text in queries[:20]:
+        t0 = time.perf_counter()
+        searcher.search(text)
+        lat.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    searcher.search_batch(queries)
+    batch_sec = time.perf_counter() - t0
+    searcher.shutdown()
+
+    out = {
+        "build_sec": round(build_sec, 2),
+        "build_turns_per_sec": round(BENCH_TURNS / build_sec),
+        "n_turns": BENCH_TURNS,
+        "query_p50_ms": round(float(np.median(lat)) * 1000, 1),
+        "query_batch50_sec": round(batch_sec, 2),
+        "index_phases": res["phases"],
+    }
+
+    # ---- documents-table operator suite over SF_DIR
+    if os.environ.get("BENCH_SKIP_QUERIES"):
+        out["queries"] = {}
+        return out
+    import __ray_entry__ as m
+    qtimes = {}
+    wanted = ["bm25_documents_topk", "token_count", "term_df_top100",
+              "exact_dedup", "minhash_lsh_candidates", "ann_cosine_topk",
+              "events_hourly", "events_sessionize", "quality_score"]
+    qs = m.queries()
+    for name in wanted:
+        t0 = time.perf_counter()
+        r = qs[name](SF_DIR)
+        if hasattr(r, "materialize"):
+            r.materialize()
+        qtimes[name] = round(time.perf_counter() - t0, 2)
+    out["queries"] = qtimes
+    return out
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        results = {}
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       BENCH_SKIP_QUERIES="1",
+                       # larger corpus for the scaling runs: amortizes the
+                       # per-stage fixed costs a real long-running job
+                       # would amortize anyway
+                       BENCH_TURNS=os.environ.get("BENCH_TURNS", "8000000"))
+            p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True)
+            line = [ln for ln in p.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            results[ncpu] = json.loads(line)
+        tp8 = results[8]["build_turns_per_sec"]
+        tp32 = results[32]["build_turns_per_sec"]
+        print(json.dumps({
+            "metric": "bm25-index-build scaling 8→32 CPUs (N vs 4N stand-in)",
+            "build_turns_per_sec_8": tp8,
+            "build_turns_per_sec_32": tp32,
+            "build_sec_8": results[8]["value"],
+            "build_sec_32": results[32]["value"],
+            "scaling_efficiency": round(tp32 / (4 * tp8), 3),
+            "query_p50_ms_32": results[32]["query_p50_ms"],
+            "n_turns": results[8]["n_turns"],
+        }))
+        return
+
+    out = run_bench()
+    print(json.dumps({
+        "metric": "bm25_index_build_plus_query",
+        "value": out["build_sec"],
+        "unit": "sec",
+        "queries": out["queries"],
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "build_turns_per_sec": out["build_turns_per_sec"],
+        "n_turns": out["n_turns"],
+        "query_p50_ms": out["query_p50_ms"],
+        "query_batch50_sec": out["query_batch50_sec"],
+        "index_phases": out["index_phases"],
+    }))
+    import ray
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

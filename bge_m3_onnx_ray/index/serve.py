@@ -1,0 +1,178 @@
+"""Low-latency query serving: persistent shard-scorer actors.
+
+The Dataset-based ``search()`` pipeline (search.py) is right for batch
+scoring and for the correctness gate, but a per-query Dataset execution
+pays pipeline+actor-pool startup (~seconds) per call. Interactive top-k
+is the one place the Dataset API genuinely can't express the semantics
+(a long-lived, stateful, low-latency service), so this module drops to
+raw Ray actors — the documented escape hatch.
+
+Topology: P ``ShardSearcher`` actors, each owning a disjoint set of doc
+shards with postings decoded into memory once (``__init__``); a query
+fans out as one RPC per actor (terms + idfs precomputed on the driver
+from the cached dictionary), each actor returns its local exact top-k
+(vectorized numpy scoring, same ``bm25_term_score`` accumulation order),
+and the driver merges — identical results to search.py/the oracle.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from bge_m3_onnx_ray.config import QueryConfig
+from bge_m3_onnx_ray.index.artifacts import ConvOffsets, IndexMeta, postings_file
+from bge_m3_onnx_ray.index.codec import EncodedPostings, decode_postings
+from bge_m3_onnx_ray.index.search import _topk_merge, score_exhaustive, score_wand
+from bge_m3_onnx_ray.scoring import idf
+from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
+
+
+class _ShardSearcherImpl:
+    """Plain class so tests can drive it without Ray; wrapped by
+    ``ray.remote`` in Searcher."""
+
+    def __init__(self, index_dir: str, shards: list[int], preload: bool = True):
+        import pyarrow as pa
+        pa.set_cpu_count(1)
+        self.meta = IndexMeta(index_dir)
+        self.shards = shards
+        # decoded postings per shard: {term: (docs, tfs, dls)} — loaded
+        # once per actor (the reference's sessions-in-__init__ pattern)
+        self.decoded: dict[int, dict[str, tuple]] = {}
+        self.encoded: dict[int, dict[str, EncodedPostings]] = {}
+        if preload:
+            for s in shards:
+                self._load_shard(s)
+
+    def _load_shard(self, shard: int) -> None:
+        dec: dict[str, tuple] = {}
+        enc: dict[str, EncodedPostings] = {}
+        for path in sorted(glob.glob(postings_file(
+                self.meta.index_dir, shard, 0).replace("bucket-00", "bucket-*"))):
+            t = pq.read_table(path)
+            terms = t.column("term").to_pylist()
+            dfs = t.column("df").to_pylist()
+            last = t.column("last_ids").to_pylist()
+            mtf = t.column("max_tf").to_pylist()
+            mdl = t.column("min_dl").to_pylist()
+            offs = t.column("offs").to_pylist()
+            blobs = t.column("blob").to_pylist()
+            for i, term in enumerate(terms):
+                e = EncodedPostings(int(dfs[i]),
+                                    np.asarray(last[i], np.int64),
+                                    np.asarray(mtf[i], np.int32),
+                                    np.asarray(mdl[i], np.int32),
+                                    np.asarray(offs[i], np.int32), blobs[i])
+                enc[term] = e
+                dec[term] = decode_postings(e, self.meta.block_size)
+        self.decoded[shard] = dec
+        self.encoded[shard] = enc
+
+    def search_batch(self, queries: list[tuple[int, list[str]]],
+                     idfs: dict[str, float], k: int,
+                     method: str = "exhaustive"):
+        """Returns (query_ids, doc_ids, scores) numpy arrays of local
+        top-k candidates across this actor's shards."""
+        m = self.meta
+        out_q, out_d, out_s = [], [], []
+        for shard in self.shards:
+            dec = self.decoded.get(shard)
+            if dec is None:
+                self._load_shard(shard)
+                dec = self.decoded[shard]
+            for qid, terms in queries:
+                avail = sorted(t for t in terms if t in dec and t in idfs)
+                if not avail:
+                    continue
+                if method == "wand":
+                    enc = {t: self.encoded[shard][t] for t in avail}
+                    s, d = score_wand(enc, avail, idfs, m.avgdl, m.k1, m.b,
+                                      k, m.block_size)
+                else:
+                    s, d = score_exhaustive({t: dec[t] for t in avail},
+                                            avail, idfs, m.avgdl, m.k1, m.b, k)
+                out_q.append(np.full(len(d), qid, np.int64))
+                out_d.append(d)
+                out_s.append(s)
+        if not out_q:
+            z = np.empty(0, np.int64)
+            return z, z, np.empty(0, np.float64)
+        return (np.concatenate(out_q), np.concatenate(out_d),
+                np.concatenate(out_s))
+
+
+class Searcher:
+    """Driver-side handle over a pool of persistent scorer actors.
+
+    ``n_actors`` x per-actor shard subsets cover the index; the (small)
+    dictionary is cached on the driver for idf lookups. At 10^12 docs the
+    dictionary no longer fits a driver — idf lookup would move to a
+    dictionary-sharded actor tier; the per-query fan-out/merge is
+    unchanged.
+    """
+
+    def __init__(self, index_dir: str, n_actors: int = 8,
+                 cfg: QueryConfig | None = None):
+        import ray
+        self.cfg = cfg or QueryConfig()
+        self.meta = IndexMeta(index_dir)
+        self.offsets = ConvOffsets.load(index_dir)
+        self.tok = DeterministicTokenizer()
+        # full dictionary cached driver-side (sandbox scale)
+        dfs: dict[str, int] = {}
+        for p in glob.glob(os.path.join(index_dir, "dictionary", "*.parquet")):
+            t = pq.read_table(p, columns=["term", "df"])
+            dfs.update(zip(t.column("term").to_pylist(),
+                           t.column("df").to_pylist()))
+        self.idfs = {t: idf(d, self.meta.n_docs) for t, d in dfs.items()}
+        shards = self.meta.shards
+        # clamp by shards AND by schedulable CPUs — a pool larger than the
+        # session's CPU budget would block on actor creation forever
+        avail = int(ray.available_resources().get("CPU", 1))
+        n_actors = max(1, min(n_actors, len(shards), avail))
+        remote_cls = ray.remote(num_cpus=1)(_ShardSearcherImpl)
+        self.actors = [
+            remote_cls.remote(index_dir, shards[i::n_actors])
+            for i in range(n_actors)]
+
+    def search_batch(self, queries: list[tuple[int, str]],
+                     k: int | None = None,
+                     method: str | None = None) -> list[dict]:
+        """Exact global top-k per query; returns rows of
+        (query_id, rank, doc_id, score, conv_id, turn_idx)."""
+        import ray
+        k = k or self.cfg.k
+        method = method or "exhaustive"
+        qterms = [(int(qid), sorted(set(self.tok.tokenize(t))))
+                  for qid, t in queries]
+        need = sorted({t for _, ts in qterms for t in ts if t in self.idfs})
+        idfs = {t: self.idfs[t] for t in need}
+        futs = [a.search_batch.remote(qterms, idfs, k, method)
+                for a in self.actors]
+        parts = ray.get(futs)
+        qs = np.concatenate([p[0] for p in parts])
+        ds = np.concatenate([p[1] for p in parts])
+        ss = np.concatenate([p[2] for p in parts])
+        rows: list[dict] = []
+        for qid in sorted({q for q, _ in qterms}):
+            sel = qs == qid
+            s, d = _topk_merge(ss[sel], ds[sel], k)
+            conv, turn = self.offsets.doc_to_conv(d)
+            for r in range(len(d)):
+                rows.append({"query_id": qid, "rank": r + 1,
+                             "doc_id": int(d[r]), "score": float(s[r]),
+                             "conv_id": conv[r], "turn_idx": int(turn[r])})
+        return rows
+
+    def search(self, text: str, k: int | None = None) -> list[dict]:
+        return self.search_batch([(0, text)], k)
+
+    def shutdown(self) -> None:
+        import ray
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -233,9 +233,12 @@ class QualityScore(_TokenStage):
             tok_chars = np.zeros(n, np.float64)
             n_stop = np.zeros(n, np.float64)
         denom = np.maximum(n_words, 1).astype(np.float64)
+        import pyarrow.compute as pc2
+        n_chars = pc2.fill_null(pc2.utf8_length(batch.column("text")), 0) \
+            .cast(pa.int64())
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+            "n_chars": n_chars,
             "n_words": pa.array(n_words, pa.int64()),
             "avg_word_len_q6": pa.array(q6(tok_chars / denom), pa.int64()),
             "stop_ratio_q6": pa.array(q6(n_stop / denom), pa.int64()),
