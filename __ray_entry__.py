@@ -174,6 +174,16 @@ def _q_sessionize(sf_dir):
     return sessionize(_events(sf_dir))
 
 
+def _q_doc_term_weights(sf_dir):
+    from bge_m3_onnx_ray.stages.text import doc_term_weights
+    return doc_term_weights(_docs(sf_dir), max_doc_id=50)
+
+
+def _q_revenue_by_segment(sf_dir):
+    from bge_m3_onnx_ray.stages.relational import revenue_by_segment
+    return revenue_by_segment(sf_dir)
+
+
 def _q_multimodal_decode(sf_dir):
     import ray.data as rd
 
@@ -213,6 +223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dups,
         "ann_cosine_topk": _q_ann,
         "lsh_buckets": _q_lsh_buckets,
+        "doc_term_weights": _q_doc_term_weights,
+        "revenue_by_segment": _q_revenue_by_segment,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_sessionize,
         "multimodal_decode": _q_multimodal_decode,
@@ -379,6 +391,32 @@ SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
        vec_id::BIGINT AS vec_id,
        CAST(floor(cos * 100) AS BIGINT) AS cos_q2
 FROM ranked WHERE rnk <= 10
+""",
+        "doc_term_weights": f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+       GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM toks)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+SELECT tf.doc_id, tf.term, tf.tf::BIGINT AS tf,
+       CAST(floor(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                  * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                  * 1000000) AS BIGINT) AS weight_q6
+FROM tf JOIN dfs d ON d.term = tf.term
+JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+WHERE tf.doc_id < 50
+""",
+        "revenue_by_segment": """
+SELECT c.c_mktsegment, count(*)::BIGINT AS n_items,
+       CAST(floor(sum(l.l_extendedprice * (1.0 - l.l_discount)) + 0.5)
+            AS BIGINT) AS revenue_q0
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
 """,
         "events_hourly": """
 SELECT event_type,

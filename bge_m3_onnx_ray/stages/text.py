@@ -250,6 +250,66 @@ def quality_score(ds: rd.Dataset) -> rd.Dataset:
         QualityScore, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
 
 
+def doc_term_weights(ds: rd.Dataset, max_doc_id: int | None = None,
+                     k1: float = 1.2, b: float = 0.75) -> rd.Dataset:
+    """Per-document BM25 term weights — the table-operator form of the
+    reference's per-document sparse-lexical extraction (M6,
+    ``samples/python/bge_m3_embedder.py:132-143``): one row per
+    (doc, term) with the exact BM25 weight the index's scorer would
+    contribute for that term. Output (doc_id, term, tf, weight_q6).
+
+    Two passes: a partial-df aggregation (small: one row per term per
+    batch) collected into a broadcast idf map, then a vectorized per-doc
+    weight pass. Scale note: the broadcast dictionary is fine to ~10^7
+    terms; beyond that the idf lookup becomes a bucket join.
+    """
+    import ray
+
+    from bge_m3_onnx_ray.scoring import bm25_term_score, idf as idf_fn
+
+    src = ds.select_columns(["doc_id", "text"])
+    dfp = src.map_batches(_DfPartial, batch_format="pyarrow",
+                          batch_size=4096, concurrency=(1, 4)) \
+        .groupby("term").aggregate(Sum("df", alias_name="df")).to_pandas()
+    cs = corpus_stats(src)
+    n_docs = cs.column("n_docs")[0].as_py()
+    avgdl = cs.column("n_tokens")[0].as_py() / n_docs if n_docs else 1.0
+    # an all-empty corpus yields a column-less empty aggregate
+    idfs = ({t: idf_fn(int(d), n_docs) for t, d in zip(dfp.term, dfp.df)}
+            if "term" in dfp.columns else {})
+    idf_ref = ray.put(idfs)
+
+    class Weights(_TokenStage):
+        def __init__(self):
+            super().__init__()
+            self.idfs = ray.get(idf_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc_idx, codes, uniques, tfs, doc_lens = \
+                self.tok.batch_term_counts_coded(batch.column("text"))
+            doc_ids = batch.column("doc_id").to_numpy()
+            uni = uniques.to_pylist()
+            uidf = np.array([self.idfs.get(u, 0.0) for u in uni], np.float64)
+            w = bm25_term_score(tfs.astype(np.float64),
+                                doc_lens[doc_idx].astype(np.float64),
+                                1.0, avgdl, k1, b) * uidf[codes] \
+                if len(codes) else np.empty(0, np.float64)
+            return pa.table({
+                "doc_id": pa.array(doc_ids[doc_idx], pa.int64()),
+                "term": uniques.take(pa.array(codes)).cast(pa.string()),
+                "tf": pa.array(tfs.astype(np.int64), pa.int64()),
+                "weight_q6": pa.array(q6(w), pa.int64()),
+            })
+
+    out = src
+    if max_doc_id is not None:
+        import pyarrow.compute as pc
+        out = out.map_batches(lambda t: t.filter(pc.less(t["doc_id"], max_doc_id)),
+                              batch_format="pyarrow")
+    return out.map_batches(Weights, batch_format="pyarrow", batch_size=4096,
+                           concurrency=(1, 4))
+
+
 _FP_BASE = np.uint64(1099511628211)   # FNV-ish rolling base
 _FP_OFFSET = np.uint64(14695981039346656037)
 

@@ -1,0 +1,145 @@
+"""Unit tests for the training-data operator stages (dedup, ann, text,
+events, multimodal) against small in-memory truths — complementing the
+driver's DuckDB gate."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+    rows = {
+        "doc_id": list(range(8)),
+        "text": [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+            "a quick brown fox jumped over a lazy dog",      # near dup
+            "el gato de la casa en el jardin y la calle",    # es-ish
+            "der hund ist nicht mit das auto und ein haus",  # de-ish
+            "",                                              # empty
+            "data data data data pipeline",
+            "completely different words entirely unrelated tokens",
+        ],
+    }
+    return rd.from_arrow(pa.table(rows))
+
+
+def test_exact_dedup(docs_ds):
+    from bge_m3_onnx_ray.stages.dedup import exact_dedup
+    out = exact_dedup(docs_ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_dups"] == 2       # doc 1 collapsed into 0
+    assert 1 not in out.index
+    assert out.loc[2, "n_dups"] == 1
+
+
+def test_ngram_pairs_and_jaccard(docs_ds):
+    from bge_m3_onnx_ray.stages.dedup import ngram_pair_candidates, verify_jaccard
+    cands = ngram_pair_candidates(docs_ds, n=3, min_common=2).to_pandas()
+    pairs = set(zip(cands.doc_a, cands.doc_b))
+    assert (0, 1) in pairs                 # identical docs share all shingles
+    v = verify_jaccard(docs_ds, pa.Table.from_pandas(cands), n=3).to_pandas()
+    j = v.set_index(["doc_a", "doc_b"])["jaccard_q6"]
+    assert j.loc[(0, 1)] == 1_000_000      # jaccard exactly 1.0
+
+
+def test_minhash_lsh_finds_exact_dup(docs_ds):
+    from bge_m3_onnx_ray.stages.dedup import minhash_lsh_candidates
+    out = minhash_lsh_candidates(docs_ds).to_pandas()
+    pairs = set(zip(out.doc_a, out.doc_b))
+    assert (0, 1) in pairs
+    row = out[(out.doc_a == 0) & (out.doc_b == 1)].iloc[0]
+    assert row.n_bands_hit == 16           # identical docs collide in all bands
+
+
+def test_simhash_identical_and_distant(docs_ds):
+    from bge_m3_onnx_ray.stages.dedup import simhash
+    out = simhash(docs_ds).to_pandas().set_index("doc_id")["simhash"]
+    assert out.loc[0] == out.loc[1]
+    # hamming distance between near-dups < between unrelated docs
+    def ham(a, b):
+        return bin((int(a) & (2**64 - 1)) ^ (int(b) & (2**64 - 1))).count("1")
+    assert ham(out.loc[0], out.loc[2]) < ham(out.loc[0], out.loc[7])
+    assert out.loc[5] == 0                 # empty doc → zero signature
+
+
+def test_langid(docs_ds):
+    from bge_m3_onnx_ray.stages.text import langid
+    out = langid(docs_ds).to_pandas().set_index("doc_id")["lang_guess"]
+    assert out.loc[0] == "en"
+    assert out.loc[3] == "es"
+    assert out.loc[4] == "de"
+    assert out.loc[5] == "other"
+    assert out.loc[7] == "other"
+
+
+def test_fingerprint_order_sensitive(ray_session):
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.text import fingerprint
+    t = pa.table({"doc_id": [0, 1, 2],
+                  "text": ["alpha beta gamma", "gamma beta alpha",
+                           "alpha beta gamma"]})
+    out = fingerprint(rd.from_arrow(t)).to_pandas().set_index("doc_id")["fingerprint"]
+    assert out.loc[0] == out.loc[2]
+    assert out.loc[0] != out.loc[1]        # order matters
+
+
+def test_brute_force_ann(ray_session):
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.ann import brute_force_topk, lsh_buckets
+    rng = np.random.default_rng(1)
+    m = rng.standard_normal((50, 16)).astype(np.float32)
+    m[7] = m[3] * 2.0                      # same direction as 3
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(50), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in m], pa.list_(pa.float32()))}))
+    out = brute_force_topk(ds, m[[3]], np.array([3]), k=5,
+                           exclude={3: 3}).to_pandas()
+    assert out.iloc[0].vec_id == 7 and out.iloc[0].cos_q2 in (99, 100)  # cos≈1.0
+    # brute force == exact: verify against numpy directly
+    mm = m.astype(np.float64)
+    mm /= np.linalg.norm(mm, axis=1, keepdims=True)
+    sims = mm @ mm[3]
+    sims[3] = -2
+    want = np.lexsort((np.arange(50), -sims))[:5]
+    assert out.vec_id.tolist() == want.tolist()
+    # lsh: identical-direction vectors land in the same bucket
+    b = lsh_buckets(ds, dim=16).to_pandas().set_index("vec_id")["bucket"]
+    assert b.loc[3] == b.loc[7]
+
+
+def test_events_sessionize(ray_session):
+    import ray.data as rd
+    base = 1_700_000_000_000_000
+    t = pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+        "ts": pa.array([base, base + 60_000_000, base + 10**9 * 3600,
+                        base, base + 29 * 60 * 10**6, base + 60 * 60 * 10**6],
+                       pa.timestamp("us")),
+    })
+    from bge_m3_onnx_ray.stages.events import sessionize
+    out = sessionize(rd.from_arrow(t), gap_minutes=30).to_pandas()
+    u1 = out[out.user_id == 1]
+    assert sorted(u1.n_events.tolist()) == [1, 2]     # 2 sessions
+    u2 = out[out.user_id == 2]
+    # 29-min gap keeps a session; 31-min gap breaks it
+    assert sorted(u2.n_events.tolist()) == [1, 2]
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.multimodal import (
+        decode_features, frame_sample, make_fake_media)
+    media = make_fake_media(50)
+    out = decode_features(rd.from_arrow(media)).to_pandas()
+    assert len(out) == 50
+    assert all(len(f) == 192 for f in out.feature)     # 8x8x3 stub decode
+    assert (out.payload_bytes > 0).all()
+    fs = frame_sample(rd.from_arrow(media), every_ms=1000).to_pandas()
+    vids = media.to_pandas().query("kind == 'video'")
+    assert set(fs.media_id) == set(vids.media_id)
+    one = vids.iloc[0]
+    want_frames = len(range(0, max(int(one.duration_ms), 1), 1000))
+    assert (fs.media_id == one.media_id).sum() == want_frames
