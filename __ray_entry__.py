@@ -174,6 +174,27 @@ def _q_sessionize(sf_dir):
     return sessionize(_events(sf_dir))
 
 
+def _q_distribution_counts(sf_dir):
+    from bge_m3_onnx_ray.stages.text import distribution_counts
+    return distribution_counts(_docs(sf_dir))
+
+
+def _q_corpus_sample(sf_dir):
+    from bge_m3_onnx_ray.stages.text import corpus_sample
+    return corpus_sample(_docs(sf_dir).select_columns(["doc_id", "text"]), n=100)
+
+
+def _q_text_variations(sf_dir):
+    from bge_m3_onnx_ray.stages.text import text_variations
+    return text_variations(_docs(sf_dir))
+
+
+def _q_dup_clusters(sf_dir):
+    from bge_m3_onnx_ray.stages.dedup import dup_clusters, ngram_pair_candidates
+    pairs = ngram_pair_candidates(_docs(sf_dir), n=3, min_common=2)
+    return dup_clusters(pairs)
+
+
 def _q_doc_term_weights(sf_dir):
     from bge_m3_onnx_ray.stages.text import doc_term_weights
     return doc_term_weights(_docs(sf_dir), max_doc_id=50)
@@ -216,8 +237,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "quality_score": _q_quality,
         "doc_fingerprint": _q_fingerprint,
+        "distribution_counts": _q_distribution_counts,
+        "corpus_sample": _q_corpus_sample,
+        "text_variations": _q_text_variations,
         "exact_dedup": _q_exact_dedup,
         "ngram_dup_pairs": _q_ngram_pairs,
+        "dup_clusters": _q_dup_clusters,
         "minhash_lsh_candidates": _q_minhash,
         "simhash": _q_simhash,
         "embedding_dup_pairs": _q_embedding_dups,
@@ -356,6 +381,21 @@ SELECT doc_id, n_chars, len(ts)::BIGINT AS n_words,
     AS stop_ratio_q6
 FROM c
 """,
+        "distribution_counts": """
+SELECT lang, source, count(*)::BIGINT AS n_docs,
+       min(n_chars)::BIGINT AS min_chars, max(n_chars)::BIGINT AS max_chars,
+       CAST(floor(avg(n_chars::DOUBLE) * 1000000) AS BIGINT) AS avg_chars_q6
+FROM documents GROUP BY lang, source
+""",
+        "text_variations": """
+SELECT doc_id, 0::BIGINT AS variant_idx, text FROM documents
+UNION ALL
+SELECT doc_id, 1::BIGINT, trim(text) FROM documents WHERE trim(text) <> text
+UNION ALL
+SELECT doc_id,
+       CASE WHEN trim(text) <> text THEN 2 ELSE 1 END::BIGINT,
+       text || ' explained' FROM documents
+""",
         "exact_dedup": """
 SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups
 FROM documents GROUP BY text
@@ -371,6 +411,26 @@ SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
        count(*)::BIGINT AS n_common
 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+""",
+        "dup_clusters": f"""
+WITH RECURSIVE toks AS (SELECT doc_id,
+    regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM toks, generate_series(1, 2048) AS g(i)
+  WHERE i <= len(ts) - 2),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v)
+SELECT u::BIGINT AS doc_id, min(v)::BIGINT AS cluster_id
+FROM reach GROUP BY u
 """,
         "embedding_dup_pairs": """
 SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,

@@ -83,11 +83,18 @@ def run_bench() -> dict:
     batch_sec = time.perf_counter() - t0
     searcher.shutdown()
 
+    lat_ms = np.asarray(lat) * 1000
     out = {
         "build_sec": round(build_sec, 2),
         "build_turns_per_sec": round(BENCH_TURNS / build_sec),
         "n_turns": BENCH_TURNS,
-        "query_p50_ms": round(float(np.median(lat)) * 1000, 1),
+        # per-query latency stats — the reference's benchmark-result shape
+        # (samples/python/performance_test.py:80-91)
+        "query_p50_ms": round(float(np.median(lat_ms)), 1),
+        "query_avg_ms": round(float(lat_ms.mean()), 1),
+        "query_min_ms": round(float(lat_ms.min()), 1),
+        "query_max_ms": round(float(lat_ms.max()), 1),
+        "query_throughput_per_sec": round(1000.0 / float(lat_ms.mean()), 1),
         "query_batch50_sec": round(batch_sec, 2),
         "index_phases": res["phases"],
     }

@@ -97,6 +97,61 @@ def ngram_pair_candidates(ds: rd.Dataset, n: int = 3, min_common: int = 2,
         batch_format="pyarrow")
 
 
+def dup_clusters(pairs: rd.Dataset, max_rounds: int = 20) -> rd.Dataset:
+    """Connected components over a candidate-pair list → (doc_id,
+    cluster_id) with cluster_id = min docID in the component.
+
+    Distributed min-label propagation using ONLY groupby shuffles (no
+    joins): each round unions label rows with edge rows, groups by node,
+    and broadcasts the node's current min label to its neighbors;
+    converges in O(diameter) rounds (checked via a label checksum). The
+    driver-side union-find shortcut is deliberately NOT used — candidate
+    graphs can be large at corpus scale.
+    """
+    edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
+        lambda t: pa.table({
+            "key": pa.concat_arrays([t["doc_a"].combine_chunks(),
+                                     t["doc_b"].combine_chunks()]),
+            "val": pa.concat_arrays([t["doc_b"].combine_chunks(),
+                                     t["doc_a"].combine_chunks()]),
+            "kind": pa.array(["e"] * (2 * t.num_rows), pa.string()),
+        }), batch_format="pyarrow").materialize()
+    labels = edges.groupby("key").aggregate(Min("val", alias_name="val")) \
+        .map_batches(lambda t: pa.table({
+            "key": t["key"],
+            "val": pa.compute.min_element_wise(t["key"], t["val"]),
+            "kind": pa.array(["l"] * t.num_rows, pa.string()),
+        }), batch_format="pyarrow").materialize()
+
+    def propagate(group: pa.Table) -> pa.Table:
+        kinds = group.column("kind").to_pylist()
+        vals = group.column("val").to_numpy()
+        node = group.column("key")[0].as_py()
+        label = min(int(vals[i]) for i, k in enumerate(kinds) if k == "l")
+        nbrs = [int(vals[i]) for i, k in enumerate(kinds) if k == "e"]
+        out_k = [node] + nbrs
+        out_v = [label] * (1 + len(nbrs))
+        return pa.table({"key": pa.array(out_k, pa.int64()),
+                         "val": pa.array(out_v, pa.int64()),
+                         "kind": pa.array(["l"] * len(out_k), pa.string())})
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        msgs = labels.union(edges).groupby("key").map_groups(
+            propagate, batch_format="pyarrow")
+        labels = msgs.groupby("key").aggregate(Min("val", alias_name="val")) \
+            .map_batches(lambda t: pa.table({
+                "key": t["key"], "val": t["val"],
+                "kind": pa.array(["l"] * t.num_rows, pa.string()),
+            }), batch_format="pyarrow").materialize()
+        s = labels.aggregate(Sum("val"))["sum(val)"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.map_batches(lambda t: pa.table({
+        "doc_id": t["key"], "cluster_id": t["val"]}), batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- MinHash/LSH
 
 def _hash_shingles_batch(shingles: list[str], seeds: np.ndarray) -> np.ndarray:

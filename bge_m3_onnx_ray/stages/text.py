@@ -250,6 +250,60 @@ def quality_score(ds: rd.Dataset) -> rd.Dataset:
         QualityScore, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
 
 
+def distribution_counts(ds: rd.Dataset) -> rd.Dataset:
+    """Reference A7 (``generate_dataset.py:317-343``): per-(lang, source)
+    group counts + n_chars min/max/avg over the documents table."""
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    agg = ds.select_columns(["lang", "source", "n_chars"]) \
+        .groupby(["lang", "source"]).aggregate(
+            Count(alias_name="n_docs"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+            Mean("n_chars", alias_name="avg_chars"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        av = batch.column("avg_chars").to_numpy()
+        return batch.drop_columns(["avg_chars"]).append_column(
+            "avg_chars_q6", pa.array(q6(av), pa.int64()))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def corpus_sample(ds: rd.Dataset, n: int, seed: int = 42) -> rd.Dataset:
+    """Reference A8+A9 (``generate_dataset.py:287-288``): seeded shuffle +
+    truncate. Deterministic within the engine (seeded) but not
+    SQL-matchable → rows-only driver check."""
+    return ds.random_shuffle(seed=seed).limit(n)
+
+
+def text_variations(ds: rd.Dataset) -> rd.Dataset:
+    """Reference M8 (``generate_variations``, ``generate_dataset.py:
+    153-168``): flat-map each doc to <=3 deterministic prefix/suffix
+    variants with in-list dedup. Output (doc_id, variant_idx, text)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, vidx, texts = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            t = text or ""
+            variants = []
+            # strip(" ") == SQL trim() semantics (space only)
+            for v in (t, t.strip(" "), f"{t} explained"):
+                if v not in variants:        # in-list dedup, as the reference
+                    variants.append(v)
+            for i, v in enumerate(variants):
+                ids.append(doc_id)
+                vidx.append(i)
+                texts.append(v)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "variant_idx": pa.array(vidx, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow", batch_size=4096)
+
+
 def doc_term_weights(ds: rd.Dataset, max_doc_id: int | None = None,
                      k1: float = 1.2, b: float = 0.75) -> rd.Dataset:
     """Per-document BM25 term weights — the table-operator form of the
