@@ -33,7 +33,7 @@ class IndexConfig:
     # ~(docs_per_shard * avg_doc_len / term_buckets) postings.
     term_buckets: int = 4
     block_size: int = 128  # postings entries per skip block
-    tokenize_batch_size: int = 16384
+    tokenize_batch_size: int = 32768
     tokenize_concurrency: int | tuple[int, int] = (2, 8)
     # "tasks": warm task pool (no actor-startup cost; right for a
     # stateless tokenizer). "actors": actor pool (right when the

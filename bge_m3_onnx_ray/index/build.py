@@ -5,13 +5,15 @@ of the reference's tokenize→extract pipeline
 Pipeline (SURVEY.md §3.2):
 
     read_parquet(transcripts, columns=[conv_id, turn_idx, text])
-      → [pass A] partial per-batch conv aggregation → groupby(conv_id)
-        → driver prefix-sum → ConvOffsets (stable docIDs)
-      → [pass B] map_batches(TokenizePostings actor pool, pyarrow,
-        zero_copy): SPIMI stage emitting (term, doc_id, tf, dl, gkey)
-      → groupby(gkey).map_groups(encode+write): THE one wide shuffle;
-        gkey = shard * (B+1) + bucket, i.e. postings are co-partitioned
-        by (docID-range shard, term-hash bucket)
+      → [pass A] partial per-batch conv aggregation → driver prefix-sum
+        → ConvOffsets (stable docIDs)
+      → [pass B] map_batches(TokenizePostings, pyarrow, zero_copy; warm
+        task pool by default): SPIMI stage emitting varint-compressed
+        SEGMENT rows (term, gkey, min_doc, n, blob) — one row per
+        (term, shard) per batch
+      → groupby(gkey).map_groups(decode+merge+encode+write): THE one wide
+        shuffle; gkey = shard * (B+1) + bucket, i.e. postings are
+        co-partitioned by (docID-range shard, term-hash bucket)
       → per-group atomic parquet + per-group manifest entry (resume unit)
       → [pass C] per-bucket dictionary merge (no shuffle: partial df/cf
         files are already laid out by bucket)
@@ -57,17 +59,17 @@ from bge_m3_onnx_ray.index.artifacts import (
 from bge_m3_onnx_ray.index.codec import encode_postings
 from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
 
-# SPIMI segment rows: ONE row per (term, shard) per input batch, postings
-# carried as list columns. This is the partial pre-aggregation that keeps
-# the merge shuffle small — the sort moves ~vocab x n_batches rows instead
-# of one row per token occurrence (~20x fewer at avg dl ~ 11).
+# SPIMI segment rows: ONE row per (term, shard) per input batch, the
+# segment's postings varint-compressed into a binary blob (gaps/tfs/dls,
+# codec.encode_segments). Two levels of shrinkage before the merge
+# shuffle: ~20x fewer rows than per-token (partial aggregation) and ~4x
+# fewer bytes than raw int64/int32 lists (SPIMI-run compression).
 _POSTROW_SCHEMA = pa.schema([
     ("term", pa.large_string()),
     ("gkey", pa.int64()),
     ("min_doc", pa.int64()),
-    ("doc_ids", pa.large_list(pa.int64())),
-    ("tfs", pa.large_list(pa.int32())),
-    ("dls", pa.large_list(pa.int32())),
+    ("n", pa.int32()),
+    ("blob", pa.large_binary()),
 ])
 
 
@@ -168,17 +170,41 @@ class TokenizePostings:
         self.docs_per_shard = docs_per_shard
         self.nb = term_buckets
         self.done = np.array(sorted(done_shards), np.int64)
+        # term→bucket memo: the same (Zipf-head) terms recur every batch,
+        # so the per-unique crc32 loop amortizes to near zero
+        self._bucket_memo: dict[str, int] = {}
+
+    def _buckets_for(self, uniques) -> np.ndarray:
+        memo = self._bucket_memo
+        out = np.empty(len(uniques), np.int64)
+        for i, u in enumerate(uniques.to_pylist()):
+            b = memo.get(u)
+            if b is None:
+                b = zlib.crc32(u.encode()) % self.nb
+                memo[u] = b
+            out[i] = b
+        if len(memo) > 2_000_000:  # bound worker memory on huge vocabs
+            memo.clear()
+        return out
 
     @staticmethod
-    def _segments(sort_keys, min_doc_src, values_cols, terms_for, gkeys_for):
-        """Group consecutive equal sort_keys into arrow list segments."""
+    def _segment_table(sort_keys, docs, tfs, dls, terms_arr, gkeys_arr):
+        """Group consecutive equal sort_keys into varint-blob segment rows.
+        ``terms_arr``/``gkeys_arr`` are per-ROW; head values are taken."""
+        from bge_m3_onnx_ray.index.codec import encode_segments
         bounds = np.concatenate([[0], np.flatnonzero(np.diff(sort_keys)) + 1,
                                  [len(sort_keys)]])
-        offsets = pa.array(bounds, pa.int64())
         heads = bounds[:-1]
-        lists = [pa.LargeListArray.from_arrays(offsets, pa.array(v, t))
-                 for v, t in values_cols]
-        return heads, min_doc_src[heads], lists
+        blob, offs = encode_segments(bounds, docs, tfs, dls)
+        mv = memoryview(blob)
+        blobs = [bytes(mv[offs[i]:offs[i + 1]]) for i in range(len(heads))]
+        return pa.table({
+            "term": terms_arr.take(pa.array(heads)).cast(pa.large_string()),
+            "gkey": pa.array(gkeys_arr[heads], pa.int64()),
+            "min_doc": pa.array(docs[heads], pa.int64()),
+            "n": pa.array(np.diff(bounds).astype(np.int32), pa.int32()),
+            "blob": pa.array(blobs, pa.large_binary()),
+        }, schema=_POSTROW_SCHEMA)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv = batch.column("conv_id")
@@ -200,43 +226,26 @@ class TokenizePostings:
         if len(codes):
             p_doc = doc_ids[doc_idx]
             p_shard = shard[doc_idx]
-            p_dl = doc_lens[doc_idx].astype(np.int32)
+            p_dl = doc_lens[doc_idx].astype(np.int64)
             # segment key = (shard, term code); docs ascending within
             order = np.lexsort((p_doc, codes, p_shard))
             skey = p_shard[order] * (len(uniques) + 1) + codes[order]
-            p_doc, p_tf, p_dl = p_doc[order], tfs[order], p_dl[order]
-            heads, min_docs, lists = self._segments(
-                skey, p_doc,
-                [(p_doc, pa.int64()), (p_tf, pa.int32()), (p_dl, pa.int32())],
-                None, None)
-            seg_codes = codes[order][heads]
-            ub = np.fromiter(
-                (zlib.crc32(u.encode()) % self.nb for u in uniques.to_pylist()),
-                np.int64, len(uniques))
-            seg_gkey = p_shard[order][heads] * stride + ub[seg_codes] + 1
-            tables.append(pa.table({
-                "term": uniques.take(pa.array(seg_codes)).cast(pa.large_string()),
-                "gkey": pa.array(seg_gkey, pa.int64()),
-                "min_doc": pa.array(min_docs, pa.int64()),
-                "doc_ids": lists[0], "tfs": lists[1], "dls": lists[2],
-            }, schema=_POSTROW_SCHEMA))
+            ub = self._buckets_for(uniques)
+            row_gkey = p_shard[order] * stride + ub[codes[order]] + 1
+            terms_rows = uniques.take(pa.array(codes[order]))
+            tables.append(self._segment_table(
+                skey, p_doc[order], tfs[order], p_dl[order],
+                terms_rows, row_gkey))
 
         if len(doc_ids):
             # one doc-length segment per shard (term "", bucket -1): becomes
             # the per-shard doc_lens table + corpus stats at merge time
             order = np.lexsort((doc_ids, shard))
             d_doc, d_shard = doc_ids[order], shard[order]
-            d_dl = doc_lens[order].astype(np.int32)
-            heads, min_docs, lists = self._segments(
-                d_shard, d_doc,
-                [(d_doc, pa.int64()), (d_dl, pa.int32()), (d_dl, pa.int32())],
-                None, None)
-            tables.append(pa.table({
-                "term": pa.array([""] * len(heads), pa.large_string()),
-                "gkey": pa.array(d_shard[heads] * stride, pa.int64()),
-                "min_doc": pa.array(min_docs, pa.int64()),
-                "doc_ids": lists[0], "tfs": lists[1], "dls": lists[2],
-            }, schema=_POSTROW_SCHEMA))
+            d_dl = doc_lens[order].astype(np.int64)
+            empty_terms = pa.array([""] * len(d_doc), pa.large_string())
+            tables.append(self._segment_table(
+                d_shard, d_doc, d_dl, d_dl, empty_terms, d_shard * stride))
 
         if not tables:
             return _POSTROW_SCHEMA.empty_table()
@@ -259,21 +268,21 @@ def make_encode_group_fn(index_dir: str, cfg: IndexConfig):
     block_size = cfg.block_size
 
     def encode_group(group: pa.Table) -> pa.Table:
+        from bge_m3_onnx_ray.index.codec import decode_segment
         gkey = int(group.column("gkey")[0].as_py())
         shard, bucket = gkey // stride, gkey % stride - 1
-        # flatten the segment list columns (zero-copy arrow values)
-        docs_col = group.column("doc_ids").combine_chunks()
-        seg_offs = np.asarray(docs_col.offsets)
-        flat_doc = np.asarray(docs_col.values)
-        flat_tf = np.asarray(group.column("tfs").combine_chunks().values)
-        flat_dl = np.asarray(group.column("dls").combine_chunks().values)
+        blobs = group.column("blob").to_pylist()
+        ns = group.column("n").to_numpy()
 
         def gather(row_order):
-            """Concatenate segment slices in the given row order."""
-            idx = np.concatenate([np.arange(seg_offs[r], seg_offs[r + 1])
-                                  for r in row_order]) if len(row_order) else \
-                np.empty(0, np.int64)
-            return flat_doc[idx], flat_tf[idx], flat_dl[idx]
+            """Decode + concatenate segments in the given row order."""
+            if not len(row_order):
+                e = np.empty(0, np.int64)
+                return e, e, e
+            parts = [decode_segment(blobs[r], int(ns[r])) for r in row_order]
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]),
+                    np.concatenate([p[2] for p in parts]))
 
         if bucket == -1:  # doc-length segments → per-shard doc table slice
             row_order = np.argsort(group.column("min_doc").to_numpy(),
@@ -295,8 +304,7 @@ def make_encode_group_fn(index_dir: str, cfg: IndexConfig):
             row_order = np.lexsort((group.column("min_doc").to_numpy(),
                                     seg_codes))
             doc_id, tf, dl = gather(row_order)
-            codes = np.repeat(seg_codes[row_order],
-                              np.diff(seg_offs)[row_order])
+            codes = np.repeat(seg_codes[row_order], ns[row_order])
             # safety net for unsorted inputs (batch doc-ranges overlap):
             # re-sort globally by (term, doc) — (term, doc) pairs are unique
             d = np.diff(doc_id)

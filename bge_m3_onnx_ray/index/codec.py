@@ -128,67 +128,52 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                            min_dl.astype(np.int32), offs.astype(np.int32), blob)
 
 
-def encode_postings_many(codes: np.ndarray, doc_ids: np.ndarray,
-                         tfs: np.ndarray, dls: np.ndarray,
-                         bounds: np.ndarray,
-                         block_size: int = 128) -> list[EncodedPostings]:
-    """Encode MANY terms' postings in one vectorized pass (one varint
-    encode for the whole group instead of one per term) — byte-identical
-    to per-term :func:`encode_postings`.
+def encode_segments(seg_bounds: np.ndarray, doc_ids: np.ndarray,
+                    tfs: np.ndarray, dls: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Varint-encode MANY posting segments in one vectorized pass.
 
-    Inputs are the group's rows sorted by (term code, doc_id); ``bounds``
-    are the term boundaries (len = n_terms + 1).
+    Rows must be grouped by segment (``seg_bounds``: n_segs+1 boundaries)
+    with doc_ids ascending within each segment. Per segment the stream is
+    ``varint(gaps from -1) ++ varint(tfs) ++ varint(dls)``. Returns the
+    concatenated byte stream and per-segment byte offsets (n_segs+1).
+
+    This is the SPIMI-run compression applied BEFORE the merge shuffle —
+    it shrinks the exchanged bytes ~4x vs raw int64/int32 list columns.
     """
     n = len(doc_ids)
+    n_segs = len(seg_bounds) - 1
     if n == 0:
-        return []
-    codes = np.ascontiguousarray(codes, np.int64)
+        return b"", np.zeros(n_segs + 1, np.int64)
     doc_ids = np.ascontiguousarray(doc_ids, np.int64)
-    tfs = np.ascontiguousarray(tfs, np.int64)
-    dls = np.ascontiguousarray(dls, np.int64)
-    counts = np.diff(bounds)
-    pos = np.arange(n) - np.repeat(bounds[:-1], counts)
-    blk = pos // block_size
+    counts = np.diff(seg_bounds)
+    pos = np.arange(n) - np.repeat(seg_bounds[:-1], counts)
     gaps = np.empty(n, np.int64)
     gaps[1:] = doc_ids[1:] - doc_ids[:-1]
-    starts_mask = pos == 0
-    gaps[starts_mask] = doc_ids[starts_mask] + 1  # delta from virtual -1
-    # value-stream order: per (term, block): [gaps][tfs][dls]
-    rows3 = np.concatenate([np.arange(n)] * 3)
-    sec3 = np.repeat(np.arange(3, dtype=np.int64), n)
-    order = np.lexsort((pos[rows3], sec3, blk[rows3], codes[rows3]))
-    vals3 = np.concatenate([gaps, tfs, dls]).astype(np.uint64)
-    blob_all, nbytes3 = encode_varints(vals3[order])
-    nbytes_o = nbytes3  # per stream element, already in stream order
-    # block boundaries in ROW space (sorted by code, then pos)
-    gid = codes * ((n // block_size) + 2) + blk
-    row_block_starts = np.concatenate([[0], np.flatnonzero(np.diff(gid)) + 1])
-    row_block_ends = np.concatenate([row_block_starts[1:] - 1, [n - 1]])
-    blk_last = doc_ids[row_block_ends]
-    blk_max_tf = np.maximum.reduceat(tfs, row_block_starts)
-    blk_min_dl = np.minimum.reduceat(dls, row_block_starts)
-    blk_term = codes[row_block_starts]
-    # byte size per block: blocks appear in the stream in the same
-    # (code, blk) order as in row space; block b holds 3*cnt_b elements
-    cnt_b = row_block_ends - row_block_starts + 1
-    elem_starts = np.concatenate([[0], np.cumsum(3 * cnt_b)[:-1]])
-    stream_block_sizes = np.add.reduceat(nbytes_o, elem_starts)
-    byte_starts = np.concatenate([[0], np.cumsum(stream_block_sizes)])
-    # per-term assembly (cheap slicing only)
-    out: list[EncodedPostings] = []
-    term_block_bounds = np.concatenate(
-        [[0], np.flatnonzero(np.diff(blk_term)) + 1, [len(blk_term)]])
-    for ti in range(len(bounds) - 1):
-        bs, be = term_block_bounds[ti], term_block_bounds[ti + 1]
-        offs = (byte_starts[bs:be + 1] - byte_starts[bs]).astype(np.int32)
-        out.append(EncodedPostings(
-            int(counts[ti]),
-            blk_last[bs:be].astype(np.int64),
-            blk_max_tf[bs:be].astype(np.int32),
-            blk_min_dl[bs:be].astype(np.int32),
-            offs,
-            blob_all[byte_starts[bs]:byte_starts[be]]))
-    return out
+    first = pos == 0
+    gaps[first] = doc_ids[first] + 1
+    seg_of = np.repeat(np.arange(n_segs, dtype=np.int64), counts)
+    # stream order: (segment, section, pos) via one composite int argsort
+    maxlen = int(counts.max()) + 1
+    base = np.concatenate([seg_of, seg_of, seg_of]) * (3 * maxlen)
+    sec = np.repeat(np.arange(3, dtype=np.int64), n) * maxlen
+    key = base + sec + np.concatenate([pos, pos, pos])
+    order = np.argsort(key, kind="stable")
+    vals3 = np.concatenate([gaps, tfs.astype(np.int64), dls.astype(np.int64)]) \
+        .astype(np.uint64)
+    blob, nbytes = encode_varints(vals3[order])
+    elem_starts = np.zeros(n_segs, np.int64)
+    np.cumsum(3 * counts[:-1], out=elem_starts[1:])
+    seg_sizes = np.add.reduceat(nbytes, elem_starts)
+    offs = np.zeros(n_segs + 1, np.int64)
+    np.cumsum(seg_sizes, out=offs[1:])
+    return blob, offs
+
+
+def decode_segment(blob: bytes, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of one :func:`encode_segments` segment."""
+    vals = decode_varints(blob, 3 * n).astype(np.int64)
+    gaps, tfs, dls = vals[:n], vals[n:2 * n], vals[2 * n:]
+    return np.cumsum(gaps) - 1, tfs, dls
 
 
 def decode_block(enc: EncodedPostings, bi: int, block_size: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -23,6 +23,27 @@ def test_varint_roundtrip(vals):
     assert int(nb.sum()) == len(buf) if len(vals) else buf == b""
 
 
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=10**12),
+                          min_size=1, max_size=60, unique=True),
+                min_size=1, max_size=20))
+@settings(max_examples=30, deadline=None)
+def test_segments_roundtrip(segments):
+    from bge_m3_onnx_ray.index.codec import decode_segment, encode_segments
+    segs = [np.array(sorted(s), np.int64) for s in segments]
+    docs = np.concatenate(segs)
+    rng = np.random.default_rng(1)
+    tfs = rng.integers(1, 100, len(docs)).astype(np.int64)
+    dls = rng.integers(0, 5000, len(docs)).astype(np.int64)
+    bounds = np.concatenate([[0], np.cumsum([len(s) for s in segs])])
+    blob, offs = encode_segments(bounds, docs, tfs, dls)
+    for i, seg in enumerate(segs):
+        d, t, l = decode_segment(blob[offs[i]:offs[i + 1]], len(seg))
+        s, e = bounds[i], bounds[i + 1]
+        assert np.array_equal(d, seg)
+        assert np.array_equal(t, tfs[s:e])
+        assert np.array_equal(l, dls[s:e])
+
+
 @given(
     st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=400,
              unique=True),
