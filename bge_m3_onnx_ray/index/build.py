@@ -374,7 +374,9 @@ def _merge_dictionary(index_dir: str, n_buckets: int) -> int:
 
 def _load_done_shards(index_dir: str, cfg: IndexConfig) -> set[int]:
     """A shard is resumable-complete iff all of its B+1 per-group manifest
-    entries AND the files they point at exist."""
+    entries AND the files they point at exist — OR a consolidated
+    manifest.json from a completed run lists it with all files present
+    (covers shards whose term-buckets were legitimately empty)."""
     entries = glob.glob(os.path.join(index_dir, "_manifest", "shard-*.json"))
     by_shard: dict[int, set[int]] = {}
     for p in entries:
@@ -386,7 +388,20 @@ def _load_done_shards(index_dir: str, cfg: IndexConfig) -> set[int]:
         if os.path.exists(e["file"]):
             by_shard.setdefault(e["shard"], set()).add(e["bucket"])
     want = set(range(-1, cfg.term_buckets))
-    return {s for s, got in by_shard.items() if got == want}
+    done = {s for s, got in by_shard.items() if got == want}
+    mpath = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(mpath):
+        try:
+            with open(mpath) as f:
+                m = json.load(f)
+            if m.get("config_fingerprint") == cfg.fingerprint():
+                for s, entry in m.get("shards", {}).items():
+                    if all(os.path.exists(os.path.join(index_dir, rel))
+                           for rel in entry.get("files", [])):
+                        done.add(int(s))
+        except (json.JSONDecodeError, OSError):
+            pass
+    return done
 
 
 def build_index(transcripts, index_dir: str, cfg: IndexConfig | None = None,
@@ -473,14 +488,29 @@ def build_index(transcripts, index_dir: str, cfg: IndexConfig | None = None,
             ctx.shuffle_strategy = prev
         phases["tokenize_merge_encode"] = round(time.perf_counter() - t0, 2)
 
-    # consolidate per-group entries → stats + manifest (idempotent)
+    # consolidate per-group entries → stats + manifest (idempotent).
+    # Seed from a previous complete manifest: a resumed shard may have
+    # been skipped via manifest.json with its per-group entry files gone.
     shards: dict[str, dict] = {}
-    total_len = 0
-    n_docs = 0
-    postings_bytes = 0
+    mpath = os.path.join(index_dir, "manifest.json")
+    if resume and os.path.exists(mpath):
+        try:
+            with open(mpath) as f:
+                old_m = json.load(f)
+            if old_m.get("config_fingerprint") == cfg.fingerprint():
+                shards = {s: e for s, e in old_m.get("shards", {}).items()
+                          if int(s) in done}
+        except (json.JSONDecodeError, OSError):
+            pass  # corrupt manifest: rebuild accounting from entry files
+    total_len = sum(e["total_len"] for e in shards.values())
+    n_docs = sum(e["n_docs"] for e in shards.values())
+    postings_bytes = sum(e["postings_bytes"] for e in shards.values())
+    seen_doclens = {int(s) for s in shards}
     for p in sorted(glob.glob(os.path.join(index_dir, "_manifest", "shard-*.json"))):
         with open(p) as f:
             e = json.load(f)
+        if int(e["shard"]) in seen_doclens:
+            continue  # already accounted via the previous manifest
         s = shards.setdefault(str(e["shard"]), {
             "n_docs": 0, "total_len": 0, "postings_bytes": 0, "files": []})
         s["files"].append(os.path.relpath(e["file"], index_dir))

@@ -54,13 +54,26 @@ def test_resume_skips_and_is_byte_identical(ray_session, tiny_corpus, tmp_path):
     idx = str(tmp_path / "idx")
     build_index(path, idx, cfg)
     h1 = _tree_hash(idx)
-    # simulate a crash: drop manifest entries (and one output file) for 2 shards
+    # simulate a crash: drop per-group manifest entries for 2 shards and
+    # one actual postings file for shard 0. Shard 1's files are intact and
+    # the completed-run manifest.json still vouches for it → only shard 0
+    # (missing file) must be rebuilt.
     for p in glob.glob(os.path.join(idx, "_manifest", "shard-0000[0-1]-*.json")):
         os.remove(p)
     victims = glob.glob(os.path.join(idx, "postings", "shard-00000-*.parquet"))
     os.remove(victims[0])
     res = build_index(path, idx, cfg)
-    assert res["resumed_shards"] == res["n_shards"] - 2
+    assert res["resumed_shards"] == res["n_shards"] - 1
+    assert res["n_docs"] == 2000   # stats still account every shard
+    assert _tree_hash(idx) == h1
+    # a crash BEFORE manifest.json existed: entries gone + no manifest →
+    # affected shards rebuild (incl. shard 1, whose entries were dropped
+    # above and never rewritten because manifest.json vouched for it)
+    os.remove(os.path.join(idx, "manifest.json"))
+    for p in glob.glob(os.path.join(idx, "_manifest", "shard-0000[2-3]-*.json")):
+        os.remove(p)
+    res = build_index(path, idx, cfg)
+    assert res["resumed_shards"] == res["n_shards"] - 3
     assert _tree_hash(idx) == h1
     # full rebuild from scratch is also byte-identical
     shutil.rmtree(idx)
