@@ -142,6 +142,11 @@ def get_broadcast(ref):
         key = ref.hex()
         obj = _BROADCAST_CACHE.get(key)
         if obj is None:
+            # evict prior ref-keyed objects: long sessions run many builds
+            # and each ConvOffsets is corpus-conversation-count sized
+            for k in [k for k in _BROADCAST_CACHE
+                      if not k.startswith("__")]:
+                del _BROADCAST_CACHE[k]
             obj = ray.get(ref)
             _BROADCAST_CACHE[key] = obj
         return obj
@@ -426,13 +431,29 @@ def build_index(transcripts, index_dir: str, cfg: IndexConfig | None = None,
     fp_path = os.path.join(index_dir, "config_fingerprint.json")
     done: set[int] = set()
     offsets = None
-    if resume and os.path.exists(fp_path):
-        with open(fp_path) as f:
-            old = json.load(f)
-        if old.get("fingerprint") == cfg.fingerprint() and \
-                os.path.exists(os.path.join(index_dir, "conv_offsets.parquet")):
-            offsets = ConvOffsets.load(index_dir)
-            done = _load_done_shards(index_dir, cfg)
+    prior_fp = None
+    if os.path.exists(fp_path):
+        try:
+            with open(fp_path) as f:
+                prior_fp = json.load(f).get("fingerprint")
+        except (json.JSONDecodeError, OSError):
+            prior_fp = None
+    if resume and prior_fp == cfg.fingerprint() and \
+            os.path.exists(os.path.join(index_dir, "conv_offsets.parquet")):
+        offsets = ConvOffsets.load(index_dir)
+        done = _load_done_shards(index_dir, cfg)
+    elif prior_fp is not None and prior_fp != cfg.fingerprint():
+        # config changed: stale artifacts (entry files, postings, partials)
+        # would poison consolidation — wipe the build outputs
+        import shutil
+        for sub in ("_manifest", "postings", "doc_lens", "dict_partials",
+                    "dictionary"):
+            shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+        for fn in ("manifest.json", "stats.json"):
+            try:
+                os.remove(os.path.join(index_dir, fn))
+            except OSError:
+                pass
     atomic_write_json({"fingerprint": cfg.fingerprint()}, fp_path)
 
     if offsets is None:

@@ -124,6 +124,11 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     np.maximum.at(max_tf, idx, tfs)
     min_dl = np.full(n_blocks, np.iinfo(np.int64).max)
     np.minimum.at(min_dl, idx, dls)
+    if offs[-1] > np.iinfo(np.int32).max:
+        raise OverflowError(
+            f"posting blob of {offs[-1]} bytes exceeds int32 block offsets; "
+            f"lower docs_per_shard so one term's shard-local postings stay "
+            f"under 2 GiB")
     return EncodedPostings(n, last_ids.astype(np.int64), max_tf.astype(np.int32),
                            min_dl.astype(np.int32), offs.astype(np.int32), blob)
 

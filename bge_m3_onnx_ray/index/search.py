@@ -252,9 +252,10 @@ class ShardScorer:
         if got is None:
             got = {}
             self.cache[shard] = got
-            self.cache.move_to_end(shard)
             while len(self.cache) > self.cache_size:
                 self.cache.popitem(last=False)
+        else:
+            self.cache.move_to_end(shard)  # recency, not FIFO
         missing = [t for t in terms if t not in got]
         if missing:
             by_bucket: dict[int, list[str]] = {}

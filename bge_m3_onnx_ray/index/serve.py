@@ -146,7 +146,10 @@ class Searcher:
         (query_id, rank, doc_id, score, conv_id, turn_idx)."""
         import ray
         k = k or self.cfg.k
-        method = method or "exhaustive"
+        if method is None:
+            # serving default is the vectorized exhaustive scorer unless
+            # the QueryConfig explicitly chose a method
+            method = self.cfg.method if self.cfg.method else "exhaustive"
         qterms = [(int(qid), sorted(set(self.tok.tokenize(t))))
                   for qid, t in queries]
         need = sorted({t for _, ts in qterms for t in ts if t in self.idfs})

@@ -54,8 +54,14 @@ def brute_force_topk(ds: rd.Dataset, query_vecs: np.ndarray,
                 if not len(idx):
                     continue
                 kk = min(k, len(idx))
-                top = idx[np.argpartition(-s[idx], kk - 1)[:kk]] \
-                    if len(idx) > kk else idx
+                if len(idx) > kk:
+                    # exact tie-safe pre-cut: keep EVERYTHING >= the kth
+                    # score so equal-cos candidates (tie-break vec_id asc)
+                    # survive to the merge stage
+                    kth = -np.partition(-s[idx], kk - 1)[kk - 1]
+                    top = idx[s[idx] >= kth]
+                else:
+                    top = idx
                 out_q.extend([qid] * len(top))
                 out_v.extend(vids[top].tolist())
                 out_s.extend(s[top].tolist())

@@ -97,7 +97,7 @@ def ngram_pair_candidates(ds: rd.Dataset, n: int = 3, min_common: int = 2,
         batch_format="pyarrow")
 
 
-def dup_clusters(pairs: rd.Dataset, max_rounds: int = 20) -> rd.Dataset:
+def dup_clusters(pairs: rd.Dataset, max_rounds: int = 512) -> rd.Dataset:
     """Connected components over a candidate-pair list → (doc_id,
     cluster_id) with cluster_id = min docID in the component.
 
@@ -136,6 +136,7 @@ def dup_clusters(pairs: rd.Dataset, max_rounds: int = 20) -> rd.Dataset:
                          "kind": pa.array(["l"] * len(out_k), pa.string())})
 
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         msgs = labels.union(edges).groupby("key").map_groups(
             propagate, batch_format="pyarrow")
@@ -146,8 +147,15 @@ def dup_clusters(pairs: rd.Dataset, max_rounds: int = 20) -> rd.Dataset:
             }), batch_format="pyarrow").materialize()
         s = labels.aggregate(Sum("val"))["sum(val)"]
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # min-label propagation advances ~1 hop/round; a component whose
+        # diameter exceeds max_rounds would get WRONG labels — fail loudly
+        raise RuntimeError(
+            f"dup_clusters did not converge within {max_rounds} rounds "
+            f"(component diameter too large); raise max_rounds")
     return labels.map_batches(lambda t: pa.table({
         "doc_id": t["key"], "cluster_id": t["val"]}), batch_format="pyarrow")
 
@@ -155,11 +163,16 @@ def dup_clusters(pairs: rd.Dataset, max_rounds: int = 20) -> rd.Dataset:
 # ----------------------------------------------------------- MinHash/LSH
 
 def _hash_shingles_batch(shingles: list[str], seeds: np.ndarray) -> np.ndarray:
-    """(n_shingles, n_perm) universal-hash matrix from crc32 base hashes.
-    crc32 (not Python hash()) → deterministic across processes."""
+    """(n_shingles, n_perm) hash matrix from crc32 base hashes.
+    crc32 (not Python hash()) → deterministic across processes.
+
+    Note: the affine map wraps mod 2^64 BEFORE the mod-p reduction, so
+    this is an affine-over-2^64 mixing hash, not a strict min-wise
+    independent (a*x+b) mod p family — deterministic and well-spread,
+    adequate for LSH candidate generation (candidates are verified with
+    exact Jaccard anyway)."""
     base = np.fromiter((zlib.crc32(s.encode()) for s in shingles),
                        np.uint64, len(shingles))
-    # h_i(x) = (a_i * x + b_i) mod p   (p = 2^61-1, Mersenne)
     p = np.uint64((1 << 61) - 1)
     a, b = seeds[0], seeds[1]
     with np.errstate(over="ignore"):
@@ -290,7 +303,7 @@ def simhash(ds: rd.Dataset) -> rd.Dataset:
 
 # ------------------------------------------------- embedding near-dup
 
-def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.4) -> pa.Table:
+def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.4) -> rd.Dataset:
     """All pairs with cosine >= threshold. Sandbox-scale implementation:
     normalize per batch, then block-matmul each batch against the full
     (broadcast) matrix — O(N^2/B) per task, no shuffle. At 100 TB this

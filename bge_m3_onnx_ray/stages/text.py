@@ -369,20 +369,27 @@ _FP_OFFSET = np.uint64(14695981039346656037)
 
 
 class Fingerprint(_TokenStage):
-    """Order-sensitive document fingerprint: FNV-1a rolling hash over the
-    token stream (content-defined identity that survives re-partitioning;
-    not SQL-expressible → covered by pytest, rows-only driver check)."""
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    (mod 2^64) over the byte stream of the space-joined token stream —
+    content-defined identity that survives re-partitioning; truly
+    vectorized (one multiply-accumulate over the byte array, no per-byte
+    Python loop). Not SQL-expressible → pytest + rows-only driver check."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = np.empty(batch.num_rows, np.uint64)
         with np.errstate(over="ignore"):  # uint64 wraparound is the hash
             for i, ts in enumerate(self._token_lists(batch)):
-                # vectorized FNV-1a over the byte stream of "tok tok ..."
-                data = np.frombuffer(" ".join(ts).encode(), np.uint8).astype(np.uint64)
-                h = _FP_OFFSET
-                for bch in data:
-                    h = (h ^ bch) * _FP_BASE
-                out[i] = h
+                data = np.frombuffer(" ".join(ts).encode(), np.uint8) \
+                    .astype(np.uint64)
+                n = len(data)
+                if n == 0:
+                    out[i] = _FP_OFFSET
+                    continue
+                # powers B^(n-1) .. B^0, computed by cumulative product
+                pw = np.multiply.accumulate(
+                    np.full(n, _FP_BASE, np.uint64))  # B^1..B^n
+                pw = np.concatenate(([np.uint64(1)], pw[:-1]))[::-1]
+                out[i] = _FP_OFFSET + (data * pw).sum()
         return pa.table({"doc_id": batch.column("doc_id"),
                          "fingerprint": pa.array(out.view(np.int64), pa.int64())})
 

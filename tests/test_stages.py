@@ -53,6 +53,34 @@ def test_minhash_lsh_finds_exact_dup(docs_ds):
     assert row.n_bands_hit == 16           # identical docs collide in all bands
 
 
+def test_dup_clusters_chain(ray_session):
+    """A pair CHAIN (0-1, 1-2, ..., n-1..n) needs ~n propagation rounds;
+    every node must still end up labeled with the component min (0)."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.dedup import dup_clusters
+    n = 12
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array(range(n - 1), pa.int64()),
+        "doc_b": pa.array(range(1, n), pa.int64())}))
+    out = dup_clusters(pairs).to_pandas()
+    assert sorted(out.doc_id) == list(range(n))
+    assert (out.cluster_id == 0).all()
+
+
+def test_ann_partial_tie_safety(ray_session):
+    """Duplicate embeddings tie exactly; the per-batch pre-cut must keep
+    all tied candidates so the (cos desc, vec_id asc) contract holds."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.ann import brute_force_topk
+    base = np.ones(8, np.float32)
+    m = np.stack([base] * 30)                  # 30 identical vectors
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(100, 130), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in m], pa.list_(pa.float32()))}))
+    out = brute_force_topk(ds, base[None, :], np.array([0]), k=10).to_pandas()
+    assert out.vec_id.tolist() == list(range(100, 110))  # lowest ids win ties
+
+
 def test_simhash_identical_and_distant(docs_ds):
     from bge_m3_onnx_ray.stages.dedup import simhash
     out = simhash(docs_ds).to_pandas().set_index("doc_id")["simhash"]
