@@ -74,12 +74,16 @@ def run_bench() -> dict:
     searcher = Searcher(idx, n_actors=min(8, NCPU))
     searcher.search("warm up the actors")          # untimed warm call
     lat = []
+    lat_wand = []
     for qid, text in queries[:20]:
         t0 = time.perf_counter()
-        searcher.search(text)
+        searcher.search_batch([(qid, text)], method="exhaustive")
         lat.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        searcher.search_batch([(qid, text)], method="wand")
+        lat_wand.append(time.perf_counter() - t0)
     t0 = time.perf_counter()
-    searcher.search_batch(queries)
+    searcher.search_batch(queries, method="exhaustive")
     batch_sec = time.perf_counter() - t0
     searcher.shutdown()
 
@@ -91,6 +95,7 @@ def run_bench() -> dict:
         # per-query latency stats — the reference's benchmark-result shape
         # (samples/python/performance_test.py:80-91)
         "query_p50_ms": round(float(np.median(lat_ms)), 1),
+        "query_p50_wand_ms": round(float(np.median(np.asarray(lat_wand) * 1000)), 1),
         "query_avg_ms": round(float(lat_ms.mean()), 1),
         "query_min_ms": round(float(lat_ms.min()), 1),
         "query_max_ms": round(float(lat_ms.max()), 1),
@@ -159,6 +164,9 @@ def main() -> None:
         "build_turns_per_sec": out["build_turns_per_sec"],
         "n_turns": out["n_turns"],
         "query_p50_ms": out["query_p50_ms"],
+        "query_p50_wand_ms": out.get("query_p50_wand_ms"),
+        "query_avg_ms": out.get("query_avg_ms"),
+        "query_throughput_per_sec": out.get("query_throughput_per_sec"),
         "query_batch50_sec": out["query_batch50_sec"],
         "index_phases": out["index_phases"],
     }))
