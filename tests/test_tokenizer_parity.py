@@ -73,6 +73,37 @@ def test_fast_path_equals_python_path():
     assert (a[3] == b[3]).all()
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.lists(st.one_of(st.text(max_size=40),
+                          st.text(alphabet="abc 123日本語х ", max_size=40),
+                          st.none()),
+                min_size=1, max_size=30))
+@settings(max_examples=50, deadline=None)
+def test_fuzz_batch_paths_agree(texts):
+    """Arbitrary unicode/None mixes: polars-fast-path batches must agree
+    with the pure-Python path AND with per-row tokenize()."""
+    import bge_m3_onnx_ray.tokenizer as tk
+    from collections import Counter
+    tok = tk.DeterministicTokenizer()
+    a = tok.batch_term_counts(texts)
+    had = tk._HAVE_POLARS
+    tk._HAVE_POLARS = False
+    try:
+        b = tok.batch_term_counts(texts)
+    finally:
+        tk._HAVE_POLARS = had
+    assert sorted(zip(a[0].tolist(), a[1].tolist(), a[2].tolist())) == \
+           sorted(zip(b[0].tolist(), b[1].tolist(), b[2].tolist()))
+    assert (a[3] == b[3]).all()
+    for i, t in enumerate(texts):
+        want = Counter(tok.tokenize(t) if t is not None else [])
+        got = {a[1][j]: int(a[2][j]) for j in np.flatnonzero(a[0] == i)}
+        assert got == dict(want)
+
+
 def test_batch_counts_match_scalar_path():
     tok = DeterministicTokenizer()
     from collections import Counter
