@@ -148,10 +148,14 @@ def _q_embedding_dups(sf_dir):
 
 
 def _q_ann(sf_dir):
+    import pyarrow.compute as pc
+
     from bge_m3_onnx_ray.stages.ann import brute_force_topk
     emb = _embeddings(sf_dir)
-    qdf = emb.to_pandas()
-    qdf = qdf[qdf.vec_id < 5].sort_values("vec_id")
+    # filter BEFORE collecting: only the 5 query vectors reach the driver
+    qdf = emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 5)),
+                          batch_format="pyarrow").to_pandas()
+    qdf = qdf.sort_values("vec_id")
     return brute_force_topk(
         emb, np.stack(qdf.embedding.to_numpy()), qdf.vec_id.to_numpy(),
         k=10, exclude={int(v): int(v) for v in qdf.vec_id})
@@ -403,25 +407,31 @@ FROM documents GROUP BY text
         "ngram_dup_pairs": f"""
 WITH toks AS (SELECT doc_id,
     regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ts FROM documents),
-sh AS (SELECT DISTINCT doc_id,
-    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-  FROM toks, generate_series(1, 2048) AS g(i)
-  WHERE i <= len(ts) - 2)
+sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS i
+        FROM toks)),
+-- group cap aligned with the engine's ShingleStage guard (group_cap=1000):
+-- shingles shared by more than 1000 docs are banned from pair generation
+ok AS (SELECT shingle FROM sh GROUP BY shingle
+       HAVING count(*) BETWEEN 2 AND 1000)
 SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
        count(*)::BIGINT AS n_common
 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+WHERE a.shingle IN (SELECT shingle FROM ok)
 GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
 """,
         "dup_clusters": f"""
 WITH RECURSIVE toks AS (SELECT doc_id,
     regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ts FROM documents),
-sh AS (SELECT DISTINCT doc_id,
-    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-  FROM toks, generate_series(1, 2048) AS g(i)
-  WHERE i <= len(ts) - 2),
+sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS i
+        FROM toks)),
+ok AS (SELECT shingle FROM sh GROUP BY shingle
+       HAVING count(*) BETWEEN 2 AND 1000),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle IN (SELECT shingle FROM ok)
   GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
 edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),

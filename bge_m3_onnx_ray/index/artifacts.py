@@ -110,11 +110,22 @@ class ConvOffsets:
         the arrow path avoids per-row Python string comparisons."""
         import pyarrow.compute as pc
         if isinstance(conv_arr, (pa.Array, pa.ChunkedArray)):
-            idx = pc.index_in(conv_arr.cast(pa.large_string()),
-                              value_set=self._conv_arrow).to_numpy(
-                                  zero_copy_only=False).astype(np.int64)
+            raw = pc.index_in(conv_arr.cast(pa.large_string()),
+                              value_set=self._conv_arrow)
+            if raw.null_count:
+                missing = conv_arr.filter(pc.is_null(raw))
+                raise KeyError(
+                    f"conv_ids absent from the offsets table (stale resume "
+                    f"state or changed input): {missing.to_pylist()[:5]!r}")
+            idx = raw.to_numpy(zero_copy_only=False).astype(np.int64)
         else:
             idx = np.searchsorted(self.conv_ids, conv_arr)
+            bad = (idx >= len(self.starts)) | (self.conv_ids[np.minimum(
+                idx, len(self.starts) - 1)] != conv_arr)
+            if bad.any():
+                raise KeyError(
+                    f"conv_ids absent from the offsets table: "
+                    f"{np.asarray(conv_arr)[bad][:5]!r}")
         base = self.starts[idx]
         turn_np = np.asarray(turn_arr, np.int64)
         if self.nondense:
@@ -201,6 +212,10 @@ class IndexMeta:
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
         d = os.path.join(self.index_dir, "dictionary")
+        # empty-corpus index: merge_bucket writes no files and the directory
+        # may not exist — an empty result, not a FileNotFoundError
+        if not os.path.isdir(d) or not os.listdir(d):
+            return {}
         dset = pads.dataset(d, format="parquet")
         t = dset.to_table(filter=pc.field("term").isin(terms), columns=["term", "df"])
         return dict(zip(t.column("term").to_pylist(), t.column("df").to_pylist()))

@@ -86,48 +86,106 @@ def term_bucket(terms, n_buckets: int) -> np.ndarray:
 
 
 def _conv_partial(batch: pa.Table) -> pa.Table:
-    g = batch.group_by("conv_id").aggregate(
-        [("turn_idx", "count"), ("turn_idx", "min"), ("turn_idx", "max")])
-    return g.rename_columns(["conv_id", "n", "min_t", "max_t"])
-
-
-def compute_conv_offsets(ds: rd.Dataset) -> ConvOffsets:
-    """Pass A: stable docID assignment. Pre-aggregated per batch (one row
-    per conv per batch) and finished on the driver with a pandas groupby —
-    cheaper than a Ray sort shuffle for the partials, which are tiny
-    relative to the input (a conv rarely spans two 64k-row batches). At
-    10^12 turns the driver finish becomes one more Ray reduce by conv_id
-    range; the partial-aggregation shape is unchanged."""
+    # per-(conv x batch) moments: count/min/max plus sum and sum-of-squares
+    # of turn_idx — all associative, so the driver (or a Ray reduce) can
+    # finish them; sum/sumsq are the duplicate-turn detectors (see
+    # compute_conv_offsets)
     import pyarrow.compute as pc
-    partial_ds = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
-        _conv_partial, batch_format="pyarrow", batch_size=65536)
-    # finish in arrow C++ on the driver: group, sort, prefix-sum
-    batches = list(partial_ds.iter_batches(batch_size=None,
-                                           batch_format="pyarrow"))
-    if not batches:
-        return ConvOffsets(pa.array([], pa.large_string()),
-                           np.empty(0, np.int64), np.empty(0, np.int64))
-    tbl = pa.concat_tables(batches)
-    agg = tbl.group_by("conv_id").aggregate(
-        [("n", "sum"), ("min_t", "min"), ("max_t", "max")])
-    agg = agg.take(pc.sort_indices(agg.column("conv_id")))
+    t64 = pc.cast(batch.column("turn_idx"), pa.int64())
+    b2 = pa.table({"conv_id": batch.column("conv_id"), "t": t64,
+                   "t2": pc.multiply_checked(t64, t64)})
+    g = b2.group_by("conv_id").aggregate(
+        [("t", "count"), ("t", "min"), ("t", "max"),
+         ("t", "sum"), ("t2", "sum")])
+    return g.rename_columns(["conv_id", "n", "min_t", "max_t", "sum_t", "sum_t2"])
+
+
+def _finish_conv_offsets(agg: pa.Table, ds: rd.Dataset) -> ConvOffsets:
+    """Finish pass A from globally-aggregated per-conv moments (sorted by
+    conv_id): prefix-sum the counts, validate dense 0..n-1 turn ranges via
+    count/min/max/sum/sumsq, and exactly recheck every conversation that
+    fails (non-dense turn numbering gets a rank map; duplicate
+    (conv_id, turn_idx) keys raise — they would silently corrupt postings
+    otherwise, two rows sharing one docID)."""
+    import pyarrow.compute as pc
     conv_arrow = agg.column("conv_id").combine_chunks()
-    counts = agg.column("n_sum").to_numpy().astype(np.int64)
+    counts = agg.column("n").to_numpy().astype(np.int64)
     starts = np.zeros(len(counts), np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
-    dense = (agg.column("min_t_min").to_numpy() == 0) & \
-            (agg.column("max_t_max").to_numpy().astype(np.int64) == counts - 1)
+    # dense iff the turn multiset is exactly {0..n-1}: min/max bound the
+    # range, and sum + sum-of-squares match the exact closed forms. A
+    # duplicate+omission multiset (e.g. [0,2,2,3]) passes min/max/count
+    # but not the moments, so it is routed to the exact recheck below.
+    mx = agg.column("max_t").to_numpy().astype(np.int64)
+    sum_t = agg.column("sum_t").to_numpy().astype(np.int64)
+    sum_t2 = agg.column("sum_t2").to_numpy().astype(np.int64)
+    dense = ((agg.column("min_t").to_numpy() == 0) &
+             (mx == counts - 1) &
+             (sum_t == counts * (counts - 1) // 2) &
+             (sum_t2 == (counts - 1) * counts * (2 * counts - 1) // 6))
     nondense: dict[str, dict[int, int]] = {}
     if not dense.all():
-        bad = set(np.asarray(conv_arrow.to_pylist(), dtype=object)[~dense])
-        # rare path: collect the offending convs' turn indices and rank them
-        sub = ds.select_columns(["conv_id", "turn_idx"]) \
-                .filter(lambda r: r["conv_id"] in bad) \
-                .to_pandas()
+        bad = conv_arrow.filter(pa.array(~dense))
+        # exact path: collect the offending convs' turn indices (vectorized
+        # arrow filter — no per-row Python predicate) and rank them
+        sub = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
+            lambda t, _bad=bad: t.filter(
+                pc.is_in(t.column("conv_id"), value_set=_bad.cast(t.schema.field("conv_id").type))),
+            batch_format="pyarrow").to_pandas()
         for c, g in sub.groupby("conv_id"):
             ts = sorted(g["turn_idx"].tolist())
+            dups = {t for a, t in zip(ts, ts[1:]) if a == t}
+            if dups:
+                raise ValueError(
+                    f"duplicate (conv_id, turn_idx) keys in input: conv "
+                    f"{c!r} has repeated turn_idx {sorted(dups)[:5]} — two "
+                    f"rows would share one docID, corrupting postings")
             nondense[c] = {int(t): i for i, t in enumerate(ts)}
     return ConvOffsets(conv_arrow, starts, counts, nondense)
+
+
+def compute_conv_offsets(ds: rd.Dataset,
+                         driver_finish_limit: int = 4_000_000) -> ConvOffsets:
+    """Pass A: stable docID assignment. Pre-aggregated per batch (one row
+    per conv per batch) and finished on the driver with an arrow groupby —
+    cheaper than a Ray sort shuffle for the partials, which are tiny
+    relative to the input (a conv rarely spans two 64k-row batches).
+
+    Scale path: when the partial row count exceeds ``driver_finish_limit``
+    the finish itself runs as a Ray ``groupby(conv_id)`` reduce + sort, and
+    the driver only streams the already-aggregated per-conv rows for the
+    prefix sum (one small row per conversation — at 10^12 turns this is
+    the conv-count-sized offsets table the artifact stores anyway)."""
+    import pyarrow.compute as pc
+    partial_ds = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
+        _conv_partial, batch_format="pyarrow", batch_size=65536).materialize()
+    n_partials = partial_ds.count()
+    if n_partials == 0:
+        return ConvOffsets(pa.array([], pa.large_string()),
+                           np.empty(0, np.int64), np.empty(0, np.int64))
+    if n_partials > driver_finish_limit:
+        # Ray range-reduce finish: shuffle the partials by conv_id, merge
+        # moments per conv, sort — the driver never concatenates the raw
+        # partials, only streams the per-conv result rows (one per
+        # conversation). Exercised by a forced-threshold test.
+        from ray.data.aggregate import Max, Min, Sum
+        agg_ds = partial_ds.groupby("conv_id").aggregate(
+            Sum("n", alias_name="n"), Min("min_t", alias_name="min_t"),
+            Max("max_t", alias_name="max_t"), Sum("sum_t", alias_name="sum_t"),
+            Sum("sum_t2", alias_name="sum_t2")).sort("conv_id")
+        agg = pa.concat_tables(agg_ds.iter_batches(batch_size=None,
+                                                   batch_format="pyarrow"))
+        agg = agg.select(["conv_id", "n", "min_t", "max_t", "sum_t", "sum_t2"])
+    else:
+        tbl = pa.concat_tables(partial_ds.iter_batches(batch_size=None,
+                                                       batch_format="pyarrow"))
+        agg = tbl.group_by("conv_id").aggregate(
+            [("n", "sum"), ("min_t", "min"), ("max_t", "max"),
+             ("sum_t", "sum"), ("sum_t2", "sum")])
+        agg = agg.rename_columns(
+            ["conv_id", "n", "min_t", "max_t", "sum_t", "sum_t2"])
+        agg = agg.take(pc.sort_indices(agg.column("conv_id")))
+    return _finish_conv_offsets(agg, ds)
 
 
 # Per-worker-process cache of deserialized broadcast objects: plain-task
@@ -261,7 +319,43 @@ _META_SCHEMA = pa.schema([
     ("kind", pa.string()), ("shard", pa.int64()), ("bucket", pa.int64()),
     ("n_docs", pa.int64()), ("total_len", pa.int64()),
     ("n_terms", pa.int64()), ("nbytes", pa.int64()), ("file", pa.string()),
+    ("dict_file", pa.string()),
 ])
+
+
+def _input_fingerprint_path(transcripts) -> str | None:
+    """Cheap input-identity digest for a parquet path/dir: sorted
+    (relpath, size, num_rows) triples. Re-running build_index into an
+    existing index_dir with CHANGED input must invalidate resume — a
+    config-only fingerprint silently reuses stale conv_offsets and skips
+    'done' shards, never indexing the new rows."""
+    import hashlib
+    if not isinstance(transcripts, str):
+        return None
+    files = sorted(glob.glob(os.path.join(transcripts, "*.parquet"))) \
+        if os.path.isdir(transcripts) else [transcripts]
+    import pyarrow.parquet as pq
+    h = hashlib.sha256()
+    for p in files:
+        nrows = pq.ParquetFile(p).metadata.num_rows
+        h.update(f"{os.path.basename(p)}:{os.path.getsize(p)}:{nrows};".encode())
+    return h.hexdigest()[:16]
+
+
+def _offsets_digest(offsets: ConvOffsets) -> str:
+    """Content digest of the docID assignment — the input-identity check
+    for Dataset inputs (where no file metadata exists): any change to the
+    (conv_id, turn count) structure changes this digest."""
+    import hashlib
+    h = hashlib.sha256()
+    h.update(str(offsets.n_docs).encode())
+    h.update(np.ascontiguousarray(offsets.starts).tobytes())
+    h.update(np.ascontiguousarray(offsets.counts).tobytes())
+    for buf in offsets._conv_arrow.buffers():
+        if buf is not None:
+            h.update(buf)
+    h.update(json.dumps(offsets.nondense, sort_keys=True).encode())
+    return h.hexdigest()[:16]
 
 
 def _manifest_entry_file(index_dir: str, shard: int, bucket: int) -> str:
@@ -299,7 +393,8 @@ def make_encode_group_fn(index_dir: str, cfg: IndexConfig):
             nbytes = atomic_write_parquet(t, path)
             entry = {"kind": "doc_lens", "shard": shard, "bucket": -1,
                      "n_docs": len(dl), "total_len": int(dl.sum()),
-                     "n_terms": 0, "nbytes": nbytes, "file": path}
+                     "n_terms": 0, "nbytes": nbytes, "file": path,
+                     "dict_file": ""}
         else:
             terms = np.asarray(group.column("term").to_pylist(), dtype=object)
             seg_codes, uniques = pd.factorize(terms, sort=True)
@@ -337,10 +432,15 @@ def make_encode_group_fn(index_dir: str, cfg: IndexConfig):
             dp = pa.table({"term": pa.array(rows["term"], pa.string()),
                            "df": pa.array(rows["df"], pa.int64()),
                            "cf": pa.array(rows["cf"], pa.int64())})
-            atomic_write_parquet(dp, dict_partial_file(index_dir, shard, bucket))
+            dpath = dict_partial_file(index_dir, shard, bucket)
+            atomic_write_parquet(dp, dpath)
+            # dict_file rides in the manifest entry: _merge_dictionary
+            # re-reads the partials on every build, so a vouched-done shard
+            # with missing partials must be detected and rebuilt (else the
+            # global dictionary silently loses its df/cf)
             entry = {"kind": "postings", "shard": shard, "bucket": bucket,
                      "n_docs": 0, "total_len": 0, "n_terms": len(uniques),
-                     "nbytes": nbytes, "file": path}
+                     "nbytes": nbytes, "file": path, "dict_file": dpath}
         atomic_write_json(entry, _manifest_entry_file(index_dir, shard, bucket))
         return pa.Table.from_pylist([entry], schema=_META_SCHEMA)
 
@@ -351,6 +451,8 @@ def _merge_dictionary(index_dir: str, n_buckets: int) -> int:
     """Pass C: per-bucket df/cf merge. No shuffle — the partial files are
     already partitioned by term-hash bucket, so each bucket task reads
     only its own shard partials. Returns vocabulary size."""
+
+    os.makedirs(os.path.join(index_dir, "dictionary"), exist_ok=True)
 
     def merge_bucket(batch: pa.Table) -> pa.Table:
         out = []
@@ -390,7 +492,8 @@ def _load_done_shards(index_dir: str, cfg: IndexConfig) -> set[int]:
                 e = json.load(f)
         except (json.JSONDecodeError, OSError):
             continue
-        if os.path.exists(e["file"]):
+        if os.path.exists(e["file"]) and \
+                (not e.get("dict_file") or os.path.exists(e["dict_file"])):
             by_shard.setdefault(e["shard"], set()).add(e["bucket"])
     want = set(range(-1, cfg.term_buckets))
     done = {s for s, got in by_shard.items() if got == want}
@@ -431,21 +534,40 @@ def build_index(transcripts, index_dir: str, cfg: IndexConfig | None = None,
     fp_path = os.path.join(index_dir, "config_fingerprint.json")
     done: set[int] = set()
     offsets = None
-    prior_fp = None
+    prior = {}
     if os.path.exists(fp_path):
         try:
             with open(fp_path) as f:
-                prior_fp = json.load(f).get("fingerprint")
+                prior = json.load(f)
         except (json.JSONDecodeError, OSError):
-            prior_fp = None
-    if resume and prior_fp == cfg.fingerprint() and \
+            prior = {}
+    input_fp = _input_fingerprint_path(transcripts)  # None for Dataset input
+    cfg_ok = prior.get("fingerprint") == cfg.fingerprint()
+    stale = bool(prior) and not cfg_ok
+    if resume and cfg_ok and \
             os.path.exists(os.path.join(index_dir, "conv_offsets.parquet")):
-        offsets = ConvOffsets.load(index_dir)
-        done = _load_done_shards(index_dir, cfg)
-    elif prior_fp is not None and prior_fp != cfg.fingerprint():
-        # config changed: stale artifacts (entry files, postings, partials)
-        # would poison consolidation — wipe the build outputs
+        if input_fp is not None:
+            # path input: cheap metadata identity check, no recompute
+            input_ok = prior.get("input_fingerprint") == input_fp
+        else:
+            # Dataset input: no file identity exists — recompute the (cheap)
+            # offsets pass and compare its content digest; a changed input
+            # with a stale digest must NOT silently reuse done shards
+            t0 = time.perf_counter()
+            offsets = compute_conv_offsets(ds)
+            phases["offsets"] = round(time.perf_counter() - t0, 2)
+            input_ok = prior.get("offsets_digest") == _offsets_digest(offsets)
+        if input_ok:
+            if offsets is None:
+                offsets = ConvOffsets.load(index_dir)
+            done = _load_done_shards(index_dir, cfg)
+        else:
+            stale = True
+    if stale:
+        # config or input changed: stale artifacts (entry files, postings,
+        # partials) would poison consolidation — wipe the build outputs
         import shutil
+        done = set()
         for sub in ("_manifest", "postings", "doc_lens", "dict_partials",
                     "dictionary"):
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
@@ -454,13 +576,15 @@ def build_index(transcripts, index_dir: str, cfg: IndexConfig | None = None,
                 os.remove(os.path.join(index_dir, fn))
             except OSError:
                 pass
-    atomic_write_json({"fingerprint": cfg.fingerprint()}, fp_path)
 
     if offsets is None:
         t0 = time.perf_counter()
         offsets = compute_conv_offsets(ds)
-        offsets.save(index_dir)
         phases["offsets"] = round(time.perf_counter() - t0, 2)
+    offsets.save(index_dir)
+    atomic_write_json({"fingerprint": cfg.fingerprint(),
+                       "input_fingerprint": input_fp,
+                       "offsets_digest": _offsets_digest(offsets)}, fp_path)
 
     import ray
     offsets_ref = ray.put(offsets)
@@ -535,6 +659,8 @@ def build_index(transcripts, index_dir: str, cfg: IndexConfig | None = None,
         s = shards.setdefault(str(e["shard"]), {
             "n_docs": 0, "total_len": 0, "postings_bytes": 0, "files": []})
         s["files"].append(os.path.relpath(e["file"], index_dir))
+        if e.get("dict_file"):
+            s["files"].append(os.path.relpath(e["dict_file"], index_dir))
         if e["kind"] == "doc_lens":
             s["n_docs"] = e["n_docs"]
             s["total_len"] = e["total_len"]

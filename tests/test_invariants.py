@@ -97,3 +97,80 @@ def test_nondense_turn_idx_fallback(ray_session):
     conv, turn = offs.doc_to_conv(np.arange(5))
     assert conv.tolist() == ["a", "a", "a", "b", "b"]
     assert turn.tolist() == [0, 5, 9, 0, 1]
+
+
+def test_duplicate_turn_idx_raises(ray_session):
+    """Duplicate (conv_id, turn_idx) keys would silently corrupt postings
+    (two rows sharing one docID) — the build must refuse them, including
+    the [0,2,2,3] shape that passes a min/max/count-only density check."""
+    import pytest
+    import ray.data as rd
+    t = pa.table({
+        "conv_id": ["a", "a", "a", "a"],
+        "turn_idx": pa.array([0, 2, 2, 3], pa.int32()),
+        "text": ["w", "x", "y", "z"],
+    })
+    with pytest.raises(ValueError, match="duplicate"):
+        compute_conv_offsets(rd.from_arrow(t))
+
+
+def test_offsets_range_reduce_path_matches(ray_session, tiny_corpus):
+    """The Ray groupby finish (forced via a tiny driver_finish_limit)
+    must produce the identical offsets as the driver finish."""
+    import ray.data as rd
+    path, _, _ = tiny_corpus
+    ds = rd.read_parquet(path)
+    a = compute_conv_offsets(ds)
+    b = compute_conv_offsets(ds, driver_finish_limit=1)
+    assert a.n_docs == b.n_docs
+    assert a.conv_ids.tolist() == b.conv_ids.tolist()
+    assert a.starts.tolist() == b.starts.tolist()
+    assert a.counts.tolist() == b.counts.tolist()
+
+
+def test_resume_invalidated_on_changed_input(ray_session, tmp_path):
+    """Re-running build_index into an existing index_dir with CHANGED
+    input must not silently reuse stale offsets / skip 'done' shards."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.index.search import search as _search
+
+    def corpus(n):
+        return pa.table({
+            "conv_id": [f"c{i:03d}" for i in range(n)],
+            "turn_idx": pa.array([0] * n, pa.int32()),
+            "text": [f"alpha beta doc{i}" for i in range(n)],
+        })
+
+    cfg = create_tiny_index_config()
+    # path-input variant: metadata fingerprint detects the change
+    p_old = str(tmp_path / "in_old"); os.makedirs(p_old)
+    pq.write_table(corpus(3), os.path.join(p_old, "part-0.parquet"))
+    idx = str(tmp_path / "idx")
+    r1 = build_index(p_old, idx, cfg)
+    assert r1["n_docs"] == 3
+    p_new = str(tmp_path / "in_new"); os.makedirs(p_new)
+    pq.write_table(corpus(5), os.path.join(p_new, "part-0.parquet"))
+    r2 = build_index(p_new, idx, cfg)
+    assert r2["n_docs"] == 5 and r2["resumed_shards"] == 0
+    # dataset-input variant: offsets digest detects the change
+    r3 = build_index(rd.from_arrow(corpus(4)), idx, cfg)
+    assert r3["n_docs"] == 4 and r3["resumed_shards"] == 0
+    # unchanged dataset input → full resume
+    r4 = build_index(rd.from_arrow(corpus(4)), idx, cfg)
+    assert r4["resumed_shards"] == r4["n_shards"]
+    out = _search(idx, [(0, "doc3")], QueryConfig(k=2)).to_pandas()
+    assert set(out["doc_id"]) == {3}
+
+
+def test_empty_corpus_searchable(ray_session, tmp_path):
+    """An empty corpus builds an empty index; searching it returns empty
+    results instead of FileNotFoundError."""
+    import ray.data as rd
+    t = pa.table({"conv_id": pa.array([], pa.string()),
+                  "turn_idx": pa.array([], pa.int32()),
+                  "text": pa.array([], pa.string())})
+    idx = str(tmp_path / "idx")
+    res = build_index(rd.from_arrow(t), idx, create_tiny_index_config())
+    assert res["n_docs"] == 0
+    out = search(idx, [(0, "anything at all")]).to_pandas()
+    assert len(out) == 0
