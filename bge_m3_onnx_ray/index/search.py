@@ -78,158 +78,129 @@ def score_exhaustive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarra
     return _topk_merge(scores, union, k)
 
 
-class _Cursor:
-    __slots__ = ("enc", "block_size", "idf", "ub", "bi", "pos",
-                 "bdocs", "btfs", "bdls", "done")
-
-    def __init__(self, enc: EncodedPostings, block_size: int, idf_t: float,
-                 avgdl: float, k1: float, b: float):
-        self.enc = enc
-        self.block_size = block_size
-        self.idf = idf_t
-        bounds = bm25_term_score(enc.max_tf.astype(np.float64),
-                                 enc.min_dl.astype(np.float64),
-                                 idf_t, avgdl, k1, b)
-        self.ub = float(bounds.max())  # term-level upper bound
-        self.bi = -1
-        self.done = False
-        self._load(0)
-
-    def _load(self, bi: int):
-        if bi >= len(self.enc.last_ids):
-            self.done = True
-            return
-        self.bi = bi
-        self.bdocs, self.btfs, self.bdls = decode_block(self.enc, bi, self.block_size)
-        self.pos = 0
-
-    @property
-    def doc(self) -> int:
-        return int(self.bdocs[self.pos]) if not self.done else 1 << 62
-
-    def _block_at(self, d: int) -> int:
-        """Index of the block that would contain doc ``d`` (>= current
-        position), or n_blocks if the list ends before ``d``."""
-        if self.done:
-            return len(self.enc.last_ids)
-        if self.enc.last_ids[self.bi] >= d:
-            return self.bi
-        return int(np.searchsorted(self.enc.last_ids, d))
-
-    def block_bound_at(self, d: int, avgdl, k1, b) -> float:
-        """Upper bound of this term's contribution to doc ``d`` — from the
-        (max_tf, min_dl) of the block containing ``d``, NOT the cursor's
-        current block (a lagging cursor may sit blocks earlier)."""
-        bi = self._block_at(d)
-        if bi >= len(self.enc.last_ids):
-            return 0.0
-        return bm25_term_score(float(self.enc.max_tf[bi]),
-                               float(self.enc.min_dl[bi]), self.idf, avgdl, k1, b)
-
-    def block_last_at(self, d: int) -> int:
-        bi = self._block_at(d)
-        if bi >= len(self.enc.last_ids):
-            return 1 << 62
-        return int(self.enc.last_ids[bi])
-
-    def contribution(self, avgdl, k1, b) -> float:
-        return bm25_term_score(float(self.btfs[self.pos]), float(self.bdls[self.pos]),
-                               self.idf, avgdl, k1, b)
-
-    def advance(self):
-        self.pos += 1
-        if self.pos >= len(self.bdocs):
-            self._load(self.bi + 1)
-
-    def seek(self, target: int):
-        """Advance to the first posting with doc >= target (block-skipping)."""
-        if self.done or self.doc >= target:
-            return
-        if self.enc.last_ids[self.bi] < target:
-            bi = int(np.searchsorted(self.enc.last_ids, target))
-            if bi >= len(self.enc.last_ids):
-                self.done = True
-                return
-            self._load(bi)
-        self.pos = int(np.searchsorted(self.bdocs, target))
-        if self.pos >= len(self.bdocs):  # defensive; last_ids guarantee not
-            self._load(self.bi + 1)
-
-
 def score_wand(enc_postings: dict[str, EncodedPostings], qterms: list[str],
                idfs: dict[str, float], avgdl: float, k1: float, b: float,
-               k: int, block_size: int):
-    """Block-max WAND top-k. ``qterms`` sorted ascending; cursors carry the
-    per-block (max_tf, min_dl) bounds from the codec. Pruning uses strict
-    ``<`` against the heap threshold so equal-score/lower-docID candidates
-    are never skipped (rank-identical guarantee incl. ties)."""
-    import heapq
-    cursors = {t: _Cursor(enc_postings[t], block_size, idfs[t], avgdl, k1, b)
-               for t in qterms if t in enc_postings}
-    if not cursors:
+               k: int, block_size: int,
+               decoded: dict[str, tuple] | None = None):
+    """Vectorized block-max top-k (the WAND/BMW pruning idea — Ding & Suel
+    2011 — re-expressed for batch execution instead of a per-posting
+    cursor loop, which measured ~47x slower than numpy scoring).
+
+    Doc space is partitioned into SEGMENTS by the union of all query
+    terms' skip-block boundaries, so each segment lies inside exactly one
+    block of every term and ``sum_t score(max_tf, min_dl)`` of those
+    blocks is an exact upper bound for every doc in the segment. Segments
+    are processed in descending-bound order in chunks; each chunk decodes
+    only the touched blocks and scores its docs EXACTLY with the same
+    ascending-term float64 accumulation as :func:`score_exhaustive`
+    (bit-identical scores). The loop stops when the best remaining
+    segment bound is strictly below the running kth score — pruning keeps
+    ``>= theta`` segments so equal-score/lower-docID ties are never lost
+    (rank-identical guarantee incl. ties).
+
+    ``decoded`` (term → (docs, tfs, dls), as held by serving actors that
+    pre-decode in ``__init__``) skips per-block varint decoding: chunk
+    postings are gathered by searchsorted range slicing instead."""
+    terms = [t for t in qterms if t in enc_postings]
+    if not terms:
         return np.empty(0, np.float64), np.empty(0, np.int64)
-    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
-    live = [t for t in qterms if not cursors[t].done]
-    while live:
-        live.sort(key=lambda t: cursors[t].doc)
-        theta = heap[0][0] if len(heap) == k else -1.0
-        # pivot: first prefix whose summed term UBs reach theta
-        acc = 0.0
-        pivot_i = -1
-        for i, t in enumerate(live):
-            acc += cursors[t].ub
-            if acc >= theta:
-                pivot_i = i
+    encs = {t: enc_postings[t] for t in terms}
+
+    # segment table: boundaries = union of block last-docIDs
+    bounds = np.unique(np.concatenate([encs[t].last_ids for t in terms]))
+    nseg = len(bounds)
+    seg_lo = np.empty(nseg, np.int64)
+    seg_lo[0] = 0
+    seg_lo[1:] = bounds[:-1] + 1
+    seg_hi = bounds
+    seg_ub = np.zeros(nseg, np.float64)
+    term_block: dict[str, np.ndarray] = {}
+    for t in terms:
+        e = encs[t]
+        bub = bm25_term_score(e.max_tf.astype(np.float64),
+                              e.min_dl.astype(np.float64),
+                              idfs[t], avgdl, k1, b)
+        bi = np.searchsorted(e.last_ids, seg_hi)
+        valid = bi < len(e.last_ids)
+        add = np.zeros(nseg, np.float64)
+        add[valid] = bub[bi[valid]]
+        seg_ub += add
+        term_block[t] = np.where(valid, bi, -1)
+
+    order = np.argsort(-seg_ub, kind="stable")
+    top_s = np.empty(0, np.float64)
+    top_d = np.empty(0, np.int64)
+    theta = None
+    cache: dict[str, dict[int, tuple]] = {t: {} for t in terms}
+    pos = 0
+    chunk_segs = max(16, k // 4)
+    while pos < len(order):
+        if theta is not None:
+            rest = order[pos:]
+            rest = rest[seg_ub[rest] >= theta]  # keep ==theta: tie safety
+            if not len(rest):
                 break
-        if pivot_i < 0:
-            break  # total upper bound below threshold — exhausted
-        pivot_doc = cursors[live[pivot_i]].doc
-        if cursors[live[0]].doc == pivot_doc:
-            # all cursors up to (and possibly beyond) the pivot are ALIGNED
-            # on pivot_doc here (sorted + live[0]==pivot ⇒ prefix equal).
-            aligned = [t for t in live if cursors[t].doc == pivot_doc]
-            # shallow block-max check: bound pivot_doc's total score by the
-            # per-term (max_tf, min_dl) of the block CONTAINING pivot_doc
-            bsum = 0.0
-            for t in aligned:
-                bsum += cursors[t].block_bound_at(pivot_doc, avgdl, k1, b)
-            if len(heap) == k and bsum < theta:
-                # BMW skip (Ding & Suel 2011): the bound stays valid up to
-                # the earliest block end among aligned terms; beyond-pivot
-                # cursors (> pivot) cap the skip — their docs still need
-                # evaluation. Advance the highest-impact aligned term.
-                nxt = min(cursors[t].block_last_at(pivot_doc) for t in aligned) + 1
-                for t in live:
-                    if cursors[t].doc > pivot_doc:
-                        nxt = min(nxt, cursors[t].doc)
-                        break
-                tmax = max(aligned, key=lambda t: cursors[t].ub)
-                cursors[tmax].seek(max(nxt, pivot_doc + 1))
-            else:
-                # full evaluation: ascending term order, from 0.0 (bit-
-                # identical to the exhaustive scorer's accumulation)
-                s = 0.0
-                matched = [t for t in qterms
-                           if t in cursors and not cursors[t].done
-                           and cursors[t].doc == pivot_doc]
-                for t in matched:
-                    s += cursors[t].contribution(avgdl, k1, b)
-                item = (s, -pivot_doc)
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
-                for t in matched:
-                    cursors[t].advance()
-        else:
-            # advance the highest-impact lagging term up to the pivot
-            lag = [t for t in live[: pivot_i + 1] if cursors[t].doc < pivot_doc]
-            tmax = max(lag, key=lambda t: cursors[t].ub)
-            cursors[tmax].seek(pivot_doc)
-        live = [t for t in live if not cursors[t].done]
-    out = sorted(heap, key=lambda it: (-it[0], -it[1]))
-    return (np.array([s for s, _ in out], np.float64),
-            np.array([-d for _, d in out], np.int64))
+            order = np.concatenate([order[:pos], rest])
+        chunk = order[pos:pos + chunk_segs]
+        pos += len(chunk)
+        los, his = seg_lo[chunk], seg_hi[chunk]
+        o = np.argsort(los)
+        los, his = los[o], his[o]
+        gathered: list[tuple[str, np.ndarray, np.ndarray, np.ndarray]] = []
+        for t in terms:  # ascending term order — the accumulation contract
+            if decoded is not None:
+                fdocs, ftfs, fdls = decoded[t]
+                li = np.searchsorted(fdocs, los)
+                hi = np.searchsorted(fdocs, his, side="right")
+                cnt = hi - li
+                tot = int(cnt.sum())
+                if not tot:
+                    continue
+                # flat gather of all ranges: arange over each [li, hi)
+                sel = np.repeat(li - np.concatenate([[0], np.cumsum(cnt)[:-1]]),
+                                cnt) + np.arange(tot)
+                gathered.append((t, fdocs[sel], ftfs[sel], fdls[sel]))
+                continue
+            bis = term_block[t][chunk]
+            bis = np.unique(bis[bis >= 0])
+            if not len(bis):
+                continue
+            c = cache[t]
+            parts = []
+            for bi in bis:
+                got = c.get(int(bi))
+                if got is None:
+                    got = decode_block(encs[t], int(bi), block_size)
+                    c[int(bi)] = got
+                parts.append(got)
+            docs = np.concatenate([p[0] for p in parts])
+            j = np.searchsorted(los, docs, side="right") - 1
+            member = (j >= 0) & (docs <= his[np.maximum(j, 0)])
+            if member.any():
+                gathered.append((t,
+                                 docs[member],
+                                 np.concatenate([p[1] for p in parts])[member],
+                                 np.concatenate([p[2] for p in parts])[member]))
+        if not gathered:
+            continue
+        union = np.unique(np.concatenate([g[1] for g in gathered]))
+        scores = np.zeros(len(union), np.float64)
+        for t, docs, tfs, dls in gathered:
+            contrib = bm25_term_score(tfs.astype(np.float64),
+                                      dls.astype(np.float64),
+                                      idfs[t], avgdl, k1, b)
+            scores[np.searchsorted(union, docs)] += contrib
+        top_s, top_d = _topk_merge(np.concatenate([top_s, scores]),
+                                   np.concatenate([top_d, union]), k)
+        if len(top_d) == k:
+            theta = top_s[-1]
+        # exponential chunk growth: the first small chunks seed theta from
+        # the highest-bound segments; if pruning then bites, the loop ends
+        # early, and if it doesn't (flat score distributions), the growing
+        # chunks converge to one exhaustive pass instead of paying
+        # per-chunk overhead O(n_segments / chunk) times
+        chunk_segs = min(chunk_segs * 2, 4096)
+    return top_s, top_d
 
 
 class ShardScorer:

@@ -91,7 +91,8 @@ class _ShardSearcherImpl:
                 if method == "wand":
                     enc = {t: self.encoded[shard][t] for t in avail}
                     s, d = score_wand(enc, avail, idfs, m.avgdl, m.k1, m.b,
-                                      k, m.block_size)
+                                      k, m.block_size,
+                                      decoded={t: dec[t] for t in avail})
                 else:
                     s, d = score_exhaustive({t: dec[t] for t in avail},
                                             avail, idfs, m.avgdl, m.k1, m.b, k)
