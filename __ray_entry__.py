@@ -168,6 +168,26 @@ def _q_lsh_buckets(sf_dir):
     return lsh_buckets(emb, dim=dim)
 
 
+def _q_jaccard_verify(sf_dir):
+    from bge_m3_onnx_ray.stages.dedup import ngram_pair_candidates, verify_jaccard
+    cands = ngram_pair_candidates(_docs(sf_dir), n=3, min_common=2) \
+        .select_columns(["doc_a", "doc_b"])
+    return verify_jaccard(_docs(sf_dir), cands, n=3)
+
+
+def _q_lsh_dup_pairs(sf_dir):
+    import pyarrow as pa
+
+    from bge_m3_onnx_ray.stages.dedup import lsh_bucket_pairs
+    # threshold 0.2 keeps the check non-trivial at every sf; collect to an
+    # arrow table so an empty result still carries its schema (Ray's
+    # to_pandas drops columns on empty datasets)
+    out = lsh_bucket_pairs(_embeddings(sf_dir), threshold=0.2)
+    batches = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return (pa.concat_tables(batches) if batches
+            else out.schema().base_schema.empty_table())
+
+
 def _q_events_hourly(sf_dir):
     from bge_m3_onnx_ray.stages.events import hourly_agg
     return hourly_agg(_events(sf_dir))
@@ -246,7 +266,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_variations": _q_text_variations,
         "exact_dedup": _q_exact_dedup,
         "ngram_dup_pairs": _q_ngram_pairs,
+        "ngram_jaccard_verify": _q_jaccard_verify,
         "dup_clusters": _q_dup_clusters,
+        "lsh_dup_pairs": _q_lsh_dup_pairs,
         "minhash_lsh_candidates": _q_minhash,
         "simhash": _q_simhash,
         "embedding_dup_pairs": _q_embedding_dups,
@@ -307,6 +329,181 @@ FROM ranked WHERE rnk <= 10 ORDER BY query_id, "rank"
 """
 
 
+def _powt_sql(name: str, p: int, maxlen: int) -> str:
+    """Recursive power table ``name(i, v) = (131^i) % p`` in HUGEINT — the
+    SQL half of bge_m3_onnx_ray.hashing.poly_hash (Horner == sum of
+    codepoint * B^(L-i) terms mod p)."""
+    return (f"{name}(i, v) AS (SELECT 0, 1::HUGEINT UNION ALL "
+            f"SELECT i+1, (v*131)%{p} FROM {name} WHERE i < {maxlen})")
+
+
+def _poly_hash_sql(src: str, key: str, col: str, p: int, powt: str,
+                   out: str) -> str:
+    """CTE pair hashing ``src.col`` (grouped by ``key``) to ``out(key, h)``
+    via the codepoint polynomial: chars explode with range(), join the
+    power table on exponent = length - position."""
+    return f"""{out}_chars AS (
+  SELECT {key}, {col} AS s, unnest(range(1, length({col}) + 1)) AS i
+  FROM {src}),
+{out} AS (
+  SELECT {key},
+         (sum(unicode(substring(s, {out}_chars.i, 1))::HUGEINT * pw.v)
+          % {p})::BIGINT AS h
+  FROM {out}_chars JOIN {powt} pw ON pw.i = length(s) - {out}_chars.i
+  GROUP BY {key})"""
+
+
+def _fingerprint_sql() -> str:
+    from bge_m3_onnx_ray.hashing import P53
+    p = int(P53)
+    return f"""
+WITH RECURSIVE {_powt_sql('powt', p, 4096)},
+{_poly_hash_sql('documents', 'doc_id', 'text', p, 'powt', 'h')}
+SELECT d.doc_id, coalesce(h.h, 0)::BIGINT AS fingerprint
+FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+"""
+
+
+def _simhash_sql() -> str:
+    from bge_m3_onnx_ray.hashing import P53
+    p = int(P53)
+    return f"""
+WITH RECURSIVE {_powt_sql('powt', p, 256)},
+toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+       GROUP BY doc_id, term),
+terms AS (SELECT DISTINCT term FROM tf),
+{_poly_hash_sql('terms', 'term', 'term', p, 'powt', 'th')},
+jtab AS (SELECT unnest(range(0, 53)) AS j),
+acc AS (SELECT tf.doc_id, jtab.j,
+               sum(tf.tf * (2 * ((th.h >> jtab.j) & 1) - 1)) AS a
+        FROM tf JOIN th ON th.term = tf.term CROSS JOIN jtab
+        GROUP BY tf.doc_id, jtab.j),
+val AS (SELECT doc_id,
+               sum(CASE WHEN a > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+                 AS simhash
+        FROM acc GROUP BY doc_id)
+SELECT d.doc_id, coalesce(v.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN val v ON v.doc_id = d.doc_id
+"""
+
+
+def _minhash_sql(n_perm: int = 64, n_bands: int = 16,
+                 group_cap: int = 1000) -> str:
+    from bge_m3_onnx_ray.hashing import P31, minhash_seeds
+    p = int(P31)
+    a, b = minhash_seeds(n_perm, seed=7)
+    perm_rows = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})"
+                          for j in range(n_perm))
+    rpb = n_perm // n_bands
+    return f"""
+WITH RECURSIVE {_powt_sql('powt', p, 256)},
+toks AS (SELECT doc_id,
+    regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS i
+        FROM toks)),
+shd AS (SELECT DISTINCT shingle FROM sh),
+{_poly_hash_sql('shd', 'shingle', 'shingle', p, 'powt', 'hh')},
+perms(perm, a, b) AS (VALUES {perm_rows}),
+mins AS (SELECT sh.doc_id, perms.perm,
+                min((perms.a * hh.h + perms.b) % {p}) AS v
+         FROM sh JOIN hh ON hh.shingle = sh.shingle CROSS JOIN perms
+         GROUP BY sh.doc_id, perms.perm),
+bands AS (SELECT doc_id, (perm // {rpb})::INTEGER AS band,
+                 string_agg(v::VARCHAR, '-' ORDER BY perm) AS band_sig
+          FROM mins GROUP BY doc_id, perm // {rpb}),
+ok AS (SELECT band, band_sig FROM bands GROUP BY band, band_sig
+       HAVING count(*) BETWEEN 2 AND {group_cap}),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_sig = b.band_sig
+               AND a.doc_id < b.doc_id
+          JOIN ok ON ok.band = a.band AND ok.band_sig = a.band_sig)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+       count(*)::BIGINT AS n_bands_hit
+FROM pairs GROUP BY doc_a, doc_b
+"""
+
+
+def _lsh_buckets_sql(dim: int = 64, n_planes: int = 12, seed: int = 11) -> str:
+    """Fixed-hyperplane LSH bucket assignment, hyperplanes inlined as list
+    literals (same seed/order as stages.ann.LshBucketStage); dot products
+    cast to DOUBLE so both engines decide the sign in float64."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((dim, n_planes))
+    rows = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in h[:, j])}])"
+        for j in range(n_planes))
+    return f"""
+WITH planes(j, vec) AS (VALUES {rows})
+SELECT e.vec_id::BIGINT AS vec_id,
+       sum(CASE WHEN list_dot_product(
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)), planes.vec) > 0
+                THEN (1::BIGINT << planes.j) ELSE 0 END)::BIGINT AS bucket
+FROM embeddings e CROSS JOIN planes GROUP BY e.vec_id
+"""
+
+
+def _jaccard_verify_sql(group_cap: int = 1000) -> str:
+    """Exact-Jaccard verification of the ngram candidates: candidate
+    generation mirrors ngram_dup_pairs (incl. the group cap), the
+    intersection count for verified pairs is UNCAPPED, sizes are distinct
+    shingle counts; jaccard computed in float64 both sides (int division
+    then *1e6 floor — identical IEEE ops)."""
+    return f"""
+WITH toks AS (SELECT doc_id,
+    regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS i
+        FROM toks)),
+ok AS (SELECT shingle FROM sh GROUP BY shingle
+       HAVING count(*) BETWEEN 2 AND {group_cap}),
+cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle IN (SELECT shingle FROM ok)
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+cdocs AS (SELECT doc_a AS d FROM cand UNION SELECT doc_b FROM cand),
+shc AS (SELECT * FROM sh WHERE doc_id IN (SELECT d FROM cdocs)),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shc GROUP BY doc_id)
+SELECT c.doc_a::BIGINT AS doc_a, c.doc_b::BIGINT AS doc_b,
+       i.n::BIGINT AS n_common,
+       CAST(floor((i.n / (sa.n + sb.n - i.n)) * 1000000) AS BIGINT)
+         AS jaccard_q6
+FROM cand c
+JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+"""
+
+
+def _lsh_dup_pairs_sql(dim: int = 64, n_planes: int = 12, seed: int = 11,
+                       threshold: float = 0.4) -> str:
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((dim, n_planes))
+    rows = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in h[:, j])}])"
+        for j in range(n_planes))
+    return f"""
+WITH planes(j, vec) AS (VALUES {rows}),
+bk AS (SELECT e.vec_id, e.embedding,
+       sum(CASE WHEN list_dot_product(
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)), planes.vec) > 0
+                THEN (1::BIGINT << planes.j) ELSE 0 END) AS bucket
+       FROM embeddings e CROSS JOIN planes GROUP BY e.vec_id, e.embedding)
+SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
+       CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 100)
+            AS BIGINT) AS cos_q2
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
+"""
+
+
 def _langid_sql() -> str:
     from bge_m3_onnx_ray.stages.text import LANG_ORDER, STOPWORDS
 
@@ -335,6 +532,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_documents_topk": bm25,
         "bm25_documents_topk_exhaustive": bm25,
+        "doc_fingerprint": _fingerprint_sql(),
+        "simhash": _simhash_sql(),
+        "minhash_lsh_candidates": _minhash_sql(),
+        "lsh_buckets": _lsh_buckets_sql(),
+        "ngram_jaccard_verify": _jaccard_verify_sql(),
+        "lsh_dup_pairs": _lsh_dup_pairs_sql(threshold=0.2),
         "token_count": f"""
 SELECT doc_id, len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}'))::BIGINT
        AS n_tokens

@@ -28,6 +28,12 @@ class IndexConfig:
 
     k1: float = 1.2
     b: float = 0.75
+    # tokenizer seam (SURVEY.md §7.3): "deterministic" | "vocab" |
+    # "vocab:<path>" — see tokenizer.make_tokenizer. Part of the config
+    # fingerprint, so changing it invalidates resume; recorded in
+    # stats.json so the query side always tokenizes with the index's own
+    # tokenizer.
+    tokenizer_spec: str = "deterministic"
     docs_per_shard: int = 131072
     # term buckets per shard: bounds the size of one merge group to
     # ~(docs_per_shard * avg_doc_len / term_buckets) postings.

@@ -1,0 +1,106 @@
+"""Deterministic, SQL-expressible string hashing shared by the dedup /
+fingerprint stages and their DuckDB oracles.
+
+The hash family is a polynomial (Horner) rolling hash over Unicode
+CODEPOINTS:  ``h = 0; for ch in s: h = (h * B + ord(ch)) % p``.
+
+Why this instead of crc32/xxhash: the driver's correctness gate compares
+engine output against ANSI SQL run by DuckDB, and a polynomial hash is
+the one hash DuckDB 1.0 can reproduce exactly (``unicode(substring(...))``
+codepoints + a recursive-CTE power table in HUGEINT — see
+``__ray_entry__.poly_hash_sql``). Two moduli are used, both chosen so
+every intermediate fits the engine's uint64 AND the oracle's integer
+types:
+
+- ``P53`` (largest prime < 2^53): fingerprint / SimHash bit source.
+  Horner step ``h*131 + cp`` < 2^60 (uint64-safe); the SQL side sums
+  ``cp * B^(L-i)`` terms < 2^73 in HUGEINT.
+- ``P31`` (2^31-1): MinHash base hash, because the affine permutations
+  ``(a*h + b) % P31`` with a,h < 2^31 stay under 2^62 — safe in uint64
+  and in DuckDB's signed BIGINT.
+
+The reference's tests hash nothing — but its golden-parity methodology
+(byte-identical outputs across independent implementations,
+``samples/python/bge_m3_tests.py:146-160``) is exactly what these
+cross-engine-stable hashes buy at corpus scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+P53 = np.uint64((1 << 53) - 111)   # 9007199254740881, prime
+P31 = np.uint64((1 << 31) - 1)     # 2147483647, prime (Mersenne)
+B = np.uint64(131)
+
+
+def poly_hash(strings, p: np.uint64 = P53) -> np.ndarray:
+    """Vectorized polynomial rolling hash of a string array → uint64 < p.
+
+    ASCII strings go through one numpy Horner sweep over the utf-8 buffer
+    (codepoint == byte there); non-ASCII strings take a per-string Python
+    path over real codepoints — identical results, and the split exists
+    only because numpy has no vectorized codepoint iterator.
+    """
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if not isinstance(strings, pa.Array):
+        strings = pa.array(list(strings), pa.large_string())
+    import pyarrow.compute as pc
+    strings = strings.cast(pa.large_string())
+    n = len(strings)
+    out = np.zeros(n, np.uint64)
+    if n == 0:
+        return out
+    ascii_mask = pc.fill_null(pc.string_is_ascii(strings), True) \
+        .to_numpy(zero_copy_only=False)
+    if ascii_mask.all():
+        sub = strings
+        rows = None
+    else:
+        rows = np.flatnonzero(ascii_mask)
+        sub = strings.take(pa.array(rows))
+        # exact path for non-ASCII rows: Horner over codepoints
+        for i in np.flatnonzero(~ascii_mask):
+            s = strings[int(i)].as_py()
+            h = 0
+            pp, bb = int(p), int(B)
+            for ch in (s or ""):
+                h = (h * bb + ord(ch)) % pp
+            out[i] = h
+    if len(sub):
+        # flat byte view of the ascii subset + per-string offsets (from the
+        # raw buffers — StringArray has no .offsets accessor; honor the
+        # array's slice offset)
+        bufs = sub.buffers()
+        off_all = np.frombuffer(bufs[1], np.int64)
+        off = off_all[sub.offset:sub.offset + len(sub) + 1]
+        data = np.frombuffer(bufs[2] or b"", np.uint8)
+        lens = np.diff(off)
+        h = np.zeros(len(sub), np.uint64)
+        maxlen = int(lens.max()) if len(lens) else 0
+        starts = off[:-1]
+        for j in range(maxlen):
+            act = lens > j
+            h[act] = (h[act] * B + data[starts[act] + j]) % p
+        if rows is None:
+            out = h
+        else:
+            out[rows] = h
+    return out
+
+
+def affine_minhash(base: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n_values, n_perm) matrix of ``(a_j * h + b_j) % P31`` — the MinHash
+    permutation family. All operands < 2^31 so products fit uint64 (and
+    the DuckDB oracle's BIGINT)."""
+    return (base[:, None] * a[None, :] + b[None, :]) % P31
+
+
+def minhash_seeds(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) coefficient vectors in [1, P31) / [0, P31)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(P31), n_perm, dtype=np.uint64)
+    b = rng.integers(0, int(P31), n_perm, dtype=np.uint64)
+    return a, b

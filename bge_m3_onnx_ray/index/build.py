@@ -224,12 +224,14 @@ class TokenizePostings:
     ``"actors"`` and this same class becomes the actor."""
 
     def __init__(self, offsets_ref, docs_per_shard: int, term_buckets: int,
-                 done_shards: tuple[int, ...] = ()):
+                 done_shards: tuple[int, ...] = (),
+                 tokenizer_spec: str = "deterministic"):
         # scheduled at num_cpus=1 — keep arrow's intra-op pool from
         # oversubscribing the machine across the pool
         pa.set_cpu_count(1)
+        from bge_m3_onnx_ray.tokenizer import make_tokenizer
         self.offsets: ConvOffsets = get_broadcast(offsets_ref)
-        self.tok = DeterministicTokenizer()
+        self.tok = make_tokenizer(tokenizer_spec)
         self.docs_per_shard = docs_per_shard
         self.nb = term_buckets
         self.done = np.array(sorted(done_shards), np.int64)
@@ -259,14 +261,18 @@ class TokenizePostings:
                                  [len(sort_keys)]])
         heads = bounds[:-1]
         blob, offs = encode_segments(bounds, docs, tfs, dls)
-        mv = memoryview(blob)
-        blobs = [bytes(mv[offs[i]:offs[i + 1]]) for i in range(len(heads))]
+        # zero-copy large_binary column: the per-segment offsets ARE the
+        # arrow offsets buffer — no per-segment bytes() slicing
+        blob_arr = pa.Array.from_buffers(
+            pa.large_binary(), len(heads),
+            [None, pa.py_buffer(np.ascontiguousarray(offs, np.int64)),
+             pa.py_buffer(blob)])
         return pa.table({
             "term": terms_arr.take(pa.array(heads)).cast(pa.large_string()),
             "gkey": pa.array(gkeys_arr[heads], pa.int64()),
             "min_doc": pa.array(docs[heads], pa.int64()),
             "n": pa.array(np.diff(bounds).astype(np.int32), pa.int32()),
-            "blob": pa.array(blobs, pa.large_binary()),
+            "blob": blob_arr,
         }, schema=_POSTROW_SCHEMA)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -370,7 +376,12 @@ def make_encode_group_fn(index_dir: str, cfg: IndexConfig):
         from bge_m3_onnx_ray.index.codec import decode_segment
         gkey = int(group.column("gkey")[0].as_py())
         shard, bucket = gkey // stride, gkey % stride - 1
-        blobs = group.column("blob").to_pylist()
+        # zero-copy segment access: slice the column's data buffer by its
+        # offsets instead of materializing one Python bytes per segment
+        bcol = group.column("blob").combine_chunks()
+        boffs = np.frombuffer(bcol.buffers()[1], np.int64)[
+            bcol.offset:bcol.offset + len(bcol) + 1]
+        bdata = np.frombuffer(bcol.buffers()[2] or b"", np.uint8)
         ns = group.column("n").to_numpy()
 
         def gather(row_order):
@@ -378,7 +389,8 @@ def make_encode_group_fn(index_dir: str, cfg: IndexConfig):
             if not len(row_order):
                 e = np.empty(0, np.int64)
                 return e, e, e
-            parts = [decode_segment(blobs[r], int(ns[r])) for r in row_order]
+            parts = [decode_segment(bdata[boffs[r]:boffs[r + 1]], int(ns[r]))
+                     for r in row_order]
             return (np.concatenate([p[0] for p in parts]),
                     np.concatenate([p[1] for p in parts]),
                     np.concatenate([p[2] for p in parts]))
@@ -596,6 +608,7 @@ def build_index(transcripts, index_dir: str, cfg: IndexConfig | None = None,
             "docs_per_shard": cfg.docs_per_shard,
             "term_buckets": cfg.term_buckets,
             "done_shards": tuple(sorted(done)),
+            "tokenizer_spec": cfg.tokenizer_spec,
         }
         if cfg.tokenize_compute == "actors":
             post = ds.map_batches(
@@ -681,6 +694,7 @@ def build_index(transcripts, index_dir: str, cfg: IndexConfig | None = None,
         "n_terms": n_terms, "n_shards": n_shards,
         "postings_bytes": postings_bytes,
         "k1": cfg.k1, "b": cfg.b, "block_size": cfg.block_size,
+        "tokenizer_spec": cfg.tokenizer_spec,
         "term_buckets": cfg.term_buckets, "docs_per_shard": cfg.docs_per_shard,
         "config_fingerprint": cfg.fingerprint(),
     }

@@ -317,7 +317,10 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None) -> rd.Datase
     cfg = cfg or QueryConfig()
     meta = IndexMeta(index_dir)
     offsets = ConvOffsets.load(index_dir)
-    tok = DeterministicTokenizer()
+    # always tokenize queries with the index's own tokenizer (seam:
+    # stats.json records the build-time spec)
+    from bge_m3_onnx_ray.tokenizer import make_tokenizer
+    tok = make_tokenizer(meta.stats.get("tokenizer_spec", "deterministic"))
 
     if isinstance(queries, rd.Dataset):
         queries = queries.to_pandas()[["query_id", "text"]].itertuples(index=False)

@@ -124,9 +124,11 @@ class Searcher:
         # shapes (results are bit-identical either way); pass a cfg with
         # method="wand" to opt in
         self.cfg = cfg or QueryConfig(method="exhaustive")
+        from bge_m3_onnx_ray.tokenizer import make_tokenizer
         self.meta = IndexMeta(index_dir)
         self.offsets = ConvOffsets.load(index_dir)
-        self.tok = DeterministicTokenizer()
+        self.tok = make_tokenizer(
+            self.meta.stats.get("tokenizer_spec", "deterministic"))
         # full dictionary cached driver-side (sandbox scale)
         dfs: dict[str, int] = {}
         for p in glob.glob(os.path.join(index_dir, "dictionary", "*.parquet")):

@@ -21,14 +21,15 @@ from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
 
 
 class OracleIndex:
-    def __init__(self, rows, k1: float = K1, b: float = B):
+    def __init__(self, rows, k1: float = K1, b: float = B, tokenizer=None):
         """``rows``: iterable of (conv_id, turn_idx, text).
 
         docIDs are the dense rank of lexicographic (conv_id, turn_idx) —
-        the engine's docID invariant.
-        """
+        the engine's docID invariant. ``tokenizer``: any object with the
+        tokenize() contract (the engine's pluggable seam — pass the same
+        tokenizer the engine was configured with)."""
         self.k1, self.b = k1, b
-        tok = DeterministicTokenizer()
+        tok = self.tok = tokenizer or DeterministicTokenizer()
         ordered = sorted(rows, key=lambda r: (r[0], r[1]))
         self.doc_keys = [(c, t) for c, t, _ in ordered]
         self.postings: dict[str, list[tuple[int, int]]] = {}
@@ -49,8 +50,7 @@ class OracleIndex:
     def search(self, query_text: str, k: int = 10) -> list[dict]:
         """Exhaustive top-k; one result row per hit:
         {doc_id, score, conv_id, turn_idx}."""
-        tok = DeterministicTokenizer()
-        qterms = sorted(set(tok.tokenize(query_text)))
+        qterms = sorted(set(self.tok.tokenize(query_text)))
         scores: dict[int, float] = {}
         for term in qterms:  # ascending term order = accumulation order
             plist = self.postings.get(term)

@@ -5,8 +5,9 @@ Baseline: brute-force cosine top-k — per-batch numpy matmul against a
 broadcast query matrix (``ray.put`` once, read in every task; never
 re-shipped per batch), per-batch partial top-k, tiny groupby merge.
 Scale path: random-hyperplane LSH bucketing (``lsh_buckets``) which
-turns the all-pairs scan into per-bucket scans; bucket scans reuse the
-same brute-force kernel.
+turns the all-pairs scan into per-bucket scans (``lsh_bucket_pairs`` in
+stages.dedup consumes it); bucket scans reuse the same brute-force
+kernel.
 """
 
 from __future__ import annotations
@@ -15,9 +16,63 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from bge_m3_onnx_ray.stages._pool import task_stage
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+def _embedding_matrix(col) -> np.ndarray:
+    """(n, dim) float64 from a list<float> column — via the flat values
+    buffer (zero Python-object round trip), valid for non-null
+    fixed-length rows."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+class _PartialTopK:
+    """Per-batch exact cosine partial top-k against the broadcast query
+    matrix; state fetched once per worker (task_stage cache)."""
+
+    def __init__(self, q_ref, k: int):
+        import ray
+        self.qids, self.q, self.exclude = ray.get(q_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch.column("vec_id").to_numpy()
+        m = _normalize(_embedding_matrix(batch.column("embedding")))
+        sims = self.q @ m.T                      # (n_q, n_batch)
+        out_q, out_v, out_s = [], [], []
+        k = self.k
+        for qi, qid in enumerate(self.qids):
+            s = sims[qi]
+            mask = np.ones(len(vids), bool)
+            ex = self.exclude.get(int(qid))
+            if ex is not None:
+                mask &= vids != ex
+            idx = np.flatnonzero(mask)
+            if not len(idx):
+                continue
+            kk = min(k, len(idx))
+            if len(idx) > kk:
+                # exact tie-safe pre-cut: keep EVERYTHING >= the kth
+                # score so equal-cos candidates (tie-break vec_id asc)
+                # survive to the merge stage
+                kth = -np.partition(-s[idx], kk - 1)[kk - 1]
+                top = idx[s[idx] >= kth]
+            else:
+                top = idx
+            out_q.extend([qid] * len(top))
+            out_v.extend(vids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "cos": pa.array(out_s, pa.float64())})
 
 
 def brute_force_topk(ds: rd.Dataset, query_vecs: np.ndarray,
@@ -34,44 +89,9 @@ def brute_force_topk(ds: rd.Dataset, query_vecs: np.ndarray,
     q_ref = ray.put((np.asarray(query_ids, np.int64), q,
                      dict(exclude or {})))
 
-    class PartialTopK:
-        def __init__(self):
-            self.qids, self.q, self.exclude = ray.get(q_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vids = batch.column("vec_id").to_numpy()
-            m = _normalize(np.stack(batch.column("embedding").to_pylist())
-                           .astype(np.float64))
-            sims = self.q @ m.T                      # (n_q, n_batch)
-            out_q, out_v, out_s = [], [], []
-            for qi, qid in enumerate(self.qids):
-                s = sims[qi]
-                mask = np.ones(len(vids), bool)
-                ex = self.exclude.get(int(qid))
-                if ex is not None:
-                    mask &= vids != ex
-                idx = np.flatnonzero(mask)
-                if not len(idx):
-                    continue
-                kk = min(k, len(idx))
-                if len(idx) > kk:
-                    # exact tie-safe pre-cut: keep EVERYTHING >= the kth
-                    # score so equal-cos candidates (tie-break vec_id asc)
-                    # survive to the merge stage
-                    kth = -np.partition(-s[idx], kk - 1)[kk - 1]
-                    top = idx[s[idx] >= kth]
-                else:
-                    top = idx
-                out_q.extend([qid] * len(top))
-                out_v.extend(vids[top].tolist())
-                out_s.extend(s[top].tolist())
-            return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                             "vec_id": pa.array(out_v, pa.int64()),
-                             "cos": pa.array(out_s, pa.float64())})
-
     partials = ds.select_columns(["vec_id", "embedding"]).map_batches(
-        PartialTopK, batch_format="pyarrow", batch_size=4096,
-        concurrency=(1, 4))
+        task_stage(_PartialTopK, q_ref=q_ref, k=k),
+        batch_format="pyarrow", batch_size=4096)
 
     def merge(group: pa.Table) -> pa.Table:
         qid = group.column("query_id")[0].as_py()
@@ -94,14 +114,15 @@ class LshBucketStage:
     """Random-hyperplane LSH: bucket = sign-bits of (v . H) — the scale
     path for ANN / near-dup (bucket co-location turns all-pairs into
     per-bucket work). Deterministic: fixed-seed hyperplanes generated in
-    __init__, once per actor."""
+    __init__, once per worker; the DuckDB oracle inlines the identical
+    planes (``__ray_entry__._lsh_buckets_sql``)."""
 
     def __init__(self, dim: int, n_planes: int = 12, seed: int = 11):
         rng = np.random.default_rng(seed)
         self.h = rng.standard_normal((dim, n_planes))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        m = _embedding_matrix(batch.column("embedding"))
         bits = (m @ self.h) > 0
         bucket = np.zeros(len(m), np.int64)
         for j in range(bits.shape[1]):
@@ -112,5 +133,5 @@ class LshBucketStage:
 
 def lsh_buckets(ds: rd.Dataset, dim: int, n_planes: int = 12) -> rd.Dataset:
     return ds.select_columns(["vec_id", "embedding"]).map_batches(
-        LshBucketStage, fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+        task_stage(LshBucketStage, dim=dim, n_planes=n_planes),
+        batch_format="pyarrow", batch_size=4096)

@@ -17,14 +17,13 @@ Partitioning strategy (the thing that matters at 100 TB):
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
+from bge_m3_onnx_ray.stages._pool import task_stage
 from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
 
 
@@ -43,41 +42,120 @@ def exact_dedup(ds: rd.Dataset) -> rd.Dataset:
 # ------------------------------------------------- n-gram Jaccard pairs
 
 class ShingleStage:
-    """Explode each doc into word-n-gram shingle rows (shingle, doc_id).
-    Shingles are space-joined token n-grams; the DuckDB oracle builds the
-    identical strings."""
+    """Explode each doc into DISTINCT word-n-gram shingle rows
+    (shingle, doc_id), fully vectorized: ordered token lists come from the
+    tokenizer's polars/arrow fast path, n-grams are built by shifted
+    ``take`` + ``binary_join_element_wise``, and per-doc distinctness is
+    one ``dictionary_encode`` + ``np.unique`` over (doc, code) pairs — no
+    per-document Python loop. The DuckDB oracle builds identical strings."""
 
     def __init__(self, n: int):
         self.tok = DeterministicTokenizer()
         self.n = n
 
+    def _shingles(self, texts) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+        """All (non-distinct) shingles of a batch → (strings, doc_idx,
+        per-doc counts). Rows are grouped by doc in input order."""
+        import pyarrow.compute as pc
+        flat, offs = self.tok.batch_token_lists(texts)
+        lens = np.diff(offs)
+        counts = np.maximum(lens - self.n + 1, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return (pa.array([], pa.large_string()),
+                    np.empty(0, np.int64), counts)
+        cum = np.zeros(len(counts), np.int64)
+        np.cumsum(counts[:-1], out=cum[1:])
+        starts = np.repeat(offs[:-1] - cum, counts) + np.arange(total)
+        parts = [flat.take(pa.array(starts + j)) for j in range(self.n)]
+        sep = pa.array([" "] * total, pa.large_string())
+        joined = pc.binary_join_element_wise(*parts, sep)
+        return joined, np.repeat(np.arange(len(counts)), counts), counts
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_s, out_d = [], []
-        n = self.n
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                                batch.column("text").to_pylist()):
-            ts = self.tok.tokenize(text or "")
-            seen = set()
-            for i in range(len(ts) - n + 1):
-                sh = " ".join(ts[i:i + n])
-                if sh not in seen:       # distinct shingles per doc
-                    seen.add(sh)
-                    out_s.append(sh)
-                    out_d.append(doc_id)
-        return pa.table({"shingle": pa.array(out_s, pa.string()),
-                         "doc_id": pa.array(out_d, pa.int64())})
+        shingles, doc_idx, _ = self._shingles(batch.column("text"))
+        if not len(shingles):
+            return pa.table({"shingle": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64())})
+        de = shingles.dictionary_encode()
+        codes = np.asarray(de.indices).astype(np.int64)
+        k = max(len(de.dictionary), 1)
+        upair = np.unique(doc_idx * k + codes)   # distinct per doc
+        doc_ids = batch.column("doc_id").to_numpy()
+        return pa.table({
+            "shingle": de.dictionary.take(pa.array(upair % k)).cast(pa.string()),
+            "doc_id": pa.array(doc_ids[upair // k], pa.int64())})
 
 
-def _pairs_from_group(group: pa.Table, cap: int) -> pa.Table:
-    docs = np.unique(group.column("doc_id").to_numpy())
-    if len(docs) < 2 or len(docs) > cap:
-        # overly-common shingle: banned from candidate generation (the
-        # standard guard against O(g^2) blowup on stopword shingles)
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64())})
-    a, b = np.triu_indices(len(docs), k=1)
-    return pa.table({"doc_a": pa.array(docs[a], pa.int64()),
-                     "doc_b": pa.array(docs[b], pa.int64())})
+def _multi_group_pairs(group: pa.Table, keycols: list[str], cap: int) -> pa.Table:
+    """Vectorized pair generation over MANY key-groups at once: ``group``
+    holds every row of one hash BUCKET of keys (see
+    :func:`_candidate_pairs`); rows are sorted here by (key..., doc_id),
+    boundaries found by change detection, and pairs emitted per distinct
+    group size via precomputed triangle indices — no per-key Python call.
+    Key-groups of fewer than 2 or more than ``cap`` distinct docs emit
+    nothing (the standard LSH guard against O(g^2) blowup on
+    stopword-level keys)."""
+    import pyarrow.compute as pc
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+    n = group.num_rows
+    if n < 2:
+        return empty
+    order = pc.sort_indices(group, sort_keys=[(c, "ascending")
+                                              for c in [*keycols, "doc_id"]])
+    tbl = group.take(order)
+    change = np.zeros(n - 1, bool)
+    for c in keycols:
+        col = tbl.column(c).combine_chunks()
+        change |= np.asarray(pc.not_equal(col.slice(1), col.slice(0, n - 1))
+                             .to_numpy(zero_copy_only=False))
+    bounds = np.concatenate([[0], np.flatnonzero(change) + 1, [n]])
+    sizes = np.diff(bounds)
+    docs = tbl.column("doc_id").to_numpy()
+    keep = (sizes >= 2) & (sizes <= cap)
+    if not keep.any():
+        return empty
+    out_a, out_b = [], []
+    kept_sizes = sizes[keep]
+    kept_starts = bounds[:-1][keep]
+    for s in np.unique(kept_sizes):
+        starts = kept_starts[kept_sizes == s]
+        ai, bi = np.triu_indices(int(s), k=1)
+        out_a.append(docs[(starts[:, None] + ai[None, :])].ravel())
+        out_b.append(docs[(starts[:, None] + bi[None, :])].ravel())
+    return pa.table({"doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                     "doc_b": pa.array(np.concatenate(out_b), pa.int64())})
+
+
+def _candidate_pairs(rows: rd.Dataset, keycols: list[str], cap: int,
+                     n_buckets: int = 1024) -> rd.Dataset:
+    """(key..., doc_id) rows → candidate (doc_a, doc_b) pairs, one pair
+    row per key the two docs share.
+
+    ONE shuffle, keyed by a HASH BUCKET of the key rather than the key
+    itself: a ``groupby(key).map_groups`` pays a per-group Python call,
+    and candidate keys are mostly unique (~one group per row — measured
+    ~20 us x 800k groups at sf0.1). Bucketing gives each map_groups call
+    ~rows/n_buckets rows spanning many keys, and the per-bucket kernel is
+    fully vectorized. ``n_buckets`` scales with cluster size at 100 TB —
+    it only needs to exceed total_rows / target_group_rows."""
+    from bge_m3_onnx_ray.hashing import P53, poly_hash
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # keycols[0] must be the string key; further (numeric) key parts
+        # are Horner-mixed in (h*131 stays < 2^60: uint64-safe)
+        h = poly_hash(t.column(keycols[0]), P53)
+        for c in keycols[1:]:
+            v = t.column(c).to_numpy().astype(np.uint64) % P53
+            h = (h * np.uint64(131) + v) % P53
+        return t.append_column("_bucket",
+                               pa.array((h % n_buckets).astype(np.int64)))
+
+    bucketed = rows.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("_bucket").map_groups(
+        lambda g: _multi_group_pairs(g, keycols, cap),
+        batch_format="pyarrow")
 
 
 def ngram_pair_candidates(ds: rd.Dataset, n: int = 3, min_common: int = 2,
@@ -85,10 +163,9 @@ def ngram_pair_candidates(ds: rd.Dataset, n: int = 3, min_common: int = 2,
     """Pairs of docs sharing >= min_common distinct word-n-gram shingles.
     Output (doc_a, doc_b, n_common), doc_a < doc_b."""
     shingles = ds.select_columns(["doc_id", "text"]).map_batches(
-        ShingleStage, fn_constructor_kwargs={"n": n},
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
-    pairs = shingles.groupby("shingle").map_groups(
-        lambda g: _pairs_from_group(g, group_cap), batch_format="pyarrow")
+        task_stage(ShingleStage, n=n), batch_format="pyarrow",
+        batch_size=4096)
+    pairs = _candidate_pairs(shingles, ["shingle"], group_cap)
     counted = pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="n_common"))
     import pyarrow.compute as pc
@@ -162,153 +239,246 @@ def dup_clusters(pairs: rd.Dataset, max_rounds: int = 512) -> rd.Dataset:
 
 # ----------------------------------------------------------- MinHash/LSH
 
-def _hash_shingles_batch(shingles: list[str], seeds: np.ndarray) -> np.ndarray:
-    """(n_shingles, n_perm) hash matrix from crc32 base hashes.
-    crc32 (not Python hash()) → deterministic across processes.
+class MinHashStage(ShingleStage):
+    """Per-doc MinHash signature (n_perm affine permutations of the
+    31-bit polynomial shingle hash) + LSH band keys. One row per
+    (doc, band): (band, band_sig, doc_id) where ``band_sig`` is the
+    band's signature values joined with '-' — a string the DuckDB oracle
+    reproduces exactly (string_agg ORDER BY perm), so LSH candidate
+    generation is hash-checkable, not rows-only.
 
-    Note: the affine map wraps mod 2^64 BEFORE the mod-p reduction, so
-    this is an affine-over-2^64 mixing hash, not a strict min-wise
-    independent (a*x+b) mod p family — deterministic and well-spread,
-    adequate for LSH candidate generation (candidates are verified with
-    exact Jaccard anyway)."""
-    base = np.fromiter((zlib.crc32(s.encode()) for s in shingles),
-                       np.uint64, len(shingles))
-    p = np.uint64((1 << 61) - 1)
-    a, b = seeds[0], seeds[1]
-    with np.errstate(over="ignore"):
-        return ((base[:, None] * a[None, :] + b[None, :]) % p)
-
-
-class MinHashStage:
-    """Per-doc MinHash signature (n_perm permutations) + LSH band keys.
-    One row per (doc, band): (band, band_hash, doc_id)."""
+    Vectorized: one shingle pass per batch (ShingleStage machinery), one
+    poly-hash sweep over the batch's UNIQUE shingles, one
+    ``np.minimum.reduceat`` per (doc, perm) — no per-document loop."""
 
     def __init__(self, n: int, n_perm: int, n_bands: int, seed: int = 7):
         assert n_perm % n_bands == 0
-        self.tok = DeterministicTokenizer()
-        self.n = n
+        super().__init__(n)
+        from bge_m3_onnx_ray.hashing import minhash_seeds
         self.n_perm = n_perm
         self.n_bands = n_bands
-        rng = np.random.default_rng(seed)
-        p = (1 << 61) - 1
-        self.seeds = np.stack([
-            rng.integers(1, p, n_perm, dtype=np.uint64),
-            rng.integers(0, p, n_perm, dtype=np.uint64)])
-
-    def signature(self, text: str) -> np.ndarray | None:
-        ts = self.tok.tokenize(text or "")
-        shingles = list({" ".join(ts[i:i + self.n])
-                         for i in range(len(ts) - self.n + 1)})
-        if not shingles:
-            return None
-        return _hash_shingles_batch(shingles, self.seeds).min(axis=0)
+        self.a, self.b = minhash_seeds(n_perm, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows_b, rows_h, rows_d = [], [], []
-        rpb = self.n_perm // self.n_bands
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                                batch.column("text").to_pylist()):
-            sig = self.signature(text)
-            if sig is None:
-                continue
-            for b in range(self.n_bands):
-                band = sig[b * rpb:(b + 1) * rpb]
-                h = zlib.crc32(band.tobytes())
-                rows_b.append(b)
-                rows_h.append(h)
-                rows_d.append(doc_id)
-        return pa.table({"band": pa.array(rows_b, pa.int32()),
-                         "band_hash": pa.array(rows_h, pa.int64()),
-                         "doc_id": pa.array(rows_d, pa.int64())})
+        import pyarrow.compute as pc
+
+        from bge_m3_onnx_ray.hashing import P31, affine_minhash, poly_hash
+        shingles, doc_idx, counts = self._shingles(batch.column("text"))
+        nb, rpb = self.n_bands, self.n_perm // self.n_bands
+        if not len(shingles):
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "band_sig": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64())})
+        de = shingles.dictionary_encode()
+        codes = np.asarray(de.indices).astype(np.int64)
+        base = poly_hash(de.dictionary, P31)
+        H = affine_minhash(base[codes], self.a, self.b)  # (rows, n_perm)
+        docs_with = np.flatnonzero(counts > 0)
+        cum = np.zeros(len(counts), np.int64)
+        np.cumsum(counts[:-1], out=cum[1:])
+        sig = np.minimum.reduceat(H, cum[docs_with], axis=0).astype(np.int64)
+        doc_ids = batch.column("doc_id").to_numpy()[docs_with]
+        out_band, out_sig, out_doc = [], [], []
+        for b in range(nb):
+            cols = [pc.cast(pa.array(sig[:, b * rpb + j]), pa.string())
+                    for j in range(rpb)]
+            sep = pa.array(["-"] * len(sig), pa.string())
+            out_sig.append(pc.binary_join_element_wise(*cols, sep))
+            out_band.append(np.full(len(sig), b, np.int32))
+            out_doc.append(doc_ids)
+        return pa.table({
+            "band": pa.array(np.concatenate(out_band), pa.int32()),
+            "band_sig": pa.concat_arrays(out_sig),
+            "doc_id": pa.array(np.concatenate(out_doc), pa.int64())})
+
+    def signature(self, text: str) -> np.ndarray | None:
+        """Single-doc signature (test/debug convenience)."""
+        t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array([text], pa.string())})
+        out = self(t)
+        if out.num_rows == 0:
+            return None
+        sigs = [int(v) for s in out.column("band_sig").to_pylist()
+                for v in s.split("-")]
+        return np.asarray(sigs, np.int64)
 
 
 def minhash_lsh_candidates(ds: rd.Dataset, n: int = 3, n_perm: int = 64,
                            n_bands: int = 16, group_cap: int = 1000) -> rd.Dataset:
     """Candidate near-dup pairs via MinHash LSH banding. Output
-    (doc_a, doc_b) distinct pairs colliding in >= 1 band."""
+    (doc_a, doc_b, n_bands_hit) distinct pairs colliding in >= 1 band."""
     bands = ds.select_columns(["doc_id", "text"]).map_batches(
-        MinHashStage, fn_constructor_kwargs={"n": n, "n_perm": n_perm,
-                                             "n_bands": n_bands},
-        batch_format="pyarrow", batch_size=2048, concurrency=(1, 4))
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _pairs_from_group(g, group_cap), batch_format="pyarrow")
+        task_stage(MinHashStage, n=n, n_perm=n_perm, n_bands=n_bands),
+        batch_format="pyarrow", batch_size=2048)
+    pairs = _candidate_pairs(bands, ["band_sig", "band"], group_cap)
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="n_bands_hit"))
 
 
-def verify_jaccard(ds: rd.Dataset, candidates: pa.Table, n: int = 3) -> pa.Table:
-    """Exact Jaccard for candidate pairs: broadcast candidate doc set,
-    collect their shingle sets (small side), verify on the driver."""
+class _FilteredShingles(ShingleStage):
+    """ShingleStage restricted to a broadcast doc set (semi-join on the
+    small side — the candidate docs — before the explode)."""
+
+    def __init__(self, n: int, docs_ref):
+        import ray
+        super().__init__(n)
+        self.keep = pa.array(sorted(ray.get(docs_ref)), pa.int64())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.is_in(batch["doc_id"], value_set=self.keep)
+        return super().__call__(batch.filter(mask))
+
+
+class _ShingleSizes(ShingleStage):
+    """Per-doc DISTINCT shingle count for a broadcast doc set."""
+
+    def __init__(self, n: int, docs_ref):
+        import ray
+        super().__init__(n)
+        self.keep = pa.array(sorted(ray.get(docs_ref)), pa.int64())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        sub = batch.filter(pc.is_in(batch["doc_id"], value_set=self.keep))
+        rows = ShingleStage.__call__(self, sub)  # distinct per doc
+        docs, counts = np.unique(rows.column("doc_id").to_numpy(),
+                                 return_counts=True)
+        return pa.table({"doc_id": pa.array(docs, pa.int64()),
+                         "n_shingles": pa.array(counts.astype(np.int64),
+                                                pa.int64())})
+
+
+def verify_jaccard(ds: rd.Dataset, candidates, n: int = 3) -> pa.Table:
+    """EXACT Jaccard for candidate pairs — the verification half of the
+    LSH pattern (the reference's candidates-then-verify test shape,
+    ``samples/python/bge_m3_tests.py:146-160``), distributed:
+
+    1. semi-join: shingle only the candidate DOCS (broadcast id set);
+    2. one bucketed shuffle counts the FULL intersection per co-candidate
+       pair (no group cap — the doc set is already bounded);
+    3. per-doc distinct-shingle sizes from the same filtered pass;
+    4. jaccard = inter / (|A| + |B| - inter), joined on the driver over
+       candidate-pair-sized (small) tables.
+
+    Output: candidates + (n_common, jaccard_q6). ``candidates`` is a
+    pa.Table or Dataset with (doc_a, doc_b).
+    """
     import ray
-    docs_needed = sorted(set(candidates.column("doc_a").to_pylist()) |
-                         set(candidates.column("doc_b").to_pylist()))
-    needed_ref = ray.put(frozenset(docs_needed))
+    if isinstance(candidates, rd.Dataset):
+        candidates = pa.concat_tables(
+            candidates.iter_batches(batch_size=None, batch_format="pyarrow"))
+    for c in ("n_common", "jaccard_q6"):   # we append these — drop stale ones
+        if c in candidates.column_names:
+            candidates = candidates.drop_columns([c])
+    cand_a = candidates.column("doc_a").to_numpy()
+    cand_b = candidates.column("doc_b").to_numpy()
+    docs_needed = sorted(set(cand_a.tolist()) | set(cand_b.tolist()))
+    if not docs_needed:
+        return candidates.append_column(
+            "n_common", pa.array([], pa.int64())).append_column(
+            "jaccard_q6", pa.array([], pa.int64()))
+    docs_ref = ray.put(docs_needed)
 
-    class CollectShingles(ShingleStage):
-        def __init__(self):
-            super().__init__(n)
-            self.needed = ray.get(needed_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            mask = pc.is_in(batch["doc_id"], pa.array(sorted(self.needed)))
-            return super().__call__(batch.filter(mask))
-
-    sh = ds.select_columns(["doc_id", "text"]).map_batches(
-        CollectShingles, batch_format="pyarrow", batch_size=4096,
-        concurrency=(1, 4)).to_pandas()
-    sets = {d: set(g["shingle"]) for d, g in sh.groupby("doc_id")}
-    jac = []
-    for a, b in zip(candidates.column("doc_a").to_pylist(),
-                    candidates.column("doc_b").to_pylist()):
-        sa, sb = sets.get(a, set()), sets.get(b, set())
-        u = len(sa | sb)
-        jac.append(len(sa & sb) / u if u else 0.0)
+    src = ds.select_columns(["doc_id", "text"])
+    sh = src.map_batches(task_stage(_FilteredShingles, n=n, docs_ref=docs_ref),
+                         batch_format="pyarrow", batch_size=4096)
+    inter = _candidate_pairs(sh, ["shingle"], cap=len(docs_needed) + 1) \
+        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_common")) \
+        .to_pandas()
+    sizes = src.map_batches(task_stage(_ShingleSizes, n=n, docs_ref=docs_ref),
+                            batch_format="pyarrow", batch_size=4096).to_pandas()
+    size_of = dict(zip(sizes.doc_id, sizes.n_shingles))
+    inter_of = {(a, b): c for a, b, c in
+                zip(inter.doc_a, inter.doc_b, inter.n_common)} \
+        if len(inter) else {}
+    n_common = np.array([inter_of.get((a, b), 0)
+                         for a, b in zip(cand_a, cand_b)], np.int64)
+    sa = np.array([size_of.get(a, 0) for a in cand_a], np.float64)
+    sb = np.array([size_of.get(b, 0) for b in cand_b], np.float64)
+    union = sa + sb - n_common
+    jac = np.divide(n_common, union, out=np.zeros(len(union)),
+                    where=union > 0)
     return candidates.append_column(
-        "jaccard_q6", pa.array(np.floor(np.array(jac) * 1e6).astype(np.int64),
+        "n_common", pa.array(n_common, pa.int64())).append_column(
+        "jaccard_q6", pa.array(np.floor(jac * 1e6).astype(np.int64),
                                pa.int64()))
 
 
 # --------------------------------------------------------------- SimHash
 
+SIMHASH_BITS = 53  # bit width of the P53 polynomial term hash
+
+
 class SimHashStage:
-    """64-bit SimHash over tf-weighted crc32 term hashes; no shuffle."""
+    """53-bit SimHash over tf-weighted polynomial term hashes; no shuffle.
+
+    Vectorized: term counts from the tokenizer's coded fast path, one
+    poly-hash sweep over the batch's unique terms, sign matrix expansion
+    and one ``np.add.reduceat`` per doc — no per-document/per-term loop.
+    The P53 hash makes the whole computation DuckDB-expressible, so the
+    driver check is a value-hash match, not rows-only."""
 
     def __init__(self):
         self.tok = DeterministicTokenizer()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = np.zeros(batch.num_rows, np.uint64)
-        for i, text in enumerate(batch.column("text").to_pylist()):
-            ts = self.tok.tokenize(text or "")
-            if not ts:
-                continue
-            from collections import Counter
-            acc = np.zeros(64, np.float64)
-            for term, tf in Counter(ts).items():
-                h = np.uint64(zlib.crc32(term.encode()) |
-                              (zlib.crc32(term[::-1].encode()) << 32))
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += tf * (2.0 * bits.astype(np.float64) - 1.0)
+        from bge_m3_onnx_ray.hashing import P53, poly_hash
+        out = np.zeros(batch.num_rows, np.int64)  # token-less docs → 0
+        doc_idx, codes, uniques, tfs, _ = \
+            self.tok.batch_term_counts_coded(batch.column("text"))
+        if len(codes):
+            h = poly_hash(uniques, P53)
+            js = np.arange(SIMHASH_BITS, dtype=np.uint64)
+            signs = (((h[:, None] >> js[None, :]) & np.uint64(1))
+                     .astype(np.int64) * 2 - 1)          # (n_uniq, 53)
+            contrib = tfs.astype(np.int64)[:, None] * signs[codes]
+            docs_with, seg_starts = np.unique(doc_idx, return_index=True)
+            acc = np.add.reduceat(contrib, seg_starts, axis=0)
             bits = (acc > 0).astype(np.uint64)
-            out[i] = np.bitwise_or.reduce(bits << np.arange(64, dtype=np.uint64))
+            vals = (bits << js[None, :]).sum(axis=1)     # < 2^53: int64-safe
+            out[docs_with] = vals.astype(np.int64)
         return pa.table({"doc_id": batch.column("doc_id"),
-                         "simhash": pa.array(out.view(np.int64), pa.int64())})
+                         "simhash": pa.array(out, pa.int64())})
 
 
 def simhash(ds: rd.Dataset) -> rd.Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        SimHashStage, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4))
+        task_stage(SimHashStage), batch_format="pyarrow", batch_size=2048)
 
 
 # ------------------------------------------------- embedding near-dup
 
+class _BlockCos:
+    """One batch of vectors against the full broadcast matrix (exact
+    all-pairs path)."""
+
+    def __init__(self, mat_ref, threshold: float):
+        import ray
+        self.ids, self.m = ray.get(mat_ref)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from bge_m3_onnx_ray.stages.ann import _embedding_matrix, _normalize
+        bids = batch.column("vec_id").to_numpy()
+        bm = _normalize(_embedding_matrix(batch.column("embedding")))
+        sims = bm @ self.m.T
+        bi, gj = np.nonzero((sims >= self.threshold) &
+                            (bids[:, None] < self.ids[None, :]))
+        return pa.table({
+            "vec_a": pa.array(bids[bi], pa.int64()),
+            "vec_b": pa.array(self.ids[gj], pa.int64()),
+            "cos_q2": pa.array(np.floor(sims[bi, gj] * 100.0).astype(np.int64),
+                               pa.int64())})
+
+
 def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.4) -> rd.Dataset:
-    """All pairs with cosine >= threshold. Sandbox-scale implementation:
-    normalize per batch, then block-matmul each batch against the full
-    (broadcast) matrix — O(N^2/B) per task, no shuffle. At 100 TB this
-    becomes the LSH-bucketed variant (ann.lsh_buckets) — documented
-    scale path. Output (vec_a, vec_b, cos_q2), vec_a < vec_b."""
+    """ALL pairs with cosine >= threshold — the exact baseline: normalize
+    per batch, block-matmul against the full broadcast matrix; O(N^2/B)
+    per task, no shuffle. Right up to ~10^6 vectors; beyond that use
+    :func:`lsh_bucket_pairs` (the LSH-bucketed scale path, which trades
+    cross-bucket recall for per-bucket work). Output (vec_a, vec_b,
+    cos_q2), vec_a < vec_b."""
     import ray
 
     mat_t = ds.select_columns(["vec_id", "embedding"]).to_pandas()
@@ -317,24 +487,48 @@ def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.4) -> rd.Dataset:
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
     mat_ref = ray.put((ids, m))
 
-    class BlockCos:
-        def __init__(self):
-            self.ids, self.m = ray.get(mat_ref)
+    return ds.select_columns(["vec_id", "embedding"]).map_batches(
+        task_stage(_BlockCos, mat_ref=mat_ref, threshold=threshold),
+        batch_format="pyarrow", batch_size=256)
 
+
+def _bucket_cos_pairs(group: pa.Table, threshold: float) -> pa.Table:
+    """Exact all-pairs cosine within one LSH bucket."""
+    from bge_m3_onnx_ray.stages.ann import _embedding_matrix, _normalize
+    ids = group.column("vec_id").to_numpy()
+    if len(ids) < 2:
+        return pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64()),
+                         "cos_q2": pa.array([], pa.int64())})
+    m = _normalize(_embedding_matrix(group.column("embedding")))
+    sims = m @ m.T
+    ai, bj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+    return pa.table({
+        "vec_a": pa.array(ids[ai], pa.int64()),
+        "vec_b": pa.array(ids[bj], pa.int64()),
+        "cos_q2": pa.array(np.floor(sims[ai, bj] * 100.0).astype(np.int64),
+                           pa.int64())})
+
+
+def lsh_bucket_pairs(ds: rd.Dataset, threshold: float = 0.4,
+                     n_planes: int = 12, seed: int = 11) -> rd.Dataset:
+    """The SCALE path for embedding near-dup: random-hyperplane bucket
+    assignment (stages.ann.LshBucketStage planes), ONE shuffle on the
+    bucket key, exact cosine all-pairs inside each bucket. Finds every
+    pair whose vectors collide in the bucket (same sign on all planes);
+    cross-bucket pairs are the LSH recall trade-off — tune n_planes.
+    Output (vec_a, vec_b, cos_q2), vec_a < vec_b; deterministic, and
+    SQL-expressible (fixed planes) → driver value-hash check."""
+    from bge_m3_onnx_ray.stages.ann import LshBucketStage
+
+    class _WithBucket(LshBucketStage):
         def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = batch.column("vec_id").to_numpy()
-            bm = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
-            bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-30)
-            sims = bm @ self.m.T
-            bi, gj = np.nonzero((sims >= threshold) &
-                                (bids[:, None] < self.ids[None, :]))
-            return pa.table({
-                "vec_a": pa.array(bids[bi], pa.int64()),
-                "vec_b": pa.array(self.ids[gj], pa.int64()),
-                "cos_q2": pa.array(np.floor(sims[bi, gj] * 100.0).astype(np.int64),
-                                   pa.int64())})
+            b = super().__call__(batch)
+            return batch.append_column("bucket", b.column("bucket"))
 
-    out = ds.select_columns(["vec_id", "embedding"]).map_batches(
-        BlockCos, batch_format="pyarrow", batch_size=256,
-        concurrency=(1, 4))
-    return out
+    dim = len(ds.take(1)[0]["embedding"])
+    bucketed = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        task_stage(_WithBucket, dim=dim, n_planes=n_planes, seed=seed),
+        batch_format="pyarrow", batch_size=4096)
+    return bucketed.groupby("bucket").map_groups(
+        lambda g: _bucket_cos_pairs(g, threshold), batch_format="pyarrow")

@@ -52,21 +52,37 @@ def hourly_agg(ds: rd.Dataset) -> rd.Dataset:
 def sessionize(ds: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
     """Session windows per user (new session when the gap to the previous
     event exceeds ``gap_minutes``). Output one row per session:
-    (user_id, session_id, n_events, start_ts, end_ts)."""
-    gap = np.timedelta64(gap_minutes * 60, "s")
+    (user_id, session_id, n_events, start_us, end_us).
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        new = (g["ts"].diff() > gap).cumsum()
-        out = g.groupby(new).agg(
-            user_id=("user_id", "first"), n_events=("event_id", "size"),
-            start_ts=("ts", "min"), end_ts=("ts", "max")).reset_index(drop=True)
-        out["session_id"] = np.arange(1, len(out) + 1, dtype=np.int64)
-        # epoch-us ints, not timestamps (engine-neutral); explicit [us]
-        # cast so the integer unit does not depend on pandas' resolution
-        out["start_us"] = out.pop("start_ts").astype("datetime64[us]").astype("int64")
-        out["end_us"] = out.pop("end_ts").astype("datetime64[us]").astype("int64")
-        return out[["user_id", "session_id", "n_events", "start_us", "end_us"]]
+    One shuffle (the groupby), then pure numpy gaps-and-islands per group
+    over the arrow columns — no per-user pandas frame construction (the
+    pandas variant measured ~2x slower at sf0.1)."""
+    gap_us = np.int64(gap_minutes * 60) * 1_000_000
+
+    def per_user(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id")[0].as_py()
+        # epoch-us ints, not timestamps (engine-neutral); the arrow column
+        # is timestamp[us] so the cast is exact
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts = ts[order]
+        brk = np.empty(len(ts), bool)
+        brk[0] = True
+        brk[1:] = np.diff(ts) > gap_us
+        starts = np.flatnonzero(brk)
+        n = len(starts)
+        ends = np.empty(n, np.int64)
+        ends[:-1] = starts[1:]
+        ends[-1] = len(ts)
+        return pa.table({
+            "user_id": pa.array([uid] * n,
+                                g.schema.field("user_id").type),
+            "session_id": pa.array(np.arange(1, n + 1), pa.int64()),
+            "n_events": pa.array(ends - starts, pa.int64()),
+            "start_us": pa.array(ts[starts], pa.int64()),
+            "end_us": pa.array(ts[ends - 1], pa.int64()),
+        })
 
     return ds.select_columns(["event_id", "ts", "user_id"]) \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+        .groupby("user_id").map_groups(per_user, batch_format="pyarrow")

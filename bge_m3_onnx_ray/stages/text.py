@@ -22,6 +22,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+from bge_m3_onnx_ray.stages._pool import task_stage
 from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
 
 # Fixed stopword lists for the language-ID heuristic (M10) and quality
@@ -63,7 +64,7 @@ class TokenCount(_TokenStage):
 
 def token_count(ds: rd.Dataset) -> rd.Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        TokenCount, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+        task_stage(TokenCount), batch_format="pyarrow", batch_size=4096)
 
 
 class _CorpusPartial(_TokenStage):
@@ -76,8 +77,7 @@ class _CorpusPartial(_TokenStage):
 def corpus_stats(ds: rd.Dataset) -> pa.Table:
     """One row: n_docs, n_tokens, avg_tokens_q6."""
     p = ds.select_columns(["doc_id", "text"]).map_batches(
-        _CorpusPartial, batch_format="pyarrow", batch_size=4096,
-        concurrency=(1, 4)).to_pandas()
+        task_stage(_CorpusPartial), batch_format="pyarrow", batch_size=4096).to_pandas()
     n_docs, n_tokens = int(p.n_docs.sum()), int(p.n_tokens.sum())
     avg = n_tokens / n_docs if n_docs else 0.0
     return pa.table({"n_docs": pa.array([n_docs], pa.int64()),
@@ -105,8 +105,8 @@ class _DfPartial(_TokenStage):
 def term_df(ds: rd.Dataset, top_n: int = 100) -> pa.Table:
     """Top-N terms by (df desc, term asc) with global df and cf."""
     agg = ds.select_columns(["doc_id", "text"]).map_batches(
-        _DfPartial, batch_format="pyarrow", batch_size=4096,
-        concurrency=(1, 4)).groupby("term").aggregate(
+        task_stage(_DfPartial), batch_format="pyarrow",
+        batch_size=4096).groupby("term").aggregate(
             Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
     pdf = agg.to_pandas().sort_values(["df", "term"],
                                       ascending=[False, True]).head(top_n)
@@ -145,9 +145,8 @@ def top_terms_per_doc(ds: rd.Dataset, k: int = 5,
         import pyarrow.compute as pc
         ds = ds.map_batches(lambda t: t.filter(pc.less(t["doc_id"], max_doc_id)),
                             batch_format="pyarrow")
-    return ds.map_batches(TopTermsPerDoc, fn_constructor_kwargs={"k": k},
-                          batch_format="pyarrow", batch_size=4096,
-                          concurrency=(1, 4))
+    return ds.map_batches(task_stage(TopTermsPerDoc, k=k),
+                          batch_format="pyarrow", batch_size=4096)
 
 
 class LengthCategorize(_TokenStage):
@@ -165,8 +164,7 @@ class LengthCategorize(_TokenStage):
 
 def length_categorize(ds: rd.Dataset) -> rd.Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        LengthCategorize, batch_format="pyarrow", batch_size=4096,
-        concurrency=(1, 4))
+        task_stage(LengthCategorize), batch_format="pyarrow", batch_size=4096)
 
 
 class LangId(_TokenStage):
@@ -203,7 +201,7 @@ class LangId(_TokenStage):
 
 def langid(ds: rd.Dataset) -> rd.Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+        task_stage(LangId), batch_format="pyarrow", batch_size=4096)
 
 
 class QualityScore(_TokenStage):
@@ -247,7 +245,7 @@ class QualityScore(_TokenStage):
 
 def quality_score(ds: rd.Dataset) -> rd.Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        QualityScore, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+        task_stage(QualityScore), batch_format="pyarrow", batch_size=4096)
 
 
 def distribution_counts(ds: rd.Dataset) -> rd.Dataset:
@@ -322,8 +320,8 @@ def doc_term_weights(ds: rd.Dataset, max_doc_id: int | None = None,
     from bge_m3_onnx_ray.scoring import bm25_term_score, idf as idf_fn
 
     src = ds.select_columns(["doc_id", "text"])
-    dfp = src.map_batches(_DfPartial, batch_format="pyarrow",
-                          batch_size=4096, concurrency=(1, 4)) \
+    dfp = src.map_batches(task_stage(_DfPartial), batch_format="pyarrow",
+                          batch_size=4096) \
         .groupby("term").aggregate(Sum("df", alias_name="df")).to_pandas()
     cs = corpus_stats(src)
     n_docs = cs.column("n_docs")[0].as_py()
@@ -333,67 +331,59 @@ def doc_term_weights(ds: rd.Dataset, max_doc_id: int | None = None,
             if "term" in dfp.columns else {})
     idf_ref = ray.put(idfs)
 
-    class Weights(_TokenStage):
-        def __init__(self):
-            super().__init__()
-            self.idfs = ray.get(idf_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            doc_idx, codes, uniques, tfs, doc_lens = \
-                self.tok.batch_term_counts_coded(batch.column("text"))
-            doc_ids = batch.column("doc_id").to_numpy()
-            uni = uniques.to_pylist()
-            uidf = np.array([self.idfs.get(u, 0.0) for u in uni], np.float64)
-            w = bm25_term_score(tfs.astype(np.float64),
-                                doc_lens[doc_idx].astype(np.float64),
-                                1.0, avgdl, k1, b) * uidf[codes] \
-                if len(codes) else np.empty(0, np.float64)
-            return pa.table({
-                "doc_id": pa.array(doc_ids[doc_idx], pa.int64()),
-                "term": uniques.take(pa.array(codes)).cast(pa.string()),
-                "tf": pa.array(tfs.astype(np.int64), pa.int64()),
-                "weight_q6": pa.array(q6(w), pa.int64()),
-            })
-
     out = src
     if max_doc_id is not None:
         import pyarrow.compute as pc
         out = out.map_batches(lambda t: t.filter(pc.less(t["doc_id"], max_doc_id)),
                               batch_format="pyarrow")
-    return out.map_batches(Weights, batch_format="pyarrow", batch_size=4096,
-                           concurrency=(1, 4))
+    return out.map_batches(
+        task_stage(_WeightStage, idf_ref=idf_ref, avgdl=avgdl, k1=k1, b=b),
+        batch_format="pyarrow", batch_size=4096)
 
 
-_FP_BASE = np.uint64(1099511628211)   # FNV-ish rolling base
-_FP_OFFSET = np.uint64(14695981039346656037)
+class _WeightStage(_TokenStage):
+    """Per-doc BM25 weight rows; idf map fetched from the object store
+    once per worker (broadcast pattern — never re-shipped per batch)."""
 
-
-class Fingerprint(_TokenStage):
-    """Order-sensitive document fingerprint: polynomial rolling hash
-    (mod 2^64) over the byte stream of the space-joined token stream —
-    content-defined identity that survives re-partitioning; truly
-    vectorized (one multiply-accumulate over the byte array, no per-byte
-    Python loop). Not SQL-expressible → pytest + rows-only driver check."""
+    def __init__(self, idf_ref, avgdl: float, k1: float, b: float):
+        import ray
+        super().__init__()
+        self.idfs = ray.get(idf_ref)
+        self.avgdl, self.k1, self.b = avgdl, k1, b
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = np.empty(batch.num_rows, np.uint64)
-        with np.errstate(over="ignore"):  # uint64 wraparound is the hash
-            for i, ts in enumerate(self._token_lists(batch)):
-                data = np.frombuffer(" ".join(ts).encode(), np.uint8) \
-                    .astype(np.uint64)
-                n = len(data)
-                if n == 0:
-                    out[i] = _FP_OFFSET
-                    continue
-                # powers B^(n-1) .. B^0, computed by cumulative product
-                pw = np.multiply.accumulate(
-                    np.full(n, _FP_BASE, np.uint64))  # B^1..B^n
-                pw = np.concatenate(([np.uint64(1)], pw[:-1]))[::-1]
-                out[i] = _FP_OFFSET + (data * pw).sum()
+        from bge_m3_onnx_ray.scoring import bm25_term_score
+        doc_idx, codes, uniques, tfs, doc_lens = \
+            self.tok.batch_term_counts_coded(batch.column("text"))
+        doc_ids = batch.column("doc_id").to_numpy()
+        uni = uniques.to_pylist()
+        uidf = np.array([self.idfs.get(u, 0.0) for u in uni], np.float64)
+        w = bm25_term_score(tfs.astype(np.float64),
+                            doc_lens[doc_idx].astype(np.float64),
+                            1.0, self.avgdl, self.k1, self.b) * uidf[codes] \
+            if len(codes) else np.empty(0, np.float64)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[doc_idx], pa.int64()),
+            "term": uniques.take(pa.array(codes)).cast(pa.string()),
+            "tf": pa.array(tfs.astype(np.int64), pa.int64()),
+            "weight_q6": pa.array(q6(w), pa.int64()),
+        })
+
+
+class Fingerprint:
+    """Order-sensitive document fingerprint: 53-bit polynomial rolling
+    hash over the raw text's Unicode codepoints (``hashing.poly_hash``,
+    one vectorized Horner sweep per batch — no per-byte Python loop).
+    Content-defined identity that survives re-partitioning, and exactly
+    reproducible in DuckDB SQL → value-hash-checked by the driver."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from bge_m3_onnx_ray.hashing import P53, poly_hash
+        h = poly_hash(batch.column("text"), P53)
         return pa.table({"doc_id": batch.column("doc_id"),
-                         "fingerprint": pa.array(out.view(np.int64), pa.int64())})
+                         "fingerprint": pa.array(h.astype(np.int64), pa.int64())})
 
 
 def fingerprint(ds: rd.Dataset) -> rd.Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        Fingerprint, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+        task_stage(Fingerprint), batch_format="pyarrow", batch_size=4096)

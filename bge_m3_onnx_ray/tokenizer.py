@@ -63,7 +63,8 @@ class DeterministicTokenizer:
             # fast path: NFKC is identity and casefold == lower on ASCII
             return _TOKEN_RE.findall(text.lower())
         t = unicodedata.normalize("NFKC", text).casefold()
-        t = _CJK_RE.sub(r" \g<0> ", t)
+        # callable replacement: avoids re's template-expansion path (~2x)
+        t = _CJK_RE.sub(lambda m: f" {m[0]} ", t)
         return _TOKEN_RE.findall(t)
 
     def batch_term_counts_coded(
@@ -149,6 +150,75 @@ class DeterministicTokenizer:
         return (upair // k, upair % k, uniques,
                 tfs.astype(np.int32), doc_lens)
 
+    def batch_token_lists(
+        self, texts: "list[str]"
+    ) -> tuple[pa.Array, np.ndarray]:
+        """Vectorized per-document token SEQUENCES (text order preserved).
+
+        Returns ``(flat_tokens, offsets)``: one large_string array of all
+        tokens and int64 offsets (n_docs+1) — doc d's tokens are
+        ``flat_tokens[offsets[d]:offsets[d+1]]``. Same ASCII-polars /
+        non-ASCII-Python split as :meth:`batch_term_counts_coded`; the
+        order-preserving variant exists for shingling (n-gram) stages.
+        """
+        import pyarrow.compute as pc
+        is_arrow = isinstance(texts, (pa.Array, pa.ChunkedArray))
+        if is_arrow and isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(texts)
+        lens = np.zeros(n, np.int64)
+        if n == 0:
+            return pa.array([], pa.large_string()), np.zeros(1, np.int64)
+        if _HAVE_POLARS:
+            if is_arrow:
+                ascii_mask = pc.fill_null(pc.string_is_ascii(texts), True) \
+                    .to_numpy(zero_copy_only=False)
+            else:
+                ascii_mask = np.fromiter(
+                    (t is None or t.isascii() for t in texts), bool, n)
+        else:  # pragma: no cover
+            ascii_mask = np.zeros(n, bool)
+        a_ids = np.flatnonzero(ascii_mask)
+        p_ids = np.flatnonzero(~ascii_mask)
+        a_flat = pa.array([], pa.large_string())
+        p_flat = pa.array([], pa.large_string())
+        if len(a_ids):
+            if is_arrow:
+                sub = texts if len(a_ids) == n else texts.take(pa.array(a_ids))
+                s = pl.from_arrow(pa.chunked_array([sub]))
+            else:
+                s = pl.Series("t", [texts[i] for i in a_ids], dtype=pl.Utf8)
+            la = s.str.to_lowercase().str.extract_all(r"\w+").to_arrow()
+            if isinstance(la, pa.ChunkedArray):  # pragma: no cover
+                la = la.combine_chunks()
+            lens[a_ids] = np.diff(np.asarray(la.offsets))
+            a_flat = la.values.cast(pa.large_string())
+        if len(p_ids):
+            ptexts = (texts.take(pa.array(p_ids)).to_pylist()
+                      if is_arrow else [texts[i] for i in p_ids])
+            toks = [self.tokenize(t) if t is not None else [] for t in ptexts]
+            lens[p_ids] = [len(t) for t in toks]
+            p_flat = pa.array([w for t in toks for w in t], pa.large_string())
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        if not len(p_ids):
+            return a_flat, offsets
+        if not len(a_ids):
+            return p_flat, offsets
+        # interleave: doc d's tokens are contiguous in a_flat or p_flat;
+        # build one gather permutation into the concatenated array
+        src_start = np.empty(n, np.int64)
+        a_off = np.zeros(len(a_ids) + 1, np.int64)
+        np.cumsum(lens[a_ids], out=a_off[1:])
+        p_off = np.zeros(len(p_ids) + 1, np.int64)
+        np.cumsum(lens[p_ids], out=p_off[1:])
+        src_start[a_ids] = a_off[:-1]
+        src_start[p_ids] = p_off[:-1] + len(a_flat)
+        total = offsets[-1]
+        perm = np.repeat(src_start - offsets[:-1], lens) + np.arange(total)
+        both = pa.concat_arrays([a_flat, p_flat])
+        return both.take(pa.array(perm)), offsets
+
     def batch_term_counts(
         self, texts: "list[str] | np.ndarray | pd.Series"
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -161,6 +231,109 @@ class DeterministicTokenizer:
         terms = np.asarray(uniques.take(pa.array(term_codes)).to_pylist(),
                            dtype=object)
         return doc_idx, terms, tfs, doc_lens
+
+
+def _counts_from_flat(flat: pa.Array, offsets: np.ndarray):
+    """(flat tokens, doc offsets) → the batch_term_counts_coded contract
+    (doc_idx, term_codes, uniques, tfs, doc_lens). Tokenizer-agnostic."""
+    lens = np.diff(offsets)
+    doc_lens = lens.astype(np.int32)
+    if not len(flat):
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                pa.array([], pa.large_string()), np.empty(0, np.int32),
+                doc_lens)
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    de = flat.dictionary_encode()
+    codes = np.asarray(de.indices).astype(np.int64)
+    k = max(len(de.dictionary), 1)
+    pair = doc_of * k + codes
+    upair, tfs = np.unique(pair, return_counts=True)
+    return (upair // k, upair % k, de.dictionary,
+            tfs.astype(np.int32), doc_lens)
+
+
+class VocabSubwordTokenizer:
+    """Vocabulary-file-driven greedy-longest-match subword tokenizer —
+    the pluggable seam for the north star's "reusing the repo's XLM-R
+    tokenizer vocabulary" (the reference loads its SentencePiece vocab as
+    an ONNX graph once per session, ``bge-m3-to-onnx.ipynb`` cell 9,
+    invoked at ``samples/python/bge_m3_embedder.py:114``; this sandbox has
+    no onnxruntime/tokenizers, so the seam is proven with a committed toy
+    vocab instead — SURVEY.md §7.3).
+
+    Pieces are matched longest-first inside each pre-tokenized word
+    (DeterministicTokenizer's word segmentation), with single-character
+    fallback, so every text tokenizes deterministically. Ids 0-3 are
+    reserved ([PAD],[UNK],[CLS],[SEP]) matching the reference's
+    special-token filter (``bge_m3_embedder.py:30``); OOV single-char
+    fallback pieces map to [UNK]'s id but keep their string identity in
+    the postings (the engine keys postings by term string)."""
+
+    RESERVED = ("[PAD]", "[UNK]", "[CLS]", "[SEP]")
+
+    def __init__(self, vocab_path: str):
+        self.vocab_path = vocab_path
+        with open(vocab_path, encoding="utf-8") as f:
+            pieces = [ln.rstrip("\n") for ln in f if ln.strip()]
+        self.pieces = pieces
+        self.vocab = frozenset(pieces)
+        self.ids = {p: i + len(self.RESERVED) for i, p in enumerate(pieces)}
+        self.max_piece = max((len(p) for p in pieces), default=1)
+        self._word_tok = DeterministicTokenizer()
+
+    def id(self, piece: str) -> int:
+        return self.ids.get(piece, 1)  # 1 == [UNK]
+
+    def tokenize(self, text: str) -> list[str]:
+        out: list[str] = []
+        vocab, mx = self.vocab, self.max_piece
+        for w in self._word_tok.tokenize(text or ""):
+            i, n = 0, len(w)
+            while i < n:
+                for ln in range(min(mx, n - i), 0, -1):
+                    piece = w[i:i + ln]
+                    if piece in vocab or ln == 1:
+                        out.append(piece)
+                        i += ln
+                        break
+        return out
+
+    def batch_token_lists(self, texts) -> tuple[pa.Array, np.ndarray]:
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        rows = texts.to_pylist() if isinstance(texts, pa.Array) else list(texts)
+        toks = [self.tokenize(t) if t is not None else [] for t in rows]
+        lens = np.fromiter((len(t) for t in toks), np.int64, len(toks))
+        offsets = np.zeros(len(toks) + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        flat = pa.array([w for t in toks for w in t], pa.large_string())
+        return flat, offsets
+
+    def batch_term_counts_coded(self, texts):
+        return _counts_from_flat(*self.batch_token_lists(texts))
+
+
+def default_vocab_path() -> str:
+    """The committed toy vocabulary proving the subword seam."""
+    return os.path.join(os.path.dirname(__file__), "data", "toy_vocab.txt")
+
+
+def make_tokenizer(spec: str = "deterministic"):
+    """Tokenizer factory — the config surface mirroring the reference's
+    ``M3EmbedderFactory`` presets (``M3EmbedderFactory.cs:16-80``).
+
+    ``"deterministic"`` → :class:`DeterministicTokenizer`;
+    ``"vocab"`` → :class:`VocabSubwordTokenizer` over the committed toy
+    vocab; ``"vocab:<path>"`` → the same over a caller-supplied vocab
+    file (where an environment provides a real XLM-R piece list, drop it
+    in here)."""
+    if spec == "deterministic":
+        return DeterministicTokenizer()
+    if spec == "vocab":
+        return VocabSubwordTokenizer(default_vocab_path())
+    if spec.startswith("vocab:"):
+        return VocabSubwordTokenizer(spec.split(":", 1)[1])
+    raise ValueError(f"unknown tokenizer spec {spec!r}")
 
 
 DEFAULT_TOKENIZER = DeterministicTokenizer()

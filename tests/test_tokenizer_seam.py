@@ -1,0 +1,82 @@
+"""Tokenizer seam: the engine is pluggable over the tokenizer class
+(SURVEY.md §7.3; the north star's "reusing the repo's XLM-R tokenizer
+vocabulary" — proven here with the committed toy vocab, since the
+reference's SentencePiece export can't run in this sandbox).
+
+The full build→search parity gate runs under BOTH tokenizers; the vocab
+tokenizer produces a genuinely different term space (subword pieces), so
+a pass means the distributed machinery is tokenizer-agnostic end-to-end.
+"""
+
+import pytest
+
+from bge_m3_onnx_ray.config import IndexConfig, QueryConfig
+from bge_m3_onnx_ray.index.build import build_index
+from bge_m3_onnx_ray.index.search import search
+from bge_m3_onnx_ray.oracle import OracleIndex
+from bge_m3_onnx_ray.tokenizer import (
+    DeterministicTokenizer,
+    VocabSubwordTokenizer,
+    default_vocab_path,
+    make_tokenizer,
+)
+
+
+def test_greedy_longest_match():
+    tok = VocabSubwordTokenizer(default_vocab_path())
+    # "customer" is a whole piece — must win over "custom"+"er"
+    assert tok.tokenize("Customer!") == ["customer"]
+    # longest-match then fallback: unknown word decomposes deterministically
+    pieces = tok.tokenize("zzdataqx")
+    assert "".join(pieces) == "zzdataqx"
+    assert "data" in pieces
+    # reserved-id contract (reference bge_m3_embedder.py:30)
+    assert tok.id("[absent-piece]") == 1     # [UNK]
+    assert tok.id("the") >= 4
+    assert tok.tokenize("") == []
+
+
+def test_batch_paths_match_scalar():
+    tok = VocabSubwordTokenizer(default_vocab_path())
+    texts = ["the customer sorts data", "", "zzq 42 spark-stream", None]
+    flat, offs = tok.batch_token_lists(texts)
+    toks = flat.to_pylist()
+    for i, t in enumerate(texts):
+        assert toks[offs[i]:offs[i + 1]] == tok.tokenize(t or "")
+    doc_idx, codes, uniques, tfs, doc_lens = tok.batch_term_counts_coded(texts)
+    assert doc_lens.tolist() == [len(tok.tokenize(t or "")) for t in texts]
+
+
+@pytest.mark.parametrize("spec", ["deterministic", "vocab"])
+def test_build_query_parity_under_both_tokenizers(ray_session, tiny_corpus,
+                                                  tmp_path, spec):
+    import pyarrow.parquet as pq
+
+    path, _, queries = tiny_corpus
+    cfg = IndexConfig(tokenizer_spec=spec, docs_per_shard=256,
+                      term_buckets=4, block_size=16)
+    idx = str(tmp_path / f"idx-{spec}")
+    res = build_index(path, idx, cfg)
+    assert res["n_docs"] == 2000
+    t = pq.read_table(path)
+    oi = OracleIndex(zip(t.column("conv_id").to_pylist(),
+                         t.column("turn_idx").to_pylist(),
+                         t.column("text").to_pylist()),
+                     tokenizer=make_tokenizer(spec))
+    out = search(idx, queries[:12], QueryConfig(k=10, method="wand")).to_pandas()
+    checked = 0
+    for qid, text in queries[:12]:
+        exp = oi.search(text, 10)
+        got = out[out.query_id == qid].sort_values("rank")
+        assert got.doc_id.tolist() == [r["doc_id"] for r in exp], (spec, qid)
+        for s, r in zip(got.score.tolist(), exp):
+            assert abs(s - r["score"]) < 1e-9
+        checked += len(exp)
+    assert checked > 0
+    if spec == "vocab":
+        # the two tokenizers must actually disagree, or this test proves
+        # nothing: subword pieces create a different vocabulary
+        det = DeterministicTokenizer()
+        vt = make_tokenizer("vocab")
+        assert det.tokenize("customers streaming") != \
+            vt.tokenize("customers streaming")
