@@ -201,21 +201,42 @@ def dup_clusters(pairs: rd.Dataset, max_rounds: int = 512) -> rd.Dataset:
         }), batch_format="pyarrow").materialize()
 
     def propagate(group: pa.Table) -> pa.Table:
-        kinds = group.column("kind").to_pylist()
-        vals = group.column("val").to_numpy()
-        node = group.column("key")[0].as_py()
-        label = min(int(vals[i]) for i, k in enumerate(kinds) if k == "l")
-        nbrs = [int(vals[i]) for i, k in enumerate(kinds) if k == "e"]
-        out_k = [node] + nbrs
-        out_v = [label] * (1 + len(nbrs))
+        """One hash-bucket of nodes per call (NOT one node — the per-group
+        Python call would dominate at corpus scale): sort by node, find
+        each node's min 'l' label with a masked minimum.reduceat, and
+        broadcast it to the node itself and every 'e' neighbor row —
+        fully vectorized."""
+        import pyarrow.compute as pc
+        n = group.num_rows
+        order = pc.sort_indices(group, sort_keys=[("key", "ascending")])
+        tbl = group.take(order)
+        keys = tbl.column("key").to_numpy()
+        vals = tbl.column("val").to_numpy()
+        is_l = pc.equal(tbl.column("kind"), "l").to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1])
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        big = np.iinfo(np.int64).max
+        masked = np.where(is_l, vals, big)
+        node_label = np.minimum.reduceat(masked, starts)
+        assert (node_label < big).all(), "node with no label row"
+        row_label = np.repeat(node_label, sizes)
+        e_rows = ~is_l
+        out_k = np.concatenate([keys[starts], vals[e_rows]])
+        out_v = np.concatenate([node_label, row_label[e_rows]])
         return pa.table({"key": pa.array(out_k, pa.int64()),
                          "val": pa.array(out_v, pa.int64()),
                          "kind": pa.array(["l"] * len(out_k), pa.string())})
 
+    def add_bucket(t: pa.Table, n_buckets: int = 1024) -> pa.Table:
+        b = (t.column("key").to_numpy().astype(np.uint64)
+             * np.uint64(2654435761)) % np.uint64(n_buckets)
+        return t.append_column("_bucket", pa.array(b.astype(np.int64)))
+
     prev_sum = None
     converged = False
     for _ in range(max_rounds):
-        msgs = labels.union(edges).groupby("key").map_groups(
+        msgs = labels.union(edges).map_batches(
+            add_bucket, batch_format="pyarrow").groupby("_bucket").map_groups(
             propagate, batch_format="pyarrow")
         labels = msgs.groupby("key").aggregate(Min("val", alias_name="val")) \
             .map_batches(lambda t: pa.table({
