@@ -262,6 +262,9 @@ class ShardScorer:
         qids = batch.column("query_id").to_pylist()
         termss = batch.column("terms").to_pylist()
         shards = batch.column("shard").to_pylist()
+        # decoded-postings memo for THIS batch: many queries in a batch hit
+        # the same (shard, term) — decode once, not once per query row
+        dec_memo: dict[tuple[int, str], tuple] = {}
         for qid, terms, shard in zip(qids, termss, shards):
             terms = [t for t in terms if self.idfs.get(t) is not None]
             if not terms:
@@ -270,12 +273,18 @@ class ShardScorer:
             avail = {t: e for t in terms if (e := post.get(t)) is not None}
             if not avail:
                 continue
+            decoded = {}
+            for t, e in avail.items():
+                got = dec_memo.get((shard, t))
+                if got is None:
+                    got = decode_postings(e, m.block_size)
+                    dec_memo[(shard, t)] = got
+                decoded[t] = got
             if self.method == "wand":
                 scores, docs = score_wand(avail, sorted(avail), self.idfs,
-                                          m.avgdl, m.k1, m.b, self.k, m.block_size)
+                                          m.avgdl, m.k1, m.b, self.k,
+                                          m.block_size, decoded=decoded)
             else:
-                decoded = {t: decode_postings(e, m.block_size)
-                           for t, e in avail.items()}
                 scores, docs = score_exhaustive(decoded, sorted(decoded), self.idfs,
                                                 m.avgdl, m.k1, m.b, self.k)
             out_q.extend([qid] * len(docs))

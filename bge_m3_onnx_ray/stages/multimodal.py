@@ -93,28 +93,31 @@ def decode_features(ds: rd.Dataset, concurrency=(1, 4),
 
 class FrameSample:
     """Video frame-sampling plumbing: emits one row per sampled frame
-    index (decode stubbed; real impl would seek the container)."""
+    index, vectorized (repeat/arange explode — no per-media Python loop;
+    the decode itself is stubbed; a real impl would seek the container)."""
 
     def __init__(self, every_ms: int = 1000):
         self.every_ms = every_ms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frames, ts = [], [], []
-        for mid, kind, dur in zip(batch.column("media_id").to_pylist(),
-                                  batch.column("kind").to_pylist(),
-                                  batch.column("duration_ms").to_pylist()):
-            if kind != "video":
-                continue
-            for i, t in enumerate(range(0, max(int(dur), 1), self.every_ms)):
-                ids.append(mid)
-                frames.append(i)
-                ts.append(t)
-        return pa.table({"media_id": pa.array(ids, pa.int64()),
-                         "frame_idx": pa.array(frames, pa.int32()),
-                         "ts_ms": pa.array(ts, pa.int32())})
+        import pyarrow.compute as pc
+        vid = batch.filter(pc.equal(batch.column("kind"), "video"))
+        mids = vid.column("media_id").to_numpy()
+        durs = np.maximum(vid.column("duration_ms").to_numpy()
+                          .astype(np.int64), 1)
+        counts = (durs + self.every_ms - 1) // self.every_ms
+        total = int(counts.sum())
+        cum = np.zeros(len(counts), np.int64)
+        np.cumsum(counts[:-1], out=cum[1:])
+        frame_idx = np.arange(total) - np.repeat(cum, counts)
+        return pa.table({
+            "media_id": pa.array(np.repeat(mids, counts), pa.int64()),
+            "frame_idx": pa.array(frame_idx.astype(np.int32), pa.int32()),
+            "ts_ms": pa.array((frame_idx * self.every_ms).astype(np.int32),
+                              pa.int32())})
 
 
 def frame_sample(ds: rd.Dataset, every_ms: int = 1000) -> rd.Dataset:
-    return ds.map_batches(FrameSample, fn_constructor_kwargs={"every_ms": every_ms},
-                          batch_format="pyarrow", batch_size=64,
-                          concurrency=(1, 4))
+    from bge_m3_onnx_ray.stages._pool import task_stage
+    return ds.map_batches(task_stage(FrameSample, every_ms=every_ms),
+                          batch_format="pyarrow", batch_size=64)

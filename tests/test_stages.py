@@ -171,3 +171,68 @@ def test_multimodal_plumbing(ray_session):
     one = vids.iloc[0]
     want_frames = len(range(0, max(int(one.duration_ms), 1), 1000))
     assert (fs.media_id == one.media_id).sum() == want_frames
+
+
+def test_verify_jaccard_distributed(docs_ds):
+    """verify_jaccard computes UNCAPPED exact intersections for candidate
+    pairs: doc 0 and 1 are identical (jaccard 1.0), doc 2 shares some
+    shingles with them."""
+    import pyarrow as pa
+
+    from bge_m3_onnx_ray.stages.dedup import (ngram_pair_candidates,
+                                              verify_jaccard)
+    cands = ngram_pair_candidates(docs_ds, n=3, min_common=1)
+    v = verify_jaccard(docs_ds, cands, n=3).to_pandas()
+    row = v[(v.doc_a == 0) & (v.doc_b == 1)].iloc[0]
+    assert row.jaccard_q6 == 1_000_000
+    assert row.n_common == 7                # 9 tokens -> 7 distinct shingles
+    # jaccard of a non-identical candidate pair is strictly below 1
+    others = v[(v.doc_a != 0) | (v.doc_b != 1)]
+    if len(others):
+        assert (others.jaccard_q6 < 1_000_000).all()
+
+
+def test_lsh_bucket_pairs_matches_bruteforce_within_bucket(ray_session):
+    """Every pair lsh_bucket_pairs emits must also be an
+    embedding_dup_pairs (exact all-pairs) hit, and any exact pair whose
+    two vectors share a bucket must be emitted."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.ann import lsh_buckets
+    from bge_m3_onnx_ray.stages.dedup import embedding_dup_pairs, lsh_bucket_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((6, 16))
+    vecs = np.concatenate([base, base + rng.standard_normal((6, 16)) * 0.05])
+    t = pa.table({"vec_id": pa.array(np.arange(12), pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t)
+    exact = embedding_dup_pairs(ds, threshold=0.6).to_pandas()
+    lsh = lsh_bucket_pairs(ds, threshold=0.6).to_pandas()
+    exact_pairs = set(zip(exact.vec_a, exact.vec_b))
+    lsh_pairs = set(zip(lsh.vec_a, lsh.vec_b))
+    assert lsh_pairs <= exact_pairs
+    bk = lsh_buckets(ds, dim=16).to_pandas().set_index("vec_id")["bucket"]
+    expected = {(a, b) for a, b in exact_pairs if bk[a] == bk[b]}
+    assert lsh_pairs == expected
+    assert len(expected) > 0      # non-trivial: perturbed twins collide
+
+
+def test_frame_sample_counts(ray_session):
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.multimodal import frame_sample, make_fake_media
+    media = make_fake_media(50)
+    out = frame_sample(rd.from_arrow(media), every_ms=1000).to_pandas()
+    vids = media.to_pandas()
+    vids = vids[vids.kind == "video"]
+    for _, r in vids.iterrows():
+        n = max(int(r.duration_ms), 1)
+        expect = (n + 999) // 1000
+        sub = out[out.media_id == r.media_id]
+        assert len(sub) == expect
+        assert sub.frame_idx.tolist() == list(range(expect))
+        assert sub.ts_ms.tolist() == [i * 1000 for i in range(expect)]
