@@ -114,3 +114,33 @@ def test_batch_counts_match_scalar_path():
         got = {terms[j]: int(tfs[j]) for j in np.flatnonzero(doc_idx == i)}
         assert got == dict(want), text
         assert int(doc_lens[i]) == sum(want.values())
+
+
+def test_ascii_lut_fallback_matches_polars_path():
+    """The polars-free byte-LUT tokenizer (used when polars is absent)
+    must produce identical token streams to the polars fast path and the
+    scalar regex path, including empty docs, punctuation edges and nulls."""
+    import numpy as np
+    import pyarrow as pa
+
+    import bge_m3_onnx_ray.tokenizer as T
+
+    tok = T.DeterministicTokenizer()
+    rng = np.random.default_rng(9)
+    texts = ["abc", "", "Def!", None, "9_a B", "", "zz", "A!B!C", "_", "!!"]
+    texts += ["".join(rng.choice(list("ab c.D_3!"), rng.integers(0, 30)))
+              for _ in range(200)]
+    arr = pa.array(texts, pa.string())
+    want = [tok.tokenize(t or "") for t in texts]
+    flat, offs = T._ascii_flat_tokens(
+        pa.compute.fill_null(arr, "").cast(pa.large_string()))
+    toks = flat.to_pylist()
+    assert [toks[offs[i]:offs[i + 1]] for i in range(len(texts))] == want
+    old = T._HAVE_POLARS
+    try:
+        T._HAVE_POLARS = False
+        flat2, offs2 = tok.batch_token_lists(arr)
+        toks2 = flat2.to_pylist()
+        assert [toks2[offs2[i]:offs2[i + 1]] for i in range(len(texts))] == want
+    finally:
+        T._HAVE_POLARS = old
