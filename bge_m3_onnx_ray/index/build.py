@@ -158,17 +158,39 @@ def compute_conv_offsets(ds: rd.Dataset,
     the conv-count-sized offsets table the artifact stores anyway)."""
     import pyarrow.compute as pc
     partial_ds = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
-        _conv_partial, batch_format="pyarrow", batch_size=65536).materialize()
-    n_partials = partial_ds.count()
-    if n_partials == 0:
-        return ConvOffsets(pa.array([], pa.large_string()),
-                           np.empty(0, np.int64), np.empty(0, np.int64))
-    if n_partials > driver_finish_limit:
+        _conv_partial, batch_format="pyarrow", batch_size=65536)
+    # common path: STREAM the partials to the driver (no materialize
+    # round-trip), folding them into one arrow groupby as they arrive; if
+    # the stream exceeds driver_finish_limit rows, abandon it and finish
+    # with a Ray groupby reduce instead (the partials are recomputed —
+    # only in the regime where the driver could not have held them).
+    batches: list[pa.Table] = []
+    n_rows = 0
+    overflow = False
+    for b in partial_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        batches.append(b)
+        n_rows += b.num_rows
+        if n_rows > driver_finish_limit:
+            overflow = True
+            break
+    if not overflow:
+        if n_rows == 0:
+            return ConvOffsets(pa.array([], pa.large_string()),
+                               np.empty(0, np.int64), np.empty(0, np.int64))
+        tbl = pa.concat_tables(batches)
+        agg = tbl.group_by("conv_id").aggregate(
+            [("n", "sum"), ("min_t", "min"), ("max_t", "max"),
+             ("sum_t", "sum"), ("sum_t2", "sum")])
+        agg = agg.rename_columns(
+            ["conv_id", "n", "min_t", "max_t", "sum_t", "sum_t2"])
+        agg = agg.take(pc.sort_indices(agg.column("conv_id")))
+    else:
         # Ray range-reduce finish: shuffle the partials by conv_id, merge
-        # moments per conv, sort — the driver never concatenates the raw
-        # partials, only streams the per-conv result rows (one per
-        # conversation). Exercised by a forced-threshold test.
+        # moments per conv, sort — the driver only streams the per-conv
+        # result rows (one per conversation). Exercised by a
+        # forced-threshold test.
         from ray.data.aggregate import Max, Min, Sum
+        del batches
         agg_ds = partial_ds.groupby("conv_id").aggregate(
             Sum("n", alias_name="n"), Min("min_t", alias_name="min_t"),
             Max("max_t", alias_name="max_t"), Sum("sum_t", alias_name="sum_t"),
@@ -176,15 +198,6 @@ def compute_conv_offsets(ds: rd.Dataset,
         agg = pa.concat_tables(agg_ds.iter_batches(batch_size=None,
                                                    batch_format="pyarrow"))
         agg = agg.select(["conv_id", "n", "min_t", "max_t", "sum_t", "sum_t2"])
-    else:
-        tbl = pa.concat_tables(partial_ds.iter_batches(batch_size=None,
-                                                       batch_format="pyarrow"))
-        agg = tbl.group_by("conv_id").aggregate(
-            [("n", "sum"), ("min_t", "min"), ("max_t", "max"),
-             ("sum_t", "sum"), ("sum_t2", "sum")])
-        agg = agg.rename_columns(
-            ["conv_id", "n", "min_t", "max_t", "sum_t", "sum_t2"])
-        agg = agg.take(pc.sort_indices(agg.column("conv_id")))
     return _finish_conv_offsets(agg, ds)
 
 
