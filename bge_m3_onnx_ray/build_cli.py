@@ -20,6 +20,9 @@ def main(argv=None) -> int:
     ap.add_argument("--output", required=True, help="index output dir")
     ap.add_argument("--docs-per-shard", type=int, default=None)
     ap.add_argument("--term-buckets", type=int, default=None)
+    ap.add_argument("--tokenizer", default=None,
+                    help='tokenizer spec: "deterministic" (default), '
+                         '"vocab", or "vocab:<path>" (subword seam)')
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="only for local runs; under `ray job submit` the "
@@ -43,6 +46,8 @@ def main(argv=None) -> int:
         overrides["docs_per_shard"] = args.docs_per_shard
     if args.term_buckets:
         overrides["term_buckets"] = args.term_buckets
+    if args.tokenizer:
+        overrides["tokenizer_spec"] = args.tokenizer
     cfg = IndexConfig(**overrides)
     res = build_index(args.input, args.output, cfg, resume=not args.no_resume)
     print(json.dumps(res))
