@@ -35,13 +35,16 @@ P31 = np.uint64((1 << 31) - 1)     # 2147483647, prime (Mersenne)
 B = np.uint64(131)
 
 
-def poly_hash(strings, p: np.uint64 = P53) -> np.ndarray:
+def poly_hash(strings, p: np.uint64 = P53, base: np.uint64 = B) -> np.ndarray:
     """Vectorized polynomial rolling hash of a string array → uint64 < p.
 
     ASCII strings go through one numpy Horner sweep over the utf-8 buffer
     (codepoint == byte there); non-ASCII strings take a per-string Python
     path over real codepoints — identical results, and the split exists
     only because numpy has no vectorized codepoint iterator.
+
+    ``base`` must keep the Horner step under 2^64: p*base + 1114111 —
+    any base ≤ 1024 is safe with P53.
     """
     if isinstance(strings, pa.ChunkedArray):
         strings = strings.combine_chunks()
@@ -65,7 +68,7 @@ def poly_hash(strings, p: np.uint64 = P53) -> np.ndarray:
         for i in np.flatnonzero(~ascii_mask):
             s = strings[int(i)].as_py()
             h = 0
-            pp, bb = int(p), int(B)
+            pp, bb = int(p), int(base)
             for ch in (s or ""):
                 h = (h * bb + ord(ch)) % pp
             out[i] = h
@@ -83,7 +86,7 @@ def poly_hash(strings, p: np.uint64 = P53) -> np.ndarray:
         starts = off[:-1]
         for j in range(maxlen):
             act = lens > j
-            h[act] = (h[act] * B + data[starts[act] + j]) % p
+            h[act] = (h[act] * base + data[starts[act] + j]) % p
         if rows is None:
             out = h
         else:

@@ -31,12 +31,28 @@ from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
 
 def exact_dedup(ds: rd.Dataset) -> rd.Dataset:
     """Group identical ``text``; keep the smallest doc_id as canonical.
-    Output: (doc_id, n_dups). Shuffle key = text itself in-sandbox; at
-    scale the key would be a 128-bit content hash added per batch
-    (identical semantics, bounded key width)."""
-    return ds.select_columns(["doc_id", "text"]).groupby("text").aggregate(
-        Min("doc_id", alias_name="doc_id"),
-        Count(alias_name="n_dups")).select_columns(["doc_id", "n_dups"])
+    Output: (doc_id, n_dups).
+
+    The shuffle key is a 106-bit content hash (two independent polynomial
+    codepoint hashes mod P53 with different bases), NOT the text itself —
+    at 100 TB the exchange then moves 16 bytes per row instead of the
+    document body. Collision probability over 10^12 docs is ~1e-8; the
+    two hash lanes are deterministic, so the DuckDB oracle (which groups
+    by text) agrees unless an actual collision occurs."""
+
+    def add_key(t: pa.Table) -> pa.Table:
+        from bge_m3_onnx_ray.hashing import P53, poly_hash
+        h1 = poly_hash(t.column("text"), P53)
+        h2 = poly_hash(t.column("text"), P53, base=np.uint64(257))
+        return pa.table({"h1": pa.array(h1.astype(np.int64)),
+                         "h2": pa.array(h2.astype(np.int64)),
+                         "doc_id": t.column("doc_id")})
+
+    return ds.select_columns(["doc_id", "text"]) \
+        .map_batches(add_key, batch_format="pyarrow") \
+        .groupby(["h1", "h2"]).aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Count(alias_name="n_dups")).select_columns(["doc_id", "n_dups"])
 
 
 # ------------------------------------------------- n-gram Jaccard pairs
