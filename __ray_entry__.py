@@ -329,12 +329,21 @@ FROM ranked WHERE rnk <= 10 ORDER BY query_id, "rank"
 """
 
 
-def _powt_sql(name: str, p: int, maxlen: int) -> str:
+def _powt_sql(name: str, p: int, maxlen: "int | str") -> str:
     """Recursive power table ``name(i, v) = (131^i) % p`` in HUGEINT — the
     SQL half of bge_m3_onnx_ray.hashing.poly_hash (Horner == sum of
-    codepoint * B^(L-i) terms mod p)."""
+    codepoint * B^(L-i) terms mod p). ``maxlen`` may be a SQL scalar
+    subquery string so the depth tracks the actual corpus (a fixed cap
+    would silently drop high-order codepoint terms of longer strings and
+    produce a WRONG oracle hash)."""
     return (f"{name}(i, v) AS (SELECT 0, 1::HUGEINT UNION ALL "
             f"SELECT i+1, (v*131)%{p} FROM {name} WHERE i < {maxlen})")
+
+
+# depth bound for every poly-hash power table: no hashed string (term,
+# shingle = 3 tokens + 2 spaces, or whole text) is longer than the longest
+# document + 2
+_MAXLEN_SQL = "(SELECT coalesce(max(length(text)), 0) + 2 FROM documents)"
 
 
 def _poly_hash_sql(src: str, key: str, col: str, p: int, powt: str,
@@ -357,7 +366,7 @@ def _fingerprint_sql() -> str:
     from bge_m3_onnx_ray.hashing import P53
     p = int(P53)
     return f"""
-WITH RECURSIVE {_powt_sql('powt', p, 4096)},
+WITH RECURSIVE {_powt_sql('powt', p, _MAXLEN_SQL)},
 {_poly_hash_sql('documents', 'doc_id', 'text', p, 'powt', 'h')}
 SELECT d.doc_id, coalesce(h.h, 0)::BIGINT AS fingerprint
 FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
@@ -368,7 +377,7 @@ def _simhash_sql() -> str:
     from bge_m3_onnx_ray.hashing import P53
     p = int(P53)
     return f"""
-WITH RECURSIVE {_powt_sql('powt', p, 256)},
+WITH RECURSIVE {_powt_sql('powt', p, _MAXLEN_SQL)},
 toks AS ({_TOKS}),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
        GROUP BY doc_id, term),
@@ -397,7 +406,7 @@ def _minhash_sql(n_perm: int = 64, n_bands: int = 16,
                           for j in range(n_perm))
     rpb = n_perm // n_bands
     return f"""
-WITH RECURSIVE {_powt_sql('powt', p, 256)},
+WITH RECURSIVE {_powt_sql('powt', p, _MAXLEN_SQL)},
 toks AS (SELECT doc_id,
     regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ts FROM documents),
 sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle

@@ -34,6 +34,23 @@ P53 = np.uint64((1 << 53) - 111)   # 9007199254740881, prime
 P31 = np.uint64((1 << 31) - 1)     # 2147483647, prime (Mersenne)
 B = np.uint64(131)
 
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixing function,
+    Steele/Lea/Flood 2014): uint64 → uint64 with full avalanche. Used as
+    a SOUND multiset fingerprint: summing ``splitmix64(v)`` over a
+    multiset detects any multiset difference except a ~2^-64 sum
+    collision — unlike raw power sums, which low-order multisets can
+    preserve (see ``index.build._conv_partial``)."""
+    z = x.astype(np.uint64) + _SM_GAMMA
+    z = (z ^ (z >> np.uint64(30))) * _SM_M1
+    z = (z ^ (z >> np.uint64(27))) * _SM_M2
+    return z ^ (z >> np.uint64(31))
+
 
 def poly_hash(strings, p: np.uint64 = P53, base: np.uint64 = B) -> np.ndarray:
     """Vectorized polynomial rolling hash of a string array → uint64 < p.
@@ -81,12 +98,23 @@ def poly_hash(strings, p: np.uint64 = P53, base: np.uint64 = B) -> np.ndarray:
         off = off_all[sub.offset:sub.offset + len(sub) + 1]
         data = np.frombuffer(bufs[2] or b"", np.uint8)
         lens = np.diff(off)
-        h = np.zeros(len(sub), np.uint64)
         maxlen = int(lens.max()) if len(lens) else 0
         starts = off[:-1]
+        # length-sorted Horner: strings sorted ascending by length, so at
+        # step j the active set (len > j) is a SUFFIX found by searchsorted
+        # — per-iteration work tracks only still-active strings. One
+        # multi-hundred-KB outlier in a batch costs O(its own length), not
+        # O(batch_size x its length) as a full boolean mask per step would.
+        order = np.argsort(lens, kind="stable")
+        slens = lens[order]
+        sstarts = starts[order]
+        hs = np.zeros(len(sub), np.uint64)
+        a = 0
         for j in range(maxlen):
-            act = lens > j
-            h[act] = (h[act] * base + data[starts[act] + j]) % p
+            a = int(np.searchsorted(slens, j, side="right"))
+            hs[a:] = (hs[a:] * base + data[sstarts[a:] + j]) % p
+        h = np.empty(len(sub), np.uint64)
+        h[order] = hs
         if rows is None:
             out = h
         else:

@@ -86,43 +86,65 @@ def term_bucket(terms, n_buckets: int) -> np.ndarray:
 
 
 def _conv_partial(batch: pa.Table) -> pa.Table:
-    # per-(conv x batch) moments: count/min/max plus sum and sum-of-squares
-    # of turn_idx — all associative, so the driver (or a Ray reduce) can
-    # finish them; sum/sumsq are the duplicate-turn detectors (see
-    # compute_conv_offsets)
+    # per-(conv x batch) summaries: count/min/max plus sums of two 31-bit
+    # LANES of splitmix64(turn_idx) — all associative, so the driver (or a
+    # Ray reduce) can finish them. The mixing-hash sums are the
+    # duplicate/omission detectors: unlike raw power sums (sum, sum of
+    # squares), which low-order multiset exchanges preserve (e.g.
+    # [0,2,2,3,3,4,7,7] matches every moment of {0..7}), a multiset can
+    # only fake both 31-bit hash-sum lanes with a ~2^-62 sum collision.
     import pyarrow.compute as pc
+    from bge_m3_onnx_ray.hashing import splitmix64
     t64 = pc.cast(batch.column("turn_idx"), pa.int64())
-    b2 = pa.table({"conv_id": batch.column("conv_id"), "t": t64,
-                   "t2": pc.multiply_checked(t64, t64)})
+    z = splitmix64(t64.to_numpy(zero_copy_only=False).astype(np.uint64))
+    m31 = np.uint64(0x7FFFFFFF)
+    b2 = pa.table({
+        "conv_id": batch.column("conv_id"), "t": t64,
+        "h1": pa.array((z & m31).astype(np.int64), pa.int64()),
+        "h2": pa.array(((z >> np.uint64(31)) & m31).astype(np.int64),
+                       pa.int64())})
     g = b2.group_by("conv_id").aggregate(
         [("t", "count"), ("t", "min"), ("t", "max"),
-         ("t", "sum"), ("t2", "sum")])
-    return g.rename_columns(["conv_id", "n", "min_t", "max_t", "sum_t", "sum_t2"])
+         ("h1", "sum"), ("h2", "sum")])
+    return g.rename_columns(["conv_id", "n", "min_t", "max_t",
+                             "sum_h1", "sum_h2"])
 
 
 def _finish_conv_offsets(agg: pa.Table, ds: rd.Dataset) -> ConvOffsets:
-    """Finish pass A from globally-aggregated per-conv moments (sorted by
-    conv_id): prefix-sum the counts, validate dense 0..n-1 turn ranges via
-    count/min/max/sum/sumsq, and exactly recheck every conversation that
-    fails (non-dense turn numbering gets a rank map; duplicate
-    (conv_id, turn_idx) keys raise — they would silently corrupt postings
-    otherwise, two rows sharing one docID)."""
+    """Finish pass A from globally-aggregated per-conv summaries (sorted
+    by conv_id): prefix-sum the counts, validate dense 0..n-1 turn ranges
+    via count/min/max + two mixing-hash sum lanes, and exactly recheck
+    every conversation that fails (non-dense turn numbering gets a rank
+    map; duplicate (conv_id, turn_idx) keys raise — they would silently
+    corrupt postings otherwise, two rows sharing one docID).
+
+    Soundness: the dense test compares per-conv sums of two 31-bit lanes
+    of ``splitmix64(turn_idx)`` against the precomputed prefix sums for
+    {0..n-1}. Any multiset other than {0..n-1} fails unless both lane
+    sums collide (~2^-62 per conv) — raw moments (sum/sumsq) were
+    provably forgeable by duplicate+omission exchanges."""
     import pyarrow.compute as pc
+    from bge_m3_onnx_ray.hashing import splitmix64
     conv_arrow = agg.column("conv_id").combine_chunks()
     counts = agg.column("n").to_numpy().astype(np.int64)
     starts = np.zeros(len(counts), np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
-    # dense iff the turn multiset is exactly {0..n-1}: min/max bound the
-    # range, and sum + sum-of-squares match the exact closed forms. A
-    # duplicate+omission multiset (e.g. [0,2,2,3]) passes min/max/count
-    # but not the moments, so it is routed to the exact recheck below.
     mx = agg.column("max_t").to_numpy().astype(np.int64)
-    sum_t = agg.column("sum_t").to_numpy().astype(np.int64)
-    sum_t2 = agg.column("sum_t2").to_numpy().astype(np.int64)
+    sum_h1 = agg.column("sum_h1").to_numpy().astype(np.int64)
+    sum_h2 = agg.column("sum_h2").to_numpy().astype(np.int64)
+    # expected lane sums for a dense conv of length n: prefix sums of the
+    # hashed ramp 0..max(n)-1 (one vector op; conv length bounds the table)
+    m31 = np.uint64(0x7FFFFFFF)
+    max_n = int(counts.max()) if len(counts) else 0
+    zr = splitmix64(np.arange(max_n, dtype=np.uint64))
+    exp1 = np.zeros(max_n + 1, np.int64)
+    np.cumsum((zr & m31).astype(np.int64), out=exp1[1:])
+    exp2 = np.zeros(max_n + 1, np.int64)
+    np.cumsum(((zr >> np.uint64(31)) & m31).astype(np.int64), out=exp2[1:])
     dense = ((agg.column("min_t").to_numpy() == 0) &
              (mx == counts - 1) &
-             (sum_t == counts * (counts - 1) // 2) &
-             (sum_t2 == (counts - 1) * counts * (2 * counts - 1) // 6))
+             (sum_h1 == exp1[counts]) &
+             (sum_h2 == exp2[counts]))
     nondense: dict[str, dict[int, int]] = {}
     if not dense.all():
         bad = conv_arrow.filter(pa.array(~dense))
@@ -180,9 +202,9 @@ def compute_conv_offsets(ds: rd.Dataset,
         tbl = pa.concat_tables(batches)
         agg = tbl.group_by("conv_id").aggregate(
             [("n", "sum"), ("min_t", "min"), ("max_t", "max"),
-             ("sum_t", "sum"), ("sum_t2", "sum")])
+             ("sum_h1", "sum"), ("sum_h2", "sum")])
         agg = agg.rename_columns(
-            ["conv_id", "n", "min_t", "max_t", "sum_t", "sum_t2"])
+            ["conv_id", "n", "min_t", "max_t", "sum_h1", "sum_h2"])
         agg = agg.take(pc.sort_indices(agg.column("conv_id")))
     else:
         # Ray range-reduce finish: shuffle the partials by conv_id, merge
@@ -193,11 +215,13 @@ def compute_conv_offsets(ds: rd.Dataset,
         del batches
         agg_ds = partial_ds.groupby("conv_id").aggregate(
             Sum("n", alias_name="n"), Min("min_t", alias_name="min_t"),
-            Max("max_t", alias_name="max_t"), Sum("sum_t", alias_name="sum_t"),
-            Sum("sum_t2", alias_name="sum_t2")).sort("conv_id")
+            Max("max_t", alias_name="max_t"),
+            Sum("sum_h1", alias_name="sum_h1"),
+            Sum("sum_h2", alias_name="sum_h2")).sort("conv_id")
         agg = pa.concat_tables(agg_ds.iter_batches(batch_size=None,
                                                    batch_format="pyarrow"))
-        agg = agg.select(["conv_id", "n", "min_t", "max_t", "sum_t", "sum_t2"])
+        agg = agg.select(["conv_id", "n", "min_t", "max_t",
+                          "sum_h1", "sum_h2"])
     return _finish_conv_offsets(agg, ds)
 
 

@@ -38,7 +38,15 @@ def exact_dedup(ds: rd.Dataset) -> rd.Dataset:
     at 100 TB the exchange then moves 16 bytes per row instead of the
     document body. Collision probability over 10^12 docs is ~1e-8; the
     two hash lanes are deterministic, so the DuckDB oracle (which groups
-    by text) agrees unless an actual collision occurs."""
+    by text) agrees unless an actual collision occurs.
+
+    Threat model: the ~1e-8 bound holds for NON-ADVERSARIAL input only.
+    The bases (131, 257) and modulus are fixed and public, so crafted
+    colliding texts (small-integer polynomial relations) could silently
+    merge distinct documents. For untrusted corpora, derive per-build
+    bases recorded in the index config (the SQL-expressibility contract
+    only needs the oracle to read the same constants) — not done here
+    because the driver oracle inlines the public constants."""
 
     def add_key(t: pa.Table) -> pa.Table:
         from bge_m3_onnx_ray.hashing import P53, poly_hash

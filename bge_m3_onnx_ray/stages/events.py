@@ -49,40 +49,65 @@ def hourly_agg(ds: rd.Dataset) -> rd.Dataset:
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
-def sessionize(ds: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
+def sessionize(ds: rd.Dataset, gap_minutes: int = 30,
+               n_buckets: int = 512) -> rd.Dataset:
     """Session windows per user (new session when the gap to the previous
     event exceeds ``gap_minutes``). Output one row per session:
     (user_id, session_id, n_events, start_us, end_us).
 
-    One shuffle (the groupby), then pure numpy gaps-and-islands per group
-    over the arrow columns — no per-user pandas frame construction (the
-    pandas variant measured ~2x slower at sf0.1)."""
+    One shuffle, keyed by a HASH BUCKET of user_id rather than user_id
+    itself: ``groupby(user).map_groups`` pays one Python call per user
+    (~20 us x users); bucketing gives each call ~users/n_buckets users
+    and a fully vectorized multi-user gaps-and-islands kernel (same
+    pattern as dedup._candidate_pairs). ``n_buckets`` scales with cluster
+    size at 100 TB — it only needs to exceed rows / target_group_rows."""
     gap_us = np.int64(gap_minutes * 60) * 1_000_000
 
-    def per_user(g: pa.Table) -> pa.Table:
-        uid = g.column("user_id")[0].as_py()
-        # epoch-us ints, not timestamps (engine-neutral); the arrow column
-        # is timestamp[us] so the cast is exact
-        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = g.column("event_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        ts = ts[order]
-        brk = np.empty(len(ts), bool)
-        brk[0] = True
-        brk[1:] = np.diff(ts) > gap_us
-        starts = np.flatnonzero(brk)
-        n = len(starts)
-        ends = np.empty(n, np.int64)
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = g.num_rows
+        order = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")])
+        tbl = g.take(order)
+        users = tbl.column("user_id").combine_chunks()
+        # normalize ANY timestamp unit (ms/us/ns parquet inputs) to
+        # epoch-us exactly before the int64 view — a raw int64 cast of a
+        # timestamp[ms] column would compare millisecond ticks to gap_us
+        ts = tbl.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        uchg = np.empty(n, bool)
+        uchg[0] = True
+        uchg[1:] = np.asarray(
+            pc.not_equal(users.slice(1), users.slice(0, n - 1))
+            .to_numpy(zero_copy_only=False))
+        brk = uchg.copy()
+        brk[1:] |= np.diff(ts) > gap_us
+        starts = np.flatnonzero(brk)             # session start rows
+        m = len(starts)
+        ends = np.empty(m, np.int64)
         ends[:-1] = starts[1:]
-        ends[-1] = len(ts)
+        ends[-1] = n
+        # session_id = 1-based ordinal within its user: global session
+        # ordinal minus the ordinal of the user's first session
+        user_first = np.flatnonzero(uchg[starts])  # sessions starting a user
+        sess_user = np.zeros(m, np.int64)
+        sess_user[user_first] = np.arange(m, dtype=np.int64)[user_first]
+        np.maximum.accumulate(sess_user, out=sess_user)
         return pa.table({
-            "user_id": pa.array([uid] * n,
-                                g.schema.field("user_id").type),
-            "session_id": pa.array(np.arange(1, n + 1), pa.int64()),
+            "user_id": users.take(pa.array(starts)),
+            "session_id": pa.array(
+                np.arange(m, dtype=np.int64) - sess_user + 1, pa.int64()),
             "n_events": pa.array(ends - starts, pa.int64()),
             "start_us": pa.array(ts[starts], pa.int64()),
             "end_us": pa.array(ts[ends - 1], pa.int64()),
         })
 
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from bge_m3_onnx_ray.hashing import P53, poly_hash
+        b = (poly_hash(t.column("user_id"), P53) % np.uint64(n_buckets))
+        return t.append_column("_bucket", pa.array(b.astype(np.int64)))
+
     return ds.select_columns(["event_id", "ts", "user_id"]) \
-        .groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")

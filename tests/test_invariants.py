@@ -114,6 +114,49 @@ def test_duplicate_turn_idx_raises(ray_session):
         compute_conv_offsets(rd.from_arrow(t))
 
 
+def test_moment_forging_multiset_raises(ray_session):
+    """[0,2,2,3,3,4,7,7] matches count/min/max AND the sum/sum-of-squares
+    closed forms of {0..7} — a moments-only density check classifies it
+    dense and silently assigns one docID to two rows. The mixing-hash
+    lane sums must route it to the exact recheck, which raises."""
+    import pytest
+    import ray.data as rd
+    turns = [0, 2, 2, 3, 3, 4, 7, 7]
+    assert sum(turns) == sum(range(8))
+    assert sum(t * t for t in turns) == sum(t * t for t in range(8))
+    t = pa.table({
+        "conv_id": ["a"] * 8,
+        "turn_idx": pa.array(turns, pa.int32()),
+        "text": list("abcdefgh"),
+    })
+    with pytest.raises(ValueError, match="duplicate"):
+        compute_conv_offsets(rd.from_arrow(t))
+
+
+def test_sessionize_timestamp_unit_normalized(ray_session):
+    """A timestamp[ms] events input (valid parquet) must produce the same
+    sessions as the identical timestamp[us] input — the gap compare and
+    start_us/end_us normalize the unit exactly."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.events import sessionize
+    base = 1_700_000_000_000_000  # us
+    ts_us = [base, base + 60_000_000, base + 10_000_000_000]  # 2 sessions
+    t_us = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": ["u", "u", "u"],
+        "ts": pa.array(ts_us, pa.timestamp("us")),
+    })
+    t_ms = t_us.set_column(
+        2, "ts", pa.array([v // 1000 for v in ts_us], pa.timestamp("ms")))
+    out_us = sessionize(rd.from_arrow(t_us)).to_pandas() \
+        .sort_values("session_id").reset_index(drop=True)
+    out_ms = sessionize(rd.from_arrow(t_ms)).to_pandas() \
+        .sort_values("session_id").reset_index(drop=True)
+    assert out_us.equals(out_ms)
+    assert out_us["n_events"].tolist() == [2, 1]
+    assert out_us["start_us"].tolist() == [ts_us[0], ts_us[2]]
+
+
 def test_offsets_range_reduce_path_matches(ray_session, tiny_corpus):
     """The Ray groupby finish (forced via a tiny driver_finish_limit)
     must produce the identical offsets as the driver finish."""

@@ -1,97 +1,99 @@
-"""Local stand-in for the driver's correctness gate: run every
-``queries()`` entry at a given sf_dir and compare row-count / schema /
-order-insensitive values against ``oracle_sql()`` via DuckDB.
+"""Local stand-in for the driver's correctness gate: run queries()[k]
+and oracle_sql()[k] side by side over a testdata sf dir and compare
+row count, column names, and sorted values.
 
-Usage: python tools/check_driver.py [sf_dir] [only_query ...]
+Usage: python tools/check_driver.py [sf_dir] [key ...]
 """
 
 import os
 import sys
-import time
+
+import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
 
 def to_pandas(res):
-    import pandas as pd
     import pyarrow as pa
-    if isinstance(res, pd.DataFrame):
-        return res
+    import ray.data as rd
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
     if isinstance(res, pa.Table):
         return res.to_pandas()
-    return res.to_pandas()  # ray Dataset
+    return res
 
 
-def canon(df):
+def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    df = df.sort_values(list(df.columns)).reset_index(drop=True)
-    return df
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    keys = sys.argv[2:]
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 logging_level="ERROR")
-    from ray.data import DataContext
-    DataContext.get_current().enable_progress_bars = False
-
-    import duckdb
+                 ignore_reinit_error=True)
+    import __ray_entry__ as entry
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    if not keys:
+        keys = [k for k in qs if k in oracles]
     con = duckdb.connect()
-    for t in ("region nation customer supplier part orders lineitem events "
-              "documents embeddings").split():
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{sf_dir}/{t}.parquet')")
-
-    import __ray_entry__ as m
-    qs, sqls = m.queries(), m.oracle_sql()
-    n_pass = n_fail = n_rowsonly = 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        try:
-            got = canon(to_pandas(fn(sf_dir)))
-        except Exception as e:
-            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
-            n_fail += 1
-            continue
-        dt = time.time() - t0
-        sql = sqls.get(name)
-        if sql is None:
-            print(f"rows-only {name}: {len(got)} rows  cols={list(got.columns)}  "
-                  f"[{dt:.1f}s]")
-            n_rowsonly += 1
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    failures = 0
+    for k in keys:
+        if k not in oracles:
+            df = to_pandas(qs[k](sf_dir))
+            print(f"{k}: NO_ORACLE rows={len(df)}")
             continue
         try:
-            want = canon(con.sql(sql).df())
+            mine = norm(to_pandas(qs[k](sf_dir)))
+            ora = norm(con.execute(oracles[k]).fetchdf())
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL raised {e}")
-            n_fail += 1
+            print(f"{k}: ERROR {type(e).__name__}: {e}")
+            failures += 1
             continue
-        problems = []
-        if len(got) != len(want):
-            problems.append(f"rows {len(got)} vs {len(want)}")
-        if list(got.columns) != list(want.columns):
-            problems.append(f"cols {list(got.columns)} vs {list(want.columns)}")
-        if not problems:
-            g, w = got.reset_index(drop=True), want.reset_index(drop=True)
-            for c in g.columns:
-                if not g[c].equals(w[c]):
-                    neq = (g[c].astype(str) != w[c].astype(str)).sum()
-                    problems.append(f"col {c}: {neq} value diffs "
-                                    f"(e.g. {g[c].iloc[0]!r} vs {w[c].iloc[0]!r})")
-        if problems:
-            print(f"FAIL {name}: " + "; ".join(problems))
-            n_fail += 1
-        else:
-            print(f"PASS {name}: {len(got)} rows [{dt:.1f}s]")
-            n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
-    ray.shutdown()
-    sys.exit(1 if n_fail else 0)
+        ok_rows = len(mine) == len(ora)
+        ok_cols = list(mine.columns) == list(ora.columns)
+        ok_vals = False
+        if ok_rows and ok_cols:
+            try:
+                ok_vals = all(
+                    (mine[c].to_numpy() == ora[c].to_numpy()).all()
+                    if mine[c].dtype != object
+                    else (mine[c].astype(str).to_numpy()
+                          == ora[c].astype(str).to_numpy()).all()
+                    for c in mine.columns) if len(mine) else True
+            except Exception as e:
+                ok_vals = f"cmp_err:{e}"
+        status = "PASS" if (ok_rows and ok_cols and ok_vals is True) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"{k}: {status} rows={len(mine)}/{len(ora)} cols_ok={ok_cols} "
+              f"vals={ok_vals}")
+        if status == "FAIL" and ok_rows and ok_cols and len(mine):
+            for c in mine.columns:
+                try:
+                    neq = (mine[c].astype(str).to_numpy()
+                           != ora[c].astype(str).to_numpy())
+                    if neq.any():
+                        i = int(np.flatnonzero(neq)[0])
+                        print(f"  first diff col={c} row={i}: "
+                              f"mine={mine[c].iloc[i]!r} ora={ora[c].iloc[i]!r}")
+                except Exception:
+                    pass
+    print(f"done: {failures} failures")
+    sys.exit(1 if failures else 0)
 
 
 if __name__ == "__main__":
