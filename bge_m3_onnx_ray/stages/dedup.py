@@ -167,11 +167,15 @@ def _candidate_pairs(rows: rd.Dataset, keycols: list[str], cap: int,
     from bge_m3_onnx_ray.hashing import P53, poly_hash
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        # keycols[0] must be the string key; further (numeric) key parts
-        # are Horner-mixed in (h*131 stays < 2^60: uint64-safe)
-        h = poly_hash(t.column(keycols[0]), P53)
-        for c in keycols[1:]:
-            v = t.column(c).to_numpy().astype(np.uint64) % P53
+        # Horner-mix all key parts: string keys via poly_hash, numeric
+        # keys directly (h*131 stays < 2^60: uint64-safe)
+        h = np.zeros(t.num_rows, np.uint64)
+        for c in keycols:
+            col = t.column(c)
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                v = poly_hash(col, P53)
+            else:
+                v = col.to_numpy().astype(np.uint64) % P53
             h = (h * np.uint64(131) + v) % P53
         return t.append_column("_bucket",
                                pa.array((h % n_buckets).astype(np.int64)))
@@ -287,14 +291,18 @@ def dup_clusters(pairs: rd.Dataset, max_rounds: int = 512) -> rd.Dataset:
 class MinHashStage(ShingleStage):
     """Per-doc MinHash signature (n_perm affine permutations of the
     31-bit polynomial shingle hash) + LSH band keys. One row per
-    (doc, band): (band, band_sig, doc_id) where ``band_sig`` is the
-    band's signature values joined with '-' — a string the DuckDB oracle
-    reproduces exactly (string_agg ORDER BY perm), so LSH candidate
-    generation is hash-checkable, not rows-only.
+    (doc, band): (band, h1, h2, doc_id) where h1/h2 are two Horner
+    polynomial lanes (bases 131 and 257 mod P53) over the band's rpb
+    signature values — the exact_dedup trick: the shuffle moves a 16-byte
+    key per row instead of a materialized signature string. The DuckDB
+    oracle keeps grouping by the STRING signature (string_agg ORDER BY
+    perm); engine and oracle produce the same band groups, hence the same
+    candidate pairs, unless both 53-bit lanes collide (~2^-106).
 
     Vectorized: one shingle pass per batch (ShingleStage machinery), one
     poly-hash sweep over the batch's UNIQUE shingles, one
-    ``np.minimum.reduceat`` per (doc, perm) — no per-document loop."""
+    ``np.minimum.reduceat`` per (doc, perm), one (docs x bands) Horner
+    sweep of rpb steps — no per-document or per-band Python loop."""
 
     def __init__(self, n: int, n_perm: int, n_bands: int, seed: int = 7):
         assert n_perm % n_bands == 0
@@ -304,16 +312,12 @@ class MinHashStage(ShingleStage):
         self.n_bands = n_bands
         self.a, self.b = minhash_seeds(n_perm, seed)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
+    def _signatures(self, batch: pa.Table):
+        """(doc_ids, sig) where sig is (n_docs_with_shingles, n_perm)."""
         from bge_m3_onnx_ray.hashing import P31, affine_minhash, poly_hash
         shingles, doc_idx, counts = self._shingles(batch.column("text"))
-        nb, rpb = self.n_bands, self.n_perm // self.n_bands
         if not len(shingles):
-            return pa.table({"band": pa.array([], pa.int32()),
-                             "band_sig": pa.array([], pa.string()),
-                             "doc_id": pa.array([], pa.int64())})
+            return np.empty(0, np.int64), np.empty((0, self.n_perm), np.int64)
         de = shingles.dictionary_encode()
         codes = np.asarray(de.indices).astype(np.int64)
         base = poly_hash(de.dictionary, P31)
@@ -323,29 +327,40 @@ class MinHashStage(ShingleStage):
         np.cumsum(counts[:-1], out=cum[1:])
         sig = np.minimum.reduceat(H, cum[docs_with], axis=0).astype(np.int64)
         doc_ids = batch.column("doc_id").to_numpy()[docs_with]
-        out_band, out_sig, out_doc = [], [], []
-        for b in range(nb):
-            cols = [pc.cast(pa.array(sig[:, b * rpb + j]), pa.string())
-                    for j in range(rpb)]
-            sep = pa.array(["-"] * len(sig), pa.string())
-            out_sig.append(pc.binary_join_element_wise(*cols, sep))
-            out_band.append(np.full(len(sig), b, np.int32))
-            out_doc.append(doc_ids)
+        return doc_ids, sig
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from bge_m3_onnx_ray.hashing import P53
+        nb, rpb = self.n_bands, self.n_perm // self.n_bands
+        doc_ids, sig = self._signatures(batch)
+        nd = len(doc_ids)
+        if nd == 0:
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        # bands are contiguous rpb-column slices: Horner over the 31-bit
+        # signature values stays < 2^60 before each mod (uint64-safe)
+        S = sig.astype(np.uint64).reshape(nd, nb, rpb)
+        h1 = np.zeros((nd, nb), np.uint64)
+        h2 = np.zeros((nd, nb), np.uint64)
+        for j in range(rpb):
+            h1 = (h1 * np.uint64(131) + S[:, :, j]) % P53
+            h2 = (h2 * np.uint64(257) + S[:, :, j]) % P53
         return pa.table({
-            "band": pa.array(np.concatenate(out_band), pa.int32()),
-            "band_sig": pa.concat_arrays(out_sig),
-            "doc_id": pa.array(np.concatenate(out_doc), pa.int64())})
+            "band": pa.array(np.tile(np.arange(nb, dtype=np.int32), nd)),
+            "h1": pa.array(h1.reshape(-1).astype(np.int64)),
+            "h2": pa.array(h2.reshape(-1).astype(np.int64)),
+            "doc_id": pa.array(np.repeat(doc_ids, nb), pa.int64())})
 
     def signature(self, text: str) -> np.ndarray | None:
         """Single-doc signature (test/debug convenience)."""
         t = pa.table({"doc_id": pa.array([0], pa.int64()),
                       "text": pa.array([text], pa.string())})
-        out = self(t)
-        if out.num_rows == 0:
+        doc_ids, sig = self._signatures(t)
+        if len(doc_ids) == 0:
             return None
-        sigs = [int(v) for s in out.column("band_sig").to_pylist()
-                for v in s.split("-")]
-        return np.asarray(sigs, np.int64)
+        return sig[0]
 
 
 def minhash_lsh_candidates(ds: rd.Dataset, n: int = 3, n_perm: int = 64,
@@ -355,7 +370,7 @@ def minhash_lsh_candidates(ds: rd.Dataset, n: int = 3, n_perm: int = 64,
     bands = ds.select_columns(["doc_id", "text"]).map_batches(
         task_stage(MinHashStage, n=n, n_perm=n_perm, n_bands=n_bands),
         batch_format="pyarrow", batch_size=2048)
-    pairs = _candidate_pairs(bands, ["band_sig", "band"], group_cap)
+    pairs = _candidate_pairs(bands, ["h1", "h2", "band"], group_cap)
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="n_bands_hit"))
 
