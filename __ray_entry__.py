@@ -68,11 +68,10 @@ def _q_transcripts_index_stats(sf_dir):
 
     import pyarrow as pa
 
-    from bge_m3_onnx_ray.pipelines.flagship import bm25_transcripts_topk
+    from bge_m3_onnx_ray.pipelines.flagship import (bm25_transcripts_topk,
+                                                    transcripts_n_turns)
     bm25_transcripts_topk(sf_dir)  # ensure the index exists
-    base = os.path.basename(os.path.normpath(sf_dir))
-    sf = float(base.replace("sf", "")) if base.startswith("sf") else 0.001
-    n_turns = max(2000, int(sf * 2_000_000))
+    n_turns = transcripts_n_turns(sf_dir)
     with open(f"/tmp/bm25_indexes/transcripts-n{n_turns}/stats.json") as f:
         s = json.load(f)
     return pa.table({
@@ -329,6 +328,100 @@ FROM ranked WHERE rnk <= 10 ORDER BY query_id, "rank"
 """
 
 
+# SQL mirror of the engine's Unicode tokenizer (tokenizer.py:122-130:
+# NFKC + casefold + CJK-chars-as-single-tokens + \w+): the fixture corpus
+# is NFKC-identity and lower==casefold by construction (ASCII / Cyrillic /
+# Arabic / CJK), so DuckDB's lower + RE2 [\p{L}\p{N}_]+ with a CJK-split
+# regexp_replace is token-identical — verified over the whole fixture.
+_CJK_SPLIT_SQL = r"regexp_replace(lower(text), '([㐀-䶿一-鿿豈-﫿぀-ヿㇰ-ㇿ가-힯])', ' \1 ', 'g')"
+_UNI_TOKEN_RE_SQL = r"[\p{L}\p{N}_]+"
+
+
+def _transcripts_src_sql() -> str:
+    """FROM-able source for the sf0.01 transcripts fixture (the scale the
+    driver's correctness gate runs at). Ensures the parquet exists —
+    oracle_sql() may run before the Ray query materializes it."""
+    from bge_m3_onnx_ray.fixtures import transcripts_path
+    from bge_m3_onnx_ray.pipelines.flagship import transcripts_n_turns
+    path = transcripts_path(transcripts_n_turns("/root/testdata/sf0.01"))
+    return f"read_parquet('{path}/*.parquet')"
+
+
+def _transcripts_toks_sql() -> str:
+    return (f"SELECT conv_id, turn_idx, unnest(regexp_extract_all("
+            f"{_CJK_SPLIT_SQL}, '{_UNI_TOKEN_RE_SQL}')) AS term FROM docs")
+
+
+def _bm25_transcripts_sql() -> str:
+    """Full BM25 ranking oracle over the multi-turn transcripts fixture,
+    keyed on (conv_id, turn_idx) — same scoring formula and tie-break
+    (score desc, then lexicographic (conv_id, turn_idx) = docID order) as
+    the documents oracle."""
+    from bge_m3_onnx_ray.fixtures import gen_queries
+    from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
+    tok = DeterministicTokenizer()
+    vals = []
+    for qid, text in gen_queries(50):
+        for t in sorted(set(tok.tokenize(text))):
+            vals.append(f"({qid}, '{t}')")
+    qvalues = ", ".join(vals)
+    return f"""
+WITH docs AS (SELECT conv_id, turn_idx, text FROM {_transcripts_src_sql()}),
+toks AS ({_transcripts_toks_sql()}),
+tf AS (SELECT conv_id, turn_idx, term, count(*)::DOUBLE AS tf FROM toks
+       GROUP BY conv_id, turn_idx, term),
+dl AS (SELECT conv_id, turn_idx, count(*)::DOUBLE AS dl FROM toks
+       GROUP BY conv_id, turn_idx),
+stats AS (SELECT (SELECT count(*) FROM docs)::DOUBLE AS n,
+                 (SELECT count(*) FROM toks)::DOUBLE
+                   / (SELECT count(*) FROM docs)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+qterms(query_id, term) AS (VALUES {qvalues}),
+scores AS (
+  SELECT q.query_id, tf.conv_id, tf.turn_idx,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.conv_id, tf.turn_idx),
+ranked AS (
+  -- rank on the QUANTIZED score: DuckDB's sum() order is unspecified, so
+  -- mathematically-equal docs land an ulp apart and raw-score ranking
+  -- would tie-break at random; floor(score*1e6) collapses ulp noise and
+  -- (conv_id, turn_idx) = docID order breaks ties like the engine
+  SELECT query_id, conv_id, turn_idx,
+         CAST(floor(score * 1000000) AS BIGINT) AS score_q6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(floor(score * 1000000) AS BIGINT)
+                              DESC, conv_id, turn_idx) AS rnk
+  FROM scores)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank", conv_id,
+       turn_idx::INTEGER AS turn_idx, score_q6
+FROM ranked WHERE rnk <= 10 ORDER BY query_id, "rank"
+"""
+
+
+def _transcripts_stats_sql() -> str:
+    # n_shards mirrors the engine's fixed docs_per_shard config
+    from bge_m3_onnx_ray.pipelines.flagship import TRANSCRIPTS_DOCS_PER_SHARD
+    return f"""
+WITH docs AS (SELECT conv_id, turn_idx, text FROM {_transcripts_src_sql()}),
+toks AS ({_transcripts_toks_sql()})
+SELECT (SELECT count(*) FROM docs)::BIGINT AS n_docs,
+       (SELECT count(DISTINCT term) FROM toks)::BIGINT AS n_terms,
+       (SELECT count(*) FROM toks)::BIGINT AS total_len,
+       CAST(floor((SELECT count(*) FROM toks)::DOUBLE
+                  / (SELECT count(*) FROM docs)::DOUBLE * 1000000) AS BIGINT)
+         AS avgdl_q6,
+       CAST(ceil((SELECT count(*) FROM docs)::DOUBLE
+                 / {TRANSCRIPTS_DOCS_PER_SHARD}) AS BIGINT) AS n_shards
+"""
+
+
 def _powt_sql(name: str, p: int, maxlen: "int | str") -> str:
     """Recursive power table ``name(i, v) = (131^i) % p`` in HUGEINT — the
     SQL half of bge_m3_onnx_ray.hashing.poly_hash (Horner == sum of
@@ -541,6 +634,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_documents_topk": bm25,
         "bm25_documents_topk_exhaustive": bm25,
+        "bm25_transcripts_topk": _bm25_transcripts_sql(),
+        "transcripts_index_stats": _transcripts_stats_sql(),
         "doc_fingerprint": _fingerprint_sql(),
         "simhash": _simhash_sql(),
         "minhash_lsh_candidates": _minhash_sql(),

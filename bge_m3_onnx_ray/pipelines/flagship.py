@@ -85,20 +85,46 @@ def bm25_documents_topk(sf_dir: str, method: str = "wand", k: int = 10) -> pa.Ta
                                 preserve_index=False)
 
 
+TRANSCRIPTS_DOCS_PER_SHARD = 65536
+
+
+def transcripts_n_turns(sf_dir: str) -> int:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(base.replace("sf", "")) if base.startswith("sf") else 0.001
+    return max(2000, int(sf * 2_000_000))
+
+
 def bm25_transcripts_topk(sf_dir: str, method: str = "wand", k: int = 10,
                           n_turns: int | None = None) -> pa.Table:
     """Flagship over the synthetic multi-turn transcripts fixture at a
     scale derived from sf_dir (sf0.001→2k, sf0.01→20k, sf0.1→200k turns).
-    Driver check is rows-only (no SQL view of transcripts exists); exact
-    parity is covered by the pytest golden suite."""
+    Output (query_id, rank, conv_id, turn_idx, score_q6) — shaped to
+    hash-match the driver's full BM25 DuckDB oracle over the same fixture
+    parquet (keyed on (conv_id, turn_idx); the SQL mirrors the Unicode
+    tokenizer via regexp + CJK-split, verified token-identical over the
+    whole fixture). Exact float parity is additionally covered by the
+    pytest golden suite."""
     from bge_m3_onnx_ray.fixtures import gen_queries, transcripts_path
 
     if n_turns is None:
-        base = os.path.basename(os.path.normpath(sf_dir))
-        sf = float(base.replace("sf", "")) if base.startswith("sf") else 0.001
-        n_turns = max(2000, int(sf * 2_000_000))
+        n_turns = transcripts_n_turns(sf_dir)
     path = transcripts_path(n_turns)
-    cfg = IndexConfig(docs_per_shard=65536, term_buckets=8)
+    cfg = IndexConfig(docs_per_shard=TRANSCRIPTS_DOCS_PER_SHARD,
+                      term_buckets=8)
     idx = _cached_index(rd.read_parquet(path), f"transcripts-n{n_turns}", cfg)
-    out = search(idx, gen_queries(50), QueryConfig(k=k, method=method))
-    return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    # over-fetch then re-rank on the QUANTIZED score with the docID
+    # tie-break: the oracle ranks on floor(score*1e6) (ulp-stable across
+    # engines), so a quantized-tie group straddling the raw-score k
+    # boundary must be resolved identically on both sides; 3k covers any
+    # realistic tie-group width
+    out = search(idx, gen_queries(50), QueryConfig(k=3 * k, method=method))
+    df = out.to_pandas()
+    df["score_q6"] = np.floor(df["score"].to_numpy() * 1e6).astype(np.int64)
+    df = df.sort_values(["query_id", "score_q6", "conv_id", "turn_idx"],
+                        ascending=[True, False, True, True]) \
+        .reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount().astype(np.int32) + 1
+    df = df[df["rank"] <= k]
+    return pa.Table.from_pandas(
+        df[["query_id", "rank", "conv_id", "turn_idx", "score_q6"]],
+        preserve_index=False)
