@@ -174,14 +174,27 @@ def _q_jaccard_verify(sf_dir):
     return verify_jaccard(_docs(sf_dir), cands, n=3)
 
 
+def _q_minhash_jaccard_verify(sf_dir):
+    """LSH precision measured end-to-end: exact Jaccard over the
+    MinHash+LSH candidate pairs (the reference's candidates-then-verify
+    shape applied to the probabilistic candidate generator)."""
+    from bge_m3_onnx_ray.stages.dedup import (minhash_lsh_candidates,
+                                              verify_jaccard)
+    cands = minhash_lsh_candidates(_docs(sf_dir)) \
+        .select_columns(["doc_a", "doc_b"])
+    return verify_jaccard(_docs(sf_dir), cands, n=3)
+
+
 def _q_lsh_dup_pairs(sf_dir):
     import pyarrow as pa
 
     from bge_m3_onnx_ray.stages.dedup import lsh_bucket_pairs
-    # threshold 0.2 keeps the check non-trivial at every sf; collect to an
-    # arrow table so an empty result still carries its schema (Ray's
-    # to_pandas drops columns on empty datasets)
-    out = lsh_bucket_pairs(_embeddings(sf_dir), threshold=0.2)
+    # 8 planes + threshold 0.0 make the check non-thin: hundreds of
+    # in-bucket pairs at sf0.01 instead of ~14, so the bucketed kernel is
+    # actually exercised; collect to an arrow table so an empty result
+    # still carries its schema (Ray's to_pandas drops columns on empty
+    # datasets)
+    out = lsh_bucket_pairs(_embeddings(sf_dir), threshold=0.0, n_planes=8)
     batches = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
     return (pa.concat_tables(batches) if batches
             else out.schema().base_schema.empty_table())
@@ -266,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "ngram_dup_pairs": _q_ngram_pairs,
         "ngram_jaccard_verify": _q_jaccard_verify,
+        "minhash_jaccard_verify": _q_minhash_jaccard_verify,
         "dup_clusters": _q_dup_clusters,
         "lsh_dup_pairs": _q_lsh_dup_pairs,
         "minhash_lsh_candidates": _q_minhash,
@@ -583,6 +597,60 @@ JOIN sizes sb ON sb.doc_id = c.doc_b
 """
 
 
+def _minhash_jaccard_verify_sql(n_perm: int = 64, n_bands: int = 16,
+                                group_cap: int = 1000) -> str:
+    """Exact-Jaccard verification of the MINHASH+LSH candidates: the
+    candidate CTE chain is _minhash_sql's (same perms/bands/cap), the
+    verify half is _jaccard_verify_sql's (uncapped intersections over the
+    candidate doc set); both share the shingle table."""
+    from bge_m3_onnx_ray.hashing import P31, minhash_seeds
+    p = int(P31)
+    a, b = minhash_seeds(n_perm, seed=7)
+    perm_rows = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})"
+                          for j in range(n_perm))
+    rpb = n_perm // n_bands
+    return f"""
+WITH RECURSIVE {_powt_sql('powt', p, _MAXLEN_SQL)},
+toks AS (SELECT doc_id,
+    regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS i
+        FROM toks)),
+shd AS (SELECT DISTINCT shingle FROM sh),
+{_poly_hash_sql('shd', 'shingle', 'shingle', p, 'powt', 'hh')},
+perms(perm, a, b) AS (VALUES {perm_rows}),
+mins AS (SELECT sh.doc_id, perms.perm,
+                min((perms.a * hh.h + perms.b) % {p}) AS v
+         FROM sh JOIN hh ON hh.shingle = sh.shingle CROSS JOIN perms
+         GROUP BY sh.doc_id, perms.perm),
+bands AS (SELECT doc_id, (perm // {rpb})::INTEGER AS band,
+                 string_agg(v::VARCHAR, '-' ORDER BY perm) AS band_sig
+          FROM mins GROUP BY doc_id, perm // {rpb}),
+okb AS (SELECT band, band_sig FROM bands GROUP BY band, band_sig
+        HAVING count(*) BETWEEN 2 AND {group_cap}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id
+         JOIN okb ON okb.band = a.band AND okb.band_sig = a.band_sig),
+cdocs AS (SELECT doc_a AS d FROM cand UNION SELECT doc_b FROM cand),
+shc AS (SELECT * FROM sh WHERE doc_id IN (SELECT d FROM cdocs)),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shc GROUP BY doc_id)
+SELECT c.doc_a::BIGINT AS doc_a, c.doc_b::BIGINT AS doc_b,
+       coalesce(i.n, 0)::BIGINT AS n_common,
+       CAST(floor((coalesce(i.n, 0)
+                   / (sa.n + sb.n - coalesce(i.n, 0))) * 1000000) AS BIGINT)
+         AS jaccard_q6
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+"""
+
+
 def _lsh_dup_pairs_sql(dim: int = 64, n_planes: int = 12, seed: int = 11,
                        threshold: float = 0.4) -> str:
     import numpy as np
@@ -641,7 +709,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_candidates": _minhash_sql(),
         "lsh_buckets": _lsh_buckets_sql(),
         "ngram_jaccard_verify": _jaccard_verify_sql(),
-        "lsh_dup_pairs": _lsh_dup_pairs_sql(threshold=0.2),
+        "minhash_jaccard_verify": _minhash_jaccard_verify_sql(),
+        "lsh_dup_pairs": _lsh_dup_pairs_sql(n_planes=8, threshold=0.0),
         "token_count": f"""
 SELECT doc_id, len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}'))::BIGINT
        AS n_tokens

@@ -417,52 +417,120 @@ def verify_jaccard(ds: rd.Dataset, candidates, n: int = 3) -> pa.Table:
     1. semi-join: shingle only the candidate DOCS (broadcast id set);
     2. one bucketed shuffle counts the FULL intersection per co-candidate
        pair (no group cap — the doc set is already bounded);
-    3. per-doc distinct-shingle sizes from the same filtered pass;
-    4. jaccard = inter / (|A| + |B| - inter), joined on the driver over
-       candidate-pair-sized (small) tables.
+    3. per-doc distinct-shingle sizes from the same filtered pass,
+       broadcast (two O(#candidate docs) int arrays, 16 B/doc);
+    4. jaccard = inter / (|A| + |B| - inter): the (candidates ⨝
+       intersections) join is a SECOND bucketed shuffle keyed on
+       hash(doc_a, doc_b) with a vectorized searchsorted kernel per
+       bucket — NO per-pair driver work; the only driver-side state is
+       the candidate-doc id/size arrays.
 
-    Output: candidates + (n_common, jaccard_q6). ``candidates`` is a
-    pa.Table or Dataset with (doc_a, doc_b).
+    Output: Dataset (doc_a, doc_b, n_common, jaccard_q6), one row per
+    candidate pair. ``candidates`` is a pa.Table or Dataset with
+    (doc_a, doc_b) columns (extras dropped).
     """
     import ray
-    if isinstance(candidates, rd.Dataset):
-        candidates = pa.concat_tables(
-            candidates.iter_batches(batch_size=None, batch_format="pyarrow"))
-    for c in ("n_common", "jaccard_q6"):   # we append these — drop stale ones
-        if c in candidates.column_names:
-            candidates = candidates.drop_columns([c])
-    cand_a = candidates.column("doc_a").to_numpy()
-    cand_b = candidates.column("doc_b").to_numpy()
-    docs_needed = sorted(set(cand_a.tolist()) | set(cand_b.tolist()))
-    if not docs_needed:
-        return candidates.append_column(
-            "n_common", pa.array([], pa.int64())).append_column(
-            "jaccard_q6", pa.array([], pa.int64()))
-    docs_ref = ray.put(docs_needed)
+
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "n_common": pa.array([], pa.int64()),
+                      "jaccard_q6": pa.array([], pa.int64())})
+    if isinstance(candidates, pa.Table):
+        candidates = rd.from_arrow(candidates)
+    # materialize: the pair list is re-read below (doc-id scan + join
+    # shuffle) and recomputing an LSH candidate pipeline twice would
+    # double the dominant cost; the materialized blocks live in the
+    # object store, not on the driver
+    candidates = candidates.select_columns(["doc_a", "doc_b"]).materialize()
+
+    # distinct candidate docs, streamed batch-at-a-time (ids only)
+    parts = [np.union1d(t.column("doc_a").to_numpy(),
+                        t.column("doc_b").to_numpy())
+             for t in candidates.iter_batches(batch_size=None,
+                                              batch_format="pyarrow")]
+    docs_needed = (np.unique(np.concatenate(parts)) if parts
+                   else np.empty(0, np.int64))
+    if not len(docs_needed):
+        return rd.from_arrow(empty)
+    docs_ref = ray.put(docs_needed.tolist())
 
     src = ds.select_columns(["doc_id", "text"])
     sh = src.map_batches(task_stage(_FilteredShingles, n=n, docs_ref=docs_ref),
                          batch_format="pyarrow", batch_size=4096)
     inter = _candidate_pairs(sh, ["shingle"], cap=len(docs_needed) + 1) \
-        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_common")) \
-        .to_pandas()
+        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_common"))
     sizes = src.map_batches(task_stage(_ShingleSizes, n=n, docs_ref=docs_ref),
-                            batch_format="pyarrow", batch_size=4096).to_pandas()
-    size_of = dict(zip(sizes.doc_id, sizes.n_shingles))
-    inter_of = {(a, b): c for a, b, c in
-                zip(inter.doc_a, inter.doc_b, inter.n_common)} \
-        if len(inter) else {}
-    n_common = np.array([inter_of.get((a, b), 0)
-                         for a, b in zip(cand_a, cand_b)], np.int64)
-    sa = np.array([size_of.get(a, 0) for a in cand_a], np.float64)
-    sb = np.array([size_of.get(b, 0) for b in cand_b], np.float64)
-    union = sa + sb - n_common
-    jac = np.divide(n_common, union, out=np.zeros(len(union)),
-                    where=union > 0)
-    return candidates.append_column(
-        "n_common", pa.array(n_common, pa.int64())).append_column(
-        "jaccard_q6", pa.array(np.floor(jac * 1e6).astype(np.int64),
-                               pa.int64()))
+                            batch_format="pyarrow", batch_size=4096) \
+        .to_pandas()  # O(#candidate docs) — the broadcast small side
+    order = np.argsort(sizes.doc_id.to_numpy())
+    sizes_ref = ray.put((sizes.doc_id.to_numpy()[order].astype(np.int64),
+                         sizes.n_shingles.to_numpy()[order].astype(np.int64)))
+
+    n_buckets = 256
+    from bge_m3_onnx_ray.hashing import P53
+
+    def tag(src_id):
+        def add(t: pa.Table) -> pa.Table:
+            a = t.column("doc_a").to_numpy().astype(np.uint64) % P53
+            b = t.column("doc_b").to_numpy().astype(np.uint64) % P53
+            h = (a * np.uint64(131) + b) % P53
+            nc = (t.column("n_common") if "n_common" in t.column_names
+                  else pa.array(np.zeros(t.num_rows, np.int64)))
+            return pa.table({
+                "doc_a": t.column("doc_a"), "doc_b": t.column("doc_b"),
+                "n_common": nc,
+                "_src": pa.array(np.full(t.num_rows, src_id, np.int8)),
+                "_bucket": pa.array((h % n_buckets).astype(np.int64))})
+        return add
+
+    both = candidates.map_batches(tag(0), batch_format="pyarrow") \
+        .union(inter.map_batches(tag(1), batch_format="pyarrow"))
+
+    def join_kernel(group: pa.Table) -> pa.Table:
+        s = group.column("_src").to_numpy()
+        a = group.column("doc_a").to_numpy()
+        b = group.column("doc_b").to_numpy()
+        nc = group.column("n_common").to_numpy()
+        cm = s == 0
+        dt = np.dtype([("a", np.int64), ("b", np.int64)])
+        ik = np.empty(int((~cm).sum()), dt)
+        ik["a"], ik["b"] = a[~cm], b[~cm]
+        inc = nc[~cm]
+        o = np.argsort(ik, order=("a", "b"))
+        ik, inc = ik[o], inc[o]
+        ck = np.empty(int(cm.sum()), dt)
+        ck["a"], ck["b"] = a[cm], b[cm]
+        if len(ik):
+            pos = np.searchsorted(ik, ck)
+            hit = pos < len(ik)
+            hit[hit] &= ik[pos[hit]] == ck[hit]
+            n_common = np.where(hit, inc[np.minimum(pos, len(ik) - 1)], 0)
+        else:
+            n_common = np.zeros(len(ck), np.int64)
+
+        def size_of(keys, sdocs, scnt):
+            # a candidate doc can have ZERO shingles (shorter than n
+            # tokens) and then has no sizes row — missing → 0
+            if not len(sdocs):
+                return np.zeros(len(keys), np.float64)
+            p = np.minimum(np.searchsorted(sdocs, keys), len(sdocs) - 1)
+            return np.where(sdocs[p] == keys, scnt[p], 0).astype(np.float64)
+
+        sdocs, scnt = ray.get(sizes_ref)
+        sa = size_of(ck["a"], sdocs, scnt)
+        sb = size_of(ck["b"], sdocs, scnt)
+        union = sa + sb - n_common
+        jac = np.divide(n_common, union, out=np.zeros(len(union)),
+                        where=union > 0)
+        return pa.table({
+            "doc_a": pa.array(ck["a"], pa.int64()),
+            "doc_b": pa.array(ck["b"], pa.int64()),
+            "n_common": pa.array(n_common.astype(np.int64), pa.int64()),
+            "jaccard_q6": pa.array(np.floor(jac * 1e6).astype(np.int64),
+                                   pa.int64())})
+
+    return both.groupby("_bucket").map_groups(join_kernel,
+                                              batch_format="pyarrow")
 
 
 # --------------------------------------------------------------- SimHash
@@ -541,9 +609,27 @@ def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.4) -> rd.Dataset:
     cos_q2), vec_a < vec_b."""
     import ray
 
-    mat_t = ds.select_columns(["vec_id", "embedding"]).to_pandas()
-    ids = mat_t["vec_id"].to_numpy(np.int64)
-    m = np.stack(mat_t["embedding"].to_numpy()).astype(np.float64)
+    from bge_m3_onnx_ray.stages.ann import _embedding_matrix
+
+    # Build the broadcast matrix WITHOUT a full-table to_pandas: count
+    # once (metadata-cheap on parquet), then stream Arrow batches into a
+    # preallocated float64 array — peak driver memory is exactly the
+    # matrix, no pandas object-column detour.
+    src = ds.select_columns(["vec_id", "embedding"])
+    n = src.count()
+    ids = np.empty(n, np.int64)
+    m = None
+    pos = 0
+    for t in src.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        bm = _embedding_matrix(t.column("embedding"))
+        if m is None:
+            m = np.empty((n, bm.shape[1] if n else 0), np.float64)
+        k = t.num_rows
+        ids[pos:pos + k] = t.column("vec_id").to_numpy()
+        m[pos:pos + k] = bm
+        pos += k
+    if m is None:
+        m = np.empty((0, 0), np.float64)
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
     mat_ref = ray.put((ids, m))
 

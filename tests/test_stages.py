@@ -192,6 +192,21 @@ def test_verify_jaccard_distributed(docs_ds):
         assert (others.jaccard_q6 < 1_000_000).all()
 
 
+def test_minhash_then_verify_end_to_end(docs_ds):
+    """The candidates-then-verify shape over the PROBABILISTIC generator:
+    exact Jaccard of every MinHash+LSH candidate pair. The identical pair
+    (0, 1) must survive with jaccard exactly 1.0."""
+    from bge_m3_onnx_ray.stages.dedup import (minhash_lsh_candidates,
+                                              verify_jaccard)
+    cands = minhash_lsh_candidates(docs_ds).select_columns(
+        ["doc_a", "doc_b"])
+    v = verify_jaccard(docs_ds, cands, n=3).to_pandas()
+    assert len(v)
+    row = v[(v.doc_a == 0) & (v.doc_b == 1)].iloc[0]
+    assert row.jaccard_q6 == 1_000_000 and row.n_common == 7
+    assert (v.jaccard_q6 <= 1_000_000).all()
+
+
 def test_lsh_bucket_pairs_matches_bruteforce_within_bucket(ray_session):
     """Every pair lsh_bucket_pairs emits must also be an
     embedding_dup_pairs (exact all-pairs) hit, and any exact pair whose
