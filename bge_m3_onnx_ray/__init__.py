@@ -11,7 +11,12 @@ max-score metadata, and queried by block-max-WAND top-k scoring actors.
 Nothing here calls ``ray.init`` — callers own the Ray session.
 """
 
+from bge_m3_onnx_ray._malloc import tune_malloc
 from bge_m3_onnx_ray.config import IndexConfig, QueryConfig
+
+# every Ray worker imports this package before running a stage, so this
+# runs once per process — see _malloc.py for why it's load-bearing here
+tune_malloc()
 
 __all__ = ["IndexConfig", "QueryConfig", "build_index", "search"]
 

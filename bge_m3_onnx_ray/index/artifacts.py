@@ -105,19 +105,59 @@ class ConvOffsets:
         i = np.searchsorted(self.conv_ids, conv_id)
         return int(self.starts[i])
 
+    def _hash_index(self):
+        """Lazy per-process lookup state: sorted P53 polynomial hashes of
+        the conv ids + the permutation back to table order, IF the hashes
+        are collision-free over this table (checked once; ~1e-3 odds of a
+        collision at 4M convs, in which case we fall back to
+        ``pc.index_in``). Hashed searchsorted is ~7x faster per batch than
+        index_in, which rebuilds its value-set hash table on every call.
+        A lookup hit implies string equality for any conv drawn from the
+        corpus the table was built on; a conv NOT in the table could
+        false-hit only via a fresh hash collision (~1e-10/row) — the
+        KeyError guard below is best-effort under hashing, exact under
+        the fallback."""
+        if getattr(self, "_hidx", None) is None:
+            from bge_m3_onnx_ray.hashing import P53, poly_hash
+            h = poly_hash(self._conv_arrow, P53)
+            order = np.argsort(h, kind="stable")
+            hs = h[order]
+            if len(hs) > 1 and (hs[1:] == hs[:-1]).any():
+                self._hidx = False          # collision: use index_in
+            else:
+                self._hidx = (hs, order)
+        return self._hidx
+
     def doc_ids_for(self, conv_arr, turn_arr: np.ndarray) -> np.ndarray:
         """``conv_arr``: numpy object array OR pyarrow (Chunked)Array —
         the arrow path avoids per-row Python string comparisons."""
         import pyarrow.compute as pc
         if isinstance(conv_arr, (pa.Array, pa.ChunkedArray)):
-            raw = pc.index_in(conv_arr.cast(pa.large_string()),
-                              value_set=self._conv_arrow)
-            if raw.null_count:
-                missing = conv_arr.filter(pc.is_null(raw))
-                raise KeyError(
-                    f"conv_ids absent from the offsets table (stale resume "
-                    f"state or changed input): {missing.to_pylist()[:5]!r}")
-            idx = raw.to_numpy(zero_copy_only=False).astype(np.int64)
+            hidx = self._hash_index()
+            if hidx:
+                from bge_m3_onnx_ray.hashing import P53, poly_hash
+                hs, order = hidx
+                hb = poly_hash(conv_arr, P53)
+                pos = np.searchsorted(hs, hb)
+                ok = pos < len(hs)
+                ok[ok] = hs[pos[ok]] == hb[ok]
+                if not ok.all():
+                    missing = conv_arr.filter(pa.array(~ok))
+                    raise KeyError(
+                        f"conv_ids absent from the offsets table (stale "
+                        f"resume state or changed input): "
+                        f"{missing.to_pylist()[:5]!r}")
+                idx = order[pos]
+            else:
+                raw = pc.index_in(conv_arr.cast(pa.large_string()),
+                                  value_set=self._conv_arrow)
+                if raw.null_count:
+                    missing = conv_arr.filter(pc.is_null(raw))
+                    raise KeyError(
+                        f"conv_ids absent from the offsets table (stale "
+                        f"resume state or changed input): "
+                        f"{missing.to_pylist()[:5]!r}")
+                idx = raw.to_numpy(zero_copy_only=False).astype(np.int64)
         else:
             idx = np.searchsorted(self.conv_ids, conv_arr)
             bad = (idx >= len(self.starts)) | (self.conv_ids[np.minimum(

@@ -56,7 +56,7 @@ from bge_m3_onnx_ray.index.artifacts import (
     doc_lens_file,
     postings_file,
 )
-from bge_m3_onnx_ray.index.codec import encode_postings
+from bge_m3_onnx_ray.index.codec import encode_postings  # noqa: F401  (kept: public single-term API, tests)
 from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
 
 # SPIMI segment rows: ONE row per (term, shard) per input batch, the
@@ -410,7 +410,7 @@ def make_encode_group_fn(index_dir: str, cfg: IndexConfig):
     block_size = cfg.block_size
 
     def encode_group(group: pa.Table) -> pa.Table:
-        from bge_m3_onnx_ray.index.codec import decode_segment
+        from bge_m3_onnx_ray.index.codec import decode_segments_many
         gkey = int(group.column("gkey")[0].as_py())
         shard, bucket = gkey // stride, gkey % stride - 1
         # zero-copy segment access: slice the column's data buffer by its
@@ -422,15 +422,10 @@ def make_encode_group_fn(index_dir: str, cfg: IndexConfig):
         ns = group.column("n").to_numpy()
 
         def gather(row_order):
-            """Decode + concatenate segments in the given row order."""
-            if not len(row_order):
-                e = np.empty(0, np.int64)
-                return e, e, e
-            parts = [decode_segment(bdata[boffs[r]:boffs[r + 1]], int(ns[r]))
-                     for r in row_order]
-            return (np.concatenate([p[0] for p in parts]),
-                    np.concatenate([p[1] for p in parts]),
-                    np.concatenate([p[2] for p in parts]))
+            """Decode + concatenate segments in the given row order —
+            ONE whole-buffer varint decode, not a per-segment loop."""
+            return decode_segments_many(bdata, boffs, ns,
+                                        np.asarray(row_order, np.int64))
 
         if bucket == -1:  # doc-length segments → per-shard doc table slice
             row_order = np.argsort(group.column("min_doc").to_numpy(),
@@ -461,26 +456,39 @@ def make_encode_group_fn(index_dir: str, cfg: IndexConfig):
                 full = np.lexsort((doc_id, codes))
                 codes, doc_id, tf, dl = codes[full], doc_id[full], tf[full], dl[full]
             bounds = np.concatenate([[0], np.flatnonzero(np.diff(codes)) + 1, [len(codes)]])
-            rows = {k: [] for k in ("term", "df", "cf", "n_blocks", "last_ids",
-                                    "max_tf", "min_dl", "offs", "blob")}
-            for ti in range(len(uniques)):
-                s, e = bounds[ti], bounds[ti + 1]
-                enc = encode_postings(doc_id[s:e], tf[s:e], dl[s:e], block_size)
-                rows["term"].append(uniques[ti])
-                rows["df"].append(e - s)
-                rows["cf"].append(int(tf[s:e].sum()))
-                rows["n_blocks"].append(len(enc.last_ids))
-                rows["last_ids"].append(enc.last_ids)
-                rows["max_tf"].append(enc.max_tf)
-                rows["min_dl"].append(enc.min_dl)
-                rows["offs"].append(enc.offs)
-                rows["blob"].append(enc.blob)
-            t = pa.Table.from_pydict(rows, schema=POSTINGS_SCHEMA)
+            from bge_m3_onnx_ray.index.codec import encode_postings_many
+            enc = encode_postings_many(doc_id, tf, dl, bounds, block_size)
+            if enc["blob_offsets"][-1] > np.iinfo(np.int32).max:
+                raise OverflowError(
+                    "group posting blob exceeds int32 binary offsets; "
+                    "raise term_buckets or lower docs_per_shard")
+            term_arr = pa.array(uniques, pa.string())
+            loffs = pa.array(enc["list_offsets"].astype(np.int32))
+            t = pa.Table.from_arrays([
+                term_arr,
+                pa.array(enc["df"], pa.int64()),
+                pa.array(enc["cf"], pa.int64()),
+                pa.array(enc["n_blocks"], pa.int32()),
+                pa.ListArray.from_arrays(
+                    loffs, pa.array(enc["last_ids_vals"], pa.int64())),
+                pa.ListArray.from_arrays(
+                    loffs, pa.array(enc["max_tf_vals"], pa.int32())),
+                pa.ListArray.from_arrays(
+                    loffs, pa.array(enc["min_dl_vals"], pa.int32())),
+                pa.ListArray.from_arrays(
+                    pa.array(enc["offs_list_offsets"].astype(np.int32)),
+                    pa.array(enc["offs_vals"], pa.int32())),
+                pa.Array.from_buffers(pa.binary(), len(uniques), [
+                    None,
+                    pa.py_buffer(np.ascontiguousarray(
+                        enc["blob_offsets"], np.int32)),
+                    pa.py_buffer(enc["blob"])]),
+            ], schema=POSTINGS_SCHEMA)
             path = postings_file(index_dir, shard, bucket)
             nbytes = atomic_write_parquet(t, path)
-            dp = pa.table({"term": pa.array(rows["term"], pa.string()),
-                           "df": pa.array(rows["df"], pa.int64()),
-                           "cf": pa.array(rows["cf"], pa.int64())})
+            dp = pa.table({"term": term_arr,
+                           "df": pa.array(enc["df"], pa.int64()),
+                           "cf": pa.array(enc["cf"], pa.int64())})
             dpath = dict_partial_file(index_dir, shard, bucket)
             atomic_write_parquet(dp, dpath)
             # dict_file rides in the manifest entry: _merge_dictionary

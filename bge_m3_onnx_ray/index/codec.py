@@ -32,10 +32,12 @@ import numpy as np
 def encode_varints(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """LEB128-encode a uint64 array. Returns (bytes, per-value byte counts).
 
-    Matrix formulation: build the (n, max_len) byte plane in one shot and
-    select the live bytes with a row-major boolean mask (which emits each
-    value's bytes consecutively — exactly the stream order). ~3x the
-    throughput of a scatter-per-byte-position loop."""
+    Scatter formulation: one output buffer sized by the exact byte count,
+    filled with one masked scatter per byte POSITION (so ``width`` passes,
+    each over only the still-active values). On a reused heap this beats
+    the (n, max_len) byte-plane + boolean-gather form ~5x: one long value
+    (a segment first-gap) widens the whole plane, and the row-major
+    boolean gather is the slowest kernel in numpy's repertoire."""
     a = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(a)
     if n == 0:
@@ -45,13 +47,18 @@ def encode_varints(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     while v.any():
         nb += v > 0
         v >>= np.uint64(7)
+    out = np.empty(int(nb.sum()), np.uint8)
+    starts = np.zeros(n, np.int64)
+    np.cumsum(nb[:-1], out=starts[1:])
     width = int(nb.max())
-    shifts = (np.uint64(7) * np.arange(width, dtype=np.uint64))[None, :]
-    plane = ((a[:, None] >> shifts) & np.uint64(0x7F)).astype(np.uint8)
-    live = np.arange(width)[None, :] < nb[:, None]
-    cont = np.arange(1, width + 1)[None, :] < nb[:, None]
-    plane |= cont.astype(np.uint8) << 7
-    return plane[live].tobytes(), nb
+    rem = a.copy()
+    for j in range(width):
+        sel = np.flatnonzero(nb > j)
+        byte = (rem[sel] & np.uint64(0x7F)).astype(np.uint8)
+        byte |= ((nb[sel] > j + 1).astype(np.uint8) << 7)
+        out[starts[sel] + j] = byte
+        rem >>= np.uint64(7)
+    return out.tobytes(), nb
 
 
 def decode_varints(buf, count: int | None = None) -> np.ndarray:
@@ -215,3 +222,115 @@ def decode_postings(enc: EncodedPostings, block_size: int = 128) -> tuple[np.nda
         doc_ids[s:s + cnt] = np.cumsum(gaps) + base
         vpos += 3 * cnt
     return doc_ids, tfs, dls
+
+
+def decode_segments_many(bdata: np.ndarray, boffs: np.ndarray,
+                         ns: np.ndarray, row_order: np.ndarray
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY :func:`encode_segments` segments in one vectorized pass
+    and concatenate their (doc_ids, tfs, dls) in ``row_order``.
+
+    ``bdata``: the full uint8 value buffer of a ``large_binary`` column
+    whose row r occupies ``bdata[boffs[r]:boffs[r+1]]``; ``ns``: posting
+    count per row. Replaces a per-row ``decode_segment`` Python loop
+    (one decode_varints call total instead of one per segment)."""
+    if not len(row_order):
+        e = np.empty(0, np.int64)
+        return e, e, e
+    ns = np.ascontiguousarray(ns, np.int64)
+    total_vals = int(3 * ns.sum())
+    vals = decode_varints(bdata[boffs[0]:boffs[-1]], total_vals) \
+        .astype(np.int64)
+    vstart = np.zeros(len(ns), np.int64)
+    np.cumsum(3 * ns[:-1], out=vstart[1:])
+    lr = ns[row_order]
+    k = int(lr.sum())
+    within = np.arange(k) - np.repeat(
+        np.concatenate([[0], np.cumsum(lr[:-1])]), lr)
+    base = np.repeat(vstart[row_order], lr) + within
+    gaps = vals[base]
+    tfs = vals[base + np.repeat(lr, lr)]
+    dls = vals[base + 2 * np.repeat(lr, lr)]
+    c = np.cumsum(gaps)
+    seg_start_pos = np.concatenate([[0], np.cumsum(lr[:-1])])
+    c_exc = np.concatenate([[0], c[:-1]])
+    docs = c - np.repeat(c_exc[seg_start_pos], lr) - 1
+    return docs, tfs, dls
+
+
+def encode_postings_many(doc_ids: np.ndarray, tfs: np.ndarray,
+                         dls: np.ndarray, term_bounds: np.ndarray,
+                         block_size: int = 128) -> dict:
+    """Encode MANY terms' posting lists in one vectorized pass — the
+    batch form of :func:`encode_postings` (bit-identical per-term output;
+    one encode_varints call for the whole group instead of one per term,
+    which at ~10^4 terms per merge group dominated the merge phase).
+
+    Rows must be grouped by term (``term_bounds``: n_terms+1 boundaries)
+    with doc_ids strictly ascending within each term. Returns numpy
+    pieces keyed to POSTINGS_SCHEMA: df, cf, n_blocks, plus flat values +
+    list offsets for last_ids/max_tf/min_dl/offs/blob columns."""
+    n = len(doc_ids)
+    doc_ids = np.ascontiguousarray(doc_ids, np.int64)
+    tfs = np.ascontiguousarray(tfs, np.int64)
+    dls = np.ascontiguousarray(dls, np.int64)
+    term_bounds = np.ascontiguousarray(term_bounds, np.int64)
+    counts = np.diff(term_bounds)
+    n_terms = len(counts)
+    assert n and n_terms and (counts > 0).all(), "empty term groups"
+    pos = np.arange(n) - np.repeat(term_bounds[:-1], counts)
+    gaps = np.empty(n, np.int64)
+    gaps[1:] = doc_ids[1:] - doc_ids[:-1]
+    first = pos == 0
+    gaps[first] = doc_ids[first] + 1
+    nb_t = (counts + block_size - 1) // block_size
+    block_base = np.zeros(n_terms + 1, np.int64)
+    np.cumsum(nb_t, out=block_base[1:])
+    total_blocks = int(block_base[-1])
+    term_of_block = np.repeat(np.arange(n_terms), nb_t)
+    b_in_t = np.arange(total_blocks) - block_base[term_of_block]
+    cnt_b = np.minimum(counts[term_of_block] - b_in_t * block_size,
+                       block_size)
+    gblock = np.repeat(block_base[:-1], counts) + pos // block_size
+    pos_in_block = pos % block_size
+    # stream order (block, section, pos): composite int key, stable sort
+    key_base = gblock * (3 * block_size)
+    sec = np.repeat(np.arange(3, dtype=np.int64), n) * block_size
+    key = np.concatenate([key_base, key_base, key_base]) + sec \
+        + np.concatenate([pos_in_block, pos_in_block, pos_in_block])
+    order = np.argsort(key, kind="stable")
+    vals3 = np.concatenate([gaps, tfs, dls]).astype(np.uint64)
+    blob, nbytes = encode_varints(vals3[order])
+    # per-block byte sizes → within-term byte offsets
+    bstart_elems = np.zeros(total_blocks, np.int64)
+    np.cumsum(3 * cnt_b[:-1], out=bstart_elems[1:])
+    block_bytes = np.add.reduceat(nbytes, bstart_elems)
+    c = np.cumsum(block_bytes)
+    c_exc = c - block_bytes
+    term_start_bytes = c_exc[block_base[:-1]]
+    within_end = c - term_start_bytes[term_of_block]
+    if within_end.max(initial=0) > np.iinfo(np.int32).max:
+        raise OverflowError(
+            "posting blob exceeds int32 block offsets; lower "
+            "docs_per_shard so one term's shard-local postings stay "
+            "under 2 GiB")
+    # offs list column: per term [0, end_0, .., end_{nb-1}]
+    offs_vals = np.zeros(total_blocks + n_terms, np.int32)
+    offs_vals[np.arange(total_blocks) + term_of_block + 1] = \
+        within_end.astype(np.int32)
+    offs_list_offsets = block_base + np.arange(n_terms + 1)
+    # per-block metadata in original (term, doc) order
+    blk_start_idx = np.repeat(term_bounds[:-1], nb_t) + b_in_t * block_size
+    last_ids = doc_ids[blk_start_idx + cnt_b - 1]
+    max_tf = np.maximum.reduceat(tfs, blk_start_idx).astype(np.int32)
+    min_dl = np.minimum.reduceat(dls, blk_start_idx).astype(np.int32)
+    cf = np.add.reduceat(tfs, term_bounds[:-1])
+    term_blob_offsets = np.zeros(n_terms + 1, np.int64)
+    term_blob_offsets[1:] = c[block_base[1:] - 1]
+    return {
+        "df": counts, "cf": cf, "n_blocks": nb_t.astype(np.int32),
+        "last_ids_vals": last_ids, "max_tf_vals": max_tf,
+        "min_dl_vals": min_dl, "list_offsets": block_base,
+        "offs_vals": offs_vals, "offs_list_offsets": offs_list_offsets,
+        "blob": blob, "blob_offsets": term_blob_offsets,
+    }
