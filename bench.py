@@ -125,6 +125,73 @@ def run_bench() -> dict:
         "index_phases": res["phases"],
     }
 
+    # ---- Zipf-tf corpus: block-max WAND must beat exhaustive where tf
+    # is skewed (the main corpus's flat tf gives WAND nothing to prune);
+    # single-process kernel comparison over one built index, plus the
+    # segments-pruned counters as direct skipping evidence
+    from bge_m3_onnx_ray.fixtures import zipf_transcripts_path
+    from bge_m3_onnx_ray.index.artifacts import IndexMeta
+    from bge_m3_onnx_ray.index.search import score_exhaustive, score_wand
+    from bge_m3_onnx_ray.scoring import idf as _idf
+    zidx = "/tmp/bm25_bench/zipf_idx_v2"
+    if not os.path.exists(os.path.join(zidx, "stats.json")):
+        build_index(zipf_transcripts_path(200_000), zidx, IndexConfig())
+    zmeta = IndexMeta(zidx)
+    import glob as _g
+
+    import pyarrow.parquet as _pq
+
+    from bge_m3_onnx_ray.index.codec import EncodedPostings, decode_postings
+    zenc, zdec = {}, {}
+    for p in sorted(_g.glob(os.path.join(zidx, "postings", "*.parquet"))):
+        t = _pq.read_table(p)
+        for i in range(t.num_rows):
+            term = t.column("term")[i].as_py()
+            e = EncodedPostings(
+                int(t.column("df")[i].as_py()),
+                np.asarray(t.column("last_ids")[i].as_py(), np.int64),
+                np.asarray(t.column("max_tf")[i].as_py(), np.int32),
+                np.asarray(t.column("min_dl")[i].as_py(), np.int32),
+                np.asarray(t.column("offs")[i].as_py(), np.int32),
+                t.column("blob")[i].as_py())
+            ep = zenc.setdefault(term, [])
+            ep.append(e)
+    # single-shard kernel comparison: score each shard's postings set
+    zidfs = {t: _idf(sum(e.n for e in es), zmeta.n_docs)
+             for t, es in zenc.items()}
+    vocab = sorted(zenc, key=lambda t: -sum(e.n for e in zenc[t]))
+    zqueries = [[vocab[0]], [vocab[1], vocab[4]],
+                [vocab[2], vocab[8], vocab[16]], [vocab[3]], [vocab[5]]]
+    tw = te = 0.0
+    pruned = scored = 0
+    for qt in zqueries:
+        for es in zip(*(zenc[t] for t in qt)):   # per shard
+            enc1 = dict(zip(qt, es))
+            # both scorers get pre-decoded postings — the serving-actor
+            # condition (actors decode once in __init__); WAND's win must
+            # come from skipping, not from exhaustive paying decode
+            dec1 = {t: zdec.setdefault((t, id(e)), decode_postings(
+                e, zmeta.block_size)) for t, e in enc1.items()}
+            st = {}
+            t0 = time.perf_counter()
+            sw, dw = score_wand(enc1, qt, zidfs, zmeta.avgdl, zmeta.k1,
+                                zmeta.b, 10, zmeta.block_size, stats=st,
+                                decoded=dec1)
+            tw += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            se, de = score_exhaustive(dec1, qt, zidfs, zmeta.avgdl,
+                                      zmeta.k1, zmeta.b, 10)
+            te += time.perf_counter() - t0
+            assert (dw == de).all() and (sw == se).all(), \
+                "WAND/exhaustive diverged on the Zipf corpus"
+            pruned += st["segments_pruned"]
+            scored += st["segments_scored"]
+    out["zipf_wand"] = {
+        "wand_sec": round(tw, 3), "exhaustive_sec": round(te, 3),
+        "speedup": round(te / tw, 2) if tw else None,
+        "segments_pruned": pruned, "segments_scored": scored,
+        "pruned_frac": round(pruned / max(pruned + scored, 1), 3)}
+
     # ---- documents-table operator suite over SF_DIR
     if os.environ.get("BENCH_SKIP_QUERIES"):
         out["queries"] = {}
@@ -198,6 +265,7 @@ def main() -> None:
         "query_throughput_per_sec": out.get("query_throughput_per_sec"),
         "query_batch50_sec": out["query_batch50_sec"],
         "index_phases": out["index_phases"],
+        "zipf_wand": out.get("zipf_wand"),
     }))
     import ray
     ray.shutdown()

@@ -162,3 +162,94 @@ def transcripts_path(n_turns: int, seed: int = 42) -> str:
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
     return d
+
+
+def gen_zipf_transcripts(n_turns: int, seed: int = 44,
+                         vocab: int = 50, short_frac: float = 0.02) -> pa.Table:
+    """Skewed-impact corpus for block-max WAND evidence: the synthetic
+    main corpus has near-flat tf AND near-flat doc lengths, so every
+    skip block's (max_tf, min_dl) score bound ties and WAND degenerates
+    to exhaustive + bookkeeping. BM25's tf saturation (k1=1.2) means tf
+    skew alone barely moves bounds — the lever is DOC LENGTH: a rare
+    ``short_frac`` of turns are very short (focus term tf 3-5, dl 4-6,
+    scoring far above everything) and the bulk are long (40-60 filler
+    terms, tf<=3, dl 60-120). With a small vocab the per-term posting
+    lists run to ~10^5 entries per shard while only ~10^2 of them are
+    short docs, so ~90% of skip blocks are long-only and theta (set by
+    the short docs) prunes them. Schema matches the input_hint
+    transcripts shape."""
+    rng = np.random.default_rng(seed)
+    words = np.array([f"w{j:03d}" for j in range(vocab)], dtype=object)
+    n_short = max(1, int(n_turns * short_frac))
+    short_at = np.zeros(n_turns, bool)
+    short_at[rng.choice(n_turns, n_short, replace=False)] = True
+
+    texts = np.empty(n_turns, dtype=object)
+    sidx = np.flatnonzero(short_at)
+    focus = rng.integers(0, vocab, n_short)
+    tf_s = rng.integers(3, 6, n_short)
+    fill_s = rng.integers(0, vocab, n_short)
+    for j, i in enumerate(sidx):
+        texts[i] = " ".join([words[focus[j]]] * int(tf_s[j])
+                            + [words[fill_s[j]]])
+    lidx = np.flatnonzero(~short_at)
+    n_long = len(lidx)
+    n_dist = rng.integers(40, min(61, vocab + 1), n_long)
+    tf_l = rng.integers(1, 4, int(n_dist.sum()))
+    pos = 0
+    for j, i in enumerate(lidx):
+        nd = int(n_dist[j])
+        terms = words[rng.choice(vocab, nd, replace=False)]
+        reps = tf_l[pos:pos + nd]
+        pos += nd
+        texts[i] = " ".join(np.repeat(terms, reps))
+
+    lens = []
+    total = 0
+    while total < n_turns:
+        l = int(min(50, max(1, rng.zipf(1.7))))
+        lens.append(l)
+        total += l
+    lens[-1] -= total - n_turns
+    if lens[-1] == 0:
+        lens.pop()
+    lens = np.array(lens, np.int64)
+    conv_ids = np.array([f"zconv-{i:08d}" for i in range(len(lens))],
+                        dtype=object)
+    conv_col = np.repeat(conv_ids, lens)
+    turn_idx = np.concatenate([np.arange(l, dtype=np.int32) for l in lens])
+    roles = np.array(_ROLES, dtype=object)[rng.integers(0, 4, n_turns)]
+    ts = _EPOCH_US + np.arange(n_turns, dtype=np.int64) * 1_000_000
+    return pa.table({
+        "conv_id": pa.array(conv_col, pa.string()),
+        "turn_idx": pa.array(turn_idx, pa.int32()),
+        "role": pa.array(roles, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "tool": pa.array(np.full(n_turns, "", dtype=object), pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+
+
+def zipf_transcripts_path(n_turns: int, seed: int = 44) -> str:
+    """Cached parquet directory for the Zipf-TF corpus."""
+    d = os.path.join(CACHE_ROOT, f"zipf-n{n_turns}-s{seed}")
+    if os.path.isdir(d):
+        return d
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    tmp = d + f".tmp-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    t = gen_zipf_transcripts(n_turns, seed)
+    rows_per_file = max(65536, n_turns // 32)
+    i = 0
+    start = 0
+    while start < t.num_rows:
+        pq.write_table(t.slice(start, rows_per_file),
+                       os.path.join(tmp, f"part-{i:04d}.parquet"),
+                       row_group_size=32768)
+        start += rows_per_file
+        i += 1
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d

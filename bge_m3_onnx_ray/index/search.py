@@ -81,7 +81,8 @@ def score_exhaustive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarra
 def score_wand(enc_postings: dict[str, EncodedPostings], qterms: list[str],
                idfs: dict[str, float], avgdl: float, k1: float, b: float,
                k: int, block_size: int,
-               decoded: dict[str, tuple] | None = None):
+               decoded: dict[str, tuple] | None = None,
+               stats: dict | None = None):
     """Vectorized block-max top-k (the WAND/BMW pruning idea — Ding & Suel
     2011 — re-expressed for batch execution instead of a per-posting
     cursor loop, which measured ~47x slower than numpy scoring).
@@ -200,6 +201,12 @@ def score_wand(enc_postings: dict[str, EncodedPostings], qterms: list[str],
         # chunks converge to one exhaustive pass instead of paying
         # per-chunk overhead O(n_segments / chunk) times
         chunk_segs = min(chunk_segs * 2, 4096)
+    if stats is not None:
+        # pos counts segments actually decoded+scored; the rest were
+        # pruned by the theta bound (block-max skipping evidence)
+        stats["n_segments"] = nseg
+        stats["segments_scored"] = int(pos)
+        stats["segments_pruned"] = int(nseg - pos)
     return top_s, top_d
 
 
