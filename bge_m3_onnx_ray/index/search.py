@@ -78,11 +78,44 @@ def score_exhaustive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarra
     return _topk_merge(scores, union, k)
 
 
+def score_dense(entries: dict[str, tuple[np.ndarray, np.ndarray]],
+                qterms: list[str], k: int, base: int, buf: np.ndarray):
+    """Exact scorer over PRECOMPUTED per-posting contributions using a
+    dense doc-range accumulator (term-at-a-time over
+    ``buf[doc_id - base]``). ``entries``: term → (doc_ids, contribs)
+    where ``contribs = bm25_term_score(tf, dl, idf, ...)`` was computed
+    once at index-load time (global stats are known then — nothing about
+    a posting's contribution depends on the query).
+
+    Bit-identical to :func:`score_exhaustive`: identical float64
+    contribution values (same elementwise formula on the same inputs)
+    accumulated per doc in the same ascending-term order. The
+    scatter-add replaces the union sort (``np.unique`` over millions of
+    candidate docIDs was the p50 cost on hot terms at 32M docs). ``buf``
+    must be zeros on entry and is restored to zeros on exit — callers
+    (serving actors) allocate it once for their contiguous doc range.
+    All BM25 contributions are strictly positive (the +1 idf variant),
+    so nonzero entries == the candidate set."""
+    arrs = [(t,) + entries[t] for t in qterms if t in entries]
+    if not arrs:
+        return np.empty(0, np.float64), np.empty(0, np.int64)
+    if len(arrs) == 1:
+        _, docs, contrib = arrs[0]  # already sorted unique — no buffer
+        return _topk_merge(contrib, docs, k)
+    for _, docs, contrib in arrs:  # ascending term order = summation order
+        buf[docs - base] += contrib
+    nz = np.flatnonzero(buf)
+    scores = buf[nz].copy()
+    buf[nz] = 0.0
+    return _topk_merge(scores, nz + base, k)
+
+
 def score_wand(enc_postings: dict[str, EncodedPostings], qterms: list[str],
                idfs: dict[str, float], avgdl: float, k1: float, b: float,
                k: int, block_size: int,
                decoded: dict[str, tuple] | None = None,
-               stats: dict | None = None):
+               stats: dict | None = None,
+               contribs: dict[str, np.ndarray] | None = None):
     """Vectorized block-max top-k (the WAND/BMW pruning idea — Ding & Suel
     2011 — re-expressed for batch execution instead of a per-posting
     cursor loop, which measured ~47x slower than numpy scoring).
@@ -101,7 +134,11 @@ def score_wand(enc_postings: dict[str, EncodedPostings], qterms: list[str],
 
     ``decoded`` (term → (docs, tfs, dls), as held by serving actors that
     pre-decode in ``__init__``) skips per-block varint decoding: chunk
-    postings are gathered by searchsorted range slicing instead."""
+    postings are gathered by searchsorted range slicing instead.
+    ``contribs`` (term → float64 per-posting BM25 contribution, aligned
+    with ``decoded[t][0]``) additionally skips the per-query tf/dl math:
+    gathering a precomputed elementwise value is bit-identical to
+    computing it on the gathered slice."""
     terms = [t for t in qterms if t in enc_postings]
     if not terms:
         return np.empty(0, np.float64), np.empty(0, np.int64)
@@ -147,10 +184,10 @@ def score_wand(enc_postings: dict[str, EncodedPostings], qterms: list[str],
         los, his = seg_lo[chunk], seg_hi[chunk]
         o = np.argsort(los)
         los, his = los[o], his[o]
-        gathered: list[tuple[str, np.ndarray, np.ndarray, np.ndarray]] = []
+        gathered: list[tuple[np.ndarray, np.ndarray]] = []  # (docs, contrib)
         for t in terms:  # ascending term order — the accumulation contract
             if decoded is not None:
-                fdocs, ftfs, fdls = decoded[t]
+                fdocs = decoded[t][0]
                 li = np.searchsorted(fdocs, los)
                 hi = np.searchsorted(fdocs, his, side="right")
                 cnt = hi - li
@@ -160,7 +197,14 @@ def score_wand(enc_postings: dict[str, EncodedPostings], qterms: list[str],
                 # flat gather of all ranges: arange over each [li, hi)
                 sel = np.repeat(li - np.concatenate([[0], np.cumsum(cnt)[:-1]]),
                                 cnt) + np.arange(tot)
-                gathered.append((t, fdocs[sel], ftfs[sel], fdls[sel]))
+                if contribs is not None:
+                    con = contribs[t][sel]
+                else:
+                    _, ftfs, fdls = decoded[t]
+                    con = bm25_term_score(ftfs[sel].astype(np.float64),
+                                          fdls[sel].astype(np.float64),
+                                          idfs[t], avgdl, k1, b)
+                gathered.append((fdocs[sel], con))
                 continue
             bis = term_block[t][chunk]
             bis = np.unique(bis[bis >= 0])
@@ -178,19 +222,17 @@ def score_wand(enc_postings: dict[str, EncodedPostings], qterms: list[str],
             j = np.searchsorted(los, docs, side="right") - 1
             member = (j >= 0) & (docs <= his[np.maximum(j, 0)])
             if member.any():
-                gathered.append((t,
-                                 docs[member],
-                                 np.concatenate([p[1] for p in parts])[member],
-                                 np.concatenate([p[2] for p in parts])[member]))
+                con = bm25_term_score(
+                    np.concatenate([p[1] for p in parts])[member].astype(np.float64),
+                    np.concatenate([p[2] for p in parts])[member].astype(np.float64),
+                    idfs[t], avgdl, k1, b)
+                gathered.append((docs[member], con))
         if not gathered:
             continue
-        union = np.unique(np.concatenate([g[1] for g in gathered]))
+        union = np.unique(np.concatenate([g[0] for g in gathered]))
         scores = np.zeros(len(union), np.float64)
-        for t, docs, tfs, dls in gathered:
-            contrib = bm25_term_score(tfs.astype(np.float64),
-                                      dls.astype(np.float64),
-                                      idfs[t], avgdl, k1, b)
-            scores[np.searchsorted(union, docs)] += contrib
+        for docs, con in gathered:
+            scores[np.searchsorted(union, docs)] += con
         top_s, top_d = _topk_merge(np.concatenate([top_s, scores]),
                                    np.concatenate([top_d, union]), k)
         if len(top_d) == k:

@@ -23,36 +23,112 @@ import os
 import numpy as np
 import pyarrow.parquet as pq
 
+from bge_m3_onnx_ray._malloc import populated_array
 from bge_m3_onnx_ray.config import QueryConfig
 from bge_m3_onnx_ray.index.artifacts import ConvOffsets, IndexMeta, postings_file
 from bge_m3_onnx_ray.index.codec import EncodedPostings, decode_postings
-from bge_m3_onnx_ray.index.search import _topk_merge, score_exhaustive, score_wand
-from bge_m3_onnx_ray.scoring import idf
+from bge_m3_onnx_ray.index.search import (_topk_merge, score_dense,
+                                           score_exhaustive, score_wand)
+from bge_m3_onnx_ray.scoring import bm25_term_score, idf
 from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
 
 
 class _ShardSearcherImpl:
     """Plain class so tests can drive it without Ray; wrapped by
-    ``ray.remote`` in Searcher."""
+    ``ray.remote`` in Searcher.
+
+    Postings are MERGED across the actor's shards at load time: shards
+    are disjoint ascending docID ranges (``doc_id // docs_per_shard``),
+    so per-term decoded arrays concatenated in shard order stay
+    doc-ID-sorted, and per-block skip metadata (last_ids, max_tf,
+    min_dl) stays exact under concatenation. One query then costs ONE
+    vectorized scoring call per actor instead of one per owned shard —
+    at 32M docs / 245 shards / 8 actors that removes ~30 sequential
+    per-shard calls from the latency path, and WAND's theta prunes
+    across the actor's whole doc range instead of restarting per shard."""
 
     def __init__(self, index_dir: str, shards: list[int], preload: bool = True):
         import pyarrow as pa
         pa.set_cpu_count(1)
         self.meta = IndexMeta(index_dir)
-        self.shards = shards
-        # decoded postings per shard: {term: (docs, tfs, dls)} — loaded
-        # once per actor (the reference's sessions-in-__init__ pattern)
-        self.decoded: dict[int, dict[str, tuple]] = {}
-        self.encoded: dict[int, dict[str, EncodedPostings]] = {}
+        self.shards = sorted(shards)
+        # term -> (docs, tfs, dls) merged across shards; term -> bounds
+        # (EncodedPostings with blob=None: only the skip metadata is
+        # valid, which is all score_wand needs when given ``decoded``)
+        self.decoded: dict[str, tuple] | None = None
+        self.bounds: dict[str, EncodedPostings] | None = None
+        self.contribs: dict[str, np.ndarray] | None = None
+        # dense-accumulator window: [base, base + len(buf)) covers the
+        # actor's docID range (contiguous when Searcher splits shards
+        # contiguously; a strided shard set just over-allocates the
+        # holes). 8 B/doc-in-range — proportional to docs/actor, which
+        # is the quantity that must stay node-sized at 10^12 docs anyway
+        dps = self.meta.docs_per_shard
+        self.base = self.shards[0] * dps if self.shards else 0
+        self._bufsize = ((self.shards[-1] + 1) * dps - self.base
+                         if self.shards else 0)
+        self.buf: np.ndarray | None = None
         if preload:
-            for s in shards:
-                self._load_shard(s)
+            self._load()
 
-    def _load_shard(self, shard: int) -> None:
-        dec: dict[str, tuple] = {}
-        enc: dict[str, EncodedPostings] = {}
-        for path in sorted(glob.glob(postings_file(
-                self.meta.index_dir, shard, 0).replace("bucket-00", "bucket-*"))):
+    def _load(self) -> None:
+        # global df per term (the dictionary artifact) — needed to
+        # precompute per-posting BM25 contributions at load time; at
+        # 10^12 docs this read moves to the dictionary-sharded tier
+        gdf: dict[str, int] = {}
+        for p in glob.glob(os.path.join(self.meta.index_dir,
+                                        "dictionary", "*.parquet")):
+            t = pq.read_table(p, columns=["term", "df"])
+            gdf.update(zip(t.column("term").to_pylist(),
+                           t.column("df").to_pylist()))
+        # Pass 1 — sizing only (cheap columns): per-term posting and
+        # block counts across this actor's shards. The merged arrays are
+        # then SEVEN large MAP_POPULATE-backed buffers filled in place,
+        # and every per-term entry is a zero-copy view into them.
+        # Building merged per-term arrays with np.concatenate instead
+        # (one retained medium-size allocation per term) measured ~100
+        # s/actor at 32-way concurrency on this virtualized host — the
+        # trap-per-4KiB first-touch fault cost (see populated_array's
+        # docstring), paid for every page of every retained allocation.
+        files: list[str] = []
+        for shard in self.shards:
+            files.extend(sorted(glob.glob(postings_file(
+                self.meta.index_dir, shard, 0).replace("bucket-00", "bucket-*"))))
+        n_post: dict[str, int] = {}
+        n_blk: dict[str, int] = {}
+        bs = self.meta.block_size
+        for path in files:
+            t = pq.read_table(path, columns=["term", "df"])
+            for term, df in zip(t.column("term").to_pylist(),
+                                t.column("df").to_pylist()):
+                n_post[term] = n_post.get(term, 0) + int(df)
+                n_blk[term] = n_blk.get(term, 0) + (int(df) + bs - 1) // bs
+        tot = sum(n_post.values())
+        btot = sum(n_blk.values())
+        docs_b = populated_array(tot, np.int64)
+        tfs_b = populated_array(tot, np.int32)
+        dls_b = populated_array(tot, np.int32)
+        con_b = populated_array(tot, np.float64)
+        li_b = populated_array(btot, np.int64)
+        mt_b = populated_array(btot, np.int32)
+        md_b = populated_array(btot, np.int32)
+        # per-term regions in first-seen order; cursors advance per piece
+        start: dict[str, int] = {}
+        bstart: dict[str, int] = {}
+        cur = bcur = 0
+        for term, n in n_post.items():
+            start[term] = cur
+            cur += n
+            bstart[term] = bcur
+            bcur += n_blk[term]
+        fill = dict(start)
+        bfill = dict(bstart)
+        m = self.meta
+        # Pass 2 — decode each (term, shard) piece into its slice.
+        # Shards are visited in ascending order and a term's region is
+        # filled in that order, so merged docIDs stay ascending (shards
+        # are disjoint ascending docID ranges).
+        for path in files:
             t = pq.read_table(path)
             terms = t.column("term").to_pylist()
             dfs = t.column("df").to_pylist()
@@ -67,38 +143,72 @@ class _ShardSearcherImpl:
                                     np.asarray(mtf[i], np.int32),
                                     np.asarray(mdl[i], np.int32),
                                     np.asarray(offs[i], np.int32), blobs[i])
-                enc[term] = e
-                dec[term] = decode_postings(e, self.meta.block_size)
-        self.decoded[shard] = dec
-        self.encoded[shard] = enc
+                d = decode_postings(e, bs)
+                a = fill[term]
+                z = a + e.n
+                fill[term] = z
+                docs_b[a:z] = d[0]
+                tfs_b[a:z] = d[1]
+                dls_b[a:z] = d[2]
+                # per-posting BM25 contribution, precomputed once:
+                # nothing about it depends on the query (global idf +
+                # corpus stats are known at load), so queries reduce to
+                # scatter-adds of these float64 arrays — bit-identical
+                # to scoring on demand (elementwise, so per-piece ==
+                # per-merged-term)
+                con_b[a:z] = bm25_term_score(
+                    d[1].astype(np.float64), d[2].astype(np.float64),
+                    idf(gdf[term], m.n_docs), m.avgdl, m.k1, m.b)
+                ba = bfill[term]
+                bz = ba + len(e.last_ids)
+                bfill[term] = bz
+                li_b[ba:bz] = e.last_ids
+                mt_b[ba:bz] = e.max_tf
+                md_b[ba:bz] = e.min_dl
+        dec: dict[str, tuple] = {}
+        bnd: dict[str, EncodedPostings] = {}
+        con: dict[str, np.ndarray] = {}
+        for term, a in start.items():
+            z = fill[term]
+            ba, bz = bstart[term], bfill[term]
+            dec[term] = (docs_b[a:z], tfs_b[a:z], dls_b[a:z])
+            bnd[term] = EncodedPostings(z - a, li_b[ba:bz], mt_b[ba:bz],
+                                        md_b[ba:bz], None, None)
+            con[term] = con_b[a:z]
+        self.decoded, self.bounds, self.contribs = dec, bnd, con
 
     def search_batch(self, queries: list[tuple[int, list[str]]],
                      idfs: dict[str, float], k: int,
                      method: str = "exhaustive"):
         """Returns (query_ids, doc_ids, scores) numpy arrays of local
-        top-k candidates across this actor's shards."""
+        top-k candidates across this actor's merged doc range."""
         m = self.meta
+        if self.decoded is None:
+            self._load()
+        dec = self.decoded
         out_q, out_d, out_s = [], [], []
-        for shard in self.shards:
-            dec = self.decoded.get(shard)
-            if dec is None:
-                self._load_shard(shard)
-                dec = self.decoded[shard]
-            for qid, terms in queries:
-                avail = sorted(t for t in terms if t in dec and t in idfs)
-                if not avail:
-                    continue
-                if method == "wand":
-                    enc = {t: self.encoded[shard][t] for t in avail}
-                    s, d = score_wand(enc, avail, idfs, m.avgdl, m.k1, m.b,
-                                      k, m.block_size,
-                                      decoded={t: dec[t] for t in avail})
-                else:
-                    s, d = score_exhaustive({t: dec[t] for t in avail},
-                                            avail, idfs, m.avgdl, m.k1, m.b, k)
-                out_q.append(np.full(len(d), qid, np.int64))
-                out_d.append(d)
-                out_s.append(s)
+        for qid, terms in queries:
+            avail = sorted(t for t in terms if t in dec and t in idfs)
+            if not avail:
+                continue
+            if method == "wand":
+                enc = {t: self.bounds[t] for t in avail}
+                s, d = score_wand(enc, avail, idfs, m.avgdl, m.k1, m.b,
+                                  k, m.block_size,
+                                  decoded={t: dec[t] for t in avail},
+                                  contribs=self.contribs)
+            else:
+                if self.buf is None:
+                    # MAP_POPULATE pre-installs + zeroes the pages — a
+                    # np.zeros here pays trap-per-page first-touch on
+                    # the first query instead (measured ~0.9 s spikes)
+                    self.buf = populated_array(self._bufsize, np.float64)
+                s, d = score_dense(
+                    {t: (dec[t][0], self.contribs[t]) for t in avail},
+                    avail, k, self.base, self.buf)
+            out_q.append(np.full(len(d), qid, np.int64))
+            out_d.append(d)
+            out_s.append(s)
         if not out_q:
             z = np.empty(0, np.int64)
             return z, z, np.empty(0, np.float64)
@@ -142,9 +252,12 @@ class Searcher:
         avail = int(ray.available_resources().get("CPU", 1))
         n_actors = max(1, min(n_actors, len(shards), avail))
         remote_cls = ray.remote(num_cpus=1)(_ShardSearcherImpl)
+        # contiguous shard ranges per actor (not strided): keeps each
+        # actor's docID window dense for the score_dense accumulator
+        splits = np.array_split(np.asarray(shards), n_actors)
         self.actors = [
-            remote_cls.remote(index_dir, shards[i::n_actors])
-            for i in range(n_actors)]
+            remote_cls.remote(index_dir, [int(s) for s in part])
+            for part in splits if len(part)]
 
     def search_batch(self, queries: list[tuple[int, str]],
                      k: int | None = None,
