@@ -18,6 +18,12 @@ from bge_m3_onnx_ray.config import IndexConfig, QueryConfig
 # runs once per process — see _malloc.py for why it's load-bearing here
 tune_malloc()
 
+# route >= 1 MiB numpy buffers to populated mmaps (free-list reuse);
+# see _native/populate_alloc.c for the measured page-install pathology
+from bge_m3_onnx_ray._native import install_populate_alloc  # noqa: E402
+
+install_populate_alloc()
+
 __all__ = ["IndexConfig", "QueryConfig", "build_index", "search"]
 
 
