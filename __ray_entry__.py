@@ -58,6 +58,11 @@ def _q_bm25_exhaustive(sf_dir):
     return bm25_documents_topk(sf_dir, method="exhaustive")
 
 
+def _q_bm25_bulk(sf_dir):
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_bulk_topk
+    return bm25_documents_bulk_topk(sf_dir)
+
+
 def _q_bm25_transcripts(sf_dir):
     from bge_m3_onnx_ray.pipelines.flagship import bm25_transcripts_topk
     return bm25_transcripts_topk(sf_dir)
@@ -263,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_documents_topk": _q_bm25,
         "bm25_documents_topk_exhaustive": _q_bm25_exhaustive,
+        "bm25_documents_bulk_topk": _q_bm25_bulk,
         "bm25_transcripts_topk": _q_bm25_transcripts,
         "transcripts_index_stats": _q_transcripts_index_stats,
         "token_count": _q_token_count,
@@ -702,6 +708,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_documents_topk": bm25,
         "bm25_documents_topk_exhaustive": bm25,
+        "bm25_documents_bulk_topk": bm25,
         "bm25_transcripts_topk": _bm25_transcripts_sql(),
         "transcripts_index_stats": _transcripts_stats_sql(),
         "doc_fingerprint": _fingerprint_sql(),

@@ -252,16 +252,68 @@ def score_wand(enc_postings: dict[str, EncodedPostings], qterms: list[str],
     return top_s, top_d
 
 
+class _DictDfLookup:
+    """Actor-side global-df lookup — the dictionary-sharded idf tier.
+
+    The dictionary artifact is term-hash-bucketed parquet; a lookup reads
+    ONLY the buckets its missing terms hash to (predicate-pushdown scan
+    within each), and caches hits and misses. At 10^12 docs no process
+    ever holds the full dictionary: each actor accumulates df for just
+    the terms its queries touch. idf derived from the global df is
+    identical on every actor, so locally computed BM25 scores stay
+    globally exact (the partition-by-document contract above)."""
+
+    def __init__(self, meta: IndexMeta):
+        self.meta = meta
+        self._df: dict[str, int | None] = {}
+
+    def idfs_for(self, terms) -> dict[str, float]:
+        missing = sorted({t for t in terms if t not in self._df})
+        if missing:
+            by_bucket: dict[int, list[str]] = {}
+            buckets = term_bucket(np.asarray(missing, object),
+                                  self.meta.term_buckets)
+            for t, b in zip(missing, buckets):
+                by_bucket.setdefault(int(b), []).append(t)
+            import os
+            for b, ts in sorted(by_bucket.items()):
+                path = os.path.join(self.meta.index_dir, "dictionary",
+                                    f"bucket-{b:02d}.parquet")
+                found: set[str] = set()
+                try:
+                    tab = pq.read_table(path, columns=["term", "df"],
+                                        filters=[("term", "in", ts)])
+                except (FileNotFoundError, OSError):
+                    tab = None
+                if tab is not None:
+                    for t, d in zip(tab.column("term").to_pylist(),
+                                    tab.column("df").to_pylist()):
+                        self._df[t] = int(d)
+                        found.add(t)
+                for t in ts:
+                    if t not in found:
+                        self._df[t] = None  # negative cache
+        n = self.meta.n_docs
+        return {t: idf(d, n) for t in terms
+                if (d := self._df.get(t)) is not None}
+
+
 class ShardScorer:
     """Scoring actor: holds decoded postings per shard in a bounded LRU
     (loaded once per actor — the reference's sessions-in-__init__ pattern,
     ``samples/python/bge_m3_embedder.py:36-50``). Input batch rows are
-    (query_id, terms list, shard); output partial top-k rows."""
+    (query_id, terms list, shard); output partial top-k rows.
 
-    def __init__(self, index_dir: str, idfs: dict[str, float], k: int,
+    ``idfs``: pre-resolved global idf dict (driver-side lookup, the
+    low-latency path), or None to resolve lazily per batch from the
+    bucketed dictionary artifact (the bulk/streaming path — no query
+    state on the driver)."""
+
+    def __init__(self, index_dir: str, idfs: dict[str, float] | None, k: int,
                  method: str, cache_size: int):
         self.meta = IndexMeta(index_dir)
         self.idfs = idfs
+        self._lookup = None if idfs is not None else _DictDfLookup(self.meta)
         self.k = k
         self.method = method
         self.cache: OrderedDict[int, dict[str, EncodedPostings]] = OrderedDict()
@@ -311,6 +363,9 @@ class ShardScorer:
         qids = batch.column("query_id").to_pylist()
         termss = batch.column("terms").to_pylist()
         shards = batch.column("shard").to_pylist()
+        if self._lookup is not None:  # bulk path: one dict probe per batch
+            self.idfs = self._lookup.idfs_for(
+                {t for ts in termss for t in ts})
         # decoded-postings memo for THIS batch: many queries in a batch hit
         # the same (shard, term) — decode once, not once per query row
         dec_memo: dict[tuple[int, str], tuple] = {}
@@ -381,8 +436,9 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None) -> rd.Datase
     tok = make_tokenizer(meta.stats.get("tokenizer_spec", "deterministic"))
 
     if isinstance(queries, rd.Dataset):
-        queries = queries.to_pandas()[["query_id", "text"]].itertuples(index=False)
-    elif isinstance(queries, pa.Table):
+        # unbounded query sets never land on the driver — stream them
+        return search_bulk(index_dir, queries, cfg)
+    if isinstance(queries, pa.Table):
         queries = zip(queries.column("query_id").to_pylist(),
                       queries.column("text").to_pylist())
     qlist = [(int(q), str(t)) for q, t in queries]
@@ -401,6 +457,68 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None) -> rd.Datase
     partials = fanout.map_batches(
         ShardScorer,
         fn_constructor_kwargs={"index_dir": index_dir, "idfs": idfs,
+                               "k": cfg.k, "method": cfg.method,
+                               "cache_size": cfg.shard_cache_size},
+        batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
+        concurrency=cfg.scorer_concurrency, num_cpus=1)
+    return partials.groupby("query_id").map_groups(
+        make_merge_topk_fn(offsets, cfg.k), batch_format="pyarrow")
+
+
+_TOK_CACHE: dict[str, object] = {}
+
+
+def search_bulk(index_dir: str, queries: rd.Dataset,
+                cfg: QueryConfig | None = None) -> rd.Dataset:
+    """Streaming bulk search: ``queries`` is a Dataset of
+    (query_id, text) that never materializes on the driver.
+
+    The driver resolves nothing per query — tokenization happens inside
+    the fan-out ``map_batches`` (per-worker cached tokenizer), global idf
+    inside the scorer actors via the bucketed dictionary artifact
+    (:class:`_DictDfLookup`), so a 10^9-row query table streams through
+    with backpressure like any other Dataset. Results are identical to
+    :func:`search` on the same queries: same tokenizer, same global df,
+    same ascending-term accumulation and (score desc, doc_id asc) ties.
+
+    Each query still visits every shard (partition-by-document layout);
+    rows are emitted shard-major per batch so a scorer actor's shard LRU
+    and per-batch decode memo get long same-shard runs."""
+    cfg = cfg or QueryConfig()
+    meta = IndexMeta(index_dir)
+    offsets = ConvOffsets.load(index_dir)
+    spec = meta.stats.get("tokenizer_spec", "deterministic")
+    shards = np.asarray(meta.shards, np.int64)
+
+    def fan(batch: pa.Table) -> pa.Table:
+        from bge_m3_onnx_ray.tokenizer import make_tokenizer
+        tok = _TOK_CACHE.get(spec)
+        if tok is None:
+            tok = _TOK_CACHE[spec] = make_tokenizer(spec)
+        qids = batch.column("query_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        terms = [sorted(set(tok.tokenize(t or ""))) for t in texts]
+        keep = np.asarray([len(t) > 0 for t in terms], bool)
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "terms": pa.array([], pa.list_(pa.string())),
+                             "shard": pa.array([], pa.int64())})
+        qids = qids[keep].astype(np.int64)
+        terms = [t for t, k_ in zip(terms, keep) if k_]
+        nq, ns = len(qids), len(shards)
+        # shard-major: all queries of this batch for shard s are adjacent
+        return pa.table({
+            "query_id": pa.array(np.tile(qids, ns), pa.int64()),
+            "terms": pa.array([terms[i] for _ in range(ns)
+                               for i in range(nq)], pa.list_(pa.string())),
+            "shard": pa.array(np.repeat(shards, nq), pa.int64()),
+        })
+
+    fanout = queries.map_batches(fan, batch_format="pyarrow",
+                                 batch_size=cfg.scorer_batch_size)
+    partials = fanout.map_batches(
+        ShardScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "idfs": None,
                                "k": cfg.k, "method": cfg.method,
                                "cache_size": cfg.shard_cache_size},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,

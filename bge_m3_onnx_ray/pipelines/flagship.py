@@ -85,6 +85,26 @@ def bm25_documents_topk(sf_dir: str, method: str = "wand", k: int = 10) -> pa.Ta
                                 preserve_index=False)
 
 
+def bm25_documents_bulk_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Same result as :func:`bm25_documents_topk` but through the
+    streaming bulk path: queries enter as a ``ray.data.Dataset``, are
+    tokenized inside the fan-out stage and get their global idf from the
+    bucketed dictionary artifact INSIDE the scorer actors
+    (``search.search_bulk``) — no per-query state on the driver. Scores
+    are bit-identical to the driver-resolved path, so the same DuckDB
+    oracle applies."""
+    from bge_m3_onnx_ray.index.search import search_bulk
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    qds = rd.from_items([{"query_id": q, "text": t} for q, t in DOC_QUERIES])
+    out = search_bulk(idx, qds, QueryConfig(k=k, method="wand")).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
+
+
 TRANSCRIPTS_DOCS_PER_SHARD = 65536
 
 

@@ -69,3 +69,24 @@ def test_empty_and_oov_queries(tiny_index):
     out = search(idx, [(0, ""), (1, "zzzqx notinvocab")],
                  QueryConfig(k=5)).to_pandas()
     assert len(out) == 0
+
+
+def test_bulk_search_matches_driver_path(tiny_index, tiny_corpus):
+    """search_bulk (queries as a streaming Dataset, actor-side
+    dictionary-bucket idf lookup) ≡ search (driver-resolved idfs) —
+    same tokenizer, same global df, so scores must be bit-identical."""
+    import ray.data as rd
+
+    idx, _ = tiny_index
+    _, _, queries = tiny_corpus
+    qds = rd.from_items([{"query_id": q, "text": t} for q, t in queries])
+    bulk = _engine_results(idx, qds, "wand")
+    drv = _engine_results(idx, queries, "wand")
+    assert bulk == drv
+    # Dataset input to search() routes through search_bulk (no driver
+    # collect); OOV/empty queries drop out without error
+    qds2 = rd.from_items([{"query_id": 0, "text": ""},
+                          {"query_id": 1, "text": "zzzqx notinvocab"},
+                          {"query_id": 2, "text": queries[0][1]}])
+    out = search(idx, qds2, QueryConfig(k=5, method="exhaustive")).to_pandas()
+    assert set(out["query_id"]) == {2}
