@@ -180,6 +180,26 @@ def _q_ann(sf_dir):
         k=10, exclude={int(v): int(v) for v in qdf.vec_id})
 
 
+def _q_ivf(sf_dir):
+    """IVF cosine top-k with nprobe = n_lists (all lists probed): exactly
+    brute-force results, so the SQL ANN oracle checks the whole IVF
+    plumbing (k-means -> assignment -> probe -> probed scan) end-to-end
+    for completeness. nprobe < n_lists recall/speed is a bench row."""
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.stages.ann import ivf_assign, ivf_topk, kmeans_centroids
+    emb = _embeddings(sf_dir)
+    qdf = emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 5)),
+                          batch_format="pyarrow").to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    n_lists = 16
+    cents = kmeans_centroids(emb, n_lists=n_lists, n_iters=3)
+    assigned = ivf_assign(emb, cents)
+    return ivf_topk(assigned, cents, np.stack(qdf.embedding.to_numpy()),
+                    qdf.vec_id.to_numpy(), k=10, nprobe=n_lists,
+                    exclude={int(v): int(v) for v in qdf.vec_id})
+
+
 def _q_lsh_buckets(sf_dir):
     from bge_m3_onnx_ray.stages.ann import lsh_buckets
     emb = _embeddings(sf_dir)
@@ -307,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "embedding_dup_pairs": _q_embedding_dups,
         "ann_cosine_topk": _q_ann,
+        "ivf_cosine_topk": _q_ivf,
         "lsh_buckets": _q_lsh_buckets,
         "doc_term_weights": _q_doc_term_weights,
         "revenue_by_segment": _q_revenue_by_segment,
@@ -716,6 +737,23 @@ FROM c
 """
 
 
+# Exact cosine top-k oracle: shared by ann_cosine_topk (brute force) and
+# ivf_cosine_topk (all lists probed => identical-by-construction results)
+_ANN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 5),
+sims AS (SELECT q.query_id, e.vec_id,
+                list_cosine_similarity(q.qv, e.embedding) AS cos
+         FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, vec_id) AS rnk FROM sims)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
+       vec_id::BIGINT AS vec_id,
+       CAST(floor(cos * 100) AS BIGINT) AS cos_q2
+FROM ranked WHERE rnk <= 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from bge_m3_onnx_ray.stages.text import STOPWORDS
     en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
@@ -847,19 +885,8 @@ SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """,
-        "ann_cosine_topk": """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-           WHERE vec_id < 5),
-sims AS (SELECT q.query_id, e.vec_id,
-                list_cosine_similarity(q.qv, e.embedding) AS cos
-         FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
-ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                        ORDER BY cos DESC, vec_id) AS rnk FROM sims)
-SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
-       vec_id::BIGINT AS vec_id,
-       CAST(floor(cos * 100) AS BIGINT) AS cos_q2
-FROM ranked WHERE rnk <= 10
-""",
+        "ivf_cosine_topk": _ANN_SQL,
+        "ann_cosine_topk": _ANN_SQL,
         "doc_term_weights": f"""
 WITH toks AS ({_TOKS}),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks

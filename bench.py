@@ -192,6 +192,30 @@ def run_bench() -> dict:
         "segments_pruned": pruned, "segments_scored": scored,
         "pruned_frac": round(pruned / max(pruned + scored, 1), 3)}
 
+    # ---- IVF: recall/time at nprobe < n_lists vs the exact scan
+    import numpy as np
+    import pyarrow.compute as _pc
+
+    import __ray_entry__ as _entry
+    from bge_m3_onnx_ray.stages.ann import (brute_force_topk, ivf_assign,
+                                            ivf_topk, kmeans_centroids)
+    emb = _entry._embeddings(SF_DIR)
+    qdf = emb.map_batches(lambda t: t.filter(_pc.less(t["vec_id"], 16)),
+                          batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    qv, qid = np.stack(qdf.embedding.to_numpy()), qdf.vec_id.to_numpy()
+    cents = kmeans_centroids(emb, n_lists=16, n_iters=3)
+    assigned = ivf_assign(emb, cents).materialize()
+    t0 = time.perf_counter()
+    bf = brute_force_topk(emb, qv, qid, k=10).to_pandas()
+    t_bf = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    iv = ivf_topk(assigned, cents, qv, qid, k=10, nprobe=4).to_pandas()
+    t_iv = time.perf_counter() - t0
+    hit = iv.merge(bf, on=["query_id", "vec_id"]).shape[0]
+    out["ivf"] = {"nprobe": 4, "n_lists": 16,
+                  "recall_at_10": round(hit / max(len(bf), 1), 3),
+                  "ivf_sec": round(t_iv, 2), "exact_sec": round(t_bf, 2)}
+
     # ---- documents-table operator suite over SF_DIR
     if os.environ.get("BENCH_SKIP_QUERIES"):
         out["queries"] = {}
@@ -266,6 +290,7 @@ def main() -> None:
         "query_batch50_sec": out["query_batch50_sec"],
         "index_phases": out["index_phases"],
         "zipf_wand": out.get("zipf_wand"),
+        "ivf": out.get("ivf"),
     }))
     import ray
     ray.shutdown()

@@ -135,3 +135,200 @@ def lsh_buckets(ds: rd.Dataset, dim: int, n_planes: int = 12) -> rd.Dataset:
     return ds.select_columns(["vec_id", "embedding"]).map_batches(
         task_stage(LshBucketStage, dim=dim, n_planes=n_planes),
         batch_format="pyarrow", batch_size=4096)
+
+
+# ------------------------------------------------------------------ IVF
+
+class _KMeansSeed:
+    """Per-batch candidate seeds: the k smallest hash(vec_id) rows. The
+    driver merges partials, so the global seed set is a pure function of
+    the data (independent of partitioning)."""
+
+    def __init__(self, k: int):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch.column("vec_id").to_numpy()
+        h = (vids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+            >> np.uint64(1)
+        take = np.argsort(h, kind="stable")[:self.k]
+        m = _embedding_matrix(batch.column("embedding"))
+        return pa.table({
+            "h": pa.array(h[take].astype(np.int64), pa.int64()),
+            "vec_id": pa.array(vids[take], pa.int64()),
+            "embedding": pa.array(list(m[take]),
+                                  pa.list_(pa.float64())),
+        })
+
+
+class _KMeansAssignPartial:
+    """Per-batch partial sums for one k-means iteration: per-centroid
+    (count, sum-vector). Centroids broadcast once (ray.put)."""
+
+    def __init__(self, c_ref):
+        import ray
+        self.c = ray.get(c_ref)          # (k, dim), unit rows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_embedding_matrix(batch.column("embedding")))
+        a = np.argmax(m @ self.c.T, axis=1)     # ties: lowest centroid id
+        order = np.argsort(a, kind="stable")
+        a_s, m_s = a[order], m[order]
+        bounds = np.concatenate([[0], np.flatnonzero(np.diff(a_s)) + 1,
+                                 [len(a_s)]])
+        cids = a_s[bounds[:-1]]
+        sums = np.add.reduceat(m_s, bounds[:-1], axis=0)
+        return pa.table({
+            "cid": pa.array(cids.astype(np.int64), pa.int64()),
+            "cnt": pa.array(np.diff(bounds).astype(np.int64), pa.int64()),
+            "sum": pa.array(list(sums), pa.list_(pa.float64())),
+        })
+
+
+def kmeans_centroids(ds: rd.Dataset, n_lists: int = 64,
+                     n_iters: int = 5) -> np.ndarray:
+    """Distributed spherical k-means over the embedding column.
+
+    Every heavy pass is a ``map_batches`` partial (one small table per
+    batch); the driver reduces only k x dim floats per iteration — the
+    broadcast-small-side pattern, never a full-table collect. Seeds are
+    the k corpus rows with the smallest splitmix-style hash(vec_id), so
+    the result is a pure function of the data. The driver reduce sorts
+    partial rows before summing, making centroid floats independent of
+    batch arrival order."""
+    import ray
+
+    seeds = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        task_stage(_KMeansSeed, k=n_lists),
+        batch_format="pyarrow", batch_size=8192).to_pandas()
+    seeds = seeds.sort_values(["h", "vec_id"]).head(n_lists)
+    c = _normalize(np.vstack(seeds["embedding"].to_numpy()))
+    for _ in range(n_iters):
+        c_ref = ray.put(c)
+        parts = ds.select_columns(["vec_id", "embedding"]).map_batches(
+            task_stage(_KMeansAssignPartial, c_ref=c_ref),
+            batch_format="pyarrow", batch_size=8192).to_pandas()
+        parts["key"] = parts["sum"].map(lambda v: np.asarray(v).tobytes())
+        parts = parts.sort_values(["cid", "cnt", "key"])
+        nxt = c.copy()                   # empty cluster keeps its centroid
+        for cid, grp in parts.groupby("cid", sort=True):
+            s = np.sum(np.vstack(grp["sum"].to_numpy()), axis=0)
+            n = np.linalg.norm(s)
+            if n > 1e-30:
+                nxt[int(cid)] = s / n
+        c = nxt
+    return c
+
+
+def ivf_assign(ds: rd.Dataset, centroids: np.ndarray) -> rd.Dataset:
+    """(vec_id, embedding, list_id): nearest-centroid assignment — the
+    IVF index body. At 100 TB this is what you ``write_parquet``
+    partitioned by list_id so a probe-pruned query READS only its lists;
+    here it stays a Dataset consumed by :func:`ivf_topk`."""
+    import ray
+    c_ref = ray.put(np.ascontiguousarray(centroids, np.float64))
+
+    class _Assign:
+        def __init__(self, c_ref):
+            self.c = ray.get(c_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_embedding_matrix(batch.column("embedding")))
+            a = np.argmax(m @ self.c.T, axis=1).astype(np.int64)
+            return batch.append_column("list_id", pa.array(a, pa.int64()))
+
+    return ds.select_columns(["vec_id", "embedding"]).map_batches(
+        task_stage(_Assign, c_ref=c_ref),
+        batch_format="pyarrow", batch_size=8192)
+
+
+class _IvfPartialTopK:
+    """Per-batch partial top-k over PROBED lists only: rows whose
+    list_id is outside every query's probe set are dropped before the
+    matmul (the compute analogue of reading only probed partitions)."""
+
+    def __init__(self, q_ref, k: int):
+        import ray
+        self.qids, self.q, self.probes, self.union, self.exclude = \
+            ray.get(q_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lists = batch.column("list_id").to_numpy()
+        keep = np.isin(lists, self.union)
+        out_q, out_v, out_s = [], [], []
+        if keep.any():
+            sub = batch.filter(pa.array(keep))
+            vids = sub.column("vec_id").to_numpy()
+            lsub = lists[keep]
+            m = _normalize(_embedding_matrix(sub.column("embedding")))
+            sims = self.q @ m.T
+            k = self.k
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(lsub, self.probes[qi])
+                ex = self.exclude.get(int(qid))
+                if ex is not None:
+                    mask &= vids != ex
+                sel = np.flatnonzero(mask)
+                if not len(sel):
+                    continue
+                s = sims[qi][sel]
+                kk = min(k, len(sel))
+                if len(sel) > kk:
+                    kth = -np.partition(-s, kk - 1)[kk - 1]
+                    pick = sel[s >= kth]
+                else:
+                    pick = sel
+                out_q.extend([qid] * len(pick))
+                out_v.extend(vids[pick].tolist())
+                out_s.extend(sims[qi][pick].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "cos": pa.array(out_s, pa.float64())})
+
+
+def ivf_topk(assigned: rd.Dataset, centroids: np.ndarray,
+             query_vecs: np.ndarray, query_ids: np.ndarray,
+             k: int = 10, nprobe: int = 4,
+             exclude: dict[int, int] | None = None) -> rd.Dataset:
+    """IVF cosine top-k: probe the ``nprobe`` nearest lists per query.
+
+    With ``nprobe == len(centroids)`` every list is probed and the
+    result is EXACTLY :func:`brute_force_topk` (same kernel, same
+    (cos desc, vec_id asc) ties) — the completeness gate the driver
+    SQL-checks; smaller nprobe trades recall for scan fraction (the
+    bench records both)."""
+    import ray
+
+    q = _normalize(np.asarray(query_vecs, np.float64))
+    csims = q @ np.ascontiguousarray(centroids, np.float64).T
+    nprobe = min(nprobe, csims.shape[1])
+    # deterministic probe order: (-sim, list_id)
+    probes = [row[:nprobe] for row in
+              np.lexsort((np.arange(csims.shape[1])[None, :].repeat(
+                  len(q), 0), -csims), axis=1)[:, :nprobe]]
+    probes = [np.sort(p).astype(np.int64) for p in probes]
+    union = np.unique(np.concatenate(probes)) if probes else np.empty(0, np.int64)
+    q_ref = ray.put((np.asarray(query_ids, np.int64), q, probes, union,
+                     dict(exclude or {})))
+
+    partials = assigned.map_batches(
+        task_stage(_IvfPartialTopK, q_ref=q_ref, k=k),
+        batch_format="pyarrow", batch_size=8192)
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        s = group.column("cos").to_numpy()
+        v = group.column("vec_id").to_numpy()
+        order = np.lexsort((v, -s))[:k]
+        return pa.table({
+            "query_id": pa.array(np.full(len(order), qid), pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32),
+                             pa.int32()),
+            "vec_id": pa.array(v[order], pa.int64()),
+            "cos_q2": pa.array(np.floor(s[order] * 100.0).astype(np.int64),
+                               pa.int64()),
+        })
+
+    return partials.groupby("query_id").map_groups(
+        merge, batch_format="pyarrow")

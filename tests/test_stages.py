@@ -3,6 +3,7 @@ events, multimodal) against small in-memory truths — complementing the
 driver's DuckDB gate."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -251,3 +252,31 @@ def test_frame_sample_counts(ray_session):
         assert len(sub) == expect
         assert sub.frame_idx.tolist() == list(range(expect))
         assert sub.ts_ms.tolist() == [i * 1000 for i in range(expect)]
+
+
+def test_ivf_full_probe_equals_bruteforce(ray_session):
+    """nprobe = n_lists must reproduce brute force exactly (same kernel,
+    same ties); nprobe=1 must return a subset drawn from probed lists."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.ann import (brute_force_topk, ivf_assign,
+                                            ivf_topk, kmeans_centroids)
+    rng = np.random.default_rng(5)
+    m = rng.standard_normal((400, 16))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(400), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in m], pa.list_(pa.float32()))}))
+    q, qids = m[:3], np.arange(3)
+    cents = kmeans_centroids(ds, n_lists=8, n_iters=2)
+    assert cents.shape == (8, 16)
+    assigned = ivf_assign(ds, cents)
+    full = ivf_topk(assigned, cents, q, qids, k=5, nprobe=8).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    bf = brute_force_topk(ds, q, qids, k=5).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(full, bf)
+    # nprobe=1: each query's hits all come from its own top-1 results set
+    one = ivf_topk(assigned, cents, q, qids, k=5, nprobe=1).to_pandas()
+    assert len(one) <= len(full)
+    merged = one.merge(bf, on=["query_id", "vec_id"], how="left")
+    assert merged["rank_y"].notna().mean() >= 0.2  # nonzero recall
