@@ -260,6 +260,11 @@ def _q_corpus_sample(sf_dir):
     return corpus_sample(_docs(sf_dir).select_columns(["doc_id", "text"]), n=100)
 
 
+def _q_corpus_sample_hash(sf_dir):
+    from bge_m3_onnx_ray.stages.text import corpus_sample_hash
+    return corpus_sample_hash(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def _q_text_variations(sf_dir):
     from bge_m3_onnx_ray.stages.text import text_variations
     return text_variations(_docs(sf_dir))
@@ -316,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_fingerprint,
         "distribution_counts": _q_distribution_counts,
         "corpus_sample": _q_corpus_sample,
+        "corpus_sample_hash": _q_corpus_sample_hash,
         "text_variations": _q_text_variations,
         "exact_dedup": _q_exact_dedup,
         "ngram_dup_pairs": _q_ngram_pairs,
@@ -771,6 +777,14 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_verify": _jaccard_verify_sql(),
         "minhash_jaccard_verify": _minhash_jaccard_verify_sql(),
         "lsh_dup_pairs": _lsh_dup_pairs_sql(n_planes=8, threshold=0.0),
+        "corpus_sample_hash": """
+WITH h1 AS (SELECT doc_id, text,
+                   ((doc_id % 2147483647) * 1103515245 + 17)
+                     % 2147483647 AS h FROM documents),
+h2 AS (SELECT doc_id, text, (h * 1103515245 + 17) % 2147483647 AS h FROM h1)
+SELECT doc_id, text FROM h2
+WHERE h < 429496729  -- (200000 * (2^31-1)) // 1e6
+""",
         "token_count": f"""
 SELECT doc_id, len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}'))::BIGINT
        AS n_tokens

@@ -744,7 +744,19 @@ def build_index(transcripts, index_dir: str, cfg: IndexConfig | None = None,
         "config_fingerprint": cfg.fingerprint(),
     }
     atomic_write_json(stats, os.path.join(index_dir, "stats.json"))
-    atomic_write_json({"shards": shards, "config_fingerprint": cfg.fingerprint()},
+    # per-partition lineage: a shard IS a docID range, and docIDs are a
+    # pure function of the input's (conv_id, turn_idx) order — so
+    # (input_fingerprint, offsets_digest, doc_lo/doc_hi) ties every
+    # artifact file back to exactly the input rows that produced it
+    dps = cfg.docs_per_shard
+    for sid, e in shards.items():
+        e["doc_lo"] = int(sid) * dps
+        e["doc_hi"] = min((int(sid) + 1) * dps, offsets.n_docs)
+    atomic_write_json({"shards": shards,
+                       "config_fingerprint": cfg.fingerprint(),
+                       "input_fingerprint": input_fp,
+                       "offsets_digest": _offsets_digest(offsets),
+                       "phases": phases},
                       os.path.join(index_dir, "manifest.json"))
     assert n_docs == offsets.n_docs, \
         f"doc count mismatch: merged {n_docs} vs offsets {offsets.n_docs}"

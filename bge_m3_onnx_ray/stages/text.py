@@ -275,6 +275,34 @@ def corpus_sample(ds: rd.Dataset, n: int, seed: int = 42) -> rd.Dataset:
     return ds.random_shuffle(seed=seed).limit(n)
 
 
+def corpus_sample_hash(ds: rd.Dataset, rate_ppm: int = 200_000,
+                       seed: int = 17) -> rd.Dataset:
+    """Deterministic hash sampling: keep a row iff
+    ``h(doc_id) < rate_ppm/1e6 * P53`` — the shuffle-FREE form of A8 a
+    100 TB pipeline actually uses (a pure per-batch filter; no exchange,
+    no order dependence, reproducible across any partitioning). The
+    two-round LCG mod the Mersenne prime 2^31-1 keeps every intermediate
+    below 2^62, so DuckDB BIGINT arithmetic reproduces it bit-for-bit
+    (SQL-checked); the ~10^9 multiplier gives real avalanche for small
+    ids (a small multiplier mod a 53-bit prime never wraps and degrades
+    into a contiguous-prefix "sample")."""
+    import numpy as np
+
+    from bge_m3_onnx_ray.hashing import P31
+    p = np.uint64(P31)
+    a = np.uint64(1103515245)
+    thresh = np.uint64((rate_ppm * int(P31)) // 1_000_000)
+    s = np.uint64(seed)
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy().astype(np.uint64)
+        h = ((d % p) * a + s) % p
+        h = (h * a + s) % p
+        return t.filter(pa.array(h < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def text_variations(ds: rd.Dataset) -> rd.Dataset:
     """Reference M8 (``generate_variations``, ``generate_dataset.py:
     153-168``): flat-map each doc to <=3 deterministic prefix/suffix
