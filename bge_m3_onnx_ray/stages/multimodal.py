@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque ``binary`` payload columns with
 typed metadata, decoded / feature-extracted by actor-pool stages.
 
-The decode kernels themselves are STUBBED (this container has no image/
-audio libraries — see the module-level ``HAVE_PIL`` gate): the Ray-side
-contract — schema, small batch sizes for wide binary rows, actor
-signature, output layout — is real and tested with deterministic fake
-payloads. Swap ``_decode_image_stub`` for a real decoder where PIL/ffmpeg
-exist; nothing else changes.
+Decode support is tiered: binary PPM (P6) payloads are REALLY decoded
+(pure numpy header parse + raw RGB view — no image library needed) and
+area-average-resized to the 8x8 feature grid; other formats (JPEG/PNG/
+audio/video containers) need PIL/ffmpeg, absent in this container, so
+they fall back to a deterministic sha-derived stub thumbnail — the
+module-level ``HAVE_PIL`` gate marks where a real decoder plugs in.
+The Ray-side contract — schema, small batch sizes for wide binary
+rows, actor signature, output layout — is identical on both paths.
 """
 
 from __future__ import annotations
@@ -33,25 +35,86 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6) bytes."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
 def make_fake_media(n: int, seed: int = 5) -> pa.Table:
-    """Deterministic fake payloads for plumbing tests (seeded bytes)."""
+    """Deterministic media payloads for plumbing tests: "image" rows are
+    REAL binary PPMs (seeded pixels, so decode output is checkable
+    against the generator), audio/video rows are seeded opaque bytes."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, int(sz), dtype=np.uint8).tobytes()
-                for sz in rng.integers(100, 5000, n)]
     kinds = np.array(["image", "audio", "video"], object)[rng.integers(0, 3, n)]
+    widths = rng.integers(16, 4096, n).astype(np.int32)
+    heights = rng.integers(16, 4096, n).astype(np.int32)
+    payloads = []
+    for i in range(n):
+        if kinds[i] == "image":
+            w = int(rng.integers(8, 33))
+            h = int(rng.integers(8, 33))
+            widths[i], heights[i] = w, h
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payloads.append(encode_ppm(px))
+        else:
+            payloads.append(rng.integers(
+                0, 256, int(rng.integers(100, 5000)), dtype=np.uint8).tobytes())
     return pa.table({
         "media_id": pa.array(np.arange(n), pa.int64()),
         "kind": pa.array(kinds, pa.string()),
         "payload": pa.array(payloads, pa.binary()),
-        "width": pa.array(rng.integers(16, 4096, n).astype(np.int32), pa.int32()),
-        "height": pa.array(rng.integers(16, 4096, n).astype(np.int32), pa.int32()),
+        "width": pa.array(widths, pa.int32()),
+        "height": pa.array(heights, pa.int32()),
         "duration_ms": pa.array(rng.integers(0, 60000, n).astype(np.int32), pa.int32()),
     })
 
 
+def decode_ppm(payload: bytes) -> np.ndarray | None:
+    """Real decode for binary PPM (P6): header parse + zero-copy RGB
+    view. Returns None when the payload isn't PPM (caller falls back)."""
+    if not payload.startswith(b"P6"):
+        return None
+    parts: list[int] = []
+    pos = 2
+    while len(parts) < 3:
+        # skip whitespace/comments, read one ASCII integer
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(payload) and payload[end:end + 1].isdigit():
+            end += 1
+        if end == pos:
+            return None
+        parts.append(int(payload[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255 or len(payload) - pos < w * h * 3:
+        return None
+    return np.frombuffer(payload, np.uint8, count=w * h * 3,
+                         offset=pos).reshape(h, w, 3)
+
+
+def resize_area(img: np.ndarray, out_h: int = 8, out_w: int = 8) -> np.ndarray:
+    """Area-average resize to (out_h, out_w, 3) — the classic thumbnail
+    kernel, vectorized with add.reduceat over row/column bin edges."""
+    h, w, _ = img.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    acc = np.add.reduceat(img.astype(np.float64), ys, axis=0)
+    acc = np.add.reduceat(acc, xs, axis=1)
+    ny = np.diff(np.concatenate([ys, [h]])).astype(np.float64)
+    nx = np.diff(np.concatenate([xs, [w]])).astype(np.float64)
+    return acc / (ny[:, None, None] * nx[None, :, None])
+
+
 def _decode_image_stub(payload: bytes) -> np.ndarray:
-    """Deterministic fake decode: 8x8x3 uint8 'thumbnail' derived from a
-    sha256 of the payload. Replace with PIL.Image.open when available."""
+    """Deterministic fallback for formats needing PIL (absent here):
+    8x8x3 uint8 'thumbnail' derived from a sha256 of the payload."""
     if HAVE_PIL:  # pragma: no cover
         raise NotImplementedError("real decode path requires PIL wiring")
     h = hashlib.sha256(payload).digest()
@@ -64,14 +127,21 @@ class DecodeFeatures:
     worker heap (the guide's memory-aware rule)."""
 
     def __init__(self):
-        self.decode = _decode_image_stub  # per-actor setup point
+        self.fallback = _decode_image_stub  # per-actor setup point
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats, means = [], []
-        for payload in batch.column("payload").to_pylist():
-            img = self.decode(payload)
-            feats.append(img.astype(np.float32).ravel() / 255.0)
-            means.append(float(img.mean()))
+        feats, means, real = [], [], []
+        payloads = batch.column("payload").to_pylist()
+        for payload in payloads:
+            img = decode_ppm(payload)
+            real.append(img is not None)
+            if img is None:
+                img = self.fallback(payload)
+                thumb = img.astype(np.float64)
+            else:
+                thumb = resize_area(img)      # real decode + real resize
+            feats.append((thumb.ravel() / 255.0).astype(np.float32))
+            means.append(float(img.mean()))   # over FULL decoded pixels
         return pa.table({
             "media_id": batch.column("media_id"),
             "kind": batch.column("kind"),
@@ -79,8 +149,8 @@ class DecodeFeatures:
                                 pa.list_(pa.float32())),
             "mean_intensity_q6": pa.array(
                 np.floor(np.array(means) * 1e6).astype(np.int64), pa.int64()),
-            "payload_bytes": pa.array(
-                [len(p) for p in batch.column("payload").to_pylist()], pa.int64()),
+            "decoded": pa.array(real, pa.bool_()),
+            "payload_bytes": pa.array([len(p) for p in payloads], pa.int64()),
         })
 
 

@@ -280,3 +280,32 @@ def test_ivf_full_probe_equals_bruteforce(ray_session):
     assert len(one) <= len(full)
     merged = one.merge(bf, on=["query_id", "vec_id"], how="left")
     assert merged["rank_y"].notna().mean() >= 0.2  # nonzero recall
+
+
+def test_ppm_real_decode(ray_session):
+    """Image rows carry real binary PPMs: the engine's decode + area
+    resize must match a direct numpy computation on the same payloads."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.multimodal import (decode_features,
+                                                   decode_ppm, encode_ppm,
+                                                   make_fake_media,
+                                                   resize_area)
+    media = make_fake_media(60, seed=9)
+    out = decode_features(rd.from_arrow(media)).to_pandas() \
+        .set_index("media_id")
+    mdf = media.to_pandas().set_index("media_id")
+    n_img = (mdf.kind == "image").sum()
+    assert n_img > 5
+    assert out.decoded.sum() == n_img          # every image really decoded
+    for mid, row in mdf[mdf.kind == "image"].iterrows():
+        img = decode_ppm(row.payload)
+        assert img.shape == (row.height, row.width, 3)
+        want_mean = int(np.floor(img.mean() * 1e6))
+        assert out.loc[mid, "mean_intensity_q6"] == want_mean
+        want_feat = (resize_area(img).ravel() / 255.0).astype(np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(out.loc[mid, "feature"], np.float32), want_feat)
+    # round trip
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(px)), px)
