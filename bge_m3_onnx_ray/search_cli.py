@@ -37,7 +37,9 @@ def main(argv=None) -> int:
         kw = {"include_dashboard": False, "logging_level": "ERROR"}
         if args.num_cpus:
             kw["num_cpus"] = args.num_cpus
-        ray.init(address="local", **kw)
+        # no explicit address: Ray honours RAY_ADDRESS ("local" in this
+        # sandbox; the cluster address under `ray job submit`)
+        ray.init(**kw)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
