@@ -186,6 +186,43 @@ def _candidate_pairs(rows: rd.Dataset, keycols: list[str], cap: int,
         batch_format="pyarrow")
 
 
+def _count_pairs(pairs: rd.Dataset, out_col: str,
+                 n_buckets: int = 256) -> rd.Dataset:
+    """(doc_a, doc_b) rows → (doc_a, doc_b, <out_col>=multiplicity).
+
+    Functionally ``groupby([doc_a, doc_b]).aggregate(Count)``, but Ray's
+    sort-aggregate pays ~150 µs of per-GROUP overhead — 172 s for the
+    1.13M distinct pairs of the sf0.1 ngram graph. Bucketing by a hash
+    of the pair and counting with one lexsort + reduceat per bucket does
+    the same reduction in ~2 s; a pair hashes to exactly one bucket, so
+    counts are exact."""
+    from bge_m3_onnx_ray.hashing import P53
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy().astype(np.uint64) % P53
+        b = t.column("doc_b").to_numpy().astype(np.uint64) % P53
+        h = (a * np.uint64(131) + b) % P53
+        return t.select(["doc_a", "doc_b"]).append_column(
+            "_cb", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
+
+    def count_kernel(g: pa.Table) -> pa.Table:
+        a = g.column("doc_a").to_numpy()
+        b = g.column("doc_b").to_numpy()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        brk = np.empty(len(a), bool)
+        brk[0] = True
+        brk[1:] = (np.diff(a) != 0) | (np.diff(b) != 0)
+        starts = np.flatnonzero(brk)
+        cnt = np.diff(np.concatenate([starts, [len(a)]]))
+        return pa.table({"doc_a": pa.array(a[starts], pa.int64()),
+                         "doc_b": pa.array(b[starts], pa.int64()),
+                         out_col: pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return pairs.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_cb").map_groups(count_kernel, batch_format="pyarrow")
+
+
 def ngram_pair_candidates(ds: rd.Dataset, n: int = 3, min_common: int = 2,
                           group_cap: int = 1000) -> rd.Dataset:
     """Pairs of docs sharing >= min_common distinct word-n-gram shingles.
@@ -194,12 +231,41 @@ def ngram_pair_candidates(ds: rd.Dataset, n: int = 3, min_common: int = 2,
         task_stage(ShingleStage, n=n), batch_format="pyarrow",
         batch_size=4096)
     pairs = _candidate_pairs(shingles, ["shingle"], group_cap)
-    counted = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_common"))
+    counted = _count_pairs(pairs, "n_common")
     import pyarrow.compute as pc
     return counted.map_batches(
         lambda t: t.filter(pc.greater_equal(t["n_common"], min_common)),
         batch_format="pyarrow")
+
+
+def _bucket_min_labels(msgs: rd.Dataset, n_buckets: int = 256) -> rd.Dataset:
+    """(key, val) rows → per-key min val as (key, val, kind='l') label
+    rows. Same reduction as groupby(key).aggregate(Min) but bucketed —
+    Ray's sort-aggregate pays per-GROUP overhead that dominates when
+    keys are mostly distinct (one group per graph node here)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (t.column("key").to_numpy().astype(np.uint64)
+             * np.uint64(2654435761)) % np.uint64(n_buckets)
+        return t.select(["key", "val"]).append_column(
+            "_mb", pa.array(b.astype(np.int64)))
+
+    def min_kernel(g: pa.Table) -> pa.Table:
+        k = g.column("key").to_numpy()
+        v = g.column("val").to_numpy()
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        brk = np.empty(len(k), bool)
+        brk[0] = True
+        brk[1:] = np.diff(k) != 0
+        starts = np.flatnonzero(brk)
+        mins = np.minimum.reduceat(v, starts)
+        return pa.table({"key": pa.array(k[starts], pa.int64()),
+                         "val": pa.array(mins, pa.int64()),
+                         "kind": pa.array(["l"] * len(starts), pa.string())})
+
+    return msgs.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_mb").map_groups(min_kernel, batch_format="pyarrow")
 
 
 def dup_clusters(pairs: rd.Dataset, max_rounds: int = 512) -> rd.Dataset:
@@ -221,8 +287,7 @@ def dup_clusters(pairs: rd.Dataset, max_rounds: int = 512) -> rd.Dataset:
                                      t["doc_a"].combine_chunks()]),
             "kind": pa.array(["e"] * (2 * t.num_rows), pa.string()),
         }), batch_format="pyarrow").materialize()
-    labels = edges.groupby("key").aggregate(Min("val", alias_name="val")) \
-        .map_batches(lambda t: pa.table({
+    labels = _bucket_min_labels(edges).map_batches(lambda t: pa.table({
             "key": t["key"],
             "val": pa.compute.min_element_wise(t["key"], t["val"]),
             "kind": pa.array(["l"] * t.num_rows, pa.string()),
@@ -230,48 +295,55 @@ def dup_clusters(pairs: rd.Dataset, max_rounds: int = 512) -> rd.Dataset:
 
     def propagate(group: pa.Table) -> pa.Table:
         """One hash-bucket of nodes per call (NOT one node — the per-group
-        Python call would dominate at corpus scale): sort by node, find
-        each node's min 'l' label with a masked minimum.reduceat, and
-        broadcast it to the node itself and every 'e' neighbor row —
-        fully vectorized."""
+        Python call would dominate at corpus scale): sort by node, reduce
+        each node's min over its label rows (its own 'n' row from last
+        round plus incoming 'l' messages) with a masked minimum.reduceat,
+        and broadcast it to the node itself (kind 'n' — the reduced label
+        AND next round's self-row) and every 'e' neighbor row (kind 'l').
+        The bucket key is the NODE, so all of a node's rows land in one
+        call and the reduction here is global — one shuffle per round,
+        no separate groupby-min pass."""
         import pyarrow.compute as pc
         n = group.num_rows
         order = pc.sort_indices(group, sort_keys=[("key", "ascending")])
         tbl = group.take(order)
         keys = tbl.column("key").to_numpy()
         vals = tbl.column("val").to_numpy()
-        is_l = pc.equal(tbl.column("kind"), "l").to_numpy(zero_copy_only=False)
+        is_e = pc.equal(tbl.column("kind"), "e").to_numpy(zero_copy_only=False)
         starts = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1])
         sizes = np.diff(np.concatenate([starts, [n]]))
         big = np.iinfo(np.int64).max
-        masked = np.where(is_l, vals, big)
+        masked = np.where(is_e, big, vals)
         node_label = np.minimum.reduceat(masked, starts)
         assert (node_label < big).all(), "node with no label row"
         row_label = np.repeat(node_label, sizes)
-        e_rows = ~is_l
-        out_k = np.concatenate([keys[starts], vals[e_rows]])
-        out_v = np.concatenate([node_label, row_label[e_rows]])
+        out_k = np.concatenate([keys[starts], vals[is_e]])
+        out_v = np.concatenate([node_label, row_label[is_e]])
+        kind = np.concatenate([np.full(len(starts), "n", object),
+                               np.full(int(is_e.sum()), "l", object)])
         return pa.table({"key": pa.array(out_k, pa.int64()),
                          "val": pa.array(out_v, pa.int64()),
-                         "kind": pa.array(["l"] * len(out_k), pa.string())})
+                         "kind": pa.array(kind, pa.string())})
 
     def add_bucket(t: pa.Table, n_buckets: int = 1024) -> pa.Table:
         b = (t.column("key").to_numpy().astype(np.uint64)
              * np.uint64(2654435761)) % np.uint64(n_buckets)
         return t.append_column("_bucket", pa.array(b.astype(np.int64)))
 
+    import pyarrow.compute as _pc
     prev_sum = None
     converged = False
     for _ in range(max_rounds):
         msgs = labels.union(edges).map_batches(
             add_bucket, batch_format="pyarrow").groupby("_bucket").map_groups(
-            propagate, batch_format="pyarrow")
-        labels = msgs.groupby("key").aggregate(Min("val", alias_name="val")) \
-            .map_batches(lambda t: pa.table({
-                "key": t["key"], "val": t["val"],
-                "kind": pa.array(["l"] * t.num_rows, pa.string()),
-            }), batch_format="pyarrow").materialize()
-        s = labels.aggregate(Sum("val"))["sum(val)"]
+            propagate, batch_format="pyarrow").materialize()
+        # reduced per-node labels are exactly the kind='n' rows
+        labels = msgs
+        s = msgs.map_batches(
+            lambda t: pa.table({"v": pa.array([_pc.sum(_pc.if_else(
+                _pc.equal(t["kind"], "n"), t["val"],
+                pa.scalar(0, pa.int64()))).as_py() or 0], pa.int64())}),
+            batch_format="pyarrow").to_pandas()["v"].sum()
         if s == prev_sum:
             converged = True
             break
@@ -282,8 +354,11 @@ def dup_clusters(pairs: rd.Dataset, max_rounds: int = 512) -> rd.Dataset:
         raise RuntimeError(
             f"dup_clusters did not converge within {max_rounds} rounds "
             f"(component diameter too large); raise max_rounds")
-    return labels.map_batches(lambda t: pa.table({
-        "doc_id": t["key"], "cluster_id": t["val"]}), batch_format="pyarrow")
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = t.filter(pc.equal(t["kind"], "n"))
+        return pa.table({"doc_id": keep["key"], "cluster_id": keep["val"]})
+    return labels.map_batches(finish, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------- MinHash/LSH
@@ -371,8 +446,7 @@ def minhash_lsh_candidates(ds: rd.Dataset, n: int = 3, n_perm: int = 64,
         task_stage(MinHashStage, n=n, n_perm=n_perm, n_bands=n_bands),
         batch_format="pyarrow", batch_size=2048)
     pairs = _candidate_pairs(bands, ["h1", "h2", "band"], group_cap)
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_bands_hit"))
+    return _count_pairs(pairs, "n_bands_hit")
 
 
 class _FilteredShingles(ShingleStage):
@@ -457,8 +531,9 @@ def verify_jaccard(ds: rd.Dataset, candidates, n: int = 3) -> pa.Table:
     src = ds.select_columns(["doc_id", "text"])
     sh = src.map_batches(task_stage(_FilteredShingles, n=n, docs_ref=docs_ref),
                          batch_format="pyarrow", batch_size=4096)
-    inter = _candidate_pairs(sh, ["shingle"], cap=len(docs_needed) + 1) \
-        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_common"))
+    inter = _count_pairs(
+        _candidate_pairs(sh, ["shingle"], cap=len(docs_needed) + 1),
+        "n_common")
     sizes = src.map_batches(task_stage(_ShingleSizes, n=n, docs_ref=docs_ref),
                             batch_format="pyarrow", batch_size=4096) \
         .to_pandas()  # O(#candidate docs) — the broadcast small side
