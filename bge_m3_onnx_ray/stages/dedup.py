@@ -56,11 +56,14 @@ def exact_dedup(ds: rd.Dataset) -> rd.Dataset:
                          "h2": pa.array(h2.astype(np.int64)),
                          "doc_id": t.column("doc_id")})
 
-    return ds.select_columns(["doc_id", "text"]) \
-        .map_batches(add_key, batch_format="pyarrow") \
-        .groupby(["h1", "h2"]).aggregate(
-            Min("doc_id", alias_name="doc_id"),
-            Count(alias_name="n_dups")).select_columns(["doc_id", "n_dups"])
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+    keyed = ds.select_columns(["doc_id", "text"]) \
+        .map_batches(add_key, batch_format="pyarrow")
+    # groups ~= distinct documents: bucket-reduce, never per-group calls
+    return bucket_reduce(keyed, ["h1", "h2"],
+                         [("doc_id", "min", "doc_id"),
+                          (None, "count", "n_dups")]) \
+        .select_columns(["doc_id", "n_dups"])
 
 
 # ------------------------------------------------- n-gram Jaccard pairs

@@ -30,11 +30,12 @@ def hourly_agg(ds: rd.Dataset) -> rd.Dataset:
             n_events=("value", "size"), sum_value=("value", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = ds.select_columns(["ts", "event_type", "value"]).map_batches(
-        partial, batch_format="pyarrow", batch_size=65536) \
-        .groupby(["event_type", "hour"]).aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value", alias_name="sum_value"))
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+    agg = bucket_reduce(
+        ds.select_columns(["ts", "event_type", "value"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "hour"],
+        [("n_events", "sum", "n_events"), ("sum_value", "sum", "sum_value")])
 
     def finalize(batch: pa.Table) -> pa.Table:
         # round-half-up at q2: event values are 2-decimal, so exact sums

@@ -104,10 +104,11 @@ class _DfPartial(_TokenStage):
 
 def term_df(ds: rd.Dataset, top_n: int = 100) -> pa.Table:
     """Top-N terms by (df desc, term asc) with global df and cf."""
-    agg = ds.select_columns(["doc_id", "text"]).map_batches(
-        task_stage(_DfPartial), batch_format="pyarrow",
-        batch_size=4096).groupby("term").aggregate(
-            Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+    agg = bucket_reduce(
+        ds.select_columns(["doc_id", "text"]).map_batches(
+            task_stage(_DfPartial), batch_format="pyarrow", batch_size=4096),
+        ["term"], [("df", "sum", "df"), ("cf", "sum", "cf")])
     pdf = agg.to_pandas().sort_values(["df", "term"],
                                       ascending=[False, True]).head(top_n)
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
@@ -348,9 +349,11 @@ def doc_term_weights(ds: rd.Dataset, max_doc_id: int | None = None,
     from bge_m3_onnx_ray.scoring import bm25_term_score, idf as idf_fn
 
     src = ds.select_columns(["doc_id", "text"])
-    dfp = src.map_batches(task_stage(_DfPartial), batch_format="pyarrow",
-                          batch_size=4096) \
-        .groupby("term").aggregate(Sum("df", alias_name="df")).to_pandas()
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+    dfp = bucket_reduce(
+        src.map_batches(task_stage(_DfPartial), batch_format="pyarrow",
+                        batch_size=4096),
+        ["term"], [("df", "sum", "df")]).to_pandas()
     cs = corpus_stats(src)
     n_docs = cs.column("n_docs")[0].as_py()
     avgdl = cs.column("n_tokens")[0].as_py() / n_docs if n_docs else 1.0
