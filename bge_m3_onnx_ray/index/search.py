@@ -400,22 +400,46 @@ class ShardScorer:
                         schema=_PARTIAL_SCHEMA)
 
 
-def make_merge_topk_fn(offsets: ConvOffsets, k: int):
-    def merge(group: pa.Table) -> pa.Table:
-        qid = group.column("query_id")[0].as_py()
+def merge_topk(partials: rd.Dataset, offsets: ConvOffsets, k: int,
+               n_buckets: int = 256) -> rd.Dataset:
+    """Global per-query top-k over scorer partials — ONE shuffle keyed by
+    a hash BUCKET of query_id (many queries per map_groups call, the
+    per-group-Python-call rule), merged by a vectorized multi-query
+    kernel. Selection semantics are exactly :func:`_topk_merge`: rows in
+    (score desc, doc_id asc) order per query, cut at k."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        q = t.column("query_id").to_numpy().astype(np.uint64)
+        b = (q * np.uint64(2654435761)) % np.uint64(n_buckets)
+        return t.append_column("_qb", pa.array(b.astype(np.int64)))
+
+    def multi_merge(group: pa.Table) -> pa.Table:
+        qs = group.column("query_id").to_numpy()
         scores = group.column("score").to_numpy()
         docs = group.column("doc_id").to_numpy()
-        s, d = _topk_merge(scores, docs, k)
-        conv, turn = offsets.doc_to_conv(d)
+        order = np.lexsort((docs, -scores, qs))
+        qs, scores, docs = qs[order], scores[order], docs[order]
+        brk = np.empty(len(qs), bool)
+        brk[0] = True
+        brk[1:] = np.diff(qs) != 0
+        first = np.flatnonzero(brk)
+        # rank within query = position - position of the query's first row
+        rank = np.arange(len(qs)) - np.repeat(first, np.diff(
+            np.concatenate([first, [len(qs)]])))
+        keep = rank < k
+        qs, scores, docs, rank = qs[keep], scores[keep], docs[keep], rank[keep]
+        conv, turn = offsets.doc_to_conv(docs)
         return pa.table({
-            "query_id": pa.array(np.full(len(d), qid), pa.int64()),
-            "rank": pa.array(np.arange(1, len(d) + 1, dtype=np.int32), pa.int32()),
-            "doc_id": pa.array(d, pa.int64()),
-            "score": pa.array(s, pa.float64()),
+            "query_id": pa.array(qs, pa.int64()),
+            "rank": pa.array((rank + 1).astype(np.int32), pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
             "conv_id": pa.array(conv, pa.string()),
             "turn_idx": pa.array(turn, pa.int32()),
         }, schema=RESULT_SCHEMA)
-    return merge
+
+    return partials.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_qb").map_groups(multi_merge, batch_format="pyarrow")
 
 
 def search(index_dir: str, queries, cfg: QueryConfig | None = None) -> rd.Dataset:
@@ -461,8 +485,7 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None) -> rd.Datase
                                "cache_size": cfg.shard_cache_size},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
-    return partials.groupby("query_id").map_groups(
-        make_merge_topk_fn(offsets, cfg.k), batch_format="pyarrow")
+    return merge_topk(partials, offsets, cfg.k)
 
 
 _TOK_CACHE: dict[str, object] = {}
@@ -523,5 +546,4 @@ def search_bulk(index_dir: str, queries: rd.Dataset,
                                "cache_size": cfg.shard_cache_size},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
-    return partials.groupby("query_id").map_groups(
-        make_merge_topk_fn(offsets, cfg.k), batch_format="pyarrow")
+    return merge_topk(partials, offsets, cfg.k)
