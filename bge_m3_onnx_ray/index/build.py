@@ -211,13 +211,15 @@ def compute_conv_offsets(ds: rd.Dataset,
         # moments per conv, sort — the driver only streams the per-conv
         # result rows (one per conversation). Exercised by a
         # forced-threshold test.
-        from ray.data.aggregate import Max, Min, Sum
+        from bge_m3_onnx_ray.stages._groups import bucket_reduce
         del batches
-        agg_ds = partial_ds.groupby("conv_id").aggregate(
-            Sum("n", alias_name="n"), Min("min_t", alias_name="min_t"),
-            Max("max_t", alias_name="max_t"),
-            Sum("sum_h1", alias_name="sum_h1"),
-            Sum("sum_h2", alias_name="sum_h2")).sort("conv_id")
+        # bucket-reduce, not groupby(conv_id).aggregate: in the regime
+        # where this path runs, groups ~= conversation count, and Ray's
+        # per-group aggregate overhead would dominate (stages/_groups.py)
+        agg_ds = bucket_reduce(partial_ds, ["conv_id"], [
+            ("n", "sum", "n"), ("min_t", "min", "min_t"),
+            ("max_t", "max", "max_t"), ("sum_h1", "sum", "sum_h1"),
+            ("sum_h2", "sum", "sum_h2")]).sort("conv_id")
         agg = pa.concat_tables(agg_ds.iter_batches(batch_size=None,
                                                    batch_format="pyarrow"))
         agg = agg.select(["conv_id", "n", "min_t", "max_t",
