@@ -83,6 +83,13 @@ def _q_bm25_transcripts(sf_dir):
     return bm25_transcripts_topk(sf_dir)
 
 
+def _q_bm25_transcripts_exhaustive(sf_dir):
+    # wand ≡ exhaustive on the authoritative input_hint corpus, proven in
+    # the driver ledger (not just pytest): same SQL oracle as the wand row
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_transcripts_topk
+    return bm25_transcripts_topk(sf_dir, method="exhaustive")
+
+
 def _q_transcripts_index_stats(sf_dir):
     import json
 
@@ -310,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk_exhaustive": _q_bm25_exhaustive,
         "bm25_documents_bulk_topk": _q_bm25_bulk,
         "bm25_transcripts_topk": _q_bm25_transcripts,
+        "bm25_transcripts_topk_exhaustive": _q_bm25_transcripts_exhaustive,
         "transcripts_index_stats": _q_transcripts_index_stats,
         "token_count": _q_token_count,
         "corpus_stats": _q_corpus_stats,
@@ -769,6 +777,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_documents_topk_exhaustive": bm25,
         "bm25_documents_bulk_topk": bm25,
         "bm25_transcripts_topk": _bm25_transcripts_sql(),
+        "bm25_transcripts_topk_exhaustive": _bm25_transcripts_sql(),
         "transcripts_index_stats": _transcripts_stats_sql(),
         "doc_fingerprint": _fingerprint_sql(),
         "simhash": _simhash_sql(),

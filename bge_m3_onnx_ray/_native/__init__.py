@@ -19,6 +19,18 @@ import sysconfig
 _installed: bool | None = None
 
 
+def _dir_is_trusted(path: str) -> bool:
+    """Owned by this uid and not group/other-writable — the load-a-
+    planted-.so guard: the cache path is predictable (source-hash keyed),
+    so a directory anyone else could have created or written must never
+    be trusted."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return False
+    return st.st_uid == os.getuid() and not (st.st_mode & 0o022)
+
+
 def _build_so() -> str | None:
     src = os.path.join(os.path.dirname(__file__), "populate_alloc.c")
     try:
@@ -27,11 +39,24 @@ def _build_so() -> str | None:
     except OSError:
         return None
     tag = f"cp{sys.version_info[0]}{sys.version_info[1]}"
-    cache = os.path.join("/tmp", f"bge_m3_native_{tag}_{digest}")
+    # user-owned cache root (mode 0700), never the shared /tmp: on a
+    # multi-user host a predictable world-writable path lets another
+    # local user pre-plant a malicious .so that every importing process
+    # would dlopen
+    root = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    base = os.path.join(root, "bge_m3_native")
+    cache = os.path.join(base, f"{tag}_{digest}")
     so = os.path.join(cache, "populate_alloc.so")
+    try:
+        os.makedirs(base, mode=0o700, exist_ok=True)
+        os.makedirs(cache, mode=0o700, exist_ok=True)
+    except OSError:
+        return None
+    if not (_dir_is_trusted(base) and _dir_is_trusted(cache)):
+        return None          # pre-existing untrusted dir: refuse to load
     if os.path.exists(so):
         return so
-    os.makedirs(cache, exist_ok=True)
     import numpy as np
     cmd = [
         "gcc", "-O2", "-shared", "-fPIC", "-o", so + ".tmp", src,

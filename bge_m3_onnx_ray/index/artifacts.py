@@ -148,6 +148,26 @@ class ConvOffsets:
                         f"resume state or changed input): "
                         f"{missing.to_pylist()[:5]!r}")
                 idx = order[pos]
+                # spot-check a bounded sample of hash hits by STRING
+                # equality: a conv_id NOT in the table could false-hit
+                # only via a fresh P53 collision (~1e-10/row); this turns
+                # that silent wrong-range resolution (the stale-resume
+                # threat) into the same KeyError the exact path raises,
+                # at O(16) string compares per batch
+                n = len(idx)
+                if n:
+                    sample = np.unique(np.linspace(0, n - 1,
+                                                   min(16, n)).astype(np.int64))
+                    got = self._conv_arrow.take(pa.array(idx[sample]))
+                    want = (conv_arr.combine_chunks()
+                            if isinstance(conv_arr, pa.ChunkedArray)
+                            else conv_arr).take(pa.array(sample))
+                    if not pc.all(pc.equal(
+                            got, want.cast(pa.large_string()))).as_py():
+                        raise KeyError(
+                            "conv_id hash collision detected against the "
+                            "offsets table (stale resume state or changed "
+                            "input)")
             else:
                 raw = pc.index_in(conv_arr.cast(pa.large_string()),
                                   value_set=self._conv_arrow)

@@ -144,6 +144,21 @@ def bm25_transcripts_topk(sf_dir: str, method: str = "wand", k: int = 10,
                         ascending=[True, False, True, True]) \
         .reset_index(drop=True)
     df["rank"] = df.groupby("query_id").cumcount().astype(np.int32) + 1
+    # tie-width guard: if a query's fetch is saturated AND its k-th
+    # quantized score equals its last fetched one, the tie group may
+    # extend past the fetch and the raw-score cut could have dropped
+    # members the oracle keeps — fail loudly instead of silently
+    # diverging from the oracle (detect the risk, don't assume it away)
+    kth = df[df["rank"] == k].set_index("query_id").score_q6
+    g = df.groupby("query_id")
+    last = g.score_q6.last()          # df is score-desc sorted: the cut row
+    nfetch = g.size()
+    risky = (nfetch >= 3 * k) & (kth.reindex(nfetch.index) == last)
+    if bool(risky.any()):
+        raise RuntimeError(
+            f"quantized-score tie group wider than the {3 * k}-row "
+            f"over-fetch for queries {list(risky[risky].index)[:5]}; "
+            f"re-run with a larger fetch")
     df = df[df["rank"] <= k]
     return pa.Table.from_pandas(
         df[["query_id", "rank", "conv_id", "turn_idx", "score_q6"]],

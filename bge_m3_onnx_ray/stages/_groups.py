@@ -8,8 +8,10 @@ for 1.13M groups whose real work is ~2 s. ``bucket_reduce`` shuffles on
 a HASH BUCKET of the key instead (n_buckets groups total) and reduces
 each bucket with one sort + ``reduceat`` pass, so the per-group cost is
 vectorized away. A key hashes to exactly one bucket, so results equal
-the plain groupby exactly (float sums are reduced in sorted-row order —
-deterministic per input multiset).
+the plain groupby exactly. Float determinism: when a reduced column is
+floating-point it is added to the sort keys, so ``sum`` accumulates in
+(key, value)-sorted order — bit-deterministic per input multiset, not
+merely up to Ray's shuffle arrival order.
 
 ``n_buckets`` needs only to exceed total_rows / target_rows_per_call;
 it scales with cluster size at 100 TB, not with key cardinality.
@@ -51,8 +53,12 @@ def bucket_reduce(ds: rd.Dataset, key_cols: list[str],
     def kernel(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         n = g.num_rows
+        # float value columns join the sort keys: rows sharing a key then
+        # reduce in value order, making float sums bit-deterministic (int
+        # reductions are order-free; sorting them too would be wasted work)
+        fcols = [c for c in in_cols if pa.types.is_floating(g.column(c).type)]
         order = pc.sort_indices(
-            g, sort_keys=[(c, "ascending") for c in key_cols])
+            g, sort_keys=[(c, "ascending") for c in [*key_cols, *fcols]])
         tbl = g.take(order)
         change = np.zeros(max(n - 1, 0), bool)
         for c in key_cols:

@@ -75,28 +75,38 @@ def decode_ppm(payload: bytes) -> np.ndarray | None:
     view. Returns None when the payload isn't PPM (caller falls back)."""
     if not payload.startswith(b"P6"):
         return None
-    parts: list[int] = []
-    pos = 2
-    while len(parts) < 3:
-        # skip whitespace/comments, read one ASCII integer
-        while pos < len(payload) and payload[pos:pos + 1].isspace():
-            pos += 1
-        if payload[pos:pos + 1] == b"#":
-            pos = payload.index(b"\n", pos) + 1
-            continue
-        end = pos
-        while end < len(payload) and payload[end:end + 1].isdigit():
-            end += 1
-        if end == pos:
+    # belt-and-braces: a random binary payload that happens to start with
+    # b'P6' must return None (fall back to the stub), never raise — a
+    # single malformed row would otherwise kill the whole decode batch
+    try:
+        parts: list[int] = []
+        pos = 2
+        while len(parts) < 3:
+            # skip whitespace/comments, read one ASCII integer
+            while pos < len(payload) and payload[pos:pos + 1].isspace():
+                pos += 1
+            if payload[pos:pos + 1] == b"#":
+                nl = payload.find(b"\n", pos)
+                if nl < 0:          # comment with no newline: not a PPM
+                    return None
+                pos = nl + 1
+                continue
+            end = pos
+            while end < len(payload) and payload[end:end + 1].isdigit():
+                end += 1
+            if end == pos:
+                return None
+            parts.append(int(payload[pos:end]))
+            pos = end
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = parts
+        if maxval != 255 or w <= 0 or h <= 0 \
+                or len(payload) - pos < w * h * 3:
             return None
-        parts.append(int(payload[pos:end]))
-        pos = end
-    pos += 1  # single whitespace after maxval
-    w, h, maxval = parts
-    if maxval != 255 or len(payload) - pos < w * h * 3:
+        return np.frombuffer(payload, np.uint8, count=w * h * 3,
+                             offset=pos).reshape(h, w, 3)
+    except Exception:
         return None
-    return np.frombuffer(payload, np.uint8, count=w * h * 3,
-                         offset=pos).reshape(h, w, 3)
 
 
 def resize_area(img: np.ndarray, out_h: int = 8, out_w: int = 8) -> np.ndarray:
