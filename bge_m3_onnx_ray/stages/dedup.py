@@ -271,16 +271,24 @@ def _bucket_min_labels(msgs: rd.Dataset, n_buckets: int = 256) -> rd.Dataset:
         .groupby("_mb").map_groups(min_kernel, batch_format="pyarrow")
 
 
-def dup_clusters(pairs: rd.Dataset, max_rounds: int = 512) -> rd.Dataset:
+def dup_clusters(pairs: rd.Dataset, max_rounds: int = 512,
+                 stats: dict | None = None) -> rd.Dataset:
     """Connected components over a candidate-pair list → (doc_id,
     cluster_id) with cluster_id = min docID in the component.
 
     Distributed min-label propagation using ONLY groupby shuffles (no
-    joins): each round unions label rows with edge rows, groups by node,
-    and broadcasts the node's current min label to its neighbors;
-    converges in O(diameter) rounds (checked via a label checksum). The
-    driver-side union-find shortcut is deliberately NOT used — candidate
-    graphs can be large at corpus scale.
+    joins): each round (a) unions label rows with edge rows, groups by
+    node, and broadcasts the node's current min label to its neighbors,
+    then (b) POINTER-DOUBLES: label[v] ← label[label[v]] via a second
+    bucketed shuffle keyed on the label target. (a) alone converges in
+    O(diameter) rounds; with (b) the label-tree depth halves each round,
+    so path-shaped components converge in O(log n) rounds — each round
+    costs two shuffles instead of one, a win whenever diameter > 2.
+    Convergence is detected via a label checksum (labels are monotone
+    non-increasing node ids, so an unchanged sum means a fixed point).
+    The driver-side union-find shortcut is deliberately NOT used —
+    candidate graphs can be large at corpus scale. ``stats`` (optional)
+    gets ``{"rounds": n}``.
     """
     edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
         lambda t: pa.table({
@@ -328,6 +336,58 @@ def dup_clusters(pairs: rd.Dataset, max_rounds: int = 512) -> rd.Dataset:
                          "val": pa.array(out_v, pa.int64()),
                          "kind": pa.array(kind, pa.string())})
 
+    def shortcut_rows(t: pa.Table) -> pa.Table:
+        """Propagate output → the pointer-doubling exchange: each 'n' row
+        (node u, label L_u) becomes an identity row keyed by u plus a
+        query row keyed by L_u (u asks its label target for ITS label);
+        'l' neighbor messages pass through UNCHANGED, keyed by their
+        destination node — they carry this round's cross-edge mins and
+        are folded by the NEXT round's propagate (dropping them here
+        would break propagation across edges entirely: doubling alone
+        only follows existing label pointers and stalls at local
+        minima)."""
+        import pyarrow.compute as pc
+        keep = t.filter(pc.equal(t["kind"], "n"))
+        msgs = t.filter(pc.equal(t["kind"], "l"))
+        k = keep.column("key").combine_chunks()
+        v = keep.column("val").combine_chunks()
+        return pa.table({
+            "key": pa.concat_arrays([k, v, msgs.column("key").combine_chunks()]),
+            "val": pa.concat_arrays([v, k, msgs.column("val").combine_chunks()]),
+            "kind": pa.array(["n"] * keep.num_rows + ["q"] * keep.num_rows
+                             + ["l"] * msgs.num_rows, pa.string())})
+
+    def shortcut(group: pa.Table) -> pa.Table:
+        """One hash-bucket of label TARGETS per call: reduce each target
+        u's own label L_u (its unique 'n' row), answer every 'q' row
+        (node v with label[v] = u) with (v, L_u, 'n') — label-of-label,
+        one output 'n' row per node since every node emits exactly one
+        'q'. 'l' rows ride along (their key is the destination node,
+        which also has an 'n' row, so every group key has a label row)
+        and are re-emitted unchanged for the next propagate."""
+        import pyarrow.compute as pc
+        n = group.num_rows
+        order = pc.sort_indices(group, sort_keys=[("key", "ascending")])
+        tbl = group.take(order)
+        keys = tbl.column("key").to_numpy()
+        vals = tbl.column("val").to_numpy()
+        kind = tbl.column("kind").combine_chunks()
+        is_n = pc.equal(kind, "n").to_numpy(zero_copy_only=False)
+        is_q = pc.equal(kind, "q").to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1])
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        big = np.iinfo(np.int64).max
+        masked = np.where(is_n, vals, big)
+        lab = np.minimum.reduceat(masked, starts)
+        assert (lab < big).all(), "label target with no label row"
+        row_lab = np.repeat(lab, sizes)
+        lm = ~is_n & ~is_q
+        nq, nl = int(is_q.sum()), int(lm.sum())
+        return pa.table({
+            "key": pa.array(np.concatenate([vals[is_q], keys[lm]]), pa.int64()),
+            "val": pa.array(np.concatenate([row_lab[is_q], vals[lm]]), pa.int64()),
+            "kind": pa.array(["n"] * nq + ["l"] * nl, pa.string())})
+
     def add_bucket(t: pa.Table, n_buckets: int = 1024) -> pa.Table:
         b = (t.column("key").to_numpy().astype(np.uint64)
              * np.uint64(2654435761)) % np.uint64(n_buckets)
@@ -336,13 +396,23 @@ def dup_clusters(pairs: rd.Dataset, max_rounds: int = 512) -> rd.Dataset:
     import pyarrow.compute as _pc
     prev_sum = None
     converged = False
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         msgs = labels.union(edges).map_batches(
             add_bucket, batch_format="pyarrow").groupby("_bucket").map_groups(
-            propagate, batch_format="pyarrow").materialize()
-        # reduced per-node labels are exactly the kind='n' rows
-        labels = msgs
-        s = msgs.map_batches(
+            propagate, batch_format="pyarrow")
+        # pointer-doubling pass: label[v] ← label[label[v]] — halves the
+        # label-tree depth so long paths converge in O(log n) rounds
+        labels = msgs.map_batches(shortcut_rows, batch_format="pyarrow") \
+            .map_batches(add_bucket, batch_format="pyarrow") \
+            .groupby("_bucket").map_groups(shortcut, batch_format="pyarrow") \
+            .materialize()
+        # checksum over the per-node 'n' labels: labels are monotone
+        # non-increasing, so an unchanged sum means NO label moved this
+        # whole round (phase-1 fold included) — messages are then stale
+        # reissues and the state is a fixed point
+        s = labels.map_batches(
             lambda t: pa.table({"v": pa.array([_pc.sum(_pc.if_else(
                 _pc.equal(t["kind"], "n"), t["val"],
                 pa.scalar(0, pa.int64()))).as_py() or 0], pa.int64())}),
@@ -351,9 +421,11 @@ def dup_clusters(pairs: rd.Dataset, max_rounds: int = 512) -> rd.Dataset:
             converged = True
             break
         prev_sum = s
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
-        # min-label propagation advances ~1 hop/round; a component whose
-        # diameter exceeds max_rounds would get WRONG labels — fail loudly
+        # a component that hasn't converged would get WRONG labels —
+        # fail loudly (with pointer doubling this needs diameter > 2^max)
         raise RuntimeError(
             f"dup_clusters did not converge within {max_rounds} rounds "
             f"(component diameter too large); raise max_rounds")
@@ -678,13 +750,19 @@ class _BlockCos:
                                pa.int64())})
 
 
-def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.4) -> rd.Dataset:
+def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.4,
+                        max_vectors: int = 1_000_000) -> rd.Dataset:
     """ALL pairs with cosine >= threshold — the exact baseline: normalize
     per batch, block-matmul against the full broadcast matrix; O(N^2/B)
     per task, no shuffle. Right up to ~10^6 vectors; beyond that use
     :func:`lsh_bucket_pairs` (the LSH-bucketed scale path, which trades
     cross-bucket recall for per-bucket work). Output (vec_a, vec_b,
-    cos_q2), vec_a < vec_b."""
+    cos_q2), vec_a < vec_b.
+
+    The contract is ENFORCED, not advisory: the broadcast matrix is
+    O(N·dim) in one process and every task scans it, so above
+    ``max_vectors`` this raises instead of quietly becoming the job's
+    memory/compute bottleneck — the error names the scale path."""
     import ray
 
     from bge_m3_onnx_ray.stages.ann import _embedding_matrix
@@ -695,6 +773,13 @@ def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.4) -> rd.Dataset:
     # matrix, no pandas object-column detour.
     src = ds.select_columns(["vec_id", "embedding"])
     n = src.count()
+    if n > max_vectors:
+        raise ValueError(
+            f"embedding_dup_pairs is the exact all-pairs baseline, capped "
+            f"at max_vectors={max_vectors} (got {n}): the O(N*dim) "
+            f"broadcast matrix and O(N^2) scan do not scale past ~10^6 "
+            f"vectors. Use lsh_bucket_pairs() for larger corpora, or "
+            f"raise max_vectors explicitly if the matrix fits.")
     ids = np.empty(n, np.int64)
     m = None
     pos = 0

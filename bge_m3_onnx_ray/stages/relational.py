@@ -1,11 +1,16 @@
-"""Relational lookups for pipeline plumbing: broadcast hash joins.
+"""Relational joins for pipeline plumbing.
 
 The reference has no relational joins (SURVEY.md §2.5) — these exist
 because a training-data pipeline constantly joins fact streams against
-small dimension tables (doc metadata, quality labels, conversation
-attributes). Pattern per the guide: ``ray.put`` the small side once, map
-the big side with a vectorized lookup — no shuffle. Both-sides-large
-joins would use the bucketed-groupby pattern; not needed here.
+dimension tables. Two patterns, by side size:
+
+- ``broadcast_join``: small side fits one worker → ``ray.put`` it once,
+  map the big side with a vectorized lookup — no shuffle.
+- ``bucket_join_agg``: BOTH sides large → tag rows, union, ONE shuffle
+  keyed by a hash bucket of the join key, and a vectorized searchsorted
+  kernel per bucket (the dedup.verify_jaccard join shape) that joins and
+  pre-aggregates in the same pass, so only partial aggregates leave the
+  shuffle. Nothing order-dependent: a key hashes to exactly one bucket.
 """
 
 from __future__ import annotations
@@ -40,49 +45,137 @@ def broadcast_join(big: rd.Dataset, small_df: pd.DataFrame, key: str,
                            batch_size=65536)
 
 
-def revenue_by_segment(sf_dir: str) -> rd.Dataset:
+def revenue_by_segment(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
     """TPC-H-flavored showcase: lineitem ⨝ orders ⨝ customer, revenue per
-    market segment. Both dimension sides are broadcast (customer into
-    orders on the driver — tiny; the resulting orderkey→segment map into
-    the lineitem scan); the only aggregation is a partial-combine then a
-    5-row groupby. Output (c_mktsegment, n_items, revenue_q0)."""
+    market segment. Output (c_mktsegment, n_items, revenue_q0).
+
+    Scale shape (the both-sides-large join the engine brief needs):
+    customer→segment is the only broadcast (a dictionary-coded key/value
+    pair, tiny); orders maps to (orderkey, segment-code) DISTRIBUTED, as
+    a Ray stage — never materialized on the driver; the orders⨝lineitem
+    join is ONE bucketed shuffle on hash(orderkey) with a searchsorted
+    kernel per bucket that joins AND reduces to per-(bucket, segment)
+    partial sums, so the shuffle output is ≤ n_segments rows per bucket.
+    At 100 TB each side streams through the exchange once and no process
+    ever holds a full table."""
     import os
 
+    import ray
     import pyarrow.parquet as pq
 
+    from bge_m3_onnx_ray.hashing import P53
+
+    # --- the one true broadcast: customer→segment (sorted custkey +
+    # int8 segment code; segment dictionary kept driver-side)
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
-                           columns=["o_orderkey", "o_custkey"]).to_pandas()
-    omap = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
-    omap = omap[["o_orderkey", "c_mktsegment"]].rename(
-        columns={"o_orderkey": "l_orderkey"})
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_dict = cust.column("c_mktsegment").combine_chunks().dictionary_encode()
+    seg_names = seg_dict.dictionary.to_pylist()
+    ckeys = cust.column("c_custkey").to_numpy()
+    order_c = np.argsort(ckeys)
+    cust_ref = ray.put((ckeys[order_c],
+                        np.asarray(seg_dict.indices).astype(np.int8)[order_c]))
+    n_seg = len(seg_names)
+
+    def bucket_of(keys: np.ndarray) -> np.ndarray:
+        h = (keys.astype(np.uint64) % P53) * np.uint64(2654435761) % P53
+        return (h % np.uint64(n_buckets)).astype(np.int64)
+
+    # --- orders side, distributed: (orderkey, seg code) rows, tagged
+    def orders_map(batch: pa.Table) -> pa.Table:
+        ck, seg = ray.get(cust_ref)
+        cust_k = batch.column("o_custkey").to_numpy()
+        if len(ck):
+            pos = np.minimum(np.searchsorted(ck, cust_k), len(ck) - 1)
+            hit = ck[pos] == cust_k                 # inner-join semantics
+        else:
+            pos = np.zeros(len(cust_k), np.int64)
+            hit = np.zeros(len(cust_k), bool)
+        batch = batch.filter(pa.array(hit))
+        ok = batch.column("o_orderkey").to_numpy()
+        pos = pos[hit]
+        return pa.table({
+            "l_orderkey": pa.array(ok, pa.int64()),
+            "seg": pa.array(seg[pos], pa.int8()),
+            "revenue": pa.array(np.zeros(len(ok)), pa.float64()),
+            "n_items": pa.array(np.zeros(len(ok), np.int64), pa.int64()),
+            "_src": pa.array(np.zeros(len(ok), np.int8), pa.int8()),
+            "_bucket": pa.array(bucket_of(ok), pa.int64())})
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"]).map_batches(
+        orders_map, batch_format="pyarrow", batch_size=131072)
+
+    # --- lineitem side: per-batch pre-aggregation to (orderkey, n, rev)
+    # partials (avg ~4 items/order → the shuffle moves ~4x fewer rows)
+    def line_partial(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy()
+        rev = batch.column("l_extendedprice").to_numpy() \
+            * (1.0 - batch.column("l_discount").to_numpy())
+        order = np.argsort(ok, kind="stable")
+        ok, rev = ok[order], rev[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(ok)) + 1])
+        keys = ok[starts]
+        return pa.table({
+            "l_orderkey": pa.array(keys, pa.int64()),
+            "seg": pa.array(np.zeros(len(keys), np.int8), pa.int8()),
+            "revenue": pa.array(np.add.reduceat(rev, starts), pa.float64()),
+            "n_items": pa.array(
+                np.diff(np.concatenate([starts, [len(ok)]])).astype(np.int64),
+                pa.int64()),
+            "_src": pa.array(np.ones(len(keys), np.int8), pa.int8()),
+            "_bucket": pa.array(bucket_of(keys), pa.int64())})
 
     line = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    joined = broadcast_join(line, omap, "l_orderkey", ["c_mktsegment"])
+        columns=["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        line_partial, batch_format="pyarrow", batch_size=131072)
 
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["revenue"] = df.l_extendedprice * (1.0 - df.l_discount)
-        g = df.groupby("c_mktsegment", sort=False).agg(
-            n_items=("revenue", "size"), revenue=("revenue", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+    # --- ONE shuffle: join + reduce per bucket, emitting ≤ n_seg rows
+    def join_reduce(group: pa.Table) -> pa.Table:
+        src = group.column("_src").to_numpy()
+        keys = group.column("l_orderkey").to_numpy()
+        om = src == 0
+        okeys = keys[om]
+        oseg = group.column("seg").to_numpy()[om]
+        o = np.argsort(okeys)
+        okeys, oseg = okeys[o], oseg[o]
+        lkeys = keys[~om]
+        rev = group.column("revenue").to_numpy()[~om]
+        cnt = group.column("n_items").to_numpy()[~om]
+        # revenue accumulates in (orderkey-sorted lineitem-partial) order
+        # — deterministic enough under the q0 contract (integer dollars)
+        lo = np.argsort(lkeys, kind="stable")
+        lkeys, rev, cnt = lkeys[lo], rev[lo], cnt[lo]
+        pos = np.searchsorted(okeys, lkeys)
+        hit = pos < len(okeys)
+        hit[hit] &= okeys[pos[hit]] == lkeys[hit]   # inner join semantics
+        seg = oseg[pos[hit]].astype(np.int64)
+        out_rev = np.bincount(seg, weights=rev[hit], minlength=n_seg)
+        out_cnt = np.bincount(seg, weights=cnt[hit], minlength=n_seg)
+        keep = out_cnt > 0
+        return pa.table({
+            "seg": pa.array(np.flatnonzero(keep).astype(np.int8), pa.int8()),
+            "n_items": pa.array(out_cnt[keep].astype(np.int64), pa.int64()),
+            "revenue": pa.array(out_rev[keep], pa.float64())})
 
-    agg = joined.map_batches(partial, batch_format="pyarrow",
-                             batch_size=65536) \
-        .groupby("c_mktsegment").aggregate(
-            Sum("n_items", alias_name="n_items"),
-            Sum("revenue", alias_name="revenue"))
+    agg = orders.union(line).groupby("_bucket").map_groups(
+        join_reduce, batch_format="pyarrow") \
+        .groupby("seg").aggregate(Sum("n_items", alias_name="n_items"),
+                                  Sum("revenue", alias_name="revenue"))
 
     def finalize(batch: pa.Table) -> pa.Table:
         # integer dollars (round-half-up): revenue terms lie on a 1e-4
         # decimal grid, so finer quantizations sit ON the grid and flip
         # under cross-engine summation noise
         rev = batch.column("revenue").to_numpy()
-        return batch.drop_columns(["revenue"]).append_column(
-            "revenue_q0",
-            pa.array(np.floor(rev + 0.5).astype(np.int64), pa.int64()))
+        segs = batch.column("seg").to_numpy()
+        names = pa.array([seg_names[s] for s in segs], pa.string())
+        return pa.table({
+            "c_mktsegment": names,
+            "n_items": batch.column("n_items"),
+            "revenue_q0": pa.array(np.floor(rev + 0.5).astype(np.int64),
+                                   pa.int64())})
 
     return agg.map_batches(finalize, batch_format="pyarrow")

@@ -55,17 +55,56 @@ def test_minhash_lsh_finds_exact_dup(docs_ds):
 
 
 def test_dup_clusters_chain(ray_session):
-    """A pair CHAIN (0-1, 1-2, ..., n-1..n) needs ~n propagation rounds;
-    every node must still end up labeled with the component min (0)."""
+    """A pair CHAIN (0-1, 1-2, ..., n-1..n) is the worst case for plain
+    min-label propagation (O(n) rounds); with pointer doubling it must
+    converge in O(log n) rounds, and every node must still end up
+    labeled with the component min (0)."""
     import ray.data as rd
     from bge_m3_onnx_ray.stages.dedup import dup_clusters
-    n = 12
+    n = 64
     pairs = rd.from_arrow(pa.table({
         "doc_a": pa.array(range(n - 1), pa.int64()),
         "doc_b": pa.array(range(1, n), pa.int64())}))
-    out = dup_clusters(pairs).to_pandas()
+    stats = {}
+    out = dup_clusters(pairs, stats=stats).to_pandas()
     assert sorted(out.doc_id) == list(range(n))
     assert (out.cluster_id == 0).all()
+    assert stats["rounds"] <= int(np.log2(n)) + 2, stats
+
+
+def test_dup_clusters_local_minimum(ray_session):
+    """Non-monotone id path (2-10-1 plus branches): node 2's initial
+    label pointer is a LOCAL minimum (itself), so pointer doubling alone
+    stalls — the cross-edge 'l' messages must still flow through the
+    shortcut pass for 2 to learn about 1 via 10."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.dedup import dup_clusters
+    edges = [(2, 10), (10, 1), (4, 20), (20, 3), (3, 30), (30, 25)]
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+        "doc_b": pa.array([b for _, b in edges], pa.int64())}))
+    out = dup_clusters(pairs).to_pandas().set_index("doc_id")["cluster_id"]
+    assert out.loc[2] == 1 and out.loc[10] == 1 and out.loc[1] == 1
+    for v in (4, 20, 3, 30, 25):
+        assert out.loc[v] == 3
+
+
+def test_embedding_dup_pairs_cap_enforced(ray_session):
+    """The exact all-pairs baseline must REFUSE inputs beyond its
+    broadcast-matrix contract instead of quietly eating driver memory."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.dedup import embedding_dup_pairs
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(20, 4)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(20), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in m],
+                              pa.list_(pa.float32()))}))
+    with pytest.raises(ValueError, match="lsh_bucket_pairs"):
+        embedding_dup_pairs(ds, max_vectors=10)
+    # under the cap the operator still works
+    out = embedding_dup_pairs(ds, threshold=0.99, max_vectors=20).to_pandas()
+    assert len(out) == 0 or (out.vec_a < out.vec_b).all()
 
 
 def test_ann_partial_tie_safety(ray_session):
@@ -309,3 +348,11 @@ def test_ppm_real_decode(ray_session):
     # round trip
     px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
     np.testing.assert_array_equal(decode_ppm(encode_ppm(px)), px)
+    # malformed P6-prefixed payloads must return None (fall back to the
+    # stub), never raise — a random binary row can start with these bytes
+    for bad in (b"P6#comment with no newline at all",
+                b"P6 4",                      # truncated header
+                b"P6 4 4 255 short",          # body shorter than w*h*3
+                b"P6 0 0 255 ",               # zero dims
+                b"P6\xff\xfe\xfd" + bytes(50)):
+        assert decode_ppm(bad) is None, bad
