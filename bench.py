@@ -96,13 +96,20 @@ def run_bench() -> dict:
     searcher.search("warm up the actors")          # untimed warm call
     lat = []
     lat_wand = []
+    # failure accounting — the reference's catch-per-record/count/continue
+    # shape (samples/python/performance_test.py:68-70, :80-91)
+    successful = failed = 0
     for qid, text in queries[:20]:
-        t0 = time.perf_counter()
-        searcher.search_batch([(qid, text)], method="exhaustive")
-        lat.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        searcher.search_batch([(qid, text)], method="wand")
-        lat_wand.append(time.perf_counter() - t0)
+        try:
+            t0 = time.perf_counter()
+            searcher.search_batch([(qid, text)], method="exhaustive")
+            lat.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            searcher.search_batch([(qid, text)], method="wand")
+            lat_wand.append(time.perf_counter() - t0)
+            successful += 1
+        except Exception:
+            failed += 1
     t0 = time.perf_counter()
     searcher.search_batch(queries, method="exhaustive")
     batch_sec = time.perf_counter() - t0
@@ -113,13 +120,16 @@ def run_bench() -> dict:
         "build_sec": round(build_sec, 2),
         "build_turns_per_sec": round(BENCH_TURNS / build_sec),
         "n_turns": BENCH_TURNS,
-        # per-query latency stats — the reference's benchmark-result shape
+        # per-query latency distribution + success/fail counters — the
+        # reference's benchmark-result record shape
         # (samples/python/performance_test.py:80-91)
         "query_p50_ms": round(float(np.median(lat_ms)), 1),
         "query_p50_wand_ms": round(float(np.median(np.asarray(lat_wand) * 1000)), 1),
         "query_avg_ms": round(float(lat_ms.mean()), 1),
         "query_min_ms": round(float(lat_ms.min()), 1),
         "query_max_ms": round(float(lat_ms.max()), 1),
+        "successful_queries": successful,
+        "failed_queries": failed,
         "query_throughput_per_sec": round(1000.0 / float(lat_ms.mean()), 1),
         "query_batch50_sec": round(batch_sec, 2),
         "index_phases": res["phases"],
@@ -208,13 +218,23 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     bf = brute_force_topk(emb, qv, qid, k=10).to_pandas()
     t_bf = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    iv = ivf_topk(assigned, cents, qv, qid, k=10, nprobe=4).to_pandas()
-    t_iv = time.perf_counter() - t0
-    hit = iv.merge(bf, on=["query_id", "vec_id"]).shape[0]
-    out["ivf"] = {"nprobe": 4, "n_lists": 16,
-                  "recall_at_10": round(hit / max(len(bf), 1), 3),
-                  "ivf_sec": round(t_iv, 2), "exact_sec": round(t_bf, 2)}
+    # recall/speed curve over nprobe — no user should ship a low-recall
+    # default blind; the bench names the smallest nprobe with recall>=0.9
+    curve = {}
+    recommended = 16
+    for nprobe in (1, 2, 4, 8, 16):
+        t0 = time.perf_counter()
+        iv = ivf_topk(assigned, cents, qv, qid, k=10, nprobe=nprobe).to_pandas()
+        t_iv = time.perf_counter() - t0
+        hit = iv.merge(bf, on=["query_id", "vec_id"]).shape[0]
+        rec = round(hit / max(len(bf), 1), 3)
+        curve[nprobe] = {"recall_at_10": rec, "ivf_sec": round(t_iv, 2)}
+        if rec >= 0.9 and nprobe < recommended:
+            recommended = nprobe
+    out["ivf"] = {"n_lists": 16, "exact_sec": round(t_bf, 2),
+                  "curve": curve, "recommended_nprobe": recommended,
+                  "recall_at_10": curve[recommended]["recall_at_10"],
+                  "ivf_sec": curve[recommended]["ivf_sec"]}
 
     # ---- documents-table operator suite over SF_DIR
     if os.environ.get("BENCH_SKIP_QUERIES"):
@@ -286,6 +306,10 @@ def main() -> None:
         "query_p50_ms": out["query_p50_ms"],
         "query_p50_wand_ms": out.get("query_p50_wand_ms"),
         "query_avg_ms": out.get("query_avg_ms"),
+        "query_min_ms": out.get("query_min_ms"),
+        "query_max_ms": out.get("query_max_ms"),
+        "successful_queries": out.get("successful_queries"),
+        "failed_queries": out.get("failed_queries"),
         "query_throughput_per_sec": out.get("query_throughput_per_sec"),
         "query_batch50_sec": out["query_batch50_sec"],
         "index_phases": out["index_phases"],

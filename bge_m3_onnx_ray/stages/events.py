@@ -21,14 +21,36 @@ def hourly_agg(ds: rd.Dataset) -> rd.Dataset:
     Pre-aggregated per batch before the groupby (partial combine)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["ts", "event_type", "value"]).to_pandas()
-        # hour as epoch seconds (int64) — engine-neutral window key.
-        # Explicit [s] cast: pandas keeps arrow's us-precision, so a naive
-        # astype(int64)//1e9 would be off by 10^3.
-        df["hour"] = df["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
-        g = df.groupby(["event_type", "hour"], sort=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # Arrow/numpy all the way (no per-batch pandas round-trip): hour
+        # as epoch seconds (int64) — engine-neutral window key. The
+        # timestamp[us] cast normalizes any parquet unit (ms/us/ns)
+        # before the integer view; int64 floor-division == floor("h")
+        # for negative epochs too.
+        ts = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        hour = (ts // 3_600_000_000) * 3600
+        et = batch.column("event_type").combine_chunks().dictionary_encode()
+        codes = np.asarray(et.indices).astype(np.int64)
+        val = batch.column("value").to_numpy()
+        if not len(codes):
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "hour": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "sum_value": pa.array([], pa.float64())})
+        order = np.lexsort((hour, codes))
+        c, h, v = codes[order], hour[order], val[order]
+        brk = np.empty(len(c), bool)
+        brk[0] = True
+        brk[1:] = (np.diff(c) != 0) | (np.diff(h) != 0)
+        starts = np.flatnonzero(brk)
+        return pa.table({
+            "event_type": et.dictionary.take(pa.array(c[starts]))
+                .cast(pa.string()),
+            "hour": pa.array(h[starts], pa.int64()),
+            "n_events": pa.array(
+                np.diff(np.concatenate([starts, [len(c)]])).astype(np.int64),
+                pa.int64()),
+            "sum_value": pa.array(np.add.reduceat(v, starts), pa.float64())})
 
     from bge_m3_onnx_ray.stages._groups import bucket_reduce
     agg = bucket_reduce(

@@ -120,21 +120,38 @@ class TopTermsPerDoc(_TokenStage):
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_idx, terms, tfs, _ = self.tok.batch_term_counts(
-            batch.column("text").to_pylist())
+        # numpy/Arrow all the way (no per-batch pandas round-trip): term
+        # strings never materialize as Python objects — the (tf desc,
+        # term asc) sort uses the dictionary codes' LEXICOGRAPHIC rank
+        # (Arrow utf8 sort = code-point order = Python str order), and
+        # only the kept top-k rows take their strings at the end
+        import pyarrow.compute as pc
+        doc_idx, codes, uniques, tfs, _ = self.tok.batch_term_counts_coded(
+            batch.column("text"))
         doc_ids = batch.column("doc_id").to_numpy()
-        if not len(terms):
+        if not len(codes):
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "term": pa.array([], pa.string()),
                              "tf": pa.array([], pa.int64()),
                              "term_rank": pa.array([], pa.int64())})
-        df = pd.DataFrame({"doc_id": doc_ids[doc_idx], "term": terms,
-                           "tf": tfs.astype(np.int64)})
-        df = df.sort_values(["doc_id", "tf", "term"],
-                            ascending=[True, False, True], kind="stable")
-        df["term_rank"] = df.groupby("doc_id").cumcount() + 1
-        df = df[df.term_rank <= self.k]
-        return pa.Table.from_pandas(df, preserve_index=False)
+        lexrank = np.empty(len(uniques), np.int64)
+        lexrank[np.asarray(pc.sort_indices(uniques)).astype(np.int64)] = \
+            np.arange(len(uniques))
+        d = doc_ids[doc_idx]
+        order = np.lexsort((lexrank[codes], -tfs.astype(np.int64), d))
+        d_s, codes_s, tf_s = d[order], codes[order], tfs[order]
+        brk = np.empty(len(d_s), bool)
+        brk[0] = True
+        brk[1:] = np.diff(d_s) != 0
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.concatenate([starts, [len(d_s)]]))
+        rank = np.arange(len(d_s), dtype=np.int64) - np.repeat(starts, sizes)
+        keep = rank < self.k
+        return pa.table({
+            "doc_id": pa.array(d_s[keep], pa.int64()),
+            "term": uniques.take(pa.array(codes_s[keep])).cast(pa.string()),
+            "tf": pa.array(tf_s[keep].astype(np.int64), pa.int64()),
+            "term_rank": pa.array(rank[keep] + 1, pa.int64())})
 
 
 def top_terms_per_doc(ds: rd.Dataset, k: int = 5,
