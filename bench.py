@@ -92,8 +92,12 @@ def run_bench() -> dict:
     # postings decoded once in actor __init__, then per-query RPC fan-out
     from bge_m3_onnx_ray.index.serve import Searcher
     queries = gen_queries(50)
+    t0 = time.perf_counter()
     searcher = Searcher(idx, n_actors=min(8, NCPU))
     searcher.search("warm up the actors")          # untimed warm call
+    # actor fleet ready-to-serve time (concurrent index decode + first
+    # query): at 10^12 docs this is node-recovery time, so it's recorded
+    serve_startup_sec = round(time.perf_counter() - t0, 2)
     lat = []
     lat_wand = []
     # failure accounting — the reference's catch-per-record/count/continue
@@ -130,6 +134,7 @@ def run_bench() -> dict:
         "query_max_ms": round(float(lat_ms.max()), 1),
         "successful_queries": successful,
         "failed_queries": failed,
+        "serve_startup_sec": serve_startup_sec,
         "query_throughput_per_sec": round(1000.0 / float(lat_ms.mean()), 1),
         "query_batch50_sec": round(batch_sec, 2),
         "index_phases": res["phases"],
@@ -310,6 +315,7 @@ def main() -> None:
         "query_max_ms": out.get("query_max_ms"),
         "successful_queries": out.get("successful_queries"),
         "failed_queries": out.get("failed_queries"),
+        "serve_startup_sec": out.get("serve_startup_sec"),
         "query_throughput_per_sec": out.get("query_throughput_per_sec"),
         "query_batch50_sec": out["query_batch50_sec"],
         "index_phases": out["index_phases"],

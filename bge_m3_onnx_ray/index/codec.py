@@ -258,6 +258,64 @@ def decode_segments_many(bdata: np.ndarray, boffs: np.ndarray,
     return docs, tfs, dls
 
 
+def decode_postings_file(table, block_size: int
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode EVERY term row of a POSTINGS_SCHEMA table in ONE vectorized
+    pass → ``(counts, doc_ids, tfs, dls)`` with the three value arrays
+    concatenated in (row, posting) order. Inverse of
+    :func:`encode_postings_many` at file granularity: one
+    ``decode_varints`` call for the whole file's blob column instead of
+    one per (term, block) — built for serve-actor load, where a
+    per-(term, shard) Python decode loop measured 9.6–16.5 s of actor
+    startup at a 32M-doc index."""
+    import pyarrow as pa
+    counts = table.column("df").to_numpy().astype(np.int64)
+    n_rows = len(counts)
+    empty = np.empty(0, np.int64)
+    if n_rows == 0 or int(counts.sum()) == 0:
+        return counts, empty, empty, empty
+    bc = table.column("blob").combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_binary(bc.type) else np.int32
+    boffs = np.frombuffer(bc.buffers()[1], off_dtype)[
+        bc.offset:bc.offset + len(bc) + 1].astype(np.int64)
+    bdata = np.frombuffer(bc.buffers()[2] or b"", np.uint8)
+    total_vals = int(3 * counts.sum())
+    vals = decode_varints(bdata[boffs[0]:boffs[-1]], total_vals) \
+        .astype(np.int64)
+    bs = block_size
+    nb_t = (counts + bs - 1) // bs
+    block_base = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(nb_t, out=block_base[1:])
+    total_blocks = int(block_base[-1])
+    term_of_block = np.repeat(np.arange(n_rows), nb_t)
+    b_in_t = np.arange(total_blocks) - block_base[term_of_block]
+    cnt_b = np.minimum(counts[term_of_block] - b_in_t * bs, bs)
+    vstart = np.zeros(total_blocks, np.int64)
+    np.cumsum(3 * cnt_b[:-1], out=vstart[1:])
+    n = int(counts.sum())
+    row_starts = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(counts, out=row_starts[1:])
+    pos = np.arange(n) - np.repeat(row_starts[:-1], counts)
+    gblock = np.repeat(block_base[:-1], counts) + pos // bs
+    q = pos % bs
+    gaps = vals[vstart[gblock] + q]
+    tfs = vals[vstart[gblock] + cnt_b[gblock] + q]
+    dls = vals[vstart[gblock] + 2 * cnt_b[gblock] + q]
+    # block decode bases: -1 for a row's first block, else the previous
+    # block's last docID (the skip pointer, flattened in block order)
+    li = np.asarray(table.column("last_ids").combine_chunks().flatten())
+    base_b = np.empty(total_blocks, np.int64)
+    base_b[b_in_t == 0] = -1
+    later = b_in_t > 0
+    base_b[later] = li[np.flatnonzero(later) - 1]
+    # segmented inclusive cumsum of gaps per block + base
+    c = np.cumsum(gaps)
+    c_exc = np.concatenate([[0], c[:-1]])
+    blk_first = np.flatnonzero(q == 0)          # one per block, in order
+    docs = c - np.repeat(c_exc[blk_first], cnt_b) + np.repeat(base_b, cnt_b)
+    return counts, docs, tfs, dls
+
+
 def encode_postings_many(doc_ids: np.ndarray, tfs: np.ndarray,
                          dls: np.ndarray, term_bounds: np.ndarray,
                          block_size: int = 128) -> dict:

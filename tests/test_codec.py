@@ -69,3 +69,47 @@ def test_postings_roundtrip(doc_ids, block_size):
         assert int(enc.max_tf[bi]) == int(tfs[s:e].max())
         assert int(enc.min_dl[bi]) == int(dls[s:e].min())
         assert int(enc.last_ids[bi]) == int(docs[e - 1])
+
+
+@given(
+    st.lists(st.lists(st.integers(min_value=0, max_value=10**12),
+                      min_size=1, max_size=300, unique=True),
+             min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=30, deadline=None)
+def test_decode_postings_file_matches_per_term(term_lists, block_size):
+    """Whole-file vectorized decode (the serve-actor load path) must be
+    row-for-row identical to the per-term decode_postings loop."""
+    import pyarrow as pa
+    from bge_m3_onnx_ray.index.codec import decode_postings_file
+    rng = np.random.default_rng(2)
+    encs = []
+    for lst in term_lists:
+        docs = np.array(sorted(lst), np.int64)
+        tfs = rng.integers(1, 1000, len(docs)).astype(np.int64)
+        dls = rng.integers(0, 100000, len(docs)).astype(np.int64)
+        encs.append((docs, tfs, dls, encode_postings(docs, tfs, dls,
+                                                     block_size)))
+    table = pa.table({
+        "term": pa.array([f"t{i}" for i in range(len(encs))], pa.string()),
+        "df": pa.array([e.n for *_, e in encs], pa.int64()),
+        "last_ids": pa.array([e.last_ids.tolist() for *_, e in encs],
+                             pa.list_(pa.int64())),
+        "max_tf": pa.array([e.max_tf.tolist() for *_, e in encs],
+                           pa.list_(pa.int32())),
+        "min_dl": pa.array([e.min_dl.tolist() for *_, e in encs],
+                           pa.list_(pa.int32())),
+        "offs": pa.array([e.offs.tolist() for *_, e in encs],
+                         pa.list_(pa.int32())),
+        "blob": pa.array([e.blob for *_, e in encs], pa.binary()),
+    })
+    counts, d_all, t_all, l_all = decode_postings_file(table, block_size)
+    pos = 0
+    for i, (docs, tfs, dls, e) in enumerate(encs):
+        assert int(counts[i]) == len(docs)
+        z = pos + len(docs)
+        assert np.array_equal(d_all[pos:z], docs)
+        assert np.array_equal(t_all[pos:z], tfs)
+        assert np.array_equal(l_all[pos:z], dls)
+        pos = z
