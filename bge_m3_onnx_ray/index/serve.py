@@ -21,6 +21,7 @@ import glob
 import os
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from bge_m3_onnx_ray._malloc import populated_array
@@ -81,30 +82,44 @@ class _ShardSearcherImpl:
             t = pq.read_table(p, columns=["term", "df"])
             gdf.update(zip(t.column("term").to_pylist(),
                            t.column("df").to_pylist()))
-        # Pass 1 — sizing only (cheap columns): per-term posting and
-        # block counts across this actor's shards. The merged arrays are
-        # then SEVEN large MAP_POPULATE-backed buffers filled in place,
-        # and every per-term entry is a zero-copy view into them.
-        # Building merged per-term arrays with np.concatenate instead
-        # (one retained medium-size allocation per term) measured ~100
-        # s/actor at 32-way concurrency on this virtualized host — the
-        # trap-per-4KiB first-touch fault cost (see populated_array's
-        # docstring), paid for every page of every retained allocation.
+        # Fully vectorized load, keyed by INTEGER term ids (one global
+        # dictionary_encode over every file's term column): sizing is a
+        # pair of bincounts, and each file lands in the merged buffers
+        # with one whole-file fancy scatter — no per-(term, shard) or
+        # per-term Python loop (the round-3 loop measured 9.6-16.5 s of
+        # actor startup at the 32M index). The merged arrays are SEVEN
+        # large MAP_POPULATE-backed buffers, and every per-term entry is
+        # a zero-copy view into them (np.concatenate per term measured
+        # ~100 s/actor at 32-way concurrency — trap-per-4KiB first-touch
+        # cost, see populated_array's docstring).
+        from bge_m3_onnx_ray.index.codec import decode_postings_file
         files: list[str] = []
         for shard in self.shards:
             files.extend(sorted(glob.glob(postings_file(
                 self.meta.index_dir, shard, 0).replace("bucket-00", "bucket-*"))))
-        n_post: dict[str, int] = {}
-        n_blk: dict[str, int] = {}
         bs = self.meta.block_size
-        for path in files:
-            t = pq.read_table(path, columns=["term", "df"])
-            for term, df in zip(t.column("term").to_pylist(),
-                                t.column("df").to_pylist()):
-                n_post[term] = n_post.get(term, 0) + int(df)
-                n_blk[term] = n_blk.get(term, 0) + (int(df) + bs - 1) // bs
-        tot = sum(n_post.values())
-        btot = sum(n_blk.values())
+        m = self.meta
+        tables = [pq.read_table(p) for p in files]
+        term_cols = [t.column("term").combine_chunks().cast(pa.large_string())
+                     for t in tables]
+        if term_cols:
+            de = pa.concat_arrays(term_cols).dictionary_encode()
+            codes_all = np.asarray(de.indices).astype(np.int64)
+            vocab = de.dictionary
+        else:
+            codes_all = np.empty(0, np.int64)
+            vocab = pa.array([], pa.large_string())
+        nv = len(vocab)
+        row_offs = np.zeros(len(tables) + 1, np.int64)
+        np.cumsum([len(c) for c in term_cols], out=row_offs[1:])
+        dfs_all = (np.concatenate([t.column("df").to_numpy() for t in tables])
+                   .astype(np.int64) if tables else np.empty(0, np.int64))
+        nblk_all = (dfs_all + bs - 1) // bs
+        n_post_t = np.bincount(codes_all, weights=dfs_all,
+                               minlength=nv).astype(np.int64)
+        n_blk_t = np.bincount(codes_all, weights=nblk_all,
+                              minlength=nv).astype(np.int64)
+        tot, btot = int(n_post_t.sum()), int(n_blk_t.sum())
         docs_b = populated_array(tot, np.int64)
         tfs_b = populated_array(tot, np.int32)
         dls_b = populated_array(tot, np.int32)
@@ -112,72 +127,62 @@ class _ShardSearcherImpl:
         li_b = populated_array(btot, np.int64)
         mt_b = populated_array(btot, np.int32)
         md_b = populated_array(btot, np.int32)
-        # per-term regions in first-seen order; cursors advance per piece
-        start: dict[str, int] = {}
-        bstart: dict[str, int] = {}
-        cur = bcur = 0
-        for term, n in n_post.items():
-            start[term] = cur
-            cur += n
-            bstart[term] = bcur
-            bcur += n_blk[term]
-        fill = dict(start)
-        bfill = dict(bstart)
-        m = self.meta
-        # Pass 2 — whole-file vectorized decode (codec.decode_postings_file:
-        # ONE varint sweep per file instead of a per-(term, shard) Python
-        # loop — the loop measured 9.6-16.5 s of actor startup at the 32M
-        # index), then pure slice copies into each term's merged region.
-        # Shards are visited in ascending order and a term's region is
-        # filled in that order, so merged docIDs stay ascending (shards
-        # are disjoint ascending docID ranges).
-        from bge_m3_onnx_ray.index.codec import decode_postings_file
-        for path in files:
-            t = pq.read_table(path)
-            terms = t.column("term").to_pylist()
+        start_t = np.zeros(nv + 1, np.int64)
+        np.cumsum(n_post_t, out=start_t[1:])
+        bstart_t = np.zeros(nv + 1, np.int64)
+        np.cumsum(n_blk_t, out=bstart_t[1:])
+        fill_t = start_t[:nv].copy()
+        bfill_t = bstart_t[:nv].copy()
+        vocab_py = vocab.to_pylist()
+        idf_t = np.fromiter((idf(gdf[s], m.n_docs) for s in vocab_py),
+                            np.float64, nv)
+        # Files are visited in ascending shard order and each term's
+        # region fills in that order, so merged docIDs stay ascending
+        # (shards are disjoint ascending docID ranges). Terms are unique
+        # within a file (one row per term per (shard, bucket)), so the
+        # fill-cursor updates are plain fancy adds.
+        for fi, t in enumerate(tables):
+            codes = codes_all[row_offs[fi]:row_offs[fi + 1]]
             counts, docs_f, tfs_f, dls_f = decode_postings_file(t, bs)
-            if not len(counts):
+            if not len(counts) or not counts.sum():
                 continue
-            rs = np.zeros(len(counts) + 1, np.int64)
-            np.cumsum(counts, out=rs[1:])
+            dest0 = fill_t[codes]
+            fill_t[codes] += counts
+            npost = int(counts.sum())
+            seg = np.zeros(len(counts), np.int64)
+            np.cumsum(counts[:-1], out=seg[1:])
+            dest = np.repeat(dest0 - seg, counts) + np.arange(npost)
+            docs_b[dest] = docs_f
+            tfs_b[dest] = tfs_f
+            dls_b[dest] = dls_f
             # per-posting BM25 contribution, precomputed once: nothing
             # about it depends on the query (global idf + corpus stats
             # are known at load), so queries reduce to scatter-adds of
             # these float64 arrays — bit-identical to scoring on demand
             # (elementwise; the broadcast idf array multiplies exactly
-            # like the old per-term scalar)
-            idf_row = np.fromiter((idf(gdf[tm], m.n_docs) for tm in terms),
-                                  np.float64, len(terms))
-            con_f = bm25_term_score(
+            # like a per-term scalar)
+            con_b[dest] = bm25_term_score(
                 tfs_f.astype(np.float64), dls_f.astype(np.float64),
-                np.repeat(idf_row, counts), m.avgdl, m.k1, m.b)
-            lc = t.column("last_ids").combine_chunks()
-            li = np.asarray(lc.flatten())
-            mt = np.asarray(t.column("max_tf").combine_chunks().flatten())
-            md = np.asarray(t.column("min_dl").combine_chunks().flatten())
-            nb_t = (counts + bs - 1) // bs
-            bb = np.zeros(len(counts) + 1, np.int64)
-            np.cumsum(nb_t, out=bb[1:])
-            for i, term in enumerate(terms):
-                a = fill[term]
-                z = a + int(counts[i])
-                fill[term] = z
-                docs_b[a:z] = docs_f[rs[i]:rs[i + 1]]
-                tfs_b[a:z] = tfs_f[rs[i]:rs[i + 1]]
-                dls_b[a:z] = dls_f[rs[i]:rs[i + 1]]
-                con_b[a:z] = con_f[rs[i]:rs[i + 1]]
-                ba = bfill[term]
-                bz = ba + int(nb_t[i])
-                bfill[term] = bz
-                li_b[ba:bz] = li[bb[i]:bb[i + 1]]
-                mt_b[ba:bz] = mt[bb[i]:bb[i + 1]]
-                md_b[ba:bz] = md[bb[i]:bb[i + 1]]
+                np.repeat(idf_t[codes], counts), m.avgdl, m.k1, m.b)
+            nb = (counts + bs - 1) // bs
+            bdest0 = bfill_t[codes]
+            bfill_t[codes] += nb
+            nbt = int(nb.sum())
+            bseg = np.zeros(len(nb), np.int64)
+            np.cumsum(nb[:-1], out=bseg[1:])
+            bdest = np.repeat(bdest0 - bseg, nb) + np.arange(nbt)
+            li_b[bdest] = np.asarray(
+                t.column("last_ids").combine_chunks().flatten())
+            mt_b[bdest] = np.asarray(
+                t.column("max_tf").combine_chunks().flatten())
+            md_b[bdest] = np.asarray(
+                t.column("min_dl").combine_chunks().flatten())
         dec: dict[str, tuple] = {}
         bnd: dict[str, EncodedPostings] = {}
         con: dict[str, np.ndarray] = {}
-        for term, a in start.items():
-            z = fill[term]
-            ba, bz = bstart[term], bfill[term]
+        for tid, term in enumerate(vocab_py):
+            a, z = int(start_t[tid]), int(start_t[tid + 1])
+            ba, bz = int(bstart_t[tid]), int(bstart_t[tid + 1])
             dec[term] = (docs_b[a:z], tfs_b[a:z], dls_b[a:z])
             bnd[term] = EncodedPostings(z - a, li_b[ba:bz], mt_b[ba:bz],
                                         md_b[ba:bz], None, None)
