@@ -99,9 +99,13 @@ class _ShardSearcherImpl:
                 self.meta.index_dir, shard, 0).replace("bucket-00", "bucket-*"))))
         bs = self.meta.block_size
         m = self.meta
-        tables = [pq.read_table(p) for p in files]
+        # sizing pass reads only (term, df); full files (blobs) are read
+        # ONE AT A TIME in the fill loop so peak memory is one file, not
+        # the actor's whole postings share — at 24-way concurrent actor
+        # startup the simultaneous page installs were the wall
+        heads = [pq.read_table(p, columns=["term", "df"]) for p in files]
         term_cols = [t.column("term").combine_chunks().cast(pa.large_string())
-                     for t in tables]
+                     for t in heads]
         if term_cols:
             de = pa.concat_arrays(term_cols).dictionary_encode()
             codes_all = np.asarray(de.indices).astype(np.int64)
@@ -110,10 +114,10 @@ class _ShardSearcherImpl:
             codes_all = np.empty(0, np.int64)
             vocab = pa.array([], pa.large_string())
         nv = len(vocab)
-        row_offs = np.zeros(len(tables) + 1, np.int64)
+        row_offs = np.zeros(len(heads) + 1, np.int64)
         np.cumsum([len(c) for c in term_cols], out=row_offs[1:])
-        dfs_all = (np.concatenate([t.column("df").to_numpy() for t in tables])
-                   .astype(np.int64) if tables else np.empty(0, np.int64))
+        dfs_all = (np.concatenate([t.column("df").to_numpy() for t in heads])
+                   .astype(np.int64) if heads else np.empty(0, np.int64))
         nblk_all = (dfs_all + bs - 1) // bs
         n_post_t = np.bincount(codes_all, weights=dfs_all,
                                minlength=nv).astype(np.int64)
@@ -141,7 +145,9 @@ class _ShardSearcherImpl:
         # (shards are disjoint ascending docID ranges). Terms are unique
         # within a file (one row per term per (shard, bucket)), so the
         # fill-cursor updates are plain fancy adds.
-        for fi, t in enumerate(tables):
+        del heads, term_cols
+        for fi, path in enumerate(files):
+            t = pq.read_table(path)
             codes = codes_all[row_offs[fi]:row_offs[fi + 1]]
             counts, docs_f, tfs_f, dls_f = decode_postings_file(t, bs)
             if not len(counts) or not counts.sum():
