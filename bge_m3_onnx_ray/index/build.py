@@ -292,9 +292,12 @@ class TokenizePostings:
         return out
 
     @staticmethod
-    def _segment_table(sort_keys, docs, tfs, dls, terms_arr, gkeys_arr):
+    def _segment_table(sort_keys, docs, tfs, dls, term_codes, uniques,
+                       gkeys_arr):
         """Group consecutive equal sort_keys into varint-blob segment rows.
-        ``terms_arr``/``gkeys_arr`` are per-ROW; head values are taken."""
+        ``term_codes``/``gkeys_arr`` are per-ROW; head values are taken —
+        term STRINGS materialize only for the ~segment-count head rows
+        (never one per posting)."""
         from bge_m3_onnx_ray.index.codec import encode_segments
         bounds = np.concatenate([[0], np.flatnonzero(np.diff(sort_keys)) + 1,
                                  [len(sort_keys)]])
@@ -307,7 +310,8 @@ class TokenizePostings:
             [None, pa.py_buffer(np.ascontiguousarray(offs, np.int64)),
              pa.py_buffer(blob)])
         return pa.table({
-            "term": terms_arr.take(pa.array(heads)).cast(pa.large_string()),
+            "term": uniques.take(pa.array(term_codes[heads]))
+                .cast(pa.large_string()),
             "gkey": pa.array(gkeys_arr[heads], pa.int64()),
             "min_doc": pa.array(docs[heads], pa.int64()),
             "n": pa.array(np.diff(bounds).astype(np.int32), pa.int32()),
@@ -340,10 +344,9 @@ class TokenizePostings:
             skey = p_shard[order] * (len(uniques) + 1) + codes[order]
             ub = self._buckets_for(uniques)
             row_gkey = p_shard[order] * stride + ub[codes[order]] + 1
-            terms_rows = uniques.take(pa.array(codes[order]))
             tables.append(self._segment_table(
                 skey, p_doc[order], tfs[order], p_dl[order],
-                terms_rows, row_gkey))
+                codes[order], uniques, row_gkey))
 
         if len(doc_ids):
             # one doc-length segment per shard (term "", bucket -1): becomes
@@ -351,9 +354,10 @@ class TokenizePostings:
             order = np.lexsort((doc_ids, shard))
             d_doc, d_shard = doc_ids[order], shard[order]
             d_dl = doc_lens[order].astype(np.int64)
-            empty_terms = pa.array([""] * len(d_doc), pa.large_string())
             tables.append(self._segment_table(
-                d_shard, d_doc, d_dl, d_dl, empty_terms, d_shard * stride))
+                d_shard, d_doc, d_dl, d_dl,
+                np.zeros(len(d_doc), np.int64),
+                pa.array([""], pa.large_string()), d_shard * stride))
 
         if not tables:
             return _POSTROW_SCHEMA.empty_table()
