@@ -241,6 +241,38 @@ def run_bench() -> dict:
                   "recall_at_10": curve[recommended]["recall_at_10"],
                   "ivf_sec": curve[recommended]["ivf_sec"]}
 
+    # ---- IVF on CLUSTERABLE embeddings: the sandbox embeddings table is
+    # near-uniform (no nprobe < n_lists reaches 0.9 recall, a property of
+    # the data); real encoder spaces cluster, so this seeded clustered
+    # fixture shows the trade the engine actually offers there
+    import ray.data as _rd
+
+    from bge_m3_onnx_ray.fixtures import gen_clustered_embeddings
+    cemb = _rd.from_arrow(gen_clustered_embeddings(50_000, 32, 64)) \
+        .repartition(NCPU).materialize()
+    cdf = cemb.map_batches(lambda t: t.filter(_pc.less(t["vec_id"], 16)),
+                           batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    cqv, cqid = np.stack(cdf.embedding.to_numpy()), cdf.vec_id.to_numpy()
+    ccents = kmeans_centroids(cemb, n_lists=64, n_iters=4)
+    cassigned = ivf_assign(cemb, ccents).materialize()
+    t0 = time.perf_counter()
+    cbf = brute_force_topk(cemb, cqv, cqid, k=10).to_pandas()
+    ct_bf = time.perf_counter() - t0
+    ccurve = {}
+    crec = 64
+    for nprobe in (1, 2, 4, 8):
+        t0 = time.perf_counter()
+        civ = ivf_topk(cassigned, ccents, cqv, cqid, k=10,
+                       nprobe=nprobe).to_pandas()
+        ct_iv = time.perf_counter() - t0
+        rec = round(civ.merge(cbf, on=["query_id", "vec_id"]).shape[0]
+                    / max(len(cbf), 1), 3)
+        ccurve[nprobe] = {"recall_at_10": rec, "ivf_sec": round(ct_iv, 2)}
+        if rec >= 0.9 and nprobe < crec:
+            crec = nprobe
+    out["ivf_clustered"] = {"n_lists": 64, "exact_sec": round(ct_bf, 2),
+                            "curve": ccurve, "recommended_nprobe": crec}
+
     # ---- documents-table operator suite over SF_DIR
     if os.environ.get("BENCH_SKIP_QUERIES"):
         out["queries"] = {}
@@ -321,6 +353,7 @@ def main() -> None:
         "index_phases": out["index_phases"],
         "zipf_wand": out.get("zipf_wand"),
         "ivf": out.get("ivf"),
+        "ivf_clustered": out.get("ivf_clustered"),
     }))
     import ray
     ray.shutdown()

@@ -253,3 +253,27 @@ def zipf_transcripts_path(n_turns: int, seed: int = 44) -> str:
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
     return d
+
+
+def gen_clustered_embeddings(n: int = 50_000, dim: int = 32,
+                             n_clusters: int = 64,
+                             seed: int = 45) -> pa.Table:
+    """Clusterable-embedding corpus for IVF evidence: real embedding
+    spaces (sentence/image encoders) are strongly clustered, which is
+    what makes IVF's probe-pruned scan pay; the sandbox ``embeddings``
+    table is near-uniform (near-unclusterable — the bench's nprobe/recall
+    curve on it needs full probe to reach 0.9 recall, by construction of
+    the DATA, not the engine). This fixture draws ``n_clusters`` Gaussian
+    centers and samples points at 0.15 relative noise — deterministic,
+    seeded. Schema matches the embeddings table: (vec_id, embedding)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_clusters, n)
+    vecs = centers[assign] + 0.15 * rng.normal(size=(n, dim)) / np.sqrt(dim)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs.astype(np.float32)],
+                              pa.list_(pa.float32())),
+    })
