@@ -78,6 +78,20 @@ def _q_bm25_bulk(sf_dir):
     return bm25_documents_bulk_topk(sf_dir)
 
 
+def _q_bm25_and(sf_dir):
+    # conjunctive (boolean AND) retrieval: candidates must contain every
+    # query term; scores are the same BM25 sums (QueryConfig(mode="and"))
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_topk_and
+    return bm25_documents_topk_and(sf_dir)
+
+
+def _q_bm25_transcripts_filtered(sf_dir):
+    # faceted search: role='user' equality filter via the per-shard attrs
+    # side table (index.attrs); global stats stay corpus-wide
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_transcripts_topk
+    return bm25_transcripts_topk(sf_dir, role="user")
+
+
 def _q_bm25_transcripts(sf_dir):
     from bge_m3_onnx_ray.pipelines.flagship import bm25_transcripts_topk
     return bm25_transcripts_topk(sf_dir)
@@ -315,9 +329,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_documents_topk": _q_bm25,
         "bm25_documents_topk_exhaustive": _q_bm25_exhaustive,
+        "bm25_documents_topk_and": _q_bm25_and,
         "bm25_documents_bulk_topk": _q_bm25_bulk,
         "bm25_transcripts_topk": _q_bm25_transcripts,
         "bm25_transcripts_topk_exhaustive": _q_bm25_transcripts_exhaustive,
+        "bm25_transcripts_topk_filtered": _q_bm25_transcripts_filtered,
         "transcripts_index_stats": _q_transcripts_index_stats,
         "token_count": _q_token_count,
         "corpus_stats": _q_corpus_stats,
@@ -358,7 +374,7 @@ _TOKS = ("SELECT doc_id, unnest(regexp_extract_all(lower(text), "
          f"'{_TOKEN_RE_SQL}')) AS term FROM documents")
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(conjunctive: bool = False) -> str:
     from bge_m3_onnx_ray.pipelines.flagship import DOC_QUERIES
     from bge_m3_onnx_ray.tokenizer import tokenize
     vals = []
@@ -366,6 +382,13 @@ def _bm25_sql() -> str:
         for t in sorted(set(tokenize(text))):
             vals.append(f"({qid}, '{t}')")
     qvalues = ", ".join(vals)
+    # boolean AND: a doc is a candidate only if it matched EVERY distinct
+    # query term (a query with an OOV term therefore matches nothing)
+    having = ("""
+  HAVING count(DISTINCT q.term) = (SELECT count(DISTINCT term)
+                                   FROM qterms x
+                                   WHERE x.query_id = q.query_id)"""
+              if conjunctive else "")
     return f"""
 WITH toks AS ({_TOKS}),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
@@ -385,7 +408,7 @@ scores AS (
   JOIN tf ON tf.term = q.term
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
-  GROUP BY q.query_id, tf.doc_id),
+  GROUP BY q.query_id, tf.doc_id{having}),
 ranked AS (
   SELECT query_id, doc_id, score,
          row_number() OVER (PARTITION BY query_id
@@ -422,11 +445,13 @@ def _transcripts_toks_sql() -> str:
             f"{_CJK_SPLIT_SQL}, '{_UNI_TOKEN_RE_SQL}')) AS term FROM docs")
 
 
-def _bm25_transcripts_sql() -> str:
+def _bm25_transcripts_sql(role: str | None = None) -> str:
     """Full BM25 ranking oracle over the multi-turn transcripts fixture,
     keyed on (conv_id, turn_idx) — same scoring formula and tie-break
     (score desc, then lexicographic (conv_id, turn_idx) = docID order) as
-    the documents oracle."""
+    the documents oracle. ``role``: optional facet filter — candidates
+    restricted to turns of that role, while df/avgdl stay corpus-wide
+    (exactly the engine's filter semantics)."""
     from bge_m3_onnx_ray.fixtures import gen_queries
     from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
     tok = DeterministicTokenizer()
@@ -435,8 +460,11 @@ def _bm25_transcripts_sql() -> str:
         for t in sorted(set(tok.tokenize(text))):
             vals.append(f"({qid}, '{t}')")
     qvalues = ", ".join(vals)
+    role_join = (f"""
+  JOIN docs dr ON dr.conv_id = tf.conv_id AND dr.turn_idx = tf.turn_idx
+              AND dr.role = '{role}'""" if role is not None else "")
     return f"""
-WITH docs AS (SELECT conv_id, turn_idx, text FROM {_transcripts_src_sql()}),
+WITH docs AS (SELECT conv_id, turn_idx, role, text FROM {_transcripts_src_sql()}),
 toks AS ({_transcripts_toks_sql()}),
 tf AS (SELECT conv_id, turn_idx, term, count(*)::DOUBLE AS tf FROM toks
        GROUP BY conv_id, turn_idx, term),
@@ -455,7 +483,7 @@ scores AS (
   FROM qterms q
   JOIN dfs d ON d.term = q.term
   JOIN tf ON tf.term = q.term
-  JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+  JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx{role_join}
   CROSS JOIN stats s
   GROUP BY q.query_id, tf.conv_id, tf.turn_idx),
 ranked AS (
@@ -775,9 +803,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_documents_topk": bm25,
         "bm25_documents_topk_exhaustive": bm25,
+        "bm25_documents_topk_and": _bm25_sql(conjunctive=True),
         "bm25_documents_bulk_topk": bm25,
         "bm25_transcripts_topk": _bm25_transcripts_sql(),
         "bm25_transcripts_topk_exhaustive": _bm25_transcripts_sql(),
+        "bm25_transcripts_topk_filtered": _bm25_transcripts_sql(role="user"),
         "transcripts_index_stats": _transcripts_stats_sql(),
         "doc_fingerprint": _fingerprint_sql(),
         "simhash": _simhash_sql(),

@@ -62,6 +62,17 @@ class IndexConfig:
 class QueryConfig:
     k: int = 10
     method: str = "wand"  # "wand" | "exhaustive"
+    # "or" (default, rank by summed BM25) | "and" (conjunctive: only docs
+    # containing EVERY query term are candidates; scores are the same
+    # BM25 sums, so an AND result is the OR result restricted to the
+    # full-coverage docs)
+    mode: str = "or"
+    # faceted search: equality predicate on a doc attribute built with
+    # index.attrs.build_doc_attrs — e.g. ("role", "user"). Global stats
+    # (df/avgdl) stay corpus-wide (standard facet semantics: the filter
+    # narrows candidates, not the scoring model).
+    filter_attr: str | None = None
+    filter_value: str | None = None
     scorer_concurrency: int | tuple[int, int] = (1, 8)
     scorer_batch_size: int = 64
     shard_cache_size: int = 64  # decoded shards cached per scorer actor

@@ -61,11 +61,27 @@ def _topk_merge(scores: np.ndarray, doc_ids: np.ndarray, k: int):
     return scores[order], doc_ids[order]
 
 
+def _apply_allowed(scores: np.ndarray, docs: np.ndarray,
+                   allowed: np.ndarray | None):
+    """Facet filter: restrict candidate (scores, docs) to the sorted
+    ``allowed`` docID set BEFORE top-k selection (exact, not post-cut)."""
+    if allowed is None:
+        return scores, docs
+    if not len(allowed) or not len(docs):
+        return np.empty(0, np.float64), np.empty(0, np.int64)
+    pos = np.searchsorted(allowed, docs)
+    keep = pos < len(allowed)
+    keep[keep] = allowed[pos[keep]] == docs[keep]
+    return scores[keep], docs[keep]
+
+
 def score_exhaustive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
                      qterms: list[str], idfs: dict[str, float],
-                     avgdl: float, k1: float, b: float, k: int):
+                     avgdl: float, k1: float, b: float, k: int,
+                     allowed: np.ndarray | None = None):
     """Exact scorer over fully-decoded postings (the parity fallback the
-    reference keeps alongside its fast path). ``qterms`` must be sorted."""
+    reference keeps alongside its fast path). ``qterms`` must be sorted.
+    ``allowed``: optional sorted docID facet mask (see _apply_allowed)."""
     arrs = [(t,) + postings[t] for t in qterms if t in postings]
     if not arrs:
         return np.empty(0, np.float64), np.empty(0, np.int64)
@@ -75,7 +91,48 @@ def score_exhaustive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarra
         contrib = bm25_term_score(tfs.astype(np.float64), dls.astype(np.float64),
                                   idfs[t], avgdl, k1, b)
         scores[np.searchsorted(union, docs)] += contrib
+    scores, union = _apply_allowed(scores, union, allowed)
     return _topk_merge(scores, union, k)
+
+
+def score_conjunctive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+                      qterms: list[str], idfs: dict[str, float],
+                      avgdl: float, k1: float, b: float, k: int,
+                      allowed: np.ndarray | None = None):
+    """AND semantics: only docs containing EVERY query term are
+    candidates; their scores are the identical ascending-term float64
+    BM25 sums as :func:`score_exhaustive` (an AND result is the OR
+    result restricted to full-coverage docs — bit-identical scores).
+
+    The intersection proceeds smallest-posting-list-first (the classic
+    skip-list AND order): each step is one searchsorted of the shrinking
+    candidate set into the next list, so cost is O(|rarest| · log) — at
+    10^12 docs a conjunctive query touches ~|rarest term| docs, never the
+    union. A term absent from this shard ⇒ empty (the caller already
+    dropped queries with globally-unknown terms)."""
+    if any(t not in postings for t in qterms) or not qterms:
+        return np.empty(0, np.float64), np.empty(0, np.int64)
+    arrs = [(t,) + postings[t] for t in qterms]  # ascending term order
+    by_len = sorted(range(len(arrs)), key=lambda i: len(arrs[i][1]))
+    inter = arrs[by_len[0]][1]
+    for i in by_len[1:]:
+        docs = arrs[i][1]
+        if not len(inter):
+            break
+        pos = np.searchsorted(docs, inter)
+        keep = pos < len(docs)
+        keep[keep] = docs[pos[keep]] == inter[keep]
+        inter = inter[keep]
+    _, inter = _apply_allowed(np.empty(len(inter)), inter, allowed)
+    if not len(inter):
+        return np.empty(0, np.float64), np.empty(0, np.int64)
+    scores = np.zeros(len(inter), np.float64)
+    for t, docs, tfs, dls in arrs:  # ascending term order = summation order
+        pos = np.searchsorted(docs, inter)
+        scores += bm25_term_score(tfs[pos].astype(np.float64),
+                                  dls[pos].astype(np.float64),
+                                  idfs[t], avgdl, k1, b)
+    return _topk_merge(scores, inter, k)
 
 
 def score_dense(entries: dict[str, tuple[np.ndarray, np.ndarray]],
@@ -115,7 +172,8 @@ def score_wand(enc_postings: dict[str, EncodedPostings], qterms: list[str],
                k: int, block_size: int,
                decoded: dict[str, tuple] | None = None,
                stats: dict | None = None,
-               contribs: dict[str, np.ndarray] | None = None):
+               contribs: dict[str, np.ndarray] | None = None,
+               allowed: np.ndarray | None = None):
     """Vectorized block-max top-k (the WAND/BMW pruning idea — Ding & Suel
     2011 — re-expressed for batch execution instead of a per-posting
     cursor loop, which measured ~47x slower than numpy scoring).
@@ -138,7 +196,13 @@ def score_wand(enc_postings: dict[str, EncodedPostings], qterms: list[str],
     ``contribs`` (term → float64 per-posting BM25 contribution, aligned
     with ``decoded[t][0]``) additionally skips the per-query tf/dl math:
     gathering a precomputed elementwise value is bit-identical to
-    computing it on the gathered slice."""
+    computing it on the gathered slice.
+
+    ``allowed`` (sorted docID facet mask): a segment's block-max bound is
+    an upper bound over ALL its docs, hence also over the allowed subset,
+    so pruning stays exact — only the per-chunk candidate set is
+    restricted (before the running top-k, so theta reflects filtered
+    candidates only)."""
     terms = [t for t in qterms if t in enc_postings]
     if not terms:
         return np.empty(0, np.float64), np.empty(0, np.int64)
@@ -233,6 +297,7 @@ def score_wand(enc_postings: dict[str, EncodedPostings], qterms: list[str],
         scores = np.zeros(len(union), np.float64)
         for docs, con in gathered:
             scores[np.searchsorted(union, docs)] += con
+        scores, union = _apply_allowed(scores, union, allowed)
         top_s, top_d = _topk_merge(np.concatenate([top_s, scores]),
                                    np.concatenate([top_d, union]), k)
         if len(top_d) == k:
@@ -310,14 +375,39 @@ class ShardScorer:
     state on the driver)."""
 
     def __init__(self, index_dir: str, idfs: dict[str, float] | None, k: int,
-                 method: str, cache_size: int):
+                 method: str, cache_size: int, mode: str = "or",
+                 filter_attr: str | None = None,
+                 filter_value: str | None = None):
         self.meta = IndexMeta(index_dir)
         self.idfs = idfs
         self._lookup = None if idfs is not None else _DictDfLookup(self.meta)
         self.k = k
         self.method = method
+        self.mode = mode
+        self.filter_attr = filter_attr
+        self.filter_value = filter_value
+        self._allowed_cache: OrderedDict[int, np.ndarray] = OrderedDict()
         self.cache: OrderedDict[int, dict[str, EncodedPostings]] = OrderedDict()
         self.cache_size = cache_size
+
+    def _allowed(self, shard: int) -> np.ndarray | None:
+        """Per-shard facet mask (sorted docIDs matching the filter),
+        loaded once per shard from the attrs side table and LRU-cached
+        beside the postings (doc-partitioned: the mask never leaves the
+        shard's scorer)."""
+        if self.filter_attr is None:
+            return None
+        got = self._allowed_cache.get(shard)
+        if got is None:
+            from bge_m3_onnx_ray.index.attrs import load_allowed_docs
+            got = load_allowed_docs(self.meta.index_dir, self.filter_attr,
+                                    shard, self.filter_value)
+            self._allowed_cache[shard] = got
+            while len(self._allowed_cache) > self.cache_size:
+                self._allowed_cache.popitem(last=False)
+        else:
+            self._allowed_cache.move_to_end(shard)
+        return got
 
     def _shard_postings(self, shard: int, terms: list[str]) -> dict[str, EncodedPostings]:
         got = self.cache.get(shard)
@@ -370,13 +460,17 @@ class ShardScorer:
         # the same (shard, term) — decode once, not once per query row
         dec_memo: dict[tuple[int, str], tuple] = {}
         for qid, terms, shard in zip(qids, termss, shards):
+            n_required = len(set(terms))
             terms = [t for t in terms if self.idfs.get(t) is not None]
             if not terms:
                 continue
+            if self.mode == "and" and len(set(terms)) < n_required:
+                continue  # a query term is OOV corpus-wide: AND matches nothing
             post = self._shard_postings(int(shard), terms)
             avail = {t: e for t in terms if (e := post.get(t)) is not None}
             if not avail:
                 continue
+            allowed = self._allowed(int(shard))
             decoded = {}
             for t, e in avail.items():
                 got = dec_memo.get((shard, t))
@@ -384,13 +478,24 @@ class ShardScorer:
                     got = decode_postings(e, m.block_size)
                     dec_memo[(shard, t)] = got
                 decoded[t] = got
-            if self.method == "wand":
+            if self.mode == "and":
+                # conjunctive: intersection-first IS the fast path (WAND's
+                # bound pruning is an OR-mode optimization). Pass the FULL
+                # query term set: a term absent from this shard must yield
+                # an empty shard result (score_conjunctive's guard), not a
+                # match over the remaining terms.
+                scores, docs = score_conjunctive(
+                    decoded, sorted(set(terms)), self.idfs, m.avgdl, m.k1,
+                    m.b, self.k, allowed=allowed)
+            elif self.method == "wand":
                 scores, docs = score_wand(avail, sorted(avail), self.idfs,
                                           m.avgdl, m.k1, m.b, self.k,
-                                          m.block_size, decoded=decoded)
+                                          m.block_size, decoded=decoded,
+                                          allowed=allowed)
             else:
                 scores, docs = score_exhaustive(decoded, sorted(decoded), self.idfs,
-                                                m.avgdl, m.k1, m.b, self.k)
+                                                m.avgdl, m.k1, m.b, self.k,
+                                                allowed=allowed)
             out_q.extend([qid] * len(docs))
             out_d.extend(docs.tolist())
             out_s.extend(scores.tolist())
@@ -482,7 +587,10 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None) -> rd.Datase
         ShardScorer,
         fn_constructor_kwargs={"index_dir": index_dir, "idfs": idfs,
                                "k": cfg.k, "method": cfg.method,
-                               "cache_size": cfg.shard_cache_size},
+                               "cache_size": cfg.shard_cache_size,
+                               "mode": cfg.mode,
+                               "filter_attr": cfg.filter_attr,
+                               "filter_value": cfg.filter_value},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
     return merge_topk(partials, offsets, cfg.k)
@@ -543,7 +651,10 @@ def search_bulk(index_dir: str, queries: rd.Dataset,
         ShardScorer,
         fn_constructor_kwargs={"index_dir": index_dir, "idfs": None,
                                "k": cfg.k, "method": cfg.method,
-                               "cache_size": cfg.shard_cache_size},
+                               "cache_size": cfg.shard_cache_size,
+                               "mode": cfg.mode,
+                               "filter_attr": cfg.filter_attr,
+                               "filter_value": cfg.filter_value},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
     return merge_topk(partials, offsets, cfg.k)

@@ -47,11 +47,20 @@ class OracleIndex:
     def df(self, term: str) -> int:
         return len(self.postings.get(term, ()))
 
-    def search(self, query_text: str, k: int = 10) -> list[dict]:
+    def search(self, query_text: str, k: int = 10, mode: str = "or",
+               allowed: set | None = None) -> list[dict]:
         """Exhaustive top-k; one result row per hit:
-        {doc_id, score, conv_id, turn_idx}."""
+        {doc_id, score, conv_id, turn_idx}.
+
+        ``mode="and"``: conjunctive — only docs containing EVERY query
+        term are candidates (scores unchanged). ``allowed``: optional
+        docID facet mask; df/avgdl stay corpus-wide (the engine's
+        filtered-search semantics)."""
         qterms = sorted(set(self.tok.tokenize(query_text)))
         scores: dict[int, float] = {}
+        nhits: dict[int, int] = {}
+        if mode == "and" and any(t not in self.postings for t in qterms):
+            return []
         for term in qterms:  # ascending term order = accumulation order
             plist = self.postings.get(term)
             if not plist:
@@ -61,6 +70,12 @@ class OracleIndex:
                 s = bm25_term_score(float(tf), float(self.doc_lens[doc_id]),
                                     w, self.avgdl, self.k1, self.b)
                 scores[doc_id] = scores.get(doc_id, 0.0) + s
+                nhits[doc_id] = nhits.get(doc_id, 0) + 1
+        if mode == "and":
+            need = len(qterms)
+            scores = {d: s for d, s in scores.items() if nhits[d] == need}
+        if allowed is not None:
+            scores = {d: s for d, s in scores.items() if d in allowed}
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         return [
             {"doc_id": d, "score": s,

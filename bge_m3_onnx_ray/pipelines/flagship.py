@@ -85,6 +85,23 @@ def bm25_documents_topk(sf_dir: str, method: str = "wand", k: int = 10) -> pa.Ta
                                 preserve_index=False)
 
 
+def bm25_documents_topk_and(sf_dir: str, k: int = 10) -> pa.Table:
+    """Conjunctive (boolean AND) top-k: only documents containing EVERY
+    query term are candidates, ranked by the same BM25 sums — the
+    classic fulltext AND query. Same result shape/oracle conventions as
+    :func:`bm25_documents_topk`; queries with an out-of-vocabulary term
+    (e.g. DOC_QUERIES[5]) return no rows on both sides."""
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    out = search(idx, DOC_QUERIES,
+                 QueryConfig(k=k, method="wand", mode="and")).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
+
+
 def bm25_documents_bulk_topk(sf_dir: str, k: int = 10) -> pa.Table:
     """Same result as :func:`bm25_documents_topk` but through the
     streaming bulk path: queries enter as a ``ray.data.Dataset``, are
@@ -115,7 +132,8 @@ def transcripts_n_turns(sf_dir: str) -> int:
 
 
 def bm25_transcripts_topk(sf_dir: str, method: str = "wand", k: int = 10,
-                          n_turns: int | None = None) -> pa.Table:
+                          n_turns: int | None = None,
+                          role: str | None = None) -> pa.Table:
     """Flagship over the synthetic multi-turn transcripts fixture at a
     scale derived from sf_dir (sf0.001→2k, sf0.01→20k, sf0.1→200k turns).
     Output (query_id, rank, conv_id, turn_idx, score_q6) — shaped to
@@ -132,12 +150,21 @@ def bm25_transcripts_topk(sf_dir: str, method: str = "wand", k: int = 10,
     cfg = IndexConfig(docs_per_shard=TRANSCRIPTS_DOCS_PER_SHARD,
                       term_buckets=8)
     idx = _cached_index(rd.read_parquet(path), f"transcripts-n{n_turns}", cfg)
+    qcfg = QueryConfig(k=3 * k, method=method)
+    if role is not None:
+        # faceted search: filter by turn role (the 'role' attrs side
+        # table is derived once per index — see index.attrs)
+        from bge_m3_onnx_ray.index.attrs import build_doc_attrs, has_doc_attrs
+        if not has_doc_attrs(idx, "role"):
+            build_doc_attrs(rd.read_parquet(path), idx, "role")
+        qcfg = QueryConfig(k=3 * k, method=method,
+                           filter_attr="role", filter_value=role)
     # over-fetch then re-rank on the QUANTIZED score with the docID
     # tie-break: the oracle ranks on floor(score*1e6) (ulp-stable across
     # engines), so a quantized-tie group straddling the raw-score k
     # boundary must be resolved identically on both sides; 3k covers any
     # realistic tie-group width
-    out = search(idx, gen_queries(50), QueryConfig(k=3 * k, method=method))
+    out = search(idx, gen_queries(50), qcfg)
     df = out.to_pandas()
     df["score_q6"] = np.floor(df["score"].to_numpy() * 1e6).astype(np.int64)
     df = df.sort_values(["query_id", "score_q6", "conv_id", "turn_idx"],

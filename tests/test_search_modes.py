@@ -1,0 +1,117 @@
+"""Conjunctive (AND) and faceted (filtered) search parity vs the pure
+oracle — the engine's new query modes, on both scorer methods.
+
+Mirrors the reference's live-reference comparison shape
+(``samples/python/bge_m3_tests.py:107-131``): same tokenizer and scoring
+on both sides, so only the distributed machinery is under test."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from bge_m3_onnx_ray.config import QueryConfig
+from bge_m3_onnx_ray.index.search import search
+
+
+def _engine(idx, queries, cfg):
+    out = search(idx, queries, cfg).to_pandas()
+    res = {}
+    for qid, g in out.groupby("query_id"):
+        g = g.sort_values("rank")
+        res[int(qid)] = list(zip(g.doc_id.tolist(), g.score.tolist()))
+    return res
+
+
+def _assert_parity(got, oi_results, queries):
+    for qid, text in queries:
+        want = [(h["doc_id"], h["score"]) for h in oi_results[qid]]
+        have = got.get(qid, [])
+        assert len(have) == len(want), (qid, text)
+        for (d, s), (wd, ws) in zip(have, want):
+            assert d == wd, (qid, text)
+            assert abs(s - ws) < 1e-9, (qid, text)
+
+
+@pytest.mark.parametrize("method", ["exhaustive", "wand"])
+def test_conjunctive_parity(tiny_index, tiny_corpus, method):
+    idx, _ = tiny_index
+    _, oi, queries = tiny_corpus
+    # add a guaranteed-OOV query: AND must return nothing for it
+    queries = list(queries) + [(9901, "zzzneverseen qqqabsent")]
+    got = _engine(idx, queries, QueryConfig(k=10, method=method, mode="and"))
+    want = {qid: oi.search(text, 10, mode="and") for qid, text in queries}
+    assert 9901 not in got or got[9901] == []
+    _assert_parity(got, want, queries)
+
+
+def test_conjunctive_is_or_restricted(tiny_index, tiny_corpus):
+    """An AND hit's score must equal its OR score (same BM25 sums over
+    the full-coverage docs) — the semantic contract of mode='and'."""
+    idx, _ = tiny_index
+    _, _, queries = tiny_corpus
+    or_res = _engine(idx, queries, QueryConfig(k=1000, method="exhaustive"))
+    and_res = _engine(idx, queries, QueryConfig(k=10, method="exhaustive",
+                                                mode="and"))
+    for qid, hits in and_res.items():
+        or_scores = dict(or_res[qid])
+        for d, s in hits:
+            assert s == or_scores[d], qid  # bit-identical
+
+
+@pytest.fixture(scope="module")
+def role_attrs(tiny_index, tiny_corpus, ray_session):
+    """Build the 'role' attrs side table on the tiny index; return the
+    oracle-side docID mask per role."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.index.attrs import build_doc_attrs, has_doc_attrs
+    idx, _ = tiny_index
+    path, oi, _ = tiny_corpus
+    if not has_doc_attrs(idx, "role"):
+        build_doc_attrs(rd.read_parquet(path), idx, "role")
+    t = pq.read_table(path, columns=["conv_id", "turn_idx", "role"])
+    key_to_doc = {k: i for i, k in enumerate(oi.doc_keys)}
+    masks: dict[str, set] = {}
+    for c, ti, r in zip(t.column("conv_id").to_pylist(),
+                        t.column("turn_idx").to_pylist(),
+                        t.column("role").to_pylist()):
+        masks.setdefault(r, set()).add(key_to_doc[(c, ti)])
+    return masks
+
+
+@pytest.mark.parametrize("method", ["exhaustive", "wand"])
+@pytest.mark.parametrize("role", ["user", "assistant"])
+def test_filtered_parity(tiny_index, tiny_corpus, role_attrs, method, role):
+    idx, _ = tiny_index
+    _, oi, queries = tiny_corpus
+    got = _engine(idx, queries,
+                  QueryConfig(k=10, method=method,
+                              filter_attr="role", filter_value=role))
+    want = {qid: oi.search(text, 10, allowed=role_attrs[role])
+            for qid, text in queries}
+    _assert_parity(got, want, queries)
+
+
+def test_filtered_results_respect_mask(tiny_index, tiny_corpus, role_attrs):
+    """Every returned doc carries the filtered attribute value."""
+    idx, _ = tiny_index
+    _, _, queries = tiny_corpus
+    got = _engine(idx, queries, QueryConfig(k=10, filter_attr="role",
+                                            filter_value="tool"))
+    mask = role_attrs["tool"]
+    assert any(got.values())  # non-vacuous
+    for hits in got.values():
+        for d, _ in hits:
+            assert d in mask
+
+
+def test_filtered_conjunctive_compose(tiny_index, tiny_corpus, role_attrs):
+    """mode='and' + facet filter compose: engine ≡ oracle with both."""
+    idx, _ = tiny_index
+    _, oi, queries = tiny_corpus
+    got = _engine(idx, queries,
+                  QueryConfig(k=10, mode="and",
+                              filter_attr="role", filter_value="user"))
+    want = {qid: oi.search(text, 10, mode="and", allowed=role_attrs["user"])
+            for qid, text in queries}
+    _assert_parity(got, want, queries)
