@@ -85,6 +85,14 @@ def _q_bm25_and(sf_dir):
     return bm25_documents_topk_and(sf_dir)
 
 
+def _q_phrase(sf_dir):
+    # exact-phrase top-k over the positional index (index.positions):
+    # consecutive-token match via sorted-set position intersections,
+    # BM25 over the phrase frequency
+    from bge_m3_onnx_ray.pipelines.flagship import phrase_documents_topk
+    return phrase_documents_topk(sf_dir)
+
+
 def _q_bm25_transcripts_filtered(sf_dir):
     # faceted search: role='user' equality filter via the per-shard attrs
     # side table (index.attrs); global stats stay corpus-wide
@@ -330,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk": _q_bm25,
         "bm25_documents_topk_exhaustive": _q_bm25_exhaustive,
         "bm25_documents_topk_and": _q_bm25_and,
+        "phrase_documents_topk": _q_phrase,
         "bm25_documents_bulk_topk": _q_bm25_bulk,
         "bm25_transcripts_topk": _q_bm25_transcripts,
         "bm25_transcripts_topk_exhaustive": _q_bm25_transcripts_exhaustive,
@@ -418,6 +427,68 @@ SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
        doc_id::BIGINT AS doc_id,
        CAST(floor(score * 1000000) AS BIGINT) AS score_q6
 FROM ranked WHERE rnk <= 10 ORDER BY query_id, "rank"
+"""
+
+
+def _phrase_sql(k: int = 10) -> str:
+    """Exact-phrase BM25 oracle: per-doc ordered token positions from
+    ``generate_subscripts``, phrase tf via chained self-joins on
+    ``pos + j`` (one join per extra phrase word — the SQL mirror of the
+    engine's position-intersection kernel, index/positions.py
+    ``PhraseScorer._phrase_hits``), then the standard single-term BM25
+    score with df = matching-doc count, ranked on the quantized score
+    with the docID tie-break."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_PHRASES
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    match_ctes = []
+    union_parts = []
+    for qid, text in DOC_PHRASES:
+        ws = tokenize(text)
+        if not ws:
+            continue
+        joins = " ".join(
+            f"JOIN toks t{j} ON t{j}.doc_id = t0.doc_id "
+            f"AND t{j}.pos = t0.pos + {j}" for j in range(1, len(ws)))
+        conds = " AND ".join(f"t{j}.tok = '{w}'" for j, w in enumerate(ws))
+        match_ctes.append(
+            f"m{qid} AS (SELECT t0.doc_id, count(*)::DOUBLE AS tf "
+            f"FROM toks t0 {joins} WHERE {conds} GROUP BY t0.doc_id)")
+        union_parts.append(
+            f"SELECT {qid} AS query_id, doc_id, tf FROM m{qid}")
+    ctes = ",\n".join(match_ctes)
+    unions = "\nUNION ALL ".join(union_parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(ts, 1) AS pos, unnest(ts) AS tok
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')
+          AS ts FROM documents)),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM toks)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+{ctes},
+matches AS ({unions}),
+dfs AS (SELECT query_id, count(*)::DOUBLE AS df FROM matches
+        GROUP BY query_id),
+scores AS (
+  SELECT m.query_id, m.doc_id, m.tf,
+         ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           * (m.tf * 2.2) / (m.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+           AS score
+  FROM matches m
+  JOIN dfs f ON f.query_id = m.query_id
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s),
+ranked AS (
+  SELECT query_id, doc_id, tf,
+         CAST(floor(score * 1000000) AS BIGINT) AS score_q6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(floor(score * 1000000) AS BIGINT)
+                              DESC, doc_id) AS rnk
+  FROM scores)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
+       doc_id::BIGINT AS doc_id, tf::BIGINT AS tf, score_q6
+FROM ranked WHERE rnk <= {k} ORDER BY query_id, "rank"
 """
 
 
@@ -804,6 +875,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_documents_topk": bm25,
         "bm25_documents_topk_exhaustive": bm25,
         "bm25_documents_topk_and": _bm25_sql(conjunctive=True),
+        "phrase_documents_topk": _phrase_sql(),
         "bm25_documents_bulk_topk": bm25,
         "bm25_transcripts_topk": _bm25_transcripts_sql(),
         "bm25_transcripts_topk_exhaustive": _bm25_transcripts_sql(),

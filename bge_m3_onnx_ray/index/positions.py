@@ -1,0 +1,588 @@
+"""Positional index + phrase queries.
+
+The reference's data model carries per-token POSITIONS through its whole
+pipeline (the tokenizer emits ``token_indices`` — position of each token
+in the text — and the embedder re-sorts by them,
+``samples/python/bge_m3_embedder.py:85-98``); its per-document sparse
+dict then throws the positions away. A fulltext engine keeps them: a
+positional posting list per term (doc → ascending in-doc positions)
+is what answers exact PHRASE queries ("a b c" = docs where the terms
+appear consecutively), scored with BM25 over the phrase frequency.
+
+Layout (beside the main index in ``index_dir``)::
+
+    positions/shard-SSSSS-bucket-BB.parquet   per-term occurrence lists
+    positions_manifest.json                   fingerprint + files (resume)
+
+Build is the same Ray-Data shape as the postings build
+(``index/build.py``): a SPIMI ``map_batches`` stage emits
+varint-compressed occurrence SEGMENTS (one row per (term, shard) per
+batch), ONE ``groupby(gkey)`` shuffle co-partitioned by (docID-range
+shard, term-hash bucket) merges them, per-group atomic parquet writes.
+Occurrences cost ~2 bytes each (doc-gap + position-delta varints), so
+the exchange is ~the size of the postings exchange.
+
+Query: phrase terms' occurrence lists are loaded per shard
+(predicate-pushdown parquet read), docs+positions packed into one int64
+key, and the phrase match is a chain of sorted-set intersections —
+``keys(w0) ∩ (keys(w1)-1) ∩ ... ∩ (keys(wm)-(m-1))`` — entirely in
+numpy. Phrase tf = surviving start positions per doc; the score is the
+standard BM25 term score with the phrase as the "term" (df = number of
+matching docs, computed globally from the match set itself).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from bge_m3_onnx_ray.config import IndexConfig
+from bge_m3_onnx_ray.index.artifacts import (
+    ConvOffsets,
+    IndexMeta,
+    atomic_write_json,
+    atomic_write_parquet,
+    doc_lens_file,
+)
+from bge_m3_onnx_ray.index.codec import decode_varints, encode_varints
+from bge_m3_onnx_ray.scoring import bm25_term_score, idf
+
+POSITIONS_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("n", pa.int64()),        # total occurrences of the term in the shard
+    ("blob", pa.binary()),    # encode_occ_segments stream (one segment)
+])
+
+_OCCROW_SCHEMA = pa.schema([
+    ("term", pa.large_string()),
+    ("gkey", pa.int64()),
+    ("min_doc", pa.int64()),
+    ("n", pa.int32()),
+    ("blob", pa.large_binary()),
+])
+
+
+def positions_file(index_dir: str, shard: int, bucket: int) -> str:
+    return os.path.join(index_dir, "positions",
+                        f"shard-{shard:05d}-bucket-{bucket:02d}.parquet")
+
+
+# ------------------------------------------------------------ occurrence codec
+
+def encode_occ_segments(seg_bounds: np.ndarray, docs: np.ndarray,
+                        poss: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Varint-encode MANY occurrence segments in one vectorized pass.
+
+    Rows must be grouped by segment (``seg_bounds``: n_segs+1 boundaries)
+    and sorted by (doc, pos) within each segment. Per segment the stream
+    is ``varint(doc gaps) ++ varint(pos values)`` where the doc gap is
+    ``doc+1`` for a segment's first row, else ``diff(doc)`` (0 = same
+    doc), and the pos value is ``pos+1`` when the doc changed, else
+    ``diff(pos)``. Returns (bytes, per-segment byte offsets).
+    Same two-level shrinkage as the postings build: partial aggregation
+    into segments, then varint compression BEFORE the merge shuffle.
+    """
+    n = len(docs)
+    n_segs = len(seg_bounds) - 1
+    if n == 0:
+        return b"", np.zeros(n_segs + 1, np.int64)
+    docs = np.ascontiguousarray(docs, np.int64)
+    poss = np.ascontiguousarray(poss, np.int64)
+    counts = np.diff(seg_bounds)
+    rowpos = np.arange(n) - np.repeat(seg_bounds[:-1], counts)
+    first = rowpos == 0
+    dgap = np.empty(n, np.int64)
+    dgap[1:] = docs[1:] - docs[:-1]
+    dgap[first] = docs[first] + 1
+    newdoc = dgap > 0                 # segment-first rows always qualify
+    pval = np.empty(n, np.int64)
+    pval[1:] = poss[1:] - poss[:-1]
+    pval[newdoc] = poss[newdoc] + 1
+    # stream order (segment, section, pos) via one composite key
+    seg_of = np.repeat(np.arange(n_segs, dtype=np.int64), counts)
+    maxlen = int(counts.max()) + 1
+    key = np.concatenate([seg_of, seg_of]) * (2 * maxlen) \
+        + np.repeat(np.arange(2, dtype=np.int64), n) * maxlen \
+        + np.concatenate([rowpos, rowpos])
+    order = np.argsort(key, kind="stable")
+    vals2 = np.concatenate([dgap, pval]).astype(np.uint64)
+    blob, nbytes = encode_varints(vals2[order])
+    elem_starts = np.zeros(n_segs, np.int64)
+    np.cumsum(2 * counts[:-1], out=elem_starts[1:])
+    seg_sizes = np.add.reduceat(nbytes, elem_starts)
+    offs = np.zeros(n_segs + 1, np.int64)
+    np.cumsum(seg_sizes, out=offs[1:])
+    return blob, offs
+
+
+def decode_occ_rows(bdata: np.ndarray, boffs: np.ndarray, ns: np.ndarray,
+                    row_order: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY :func:`encode_occ_segments` segments in one vectorized
+    pass and concatenate their (docs, positions) in ``row_order`` — the
+    occurrence twin of ``codec.decode_segments_many``."""
+    if not len(row_order):
+        e = np.empty(0, np.int64)
+        return e, e
+    ns = np.ascontiguousarray(ns, np.int64)
+    vals = decode_varints(bdata[boffs[0]:boffs[-1]], int(2 * ns.sum())) \
+        .astype(np.int64)
+    vstart = np.zeros(len(ns), np.int64)
+    np.cumsum(2 * ns[:-1], out=vstart[1:])
+    lr = ns[row_order]
+    k = int(lr.sum())
+    seg_start_pos = np.concatenate([[0], np.cumsum(lr[:-1])])
+    within = np.arange(k) - np.repeat(seg_start_pos, lr)
+    base = np.repeat(vstart[row_order], lr) + within
+    dgap = vals[base]
+    pval = vals[base + np.repeat(lr, lr)]
+    # docs: segmented cumsum of gaps, reset at each segment start
+    c = np.cumsum(dgap)
+    c_exc = np.concatenate([[0], c[:-1]])
+    docs = c - np.repeat(c_exc[seg_start_pos], lr) - 1
+    # positions: segmented cumsum of pval, reset at each doc change
+    # (newdoc rows carry pos+1; a segment's first row is always newdoc)
+    newdoc = dgap > 0
+    nd_idx = np.flatnonzero(newdoc)
+    run_lens = np.diff(np.concatenate([nd_idx, [k]]))
+    c2 = np.cumsum(pval)
+    c2_exc = np.concatenate([[0], c2[:-1]])
+    poss = c2 - np.repeat(c2_exc[nd_idx], run_lens) - 1
+    return docs, poss
+
+
+# ------------------------------------------------------------ build
+
+class TokenizeOccurrences:
+    """SPIMI occurrences stage: per batch, emit one varint segment row per
+    (term, shard) holding the (doc, position) stream of every occurrence.
+    Same broadcast-offsets docID assignment, shard/bucket keys and warm
+    task-pool execution as ``build.TokenizePostings``."""
+
+    def __init__(self, offsets_ref, docs_per_shard: int, term_buckets: int,
+                 done_shards: tuple[int, ...] = (),
+                 tokenizer_spec: str = "deterministic"):
+        pa.set_cpu_count(1)
+        from bge_m3_onnx_ray.index.build import get_broadcast
+        from bge_m3_onnx_ray.tokenizer import make_tokenizer
+        self.offsets: ConvOffsets = get_broadcast(offsets_ref)
+        self.tok = make_tokenizer(tokenizer_spec)
+        self.docs_per_shard = docs_per_shard
+        self.nb = term_buckets
+        self.done = np.array(sorted(done_shards), np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+        conv = batch.column("conv_id")
+        turn = batch.column("turn_idx").to_numpy()
+        doc_ids = self.offsets.doc_ids_for(conv, turn)
+        shard = doc_ids // self.docs_per_shard
+        texts = batch.column("text")
+        if len(self.done):
+            keep = ~np.isin(shard, self.done)
+            if not keep.any():
+                return _OCCROW_SCHEMA.empty_table()
+            doc_ids, shard = doc_ids[keep], shard[keep]
+            texts = texts.filter(pa.array(keep))
+        flat, offs = self.tok.batch_token_lists(texts)
+        if not len(flat):
+            return _OCCROW_SCHEMA.empty_table()
+        lens = np.diff(offs)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        pos = np.arange(int(offs[-1]), dtype=np.int64) \
+            - np.repeat(offs[:-1], lens)
+        de = flat.dictionary_encode()
+        codes = np.asarray(de.indices).astype(np.int64)
+        uniques = de.dictionary
+        p_doc = doc_ids[doc_of]
+        p_shard = shard[doc_of]
+        order = np.lexsort((pos, p_doc, codes, p_shard))
+        skey = (p_shard[order] * (len(uniques) + 1) + codes[order])
+        bounds = np.concatenate([[0], np.flatnonzero(np.diff(skey)) + 1,
+                                 [len(skey)]])
+        heads = bounds[:-1]
+        blob, boffs = encode_occ_segments(bounds, p_doc[order], pos[order])
+        blob_arr = pa.Array.from_buffers(
+            pa.large_binary(), len(heads),
+            [None, pa.py_buffer(np.ascontiguousarray(boffs, np.int64)),
+             pa.py_buffer(blob)])
+        ub = np.fromiter((zlib.crc32(u.encode()) % self.nb
+                          for u in uniques.to_pylist()),
+                         np.int64, len(uniques))
+        oc, od = codes[order], p_doc[order]
+        stride = self.nb + 1
+        return pa.table({
+            "term": uniques.take(pa.array(oc[heads])).cast(pa.large_string()),
+            "gkey": pa.array(p_shard[order][heads] * stride
+                             + ub[oc[heads]] + 1, pa.int64()),
+            "min_doc": pa.array(od[heads], pa.int64()),
+            "n": pa.array(np.diff(bounds).astype(np.int32), pa.int32()),
+            "blob": blob_arr,
+        }, schema=_OCCROW_SCHEMA)
+
+
+def _make_merge_pos_group(index_dir: str, cfg_term_buckets: int):
+    stride = cfg_term_buckets + 1
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        import pandas as pd
+        gkey = int(group.column("gkey")[0].as_py())
+        shard, bucket = gkey // stride, gkey % stride - 1
+        bcol = group.column("blob").combine_chunks()
+        boffs = np.frombuffer(bcol.buffers()[1], np.int64)[
+            bcol.offset:bcol.offset + len(bcol) + 1]
+        bdata = np.frombuffer(bcol.buffers()[2] or b"", np.uint8)
+        ns = group.column("n").to_numpy().astype(np.int64)
+        terms = np.asarray(group.column("term").to_pylist(), dtype=object)
+        seg_codes, uniques = pd.factorize(terms, sort=True)
+        row_order = np.lexsort((group.column("min_doc").to_numpy(),
+                                seg_codes))
+        docs, poss = decode_occ_rows(bdata, boffs, ns, row_order)
+        codes = np.repeat(seg_codes[row_order], ns[row_order])
+        # safety net for overlapping batch doc-ranges: (term, doc, pos)
+        # triples are unique, so a global lexsort restores the contract
+        d = np.diff(docs)
+        same_term = np.diff(codes) == 0
+        ok = (d[same_term] > 0) | \
+             ((d[same_term] == 0) & (np.diff(poss)[same_term] > 0))
+        if len(d) and not ok.all():
+            full = np.lexsort((poss, docs, codes))
+            codes, docs, poss = codes[full], docs[full], poss[full]
+        bounds = np.concatenate([[0], np.flatnonzero(np.diff(codes)) + 1,
+                                 [len(codes)]])
+        blob, offs = encode_occ_segments(bounds, docs, poss)
+        if offs[-1] > np.iinfo(np.int32).max:
+            raise OverflowError(
+                "positions blob exceeds int32 binary offsets; raise "
+                "term_buckets or lower docs_per_shard")
+        t = pa.table({
+            "term": pa.array(uniques, pa.string()),
+            "n": pa.array(np.diff(bounds), pa.int64()),
+            "blob": pa.Array.from_buffers(pa.binary(), len(uniques), [
+                None,
+                pa.py_buffer(np.ascontiguousarray(offs, np.int32)),
+                pa.py_buffer(blob)]),
+        }, schema=POSITIONS_SCHEMA)
+        path = positions_file(index_dir, shard, bucket)
+        nbytes = atomic_write_parquet(t, path)
+        return pa.Table.from_pylist(
+            [{"shard": shard, "bucket": bucket, "n_terms": len(uniques),
+              "nbytes": nbytes, "file": os.path.relpath(path, index_dir)}])
+
+    return merge_group
+
+
+def has_positions(index_dir: str) -> bool:
+    """True iff a complete positions artifact matching the index's config
+    fingerprint exists (manifest check + files present)."""
+    p = os.path.join(index_dir, "positions_manifest.json")
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            m = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return False
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        fp = json.load(f).get("config_fingerprint")
+    if m.get("config_fingerprint") != fp:
+        return False
+    return all(os.path.exists(os.path.join(index_dir, rel))
+               for rel in m.get("files", []))
+
+
+def build_positions(transcripts, index_dir: str) -> dict:
+    """Build the positional artifact for an already-built index (reuses
+    its ConvOffsets, tokenizer spec and shard/bucket geometry so
+    positions co-partition with postings). Idempotent: a complete
+    matching artifact is a no-op; a stale/partial one is rebuilt
+    (atomic per-group writes make that safe)."""
+    meta = IndexMeta(index_dir)
+    if has_positions(index_dir):
+        return {"skipped": True}
+    offsets = ConvOffsets.load(index_dir)
+    if isinstance(transcripts, str):
+        ds = rd.read_parquet(transcripts,
+                             columns=["conv_id", "turn_idx", "text"])
+    else:
+        ds = transcripts.select_columns(["conv_id", "turn_idx", "text"])
+    import ray
+    offsets_ref = ray.put(offsets)
+    cfg = IndexConfig()  # defaults only for batch sizing below
+    kwargs = {"offsets_ref": offsets_ref,
+              "docs_per_shard": meta.docs_per_shard,
+              "term_buckets": meta.term_buckets,
+              "tokenizer_spec": meta.stats.get("tokenizer_spec",
+                                               "deterministic")}
+    from bge_m3_onnx_ray.index.build import _BROADCAST_CACHE
+
+    def occ_fn(batch: pa.Table, _k=kwargs) -> pa.Table:
+        worker = _BROADCAST_CACHE.get("__occ_stage__")
+        if worker is None or worker._kargs != _k:  # type: ignore[attr-defined]
+            worker = TokenizeOccurrences(**_k)
+            worker._kargs = _k  # type: ignore[attr-defined]
+            _BROADCAST_CACHE["__occ_stage__"] = worker
+        return worker(batch)
+
+    occ = ds.map_batches(occ_fn, batch_format="pyarrow",
+                         zero_copy_batch=True,
+                         batch_size=cfg.tokenize_batch_size, num_cpus=1)
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+    ctx = DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    try:
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        entries = occ.groupby("gkey").map_groups(
+            _make_merge_pos_group(index_dir, meta.term_buckets),
+            batch_format="pyarrow").take_all()
+    finally:
+        ctx.shuffle_strategy = prev
+    atomic_write_json(
+        {"config_fingerprint": meta.stats.get("config_fingerprint"),
+         "files": sorted(e["file"] for e in entries),
+         "n_terms": int(sum(e["n_terms"] for e in entries)),
+         "nbytes": int(sum(e["nbytes"] for e in entries))},
+        os.path.join(index_dir, "positions_manifest.json"))
+    return {"groups": len(entries),
+            "nbytes": int(sum(e["nbytes"] for e in entries))}
+
+
+# ------------------------------------------------------------ phrase query
+
+_MATCH_SCHEMA = pa.schema([
+    ("query_id", pa.int64()), ("doc_id", pa.int64()),
+    ("tf", pa.int64()), ("dl", pa.int64()),
+])
+
+
+class PhraseScorer:
+    """Phrase-match actor: holds decoded occurrence lists per shard in a
+    bounded LRU (state loaded once per actor, the reference's
+    sessions-in-__init__ pattern). Input rows (query_id, terms, shard);
+    output phrase-match rows (query_id, doc_id, tf, dl) — tf = number of
+    phrase occurrences (consecutive-position matches) in the doc."""
+
+    def __init__(self, index_dir: str, cache_size: int = 64):
+        self.meta = IndexMeta(index_dir)
+        from collections import OrderedDict
+        self.cache: "OrderedDict[int, dict]" = OrderedDict()
+        self.dl_cache: "OrderedDict[int, tuple]" = OrderedDict()
+        self.cache_size = cache_size
+
+    def _shard_occurrences(self, shard: int, terms: list[str]) -> dict:
+        from bge_m3_onnx_ray.index.build import term_bucket
+        got = self.cache.get(shard)
+        if got is None:
+            got = {}
+            self.cache[shard] = got
+            while len(self.cache) > self.cache_size:
+                self.cache.popitem(last=False)
+        else:
+            self.cache.move_to_end(shard)
+        missing = sorted({t for t in terms if t not in got})
+        if missing:
+            by_bucket: dict[int, list[str]] = {}
+            buckets = term_bucket(np.asarray(missing, object),
+                                  self.meta.term_buckets)
+            for t, b in zip(missing, buckets):
+                by_bucket.setdefault(int(b), []).append(t)
+            for b, ts in by_bucket.items():
+                path = positions_file(self.meta.index_dir, shard, b)
+                try:
+                    tab = pq.read_table(path, filters=[("term", "in", ts)])
+                except (FileNotFoundError, OSError):
+                    tab = None
+                found: set[str] = set()
+                if tab is not None and tab.num_rows:
+                    bcol = tab.column("blob").combine_chunks()
+                    boffs = np.frombuffer(bcol.buffers()[1], np.int32)[
+                        bcol.offset:bcol.offset + len(bcol) + 1] \
+                        .astype(np.int64)
+                    bdata = np.frombuffer(bcol.buffers()[2] or b"", np.uint8)
+                    ns = tab.column("n").to_numpy().astype(np.int64)
+                    docs, poss = decode_occ_rows(
+                        bdata, boffs, ns, np.arange(len(ns), dtype=np.int64))
+                    starts = np.zeros(len(ns) + 1, np.int64)
+                    np.cumsum(ns, out=starts[1:])
+                    for i, t in enumerate(tab.column("term").to_pylist()):
+                        got[t] = (docs[starts[i]:starts[i + 1]],
+                                  poss[starts[i]:starts[i + 1]])
+                        found.add(t)
+                for t in ts:
+                    if t not in found:
+                        got[t] = None
+        return got
+
+    def _shard_dls(self, shard: int) -> tuple[np.ndarray, np.ndarray]:
+        got = self.dl_cache.get(shard)
+        if got is None:
+            t = pq.read_table(doc_lens_file(self.meta.index_dir, shard))
+            got = (t.column("doc_id").to_numpy().astype(np.int64),
+                   t.column("dl").to_numpy().astype(np.int64))
+            self.dl_cache[shard] = got
+            while len(self.dl_cache) > self.cache_size:
+                self.dl_cache.popitem(last=False)
+        else:
+            self.dl_cache.move_to_end(shard)
+        return got
+
+    @staticmethod
+    def _phrase_hits(occ: dict, terms: list[str]
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """(docs, phrase_tf) for one phrase in one shard. ``occ`` maps
+        term → (docs, positions) sorted by (doc, pos). Packs (doc, pos)
+        into one int64 key and chains sorted-set intersections — the
+        in-doc adjacency check never loops in Python."""
+        per_term = [occ.get(t) for t in terms]
+        if any(p is None for p in per_term):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        m = len(terms)
+        max_pos = max(int(p[1].max()) for p in per_term) + m + 2
+        max_doc = max(int(p[0].max()) for p in per_term) + 1
+        P = np.int64(1) << max(21, int(max_pos).bit_length())
+        if int(max_doc) * int(P) >= (1 << 62):
+            raise OverflowError(
+                "phrase key packing overflow: document too long for the "
+                "docID range (raise docs_per_shard granularity)")
+        s = per_term[0][0] * P + per_term[0][1]
+        for j in range(1, m):
+            kj = per_term[j][0] * P + per_term[j][1] - j
+            s = np.intersect1d(s, kj, assume_unique=True)
+            if not len(s):
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+        docs, tfs = np.unique(s // P, return_counts=True)
+        return docs, tfs.astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_t, out_l = [], [], [], []
+        qids = batch.column("query_id").to_pylist()
+        termss = batch.column("terms").to_pylist()
+        shards = batch.column("shard").to_pylist()
+        hit_memo: dict[tuple[int, int], tuple] = {}
+        for qid, terms, shard in zip(qids, termss, shards):
+            shard = int(shard)
+            got = hit_memo.get((shard, qid))
+            if got is None:
+                occ = self._shard_occurrences(shard, terms)
+                got = self._phrase_hits(occ, terms)
+                hit_memo[(shard, qid)] = got
+            docs, tfs = got
+            if not len(docs):
+                continue
+            dl_docs, dls = self._shard_dls(shard)
+            dl = dls[np.searchsorted(dl_docs, docs)]
+            out_q.extend([qid] * len(docs))
+            out_d.extend(docs.tolist())
+            out_t.extend(tfs.tolist())
+            out_l.extend(dl.tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "tf": pa.array(out_t, pa.int64()),
+                         "dl": pa.array(out_l, pa.int64())},
+                        schema=_MATCH_SCHEMA)
+
+
+PHRASE_RESULT_SCHEMA = pa.schema([
+    ("query_id", pa.int64()), ("rank", pa.int32()), ("doc_id", pa.int64()),
+    ("tf", pa.int64()), ("score", pa.float64()),
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+])
+
+
+def phrase_search(index_dir: str, phrases, k: int = 10,
+                  concurrency=(1, 8), batch_size: int = 64) -> rd.Dataset:
+    """Top-k phrase search: ``phrases`` = list[(query_id, text)]; each
+    text is one exact phrase (token order preserved — duplicates allowed,
+    "data data" matches two consecutive 'data'). Returns a Dataset of
+    (query_id, rank, doc_id, tf, score, conv_id, turn_idx), ranked by
+    BM25 over the phrase frequency with (floor(score*1e6) desc, doc_id)
+    tie-break (quantized ranking — the phrase score is a single product,
+    so the quantization only collapses cross-engine ulp noise).
+
+    Two-stage global plan: the phrase MATCH set (docs actually containing
+    the phrase — sparse by nature) is materialized once; its per-query
+    row COUNT aggregate (tiny) is the phrase df, so scoring is a
+    broadcast-df ``map_batches`` over the match set and the final top-k
+    is the same bucketed per-query merge the BM25 path uses. At 100 TB
+    the match set is bounded by phrase selectivity, not corpus size; a
+    stop-phrase matching a large corpus fraction would use the postings
+    path with positional re-check per block instead (documented
+    trade-off)."""
+    meta = IndexMeta(index_dir)
+    offsets = ConvOffsets.load(index_dir)
+    from bge_m3_onnx_ray.tokenizer import make_tokenizer
+    tok = make_tokenizer(meta.stats.get("tokenizer_spec", "deterministic"))
+    qterms = {int(q): tok.tokenize(str(t)) for q, t in phrases}
+    pairs = [{"query_id": qid, "terms": ts, "shard": s}
+             for s in meta.shards
+             for qid, ts in qterms.items() if ts]
+    if not pairs:
+        return rd.from_arrow(PHRASE_RESULT_SCHEMA.empty_table())
+    fanout = rd.from_items(sorted(pairs, key=lambda r: r["shard"]))
+    matches = fanout.map_batches(
+        PhraseScorer, fn_constructor_kwargs={"index_dir": index_dir},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1).materialize()
+    dfs: dict[int, int] = {}
+    if matches.count():
+        for row in matches.groupby("query_id").count().take_all():
+            dfs[int(row["query_id"])] = int(row["count()"])
+    if not dfs:  # no phrase matched anywhere
+        return rd.from_arrow(PHRASE_RESULT_SCHEMA.empty_table())
+    n, avgdl, k1, b = meta.n_docs, meta.avgdl, meta.k1, meta.b
+    idfs = {q: idf(d, n) for q, d in dfs.items()}
+
+    def score_fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t.append_column("score", pa.array([], pa.float64()))
+        qs = t.column("query_id").to_numpy()
+        w = np.array([idfs[int(q)] for q in qs], np.float64)
+        tf = t.column("tf").to_numpy().astype(np.float64)
+        dl = t.column("dl").to_numpy().astype(np.float64)
+        score = bm25_term_score(tf, dl, 1.0, avgdl, k1, b) * w
+        return t.append_column("score", pa.array(score, pa.float64()))
+
+    scored = matches.map_batches(score_fn, batch_format="pyarrow")
+    n_buckets = 256
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        q = t.column("query_id").to_numpy().astype(np.uint64)
+        bkt = (q * np.uint64(2654435761)) % np.uint64(n_buckets)
+        return t.append_column("_qb", pa.array(bkt.astype(np.int64)))
+
+    def multi_merge(group: pa.Table) -> pa.Table:
+        qs = group.column("query_id").to_numpy()
+        docs = group.column("doc_id").to_numpy()
+        tfs = group.column("tf").to_numpy()
+        scores = group.column("score").to_numpy()
+        q6 = np.floor(scores * 1e6).astype(np.int64)
+        order = np.lexsort((docs, -q6, qs))
+        qs, docs, tfs, scores = (a[order] for a in (qs, docs, tfs, scores))
+        brk = np.empty(len(qs), bool)
+        brk[0] = True
+        brk[1:] = np.diff(qs) != 0
+        first = np.flatnonzero(brk)
+        rank = np.arange(len(qs)) - np.repeat(
+            first, np.diff(np.concatenate([first, [len(qs)]])))
+        keep = rank < k
+        qs, docs, tfs, scores, rank = (a[keep] for a in
+                                       (qs, docs, tfs, scores, rank))
+        conv, turn = offsets.doc_to_conv(docs)
+        return pa.table({
+            "query_id": pa.array(qs, pa.int64()),
+            "rank": pa.array((rank + 1).astype(np.int32), pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "tf": pa.array(tfs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(turn, pa.int32()),
+        }, schema=PHRASE_RESULT_SCHEMA)
+
+    return scored.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_qb").map_groups(multi_merge, batch_format="pyarrow")

@@ -34,8 +34,10 @@ class OracleIndex:
         self.doc_keys = [(c, t) for c, t, _ in ordered]
         self.postings: dict[str, list[tuple[int, int]]] = {}
         self.doc_lens: list[int] = []
+        self.doc_tokens: list[list[str]] = []  # ordered, for phrase queries
         for doc_id, (_, _, text) in enumerate(ordered):
             terms = tok.tokenize(text)
+            self.doc_tokens.append(terms)
             self.doc_lens.append(len(terms))
             for term, tf in sorted(Counter(terms).items()):
                 self.postings.setdefault(term, []).append((doc_id, tf))
@@ -85,3 +87,33 @@ class OracleIndex:
 
     def search_all(self, queries, k: int = 10) -> dict[int, list[dict]]:
         return {qid: self.search(text, k) for qid, text in queries}
+
+    def phrase_search(self, phrase_text: str, k: int = 10) -> list[dict]:
+        """Exact-phrase top-k: a doc matches where the phrase's tokens
+        appear CONSECUTIVELY; tf = number of phrase occurrences; score =
+        the standard BM25 term score with the phrase as the term (df =
+        matching-doc count). Ranked (floor(score*1e6) desc, doc_id asc) —
+        the engine's quantized tie-break."""
+        import math
+        terms = self.tok.tokenize(phrase_text)
+        if not terms:
+            return []
+        m = len(terms)
+        matches: list[tuple[int, int]] = []
+        for doc_id, toks in enumerate(self.doc_tokens):
+            tf = sum(1 for i in range(len(toks) - m + 1)
+                     if toks[i:i + m] == terms)
+            if tf:
+                matches.append((doc_id, tf))
+        if not matches:
+            return []
+        w = idf(len(matches), self.n_docs)
+        rows = [
+            {"doc_id": d, "tf": tf,
+             "score": bm25_term_score(float(tf), float(self.doc_lens[d]),
+                                      w, self.avgdl, self.k1, self.b),
+             "conv_id": self.doc_keys[d][0], "turn_idx": self.doc_keys[d][1]}
+            for d, tf in matches
+        ]
+        rows.sort(key=lambda r: (-math.floor(r["score"] * 1e6), r["doc_id"]))
+        return rows[:k]

@@ -41,6 +41,20 @@ DOC_QUERIES: list[tuple[int, str]] = [
 
 _DOC_CFG = IndexConfig(docs_per_shard=4096, term_buckets=8, block_size=128)
 
+# Fixed phrase-query set (exact consecutive-token match over the same
+# corpus): repeated words, a 3-gram that vanishes at some scale factors,
+# an OOV word, and a single-word phrase (≡ term query) on purpose.
+DOC_PHRASES: list[tuple[int, str]] = [
+    (0, "order sort"),
+    (1, "batch batch"),            # repeated word — overlapping positions
+    (2, "key order sort"),         # 3-gram (absent at sf0.01: zero rows)
+    (3, "data data data"),
+    (4, "customer stream"),
+    (5, "zzzneverseen table"),     # OOV word: matches nothing
+    (6, "table"),                  # single-word phrase == term frequency
+    (7, "slow query"),
+]
+
 
 def documents_as_transcripts(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -100,6 +114,33 @@ def bm25_documents_topk_and(sf_dir: str, k: int = 10) -> pa.Table:
     out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
                                 preserve_index=False)
+
+
+def phrase_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Exact-phrase top-k over the documents corpus via the positional
+    index (``index.positions``): consecutive-token match, BM25 over the
+    phrase frequency, ranked (floor(score*1e6) desc, doc_id). Output
+    (query_id, rank, doc_id, tf, score_q6) — hash-matches the DuckDB
+    chained-self-join oracle."""
+    from bge_m3_onnx_ray.index.positions import build_positions, phrase_search
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    build_positions(documents_as_transcripts(sf_dir), idx)  # no-op if built
+    out = phrase_search(idx, DOC_PHRASES, k).to_pandas()
+    if not len(out):
+        import pandas as pd
+        out = pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                            "rank": pd.Series([], dtype=np.int32),
+                            "doc_id": pd.Series([], dtype=np.int64),
+                            "tf": pd.Series([], dtype=np.int64),
+                            "score_q6": pd.Series([], dtype=np.int64)})
+        return pa.Table.from_pandas(out, preserve_index=False)
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["query_id", "rank", "doc_id", "tf", "score_q6"]],
+        preserve_index=False)
 
 
 def bm25_documents_bulk_topk(sf_dir: str, k: int = 10) -> pa.Table:

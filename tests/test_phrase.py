@@ -1,0 +1,160 @@
+"""Positional index + phrase query tests.
+
+Parity model: the reference's golden-comparison pattern
+(``samples/python/bge_m3_tests.py:107-131``) — recompute with the
+independent pure-Python implementation (``OracleIndex.phrase_search``),
+assert identical output (docIDs, tf AND quantized scores).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+
+# ------------------------------------------------------------ codec unit
+
+def test_occ_codec_roundtrip():
+    from bge_m3_onnx_ray.index.positions import (decode_occ_rows,
+                                                 encode_occ_segments)
+    rng = np.random.default_rng(7)
+    for _ in range(60):
+        n_segs = int(rng.integers(1, 9))
+        docs_all, poss_all, bounds = [], [], [0]
+        for _s in range(n_segs):
+            doc = int(rng.integers(0, 5000))
+            for d in range(int(rng.integers(1, 6))):
+                doc += int(rng.integers(1, 9)) if d else 0
+                ps = np.sort(rng.choice(500, size=int(rng.integers(1, 8)),
+                                        replace=False))
+                docs_all.extend([doc] * len(ps))
+                poss_all.extend(ps.tolist())
+            bounds.append(len(docs_all))
+        docs = np.array(docs_all, np.int64)
+        poss = np.array(poss_all, np.int64)
+        bounds = np.array(bounds, np.int64)
+        blob, offs = encode_occ_segments(bounds, docs, poss)
+        bdata = np.frombuffer(blob, np.uint8)
+        ns = np.diff(bounds)
+        d2, p2 = decode_occ_rows(bdata, offs, ns, np.arange(n_segs))
+        assert np.array_equal(d2, docs) and np.array_equal(p2, poss)
+        perm = rng.permutation(n_segs)
+        d3, p3 = decode_occ_rows(bdata, offs, ns, perm)
+        assert np.array_equal(
+            d3, np.concatenate([docs[bounds[i]:bounds[i + 1]] for i in perm]))
+        assert np.array_equal(
+            p3, np.concatenate([poss[bounds[i]:bounds[i + 1]] for i in perm]))
+
+
+def test_phrase_hit_kernel():
+    from bge_m3_onnx_ray.index.positions import PhraseScorer
+    occ = {"a": (np.array([0, 0, 1, 2]), np.array([0, 5, 3, 1])),
+           "b": (np.array([0, 1, 2]), np.array([1, 4, 0]))}
+    d, t = PhraseScorer._phrase_hits(occ, ["a", "b"])
+    assert d.tolist() == [0, 1] and t.tolist() == [1, 1]
+    d, t = PhraseScorer._phrase_hits(occ, ["a"])
+    assert d.tolist() == [0, 1, 2] and t.tolist() == [2, 1, 1]
+    # repeated word: consecutive occurrences only
+    d, t = PhraseScorer._phrase_hits(
+        {"a": (np.array([5, 5, 5]), np.array([2, 3, 4]))}, ["a", "a"])
+    assert d.tolist() == [5] and t.tolist() == [2]  # overlapping pairs
+    d, t = PhraseScorer._phrase_hits(occ, ["a", "zzz"])
+    assert len(d) == 0
+
+
+# ------------------------------------------------------------ end-to-end
+
+@pytest.fixture(scope="module")
+def positions_index(ray_session, tiny_corpus, tiny_index):
+    from bge_m3_onnx_ray.index.positions import build_positions, has_positions
+    path, oi, _ = tiny_corpus
+    idx, _res = tiny_index
+    build_positions(path, idx)
+    assert has_positions(idx)
+    # idempotency: a complete matching artifact is a no-op
+    assert build_positions(path, idx).get("skipped") is True
+    return idx, oi
+
+
+# phrases over the multi-turn fixture corpus: the fixtures vocabulary is
+# sentence-ish, so draw phrases from actual turn texts at runtime
+def _pick_phrases(oi, n=6):
+    """Deterministic phrases: first bigram/trigram of the first few docs
+    with ≥3 tokens, plus edge cases."""
+    out = []
+    qid = 0
+    for toks in oi.doc_tokens:
+        if len(toks) >= 3:
+            out.append((qid, " ".join(toks[:2])))
+            out.append((qid + 1, " ".join(toks[:3])))
+            qid += 2
+        if qid >= n:
+            break
+    out.append((100, "zzzneverseen phrase"))   # OOV
+    out.append((101, oi.doc_tokens[0][0]))     # single word ≡ term query
+    return out
+
+
+def test_phrase_engine_vs_oracle(positions_index):
+    from bge_m3_onnx_ray.index.positions import phrase_search
+    idx, oi = positions_index
+    phrases = _pick_phrases(oi)
+    got = phrase_search(idx, phrases, k=10).to_pandas()
+    for qid, text in phrases:
+        mine = got[got.query_id == qid].sort_values("rank")
+        want = oi.phrase_search(text, k=10)
+        assert len(mine) == len(want), (qid, text)
+        for (_, row), w in zip(mine.iterrows(), want):
+            assert int(row.doc_id) == w["doc_id"], (qid, text)
+            assert int(row.tf) == w["tf"], (qid, text)
+            assert row.conv_id == w["conv_id"]
+            assert int(row.turn_idx) == w["turn_idx"]
+            # scores bit-identical: same scalar idf + same float64 ops
+            assert row.score == pytest.approx(w["score"], abs=0.0), (qid, text)
+
+
+def test_single_word_phrase_tf_equals_term_tf(positions_index):
+    """A one-word phrase's tf must equal the term's tf from the postings
+    path (positions and postings agree on the corpus)."""
+    from bge_m3_onnx_ray.index.positions import phrase_search
+    idx, oi = positions_index
+    word = max(oi.postings, key=lambda t: len(oi.postings[t]))
+    got = phrase_search(idx, [(0, word)], k=10_000_000).to_pandas()
+    want = dict(oi.postings[word])
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        assert want[int(row.doc_id)] == int(row.tf)
+
+
+def test_phrase_oov_empty(positions_index):
+    from bge_m3_onnx_ray.index.positions import phrase_search
+    idx, _ = positions_index
+    got = phrase_search(idx, [(0, "zzzneverseen qqqabsent")], k=10)
+    assert got.count() == 0
+
+
+def test_phrase_score_formula(positions_index):
+    """Spot-check the phrase BM25 arithmetic end-to-end: recompute one
+    result row's score from (tf, dl, df) first principles."""
+    from bge_m3_onnx_ray.index.positions import phrase_search
+    idx, oi = positions_index
+    phrases = _pick_phrases(oi, n=2)[:1]
+    got = phrase_search(idx, phrases, k=5).to_pandas()
+    if not len(got):
+        pytest.skip("phrase absent from corpus")
+    text = phrases[0][1]
+    want = oi.phrase_search(text, k=5)
+    df = None
+    # recompute df independently: count docs with the exact phrase
+    terms = oi.tok.tokenize(text)
+    m = len(terms)
+    df = sum(1 for toks in oi.doc_tokens
+             if any(toks[i:i + m] == terms
+                    for i in range(len(toks) - m + 1)))
+    row = got.iloc[0]
+    w = math.log((oi.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    dl = oi.doc_lens[int(row.doc_id)]
+    tf = float(row.tf)
+    norm = 1.2 * (0.25 + 0.75 * (dl / oi.avgdl))
+    assert row.score == pytest.approx(w * (tf * 2.2 / (tf + norm)), rel=1e-12)
+    assert want[0]["score"] == pytest.approx(row.score, abs=0.0)
