@@ -105,6 +105,19 @@ class ConvOffsets:
         i = np.searchsorted(self.conv_ids, conv_id)
         return int(self.starts[i])
 
+    def _lex_sorted(self) -> bool:
+        """Lazily cached: are conv_ids lexicographically sorted? True for
+        a fresh build (docIDs assigned in conv order); False after
+        ``append_index`` (rows ordered by start_doc_id instead)."""
+        got = getattr(self, "_is_lex_sorted", None)
+        if got is None:
+            import pyarrow.compute as pc
+            a = self._conv_arrow
+            got = bool(len(a) < 2 or pc.all(pc.greater_equal(
+                a.slice(1), a.slice(0, len(a) - 1))).as_py())
+            self._is_lex_sorted = got
+        return got
+
     def _hash_index(self):
         """Lazy per-process lookup state: sorted P53 polynomial hashes of
         the conv ids + the permutation back to table order, IF the hashes
@@ -178,6 +191,12 @@ class ConvOffsets:
                         f"resume state or changed input): "
                         f"{missing.to_pylist()[:5]!r}")
                 idx = raw.to_numpy(zero_copy_only=False).astype(np.int64)
+        elif not self._lex_sorted():
+            # appended indexes store rows in docID-start order, which is
+            # NOT conv-lexicographic — route plain-array input through the
+            # order-independent arrow path
+            return self.doc_ids_for(pa.array(list(conv_arr), pa.large_string()),
+                                    turn_arr)
         else:
             idx = np.searchsorted(self.conv_ids, conv_arr)
             bad = (idx >= len(self.starts)) | (self.conv_ids[np.minimum(

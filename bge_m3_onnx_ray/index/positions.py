@@ -279,7 +279,9 @@ def _make_merge_pos_group(index_dir: str, cfg_term_buckets: int):
 
 def has_positions(index_dir: str) -> bool:
     """True iff a complete positions artifact matching the index's config
-    fingerprint exists (manifest check + files present)."""
+    fingerprint AND current docID assignment exists (manifest check +
+    files present; an ``append_index`` changes the offsets digest, so a
+    stale positions artifact is detected and rebuilt)."""
     p = os.path.join(index_dir, "positions_manifest.json")
     if not os.path.exists(p):
         return False
@@ -291,6 +293,9 @@ def has_positions(index_dir: str) -> bool:
     with open(os.path.join(index_dir, "stats.json")) as f:
         fp = json.load(f).get("config_fingerprint")
     if m.get("config_fingerprint") != fp:
+        return False
+    from bge_m3_onnx_ray.index.build import _offsets_digest
+    if m.get("offsets_digest") != _offsets_digest(ConvOffsets.load(index_dir)):
         return False
     return all(os.path.exists(os.path.join(index_dir, rel))
                for rel in m.get("files", []))
@@ -343,8 +348,10 @@ def build_positions(transcripts, index_dir: str) -> dict:
             batch_format="pyarrow").take_all()
     finally:
         ctx.shuffle_strategy = prev
+    from bge_m3_onnx_ray.index.build import _offsets_digest
     atomic_write_json(
         {"config_fingerprint": meta.stats.get("config_fingerprint"),
+         "offsets_digest": _offsets_digest(offsets),
          "files": sorted(e["file"] for e in entries),
          "n_terms": int(sum(e["n_terms"] for e in entries)),
          "nbytes": int(sum(e["nbytes"] for e in entries))},
