@@ -273,6 +273,48 @@ def run_bench() -> dict:
     out["ivf_clustered"] = {"n_lists": 64, "exact_sec": round(ct_bf, 2),
                             "curve": ccurve, "recommended_nprobe": crec}
 
+    # ---- positional phrase suite over the documents corpus: cold run
+    # includes the positions-artifact build (its own SPIMI + merge
+    # shuffle); warm run is pure phrase query latency
+    from bge_m3_onnx_ray.pipelines.flagship import phrase_documents_topk
+    t0 = time.perf_counter()
+    phrase_documents_topk(SF_DIR)
+    phrase_cold = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    phrase_rows = phrase_documents_topk(SF_DIR).num_rows
+    out["phrase"] = {"cold_sec_incl_positions_build": phrase_cold,
+                     "warm_sec": round(time.perf_counter() - t0, 2),
+                     "result_rows": phrase_rows}
+
+    # ---- delta append: warm corpus split by conv parity; append half B
+    # to an index built over half A — the incremental-freshness cost
+    import pyarrow as _pa
+    import pyarrow.compute as _apc
+    import pyarrow.parquet as _apq
+
+    from bge_m3_onnx_ray.index.append import append_index
+    wt = _pa.concat_tables(
+        [_apq.read_table(os.path.join(transcripts_path(warm_n), f))
+         for f in sorted(os.listdir(transcripts_path(warm_n)))])
+    convs = wt.column("conv_id").combine_chunks()
+    import zlib as _zlib
+    uniq = sorted(set(convs.to_pylist()))
+    even = _pa.array([c for c in uniq if _zlib.crc32(c.encode()) % 2 == 0])
+    mask = _apc.is_in(convs, value_set=even)
+    os.makedirs("/tmp/bm25_bench/append_src", exist_ok=True)
+    _apq.write_table(wt.filter(mask), "/tmp/bm25_bench/append_src/a.parquet")
+    _apq.write_table(wt.filter(_apc.invert(mask)),
+                     "/tmp/bm25_bench/append_src/b.parquet")
+    aidx = "/tmp/bm25_bench/append_idx"
+    shutil.rmtree(aidx, ignore_errors=True)
+    build_index("/tmp/bm25_bench/append_src/a.parquet", aidx, IndexConfig())
+    t0 = time.perf_counter()
+    ar = append_index("/tmp/bm25_bench/append_src/b.parquet", aidx)
+    dt = time.perf_counter() - t0
+    out["append"] = {"appended_turns": ar["appended_docs"],
+                     "append_sec": round(dt, 2),
+                     "append_turns_per_sec": round(ar["appended_docs"] / dt)}
+
     # ---- documents-table operator suite over SF_DIR
     if os.environ.get("BENCH_SKIP_QUERIES"):
         out["queries"] = {}
@@ -354,6 +396,8 @@ def main() -> None:
         "zipf_wand": out.get("zipf_wand"),
         "ivf": out.get("ivf"),
         "ivf_clustered": out.get("ivf_clustered"),
+        "phrase": out.get("phrase"),
+        "append": out.get("append"),
     }))
     import ray
     ray.shutdown()
