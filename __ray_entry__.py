@@ -85,6 +85,14 @@ def _q_bm25_and(sf_dir):
     return bm25_documents_topk_and(sf_dir)
 
 
+def _q_bm25_appended(sf_dir):
+    # delta-append path gated end-to-end: half the corpus indexed fresh,
+    # half appended (index.append); N/avgdl/df must come out exactly as
+    # the one-shot oracle build over the union
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_topk_appended
+    return bm25_documents_topk_appended(sf_dir)
+
+
 def _q_phrase(sf_dir):
     # exact-phrase top-k over the positional index (index.positions):
     # consecutive-token match via sorted-set position intersections,
@@ -339,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk_exhaustive": _q_bm25_exhaustive,
         "bm25_documents_topk_and": _q_bm25_and,
         "phrase_documents_topk": _q_phrase,
+        "bm25_documents_topk_appended": _q_bm25_appended,
         "bm25_documents_bulk_topk": _q_bm25_bulk,
         "bm25_transcripts_topk": _q_bm25_transcripts,
         "bm25_transcripts_topk_exhaustive": _q_bm25_transcripts_exhaustive,
@@ -383,7 +392,7 @@ _TOKS = ("SELECT doc_id, unnest(regexp_extract_all(lower(text), "
          f"'{_TOKEN_RE_SQL}')) AS term FROM documents")
 
 
-def _bm25_sql(conjunctive: bool = False) -> str:
+def _bm25_sql(conjunctive: bool = False, quantized_rank: bool = False) -> str:
     from bge_m3_onnx_ray.pipelines.flagship import DOC_QUERIES
     from bge_m3_onnx_ray.tokenizer import tokenize
     vals = []
@@ -421,7 +430,10 @@ scores AS (
 ranked AS (
   SELECT query_id, doc_id, score,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id) AS rnk
+                            ORDER BY {("CAST(floor(score * 1000000) AS "
+                                       "BIGINT) DESC, doc_id")
+                                      if quantized_rank
+                                      else "score DESC, doc_id"}) AS rnk
   FROM scores)
 SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
        doc_id::BIGINT AS doc_id,
@@ -876,6 +888,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_documents_topk_exhaustive": bm25,
         "bm25_documents_topk_and": _bm25_sql(conjunctive=True),
         "phrase_documents_topk": _phrase_sql(),
+        "bm25_documents_topk_appended": _bm25_sql(quantized_rank=True),
         "bm25_documents_bulk_topk": bm25,
         "bm25_transcripts_topk": _bm25_transcripts_sql(),
         "bm25_transcripts_topk_exhaustive": _bm25_transcripts_sql(),

@@ -24,7 +24,8 @@ from bge_m3_onnx_ray._native import install_populate_alloc  # noqa: E402
 
 install_populate_alloc()
 
-__all__ = ["IndexConfig", "QueryConfig", "build_index", "search"]
+__all__ = ["IndexConfig", "QueryConfig", "build_index", "search",
+           "append_index", "build_positions", "phrase_search"]
 
 
 def __getattr__(name):  # lazy: keep `import bge_m3_onnx_ray` cheap
@@ -34,4 +35,13 @@ def __getattr__(name):  # lazy: keep `import bge_m3_onnx_ray` cheap
     if name == "search":
         from bge_m3_onnx_ray.index.search import search
         return search
+    if name == "append_index":
+        from bge_m3_onnx_ray.index.append import append_index
+        return append_index
+    if name == "build_positions":
+        from bge_m3_onnx_ray.index.positions import build_positions
+        return build_positions
+    if name == "phrase_search":
+        from bge_m3_onnx_ray.index.positions import phrase_search
+        return phrase_search
     raise AttributeError(name)

@@ -56,19 +56,19 @@ DOC_PHRASES: list[tuple[int, str]] = [
 ]
 
 
+def _doc_rows_to_transcript(batch: pa.Table) -> pa.Table:
+    ids = batch.column("doc_id").to_numpy()
+    return pa.table({
+        "conv_id": pa.array([f"doc-{i:08d}" for i in ids], pa.string()),
+        "turn_idx": pa.array(np.zeros(len(ids), np.int32), pa.int32()),
+        "text": batch.column("text"),
+    })
+
+
 def documents_as_transcripts(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
-
-    def to_transcript(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy()
-        return pa.table({
-            "conv_id": pa.array([f"doc-{i:08d}" for i in ids], pa.string()),
-            "turn_idx": pa.array(np.zeros(len(ids), np.int32), pa.int32()),
-            "text": batch.column("text"),
-        })
-
-    return ds.map_batches(to_transcript, batch_format="pyarrow")
+    return ds.map_batches(_doc_rows_to_transcript, batch_format="pyarrow")
 
 
 def _cached_index(corpus_ds: rd.Dataset, cache_key: str,
@@ -114,6 +114,62 @@ def bm25_documents_topk_and(sf_dir: str, k: int = 10) -> pa.Table:
     out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
                                 preserve_index=False)
+
+
+def bm25_documents_topk_appended(sf_dir: str, k: int = 10) -> pa.Table:
+    """Same BM25 top-k as :func:`bm25_documents_topk`, but the index is
+    built INCREMENTALLY: half the corpus (doc_id parity) is indexed
+    fresh, the other half arrives via ``index.append.append_index`` —
+    so the driver's SQL oracle gates the delta-append path end-to-end
+    (N, avgdl, per-term df must all come out exactly as a one-shot build
+    over the union).
+
+    Ranking detail: appended internal docIDs are not in original doc
+    order, so the merge's internal tie-break differs from a fresh build;
+    results are re-ranked on (floor(score*1e6) desc, doc_id) — ulp-stable
+    across engines — with the same over-fetch + tie-width guard as the
+    transcripts flagship, and the oracle ranks identically."""
+    from bge_m3_onnx_ray.index.append import append_index
+    idx = os.path.join("/tmp/bm25_indexes", "documents-appended-"
+                       + os.path.basename(os.path.normpath(sf_dir)))
+    if not os.path.exists(os.path.join(idx, "appended.json")):
+        import shutil
+        shutil.rmtree(idx, ignore_errors=True)
+        import pyarrow.compute as pc
+
+        def _half(parity: int) -> rd.Dataset:
+            ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+            return ds.map_batches(
+                lambda t, _p=parity: t.filter(pc.equal(
+                    pc.bit_wise_and(t.column("doc_id"), 1), _p)),
+                batch_format="pyarrow").map_batches(
+                _doc_rows_to_transcript, batch_format="pyarrow")
+
+        build_index(_half(0), idx, _DOC_CFG)
+        append_index(_half(1), idx)
+        from bge_m3_onnx_ray.index.artifacts import atomic_write_json
+        atomic_write_json({"appended": True},
+                          os.path.join(idx, "appended.json"))
+    out = search(idx, DOC_QUERIES,
+                 QueryConfig(k=3 * k, method="wand")).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "score_q6", "doc_id"],
+                          ascending=[True, False, True]) \
+        .reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount().astype(np.int32) + 1
+    kth = out[out["rank"] == k].set_index("query_id").score_q6
+    g = out.groupby("query_id")
+    risky = (g.size() >= 3 * k) & (kth.reindex(g.size().index)
+                                   == g.score_q6.last())
+    if bool(risky.any()):
+        raise RuntimeError(
+            f"quantized-score tie group wider than the {3 * k}-row "
+            f"over-fetch for queries {list(risky[risky].index)[:5]}")
+    out = out[out["rank"] <= k]
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id",
+                                     "score_q6"]], preserve_index=False)
 
 
 def phrase_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
