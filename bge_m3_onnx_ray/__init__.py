@@ -25,7 +25,8 @@ from bge_m3_onnx_ray._native import install_populate_alloc  # noqa: E402
 install_populate_alloc()
 
 __all__ = ["IndexConfig", "QueryConfig", "build_index", "search",
-           "append_index", "build_positions", "phrase_search"]
+           "append_index", "build_positions", "phrase_search",
+           "compact_index"]
 
 
 def __getattr__(name):  # lazy: keep `import bge_m3_onnx_ray` cheap
@@ -44,4 +45,7 @@ def __getattr__(name):  # lazy: keep `import bge_m3_onnx_ray` cheap
     if name == "phrase_search":
         from bge_m3_onnx_ray.index.positions import phrase_search
         return phrase_search
+    if name == "compact_index":
+        from bge_m3_onnx_ray.index.compact import compact_index
+        return compact_index
     raise AttributeError(name)

@@ -1,0 +1,208 @@
+"""Index compaction — rewrite an appended (fragmented) index back into
+the canonical dense-docID layout, from the index artifacts ALONE (the
+source corpus may be in cold storage).
+
+After ``append_index`` the docID space has holes at shard boundaries and
+conversations are ordered by arrival, not lexicographically. Compaction
+restores the fresh-build invariant — docID = dense rank of
+(conv_id, turn_idx) — by:
+
+1. recomputing dense offsets (sort convs lexicographically, prefix-sum
+   their turn counts), which defines a piecewise-shift remap
+   old docID → new docID;
+2. streaming the OLD postings/doc_lens parquet through a ``map_batches``
+   stage that decodes each term row (one whole-file varint pass,
+   ``codec.decode_postings_file``), remaps and re-sorts doc ids, and
+   emits the same SPIMI segment rows the build stage emits;
+3. reusing the build's ``groupby(gkey)`` merge + per-group atomic
+   encode into a FRESH index directory.
+
+Because the encode path is deterministic, the compacted artifacts are
+BYTE-IDENTICAL to a from-scratch build over the union corpus (the
+parity test hashes both trees) — compaction provably loses nothing.
+Positional artifacts and attrs side tables are not carried over
+(rebuild them from source; ``has_positions`` detects staleness by
+offsets digest).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from bge_m3_onnx_ray.index.artifacts import ConvOffsets, atomic_write_json
+from bge_m3_onnx_ray.index.build import (
+    TokenizePostings,
+    _merge_dictionary,
+    _offsets_digest,
+    make_encode_group_fn,
+    term_bucket,
+)
+
+
+def _dense_offsets(old: ConvOffsets) -> tuple[ConvOffsets, np.ndarray, np.ndarray]:
+    """Dense lexicographic offsets + the old-row-order arrays needed for
+    the docID remap: returns (new_offsets, old_starts_sorted_by_start,
+    new_starts_in_old_start_order)."""
+    order = pc.sort_indices(old._conv_arrow).to_numpy().astype(np.int64)
+    conv_sorted = old._conv_arrow.take(pa.array(order))
+    counts_sorted = old.counts[order]
+    new_starts_sorted = np.zeros(len(counts_sorted), np.int64)
+    np.cumsum(counts_sorted[:-1], out=new_starts_sorted[1:])
+    # nondense rank maps carry over per conversation unchanged
+    new_off = ConvOffsets(conv_sorted, new_starts_sorted, counts_sorted,
+                          dict(old.nondense))
+    # remap arrays in OLD start order (old.starts ascending by contract)
+    new_starts_old_order = np.empty(len(order), np.int64)
+    new_starts_old_order[order] = new_starts_sorted
+    return new_off, old.starts, new_starts_old_order
+
+
+def _make_remap_fn(old_starts: np.ndarray, new_starts_old_order: np.ndarray,
+                   docs_per_shard: int, term_buckets: int, block_size: int):
+    """Stage: old POSTINGS_SCHEMA rows → SPIMI segment rows with remapped,
+    re-sorted docIDs (the exact contract `make_encode_group_fn` merges)."""
+
+    def remap(batch: pa.Table) -> pa.Table:
+        from bge_m3_onnx_ray.index.build import _POSTROW_SCHEMA
+        from bge_m3_onnx_ray.index.codec import decode_postings_file
+        if not batch.num_rows:
+            return _POSTROW_SCHEMA.empty_table()
+        counts, docs, tfs, dls = decode_postings_file(batch, block_size)
+        terms = batch.column("term")
+        n_rows = len(counts)
+        term_codes = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        # piecewise shift: docID - old_conv_start + new_conv_start
+        conv_i = np.searchsorted(old_starts, docs, side="right") - 1
+        new_docs = docs - old_starts[conv_i] + new_starts_old_order[conv_i]
+        shard = new_docs // docs_per_shard
+        order = np.lexsort((new_docs, term_codes, shard))
+        skey = shard[order] * (n_rows + 1) + term_codes[order]
+        ub = term_bucket(terms.combine_chunks(), term_buckets)
+        stride = term_buckets + 1
+        row_gkey = shard[order] * stride + ub[term_codes[order]] + 1
+        return TokenizePostings._segment_table(
+            skey, new_docs[order], tfs[order], dls[order],
+            term_codes[order], terms.combine_chunks().cast(pa.large_string()),
+            row_gkey)
+
+    def remap_doclens(batch: pa.Table) -> pa.Table:
+        from bge_m3_onnx_ray.index.build import _POSTROW_SCHEMA
+        if not batch.num_rows:
+            return _POSTROW_SCHEMA.empty_table()
+        docs = batch.column("doc_id").to_numpy().astype(np.int64)
+        dls = batch.column("dl").to_numpy().astype(np.int64)
+        conv_i = np.searchsorted(old_starts, docs, side="right") - 1
+        new_docs = docs - old_starts[conv_i] + new_starts_old_order[conv_i]
+        shard = new_docs // docs_per_shard
+        order = np.lexsort((new_docs, shard))
+        stride = term_buckets + 1
+        return TokenizePostings._segment_table(
+            shard[order], new_docs[order], dls[order], dls[order],
+            np.zeros(len(docs), np.int64),
+            pa.array([""], pa.large_string()), shard[order] * stride)
+
+    return remap, remap_doclens
+
+
+def compact_index(index_dir: str, out_dir: str) -> dict:
+    """Compact ``index_dir`` into ``out_dir`` (must not exist or be
+    empty). Returns compaction metrics. The output is a complete,
+    self-sufficient index whose artifacts are byte-identical to a fresh
+    build of the same corpus."""
+    import ray
+    import time
+    t_start = time.perf_counter()
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    from bge_m3_onnx_ray.index.append import _config_from_stats
+    cfg = _config_from_stats(stats)
+    old = ConvOffsets.load(index_dir)
+    if os.path.exists(out_dir) and os.listdir(out_dir):
+        raise ValueError(f"compaction target {out_dir!r} is not empty")
+    os.makedirs(out_dir, exist_ok=True)
+
+    new_off, old_starts, new_starts_old_order = _dense_offsets(old)
+    new_off.save(out_dir)
+    remap, remap_doclens = _make_remap_fn(
+        old_starts, new_starts_old_order, cfg.docs_per_shard,
+        cfg.term_buckets, cfg.block_size)
+
+    post_files = sorted(glob.glob(os.path.join(index_dir, "postings",
+                                               "*.parquet")))
+    dl_files = sorted(glob.glob(os.path.join(index_dir, "doc_lens",
+                                             "*.parquet")))
+    seg_p = rd.read_parquet(post_files).map_batches(
+        remap, batch_format="pyarrow", num_cpus=1)
+    seg_d = rd.read_parquet(dl_files).map_batches(
+        remap_doclens, batch_format="pyarrow", num_cpus=1)
+    segs = seg_p.union(seg_d)
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+    ctx = DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    try:
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        segs.groupby("gkey").map_groups(
+            make_encode_group_fn(out_dir, cfg),
+            batch_format="pyarrow").materialize()
+    finally:
+        ctx.shuffle_strategy = prev
+
+    n_terms = _merge_dictionary(out_dir, cfg.term_buckets)
+
+    # consolidate (fresh-build shape: every shard from its entry files)
+    shards: dict[str, dict] = {}
+    n_docs = total_len = postings_bytes = 0
+    for p in sorted(glob.glob(os.path.join(out_dir, "_manifest",
+                                           "shard-*.json"))):
+        with open(p) as f:
+            e = json.load(f)
+        s = shards.setdefault(str(e["shard"]), {
+            "n_docs": 0, "total_len": 0, "postings_bytes": 0, "files": []})
+        s["files"].append(os.path.relpath(e["file"], out_dir))
+        if e.get("dict_file"):
+            s["files"].append(os.path.relpath(e["dict_file"], out_dir))
+        if e["kind"] == "doc_lens":
+            s["n_docs"] = e["n_docs"]
+            s["total_len"] = e["total_len"]
+            n_docs += e["n_docs"]
+            total_len += e["total_len"]
+        else:
+            s["postings_bytes"] += e["nbytes"]
+            postings_bytes += e["nbytes"]
+    assert n_docs == stats["n_docs"], \
+        f"compaction lost documents: {n_docs} vs {stats['n_docs']}"
+    assert total_len == stats["total_len"], "compaction lost tokens"
+    dps = cfg.docs_per_shard
+    for sid, e in shards.items():
+        e["doc_lo"] = int(sid) * dps
+        e["doc_hi"] = min((int(sid) + 1) * dps, new_off.n_docs)
+
+    new_stats = dict(stats)
+    new_stats["n_shards"] = (new_off.n_docs + dps - 1) // dps
+    new_stats["n_terms"] = n_terms
+    new_stats["postings_bytes"] = postings_bytes
+    atomic_write_json(new_stats, os.path.join(out_dir, "stats.json"))
+    digest = _offsets_digest(new_off)
+    atomic_write_json({"shards": shards,
+                       "config_fingerprint": cfg.fingerprint(),
+                       "input_fingerprint": None,
+                       "offsets_digest": digest,
+                       "phases": {"total": round(
+                           time.perf_counter() - t_start, 2)}},
+                      os.path.join(out_dir, "manifest.json"))
+    atomic_write_json({"fingerprint": cfg.fingerprint(),
+                       "input_fingerprint": None,
+                       "offsets_digest": digest},
+                      os.path.join(out_dir, "config_fingerprint.json"))
+    return {"n_docs": n_docs, "n_terms": n_terms,
+            "n_shards": new_stats["n_shards"],
+            "postings_bytes": postings_bytes,
+            "seconds": round(time.perf_counter() - t_start, 2)}

@@ -144,6 +144,47 @@ def test_append_invalidates_positions(appended_index, split_corpus,
     assert gset == wset
 
 
+def test_compact_byte_identical_to_fresh_build(appended_index, split_corpus,
+                                               tiny_corpus, tmp_path_factory):
+    """compact(append(A, B)) must produce artifacts byte-identical to a
+    from-scratch build over A∪B — compaction provably loses nothing and
+    restores the dense-docID invariant."""
+    from bge_m3_onnx_ray.config import create_tiny_index_config
+    from bge_m3_onnx_ray.index.build import build_index
+    from bge_m3_onnx_ray.index.compact import compact_index
+    idx, _res, _ = appended_index
+    path, _oi, _ = tiny_corpus
+    out = str(tmp_path_factory.mktemp("cidx") / "compacted")
+    r = compact_index(idx, out)
+    fresh = str(tmp_path_factory.mktemp("fidx") / "fresh")
+    build_index(path, fresh, create_tiny_index_config())
+    subs = ("postings", "doc_lens", "dict_partials", "dictionary")
+    a = _tree_hashes(out, subs)
+    b = _tree_hashes(fresh, subs)
+    assert a == b and len(a) > 0
+    for fn in ("conv_offsets.parquet",):
+        with open(os.path.join(out, fn), "rb") as f1, \
+             open(os.path.join(fresh, fn), "rb") as f2:
+            assert hashlib.sha256(f1.read()).digest() == \
+                hashlib.sha256(f2.read()).digest()
+    import json
+    with open(os.path.join(out, "stats.json")) as f:
+        sa = json.load(f)
+    with open(os.path.join(fresh, "stats.json")) as f:
+        sb = json.load(f)
+    assert sa == sb
+    assert r["n_docs"] == sb["n_docs"]
+
+
+def test_compact_refuses_nonempty_target(appended_index, tmp_path_factory):
+    from bge_m3_onnx_ray.index.compact import compact_index
+    idx, _res, _ = appended_index
+    d = tmp_path_factory.mktemp("nonempty")
+    (d / "junk.txt").write_text("x")
+    with pytest.raises(ValueError, match="not empty"):
+        compact_index(idx, str(d))
+
+
 def test_append_empty_noop(appended_index, tmp_path_factory):
     from bge_m3_onnx_ray.index.append import append_index
     idx, _res, _ = appended_index
