@@ -101,6 +101,13 @@ def _q_phrase(sf_dir):
     return phrase_documents_topk(sf_dir)
 
 
+def _q_snippets(sf_dir):
+    # top-k results with token-window snippets + hit accounting
+    # (index.snippets.attach_snippets — one corpus scan for the big side)
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_snippets
+    return bm25_documents_snippets(sf_dir)
+
+
 def _q_bm25_transcripts_filtered(sf_dir):
     # faceted search: role='user' equality filter via the per-shard attrs
     # side table (index.attrs); global stats stay corpus-wide
@@ -348,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk_and": _q_bm25_and,
         "phrase_documents_topk": _q_phrase,
         "bm25_documents_topk_appended": _q_bm25_appended,
+        "bm25_documents_snippets": _q_snippets,
         "bm25_documents_bulk_topk": _q_bm25_bulk,
         "bm25_transcripts_topk": _q_bm25_transcripts,
         "bm25_transcripts_topk_exhaustive": _q_bm25_transcripts_exhaustive,
@@ -439,6 +447,66 @@ SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
        doc_id::BIGINT AS doc_id,
        CAST(floor(score * 1000000) AS BIGINT) AS score_q6
 FROM ranked WHERE rnk <= 10 ORDER BY query_id, "rank"
+"""
+
+
+def _snippets_sql(k: int = 10, window: int = 8) -> str:
+    """Top-k BM25 (same scoring/rank as _bm25_sql) + token-window
+    snippets: 0-based first query-term hit, hit count, and the
+    space-joined token window — the SQL mirror of
+    index/snippets.attach_snippets (DuckDB list slices are 1-based
+    inclusive; the engine's 0-based [max(0,f-w), f+w] window is
+    ts[greatest(1, fh-w) : fh+w] with fh = f+1)."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_QUERIES
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    vals = []
+    for qid, text in DOC_QUERIES:
+        for t in sorted(set(tokenize(text))):
+            vals.append(f"({qid}, '{t}')")
+    qvalues = ", ".join(vals)
+    return f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text),
+                 '{_TOKEN_RE_SQL}') AS ts FROM documents),
+toks AS (SELECT doc_id, unnest(ts) AS term FROM lists),
+ptoks AS (SELECT doc_id, generate_subscripts(ts, 1) AS pos,
+                 unnest(ts) AS tok FROM lists),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM toks)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+qterms(query_id, term) AS (VALUES {qvalues}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scores),
+hits AS (
+  SELECT q.query_id, p.doc_id, count(*)::BIGINT AS n_hits,
+         min(p.pos)::BIGINT AS fh
+  FROM qterms q JOIN ptoks p ON p.tok = q.term
+  GROUP BY q.query_id, p.doc_id)
+SELECT r.query_id::BIGINT AS query_id, r.rnk::INTEGER AS "rank",
+       r.doc_id::BIGINT AS doc_id, (h.fh - 1)::BIGINT AS first_hit,
+       h.n_hits,
+       array_to_string(l.ts[greatest(1, h.fh - {window}) : h.fh + {window}],
+                       ' ') AS snippet
+FROM ranked r
+JOIN hits h ON h.query_id = r.query_id AND h.doc_id = r.doc_id
+JOIN lists l ON l.doc_id = r.doc_id
+WHERE r.rnk <= {k} ORDER BY r.query_id, r.rnk
 """
 
 
@@ -889,6 +957,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_documents_topk_and": _bm25_sql(conjunctive=True),
         "phrase_documents_topk": _phrase_sql(),
         "bm25_documents_topk_appended": _bm25_sql(quantized_rank=True),
+        "bm25_documents_snippets": _snippets_sql(),
         "bm25_documents_bulk_topk": bm25,
         "bm25_transcripts_topk": _bm25_transcripts_sql(),
         "bm25_transcripts_topk_exhaustive": _bm25_transcripts_sql(),

@@ -172,6 +172,28 @@ def bm25_documents_topk_appended(sf_dir: str, k: int = 10) -> pa.Table:
                                      "score_q6"]], preserve_index=False)
 
 
+def bm25_documents_snippets(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-k BM25 results with snippet/highlight columns: 0-based
+    ``first_hit`` (earliest query-term token position), ``n_hits``
+    (token positions matching any query term), and ``snippet`` (the
+    space-joined token window around the first hit) — token-level and
+    deterministic, so the DuckDB oracle mirrors it exactly."""
+    from bge_m3_onnx_ray.index.snippets import attach_snippets
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    res = search(idx, DOC_QUERIES, QueryConfig(k=k, method="wand"))
+    tbl = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    qterms = {qid: sorted(set(tokenize(text))) for qid, text in DOC_QUERIES}
+    out = attach_snippets(tbl, documents_as_transcripts(sf_dir),
+                          qterms).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["query_id", "rank", "doc_id", "first_hit", "n_hits", "snippet"]],
+        preserve_index=False)
+
+
 def phrase_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
     """Exact-phrase top-k over the documents corpus via the positional
     index (``index.positions``): consecutive-token match, BM25 over the
