@@ -101,6 +101,13 @@ def _q_phrase(sf_dir):
     return phrase_documents_topk(sf_dir)
 
 
+def _q_bm25_not(sf_dir):
+    # negated-term retrieval: "-word" excludes documents containing it
+    # (candidate filter before top-k; scores unchanged BM25 sums)
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_topk_not
+    return bm25_documents_topk_not(sf_dir)
+
+
 def _q_snippets(sf_dir):
     # top-k results with token-window snippets + hit accounting
     # (index.snippets.attach_snippets — one corpus scan for the big side)
@@ -356,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_documents_topk": _q_phrase,
         "bm25_documents_topk_appended": _q_bm25_appended,
         "bm25_documents_snippets": _q_snippets,
+        "bm25_documents_topk_not": _q_bm25_not,
         "bm25_documents_bulk_topk": _q_bm25_bulk,
         "bm25_transcripts_topk": _q_bm25_transcripts,
         "bm25_transcripts_topk_exhaustive": _q_bm25_transcripts_exhaustive,
@@ -400,14 +408,30 @@ _TOKS = ("SELECT doc_id, unnest(regexp_extract_all(lower(text), "
          f"'{_TOKEN_RE_SQL}')) AS term FROM documents")
 
 
-def _bm25_sql(conjunctive: bool = False, quantized_rank: bool = False) -> str:
+def _bm25_sql(conjunctive: bool = False, quantized_rank: bool = False,
+              query_set=None, parse_negation: bool = False) -> str:
     from bge_m3_onnx_ray.pipelines.flagship import DOC_QUERIES
     from bge_m3_onnx_ray.tokenizer import tokenize
     vals = []
-    for qid, text in DOC_QUERIES:
+    nvals = []
+    for qid, text in (query_set if query_set is not None else DOC_QUERIES):
+        if parse_negation:
+            words = text.split()
+            negs = [w[1:] for w in words if w.startswith("-") and len(w) > 1]
+            text = " ".join(w for w in words if not w.startswith("-"))
+            for t in sorted({x for w in negs for x in tokenize(w)}):
+                nvals.append(f"({qid}, '{t}')")
         for t in sorted(set(tokenize(text))):
             vals.append(f"({qid}, '{t}')")
     qvalues = ", ".join(vals)
+    # negation: a candidate must not contain ANY of the query's negated
+    # terms (mirror of the engine's excluded-docID set)
+    neg_cte = (f",\nqneg(query_id, term) AS (VALUES {', '.join(nvals)})"
+               if nvals else "")
+    neg_where = ("""
+  WHERE NOT EXISTS (SELECT 1 FROM toks tx JOIN qneg nq ON nq.term = tx.term
+                    WHERE nq.query_id = q.query_id
+                      AND tx.doc_id = tf.doc_id)""" if nvals else "")
     # boolean AND: a doc is a candidate only if it matched EVERY distinct
     # query term (a query with an OOV term therefore matches nothing)
     having = ("""
@@ -423,7 +447,7 @@ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
                  (SELECT count(*) FROM toks)::DOUBLE
                    / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
 dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
-qterms(query_id, term) AS (VALUES {qvalues}),
+qterms(query_id, term) AS (VALUES {qvalues}){neg_cte},
 scores AS (
   SELECT q.query_id, tf.doc_id,
          sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
@@ -433,7 +457,7 @@ scores AS (
   JOIN dfs d ON d.term = q.term
   JOIN tf ON tf.term = q.term
   JOIN dl ON dl.doc_id = tf.doc_id
-  CROSS JOIN stats s
+  CROSS JOIN stats s{neg_where}
   GROUP BY q.query_id, tf.doc_id{having}),
 ranked AS (
   SELECT query_id, doc_id, score,
@@ -958,6 +982,10 @@ def oracle_sql() -> dict[str, str]:
         "phrase_documents_topk": _phrase_sql(),
         "bm25_documents_topk_appended": _bm25_sql(quantized_rank=True),
         "bm25_documents_snippets": _snippets_sql(),
+        "bm25_documents_topk_not": _bm25_sql(
+            query_set=__import__("bge_m3_onnx_ray.pipelines.flagship",
+                                 fromlist=["DOC_NOT_QUERIES"]).DOC_NOT_QUERIES,
+            parse_negation=True),
         "bm25_documents_bulk_topk": bm25,
         "bm25_transcripts_topk": _bm25_transcripts_sql(),
         "bm25_transcripts_topk_exhaustive": _bm25_transcripts_sql(),

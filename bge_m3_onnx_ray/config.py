@@ -73,6 +73,11 @@ class QueryConfig:
     # narrows candidates, not the scoring model).
     filter_attr: str | None = None
     filter_value: str | None = None
+    # negation syntax: when True, whitespace-separated "-word" tokens in
+    # the query text EXCLUDE documents containing that term (applied to
+    # the candidate set before top-k; out-of-vocabulary negations are
+    # no-ops). Off by default so hyphenated text is never misparsed.
+    parse_negation: bool = False
     scorer_concurrency: int | tuple[int, int] = (1, 8)
     scorer_batch_size: int = 64
     shard_cache_size: int = 64  # decoded shards cached per scorer actor

@@ -62,23 +62,31 @@ def _topk_merge(scores: np.ndarray, doc_ids: np.ndarray, k: int):
 
 
 def _apply_allowed(scores: np.ndarray, docs: np.ndarray,
-                   allowed: np.ndarray | None):
-    """Facet filter: restrict candidate (scores, docs) to the sorted
-    ``allowed`` docID set BEFORE top-k selection (exact, not post-cut)."""
-    if allowed is None:
-        return scores, docs
-    if not len(allowed) or not len(docs):
-        return np.empty(0, np.float64), np.empty(0, np.int64)
-    pos = np.searchsorted(allowed, docs)
-    keep = pos < len(allowed)
-    keep[keep] = allowed[pos[keep]] == docs[keep]
-    return scores[keep], docs[keep]
+                   allowed: np.ndarray | None,
+                   excluded: np.ndarray | None = None):
+    """Candidate filters applied BEFORE top-k selection (exact, not
+    post-cut): restrict to the sorted ``allowed`` docID set (facets) and
+    remove the sorted ``excluded`` set (negated query terms)."""
+    if allowed is not None:
+        if not len(allowed) or not len(docs):
+            return np.empty(0, np.float64), np.empty(0, np.int64)
+        pos = np.searchsorted(allowed, docs)
+        keep = pos < len(allowed)
+        keep[keep] = allowed[pos[keep]] == docs[keep]
+        scores, docs = scores[keep], docs[keep]
+    if excluded is not None and len(excluded) and len(docs):
+        pos = np.searchsorted(excluded, docs)
+        hit = pos < len(excluded)
+        hit[hit] = excluded[pos[hit]] == docs[hit]
+        scores, docs = scores[~hit], docs[~hit]
+    return scores, docs
 
 
 def score_exhaustive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
                      qterms: list[str], idfs: dict[str, float],
                      avgdl: float, k1: float, b: float, k: int,
-                     allowed: np.ndarray | None = None):
+                     allowed: np.ndarray | None = None,
+                     excluded: np.ndarray | None = None):
     """Exact scorer over fully-decoded postings (the parity fallback the
     reference keeps alongside its fast path). ``qterms`` must be sorted.
     ``allowed``: optional sorted docID facet mask (see _apply_allowed)."""
@@ -91,14 +99,15 @@ def score_exhaustive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarra
         contrib = bm25_term_score(tfs.astype(np.float64), dls.astype(np.float64),
                                   idfs[t], avgdl, k1, b)
         scores[np.searchsorted(union, docs)] += contrib
-    scores, union = _apply_allowed(scores, union, allowed)
+    scores, union = _apply_allowed(scores, union, allowed, excluded)
     return _topk_merge(scores, union, k)
 
 
 def score_conjunctive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
                       qterms: list[str], idfs: dict[str, float],
                       avgdl: float, k1: float, b: float, k: int,
-                      allowed: np.ndarray | None = None):
+                      allowed: np.ndarray | None = None,
+                      excluded: np.ndarray | None = None):
     """AND semantics: only docs containing EVERY query term are
     candidates; their scores are the identical ascending-term float64
     BM25 sums as :func:`score_exhaustive` (an AND result is the OR
@@ -123,7 +132,7 @@ def score_conjunctive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarr
         keep = pos < len(docs)
         keep[keep] = docs[pos[keep]] == inter[keep]
         inter = inter[keep]
-    _, inter = _apply_allowed(np.empty(len(inter)), inter, allowed)
+    _, inter = _apply_allowed(np.empty(len(inter)), inter, allowed, excluded)
     if not len(inter):
         return np.empty(0, np.float64), np.empty(0, np.int64)
     scores = np.zeros(len(inter), np.float64)
@@ -173,7 +182,8 @@ def score_wand(enc_postings: dict[str, EncodedPostings], qterms: list[str],
                decoded: dict[str, tuple] | None = None,
                stats: dict | None = None,
                contribs: dict[str, np.ndarray] | None = None,
-               allowed: np.ndarray | None = None):
+               allowed: np.ndarray | None = None,
+               excluded: np.ndarray | None = None):
     """Vectorized block-max top-k (the WAND/BMW pruning idea — Ding & Suel
     2011 — re-expressed for batch execution instead of a per-posting
     cursor loop, which measured ~47x slower than numpy scoring).
@@ -297,7 +307,7 @@ def score_wand(enc_postings: dict[str, EncodedPostings], qterms: list[str],
         scores = np.zeros(len(union), np.float64)
         for docs, con in gathered:
             scores[np.searchsorted(union, docs)] += con
-        scores, union = _apply_allowed(scores, union, allowed)
+        scores, union = _apply_allowed(scores, union, allowed, excluded)
         top_s, top_d = _topk_merge(np.concatenate([top_s, scores]),
                                    np.concatenate([top_d, union]), k)
         if len(top_d) == k:
@@ -453,13 +463,15 @@ class ShardScorer:
         qids = batch.column("query_id").to_pylist()
         termss = batch.column("terms").to_pylist()
         shards = batch.column("shard").to_pylist()
+        negss = (batch.column("neg").to_pylist()
+                 if "neg" in batch.schema.names else [()] * len(qids))
         if self._lookup is not None:  # bulk path: one dict probe per batch
             self.idfs = self._lookup.idfs_for(
                 {t for ts in termss for t in ts})
         # decoded-postings memo for THIS batch: many queries in a batch hit
         # the same (shard, term) — decode once, not once per query row
         dec_memo: dict[tuple[int, str], tuple] = {}
-        for qid, terms, shard in zip(qids, termss, shards):
+        for qid, terms, negs, shard in zip(qids, termss, negss, shards):
             n_required = len(set(terms))
             terms = [t for t in terms if self.idfs.get(t) is not None]
             if not terms:
@@ -471,6 +483,24 @@ class ShardScorer:
             if not avail:
                 continue
             allowed = self._allowed(int(shard))
+            # negated terms: the excluded set is this shard's docs that
+            # contain ANY negative term — loaded/decoded through the same
+            # postings path and memo (OOV negatives are naturally absent)
+            excluded = None
+            if negs:
+                npost = self._shard_postings(int(shard), list(negs))
+                nds = []
+                for t in negs:
+                    e = npost.get(t)
+                    if e is None:
+                        continue
+                    got = dec_memo.get((shard, t))
+                    if got is None:
+                        got = decode_postings(e, m.block_size)
+                        dec_memo[(shard, t)] = got
+                    nds.append(got[0])
+                if nds:
+                    excluded = np.unique(np.concatenate(nds))
             decoded = {}
             for t, e in avail.items():
                 got = dec_memo.get((shard, t))
@@ -486,16 +516,17 @@ class ShardScorer:
                 # match over the remaining terms.
                 scores, docs = score_conjunctive(
                     decoded, sorted(set(terms)), self.idfs, m.avgdl, m.k1,
-                    m.b, self.k, allowed=allowed)
+                    m.b, self.k, allowed=allowed, excluded=excluded)
             elif self.method == "wand":
                 scores, docs = score_wand(avail, sorted(avail), self.idfs,
                                           m.avgdl, m.k1, m.b, self.k,
                                           m.block_size, decoded=decoded,
-                                          allowed=allowed)
+                                          allowed=allowed, excluded=excluded)
             else:
                 scores, docs = score_exhaustive(decoded, sorted(decoded), self.idfs,
                                                 m.avgdl, m.k1, m.b, self.k,
-                                                allowed=allowed)
+                                                allowed=allowed,
+                                                excluded=excluded)
             out_q.extend([qid] * len(docs))
             out_d.extend(docs.tolist())
             out_s.extend(scores.tolist())
@@ -572,12 +603,28 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None) -> rd.Datase
                       queries.column("text").to_pylist())
     qlist = [(int(q), str(t)) for q, t in queries]
 
-    qterms = {qid: sorted(set(tok.tokenize(text))) for qid, text in qlist}
+    if cfg.parse_negation:
+        # "-word" tokens negate: a candidate must not contain any negated
+        # term (applied to the candidate set before top-k; OOV negations
+        # are no-ops). Splitting happens on the RAW text — the tokenizer
+        # itself drops '-' characters.
+        qpos, qneg = {}, {}
+        for qid, text in qlist:
+            words = text.split()
+            negs = [w[1:] for w in words if w.startswith("-") and len(w) > 1]
+            poss = [w for w in words if not w.startswith("-")]
+            qpos[qid] = sorted(set(tok.tokenize(" ".join(poss))))
+            qneg[qid] = sorted({t for w in negs for t in tok.tokenize(w)})
+        qterms = qpos
+    else:
+        qterms = {qid: sorted(set(tok.tokenize(text))) for qid, text in qlist}
+        qneg = {qid: [] for qid, _ in qlist}
     all_terms = sorted({t for ts in qterms.values() for t in ts})
     dfs = meta.load_term_dfs(all_terms) if all_terms else {}
     idfs = {t: idf(d, meta.n_docs) for t, d in dfs.items()}
 
-    pairs = [{"query_id": qid, "terms": ts, "shard": s}
+    pairs = [{"query_id": qid, "terms": ts, "shard": s,
+              "neg": qneg[qid]}
              for s in meta.shards
              for qid, ts in qterms.items() if ts]
     if not pairs:

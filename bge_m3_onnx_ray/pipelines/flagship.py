@@ -41,6 +41,16 @@ DOC_QUERIES: list[tuple[int, str]] = [
 
 _DOC_CFG = IndexConfig(docs_per_shard=4096, term_buckets=8, block_size=128)
 
+# Negated-term queries ("-word" excludes documents containing it):
+# no-op OOV negation, self-negation (empty result), multi-negation.
+DOC_NOT_QUERIES: list[tuple[int, str]] = [
+    (0, "key order sort -join"),
+    (1, "spark group query -filter -window"),
+    (2, "table -zzzneverseen"),         # OOV negation: same as plain query
+    (3, "data data data -data"),        # self-negation: empty result
+    (4, "customer stream merge -the"),
+]
+
 # Fixed phrase-query set (exact consecutive-token match over the same
 # corpus): repeated words, a 3-gram that vanishes at some scale factors,
 # an OOV word, and a single-word phrase (≡ term query) on purpose.
@@ -170,6 +180,23 @@ def bm25_documents_topk_appended(sf_dir: str, k: int = 10) -> pa.Table:
     out = out[out["rank"] <= k]
     return pa.Table.from_pandas(out[["query_id", "rank", "doc_id",
                                      "score_q6"]], preserve_index=False)
+
+
+def bm25_documents_topk_not(sf_dir: str, k: int = 10) -> pa.Table:
+    """Negated-term retrieval: "-word" tokens exclude documents
+    containing that term (candidate filter before top-k, scores are the
+    unchanged BM25 sums over the positive terms). Same shape/oracle
+    conventions as :func:`bm25_documents_topk`."""
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    out = search(idx, DOC_NOT_QUERIES,
+                 QueryConfig(k=k, method="wand",
+                             parse_negation=True)).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
 
 
 def bm25_documents_snippets(sf_dir: str, k: int = 10) -> pa.Table:

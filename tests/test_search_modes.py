@@ -115,3 +115,36 @@ def test_filtered_conjunctive_compose(tiny_index, tiny_corpus, role_attrs):
     want = {qid: oi.search(text, 10, mode="and", allowed=role_attrs["user"])
             for qid, text in queries}
     _assert_parity(got, want, queries)
+
+
+@pytest.mark.parametrize("method", ["exhaustive", "wand"])
+def test_negation_parity(tiny_index, tiny_corpus, method):
+    """'-word' negation: engine ≡ oracle-with-manual-exclusion; OOV
+    negation is a no-op; self-negation empties the result."""
+    idx, _ = tiny_index
+    _, oi, queries = tiny_corpus
+    # derive negated variants: negate a term present in the oracle vocab
+    common = max(oi.postings, key=lambda t: len(oi.postings[t]))
+    neg_queries = [(qid + 5000, f"{text} -{common}")
+                   for qid, text in queries[:8]]
+    neg_queries += [(9800, f"{queries[0][1]} -zzzneverseen"),  # OOV no-op
+                    (9801, f"{common} -{common}")]             # self-negation
+    got = _engine(idx, neg_queries,
+                  QueryConfig(k=10, method=method, parse_negation=True))
+    excluded = {d for d, _ in oi.postings[common]}
+    want = {}
+    for qid, text in neg_queries:
+        pos = " ".join(w for w in text.split() if not w.startswith("-"))
+        negs = {t for w in text.split() if w.startswith("-")
+                for t in oi.tok.tokenize(w[1:])}
+        exc = set()
+        for t in negs:
+            exc |= {d for d, _ in oi.postings.get(t, ())}
+        hits = oi.search(pos, 10_000_000)
+        hits = [h for h in hits if h["doc_id"] not in exc][:10]
+        want[qid] = hits
+    assert got.get(9801, []) == []          # self-negation: empty
+    _assert_parity(got, want, neg_queries)
+    # OOV negation identical to the plain query
+    plain = _engine(idx, [queries[0]], QueryConfig(k=10, method=method))
+    assert got[9800] == plain[queries[0][0]]
