@@ -101,6 +101,13 @@ def _q_phrase(sf_dir):
     return phrase_documents_topk(sf_dir)
 
 
+def _q_phrase_transcripts(sf_dir):
+    # exact-phrase over the authoritative multi-turn corpus (positional
+    # index on the transcripts shard geometry; Unicode tokenizer mirror)
+    from bge_m3_onnx_ray.pipelines.flagship import phrase_transcripts_topk
+    return phrase_transcripts_topk(sf_dir)
+
+
 def _q_bm25_not(sf_dir):
     # negated-term retrieval: "-word" excludes documents containing it
     # (candidate filter before top-k; scores unchanged BM25 sums)
@@ -364,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk_appended": _q_bm25_appended,
         "bm25_documents_snippets": _q_snippets,
         "bm25_documents_topk_not": _q_bm25_not,
+        "phrase_transcripts_topk": _q_phrase_transcripts,
         "bm25_documents_bulk_topk": _q_bm25_bulk,
         "bm25_transcripts_topk": _q_bm25_transcripts,
         "bm25_transcripts_topk_exhaustive": _q_bm25_transcripts_exhaustive,
@@ -678,6 +686,70 @@ FROM ranked WHERE rnk <= 10 ORDER BY query_id, "rank"
 """
 
 
+def _phrase_transcripts_sql(sf_dir: str = "/root/testdata/sf0.01",
+                            k: int = 10) -> str:
+    """Exact-phrase BM25 oracle over the multi-turn transcripts fixture:
+    ordered token positions from ``generate_subscripts`` over the Unicode
+    tokenizer mirror, phrase tf via chained self-joins keyed on
+    (conv_id, turn_idx, pos), quantized-rank tie-break on
+    (conv_id, turn_idx). Phrase set from flagship.transcripts_phrases —
+    the same function the engine query calls."""
+    from bge_m3_onnx_ray.pipelines.flagship import transcripts_phrases
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    match_ctes, union_parts = [], []
+    for qid, text in transcripts_phrases(sf_dir):
+        ws = tokenize(text)
+        if not ws:
+            continue
+        joins = " ".join(
+            f"JOIN ptoks t{j} ON t{j}.conv_id = t0.conv_id "
+            f"AND t{j}.turn_idx = t0.turn_idx AND t{j}.pos = t0.pos + {j}"
+            for j in range(1, len(ws)))
+        conds = " AND ".join(f"t{j}.tok = '{w}'" for j, w in enumerate(ws))
+        match_ctes.append(
+            f"m{qid} AS (SELECT t0.conv_id, t0.turn_idx, "
+            f"count(*)::DOUBLE AS tf FROM ptoks t0 {joins} WHERE {conds} "
+            f"GROUP BY t0.conv_id, t0.turn_idx)")
+        union_parts.append(f"SELECT {qid} AS query_id, conv_id, turn_idx, "
+                           f"tf FROM m{qid}")
+    ctes = ",\n".join(match_ctes)
+    unions = "\nUNION ALL ".join(union_parts)
+    return f"""
+WITH docs AS (SELECT conv_id, turn_idx, text FROM {_transcripts_src_sql()}),
+lists AS (SELECT conv_id, turn_idx, regexp_extract_all({_CJK_SPLIT_SQL},
+            '{_UNI_TOKEN_RE_SQL}') AS ts FROM docs),
+ptoks AS (SELECT conv_id, turn_idx, generate_subscripts(ts, 1) AS pos,
+                 unnest(ts) AS tok FROM lists),
+dl AS (SELECT conv_id, turn_idx, len(ts)::DOUBLE AS dl FROM lists),
+stats AS (SELECT (SELECT count(*) FROM docs)::DOUBLE AS n,
+                 (SELECT sum(len(ts)) FROM lists)::DOUBLE
+                   / (SELECT count(*) FROM docs)::DOUBLE AS avgdl),
+{ctes},
+matches AS ({unions}),
+dfs AS (SELECT query_id, count(*)::DOUBLE AS df FROM matches
+        GROUP BY query_id),
+scores AS (
+  SELECT m.query_id, m.conv_id, m.turn_idx, m.tf,
+         ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           * (m.tf * 2.2) / (m.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+           AS score
+  FROM matches m
+  JOIN dfs f ON f.query_id = m.query_id
+  JOIN dl ON dl.conv_id = m.conv_id AND dl.turn_idx = m.turn_idx
+  CROSS JOIN stats s),
+ranked AS (
+  SELECT query_id, conv_id, turn_idx, tf,
+         CAST(floor(score * 1000000) AS BIGINT) AS score_q6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(floor(score * 1000000) AS BIGINT)
+                              DESC, conv_id, turn_idx) AS rnk
+  FROM scores)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank", conv_id,
+       turn_idx::INTEGER AS turn_idx, tf::BIGINT AS tf, score_q6
+FROM ranked WHERE rnk <= {k} ORDER BY query_id, "rank"
+"""
+
+
 def _transcripts_stats_sql() -> str:
     # n_shards mirrors the engine's fixed docs_per_shard config
     from bge_m3_onnx_ray.pipelines.flagship import TRANSCRIPTS_DOCS_PER_SHARD
@@ -986,6 +1058,7 @@ def oracle_sql() -> dict[str, str]:
             query_set=__import__("bge_m3_onnx_ray.pipelines.flagship",
                                  fromlist=["DOC_NOT_QUERIES"]).DOC_NOT_QUERIES,
             parse_negation=True),
+        "phrase_transcripts_topk": _phrase_transcripts_sql(),
         "bm25_documents_bulk_topk": bm25,
         "bm25_transcripts_topk": _bm25_transcripts_sql(),
         "bm25_transcripts_topk_exhaustive": _bm25_transcripts_sql(),

@@ -182,6 +182,73 @@ def bm25_documents_topk_appended(sf_dir: str, k: int = 10) -> pa.Table:
                                      "score_q6"]], preserve_index=False)
 
 
+def transcripts_phrases(sf_dir: str, n: int = 8) -> list[tuple[int, str]]:
+    """Deterministic phrase set drawn from the multi-turn fixture itself
+    (both the engine query and the DuckDB oracle builder call this, so
+    the two sides always agree): the first bigram/trigram of the first
+    few sufficiently-long turns in (conv_id, turn_idx) order, plus OOV
+    and single-word edges."""
+    import pyarrow.parquet as pq
+
+    from bge_m3_onnx_ray.fixtures import transcripts_path
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    path = transcripts_path(transcripts_n_turns(sf_dir))
+    t = pa.concat_tables([pq.read_table(os.path.join(path, f),
+                                        columns=["conv_id", "turn_idx",
+                                                 "text"])
+                          for f in sorted(os.listdir(path))])
+    import pyarrow.compute as pc
+    t = t.take(pc.sort_indices(t, sort_keys=[("conv_id", "ascending"),
+                                             ("turn_idx", "ascending")]))
+    out: list[tuple[int, str]] = []
+    qid = 0
+    for text in t.column("text").to_pylist():
+        toks = tokenize(text or "")
+        if len(toks) >= 4:
+            out.append((qid, " ".join(toks[:2])))
+            out.append((qid + 1, " ".join(toks[1:4])))
+            qid += 2
+        if qid >= n:
+            break
+    out.append((100, "zzzneverseen phrase"))
+    if len(t):
+        first = tokenize(t.column("text")[0].as_py() or "")
+        if first:
+            out.append((101, first[0]))
+    return out
+
+
+def phrase_transcripts_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Exact-phrase top-k over the authoritative multi-turn transcripts
+    corpus (positional index over the same shard geometry). Output
+    (query_id, rank, conv_id, turn_idx, tf, score_q6), quantized-rank
+    tie-break on (conv_id, turn_idx) — hash-matches the chained-join
+    DuckDB oracle over the Unicode tokenizer mirror."""
+    from bge_m3_onnx_ray.fixtures import transcripts_path
+    from bge_m3_onnx_ray.index.positions import build_positions, phrase_search
+    n_turns = transcripts_n_turns(sf_dir)
+    path = transcripts_path(n_turns)
+    cfg = IndexConfig(docs_per_shard=TRANSCRIPTS_DOCS_PER_SHARD,
+                      term_buckets=8)
+    idx = _cached_index(rd.read_parquet(path), f"transcripts-n{n_turns}", cfg)
+    build_positions(path, idx)  # no-op if current
+    out = phrase_search(idx, transcripts_phrases(sf_dir), k).to_pandas()
+    if not len(out):
+        import pandas as pd
+        out = pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                            "rank": pd.Series([], dtype=np.int32),
+                            "conv_id": pd.Series([], dtype=str),
+                            "turn_idx": pd.Series([], dtype=np.int32),
+                            "tf": pd.Series([], dtype=np.int64),
+                            "score_q6": pd.Series([], dtype=np.int64)})
+        return pa.Table.from_pandas(out, preserve_index=False)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["query_id", "rank", "conv_id", "turn_idx", "tf", "score_q6"]],
+        preserve_index=False)
+
+
 def bm25_documents_topk_not(sf_dir: str, k: int = 10) -> pa.Table:
     """Negated-term retrieval: "-word" tokens exclude documents
     containing that term (candidate filter before top-k, scores are the
