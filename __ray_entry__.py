@@ -108,6 +108,13 @@ def _q_phrase_transcripts(sf_dir):
     return phrase_transcripts_topk(sf_dir)
 
 
+def _q_near(sf_dir):
+    # proximity (NEAR) retrieval: term pairs within a slop window,
+    # BM25 over the pair count (index.positions.near_search)
+    from bge_m3_onnx_ray.pipelines.flagship import near_documents_topk
+    return near_documents_topk(sf_dir)
+
+
 def _q_bm25_not(sf_dir):
     # negated-term retrieval: "-word" excludes documents containing it
     # (candidate filter before top-k; scores unchanged BM25 sums)
@@ -372,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_snippets": _q_snippets,
         "bm25_documents_topk_not": _q_bm25_not,
         "phrase_transcripts_topk": _q_phrase_transcripts,
+        "near_documents_topk": _q_near,
         "bm25_documents_bulk_topk": _q_bm25_bulk,
         "bm25_transcripts_topk": _q_bm25_transcripts,
         "bm25_transcripts_topk_exhaustive": _q_bm25_transcripts_exhaustive,
@@ -683,6 +691,59 @@ ranked AS (
 SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank", conv_id,
        turn_idx::INTEGER AS turn_idx, score_q6
 FROM ranked WHERE rnk <= 10 ORDER BY query_id, "rank"
+"""
+
+
+def _near_sql(k: int = 10) -> str:
+    """Proximity (NEAR) oracle: tf = count of ordered position pairs of
+    (term_a at i, term_b at j) with i != j and |i - j| <= slop — a
+    windowed self-join over generate_subscripts positions; BM25 over the
+    pair count, quantized-rank tie-break (mirror of
+    index/positions.NearScorer)."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_NEAR_QUERIES
+    match_ctes, union_parts = [], []
+    for qid, ta, tb, slop in DOC_NEAR_QUERIES:
+        match_ctes.append(
+            f"m{qid} AS (SELECT a.doc_id, count(*)::DOUBLE AS tf "
+            f"FROM ptoks a JOIN ptoks b ON b.doc_id = a.doc_id "
+            f"AND b.pos <> a.pos AND b.pos BETWEEN a.pos - {slop} "
+            f"AND a.pos + {slop} "
+            f"WHERE a.tok = '{ta}' AND b.tok = '{tb}' GROUP BY a.doc_id)")
+        union_parts.append(f"SELECT {qid} AS query_id, doc_id, tf FROM m{qid}")
+    ctes = ",\n".join(match_ctes)
+    unions = "\nUNION ALL ".join(union_parts)
+    return f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text),
+                 '{_TOKEN_RE_SQL}') AS ts FROM documents),
+ptoks AS (SELECT doc_id, generate_subscripts(ts, 1) AS pos,
+                 unnest(ts) AS tok FROM lists),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM lists),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT sum(len(ts)) FROM lists)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+{ctes},
+matches AS ({unions}),
+dfs AS (SELECT query_id, count(*)::DOUBLE AS df FROM matches
+        GROUP BY query_id),
+scores AS (
+  SELECT m.query_id, m.doc_id, m.tf,
+         ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           * (m.tf * 2.2) / (m.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+           AS score
+  FROM matches m
+  JOIN dfs f ON f.query_id = m.query_id
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s),
+ranked AS (
+  SELECT query_id, doc_id, tf,
+         CAST(floor(score * 1000000) AS BIGINT) AS score_q6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(floor(score * 1000000) AS BIGINT)
+                              DESC, doc_id) AS rnk
+  FROM scores)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
+       doc_id::BIGINT AS doc_id, tf::BIGINT AS tf, score_q6
+FROM ranked WHERE rnk <= {k} ORDER BY query_id, "rank"
 """
 
 
@@ -1059,6 +1120,7 @@ def oracle_sql() -> dict[str, str]:
                                  fromlist=["DOC_NOT_QUERIES"]).DOC_NOT_QUERIES,
             parse_negation=True),
         "phrase_transcripts_topk": _phrase_transcripts_sql(),
+        "near_documents_topk": _near_sql(),
         "bm25_documents_bulk_topk": bm25,
         "bm25_transcripts_topk": _bm25_transcripts_sql(),
         "bm25_transcripts_topk_exhaustive": _bm25_transcripts_sql(),

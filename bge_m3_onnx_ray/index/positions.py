@@ -495,6 +495,93 @@ class PhraseScorer:
                         schema=_MATCH_SCHEMA)
 
 
+class NearScorer(PhraseScorer):
+    """Proximity-match actor: input rows (query_id, term_a, term_b,
+    slop, shard); output (query_id, doc_id, tf, dl) where tf = number of
+    ordered position PAIRS (i of term_a, j of term_b) with i != j and
+    |i - j| <= slop — the contract a SQL windowed self-join mirrors
+    exactly."""
+
+    @staticmethod
+    def _near_hits(occ: dict, ta: str, tb: str, slop: int
+                   ) -> tuple[np.ndarray, np.ndarray]:
+        a = occ.get(ta)
+        bq = occ.get(tb)
+        if a is None or bq is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        max_pos = max(int(a[1].max()), int(bq[1].max())) + slop + 2
+        max_doc = max(int(a[0].max()), int(bq[0].max())) + 1
+        P = np.int64(1) << max(21, int(max_pos).bit_length())
+        if int(max_doc) * int(P) >= (1 << 62):
+            raise OverflowError("near key packing overflow")
+        kb = bq[0] * P + bq[1]
+        base = a[0] * P
+        lo = base + np.maximum(a[1] - slop, 0)
+        hi = base + a[1] + slop
+        cnt = (np.searchsorted(kb, hi, side="right")
+               - np.searchsorted(kb, lo, side="left")).astype(np.int64)
+        if ta == tb:
+            cnt -= 1  # remove the self-pair i == j
+        udocs, inv = np.unique(a[0], return_inverse=True)
+        tfs = np.bincount(inv, weights=cnt).astype(np.int64)
+        keep = tfs > 0
+        return udocs[keep], tfs[keep]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_t, out_l = [], [], [], []
+        qids = batch.column("query_id").to_pylist()
+        tas = batch.column("term_a").to_pylist()
+        tbs = batch.column("term_b").to_pylist()
+        slops = batch.column("slop").to_pylist()
+        shards = batch.column("shard").to_pylist()
+        for qid, ta, tb, slop, shard in zip(qids, tas, tbs, slops, shards):
+            shard = int(shard)
+            occ = self._shard_occurrences(shard, [ta, tb])
+            docs, tfs = self._near_hits(occ, ta, tb, int(slop))
+            if not len(docs):
+                continue
+            dl_docs, dls = self._shard_dls(shard)
+            dl = dls[np.searchsorted(dl_docs, docs)]
+            out_q.extend([qid] * len(docs))
+            out_d.extend(docs.tolist())
+            out_t.extend(tfs.tolist())
+            out_l.extend(dl.tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "tf": pa.array(out_t, pa.int64()),
+                         "dl": pa.array(out_l, pa.int64())},
+                        schema=_MATCH_SCHEMA)
+
+
+def near_search(index_dir: str, queries, k: int = 10,
+                concurrency=(1, 8), batch_size: int = 64) -> rd.Dataset:
+    """Proximity top-k: ``queries`` = list[(query_id, term_a, term_b,
+    slop)] — documents where the two terms occur within ``slop`` token
+    positions, scored by BM25 over the pair count (same
+    match→df→score→merge plan as :func:`phrase_search`)."""
+    meta = IndexMeta(index_dir)
+    offsets = ConvOffsets.load(index_dir)
+    from bge_m3_onnx_ray.tokenizer import make_tokenizer
+    tok = make_tokenizer(meta.stats.get("tokenizer_spec", "deterministic"))
+
+    def norm(t: str) -> str:
+        toks = tok.tokenize(t)
+        return toks[0] if toks else ""
+
+    rows = [{"query_id": int(q), "term_a": norm(a), "term_b": norm(b),
+             "slop": int(s), "shard": sh}
+            for sh in meta.shards
+            for q, a, b, s in queries if norm(a) and norm(b)]
+    if not rows:
+        return rd.from_arrow(PHRASE_RESULT_SCHEMA.empty_table())
+    fanout = rd.from_items(sorted(rows, key=lambda r: r["shard"]))
+    matches = fanout.map_batches(
+        NearScorer, fn_constructor_kwargs={"index_dir": index_dir},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1).materialize()
+    return _score_and_rank_matches(matches, meta, offsets, k)
+
+
 PHRASE_RESULT_SCHEMA = pa.schema([
     ("query_id", pa.int64()), ("rank", pa.int32()), ("doc_id", pa.int64()),
     ("tf", pa.int64()), ("score", pa.float64()),
@@ -536,11 +623,20 @@ def phrase_search(index_dir: str, phrases, k: int = 10,
         PhraseScorer, fn_constructor_kwargs={"index_dir": index_dir},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1).materialize()
+    return _score_and_rank_matches(matches, meta, offsets, k)
+
+
+def _score_and_rank_matches(matches: rd.Dataset, meta: IndexMeta,
+                            offsets: ConvOffsets, k: int) -> rd.Dataset:
+    """Shared tail of the positional query paths (phrase / NEAR): the
+    per-query row COUNT of the materialized match set is the df, scoring
+    is a broadcast-df ``map_batches``, and the final top-k is the same
+    bucketed per-query merge the BM25 path uses."""
     dfs: dict[int, int] = {}
     if matches.count():
         for row in matches.groupby("query_id").count().take_all():
             dfs[int(row["query_id"])] = int(row["count()"])
-    if not dfs:  # no phrase matched anywhere
+    if not dfs:  # nothing matched anywhere
         return rd.from_arrow(PHRASE_RESULT_SCHEMA.empty_table())
     n, avgdl, k1, b = meta.n_docs, meta.avgdl, meta.k1, meta.b
     idfs = {q: idf(d, n) for q, d in dfs.items()}

@@ -51,6 +51,17 @@ DOC_NOT_QUERIES: list[tuple[int, str]] = [
     (4, "customer stream merge -the"),
 ]
 
+# Proximity (NEAR) queries: (query_id, term_a, term_b, slop) — pairs of
+# terms within `slop` token positions; includes a same-term pair and an
+# OOV pair.
+DOC_NEAR_QUERIES: list[tuple[int, str, str, int]] = [
+    (0, "key", "sort", 3),
+    (1, "data", "join", 2),
+    (2, "customer", "merge", 4),
+    (3, "batch", "batch", 2),           # same term: adjacent repetitions
+    (4, "table", "zzzneverseen", 5),    # OOV side: no matches
+]
+
 # Fixed phrase-query set (exact consecutive-token match over the same
 # corpus): repeated words, a 3-gram that vanishes at some scale factors,
 # an OOV word, and a single-word phrase (≡ term query) on purpose.
@@ -246,6 +257,32 @@ def phrase_transcripts_topk(sf_dir: str, k: int = 10) -> pa.Table:
     out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(
         out[["query_id", "rank", "conv_id", "turn_idx", "tf", "score_q6"]],
+        preserve_index=False)
+
+
+def near_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Proximity (NEAR) top-k over the documents corpus: tf = ordered
+    position pairs of the two terms within the slop window (i != j),
+    scored by BM25 over the pair count. Output (query_id, rank, doc_id,
+    tf, score_q6) — hash-matches the windowed self-join DuckDB oracle."""
+    from bge_m3_onnx_ray.index.positions import build_positions, near_search
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    build_positions(documents_as_transcripts(sf_dir), idx)
+    out = near_search(idx, DOC_NEAR_QUERIES, k).to_pandas()
+    if not len(out):
+        import pandas as pd
+        out = pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                            "rank": pd.Series([], dtype=np.int32),
+                            "doc_id": pd.Series([], dtype=np.int64),
+                            "tf": pd.Series([], dtype=np.int64),
+                            "score_q6": pd.Series([], dtype=np.int64)})
+        return pa.Table.from_pandas(out, preserve_index=False)
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["query_id", "rank", "doc_id", "tf", "score_q6"]],
         preserve_index=False)
 
 

@@ -158,3 +158,55 @@ def test_phrase_score_formula(positions_index):
     norm = 1.2 * (0.25 + 0.75 * (dl / oi.avgdl))
     assert row.score == pytest.approx(w * (tf * 2.2 / (tf + norm)), rel=1e-12)
     assert want[0]["score"] == pytest.approx(row.score, abs=0.0)
+
+
+def test_near_kernel():
+    from bge_m3_onnx_ray.index.positions import NearScorer
+    occ = {"a": (np.array([0, 0, 1]), np.array([0, 10, 5])),
+           "b": (np.array([0, 1]), np.array([2, 9]))}
+    # doc0: a@0 vs b@2 (|d|=2<=3) -> 1 pair; a@10 vs b@2 no; doc1: a@5 vs b@9 (4>3) no
+    d, t = NearScorer._near_hits(occ, "a", "b", 3)
+    assert d.tolist() == [0] and t.tolist() == [1]
+    # widen slop: doc1 pair now counts
+    d, t = NearScorer._near_hits(occ, "a", "b", 4)
+    assert d.tolist() == [0, 1] and t.tolist() == [1, 1]
+    # same-term: pairs are ordered, self-pair removed
+    d, t = NearScorer._near_hits(
+        {"x": (np.array([7, 7, 7]), np.array([1, 2, 9]))}, "x", "x", 2)
+    assert d.tolist() == [7] and t.tolist() == [2]  # (1,2) and (2,1)
+    # OOV side
+    d, t = NearScorer._near_hits(occ, "a", "zzz", 3)
+    assert len(d) == 0
+
+
+def test_near_engine_vs_pure_python(positions_index):
+    from bge_m3_onnx_ray.index.positions import near_search
+    idx, oi = positions_index
+    # derive pairs from the corpus: two frequent terms + a same-term pair
+    freq = sorted(oi.postings, key=lambda t: -len(oi.postings[t]))
+    queries = [(0, freq[0], freq[1], 3), (1, freq[2], freq[0], 2),
+               (2, freq[0], freq[0], 2), (3, freq[0], "zzznever", 4)]
+    got = near_search(idx, queries, k=10_000_000).to_pandas()
+    import math
+    from bge_m3_onnx_ray.scoring import bm25_term_score, idf
+    for qid, ta, tb, slop in queries:
+        mine = got[got.query_id == qid].sort_values("doc_id")
+        # pure-python recompute
+        want = {}
+        for doc_id, toks in enumerate(oi.doc_tokens):
+            pa_ = [i for i, w in enumerate(toks) if w == ta]
+            pb_ = [i for i, w in enumerate(toks) if w == tb]
+            tf = sum(1 for i in pa_ for j in pb_
+                     if i != j and abs(i - j) <= slop)
+            if tf:
+                want[doc_id] = tf
+        assert len(mine) == len(want), (qid, ta, tb)
+        if not want:
+            continue
+        w = idf(len(want), oi.n_docs)
+        for _, r in mine.iterrows():
+            assert want[int(r.doc_id)] == int(r.tf)
+            exp = bm25_term_score(float(r.tf),
+                                  float(oi.doc_lens[int(r.doc_id)]),
+                                  w, oi.avgdl, oi.k1, oi.b)
+            assert r.score == pytest.approx(exp, abs=0.0)
