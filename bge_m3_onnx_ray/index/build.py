@@ -400,9 +400,16 @@ def _offsets_digest(offsets: ConvOffsets) -> str:
     h.update(str(offsets.n_docs).encode())
     h.update(np.ascontiguousarray(offsets.starts).tobytes())
     h.update(np.ascontiguousarray(offsets.counts).tobytes())
-    for buf in offsets._conv_arrow.buffers():
-        if buf is not None:
-            h.update(buf)
+    # canonical string-array content (rebased offsets + exact data slice):
+    # raw buffers differ in padding/offset between construction paths
+    # (take() result vs parquet round-trip) for identical logical arrays
+    a = offsets._conv_arrow
+    if len(a):
+        offs = np.frombuffer(a.buffers()[1], np.int64)[
+            a.offset:a.offset + len(a) + 1]
+        data = np.frombuffer(a.buffers()[2] or b"", np.uint8)
+        h.update(np.ascontiguousarray(offs - offs[0]).tobytes())
+        h.update(np.ascontiguousarray(data[offs[0]:offs[-1]]).tobytes())
     h.update(json.dumps(offsets.nondense, sort_keys=True).encode())
     return h.hexdigest()[:16]
 

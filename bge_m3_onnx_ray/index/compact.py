@@ -20,9 +20,10 @@ restores the fresh-build invariant — docID = dense rank of
 Because the encode path is deterministic, the compacted artifacts are
 BYTE-IDENTICAL to a from-scratch build over the union corpus (the
 parity test hashes both trees) — compaction provably loses nothing.
-Positional artifacts and attrs side tables are not carried over
-(rebuild them from source; ``has_positions`` detects staleness by
-offsets digest).
+A positional artifact, if present and current, is compacted the same
+way (decode → remap → re-segment → merge; also byte-identical to a
+fresh ``build_positions``). Attrs side tables are not carried over
+(rebuild from source).
 """
 
 from __future__ import annotations
@@ -111,6 +112,60 @@ def _make_remap_fn(old_starts: np.ndarray, new_starts_old_order: np.ndarray,
     return remap, remap_doclens
 
 
+def _make_remap_positions_fn(old_starts: np.ndarray,
+                             new_starts_old_order: np.ndarray,
+                             docs_per_shard: int, term_buckets: int):
+    """Stage: old POSITIONS_SCHEMA rows → occurrence segment rows with
+    remapped, re-sorted docIDs (positions within a doc are unchanged)."""
+
+    def remap_pos(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        from bge_m3_onnx_ray.index.positions import (_OCCROW_SCHEMA,
+                                                     decode_occ_rows,
+                                                     encode_occ_segments)
+        if not batch.num_rows:
+            return _OCCROW_SCHEMA.empty_table()
+        bcol = batch.column("blob").combine_chunks()
+        boffs = np.frombuffer(bcol.buffers()[1], np.int32)[
+            bcol.offset:bcol.offset + len(bcol) + 1].astype(np.int64)
+        bdata = np.frombuffer(bcol.buffers()[2] or b"", np.uint8)
+        ns = batch.column("n").to_numpy().astype(np.int64)
+        docs, poss = decode_occ_rows(bdata, boffs, ns,
+                                     np.arange(len(ns), dtype=np.int64))
+        terms = batch.column("term")
+        term_codes = np.repeat(np.arange(len(ns), dtype=np.int64), ns)
+        conv_i = np.searchsorted(old_starts, docs, side="right") - 1
+        new_docs = docs - old_starts[conv_i] + new_starts_old_order[conv_i]
+        shard = new_docs // docs_per_shard
+        order = np.lexsort((poss, new_docs, term_codes, shard))
+        skey = shard[order] * (len(ns) + 1) + term_codes[order]
+        bounds = np.concatenate([[0], np.flatnonzero(np.diff(skey)) + 1,
+                                 [len(skey)]])
+        heads = bounds[:-1]
+        blob, offs = encode_occ_segments(bounds, new_docs[order], poss[order])
+        blob_arr = pa.Array.from_buffers(
+            pa.large_binary(), len(heads),
+            [None, pa.py_buffer(np.ascontiguousarray(offs, np.int64)),
+             pa.py_buffer(blob)])
+        uniq = terms.combine_chunks()
+        ub = np.fromiter((zlib.crc32(u.encode()) % term_buckets
+                          for u in uniq.to_pylist()),
+                         np.int64, len(uniq))
+        oc = term_codes[order]
+        stride = term_buckets + 1
+        return pa.table({
+            "term": uniq.take(pa.array(oc[heads])).cast(pa.large_string()),
+            "gkey": pa.array(shard[order][heads] * stride + ub[oc[heads]] + 1,
+                             pa.int64()),
+            "min_doc": pa.array(new_docs[order][heads], pa.int64()),
+            "n": pa.array(np.diff(bounds).astype(np.int32), pa.int32()),
+            "blob": blob_arr,
+        }, schema=_OCCROW_SCHEMA)
+
+    return remap_pos
+
+
 def compact_index(index_dir: str, out_dir: str) -> dict:
     """Compact ``index_dir`` into ``out_dir`` (must not exist or be
     empty). Returns compaction metrics. The output is a complete,
@@ -185,6 +240,33 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
         e["doc_lo"] = int(sid) * dps
         e["doc_hi"] = min((int(sid) + 1) * dps, new_off.n_docs)
 
+    # positional artifact: compact it the same way if present and current
+    n_pos_groups = 0
+    from bge_m3_onnx_ray.index.positions import (_make_merge_pos_group,
+                                                 has_positions)
+    if has_positions(index_dir):
+        remap_pos = _make_remap_positions_fn(
+            old_starts, new_starts_old_order, dps, cfg.term_buckets)
+        pos_files = sorted(glob.glob(os.path.join(index_dir, "positions",
+                                                  "*.parquet")))
+        pos_segs = rd.read_parquet(pos_files).map_batches(
+            remap_pos, batch_format="pyarrow", num_cpus=1)
+        try:
+            ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+            pos_entries = pos_segs.groupby("gkey").map_groups(
+                _make_merge_pos_group(out_dir, cfg.term_buckets),
+                batch_format="pyarrow").take_all()
+        finally:
+            ctx.shuffle_strategy = prev
+        atomic_write_json(
+            {"config_fingerprint": cfg.fingerprint(),
+             "offsets_digest": _offsets_digest(new_off),
+             "files": sorted(e["file"] for e in pos_entries),
+             "n_terms": int(sum(e["n_terms"] for e in pos_entries)),
+             "nbytes": int(sum(e["nbytes"] for e in pos_entries))},
+            os.path.join(out_dir, "positions_manifest.json"))
+        n_pos_groups = len(pos_entries)
+
     new_stats = dict(stats)
     new_stats["n_shards"] = (new_off.n_docs + dps - 1) // dps
     new_stats["n_terms"] = n_terms
@@ -205,4 +287,5 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
     return {"n_docs": n_docs, "n_terms": n_terms,
             "n_shards": new_stats["n_shards"],
             "postings_bytes": postings_bytes,
+            "positions_groups": n_pos_groups,
             "seconds": round(time.perf_counter() - t_start, 2)}

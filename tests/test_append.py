@@ -148,17 +148,30 @@ def test_compact_byte_identical_to_fresh_build(appended_index, split_corpus,
                                                tiny_corpus, tmp_path_factory):
     """compact(append(A, B)) must produce artifacts byte-identical to a
     from-scratch build over A∪B — compaction provably loses nothing and
-    restores the dense-docID invariant."""
+    restores the dense-docID invariant. A current positions artifact is
+    compacted too (same byte-identity vs a fresh build_positions)."""
     from bge_m3_onnx_ray.config import create_tiny_index_config
     from bge_m3_onnx_ray.index.build import build_index
     from bge_m3_onnx_ray.index.compact import compact_index
+    from bge_m3_onnx_ray.index.positions import build_positions, has_positions
     idx, _res, _ = appended_index
     path, _oi, _ = tiny_corpus
+    # give the appended index a CURRENT positions artifact (the appended
+    # union corpus) so compaction must carry it over
+    import pyarrow.parquet as _pq
+    import ray.data as _rd
+    pa_path, pb_path, t, _ = split_corpus
+    build_positions(_rd.from_arrow(t), idx)
+    assert has_positions(idx)
     out = str(tmp_path_factory.mktemp("cidx") / "compacted")
     r = compact_index(idx, out)
+    assert r["positions_groups"] > 0
     fresh = str(tmp_path_factory.mktemp("fidx") / "fresh")
     build_index(path, fresh, create_tiny_index_config())
-    subs = ("postings", "doc_lens", "dict_partials", "dictionary")
+    build_positions(path, fresh)
+    assert has_positions(out)
+    subs = ("postings", "doc_lens", "dict_partials", "dictionary",
+            "positions")
     a = _tree_hashes(out, subs)
     b = _tree_hashes(fresh, subs)
     assert a == b and len(a) > 0
