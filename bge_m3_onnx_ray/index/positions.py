@@ -554,7 +554,7 @@ class NearScorer(PhraseScorer):
 
 
 def near_search(index_dir: str, queries, k: int = 10,
-                concurrency=(1, 8), batch_size: int = 64) -> rd.Dataset:
+                batch_size: int = 64) -> rd.Dataset:
     """Proximity top-k: ``queries`` = list[(query_id, term_a, term_b,
     slop)] — documents where the two terms occur within ``slop`` token
     positions, scored by BM25 over the pair count (same
@@ -574,11 +574,12 @@ def near_search(index_dir: str, queries, k: int = 10,
             for q, a, b, s in queries if norm(a) and norm(b)]
     if not rows:
         return rd.from_arrow(PHRASE_RESULT_SCHEMA.empty_table())
+    from bge_m3_onnx_ray.stages._pool import task_stage
     fanout = rd.from_items(sorted(rows, key=lambda r: r["shard"]))
     matches = fanout.map_batches(
-        NearScorer, fn_constructor_kwargs={"index_dir": index_dir},
+        task_stage(NearScorer, index_dir=index_dir),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1).materialize()
+        num_cpus=1).materialize()
     return _score_and_rank_matches(matches, meta, offsets, k)
 
 
@@ -590,7 +591,7 @@ PHRASE_RESULT_SCHEMA = pa.schema([
 
 
 def phrase_search(index_dir: str, phrases, k: int = 10,
-                  concurrency=(1, 8), batch_size: int = 64) -> rd.Dataset:
+                  batch_size: int = 64) -> rd.Dataset:
     """Top-k phrase search: ``phrases`` = list[(query_id, text)]; each
     text is one exact phrase (token order preserved — duplicates allowed,
     "data data" matches two consecutive 'data'). Returns a Dataset of
@@ -618,26 +619,77 @@ def phrase_search(index_dir: str, phrases, k: int = 10,
              for qid, ts in qterms.items() if ts]
     if not pairs:
         return rd.from_arrow(PHRASE_RESULT_SCHEMA.empty_table())
+    from bge_m3_onnx_ray.stages._pool import task_stage
     fanout = rd.from_items(sorted(pairs, key=lambda r: r["shard"]))
+    # warm task pool (stages/_pool.py): the scorer's state is a small
+    # per-shard read cache, not a model — actor-pool startup (~2.5 s per
+    # call) would dominate interactive phrase latency
     matches = fanout.map_batches(
-        PhraseScorer, fn_constructor_kwargs={"index_dir": index_dir},
+        task_stage(PhraseScorer, index_dir=index_dir),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1).materialize()
+        num_cpus=1).materialize()
     return _score_and_rank_matches(matches, meta, offsets, k)
 
 
+def _rank_match_table(t: pa.Table, meta: IndexMeta, offsets: ConvOffsets,
+                      k: int) -> pa.Table:
+    """Vectorized df/score/top-k over one in-memory match table — the
+    same arithmetic and (floor(score*1e6) desc, doc_id) tie-break as the
+    distributed tail (used by its small-match fast path)."""
+    qs = t.column("query_id").to_numpy()
+    docs = t.column("doc_id").to_numpy()
+    tfs = t.column("tf").to_numpy()
+    dls = t.column("dl").to_numpy()
+    uq, inv, cnt = np.unique(qs, return_inverse=True, return_counts=True)
+    idfs = np.array([idf(int(c), meta.n_docs) for c in cnt], np.float64)
+    scores = bm25_term_score(tfs.astype(np.float64), dls.astype(np.float64),
+                             1.0, meta.avgdl, meta.k1, meta.b) * idfs[inv]
+    q6 = np.floor(scores * 1e6).astype(np.int64)
+    order = np.lexsort((docs, -q6, qs))
+    qs, docs, tfs, scores = (a[order] for a in (qs, docs, tfs, scores))
+    brk = np.empty(len(qs), bool)
+    brk[0] = True
+    brk[1:] = np.diff(qs) != 0
+    first = np.flatnonzero(brk)
+    rank = np.arange(len(qs)) - np.repeat(
+        first, np.diff(np.concatenate([first, [len(qs)]])))
+    keep = rank < k
+    qs, docs, tfs, scores, rank = (a[keep] for a in
+                                   (qs, docs, tfs, scores, rank))
+    conv, turn = offsets.doc_to_conv(docs)
+    return pa.table({
+        "query_id": pa.array(qs, pa.int64()),
+        "rank": pa.array((rank + 1).astype(np.int32), pa.int32()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "tf": pa.array(tfs, pa.int64()),
+        "score": pa.array(scores, pa.float64()),
+        "conv_id": pa.array(conv, pa.string()),
+        "turn_idx": pa.array(turn, pa.int32()),
+    }, schema=PHRASE_RESULT_SCHEMA)
+
+
 def _score_and_rank_matches(matches: rd.Dataset, meta: IndexMeta,
-                            offsets: ConvOffsets, k: int) -> rd.Dataset:
+                            offsets: ConvOffsets, k: int,
+                            small_limit: int = 200_000) -> rd.Dataset:
     """Shared tail of the positional query paths (phrase / NEAR): the
     per-query row COUNT of the materialized match set is the df, scoring
     is a broadcast-df ``map_batches``, and the final top-k is the same
-    bucketed per-query merge the BM25 path uses."""
-    dfs: dict[int, int] = {}
-    if matches.count():
-        for row in matches.groupby("query_id").count().take_all():
-            dfs[int(row["query_id"])] = int(row["count()"])
-    if not dfs:  # nothing matched anywhere
+    bucketed per-query merge the BM25 path uses.
+
+    Fast path: a match set under ``small_limit`` rows (the interactive
+    regime — the set is bounded by phrase selectivity, same size class
+    as a merge output) finishes df/score/rank in one vectorized driver
+    pass instead of paying two more Dataset execution rounds."""
+    n_match = matches.count()  # metadata-only on a materialized dataset
+    if not n_match:
         return rd.from_arrow(PHRASE_RESULT_SCHEMA.empty_table())
+    if n_match <= small_limit:
+        t = pa.concat_tables(matches.iter_batches(batch_size=None,
+                                                  batch_format="pyarrow"))
+        return rd.from_arrow(_rank_match_table(t, meta, offsets, k))
+    dfs: dict[int, int] = {}
+    for row in matches.groupby("query_id").count().take_all():
+        dfs[int(row["query_id"])] = int(row["count()"])
     n, avgdl, k1, b = meta.n_docs, meta.avgdl, meta.k1, meta.b
     idfs = {q: idf(d, n) for q, d in dfs.items()}
 

@@ -210,3 +210,22 @@ def test_near_engine_vs_pure_python(positions_index):
                                   float(oi.doc_lens[int(r.doc_id)]),
                                   w, oi.avgdl, oi.k1, oi.b)
             assert r.score == pytest.approx(exp, abs=0.0)
+
+
+def test_distributed_rank_tail_equals_fast_path(positions_index, monkeypatch):
+    """The distributed match->df->score->merge tail (taken when the match
+    set exceeds the fast-path limit) must produce exactly the fast
+    path's output."""
+    from bge_m3_onnx_ray.index import positions as P
+    idx, oi = positions_index
+    phrases = _pick_phrases(oi)
+    fast = P.phrase_search(idx, phrases, k=10).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    orig = P._score_and_rank_matches
+    monkeypatch.setattr(
+        P, "_score_and_rank_matches",
+        lambda m, meta, off, k: orig(m, meta, off, k, small_limit=0))
+    dist = P.phrase_search(idx, phrases, k=10).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(fast, dist)
