@@ -668,6 +668,8 @@ def search_bulk(index_dir: str, queries: rd.Dataset,
     spec = meta.stats.get("tokenizer_spec", "deterministic")
     shards = np.asarray(meta.shards, np.int64)
 
+    parse_neg = cfg.parse_negation
+
     def fan(batch: pa.Table) -> pa.Table:
         from bge_m3_onnx_ray.tokenizer import make_tokenizer
         tok = _TOK_CACHE.get(spec)
@@ -675,20 +677,37 @@ def search_bulk(index_dir: str, queries: rd.Dataset,
             tok = _TOK_CACHE[spec] = make_tokenizer(spec)
         qids = batch.column("query_id").to_numpy()
         texts = batch.column("text").to_pylist()
+        negs: list[list[str]]
+        if parse_neg:  # same "-word" split as the driver path in search()
+            pos_texts, negs = [], []
+            for t in texts:
+                words = (t or "").split()
+                negs.append(sorted({x for w in words
+                                    if w.startswith("-") and len(w) > 1
+                                    for x in tok.tokenize(w[1:])}))
+                pos_texts.append(" ".join(w for w in words
+                                          if not w.startswith("-")))
+            texts = pos_texts
+        else:
+            negs = [[] for _ in texts]
         terms = [sorted(set(tok.tokenize(t or ""))) for t in texts]
         keep = np.asarray([len(t) > 0 for t in terms], bool)
         if not keep.any():
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "terms": pa.array([], pa.list_(pa.string())),
+                             "neg": pa.array([], pa.list_(pa.string())),
                              "shard": pa.array([], pa.int64())})
         qids = qids[keep].astype(np.int64)
         terms = [t for t, k_ in zip(terms, keep) if k_]
+        negs = [n for n, k_ in zip(negs, keep) if k_]
         nq, ns = len(qids), len(shards)
         # shard-major: all queries of this batch for shard s are adjacent
         return pa.table({
             "query_id": pa.array(np.tile(qids, ns), pa.int64()),
             "terms": pa.array([terms[i] for _ in range(ns)
                                for i in range(nq)], pa.list_(pa.string())),
+            "neg": pa.array([negs[i] for _ in range(ns)
+                             for i in range(nq)], pa.list_(pa.string())),
             "shard": pa.array(np.repeat(shards, nq), pa.int64()),
         })
 

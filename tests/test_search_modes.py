@@ -148,3 +148,23 @@ def test_negation_parity(tiny_index, tiny_corpus, method):
     # OOV negation identical to the plain query
     plain = _engine(idx, [queries[0]], QueryConfig(k=10, method=method))
     assert got[9800] == plain[queries[0][0]]
+
+
+def test_negation_bulk_equals_driver_path(tiny_index, tiny_corpus):
+    """search_bulk must honour parse_negation identically to search()."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.index.search import search_bulk
+    idx, _ = tiny_index
+    _, oi, queries = tiny_corpus
+    common = max(oi.postings, key=lambda t: len(oi.postings[t]))
+    neg_queries = [(qid, f"{text} -{common}") for qid, text in queries[:6]]
+    cfg = QueryConfig(k=10, parse_negation=True)
+    a = _engine(idx, neg_queries, cfg)
+    qds = rd.from_items([{"query_id": q, "text": t} for q, t in neg_queries])
+    out = search_bulk(idx, qds, cfg).to_pandas()
+    b = {}
+    for qid, g in out.groupby("query_id"):
+        g = g.sort_values("rank")
+        b[int(qid)] = list(zip(g.doc_id.tolist(), g.score.tolist()))
+    assert a == b
