@@ -108,6 +108,13 @@ def _q_phrase_transcripts(sf_dir):
     return phrase_transcripts_topk(sf_dir)
 
 
+def _q_quoted(sf_dir):
+    # mixed quoted-phrase retrieval: quoted spans filter candidates via
+    # the positional artifact, BM25 ranks over all terms
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_topk_quoted
+    return bm25_documents_topk_quoted(sf_dir)
+
+
 def _q_near(sf_dir):
     # proximity (NEAR) retrieval: term pairs within a slop window,
     # BM25 over the pair count (index.positions.near_search)
@@ -380,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk_not": _q_bm25_not,
         "phrase_transcripts_topk": _q_phrase_transcripts,
         "near_documents_topk": _q_near,
+        "bm25_documents_topk_quoted": _q_quoted,
         "bm25_documents_bulk_topk": _q_bm25_bulk,
         "bm25_transcripts_topk": _q_bm25_transcripts,
         "bm25_transcripts_topk_exhaustive": _q_bm25_transcripts_exhaustive,
@@ -691,6 +699,79 @@ ranked AS (
 SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank", conv_id,
        turn_idx::INTEGER AS turn_idx, score_q6
 FROM ranked WHERE rnk <= 10 ORDER BY query_id, "rank"
+"""
+
+
+def _quoted_sql(k: int = 10) -> str:
+    """Mixed quoted-phrase oracle: per query, candidates must contain
+    EVERY quoted span consecutively (chained-join phrase CTEs,
+    intersected); ranking is the standard BM25 sum over ALL tokenized
+    terms (quoted words included) — the SQL mirror of
+    index/positions.search_quoted."""
+    import re
+
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_QUOTED_QUERIES
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    quote_re = re.compile(r'"([^"]*)"')
+    vals, phrase_ctes, allow_parts = [], [], []
+    for qid, text in DOC_QUOTED_QUERIES:
+        for t in sorted(set(tokenize(text.replace('"', ' ')))):
+            vals.append(f"({qid}, '{t}')")
+        spans = [tokenize(s) for s in quote_re.findall(text)]
+        spans = [s for s in spans if s]
+        sub_selects = []
+        for j, ws in enumerate(spans):
+            joins = " ".join(
+                f"JOIN ptoks t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.pos = t0.pos + {i}" for i in range(1, len(ws)))
+            conds = " AND ".join(f"t{i}.tok = '{w}'"
+                                 for i, w in enumerate(ws))
+            phrase_ctes.append(
+                f"p{qid}_{j} AS (SELECT DISTINCT t0.doc_id FROM ptoks t0 "
+                f"{joins} WHERE {conds})")
+            sub_selects.append(f"SELECT doc_id FROM p{qid}_{j}")
+        allow_parts.append(
+            f"SELECT {qid} AS query_id, doc_id FROM "
+            f"({' INTERSECT '.join(sub_selects)})")
+    qvalues = ", ".join(vals)
+    ctes = ",\n".join(phrase_ctes)
+    allows = "\nUNION ALL ".join(allow_parts)
+    return f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text),
+                 '{_TOKEN_RE_SQL}') AS ts FROM documents),
+toks AS (SELECT doc_id, unnest(ts) AS term FROM lists),
+ptoks AS (SELECT doc_id, generate_subscripts(ts, 1) AS pos,
+                 unnest(ts) AS tok FROM lists),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM toks)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+qterms(query_id, term) AS (VALUES {qvalues}),
+{ctes},
+allowq AS ({allows}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN allowq a ON a.query_id = q.query_id AND a.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scores)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
+       doc_id::BIGINT AS doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_q6
+FROM ranked WHERE rnk <= {k} ORDER BY query_id, "rank"
 """
 
 
@@ -1121,6 +1202,7 @@ def oracle_sql() -> dict[str, str]:
             parse_negation=True),
         "phrase_transcripts_topk": _phrase_transcripts_sql(),
         "near_documents_topk": _near_sql(),
+        "bm25_documents_topk_quoted": _quoted_sql(),
         "bm25_documents_bulk_topk": bm25,
         "bm25_transcripts_topk": _bm25_transcripts_sql(),
         "bm25_transcripts_topk_exhaustive": _bm25_transcripts_sql(),

@@ -553,6 +553,71 @@ class NearScorer(PhraseScorer):
                         schema=_MATCH_SCHEMA)
 
 
+_QUOTE_RE = None  # compiled lazily (module import stays cheap)
+
+
+def search_quoted(index_dir: str, queries, cfg=None) -> rd.Dataset:
+    """Search-box semantics: ``'"exact phrase" other terms'`` — every
+    QUOTED span is a candidate FILTER (the document must contain the
+    phrase consecutively; multiple quoted spans all must match), and
+    ranking is plain BM25 over ALL terms (quoted words count as ordinary
+    terms). Requires the positional artifact for the quoted spans.
+
+    Plan: phrase spans match first (the positional fan-out; the match
+    set is phrase-selectivity-bounded), their per-query docID
+    intersections broadcast into the BM25 scorers as per-query allow
+    sets (``search(..., allow_docs=...)``), composed with any facet
+    filter. A phrase that matches nothing empties its query's result."""
+    import re
+
+    from bge_m3_onnx_ray.config import QueryConfig
+    from bge_m3_onnx_ray.index.search import search
+    global _QUOTE_RE
+    if _QUOTE_RE is None:
+        _QUOTE_RE = re.compile(r'"([^"]*)"')
+    cfg = cfg or QueryConfig()
+    meta = IndexMeta(index_dir)
+    from bge_m3_onnx_ray.tokenizer import make_tokenizer
+    tok = make_tokenizer(meta.stats.get("tokenizer_spec", "deterministic"))
+
+    phrase_terms: dict[int, list[str]] = {}   # pid -> phrase tokens
+    phrases_of: dict[int, list[int]] = {}     # qid -> [pid, ...]
+    rank_queries: list[tuple[int, str]] = []
+    pid = 0
+    for qid, text in queries:
+        qid = int(qid)
+        rank_queries.append((qid, str(text).replace('"', ' ')))
+        for span in _QUOTE_RE.findall(str(text)):
+            ts = tok.tokenize(span)
+            if not ts:
+                continue  # empty quotes: no filter
+            phrase_terms[pid] = ts
+            phrases_of.setdefault(qid, []).append(pid)
+            pid += 1
+
+    allow: dict[int, np.ndarray] | None = None
+    if phrase_terms:
+        from bge_m3_onnx_ray.stages._pool import task_stage
+        rows = [{"query_id": p, "terms": ts, "shard": s}
+                for s in meta.shards for p, ts in phrase_terms.items()]
+        matches = rd.from_items(sorted(rows, key=lambda r: r["shard"])) \
+            .map_batches(task_stage(PhraseScorer, index_dir=index_dir),
+                         batch_format="pyarrow", num_cpus=1)
+        docs_by_pid: dict[int, list[int]] = {}
+        for row in matches.take_all():  # phrase-selectivity-bounded
+            docs_by_pid.setdefault(int(row["query_id"]), []).append(
+                int(row["doc_id"]))
+        allow = {}
+        for qid, pids in phrases_of.items():
+            sets = [np.unique(np.asarray(docs_by_pid.get(p, []), np.int64))
+                    for p in pids]
+            a = sets[0]
+            for s in sets[1:]:
+                a = np.intersect1d(a, s, assume_unique=True)
+            allow[qid] = a
+    return search(index_dir, rank_queries, cfg, allow_docs=allow)
+
+
 def near_search(index_dir: str, queries, k: int = 10,
                 batch_size: int = 64) -> rd.Dataset:
     """Proximity top-k: ``queries`` = list[(query_id, term_a, term_b,

@@ -387,7 +387,8 @@ class ShardScorer:
     def __init__(self, index_dir: str, idfs: dict[str, float] | None, k: int,
                  method: str, cache_size: int, mode: str = "or",
                  filter_attr: str | None = None,
-                 filter_value: str | None = None):
+                 filter_value: str | None = None,
+                 allow_docs_ref=None):
         self.meta = IndexMeta(index_dir)
         self.idfs = idfs
         self._lookup = None if idfs is not None else _DictDfLookup(self.meta)
@@ -396,6 +397,15 @@ class ShardScorer:
         self.mode = mode
         self.filter_attr = filter_attr
         self.filter_value = filter_value
+        # per-query candidate restriction (quoted-phrase filters): a
+        # broadcast {query_id: sorted global docID array}, fetched once
+        # per worker (ray.put on the driver, get_broadcast here)
+        if allow_docs_ref is not None:
+            from bge_m3_onnx_ray.index.build import get_broadcast
+            self.allow_by_query: dict[int, np.ndarray] | None = \
+                get_broadcast(allow_docs_ref)
+        else:
+            self.allow_by_query = None
         self._allowed_cache: OrderedDict[int, np.ndarray] = OrderedDict()
         self.cache: OrderedDict[int, dict[str, EncodedPostings]] = OrderedDict()
         self.cache_size = cache_size
@@ -483,6 +493,16 @@ class ShardScorer:
             if not avail:
                 continue
             allowed = self._allowed(int(shard))
+            if self.allow_by_query is not None:
+                q_allow = self.allow_by_query.get(int(qid))
+                if q_allow is not None:
+                    dps = self.meta.docs_per_shard
+                    lo = np.searchsorted(q_allow, int(shard) * dps)
+                    hi = np.searchsorted(q_allow, (int(shard) + 1) * dps)
+                    q_allow = q_allow[lo:hi]
+                    allowed = (q_allow if allowed is None
+                               else np.intersect1d(allowed, q_allow,
+                                                   assume_unique=True))
             # negated terms: the excluded set is this shard's docs that
             # contain ANY negative term — loaded/decoded through the same
             # postings path and memo (OOV negatives are naturally absent)
@@ -578,10 +598,18 @@ def merge_topk(partials: rd.Dataset, offsets: ConvOffsets, k: int,
         .groupby("_qb").map_groups(multi_merge, batch_format="pyarrow")
 
 
-def search(index_dir: str, queries, cfg: QueryConfig | None = None) -> rd.Dataset:
+def search(index_dir: str, queries, cfg: QueryConfig | None = None,
+           allow_docs: "dict[int, np.ndarray] | None" = None) -> rd.Dataset:
     """Top-k BM25 over the index. ``queries``: list[(query_id, text)] or a
     Dataset/Table with (query_id, text). Returns a Dataset of
     (query_id, rank, doc_id, score, conv_id, turn_idx).
+
+    ``allow_docs``: optional per-query candidate restriction
+    {query_id: sorted global docID array} (e.g. quoted-phrase filter
+    sets) — broadcast once via ``ray.put``, sliced per shard inside the
+    scorers, composed with any facet filter. A query absent from the
+    dict is unrestricted; an EMPTY array means the filter matched
+    nothing (zero results for that query).
 
     Scale note: the fan-out Dataset has n_queries x n_shards rows and is
     sorted by shard so consecutive batches hit a scorer actor's shard
@@ -629,6 +657,11 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None) -> rd.Datase
              for qid, ts in qterms.items() if ts]
     if not pairs:
         return rd.from_arrow(RESULT_SCHEMA.empty_table())
+    allow_ref = None
+    if allow_docs is not None:
+        import ray
+        allow_ref = ray.put({int(q): np.asarray(a, np.int64)
+                             for q, a in allow_docs.items()})
     fanout = rd.from_items(sorted(pairs, key=lambda r: r["shard"]))
     partials = fanout.map_batches(
         ShardScorer,
@@ -637,7 +670,8 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None) -> rd.Datase
                                "cache_size": cfg.shard_cache_size,
                                "mode": cfg.mode,
                                "filter_attr": cfg.filter_attr,
-                               "filter_value": cfg.filter_value},
+                               "filter_value": cfg.filter_value,
+                               "allow_docs_ref": allow_ref},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
     return merge_topk(partials, offsets, cfg.k)

@@ -51,6 +51,16 @@ DOC_NOT_QUERIES: list[tuple[int, str]] = [
     (4, "customer stream merge -the"),
 ]
 
+# Quoted-phrase mixed queries ("..." spans are candidate filters, all
+# terms rank): two-phrase conjunction, OOV phrase (empty), phrase-only.
+DOC_QUOTED_QUERIES: list[tuple[int, str]] = [
+    (0, '"order sort" table'),
+    (1, 'data "batch batch" stream'),
+    (2, '"key order sort"'),
+    (3, 'table "zzzneverseen qqq"'),          # OOV phrase: empty result
+    (4, '"customer stream" "slow query" row'),  # two phrases: intersection
+]
+
 # Proximity (NEAR) queries: (query_id, term_a, term_b, slop) — pairs of
 # terms within `slop` token positions; includes a same-term pair and an
 # OOV pair.
@@ -258,6 +268,24 @@ def phrase_transcripts_topk(sf_dir: str, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(
         out[["query_id", "rank", "conv_id", "turn_idx", "tf", "score_q6"]],
         preserve_index=False)
+
+
+def bm25_documents_topk_quoted(sf_dir: str, k: int = 10) -> pa.Table:
+    """Mixed quoted-phrase retrieval: quoted spans filter candidates
+    (consecutive-token match via the positional artifact), BM25 ranks
+    over all terms. Same shape/oracle conventions as
+    :func:`bm25_documents_topk`."""
+    from bge_m3_onnx_ray.index.positions import build_positions, search_quoted
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    build_positions(documents_as_transcripts(sf_dir), idx)
+    out = search_quoted(idx, DOC_QUOTED_QUERIES,
+                        QueryConfig(k=k, method="wand")).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
 
 
 def near_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:

@@ -229,3 +229,41 @@ def test_distributed_rank_tail_equals_fast_path(positions_index, monkeypatch):
         .sort_values(["query_id", "rank"]).reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_search_quoted_vs_oracle(positions_index):
+    """Quoted-span filters + BM25-over-all-terms ≡ the pure oracle with a
+    manually computed phrase-allowed set."""
+    from bge_m3_onnx_ray.config import QueryConfig
+    from bge_m3_onnx_ray.index.positions import search_quoted
+    idx, oi = positions_index
+    base = _pick_phrases(oi, n=4)
+    queries = []
+    for qid, text in base[:3]:
+        toks = text.split()
+        extra = oi.doc_tokens[5][0] if len(oi.doc_tokens) > 5 else "x"
+        queries.append((qid, f'"{text}" {extra}'))
+    queries.append((900, '"zzzneverseen qqq" anything'))  # OOV phrase
+    got = search_quoted(idx, queries, QueryConfig(k=10)).to_pandas()
+
+    def phrase_docs(ptext):
+        terms = oi.tok.tokenize(ptext)
+        m = len(terms)
+        return {d for d, toks in enumerate(oi.doc_tokens)
+                if any(toks[i:i + m] == terms
+                       for i in range(len(toks) - m + 1))}
+
+    import re
+    for qid, text in queries:
+        spans = re.findall(r'"([^"]*)"', text)
+        allowed = None
+        for s in spans:
+            ds = phrase_docs(s)
+            allowed = ds if allowed is None else (allowed & ds)
+        want = oi.search(text.replace('"', ' '), 10, allowed=allowed)
+        mine = got[got.query_id == qid].sort_values("rank")
+        assert len(mine) == len(want), (qid, text)
+        for (_, r), w in zip(mine.iterrows(), want):
+            assert int(r.doc_id) == w["doc_id"], (qid, text)
+            assert abs(r.score - w["score"]) < 1e-12
+    assert len(got[got.query_id == 900]) == 0
