@@ -273,6 +273,15 @@ def run_bench() -> dict:
     out["ivf_clustered"] = {"n_lists": 64, "exact_sec": round(ct_bf, 2),
                             "curve": ccurve, "recommended_nprobe": crec}
 
+    # ---- positional artifact build at headline scale (the occurrences
+    # SPIMI + merge shuffle over the same 4M-turn corpus)
+    from bge_m3_onnx_ray.index.positions import build_positions
+    t0 = time.perf_counter()
+    build_positions(path, idx)
+    pos_sec = time.perf_counter() - t0
+    out["positions_build_sec"] = round(pos_sec, 2)
+    out["positions_turns_per_sec"] = round(BENCH_TURNS / pos_sec)
+
     # ---- positional phrase suite over the documents corpus: cold run
     # includes the positions-artifact build (its own SPIMI + merge
     # shuffle); warm run is pure phrase query latency
@@ -398,6 +407,8 @@ def main() -> None:
         "ivf_clustered": out.get("ivf_clustered"),
         "phrase": out.get("phrase"),
         "append": out.get("append"),
+        "positions_build_sec": out.get("positions_build_sec"),
+        "positions_turns_per_sec": out.get("positions_turns_per_sec"),
     }))
     import ray
     ray.shutdown()
