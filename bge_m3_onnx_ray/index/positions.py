@@ -277,6 +277,17 @@ def _make_merge_pos_group(index_dir: str, cfg_term_buckets: int):
     return merge_group
 
 
+def _require_positions(index_dir: str) -> None:
+    """Positional queries against a missing/stale artifact would silently
+    return empty results — raise instead (the artifact goes stale when
+    ``append_index`` changes the docID assignment)."""
+    if not has_positions(index_dir):
+        raise ValueError(
+            f"no current positional artifact in {index_dir!r} — run "
+            f"build_positions(transcripts, index_dir) first (an append "
+            f"invalidates a previously built one)")
+
+
 def has_positions(index_dir: str) -> bool:
     """True iff a complete positions artifact matching the index's config
     fingerprint AND current docID assignment exists (manifest check +
@@ -597,6 +608,7 @@ def search_quoted(index_dir: str, queries, cfg=None) -> rd.Dataset:
 
     allow: dict[int, np.ndarray] | None = None
     if phrase_terms:
+        _require_positions(index_dir)
         from bge_m3_onnx_ray.stages._pool import task_stage
         rows = [{"query_id": p, "terms": ts, "shard": s}
                 for s in meta.shards for p, ts in phrase_terms.items()]
@@ -624,6 +636,7 @@ def near_search(index_dir: str, queries, k: int = 10,
     slop)] — documents where the two terms occur within ``slop`` token
     positions, scored by BM25 over the pair count (same
     match→df→score→merge plan as :func:`phrase_search`)."""
+    _require_positions(index_dir)
     meta = IndexMeta(index_dir)
     offsets = ConvOffsets.load(index_dir)
     from bge_m3_onnx_ray.tokenizer import make_tokenizer
@@ -674,6 +687,7 @@ def phrase_search(index_dir: str, phrases, k: int = 10,
     stop-phrase matching a large corpus fraction would use the postings
     path with positional re-check per block instead (documented
     trade-off)."""
+    _require_positions(index_dir)
     meta = IndexMeta(index_dir)
     offsets = ConvOffsets.load(index_dir)
     from bge_m3_onnx_ray.tokenizer import make_tokenizer

@@ -267,3 +267,22 @@ def test_search_quoted_vs_oracle(positions_index):
             assert int(r.doc_id) == w["doc_id"], (qid, text)
             assert abs(r.score - w["score"]) < 1e-12
     assert len(got[got.query_id == 900]) == 0
+
+
+def test_positional_queries_require_artifact(ray_session, tiny_corpus,
+                                             tmp_path_factory):
+    """Phrase/NEAR/quoted against an index WITHOUT a positions artifact
+    must raise, not silently return empty."""
+    from bge_m3_onnx_ray.config import QueryConfig, create_tiny_index_config
+    from bge_m3_onnx_ray.index.build import build_index
+    from bge_m3_onnx_ray.index.positions import (near_search, phrase_search,
+                                                 search_quoted)
+    path, _oi, _ = tiny_corpus
+    idx = str(tmp_path_factory.mktemp("noposidx") / "index")
+    build_index(path, idx, create_tiny_index_config())
+    with pytest.raises(ValueError, match="positional artifact"):
+        phrase_search(idx, [(0, "a b")], k=5)
+    with pytest.raises(ValueError, match="positional artifact"):
+        near_search(idx, [(0, "a", "b", 3)], k=5)
+    with pytest.raises(ValueError, match="positional artifact"):
+        search_quoted(idx, [(0, '"a b" c')], QueryConfig(k=5))
