@@ -108,6 +108,12 @@ def _q_phrase_transcripts(sf_dir):
     return phrase_transcripts_topk(sf_dir)
 
 
+def _q_prefix(sf_dir):
+    # wildcard retrieval: "word*" expands against the global dictionary
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_topk_prefix
+    return bm25_documents_topk_prefix(sf_dir)
+
+
 def _q_quoted(sf_dir):
     # mixed quoted-phrase retrieval: quoted spans filter candidates via
     # the positional artifact, BM25 ranks over all terms
@@ -388,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_transcripts_topk": _q_phrase_transcripts,
         "near_documents_topk": _q_near,
         "bm25_documents_topk_quoted": _q_quoted,
+        "bm25_documents_topk_prefix": _q_prefix,
         "bm25_documents_bulk_topk": _q_bm25_bulk,
         "bm25_transcripts_topk": _q_bm25_transcripts,
         "bm25_transcripts_topk_exhaustive": _q_bm25_transcripts_exhaustive,
@@ -699,6 +706,60 @@ ranked AS (
 SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank", conv_id,
        turn_idx::INTEGER AS turn_idx, score_q6
 FROM ranked WHERE rnk <= 10 ORDER BY query_id, "rank"
+"""
+
+
+def _prefix_sql(k: int = 10) -> str:
+    """Wildcard oracle: each query's term set = literal tokens UNION the
+    distinct corpus terms LIKE 'prefix%' (the SQL mirror of the engine's
+    dictionary expansion, IndexMeta.expand_prefix), then the standard
+    BM25 scoring/ranking of _bm25_sql."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_PREFIX_QUERIES
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    arms = []
+    for qid, text in DOC_PREFIX_QUERIES:
+        for w in text.split():
+            if w.endswith("*") and len(w) > 1:
+                ptoks = tokenize(w[:-1])
+                if not ptoks:
+                    continue
+                for lit in ptoks[:-1]:
+                    arms.append(f"SELECT {qid} AS query_id, '{lit}' AS term")
+                arms.append(f"SELECT {qid} AS query_id, term FROM dfs "
+                            f"WHERE term LIKE '{ptoks[-1]}%'")
+            else:
+                for t in sorted(set(tokenize(w))):
+                    arms.append(f"SELECT {qid} AS query_id, '{t}' AS term")
+    qterms_sql = "\nUNION ".join(arms)  # UNION (not ALL): dedup per query
+    return f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM toks)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+qterms AS ({qterms_sql}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scores)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
+       doc_id::BIGINT AS doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_q6
+FROM ranked WHERE rnk <= {k} ORDER BY query_id, "rank"
 """
 
 
@@ -1203,6 +1264,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_transcripts_topk": _phrase_transcripts_sql(),
         "near_documents_topk": _near_sql(),
         "bm25_documents_topk_quoted": _quoted_sql(),
+        "bm25_documents_topk_prefix": _prefix_sql(),
         "bm25_documents_bulk_topk": bm25,
         "bm25_transcripts_topk": _bm25_transcripts_sql(),
         "bm25_transcripts_topk_exhaustive": _bm25_transcripts_sql(),

@@ -78,6 +78,14 @@ class QueryConfig:
     # the candidate set before top-k; out-of-vocabulary negations are
     # no-ops). Off by default so hyphenated text is never misparsed.
     parse_negation: bool = False
+    # prefix syntax: when True, whitespace-separated "word*" tokens
+    # expand to every dictionary term with that prefix (disjunctive
+    # BM25 over the expansion — the classic wildcard query). Off by
+    # default so asterisks in text are never misparsed.
+    parse_prefix: bool = False
+    # safety cap on one prefix's expansion (raise, don't truncate: a
+    # silent cut would diverge from the oracle and from user intent)
+    max_prefix_expansion: int = 10_000
     scorer_concurrency: int | tuple[int, int] = (1, 8)
     scorer_batch_size: int = 64
     shard_cache_size: int = 64  # decoded shards cached per scorer actor

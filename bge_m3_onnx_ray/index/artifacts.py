@@ -285,6 +285,30 @@ class IndexMeta:
         self.docs_per_shard = self.stats["docs_per_shard"]
         self.shards = sorted(int(s) for s in self.manifest["shards"])
 
+    def expand_prefix(self, prefix: str, limit: int = 10_000) -> list[str]:
+        """Every dictionary term starting with ``prefix`` (wildcard-query
+        expansion): a range-pruned predicate-pushdown scan of the
+        bucketed dictionary + an exact startswith filter — never a full
+        dictionary read. Raises when the expansion exceeds ``limit``
+        (silent truncation would diverge from user intent)."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        d = os.path.join(self.index_dir, "dictionary")
+        if not prefix or not os.path.isdir(d) or not os.listdir(d):
+            return []
+        dset = pads.dataset(d, format="parquet")
+        t = dset.to_table(
+            filter=(pc.field("term") >= prefix)
+            & (pc.field("term") < prefix + "￿"), columns=["term"])
+        arr = t.column("term")
+        arr = arr.filter(pc.starts_with(arr, prefix))
+        terms = sorted(set(arr.to_pylist()))
+        if len(terms) > limit:
+            raise ValueError(
+                f"prefix {prefix!r}* expands to {len(terms)} terms "
+                f"(> max_prefix_expansion={limit}); narrow the prefix")
+        return terms
+
     def load_term_dfs(self, terms: list[str]) -> dict[str, int]:
         """Global df for a small set of query terms — predicate-pushdown
         scan of the dictionary (no broadcast of the full dictionary)."""

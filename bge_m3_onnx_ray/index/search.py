@@ -631,18 +631,35 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
                       queries.column("text").to_pylist())
     qlist = [(int(q), str(t)) for q, t in queries]
 
-    if cfg.parse_negation:
-        # "-word" tokens negate: a candidate must not contain any negated
-        # term (applied to the candidate set before top-k; OOV negations
-        # are no-ops). Splitting happens on the RAW text — the tokenizer
-        # itself drops '-' characters.
+    if cfg.parse_negation or cfg.parse_prefix:
+        # query syntax on the RAW text (the tokenizer drops '-'/'*'):
+        # "-word" negates (candidate must not contain the term; OOV
+        # negations are no-ops); "word*" expands to every dictionary
+        # term with that prefix (disjunctive BM25 over the expansion).
         qpos, qneg = {}, {}
         for qid, text in qlist:
             words = text.split()
-            negs = [w[1:] for w in words if w.startswith("-") and len(w) > 1]
-            poss = [w for w in words if not w.startswith("-")]
-            qpos[qid] = sorted(set(tok.tokenize(" ".join(poss))))
-            qneg[qid] = sorted({t for w in negs for t in tok.tokenize(w)})
+            if cfg.parse_negation:
+                negs = [w[1:] for w in words
+                        if w.startswith("-") and len(w) > 1]
+                words = [w for w in words if not w.startswith("-")]
+                qneg[qid] = sorted({t for w in negs for t in tok.tokenize(w)})
+            else:
+                qneg[qid] = []
+            terms: set[str] = set()
+            for w in words:
+                if cfg.parse_prefix and w.endswith("*") and len(w) > 1:
+                    ptoks = tok.tokenize(w[:-1])
+                    if not ptoks:
+                        continue
+                    # multi-token prefixes ("data-qu*"): all but the last
+                    # normalized token are literals, the last is the prefix
+                    terms.update(ptoks[:-1])
+                    terms.update(meta.expand_prefix(
+                        ptoks[-1], cfg.max_prefix_expansion))
+                else:
+                    terms.update(tok.tokenize(w))
+            qpos[qid] = sorted(terms)
         qterms = qpos
     else:
         qterms = {qid: sorted(set(tok.tokenize(text))) for qid, text in qlist}

@@ -51,6 +51,15 @@ DOC_NOT_QUERIES: list[tuple[int, str]] = [
     (4, "customer stream merge -the"),
 ]
 
+# Prefix (wildcard) queries: "word*" expands to every dictionary term
+# with that prefix; disjunctive BM25 over the expansion + literals.
+DOC_PREFIX_QUERIES: list[tuple[int, str]] = [
+    (0, "s* table"),        # wide expansion (scan slow small sort spark stream)
+    (1, "qu* key order"),
+    (2, "c*"),              # prefix-only query
+    (3, "zz* data"),        # empty expansion: literal terms only
+]
+
 # Quoted-phrase mixed queries ("..." spans are candidate filters, all
 # terms rank): two-phrase conjunction, OOV phrase (empty), phrase-only.
 DOC_QUOTED_QUERIES: list[tuple[int, str]] = [
@@ -268,6 +277,23 @@ def phrase_transcripts_topk(sf_dir: str, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(
         out[["query_id", "rank", "conv_id", "turn_idx", "tf", "score_q6"]],
         preserve_index=False)
+
+
+def bm25_documents_topk_prefix(sf_dir: str, k: int = 10) -> pa.Table:
+    """Wildcard retrieval: "word*" terms expand against the global
+    dictionary (range-pruned predicate-pushdown scan), ranked by the
+    standard disjunctive BM25 over expansion + literals. Same
+    shape/oracle conventions as :func:`bm25_documents_topk`."""
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    out = search(idx, DOC_PREFIX_QUERIES,
+                 QueryConfig(k=k, method="wand",
+                             parse_prefix=True)).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
 
 
 def bm25_documents_topk_quoted(sf_dir: str, k: int = 10) -> pa.Table:

@@ -168,3 +168,28 @@ def test_negation_bulk_equals_driver_path(tiny_index, tiny_corpus):
         g = g.sort_values("rank")
         b[int(qid)] = list(zip(g.doc_id.tolist(), g.score.tolist()))
     assert a == b
+
+
+@pytest.mark.parametrize("method", ["exhaustive", "wand"])
+def test_prefix_parity(tiny_index, tiny_corpus, method):
+    """'word*' wildcard expansion: engine ≡ oracle searched with the
+    manually expanded term set; empty expansion leaves literals only;
+    over-wide expansion raises."""
+    idx, _ = tiny_index
+    _, oi, _ = tiny_corpus
+    vocab = sorted(oi.postings)
+    prefix = vocab[len(vocab) // 2][:1]     # single char: several terms
+    expanded = sorted({t for t in vocab if t.startswith(prefix)})
+    assert len(expanded) >= 2
+    lit = vocab[0]
+    queries = [(0, f"{prefix}* {lit}"), (1, "zzznever* " + lit)]
+    got = _engine(idx, queries,
+                  QueryConfig(k=10, method=method, parse_prefix=True))
+    want0 = oi.search(" ".join(sorted(set(expanded) | {lit})), 10)
+    want1 = oi.search(lit, 10)
+    _assert_parity(got, {0: want0, 1: want1}, queries)
+    with pytest.raises(ValueError, match="expands to"):
+        from bge_m3_onnx_ray.index.search import search
+        search(idx, [(9, f"{prefix}*")],
+               QueryConfig(k=5, parse_prefix=True,
+                           max_prefix_expansion=1)).to_pandas()
