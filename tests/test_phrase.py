@@ -286,3 +286,38 @@ def test_positional_queries_require_artifact(ray_session, tiny_corpus,
         near_search(idx, [(0, "a", "b", 3)], k=5)
     with pytest.raises(ValueError, match="positional artifact"):
         search_quoted(idx, [(0, '"a b" c')], QueryConfig(k=5))
+
+
+def test_search_box_composition(positions_index):
+    """The full search-box syntax composes: quoted phrase filter +
+    prefix expansion + negation in ONE query, equal to the manually
+    assembled oracle result."""
+    from bge_m3_onnx_ray.config import QueryConfig
+    from bge_m3_onnx_ray.index.positions import search_quoted
+    idx, oi = positions_index
+    vocab = sorted(oi.postings)
+    prefix = vocab[len(vocab) // 2][:1]
+    expanded = {t for t in vocab if t.startswith(prefix)}
+    neg = max(oi.postings, key=lambda t: len(oi.postings[t]))
+    phrase = " ".join(oi.doc_tokens[0][:2])
+    text = f'"{phrase}" {prefix}* -{neg}'
+    got = search_quoted(
+        idx, [(0, text)],
+        QueryConfig(k=10, parse_negation=True, parse_prefix=True)
+    ).to_pandas().sort_values("rank")
+
+    # oracle: phrase-allowed ∩ not-containing-neg, ranked by BM25 over
+    # (phrase words ∪ prefix expansion)
+    terms = set(oi.tok.tokenize(phrase)) | expanded
+    m = len(oi.tok.tokenize(phrase))
+    pterms = oi.tok.tokenize(phrase)
+    allowed = {d for d, toks in enumerate(oi.doc_tokens)
+               if any(toks[i:i + m] == pterms
+                      for i in range(len(toks) - m + 1))}
+    excluded = {d for d, _ in oi.postings[neg]}
+    want = oi.search(" ".join(sorted(terms)), 10_000_000,
+                     allowed=allowed - excluded)[:10]
+    assert len(got) == len(want)
+    for (_, r), w in zip(got.iterrows(), want):
+        assert int(r.doc_id) == w["doc_id"]
+        assert abs(r.score - w["score"]) < 1e-12
