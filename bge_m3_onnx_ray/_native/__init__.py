@@ -3,9 +3,11 @@
 ``populate_alloc`` routes every >= 1 MiB numpy data buffer to
 ``mmap(MAP_POPULATE)`` with free-list reuse (see populate_alloc.c for
 the measured host pathology it fixes). The build is a single gcc
-invocation cached under /tmp keyed by source hash + python version;
-any failure (no gcc, non-Linux, old numpy) silently degrades to the
-stock allocator — correctness never depends on this module.
+invocation cached under a user-owned 0700 directory
+(``$XDG_CACHE_HOME/bge_m3_native``, ownership-checked before any load)
+keyed by source hash + python version; any failure (no gcc, non-Linux,
+old numpy, untrusted cache dir) silently degrades to the stock
+allocator — correctness never depends on this module.
 """
 
 from __future__ import annotations
