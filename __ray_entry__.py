@@ -114,6 +114,13 @@ def _q_prefix(sf_dir):
     return bm25_documents_topk_prefix(sf_dir)
 
 
+def _q_fuzzy(sf_dir):
+    # typo-tolerant retrieval: every token expands to its Levenshtein-
+    # distance-1 dictionary neighbourhood (oracle: SQL levenshtein join)
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_topk_fuzzy
+    return bm25_documents_topk_fuzzy(sf_dir)
+
+
 def _q_quoted(sf_dir):
     # mixed quoted-phrase retrieval: quoted spans filter candidates via
     # the positional artifact, BM25 ranks over all terms
@@ -395,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_documents_topk": _q_near,
         "bm25_documents_topk_quoted": _q_quoted,
         "bm25_documents_topk_prefix": _q_prefix,
+        "bm25_documents_topk_fuzzy": _q_fuzzy,
         "bm25_documents_bulk_topk": _q_bm25_bulk,
         "bm25_transcripts_topk": _q_bm25_transcripts,
         "bm25_transcripts_topk_exhaustive": _q_bm25_transcripts_exhaustive,
@@ -440,7 +448,8 @@ _TOKS = ("SELECT doc_id, unnest(regexp_extract_all(lower(text), "
 
 
 def _bm25_sql(conjunctive: bool = False, quantized_rank: bool = False,
-              query_set=None, parse_negation: bool = False) -> str:
+              query_set=None, parse_negation: bool = False,
+              fuzzy: bool = False) -> str:
     from bge_m3_onnx_ray.pipelines.flagship import DOC_QUERIES
     from bge_m3_onnx_ray.tokenizer import tokenize
     vals = []
@@ -455,6 +464,14 @@ def _bm25_sql(conjunctive: bool = False, quantized_rank: bool = False,
         for t in sorted(set(tokenize(text))):
             vals.append(f"({qid}, '{t}')")
     qvalues = ", ".join(vals)
+    # fuzzy: query tokens are WORDS that expand (inside SQL) to every
+    # corpus term within Levenshtein distance 1 — the independent mirror
+    # of IndexMeta.expand_fuzzy
+    qterms_cte = (f"""qwords(query_id, word) AS (VALUES {qvalues}),
+qterms AS (SELECT DISTINCT w.query_id, d.term
+           FROM qwords w JOIN dfs d ON levenshtein(w.word, d.term) <= 1)"""
+                  if fuzzy
+                  else f"qterms(query_id, term) AS (VALUES {qvalues})")
     # negation: a candidate must not contain ANY of the query's negated
     # terms (mirror of the engine's excluded-docID set)
     neg_cte = (f",\nqneg(query_id, term) AS (VALUES {', '.join(nvals)})"
@@ -478,7 +495,7 @@ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
                  (SELECT count(*) FROM toks)::DOUBLE
                    / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
 dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
-qterms(query_id, term) AS (VALUES {qvalues}){neg_cte},
+{qterms_cte}{neg_cte},
 scores AS (
   SELECT q.query_id, tf.doc_id,
          sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
@@ -1265,6 +1282,11 @@ def oracle_sql() -> dict[str, str]:
         "near_documents_topk": _near_sql(),
         "bm25_documents_topk_quoted": _quoted_sql(),
         "bm25_documents_topk_prefix": _prefix_sql(),
+        "bm25_documents_topk_fuzzy": _bm25_sql(
+            fuzzy=True,
+            query_set=__import__(
+                "bge_m3_onnx_ray.pipelines.flagship",
+                fromlist=["DOC_FUZZY_QUERIES"]).DOC_FUZZY_QUERIES),
         "bm25_documents_bulk_topk": bm25,
         "bm25_transcripts_topk": _bm25_transcripts_sql(),
         "bm25_transcripts_topk_exhaustive": _bm25_transcripts_sql(),

@@ -86,6 +86,14 @@ class QueryConfig:
     # safety cap on one prefix's expansion (raise, don't truncate: a
     # silent cut would diverge from the oracle and from user intent)
     max_prefix_expansion: int = 10_000
+    # fuzzy matching: when True, every positive query token expands to
+    # the dictionary terms within Levenshtein distance 1 of it
+    # (disjunctive BM25 over the union of expansions; a token with no
+    # near neighbours contributes nothing). Negated terms stay exact.
+    # Off by default: exact match is what a search box does until the
+    # user opts into typo tolerance.
+    parse_fuzzy: bool = False
+    max_fuzzy_expansion: int = 10_000
     scorer_concurrency: int | tuple[int, int] = (1, 8)
     scorer_batch_size: int = 64
     shard_cache_size: int = 64  # decoded shards cached per scorer actor

@@ -266,6 +266,29 @@ class ConvOffsets:
                    t.column("n_turns").to_numpy(), nondense)
 
 
+def _within_one_edit(a: str, b: str) -> bool:
+    """Character-level Levenshtein(a, b) <= 1 without the full DP: equal
+    lengths need at most one substitution; off-by-one lengths need the
+    longer string minus one character to equal the shorter."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return False
+                seen = True
+        return True
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
 class IndexMeta:
     """Loaded stats + manifest; the query-side handle on an index."""
 
@@ -308,6 +331,44 @@ class IndexMeta:
                 f"prefix {prefix!r}* expands to {len(terms)} terms "
                 f"(> max_prefix_expansion={limit}); narrow the prefix")
         return terms
+
+    def expand_fuzzy(self, term: str, limit: int = 10_000) -> list[str]:
+        """Every dictionary term within Levenshtein distance 1 of
+        ``term`` (fuzzy-query expansion; includes the term itself when
+        indexed). The scan is length-banded (an edit-distance-1 match
+        differs in length by at most one, pushed down as a
+        ``utf8_length`` filter), then confirmed with the exact
+        character-level one-edit check — character-level so multibyte
+        (non-ASCII) terms count edits like DuckDB's ``levenshtein``
+        does, not like a byte comparison would.
+
+        Scale note: unlike prefix expansion this cannot range-prune on
+        the sorted term column (a substitution at position 0 lands
+        anywhere in the dictionary), so the cost is one columnar scan of
+        the length band per unique query token — fine for the 1e6–1e7
+        vocabularies real corpora have. A 1e8+-term dictionary would
+        want a precomputed deletion-neighborhood (SymSpell) side table;
+        not built here.
+        """
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        d = os.path.join(self.index_dir, "dictionary")
+        if not term or not os.path.isdir(d) or not os.listdir(d):
+            return []
+        dset = pads.dataset(d, format="parquet")
+        n = len(term)
+        t = dset.to_table(
+            filter=(pc.utf8_length(pc.field("term")) >= n - 1)
+            & (pc.utf8_length(pc.field("term")) <= n + 1),
+            columns=["term"])
+        out = sorted({c for c in set(t.column("term").to_pylist())
+                      if _within_one_edit(term, c)})
+        if len(out) > limit:
+            raise ValueError(
+                f"fuzzy term {term!r} expands to {len(out)} terms "
+                f"(> max_fuzzy_expansion={limit}); raise the cap or use "
+                "an exact query")
+        return out
 
     def load_term_dfs(self, terms: list[str]) -> dict[str, int]:
         """Global df for a small set of query terms — predicate-pushdown

@@ -631,12 +631,15 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
                       queries.column("text").to_pylist())
     qlist = [(int(q), str(t)) for q, t in queries]
 
-    if cfg.parse_negation or cfg.parse_prefix:
+    if cfg.parse_negation or cfg.parse_prefix or cfg.parse_fuzzy:
         # query syntax on the RAW text (the tokenizer drops '-'/'*'):
         # "-word" negates (candidate must not contain the term; OOV
         # negations are no-ops); "word*" expands to every dictionary
-        # term with that prefix (disjunctive BM25 over the expansion).
+        # term with that prefix (disjunctive BM25 over the expansion);
+        # parse_fuzzy expands every positive token to its Levenshtein-
+        # distance-1 dictionary neighbourhood (negations stay exact).
         qpos, qneg = {}, {}
+        fuzzy_memo: dict[str, list[str]] = {}  # one dict scan per token
         for qid, text in qlist:
             words = text.split()
             if cfg.parse_negation:
@@ -657,6 +660,13 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
                     terms.update(ptoks[:-1])
                     terms.update(meta.expand_prefix(
                         ptoks[-1], cfg.max_prefix_expansion))
+                elif cfg.parse_fuzzy:
+                    for t in tok.tokenize(w):
+                        got = fuzzy_memo.get(t)
+                        if got is None:
+                            got = fuzzy_memo[t] = meta.expand_fuzzy(
+                                t, cfg.max_fuzzy_expansion)
+                        terms.update(got)
                 else:
                     terms.update(tok.tokenize(w))
             qpos[qid] = sorted(terms)

@@ -60,6 +60,21 @@ DOC_PREFIX_QUERIES: list[tuple[int, str]] = [
     (3, "zz* data"),        # empty expansion: literal terms only
 ]
 
+# Fuzzy (typo-tolerant) queries: every token expands to its
+# Levenshtein-distance-1 dictionary neighbourhood. Misspellings with a
+# unique target, an exact in-vocabulary word (always-expand semantics),
+# a no-neighbour token (empty result), and a multi-expansion token
+# ("sow" -> {slow, row}).
+DOC_FUZZY_QUERIES: list[tuple[int, str]] = [
+    (0, "keey orde sort"),          # keey->key, orde->order
+    (1, "spark qury"),              # qury->query
+    (2, "tble filtr"),              # tble->table, filtr->filter
+    (3, "data"),                    # exact term: expansion includes itself
+    (4, "zzzneverseen"),            # no dist-1 neighbour: empty result
+    (5, "custmer streem mrge"),     # customer / stream / merge
+    (6, "sow"),                     # multi-expansion: slow AND row
+]
+
 # Quoted-phrase mixed queries ("..." spans are candidate filters, all
 # terms rank): two-phrase conjunction, OOV phrase (empty), phrase-only.
 DOC_QUOTED_QUERIES: list[tuple[int, str]] = [
@@ -289,6 +304,26 @@ def bm25_documents_topk_prefix(sf_dir: str, k: int = 10) -> pa.Table:
     out = search(idx, DOC_PREFIX_QUERIES,
                  QueryConfig(k=k, method="wand",
                              parse_prefix=True)).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
+
+
+def bm25_documents_topk_fuzzy(sf_dir: str, k: int = 10) -> pa.Table:
+    """Typo-tolerant retrieval: each query token expands to the
+    dictionary terms within Levenshtein distance 1
+    (``IndexMeta.expand_fuzzy``), ranked by the standard disjunctive
+    BM25 over the union of expansions. Same shape/oracle conventions as
+    :func:`bm25_documents_topk`; the DuckDB oracle mirrors the expansion
+    with ``levenshtein(word, term) <= 1`` against the corpus-derived
+    dictionary."""
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    out = search(idx, DOC_FUZZY_QUERIES,
+                 QueryConfig(k=k, method="wand",
+                             parse_fuzzy=True)).to_pandas()
     out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
     out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
     out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)

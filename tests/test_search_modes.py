@@ -170,6 +170,51 @@ def test_negation_bulk_equals_driver_path(tiny_index, tiny_corpus):
     assert a == b
 
 
+def _lev(a: str, b: str) -> int:
+    """Full Levenshtein DP — intentionally independent of the engine's
+    prefix/suffix one-edit shortcut so the test checks it from scratch."""
+    prev = list(range(len(b) + 1))
+    for i, x in enumerate(a, 1):
+        cur = [i]
+        for j, y in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (x != y)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.mark.parametrize("method", ["exhaustive", "wand"])
+def test_fuzzy_parity(tiny_index, tiny_corpus, method):
+    """parse_fuzzy: engine ≡ oracle searched with the manually computed
+    Levenshtein-distance-1 expansion (full-DP on the oracle side);
+    no-neighbour tokens contribute nothing; over-wide expansion raises."""
+    idx, _ = tiny_index
+    _, oi, _ = tiny_corpus
+    vocab = sorted(oi.postings)
+    base = max((t for t in vocab if len(t) >= 4), key=len)
+    typo = base[:2] + base[3:]               # one deletion: lev 1 from base
+    exact = vocab[len(vocab) // 2]
+    queries = [(0, f"{typo} {exact}"), (1, "zzzneverseen"), (2, typo)]
+    got = _engine(idx, queries,
+                  QueryConfig(k=10, method=method, parse_fuzzy=True))
+    want = {}
+    for qid, text in queries:
+        terms = set()
+        for w in text.split():
+            for t in oi.tok.tokenize(w):
+                terms |= {v for v in vocab if _lev(t, v) <= 1}
+        want[qid] = oi.search(" ".join(sorted(terms)), 10) if terms else []
+    assert want[0] and want[2]                    # non-vacuous
+    assert got.get(1, []) == []                   # no neighbours: empty
+    _assert_parity(got, want, queries)
+    wide = min(vocab, key=len)                    # short token: many hits
+    if sum(_lev(wide, v) <= 1 for v in vocab) > 1:
+        with pytest.raises(ValueError, match="expands to"):
+            search(idx, [(9, wide)],
+                   QueryConfig(k=5, parse_fuzzy=True,
+                               max_fuzzy_expansion=1)).to_pandas()
+
+
 @pytest.mark.parametrize("method", ["exhaustive", "wand"])
 def test_prefix_parity(tiny_index, tiny_corpus, method):
     """'word*' wildcard expansion: engine ≡ oracle searched with the
