@@ -285,6 +285,14 @@ def _q_ivf(sf_dir):
                     exclude={int(v): int(v) for v in qdf.vec_id})
 
 
+def _q_hybrid(sf_dir):
+    # hybrid lexical+dense retrieval: BM25 top-20 + exact-cosine top-20
+    # fused by reciprocal-rank fusion (the BGE-M3 sparse+dense fusion
+    # shape re-expressed over the engine's two retrieval paths)
+    from bge_m3_onnx_ray.pipelines.flagship import hybrid_rrf_topk
+    return hybrid_rrf_topk(sf_dir)
+
+
 def _q_lsh_buckets(sf_dir):
     from bge_m3_onnx_ray.stages.ann import lsh_buckets
     emb = _embeddings(sf_dir)
@@ -431,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dups,
         "ann_cosine_topk": _q_ann,
         "ivf_cosine_topk": _q_ivf,
+        "hybrid_rrf_topk": _q_hybrid,
         "lsh_buckets": _q_lsh_buckets,
         "doc_term_weights": _q_doc_term_weights,
         "revenue_by_segment": _q_revenue_by_segment,
@@ -1246,6 +1255,74 @@ FROM c
 """
 
 
+def _hybrid_sql(k: int = 10, fetch: int = 20, rrf_k: int = 60) -> str:
+    """RRF fusion oracle: BM25 ranks (documents) + exact-cosine ranks
+    (embeddings; vec_id ≡ doc_id in the synthetic linkage), fused as
+    sum(1/(rrf_k + rank)) over the two top-`fetch` lists. Mirrors
+    pipelines.flagship.hybrid_rrf_topk exactly — both rankings use the
+    same tie-breaks as their standalone oracles."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_QUERIES
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    vals = []
+    for qid, text in DOC_QUERIES[:5]:
+        for t in sorted(set(tokenize(text))):
+            vals.append(f"({qid}, '{t}')")
+    qvalues = ", ".join(vals)
+    return f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM toks)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+qterms(query_id, term) AS (VALUES {qvalues}),
+bm_scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+bm_ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM bm_scores),
+qv AS (SELECT vec_id AS query_id, embedding AS v FROM embeddings
+       WHERE vec_id < 5),
+sims AS (SELECT qv.query_id, e.vec_id AS doc_id,
+                list_cosine_similarity(qv.v, e.embedding) AS cos
+         FROM qv CROSS JOIN embeddings e),
+cos_ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, doc_id) AS rnk
+  FROM sims),
+contrib AS (
+  SELECT query_id, doc_id, 1.0 / ({rrf_k} + rnk) AS c
+  FROM bm_ranked WHERE rnk <= {fetch}
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / ({rrf_k} + rnk)
+  FROM cos_ranked WHERE rnk <= {fetch}),
+fused AS (SELECT query_id, doc_id, sum(c) AS rrf
+          FROM contrib GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id) AS rnk
+  FROM fused)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
+       doc_id::BIGINT AS doc_id,
+       CAST(floor(rrf * 1000000000) AS BIGINT) AS rrf_q9
+FROM ranked WHERE rnk <= {k} ORDER BY query_id, "rank"
+"""
+
+
 # Exact cosine top-k oracle: shared by ann_cosine_topk (brute force) and
 # ivf_cosine_topk (all lists probed => identical-by-construction results)
 _ANN_SQL = """
@@ -1423,6 +1500,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """,
         "ivf_cosine_topk": _ANN_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "hybrid_rrf_topk": _hybrid_sql(),
         "doc_term_weights": f"""
 WITH toks AS ({_TOKS}),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks

@@ -461,6 +461,82 @@ def bm25_documents_bulk_topk(sf_dir: str, k: int = 10) -> pa.Table:
                                 preserve_index=False)
 
 
+def hybrid_rrf_topk(sf_dir: str, k: int = 10, fetch: int = 20,
+                    rrf_k: int = 60) -> pa.Table:
+    """Hybrid lexical+dense retrieval with reciprocal-rank fusion — the
+    reference model's core idea (BGE-M3's sparse and dense heads are
+    fused at query time; ``bge_m3_embedder.py`` returns both) re-expressed
+    over this engine's two retrieval paths:
+
+    - lexical: BM25 top-``fetch`` from the documents index (text query);
+    - dense: exact cosine top-``fetch`` over the embeddings table (the
+      query vector is embeddings[vec_id == query_id]; the synthetic
+      corpus links vec_id ≡ doc_id).
+
+    Fusion: RRF(doc) = Σ_lists 1/(rrf_k + rank) — rank-based so the two
+    engines' incomparable score scales never mix; docs on one list only
+    get that list's term. Both retrievals are the existing distributed
+    pipelines; the fusion itself is a per-query ``map_groups`` over the
+    union of the two (query_id, doc_id, contribution) sets (≤ 2·fetch
+    rows per query — at 10⁹ queries this stays one tiny shuffle keyed by
+    query_id). Output (query_id, rank, doc_id, rrf_q9); ties break by
+    doc_id; the DuckDB oracle mirrors both rankings and the fusion
+    arithmetic exactly (1/(60+r) sums are order-independent doubles).
+    """
+    import pyarrow.compute as pc
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    bm = search(idx, DOC_QUERIES[:5], QueryConfig(k=fetch, method="wand"))
+
+    def bm_contrib(t: pa.Table) -> pa.Table:
+        ranks = t.column("rank").to_numpy().astype(np.float64)
+        return pa.table({
+            "query_id": t.column("query_id"),
+            "doc_id": pc.cast(pc.utf8_slice_codeunits(
+                t.column("conv_id"), 4, 99), pa.int64()),
+            "c": pa.array(1.0 / (rrf_k + ranks), pa.float64())})
+
+    from bge_m3_onnx_ray.stages.ann import brute_force_topk
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qdf = emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 5)),
+                          batch_format="pyarrow").to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    cos = brute_force_topk(emb, np.stack(qdf.embedding.to_numpy()),
+                           qdf.vec_id.to_numpy(), k=fetch)
+
+    def cos_contrib(t: pa.Table) -> pa.Table:
+        ranks = t.column("rank").to_numpy().astype(np.float64)
+        return pa.table({
+            "query_id": t.column("query_id"),
+            "doc_id": t.column("vec_id"),
+            "c": pa.array(1.0 / (rrf_k + ranks), pa.float64())})
+
+    both = bm.map_batches(bm_contrib, batch_format="pyarrow").union(
+        cos.map_batches(cos_contrib, batch_format="pyarrow"))
+
+    def fuse(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        d = group.column("doc_id").to_numpy()
+        c = group.column("c").to_numpy()
+        uniq, inv = np.unique(d, return_inverse=True)
+        # ≤2 contributions per doc: a two-operand float add is
+        # order-independent, so the sum is bit-stable under shuffle order
+        rrf = np.zeros(len(uniq), np.float64)
+        np.add.at(rrf, inv, c)
+        order = np.lexsort((uniq, -rrf))[:k]
+        return pa.table({
+            "query_id": pa.array(np.full(len(order), qid), pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32),
+                             pa.int32()),
+            "doc_id": pa.array(uniq[order], pa.int64()),
+            "rrf_q9": pa.array(np.floor(rrf[order] * 1e9).astype(np.int64),
+                               pa.int64())})
+
+    out = both.groupby("query_id").map_groups(fuse, batch_format="pyarrow") \
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 TRANSCRIPTS_DOCS_PER_SHARD = 65536
 
 
