@@ -114,6 +114,21 @@ def _q_prefix(sf_dir):
     return bm25_documents_topk_prefix(sf_dir)
 
 
+def _q_bm25_deleted(sf_dir):
+    # tombstone deletes, live-docs semantics: deleted docs never surface
+    # while N/avgdl/df keep their as-built values (index.delete)
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_topk_deleted
+    return bm25_documents_topk_deleted(sf_dir)
+
+
+def _q_bm25_deleted_compacted(sf_dir):
+    # the same tombstoned index after compaction dropped the deletes
+    # physically: stats recomputed over survivors (index.compact)
+    from bge_m3_onnx_ray.pipelines.flagship import (
+        bm25_documents_topk_deleted_compacted)
+    return bm25_documents_topk_deleted_compacted(sf_dir)
+
+
 def _q_fuzzy(sf_dir):
     # typo-tolerant retrieval: every token expands to its Levenshtein-
     # distance-1 dictionary neighbourhood (oracle: SQL levenshtein join)
@@ -411,6 +426,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk_quoted": _q_quoted,
         "bm25_documents_topk_prefix": _q_prefix,
         "bm25_documents_topk_fuzzy": _q_fuzzy,
+        "bm25_documents_topk_deleted": _q_bm25_deleted,
+        "bm25_documents_topk_deleted_compacted": _q_bm25_deleted_compacted,
         "bm25_documents_bulk_topk": _q_bm25_bulk,
         "bm25_transcripts_topk": _q_bm25_transcripts,
         "bm25_transcripts_topk_exhaustive": _q_bm25_transcripts_exhaustive,
@@ -458,7 +475,13 @@ _TOKS = ("SELECT doc_id, unnest(regexp_extract_all(lower(text), "
 
 def _bm25_sql(conjunctive: bool = False, quantized_rank: bool = False,
               query_set=None, parse_negation: bool = False,
-              fuzzy: bool = False) -> str:
+              fuzzy: bool = False, candidate_where: str | None = None,
+              corpus_where: str | None = None) -> str:
+    """``candidate_where``: extra predicate on candidates only — global
+    stats stay corpus-wide (tombstone live-docs semantics).
+    ``corpus_where``: predicate on the CORPUS itself — stats, dfs and
+    candidates all recomputed over the filtered documents (the state
+    after a tombstone-dropping compaction)."""
     from bge_m3_onnx_ray.pipelines.flagship import DOC_QUERIES
     from bge_m3_onnx_ray.tokenizer import tokenize
     vals = []
@@ -485,10 +508,18 @@ qterms AS (SELECT DISTINCT w.query_id, d.term
     # terms (mirror of the engine's excluded-docID set)
     neg_cte = (f",\nqneg(query_id, term) AS (VALUES {', '.join(nvals)})"
                if nvals else "")
-    neg_where = ("""
-  WHERE NOT EXISTS (SELECT 1 FROM toks tx JOIN qneg nq ON nq.term = tx.term
+    preds = []
+    if nvals:
+        preds.append(
+            """NOT EXISTS (SELECT 1 FROM toks tx JOIN qneg nq ON nq.term = tx.term
                     WHERE nq.query_id = q.query_id
-                      AND tx.doc_id = tf.doc_id)""" if nvals else "")
+                      AND tx.doc_id = tf.doc_id)""")
+    if candidate_where:
+        preds.append(candidate_where)
+    neg_where = ("\n  WHERE " + "\n    AND ".join(preds)) if preds else ""
+    toks_src = _TOKS + (f" WHERE {corpus_where}" if corpus_where else "")
+    nexpr = ("(SELECT count(*) FROM documents"
+             + (f" WHERE {corpus_where})" if corpus_where else ")"))
     # boolean AND: a doc is a candidate only if it matched EVERY distinct
     # query term (a query with an OOV term therefore matches nothing)
     having = ("""
@@ -497,12 +528,12 @@ qterms AS (SELECT DISTINCT w.query_id, d.term
                                    WHERE x.query_id = q.query_id)"""
               if conjunctive else "")
     return f"""
-WITH toks AS ({_TOKS}),
+WITH toks AS ({toks_src}),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
-stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+stats AS (SELECT {nexpr}::DOUBLE AS n,
                  (SELECT count(*) FROM toks)::DOUBLE
-                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+                   / {nexpr}::DOUBLE AS avgdl),
 dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 {qterms_cte}{neg_cte},
 scores AS (
@@ -1364,6 +1395,13 @@ def oracle_sql() -> dict[str, str]:
             query_set=__import__(
                 "bge_m3_onnx_ray.pipelines.flagship",
                 fromlist=["DOC_FUZZY_QUERIES"]).DOC_FUZZY_QUERIES),
+        # tombstones, live-docs semantics: full-corpus stats, deleted
+        # docs excluded from candidates only
+        "bm25_documents_topk_deleted": _bm25_sql(
+            candidate_where="(tf.doc_id % 7) <> 3"),
+        # after compaction: stats AND candidates over the survivors
+        "bm25_documents_topk_deleted_compacted": _bm25_sql(
+            corpus_where="(doc_id % 7) <> 3"),
         "bm25_documents_bulk_topk": bm25,
         "bm25_transcripts_topk": _bm25_transcripts_sql(),
         "bm25_transcripts_topk_exhaustive": _bm25_transcripts_sql(),

@@ -20,6 +20,10 @@ restores the fresh-build invariant — docID = dense rank of
 Because the encode path is deterministic, the compacted artifacts are
 BYTE-IDENTICAL to a from-scratch build over the union corpus (the
 parity test hashes both trees) — compaction provably loses nothing.
+When the index carries tombstones (``index.delete``), compaction also
+drops the deleted documents physically and recomputes N/total_len/avgdl,
+byte-identical to a fresh build over the SURVIVING corpus
+(tests/test_delete.py hashes that pair of trees too).
 A positional artifact, if present and current, is compacted the same
 way (decode → remap → re-segment → merge; also byte-identical to a
 fresh ``build_positions``). Attrs side tables are not carried over
@@ -47,28 +51,44 @@ from bge_m3_onnx_ray.index.build import (
 )
 
 
-def _dense_offsets(old: ConvOffsets) -> tuple[ConvOffsets, np.ndarray, np.ndarray]:
+def _dense_offsets(old: ConvOffsets, keep_conv: np.ndarray | None = None
+                   ) -> tuple[ConvOffsets, np.ndarray, np.ndarray]:
     """Dense lexicographic offsets + the old-row-order arrays needed for
     the docID remap: returns (new_offsets, old_starts_sorted_by_start,
-    new_starts_in_old_start_order)."""
-    order = pc.sort_indices(old._conv_arrow).to_numpy().astype(np.int64)
-    conv_sorted = old._conv_arrow.take(pa.array(order))
-    counts_sorted = old.counts[order]
+    new_starts_in_old_start_order). ``keep_conv`` (bool per old conv
+    row) drops tombstoned conversations from the new docID space; a
+    dropped conv's slot in the remap array is poisoned (int64 min) —
+    the remap stages filter its rows before the shift is applied."""
+    n = len(old.counts)
+    kept_idx = (np.arange(n, dtype=np.int64) if keep_conv is None
+                else np.flatnonzero(keep_conv))
+    kept_convs = old._conv_arrow.take(pa.array(kept_idx))
+    order_k = pc.sort_indices(kept_convs).to_numpy().astype(np.int64)
+    conv_sorted = kept_convs.take(pa.array(order_k))
+    counts_sorted = old.counts[kept_idx][order_k]
     new_starts_sorted = np.zeros(len(counts_sorted), np.int64)
     np.cumsum(counts_sorted[:-1], out=new_starts_sorted[1:])
-    # nondense rank maps carry over per conversation unchanged
+    # nondense rank maps carry over per surviving conversation unchanged
+    nondense = dict(old.nondense)
+    if nondense and keep_conv is not None:
+        kept_set = set(conv_sorted.to_pylist())
+        nondense = {c: m for c, m in nondense.items() if c in kept_set}
     new_off = ConvOffsets(conv_sorted, new_starts_sorted, counts_sorted,
-                          dict(old.nondense))
+                          nondense)
     # remap arrays in OLD start order (old.starts ascending by contract)
-    new_starts_old_order = np.empty(len(order), np.int64)
-    new_starts_old_order[order] = new_starts_sorted
+    new_starts_old_order = np.full(n, np.iinfo(np.int64).min, np.int64)
+    new_starts_old_order[kept_idx[order_k]] = new_starts_sorted
     return new_off, old.starts, new_starts_old_order
 
 
 def _make_remap_fn(old_starts: np.ndarray, new_starts_old_order: np.ndarray,
-                   docs_per_shard: int, term_buckets: int, block_size: int):
+                   docs_per_shard: int, term_buckets: int, block_size: int,
+                   keep_conv: np.ndarray | None = None):
     """Stage: old POSTINGS_SCHEMA rows → SPIMI segment rows with remapped,
-    re-sorted docIDs (the exact contract `make_encode_group_fn` merges)."""
+    re-sorted docIDs (the exact contract `make_encode_group_fn` merges).
+    ``keep_conv``: rows of tombstoned (dropped) conversations are
+    filtered out before the shift — this is where deletes become
+    physical."""
 
     def remap(batch: pa.Table) -> pa.Table:
         from bge_m3_onnx_ray.index.build import _POSTROW_SCHEMA
@@ -81,6 +101,12 @@ def _make_remap_fn(old_starts: np.ndarray, new_starts_old_order: np.ndarray,
         term_codes = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
         # piecewise shift: docID - old_conv_start + new_conv_start
         conv_i = np.searchsorted(old_starts, docs, side="right") - 1
+        if keep_conv is not None:
+            m = keep_conv[conv_i]
+            docs, tfs, dls = docs[m], tfs[m], dls[m]
+            term_codes, conv_i = term_codes[m], conv_i[m]
+            if not len(docs):
+                return _POSTROW_SCHEMA.empty_table()
         new_docs = docs - old_starts[conv_i] + new_starts_old_order[conv_i]
         shard = new_docs // docs_per_shard
         order = np.lexsort((new_docs, term_codes, shard))
@@ -100,6 +126,11 @@ def _make_remap_fn(old_starts: np.ndarray, new_starts_old_order: np.ndarray,
         docs = batch.column("doc_id").to_numpy().astype(np.int64)
         dls = batch.column("dl").to_numpy().astype(np.int64)
         conv_i = np.searchsorted(old_starts, docs, side="right") - 1
+        if keep_conv is not None:
+            m = keep_conv[conv_i]
+            docs, dls, conv_i = docs[m], dls[m], conv_i[m]
+            if not len(docs):
+                return _POSTROW_SCHEMA.empty_table()
         new_docs = docs - old_starts[conv_i] + new_starts_old_order[conv_i]
         shard = new_docs // docs_per_shard
         order = np.lexsort((new_docs, shard))
@@ -114,7 +145,8 @@ def _make_remap_fn(old_starts: np.ndarray, new_starts_old_order: np.ndarray,
 
 def _make_remap_positions_fn(old_starts: np.ndarray,
                              new_starts_old_order: np.ndarray,
-                             docs_per_shard: int, term_buckets: int):
+                             docs_per_shard: int, term_buckets: int,
+                             keep_conv: np.ndarray | None = None):
     """Stage: old POSITIONS_SCHEMA rows → occurrence segment rows with
     remapped, re-sorted docIDs (positions within a doc are unchanged)."""
 
@@ -136,6 +168,12 @@ def _make_remap_positions_fn(old_starts: np.ndarray,
         terms = batch.column("term")
         term_codes = np.repeat(np.arange(len(ns), dtype=np.int64), ns)
         conv_i = np.searchsorted(old_starts, docs, side="right") - 1
+        if keep_conv is not None:
+            m = keep_conv[conv_i]
+            docs, poss = docs[m], poss[m]
+            term_codes, conv_i = term_codes[m], conv_i[m]
+            if not len(docs):
+                return _OCCROW_SCHEMA.empty_table()
         new_docs = docs - old_starts[conv_i] + new_starts_old_order[conv_i]
         shard = new_docs // docs_per_shard
         order = np.lexsort((poss, new_docs, term_codes, shard))
@@ -183,11 +221,31 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
         raise ValueError(f"compaction target {out_dir!r} is not empty")
     os.makedirs(out_dir, exist_ok=True)
 
-    new_off, old_starts, new_starts_old_order = _dense_offsets(old)
+    # tombstones (index.delete): drop the deleted documents physically.
+    # Only whole-conversation deletions compact (a partial conv would
+    # change its turn-rank maps — delete_convs is the granularity the
+    # lifecycle supports end-to-end); raise rather than silently skew.
+    from bge_m3_onnx_ray.index.delete import load_tombstones
+    tombs = load_tombstones(index_dir)
+    keep_conv = None
+    if len(tombs):
+        conv_i = np.searchsorted(old.starts, tombs, side="right") - 1
+        per_conv = np.bincount(conv_i, minlength=len(old.counts))
+        partial = (per_conv > 0) & (per_conv != old.counts)
+        if partial.any():
+            bad = old._conv_arrow.take(
+                pa.array(np.flatnonzero(partial)[:5])).to_pylist()
+            raise NotImplementedError(
+                f"tombstones cover conversations partially ({bad}); "
+                "compaction drops whole conversations only — use "
+                "delete_convs, or rebuild from source")
+        keep_conv = per_conv == 0
+
+    new_off, old_starts, new_starts_old_order = _dense_offsets(old, keep_conv)
     new_off.save(out_dir)
     remap, remap_doclens = _make_remap_fn(
         old_starts, new_starts_old_order, cfg.docs_per_shard,
-        cfg.term_buckets, cfg.block_size)
+        cfg.term_buckets, cfg.block_size, keep_conv)
 
     post_files = sorted(glob.glob(os.path.join(index_dir, "postings",
                                                "*.parquet")))
@@ -232,9 +290,11 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
         else:
             s["postings_bytes"] += e["nbytes"]
             postings_bytes += e["nbytes"]
-    assert n_docs == stats["n_docs"], \
-        f"compaction lost documents: {n_docs} vs {stats['n_docs']}"
-    assert total_len == stats["total_len"], "compaction lost tokens"
+    assert n_docs == new_off.n_docs, \
+        f"compaction lost documents: {n_docs} vs {new_off.n_docs}"
+    if keep_conv is None:
+        assert n_docs == stats["n_docs"], "doc count drifted from stats"
+        assert total_len == stats["total_len"], "compaction lost tokens"
     dps = cfg.docs_per_shard
     for sid, e in shards.items():
         e["doc_lo"] = int(sid) * dps
@@ -246,7 +306,8 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
                                                  has_positions)
     if has_positions(index_dir):
         remap_pos = _make_remap_positions_fn(
-            old_starts, new_starts_old_order, dps, cfg.term_buckets)
+            old_starts, new_starts_old_order, dps, cfg.term_buckets,
+            keep_conv)
         pos_files = sorted(glob.glob(os.path.join(index_dir, "positions",
                                                   "*.parquet")))
         pos_segs = rd.read_parquet(pos_files).map_batches(
@@ -271,6 +332,11 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
     new_stats["n_shards"] = (new_off.n_docs + dps - 1) // dps
     new_stats["n_terms"] = n_terms
     new_stats["postings_bytes"] = postings_bytes
+    # after dropping tombstoned docs the corpus stats change: recompute
+    # exactly as a fresh build does (build.py stats: avgdl = total/n)
+    new_stats["n_docs"] = n_docs
+    new_stats["total_len"] = total_len
+    new_stats["avgdl"] = (total_len / n_docs) if n_docs else 0.0
     atomic_write_json(new_stats, os.path.join(out_dir, "stats.json"))
     digest = _offsets_digest(new_off)
     atomic_write_json({"shards": shards,
@@ -288,4 +354,5 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
             "n_shards": new_stats["n_shards"],
             "postings_bytes": postings_bytes,
             "positions_groups": n_pos_groups,
+            "dropped_docs": int(len(tombs)),
             "seconds": round(time.perf_counter() - t_start, 2)}

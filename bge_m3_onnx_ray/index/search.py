@@ -21,6 +21,7 @@ full evaluation walks the same sorted term set from 0.0).
 
 from __future__ import annotations
 
+import os
 from collections import OrderedDict
 
 import numpy as np
@@ -407,6 +408,12 @@ class ShardScorer:
         else:
             self.allow_by_query = None
         self._allowed_cache: OrderedDict[int, np.ndarray] = OrderedDict()
+        # tombstones (index.delete): deleted docs never surface, while
+        # N/avgdl/df keep their as-built values until compaction —
+        # Lucene's live-docs semantics. Presence checked once per actor.
+        from bge_m3_onnx_ray.index.delete import tombstones_file
+        self._has_tombstones = os.path.exists(tombstones_file(index_dir))
+        self._tomb_cache: OrderedDict[int, np.ndarray] = OrderedDict()
         self.cache: OrderedDict[int, dict[str, EncodedPostings]] = OrderedDict()
         self.cache_size = cache_size
 
@@ -427,6 +434,22 @@ class ShardScorer:
                 self._allowed_cache.popitem(last=False)
         else:
             self._allowed_cache.move_to_end(shard)
+        return got
+
+    def _deleted(self, shard: int) -> np.ndarray:
+        """This shard's tombstoned docIDs (sorted), loaded once per shard
+        via row-group predicate pushdown and LRU-cached."""
+        got = self._tomb_cache.get(shard)
+        if got is None:
+            from bge_m3_onnx_ray.index.delete import load_tombstones_range
+            dps = self.meta.docs_per_shard
+            got = load_tombstones_range(self.meta.index_dir,
+                                        shard * dps, (shard + 1) * dps)
+            self._tomb_cache[shard] = got
+            while len(self._tomb_cache) > self.cache_size:
+                self._tomb_cache.popitem(last=False)
+        else:
+            self._tomb_cache.move_to_end(shard)
         return got
 
     def _shard_postings(self, shard: int, terms: list[str]) -> dict[str, EncodedPostings]:
@@ -521,6 +544,11 @@ class ShardScorer:
                     nds.append(got[0])
                 if nds:
                     excluded = np.unique(np.concatenate(nds))
+            if self._has_tombstones:
+                dele = self._deleted(int(shard))
+                if len(dele):
+                    excluded = (dele if excluded is None
+                                else np.union1d(excluded, dele))
             decoded = {}
             for t, e in avail.items():
                 got = dec_memo.get((shard, t))

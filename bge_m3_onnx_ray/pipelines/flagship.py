@@ -461,6 +461,76 @@ def bm25_documents_bulk_topk(sf_dir: str, k: int = 10) -> pa.Table:
                                 preserve_index=False)
 
 
+# Deterministic delete rule for the lifecycle gates: the synthetic
+# corpus links global docID ≡ documents.doc_id (one-turn convs named
+# doc-%08d sort in docID order), so the SQL oracle expresses the same
+# set as doc_id % 7 = 3.
+_DEL_MOD, _DEL_REM = 7, 3
+
+
+def _deleted_docs_index(sf_dir: str) -> str:
+    """A documents index with doc_id % 7 == 3 tombstoned — its own cache
+    dir so the shared plain-documents index stays tombstone-free."""
+    import json as _json
+
+    from bge_m3_onnx_ray.index.delete import delete_docs
+    key = "documents-del-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    with open(os.path.join(idx, "stats.json")) as f:
+        n = _json.load(f)["n_docs"]
+    ids = np.arange(n, dtype=np.int64)
+    delete_docs(idx, ids[ids % _DEL_MOD == _DEL_REM])  # idempotent
+    return idx
+
+
+def bm25_documents_topk_deleted(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-k BM25 over an index with tombstoned documents — Lucene
+    live-docs semantics: deleted docs never surface, but N/avgdl/df keep
+    their as-built values until compaction. The DuckDB oracle scores the
+    FULL corpus and only excludes the deleted candidates, mirroring that
+    exactly. Same output shape as :func:`bm25_documents_topk`."""
+    idx = _deleted_docs_index(sf_dir)
+    out = search(idx, DOC_QUERIES, QueryConfig(k=k, method="wand")).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    assert not ((out["doc_id"] % _DEL_MOD) == _DEL_REM).any(), \
+        "tombstoned doc surfaced"
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
+
+
+def bm25_documents_topk_deleted_compacted(sf_dir: str, k: int = 10) -> pa.Table:
+    """The same tombstoned index after ``compact_index`` dropped the
+    deleted docs physically: stats are recomputed over the survivors, so
+    scores CHANGE versus the live-docs variant — the oracle recomputes
+    N/avgdl/df over the filtered corpus, proving the whole
+    delete→compact lifecycle end-to-end."""
+    import json as _json
+    import shutil
+
+    from bge_m3_onnx_ray.index.compact import compact_index
+    idx = _deleted_docs_index(sf_dir)
+    cidx = os.path.join(
+        "/tmp/bm25_indexes",
+        "documents-delc-" + os.path.basename(os.path.normpath(sf_dir)))
+    stats_p = os.path.join(cidx, "stats.json")
+    fresh = True
+    if os.path.exists(stats_p):
+        with open(stats_p) as f:
+            st = _json.load(f)
+        fresh = (st.get("config_fingerprint") != _DOC_CFG.fingerprint())
+    if fresh:
+        shutil.rmtree(cidx, ignore_errors=True)
+        compact_index(idx, cidx)
+    out = search(cidx, DOC_QUERIES, QueryConfig(k=k, method="wand")).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
+
+
 def hybrid_rrf_topk(sf_dir: str, k: int = 10, fetch: int = 20,
                     rrf_k: int = 60) -> pa.Table:
     """Hybrid lexical+dense retrieval with reciprocal-rank fusion — the

@@ -26,6 +26,7 @@ def duck():
 @pytest.mark.parametrize("name", [
     "bm25_documents_topk", "bm25_documents_topk_exhaustive",
     "bm25_documents_topk_fuzzy", "hybrid_rrf_topk",
+    "bm25_documents_topk_deleted", "bm25_documents_topk_deleted_compacted",
     "token_count", "term_df_top100", "doc_term_weights",
     "exact_dedup", "events_hourly", "revenue_by_segment",
 ])
