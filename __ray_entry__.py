@@ -85,6 +85,20 @@ def _q_bm25_and(sf_dir):
     return bm25_documents_topk_and(sf_dir)
 
 
+def _q_bm25_msm(sf_dir):
+    # minimum-should-match: candidates must contain >= 2 distinct query
+    # terms (Lucene minimum_should_match; QueryConfig(min_should_match=2))
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_topk_msm
+    return bm25_documents_topk_msm(sf_dir)
+
+
+def _q_bm25_page2(sf_dir):
+    # pagination: the second page (ranks 11..20) under the deterministic
+    # (score desc, doc_id asc) global ordering (QueryConfig(offset=10))
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_topk_page2
+    return bm25_documents_topk_page2(sf_dir)
+
+
 def _q_bm25_appended(sf_dir):
     # delta-append path gated end-to-end: half the corpus indexed fresh,
     # half appended (index.append); N/avgdl/df must come out exactly as
@@ -417,6 +431,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk": _q_bm25,
         "bm25_documents_topk_exhaustive": _q_bm25_exhaustive,
         "bm25_documents_topk_and": _q_bm25_and,
+        "bm25_documents_topk_msm": _q_bm25_msm,
+        "bm25_documents_topk_page2": _q_bm25_page2,
         "phrase_documents_topk": _q_phrase,
         "bm25_documents_topk_appended": _q_bm25_appended,
         "bm25_documents_snippets": _q_snippets,
@@ -476,12 +492,17 @@ _TOKS = ("SELECT doc_id, unnest(regexp_extract_all(lower(text), "
 def _bm25_sql(conjunctive: bool = False, quantized_rank: bool = False,
               query_set=None, parse_negation: bool = False,
               fuzzy: bool = False, candidate_where: str | None = None,
-              corpus_where: str | None = None) -> str:
+              corpus_where: str | None = None, msm: int = 0,
+              offset: int = 0) -> str:
     """``candidate_where``: extra predicate on candidates only — global
     stats stay corpus-wide (tombstone live-docs semantics).
     ``corpus_where``: predicate on the CORPUS itself — stats, dfs and
     candidates all recomputed over the filtered documents (the state
-    after a tombstone-dropping compaction)."""
+    after a tombstone-dropping compaction). ``msm``: candidates must
+    match at least this many distinct query terms (the qterms join only
+    ever matches in-vocabulary in-doc terms, so HAVING count(DISTINCT)
+    IS the distinct-match count). ``offset``: pagination — rows
+    offset+1..offset+10 with their global rank numbers."""
     from bge_m3_onnx_ray.pipelines.flagship import DOC_QUERIES
     from bge_m3_onnx_ray.tokenizer import tokenize
     vals = []
@@ -526,7 +547,9 @@ qterms AS (SELECT DISTINCT w.query_id, d.term
   HAVING count(DISTINCT q.term) = (SELECT count(DISTINCT term)
                                    FROM qterms x
                                    WHERE x.query_id = q.query_id)"""
-              if conjunctive else "")
+              if conjunctive
+              else f"\n  HAVING count(DISTINCT q.term) >= {msm}"
+              if msm > 1 else "")
     return f"""
 WITH toks AS ({toks_src}),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
@@ -558,7 +581,8 @@ ranked AS (
 SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
        doc_id::BIGINT AS doc_id,
        CAST(floor(score * 1000000) AS BIGINT) AS score_q6
-FROM ranked WHERE rnk <= 10 ORDER BY query_id, "rank"
+FROM ranked WHERE rnk > {offset} AND rnk <= {offset + 10}
+ORDER BY query_id, "rank"
 """
 
 
@@ -1379,6 +1403,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_documents_topk": bm25,
         "bm25_documents_topk_exhaustive": bm25,
         "bm25_documents_topk_and": _bm25_sql(conjunctive=True),
+        "bm25_documents_topk_msm": _bm25_sql(msm=2),
+        "bm25_documents_topk_page2": _bm25_sql(offset=10),
         "phrase_documents_topk": _phrase_sql(),
         "bm25_documents_topk_appended": _bm25_sql(quantized_rank=True),
         "bm25_documents_snippets": _snippets_sql(),

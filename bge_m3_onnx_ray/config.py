@@ -94,6 +94,17 @@ class QueryConfig:
     # user opts into typo tolerance.
     parse_fuzzy: bool = False
     max_fuzzy_expansion: int = 10_000
+    # minimum-should-match (Lucene semantics): in "or" mode a candidate
+    # must contain at least this many DISTINCT query terms. 0/1 = plain
+    # disjunction; a value above the query's in-vocabulary term count
+    # matches nothing (OOV terms are unmatchable clauses that still
+    # count toward the requirement, as in Lucene's BooleanQuery).
+    min_should_match: int = 0
+    # pagination: skip the first `offset` results per query and return
+    # the next k (ranks offset+1 .. offset+k — global rank numbers, the
+    # search_after/from page shape). Applied after the deterministic
+    # (score desc, doc_id asc) ordering, so pages are stable.
+    offset: int = 0
     scorer_concurrency: int | tuple[int, int] = (1, 8)
     scorer_batch_size: int = 64
     shard_cache_size: int = 64  # decoded shards cached per scorer actor

@@ -87,19 +87,30 @@ def score_exhaustive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarra
                      qterms: list[str], idfs: dict[str, float],
                      avgdl: float, k1: float, b: float, k: int,
                      allowed: np.ndarray | None = None,
-                     excluded: np.ndarray | None = None):
+                     excluded: np.ndarray | None = None,
+                     msm: int = 0):
     """Exact scorer over fully-decoded postings (the parity fallback the
     reference keeps alongside its fast path). ``qterms`` must be sorted.
-    ``allowed``: optional sorted docID facet mask (see _apply_allowed)."""
+    ``allowed``: optional sorted docID facet mask (see _apply_allowed).
+    ``msm``: minimum-should-match — candidates must contain at least this
+    many distinct query terms (each term's postings are unique per doc,
+    so one increment per term list == the distinct-match count)."""
     arrs = [(t,) + postings[t] for t in qterms if t in postings]
     if not arrs:
         return np.empty(0, np.float64), np.empty(0, np.int64)
     union = np.unique(np.concatenate([a[1] for a in arrs]))
     scores = np.zeros(len(union), np.float64)
+    counts = np.zeros(len(union), np.int32) if msm > 1 else None
     for t, docs, tfs, dls in arrs:  # ascending term order = summation order
         contrib = bm25_term_score(tfs.astype(np.float64), dls.astype(np.float64),
                                   idfs[t], avgdl, k1, b)
-        scores[np.searchsorted(union, docs)] += contrib
+        pos = np.searchsorted(union, docs)
+        scores[pos] += contrib
+        if counts is not None:
+            counts[pos] += 1
+    if counts is not None:
+        keep = counts >= msm
+        scores, union = scores[keep], union[keep]
     scores, union = _apply_allowed(scores, union, allowed, excluded)
     return _topk_merge(scores, union, k)
 
@@ -184,7 +195,8 @@ def score_wand(enc_postings: dict[str, EncodedPostings], qterms: list[str],
                stats: dict | None = None,
                contribs: dict[str, np.ndarray] | None = None,
                allowed: np.ndarray | None = None,
-               excluded: np.ndarray | None = None):
+               excluded: np.ndarray | None = None,
+               msm: int = 0):
     """Vectorized block-max top-k (the WAND/BMW pruning idea — Ding & Suel
     2011 — re-expressed for batch execution instead of a per-posting
     cursor loop, which measured ~47x slower than numpy scoring).
@@ -213,7 +225,15 @@ def score_wand(enc_postings: dict[str, EncodedPostings], qterms: list[str],
     an upper bound over ALL its docs, hence also over the allowed subset,
     so pruning stays exact — only the per-chunk candidate set is
     restricted (before the running top-k, so theta reflects filtered
-    candidates only)."""
+    candidates only).
+
+    ``msm`` (minimum-should-match): a chunk's segments each lie inside
+    one block of EVERY term, so the gathered per-term doc lists are the
+    complete postings for every doc in the chunk — the per-chunk distinct
+    match count is the doc's exact global count, and filtering on it
+    before the running top-k keeps pruning exact (removing candidates
+    only ever lowers the competition for theta; segment bounds stay
+    upper bounds for the docs that remain)."""
     terms = [t for t in qterms if t in enc_postings]
     if not terms:
         return np.empty(0, np.float64), np.empty(0, np.int64)
@@ -306,8 +326,15 @@ def score_wand(enc_postings: dict[str, EncodedPostings], qterms: list[str],
             continue
         union = np.unique(np.concatenate([g[0] for g in gathered]))
         scores = np.zeros(len(union), np.float64)
+        counts = np.zeros(len(union), np.int32) if msm > 1 else None
         for docs, con in gathered:
-            scores[np.searchsorted(union, docs)] += con
+            gpos = np.searchsorted(union, docs)
+            scores[gpos] += con
+            if counts is not None:
+                counts[gpos] += 1
+        if counts is not None:
+            mkeep = counts >= msm
+            scores, union = scores[mkeep], union[mkeep]
         scores, union = _apply_allowed(scores, union, allowed, excluded)
         top_s, top_d = _topk_merge(np.concatenate([top_s, scores]),
                                    np.concatenate([top_d, union]), k)
@@ -389,13 +416,16 @@ class ShardScorer:
                  method: str, cache_size: int, mode: str = "or",
                  filter_attr: str | None = None,
                  filter_value: str | None = None,
-                 allow_docs_ref=None):
+                 allow_docs_ref=None, msm: int = 0):
         self.meta = IndexMeta(index_dir)
         self.idfs = idfs
         self._lookup = None if idfs is not None else _DictDfLookup(self.meta)
         self.k = k
         self.method = method
         self.mode = mode
+        # minimum-should-match: per-shard distinct-match counts are the
+        # doc's exact global counts (a doc lives in exactly one shard)
+        self.msm = msm
         self.filter_attr = filter_attr
         self.filter_value = filter_value
         # per-query candidate restriction (quoted-phrase filters): a
@@ -569,12 +599,14 @@ class ShardScorer:
                 scores, docs = score_wand(avail, sorted(avail), self.idfs,
                                           m.avgdl, m.k1, m.b, self.k,
                                           m.block_size, decoded=decoded,
-                                          allowed=allowed, excluded=excluded)
+                                          allowed=allowed, excluded=excluded,
+                                          msm=self.msm)
             else:
                 scores, docs = score_exhaustive(decoded, sorted(decoded), self.idfs,
                                                 m.avgdl, m.k1, m.b, self.k,
                                                 allowed=allowed,
-                                                excluded=excluded)
+                                                excluded=excluded,
+                                                msm=self.msm)
             out_q.extend([qid] * len(docs))
             out_d.extend(docs.tolist())
             out_s.extend(scores.tolist())
@@ -718,18 +750,28 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
         allow_ref = ray.put({int(q): np.asarray(a, np.int64)
                              for q, a in allow_docs.items()})
     fanout = rd.from_items(sorted(pairs, key=lambda r: r["shard"]))
+    # pagination: fetch offset+k everywhere (per-shard partials AND the
+    # merge), then drop ranks <= offset — ranks stay GLOBAL (offset+1..),
+    # so page boundaries are stable under the deterministic tie-break
+    fetch = cfg.k + cfg.offset
     partials = fanout.map_batches(
         ShardScorer,
         fn_constructor_kwargs={"index_dir": index_dir, "idfs": idfs,
-                               "k": cfg.k, "method": cfg.method,
+                               "k": fetch, "method": cfg.method,
                                "cache_size": cfg.shard_cache_size,
                                "mode": cfg.mode,
                                "filter_attr": cfg.filter_attr,
                                "filter_value": cfg.filter_value,
-                               "allow_docs_ref": allow_ref},
+                               "allow_docs_ref": allow_ref,
+                               "msm": cfg.min_should_match},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
-    return merge_topk(partials, offsets, cfg.k)
+    out = merge_topk(partials, offsets, fetch)
+    if cfg.offset:
+        out = out.map_batches(
+            lambda t, _o=cfg.offset: t.filter(pc.greater(t.column("rank"), _o)),
+            batch_format="pyarrow")
+    return out
 
 
 _TOK_CACHE: dict[str, object] = {}
@@ -802,14 +844,21 @@ def search_bulk(index_dir: str, queries: rd.Dataset,
 
     fanout = queries.map_batches(fan, batch_format="pyarrow",
                                  batch_size=cfg.scorer_batch_size)
+    fetch = cfg.k + cfg.offset
     partials = fanout.map_batches(
         ShardScorer,
         fn_constructor_kwargs={"index_dir": index_dir, "idfs": None,
-                               "k": cfg.k, "method": cfg.method,
+                               "k": fetch, "method": cfg.method,
                                "cache_size": cfg.shard_cache_size,
                                "mode": cfg.mode,
                                "filter_attr": cfg.filter_attr,
-                               "filter_value": cfg.filter_value},
+                               "filter_value": cfg.filter_value,
+                               "msm": cfg.min_should_match},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
-    return merge_topk(partials, offsets, cfg.k)
+    out = merge_topk(partials, offsets, fetch)
+    if cfg.offset:
+        out = out.map_batches(
+            lambda t, _o=cfg.offset: t.filter(pc.greater(t.column("rank"), _o)),
+            batch_format="pyarrow")
+    return out

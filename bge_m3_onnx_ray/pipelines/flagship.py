@@ -392,6 +392,43 @@ def bm25_documents_topk_not(sf_dir: str, k: int = 10) -> pa.Table:
                                 preserve_index=False)
 
 
+def bm25_documents_topk_msm(sf_dir: str, k: int = 10, m: int = 2) -> pa.Table:
+    """Minimum-should-match retrieval (Lucene ``minimum_should_match``):
+    a candidate must contain at least ``m`` DISTINCT query terms; scores
+    stay the same disjunctive BM25 sums. Single-term and all-OOV queries
+    (DOC_QUERIES 3/5/6) return nothing at m=2 on both sides. Same
+    shape/oracle conventions as :func:`bm25_documents_topk`."""
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    out = search(idx, DOC_QUERIES,
+                 QueryConfig(k=k, method="wand",
+                             min_should_match=m)).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
+
+
+def bm25_documents_topk_page2(sf_dir: str, k: int = 10,
+                              offset: int = 10) -> pa.Table:
+    """Paginated retrieval: ranks offset+1 .. offset+k (the second page
+    of the plain top-k). Ranks are GLOBAL under the deterministic
+    (score desc, doc_id asc) ordering, so this page is exactly rows
+    11..20 of a k=20 run — which is what the oracle checks. Queries with
+    fewer than offset matches (DOC_QUERIES[5] OOV, short expansions)
+    return nothing."""
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    out = search(idx, DOC_QUERIES,
+                 QueryConfig(k=k, method="wand", offset=offset)).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
+
+
 def bm25_documents_snippets(sf_dir: str, k: int = 10) -> pa.Table:
     """Top-k BM25 results with snippet/highlight columns: 0-based
     ``first_hit`` (earliest query-term token position), ``n_hits``

@@ -238,3 +238,62 @@ def test_prefix_parity(tiny_index, tiny_corpus, method):
         search(idx, [(9, f"{prefix}*")],
                QueryConfig(k=5, parse_prefix=True,
                            max_prefix_expansion=1)).to_pandas()
+
+
+@pytest.mark.parametrize("method", ["exhaustive", "wand"])
+def test_min_should_match_parity(tiny_index, tiny_corpus, method):
+    """min_should_match=2: engine ≡ oracle-OR-results restricted to docs
+    matching >= 2 distinct query terms; a single-term query returns
+    nothing; m == n_terms coincides with mode='and' for all-in-vocab
+    queries (bit-identical scores)."""
+    idx, _ = tiny_index
+    _, oi, queries = tiny_corpus
+    single = max(oi.postings, key=lambda t: len(oi.postings[t]))
+    mqueries = list(queries) + [(9930, single)]
+    got = _engine(idx, mqueries,
+                  QueryConfig(k=10, method=method, min_should_match=2))
+    want = {}
+    for qid, text in mqueries:
+        terms = sorted(set(oi.tok.tokenize(text)))
+        tsets = [{d for d, _ in oi.postings.get(t, ())} for t in terms]
+        hits = oi.search(text, 10_000_000)
+        want[qid] = [h for h in hits
+                     if sum(h["doc_id"] in s for s in tsets) >= 2][:10]
+    assert got.get(9930, []) == []          # single term can't reach m=2
+    assert any(want.values())               # non-vacuous
+    _assert_parity(got, want, mqueries)
+    # m == n_terms ≡ boolean AND for an all-in-vocab query
+    multi = [(qid, t) for qid, t in queries
+             if len({x for x in oi.tok.tokenize(t)} - set(oi.postings)) == 0
+             and len(set(oi.tok.tokenize(t))) >= 2]
+    if multi:
+        qid, text = multi[0]
+        n = len(set(oi.tok.tokenize(text)))
+        a = _engine(idx, [(qid, text)],
+                    QueryConfig(k=10, method=method, min_should_match=n))
+        b = _engine(idx, [(qid, text)],
+                    QueryConfig(k=10, method=method, mode="and"))
+        assert a == b
+
+
+@pytest.mark.parametrize("method", ["exhaustive", "wand"])
+def test_pagination_is_global_rank_slice(tiny_index, tiny_corpus, method):
+    """offset=10, k=5 returns exactly rows 11..15 of a k=15 run, with
+    their GLOBAL rank numbers — stable pages under the deterministic
+    (score desc, doc_id asc) tie-break."""
+    idx, _ = tiny_index
+    _, _, queries = tiny_corpus
+    full = _engine(idx, queries, QueryConfig(k=15, method=method))
+    page = search(idx, queries,
+                  QueryConfig(k=5, method=method, offset=10)).to_pandas()
+    assert len(page)                        # non-vacuous
+    seen = set()
+    for qid, g in page.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert g["rank"].tolist() == list(range(11, 11 + len(g)))
+        have = list(zip(g.doc_id.tolist(), g.score.tolist()))
+        assert have == full[int(qid)][10:15]
+        seen.add(int(qid))
+    # queries with <= 10 hits are absent from page 2, present in page 1
+    for qid, hits in full.items():
+        assert (qid in seen) == (len(hits) > 10)
