@@ -99,6 +99,14 @@ def _q_bm25_page2(sf_dir):
     return bm25_documents_topk_page2(sf_dir)
 
 
+def _q_facet_counts(sf_dir):
+    # search aggregations: matching-doc counts per lang over the FULL
+    # match set (index.facets — searchsorted + bincount per shard, one
+    # low-cardinality (query_id, value) reduce)
+    from bge_m3_onnx_ray.pipelines.flagship import facet_counts_lang
+    return facet_counts_lang(sf_dir)
+
+
 def _q_bm25_appended(sf_dir):
     # delta-append path gated end-to-end: half the corpus indexed fresh,
     # half appended (index.append); N/avgdl/df must come out exactly as
@@ -433,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk_and": _q_bm25_and,
         "bm25_documents_topk_msm": _q_bm25_msm,
         "bm25_documents_topk_page2": _q_bm25_page2,
+        "facet_counts_lang": _q_facet_counts,
         "phrase_documents_topk": _q_phrase,
         "bm25_documents_topk_appended": _q_bm25_appended,
         "bm25_documents_snippets": _q_snippets,
@@ -583,6 +592,29 @@ SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
        CAST(floor(score * 1000000) AS BIGINT) AS score_q6
 FROM ranked WHERE rnk > {offset} AND rnk <= {offset + 10}
 ORDER BY query_id, "rank"
+"""
+
+
+def _facet_counts_sql(col: str = "lang") -> str:
+    """Matching-doc counts per attribute value over the full match set:
+    DISTINCT (query, doc) matches (any query term), joined back to the
+    documents table for the attribute — the independent mirror of
+    index/facets.facet_counts' per-shard unique + bincount."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_QUERIES
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    vals = []
+    for qid, text in DOC_QUERIES:
+        for t in sorted(set(tokenize(text))):
+            vals.append(f"({qid}, '{t}')")
+    return f"""
+WITH toks AS ({_TOKS}),
+qterms(query_id, term) AS (VALUES {', '.join(vals)}),
+matches AS (SELECT DISTINCT q.query_id, t.doc_id
+            FROM qterms q JOIN toks t ON t.term = q.term)
+SELECT m.query_id::BIGINT AS query_id, d.{col}::VARCHAR AS value,
+       count(*)::BIGINT AS n_docs
+FROM matches m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
@@ -1405,6 +1437,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_documents_topk_and": _bm25_sql(conjunctive=True),
         "bm25_documents_topk_msm": _bm25_sql(msm=2),
         "bm25_documents_topk_page2": _bm25_sql(offset=10),
+        "facet_counts_lang": _facet_counts_sql("lang"),
         "phrase_documents_topk": _phrase_sql(),
         "bm25_documents_topk_appended": _bm25_sql(quantized_rank=True),
         "bm25_documents_snippets": _snippets_sql(),

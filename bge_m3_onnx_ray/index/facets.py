@@ -1,0 +1,168 @@
+"""Facet-count aggregations over the FULL match set — the search-engine
+"aggregations" companion to top-k retrieval (Elasticsearch terms aggs /
+Solr facet.field): for each query, how many matching documents carry
+each value of a document attribute.
+
+Distribution model mirrors ``index/search.py``: the index is
+document-sharded, every doc lives in exactly one shard, and the attrs
+side table (``index/attrs.py``) is sharded the same way — so a per-shard
+``np.unique`` over the query's candidate docIDs followed by a bincount
+over the shard's dictionary-encoded attribute codes yields EXACT
+distinct-doc counts with no cross-shard coordination. The only shuffle
+is the tiny (query_id, value) partial-count reduce, which is
+low-cardinality by construction (values are facet labels).
+
+At 100 TB this is the same shape: counting never decodes text, never
+ranks, and moves only (query, value, count) triples; a hot query's cost
+is one postings read per shard it actually matches in.
+
+The reference has no aggregations (it is a record-at-a-time embedder);
+this extends its retrieval surface the way production engines do.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from bge_m3_onnx_ray.config import QueryConfig
+from bge_m3_onnx_ray.index.artifacts import IndexMeta
+from bge_m3_onnx_ray.index.attrs import attrs_file
+from bge_m3_onnx_ray.index.codec import decode_postings
+from bge_m3_onnx_ray.index.search import ShardScorer
+
+_PARTIAL_SCHEMA = pa.schema([
+    ("query_id", pa.int64()),
+    ("value", pa.string()),
+    ("count", pa.int64()),
+])
+
+RESULT_SCHEMA = pa.schema([
+    ("query_id", pa.int64()),
+    ("value", pa.string()),
+    ("n_docs", pa.int64()),
+])
+
+
+class FacetCounter:
+    """Per-(query, shard) matching-doc counter by attribute value.
+
+    Reuses :class:`ShardScorer`'s postings / tombstone LRU machinery for
+    the candidate set (``idfs`` is irrelevant — nothing is scored), and
+    holds the shard's attribute column dictionary-encoded: docIDs sorted,
+    values as integer codes, so counting is searchsorted + bincount."""
+
+    def __init__(self, index_dir: str, col: str, cache_size: int = 64):
+        self._sc = ShardScorer(index_dir, idfs={}, k=1, method="exhaustive",
+                               cache_size=cache_size)
+        self.meta = self._sc.meta
+        self.col = col
+        self.cache_size = cache_size
+        self._attr_cache: OrderedDict[int, tuple] = OrderedDict()
+
+    def _attrs(self, shard: int) -> tuple[np.ndarray, np.ndarray, list[str]]:
+        got = self._attr_cache.get(shard)
+        if got is None:
+            path = attrs_file(self.meta.index_dir, self.col, shard)
+            try:
+                t = pq.read_table(path)
+            except (FileNotFoundError, OSError):
+                got = (np.empty(0, np.int64), np.empty(0, np.int64), [])
+            else:
+                enc = t.column(self.col).combine_chunks().dictionary_encode()
+                got = (t.column("doc_id").to_numpy().astype(np.int64),
+                       enc.indices.to_numpy().astype(np.int64),
+                       enc.dictionary.to_pylist())
+            self._attr_cache[shard] = got
+            while len(self._attr_cache) > self.cache_size:
+                self._attr_cache.popitem(last=False)
+        else:
+            self._attr_cache.move_to_end(shard)
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q: list[int] = []
+        out_v: list[str] = []
+        out_c: list[int] = []
+        qids = batch.column("query_id").to_pylist()
+        termss = batch.column("terms").to_pylist()
+        shards = batch.column("shard").to_pylist()
+        dec_memo: dict[tuple[int, str], tuple] = {}
+        for qid, terms, shard in zip(qids, termss, shards):
+            shard = int(shard)
+            post = self._sc._shard_postings(shard, list(terms))
+            docs = []
+            for t in terms:
+                e = post.get(t)
+                if e is None:
+                    continue
+                got = dec_memo.get((shard, t))
+                if got is None:
+                    got = dec_memo[(shard, t)] = decode_postings(
+                        e, self.meta.block_size)
+                docs.append(got[0])
+            if not docs:
+                continue
+            cand = np.unique(np.concatenate(docs))
+            if self._sc._has_tombstones:
+                dele = self._sc._deleted(shard)
+                if len(dele) and len(cand):
+                    pos = np.searchsorted(dele, cand)
+                    hit = pos < len(dele)
+                    hit[hit] = dele[pos[hit]] == cand[hit]
+                    cand = cand[~hit]
+            adocs, codes, vals = self._attrs(shard)
+            if not len(adocs) or not len(cand):
+                continue
+            pos = np.searchsorted(adocs, cand)
+            ok = pos < len(adocs)
+            ok[ok] = adocs[pos[ok]] == cand[ok]
+            cnt = np.bincount(codes[pos[ok]], minlength=len(vals))
+            nz = np.flatnonzero(cnt)
+            out_q.extend([int(qid)] * len(nz))
+            out_v.extend(vals[i] for i in nz)
+            out_c.extend(cnt[nz].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "value": pa.array(out_v, pa.string()),
+                         "count": pa.array(out_c, pa.int64())},
+                        schema=_PARTIAL_SCHEMA)
+
+
+def facet_counts(index_dir: str, queries, col: str,
+                 cfg: QueryConfig | None = None) -> rd.Dataset:
+    """For each query, the number of matching documents (OR semantics —
+    a doc containing ANY query term matches; tombstoned docs excluded)
+    per value of attribute ``col``. Returns a Dataset of
+    (query_id, value, n_docs).
+
+    ``queries``: list[(query_id, text)] or a pa.Table with those
+    columns. Counts are exact distinct-doc counts: a doc lives in
+    exactly one shard, so per-shard unique + one low-cardinality
+    (query_id, value) reduce is the whole job."""
+    cfg = cfg or QueryConfig()
+    meta = IndexMeta(index_dir)
+    from bge_m3_onnx_ray.tokenizer import make_tokenizer
+    tok = make_tokenizer(meta.stats.get("tokenizer_spec", "deterministic"))
+    if isinstance(queries, pa.Table):
+        queries = zip(queries.column("query_id").to_pylist(),
+                      queries.column("text").to_pylist())
+    qterms = {int(q): sorted(set(tok.tokenize(str(t)))) for q, t in queries}
+    pairs = [{"query_id": qid, "terms": ts, "shard": s}
+             for s in meta.shards
+             for qid, ts in qterms.items() if ts]
+    if not pairs:
+        return rd.from_arrow(RESULT_SCHEMA.empty_table())
+    fanout = rd.from_items(sorted(pairs, key=lambda r: r["shard"]))
+    partials = fanout.map_batches(
+        FacetCounter,
+        fn_constructor_kwargs={"index_dir": index_dir, "col": col,
+                               "cache_size": cfg.shard_cache_size},
+        batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
+        concurrency=cfg.scorer_concurrency, num_cpus=1)
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+    return bucket_reduce(partials, ["query_id", "value"],
+                         [("count", "sum", "n_docs")], n_buckets=32)

@@ -429,6 +429,36 @@ def bm25_documents_topk_page2(sf_dir: str, k: int = 10,
                                 preserve_index=False)
 
 
+def facet_counts_lang(sf_dir: str) -> pa.Table:
+    """Search aggregations (Elasticsearch terms-aggs shape): for each
+    DOC_QUERIES query, the number of matching documents per ``lang``
+    value over the FULL match set (OR semantics — any query term), not
+    just the top-k. Output (query_id, value, n_docs); all-OOV queries
+    contribute no rows on either side."""
+    from bge_m3_onnx_ray.index.attrs import build_doc_attrs, has_doc_attrs
+    from bge_m3_onnx_ray.index.facets import facet_counts
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    if not has_doc_attrs(idx, "lang"):
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "lang"])
+
+        def to_keyed(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            return pa.table({
+                "conv_id": pa.array([f"doc-{i:08d}" for i in ids], pa.string()),
+                "turn_idx": pa.array(np.zeros(len(ids), np.int32), pa.int32()),
+                "lang": t.column("lang"),
+            })
+
+        build_doc_attrs(ds.map_batches(to_keyed, batch_format="pyarrow"),
+                        idx, "lang")
+    out = facet_counts(idx, DOC_QUERIES, "lang").to_pandas()
+    out = out.sort_values(["query_id", "value"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "value", "n_docs"]],
+                                preserve_index=False)
+
+
 def bm25_documents_snippets(sf_dir: str, k: int = 10) -> pa.Table:
     """Top-k BM25 results with snippet/highlight columns: 0-based
     ``first_hit`` (earliest query-term token position), ``n_hits``

@@ -297,3 +297,24 @@ def test_pagination_is_global_rank_slice(tiny_index, tiny_corpus, method):
     # queries with <= 10 hits are absent from page 2, present in page 1
     for qid, hits in full.items():
         assert (qid in seen) == (len(hits) > 10)
+
+
+def test_facet_counts_parity(tiny_index, tiny_corpus, role_attrs):
+    """index.facets.facet_counts ≡ manual per-role distinct-doc counts
+    over the FULL match set (any query term), not the top-k."""
+    from bge_m3_onnx_ray.index.facets import facet_counts
+    idx, _ = tiny_index
+    _, oi, queries = tiny_corpus
+    out = facet_counts(idx, queries[:10], "role").to_pandas()
+    got = {(int(r.query_id), r.value): int(r.n_docs)
+           for r in out.itertuples()}
+    want = {}
+    for qid, text in queries[:10]:
+        match = set()
+        for t in set(oi.tok.tokenize(text)):
+            match |= {d for d, _ in oi.postings.get(t, ())}
+        for role, mask in role_attrs.items():
+            n = len(match & mask)
+            if n:
+                want[(qid, role)] = n
+    assert want and got == want
