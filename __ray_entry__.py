@@ -99,6 +99,13 @@ def _q_bm25_page2(sf_dir):
     return bm25_documents_topk_page2(sf_dir)
 
 
+def _q_bm25_range(sf_dir):
+    # numeric-range facet: candidates restricted to n_chars BETWEEN
+    # 150 AND 350 via the typed attrs side table's pushdown range mask
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_topk_range
+    return bm25_documents_topk_range(sf_dir)
+
+
 def _q_facet_counts(sf_dir):
     # search aggregations: matching-doc counts per lang over the FULL
     # match set (index.facets — searchsorted + bincount per shard, one
@@ -442,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk_msm": _q_bm25_msm,
         "bm25_documents_topk_page2": _q_bm25_page2,
         "facet_counts_lang": _q_facet_counts,
+        "bm25_documents_topk_range": _q_bm25_range,
         "phrase_documents_topk": _q_phrase,
         "bm25_documents_topk_appended": _q_bm25_appended,
         "bm25_documents_snippets": _q_snippets,
@@ -1438,6 +1446,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_documents_topk_msm": _bm25_sql(msm=2),
         "bm25_documents_topk_page2": _bm25_sql(offset=10),
         "facet_counts_lang": _facet_counts_sql("lang"),
+        "bm25_documents_topk_range": _bm25_sql(
+            candidate_where=("tf.doc_id IN (SELECT doc_id FROM documents "
+                             "WHERE n_chars BETWEEN 150 AND 350)")),
         "phrase_documents_topk": _phrase_sql(),
         "bm25_documents_topk_appended": _bm25_sql(quantized_rank=True),
         "bm25_documents_snippets": _snippets_sql(),

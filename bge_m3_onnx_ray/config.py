@@ -73,6 +73,10 @@ class QueryConfig:
     # narrows candidates, not the scoring model).
     filter_attr: str | None = None
     filter_value: str | None = None
+    # numeric range facet: (col, lo, hi) inclusive both ends (SQL
+    # BETWEEN). Composes with filter_attr by intersection; same
+    # corpus-wide-stats semantics.
+    filter_range: tuple[str, int, int] | None = None
     # negation syntax: when True, whitespace-separated "-word" tokens in
     # the query text EXCLUDE documents containing that term (applied to
     # the candidate set before top-k; out-of-vocabulary negations are

@@ -58,9 +58,14 @@ def build_doc_attrs(ds: rd.Dataset, index_dir: str, col: str) -> int:
         off = get_broadcast(ref)
         doc_ids = off.doc_ids_for(batch.column("conv_id").combine_chunks(),
                                   batch.column("turn_idx").to_numpy())
+        src = batch.column(col)
+        # numeric attributes keep their type (range filters need ordered
+        # predicate pushdown); everything else is stored as string
+        if not (pa.types.is_integer(src.type) or pa.types.is_floating(src.type)):
+            src = src.cast(pa.string())
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.int64()),
-            col: batch.column(col).cast(pa.string()),
+            col: src,
             "shard": pa.array(doc_ids // dps, pa.int64()),
         })
 
@@ -89,6 +94,23 @@ def load_allowed_docs(index_dir: str, col: str, shard: int,
     try:
         t = pq.read_table(path, columns=["doc_id", col],
                           filters=[(col, "=", value)])
+    except (FileNotFoundError, OSError):
+        return np.empty(0, np.int64)
+    return t.column("doc_id").to_numpy().astype(np.int64)
+
+
+def load_allowed_docs_range(index_dir: str, col: str, shard: int,
+                            lo, hi) -> np.ndarray:
+    """Sorted docID array of the shard's docs with ``lo <= attr <= hi``
+    (inclusive both ends — SQL BETWEEN semantics) — the numeric-range
+    facet mask. Predicate pushdown skips row groups whose min/max stats
+    fall outside the range, so at scale a narrow range reads a fraction
+    of the side table."""
+    import pyarrow.parquet as pq
+    path = attrs_file(index_dir, col, shard)
+    try:
+        t = pq.read_table(path, columns=["doc_id", col],
+                          filters=[(col, ">=", lo), (col, "<=", hi)])
     except (FileNotFoundError, OSError):
         return np.empty(0, np.int64)
     return t.column("doc_id").to_numpy().astype(np.int64)

@@ -416,7 +416,8 @@ class ShardScorer:
                  method: str, cache_size: int, mode: str = "or",
                  filter_attr: str | None = None,
                  filter_value: str | None = None,
-                 allow_docs_ref=None, msm: int = 0):
+                 allow_docs_ref=None, msm: int = 0,
+                 filter_range: tuple[str, int, int] | None = None):
         self.meta = IndexMeta(index_dir)
         self.idfs = idfs
         self._lookup = None if idfs is not None else _DictDfLookup(self.meta)
@@ -428,6 +429,7 @@ class ShardScorer:
         self.msm = msm
         self.filter_attr = filter_attr
         self.filter_value = filter_value
+        self.filter_range = filter_range
         # per-query candidate restriction (quoted-phrase filters): a
         # broadcast {query_id: sorted global docID array}, fetched once
         # per worker (ray.put on the driver, get_broadcast here)
@@ -451,14 +453,26 @@ class ShardScorer:
         """Per-shard facet mask (sorted docIDs matching the filter),
         loaded once per shard from the attrs side table and LRU-cached
         beside the postings (doc-partitioned: the mask never leaves the
-        shard's scorer)."""
-        if self.filter_attr is None:
+        shard's scorer). Equality and numeric-range filters compose by
+        intersection."""
+        if self.filter_attr is None and self.filter_range is None:
             return None
         got = self._allowed_cache.get(shard)
         if got is None:
-            from bge_m3_onnx_ray.index.attrs import load_allowed_docs
-            got = load_allowed_docs(self.meta.index_dir, self.filter_attr,
-                                    shard, self.filter_value)
+            from bge_m3_onnx_ray.index.attrs import (load_allowed_docs,
+                                                     load_allowed_docs_range)
+            masks = []
+            if self.filter_attr is not None:
+                masks.append(load_allowed_docs(
+                    self.meta.index_dir, self.filter_attr,
+                    shard, self.filter_value))
+            if self.filter_range is not None:
+                col, lo, hi = self.filter_range
+                masks.append(load_allowed_docs_range(
+                    self.meta.index_dir, col, shard, lo, hi))
+            got = (masks[0] if len(masks) == 1
+                   else np.intersect1d(masks[0], masks[1],
+                                       assume_unique=True))
             self._allowed_cache[shard] = got
             while len(self._allowed_cache) > self.cache_size:
                 self._allowed_cache.popitem(last=False)
@@ -763,7 +777,8 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
                                "filter_attr": cfg.filter_attr,
                                "filter_value": cfg.filter_value,
                                "allow_docs_ref": allow_ref,
-                               "msm": cfg.min_should_match},
+                               "msm": cfg.min_should_match,
+                               "filter_range": cfg.filter_range},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
     out = merge_topk(partials, offsets, fetch)
@@ -853,7 +868,8 @@ def search_bulk(index_dir: str, queries: rd.Dataset,
                                "mode": cfg.mode,
                                "filter_attr": cfg.filter_attr,
                                "filter_value": cfg.filter_value,
-                               "msm": cfg.min_should_match},
+                               "msm": cfg.min_should_match,
+                               "filter_range": cfg.filter_range},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
     out = merge_topk(partials, offsets, fetch)

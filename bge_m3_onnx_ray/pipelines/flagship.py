@@ -429,6 +429,41 @@ def bm25_documents_topk_page2(sf_dir: str, k: int = 10,
                                 preserve_index=False)
 
 
+def bm25_documents_topk_range(sf_dir: str, k: int = 10,
+                              lo: int = 150, hi: int = 350) -> pa.Table:
+    """Numeric-range faceted retrieval: candidates restricted to docs
+    with ``lo <= n_chars <= hi`` (SQL BETWEEN, inclusive) via the typed
+    attrs side table's predicate-pushdown range mask
+    (``index/attrs.load_allowed_docs_range``); global stats stay
+    corpus-wide, scores are unchanged BM25 sums. Same shape/oracle
+    conventions as :func:`bm25_documents_topk`."""
+    from bge_m3_onnx_ray.index.attrs import build_doc_attrs, has_doc_attrs
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    if not has_doc_attrs(idx, "n_chars"):
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "n_chars"])
+
+        def to_keyed(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            return pa.table({
+                "conv_id": pa.array([f"doc-{i:08d}" for i in ids], pa.string()),
+                "turn_idx": pa.array(np.zeros(len(ids), np.int32), pa.int32()),
+                "n_chars": t.column("n_chars"),
+            })
+
+        build_doc_attrs(ds.map_batches(to_keyed, batch_format="pyarrow"),
+                        idx, "n_chars")
+    out = search(idx, DOC_QUERIES,
+                 QueryConfig(k=k, method="wand",
+                             filter_range=("n_chars", lo, hi))).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
+
+
 def facet_counts_lang(sf_dir: str) -> pa.Table:
     """Search aggregations (Elasticsearch terms-aggs shape): for each
     DOC_QUERIES query, the number of matching documents per ``lang``

@@ -318,3 +318,65 @@ def test_facet_counts_parity(tiny_index, tiny_corpus, role_attrs):
             if n:
                 want[(qid, role)] = n
     assert want and got == want
+
+
+@pytest.fixture(scope="module")
+def nchars_attrs(tiny_index, tiny_corpus, ray_session):
+    """Numeric (int) attrs side table derived from text length; returns
+    the oracle-side doc -> n_chars map."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.index.attrs import build_doc_attrs, has_doc_attrs
+    idx, _ = tiny_index
+    path, oi, _ = tiny_corpus
+    if not has_doc_attrs(idx, "n_chars"):
+        ds = rd.read_parquet(path).map_batches(
+            lambda t: t.select(["conv_id", "turn_idx"]).append_column(
+                "n_chars", pc.utf8_length(t.column("text"))),
+            batch_format="pyarrow")
+        build_doc_attrs(ds, idx, "n_chars")
+    t = pq.read_table(path, columns=["conv_id", "turn_idx", "text"])
+    key_to_doc = {k: i for i, k in enumerate(oi.doc_keys)}
+    return {key_to_doc[(c, ti)]: len(x)
+            for c, ti, x in zip(t.column("conv_id").to_pylist(),
+                                t.column("turn_idx").to_pylist(),
+                                t.column("text").to_pylist())}
+
+
+@pytest.mark.parametrize("method", ["exhaustive", "wand"])
+def test_range_filter_parity(tiny_index, tiny_corpus, nchars_attrs, method):
+    """filter_range=(col, lo, hi): engine ≡ oracle restricted to docs
+    with lo <= n_chars <= hi (inclusive both ends); composes with the
+    equality facet by intersection."""
+    idx, _ = tiny_index
+    _, oi, queries = tiny_corpus
+    lens = nchars_attrs
+    lo, hi = (int(x) for x in
+              np.percentile(list(lens.values()), [25, 75]))
+    allowed = {d for d, n in lens.items() if lo <= n <= hi}
+    assert 0 < len(allowed) < len(lens)        # non-vacuous range
+    got = _engine(idx, queries,
+                  QueryConfig(k=10, method=method,
+                              filter_range=("n_chars", lo, hi)))
+    want = {qid: oi.search(text, 10, allowed=allowed)
+            for qid, text in queries}
+    _assert_parity(got, want, queries)
+
+
+def test_range_and_equality_filters_compose(tiny_index, tiny_corpus,
+                                            nchars_attrs, role_attrs):
+    idx, _ = tiny_index
+    _, oi, queries = tiny_corpus
+    lens = nchars_attrs
+    lo, hi = (int(x) for x in
+              np.percentile(list(lens.values()), [25, 75]))
+    allowed = ({d for d, n in lens.items() if lo <= n <= hi}
+               & role_attrs["user"])
+    got = _engine(idx, queries,
+                  QueryConfig(k=10, filter_attr="role", filter_value="user",
+                              filter_range=("n_chars", lo, hi)))
+    want = {qid: oi.search(text, 10, allowed=allowed)
+            for qid, text in queries}
+    assert any(want.values())
+    _assert_parity(got, want, queries)
