@@ -212,6 +212,13 @@ def _q_bm25_transcripts_exhaustive(sf_dir):
     return bm25_transcripts_topk(sf_dir, method="exhaustive")
 
 
+def _q_bm25_transcripts_collapsed(sf_dir):
+    # field collapsing: one row per conversation, ranked by its best turn
+    from bge_m3_onnx_ray.pipelines.flagship import \
+        bm25_transcripts_topk_collapsed
+    return bm25_transcripts_topk_collapsed(sf_dir)
+
+
 def _q_transcripts_index_stats(sf_dir):
     import json
 
@@ -465,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_transcripts_topk": _q_bm25_transcripts,
         "bm25_transcripts_topk_exhaustive": _q_bm25_transcripts_exhaustive,
         "bm25_transcripts_topk_filtered": _q_bm25_transcripts_filtered,
+        "bm25_transcripts_topk_collapsed": _q_bm25_transcripts_collapsed,
         "transcripts_index_stats": _q_transcripts_index_stats,
         "token_count": _q_token_count,
         "corpus_stats": _q_corpus_stats,
@@ -772,13 +780,18 @@ def _transcripts_toks_sql() -> str:
             f"{_CJK_SPLIT_SQL}, '{_UNI_TOKEN_RE_SQL}')) AS term FROM docs")
 
 
-def _bm25_transcripts_sql(role: str | None = None) -> str:
+def _bm25_transcripts_sql(role: str | None = None,
+                          collapse: bool = False) -> str:
     """Full BM25 ranking oracle over the multi-turn transcripts fixture,
     keyed on (conv_id, turn_idx) — same scoring formula and tie-break
     (score desc, then lexicographic (conv_id, turn_idx) = docID order) as
     the documents oracle. ``role``: optional facet filter — candidates
     restricted to turns of that role, while df/avgdl stay corpus-wide
-    (exactly the engine's filter semantics)."""
+    (exactly the engine's filter semantics). ``collapse``: field
+    collapsing — one row per conversation, ranked by max(score_q6)
+    (floor is monotone, so the engine's raw-best turn carries exactly
+    this quantized max; the best turn's identity is quantization-
+    unstable and deliberately not part of the gated shape)."""
     from bge_m3_onnx_ray.fixtures import gen_queries
     from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
     tok = DeterministicTokenizer()
@@ -790,6 +803,36 @@ def _bm25_transcripts_sql(role: str | None = None) -> str:
     role_join = (f"""
   JOIN docs dr ON dr.conv_id = tf.conv_id AND dr.turn_idx = tf.turn_idx
               AND dr.role = '{role}'""" if role is not None else "")
+    if collapse:
+        tail = """conv_best AS (
+  SELECT query_id, conv_id,
+         max(CAST(floor(score * 1000000) AS BIGINT)) AS score_q6
+  FROM scores GROUP BY query_id, conv_id),
+ranked AS (
+  SELECT query_id, conv_id, score_q6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_q6 DESC, conv_id) AS rnk
+  FROM conv_best)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank", conv_id,
+       score_q6
+FROM ranked WHERE rnk <= 10 ORDER BY query_id, "rank"
+"""
+    else:
+        tail = """ranked AS (
+  -- rank on the QUANTIZED score: DuckDB's sum() order is unspecified, so
+  -- mathematically-equal docs land an ulp apart and raw-score ranking
+  -- would tie-break at random; floor(score*1e6) collapses ulp noise and
+  -- (conv_id, turn_idx) = docID order breaks ties like the engine
+  SELECT query_id, conv_id, turn_idx,
+         CAST(floor(score * 1000000) AS BIGINT) AS score_q6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(floor(score * 1000000) AS BIGINT)
+                              DESC, conv_id, turn_idx) AS rnk
+  FROM scores)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank", conv_id,
+       turn_idx::INTEGER AS turn_idx, score_q6
+FROM ranked WHERE rnk <= 10 ORDER BY query_id, "rank"
+"""
     return f"""
 WITH docs AS (SELECT conv_id, turn_idx, role, text FROM {_transcripts_src_sql()}),
 toks AS ({_transcripts_toks_sql()}),
@@ -813,21 +856,7 @@ scores AS (
   JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx{role_join}
   CROSS JOIN stats s
   GROUP BY q.query_id, tf.conv_id, tf.turn_idx),
-ranked AS (
-  -- rank on the QUANTIZED score: DuckDB's sum() order is unspecified, so
-  -- mathematically-equal docs land an ulp apart and raw-score ranking
-  -- would tie-break at random; floor(score*1e6) collapses ulp noise and
-  -- (conv_id, turn_idx) = docID order breaks ties like the engine
-  SELECT query_id, conv_id, turn_idx,
-         CAST(floor(score * 1000000) AS BIGINT) AS score_q6,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY CAST(floor(score * 1000000) AS BIGINT)
-                              DESC, conv_id, turn_idx) AS rnk
-  FROM scores)
-SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank", conv_id,
-       turn_idx::INTEGER AS turn_idx, score_q6
-FROM ranked WHERE rnk <= 10 ORDER BY query_id, "rank"
-"""
+{tail}"""
 
 
 def _prefix_sql(k: int = 10) -> str:
@@ -1476,6 +1505,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_transcripts_topk": _bm25_transcripts_sql(),
         "bm25_transcripts_topk_exhaustive": _bm25_transcripts_sql(),
         "bm25_transcripts_topk_filtered": _bm25_transcripts_sql(role="user"),
+        "bm25_transcripts_topk_collapsed": _bm25_transcripts_sql(
+            collapse=True),
         "transcripts_index_stats": _transcripts_stats_sql(),
         "doc_fingerprint": _fingerprint_sql(),
         "simhash": _simhash_sql(),

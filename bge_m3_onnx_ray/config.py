@@ -104,6 +104,15 @@ class QueryConfig:
     # matches nothing (OOV terms are unmatchable clauses that still
     # count toward the requirement, as in Lucene's BooleanQuery).
     min_should_match: int = 0
+    # field collapsing (the Lucene/Solr collapse shape): at most ONE
+    # result per conversation, conversations ranked by their single
+    # best-scoring turn (then conv_id). Exact under sharding: each shard
+    # keeps its per-conv best before its top-k cut, and the merge
+    # collapses again across shards — a conv in the global collapsed
+    # top-k is provably in some shard's collapsed top-k. Requires
+    # method="exhaustive" in "or" mode (WAND's theta bound prunes on the
+    # k-th best DOC, which overshoots the k-th best CONV).
+    collapse: bool = False
     # pagination: skip the first `offset` results per query and return
     # the next k (ranks offset+1 .. offset+k — global rank numbers, the
     # search_after/from page shape). Applied after the deterministic

@@ -83,12 +83,33 @@ def _apply_allowed(scores: np.ndarray, docs: np.ndarray,
     return scores, docs
 
 
+def _collapse_best(scores: np.ndarray, docs: np.ndarray,
+                   starts: np.ndarray):
+    """Field collapsing kernel: keep, per conversation, the single best
+    (score desc, doc_id asc) candidate. ``starts`` is the sorted global
+    conv-start docID array (``ConvOffsets.starts``) — conv membership is
+    one searchsorted, the per-conv best one lexsort + group-head mask.
+    Applied BEFORE the top-k cut so a conversation whose best turn ranks
+    below k docs (but above k CONVS) is never lost."""
+    if not len(docs):
+        return scores, docs
+    conv = np.searchsorted(starts, docs, side="right") - 1
+    order = np.lexsort((docs, -scores, conv))
+    conv_o = conv[order]
+    head = np.empty(len(order), bool)
+    head[0] = True
+    head[1:] = conv_o[1:] != conv_o[:-1]
+    sel = order[head]
+    return scores[sel], docs[sel]
+
+
 def score_exhaustive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
                      qterms: list[str], idfs: dict[str, float],
                      avgdl: float, k1: float, b: float, k: int,
                      allowed: np.ndarray | None = None,
                      excluded: np.ndarray | None = None,
-                     msm: int = 0):
+                     msm: int = 0,
+                     collapse_starts: np.ndarray | None = None):
     """Exact scorer over fully-decoded postings (the parity fallback the
     reference keeps alongside its fast path). ``qterms`` must be sorted.
     ``allowed``: optional sorted docID facet mask (see _apply_allowed).
@@ -112,6 +133,8 @@ def score_exhaustive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarra
         keep = counts >= msm
         scores, union = scores[keep], union[keep]
     scores, union = _apply_allowed(scores, union, allowed, excluded)
+    if collapse_starts is not None:
+        scores, union = _collapse_best(scores, union, collapse_starts)
     return _topk_merge(scores, union, k)
 
 
@@ -119,7 +142,8 @@ def score_conjunctive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarr
                       qterms: list[str], idfs: dict[str, float],
                       avgdl: float, k1: float, b: float, k: int,
                       allowed: np.ndarray | None = None,
-                      excluded: np.ndarray | None = None):
+                      excluded: np.ndarray | None = None,
+                      collapse_starts: np.ndarray | None = None):
     """AND semantics: only docs containing EVERY query term are
     candidates; their scores are the identical ascending-term float64
     BM25 sums as :func:`score_exhaustive` (an AND result is the OR
@@ -153,6 +177,8 @@ def score_conjunctive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarr
         scores += bm25_term_score(tfs[pos].astype(np.float64),
                                   dls[pos].astype(np.float64),
                                   idfs[t], avgdl, k1, b)
+    if collapse_starts is not None:
+        scores, inter = _collapse_best(scores, inter, collapse_starts)
     return _topk_merge(scores, inter, k)
 
 
@@ -417,8 +443,19 @@ class ShardScorer:
                  filter_attr: str | None = None,
                  filter_value: str | None = None,
                  allow_docs_ref=None, msm: int = 0,
-                 filter_range: tuple[str, int, int] | None = None):
+                 filter_range: tuple[str, int, int] | None = None,
+                 collapse: bool = False):
         self.meta = IndexMeta(index_dir)
+        # field collapsing: each shard keeps its per-conversation best
+        # BEFORE its top-k cut (see QueryConfig.collapse). The scorer only
+        # needs the int64 conv-start array (n_convs × 8 B per actor; a
+        # doc-range-sliced view would bound this at 10¹²-doc scale).
+        self._collapse_starts = (ConvOffsets.load(index_dir).starts
+                                 if collapse else None)
+        if collapse and method == "wand" and mode == "or":
+            raise ValueError('collapse requires method="exhaustive" '
+                             '(WAND theta prunes on the k-th doc, not '
+                             "the k-th conversation)")
         self.idfs = idfs
         self._lookup = None if idfs is not None else _DictDfLookup(self.meta)
         self.k = k
@@ -608,7 +645,8 @@ class ShardScorer:
                 # match over the remaining terms.
                 scores, docs = score_conjunctive(
                     decoded, sorted(set(terms)), self.idfs, m.avgdl, m.k1,
-                    m.b, self.k, allowed=allowed, excluded=excluded)
+                    m.b, self.k, allowed=allowed, excluded=excluded,
+                    collapse_starts=self._collapse_starts)
             elif self.method == "wand":
                 scores, docs = score_wand(avail, sorted(avail), self.idfs,
                                           m.avgdl, m.k1, m.b, self.k,
@@ -620,7 +658,8 @@ class ShardScorer:
                                                 m.avgdl, m.k1, m.b, self.k,
                                                 allowed=allowed,
                                                 excluded=excluded,
-                                                msm=self.msm)
+                                                msm=self.msm,
+                                                collapse_starts=self._collapse_starts)
             out_q.extend([qid] * len(docs))
             out_d.extend(docs.tolist())
             out_s.extend(scores.tolist())
@@ -631,12 +670,16 @@ class ShardScorer:
 
 
 def merge_topk(partials: rd.Dataset, offsets: ConvOffsets, k: int,
-               n_buckets: int = 256) -> rd.Dataset:
+               n_buckets: int = 256, collapse: bool = False) -> rd.Dataset:
     """Global per-query top-k over scorer partials — ONE shuffle keyed by
     a hash BUCKET of query_id (many queries per map_groups call, the
     per-group-Python-call rule), merged by a vectorized multi-query
     kernel. Selection semantics are exactly :func:`_topk_merge`: rows in
-    (score desc, doc_id asc) order per query, cut at k."""
+    (score desc, doc_id asc) order per query, cut at k.
+
+    ``collapse``: a conversation straddling a shard boundary arrives as
+    one per-shard-best row per shard — dedupe to the global per-conv best
+    (same (score desc, doc_id asc) rule) before ranking."""
 
     def add_bucket(t: pa.Table) -> pa.Table:
         q = t.column("query_id").to_numpy().astype(np.uint64)
@@ -647,6 +690,15 @@ def merge_topk(partials: rd.Dataset, offsets: ConvOffsets, k: int,
         qs = group.column("query_id").to_numpy()
         scores = group.column("score").to_numpy()
         docs = group.column("doc_id").to_numpy()
+        if collapse and len(qs):
+            conv = np.searchsorted(offsets.starts, docs, side="right") - 1
+            o2 = np.lexsort((docs, -scores, conv, qs))
+            q2, c2 = qs[o2], conv[o2]
+            head = np.empty(len(o2), bool)
+            head[0] = True
+            head[1:] = (q2[1:] != q2[:-1]) | (c2[1:] != c2[:-1])
+            sel = o2[head]
+            qs, scores, docs = qs[sel], scores[sel], docs[sel]
         order = np.lexsort((docs, -scores, qs))
         qs, scores, docs = qs[order], scores[order], docs[order]
         brk = np.empty(len(qs), bool)
@@ -690,6 +742,10 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
     cache; the only shuffle is the tiny per-query merge.
     """
     cfg = cfg or QueryConfig()
+    if cfg.collapse and cfg.mode == "or" and cfg.method != "exhaustive":
+        raise ValueError('collapse requires method="exhaustive" in "or" '
+                         "mode (WAND theta prunes on the k-th doc, not "
+                         "the k-th conversation)")
     meta = IndexMeta(index_dir)
     offsets = ConvOffsets.load(index_dir)
     # always tokenize queries with the index's own tokenizer (seam:
@@ -778,10 +834,11 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
                                "filter_value": cfg.filter_value,
                                "allow_docs_ref": allow_ref,
                                "msm": cfg.min_should_match,
-                               "filter_range": cfg.filter_range},
+                               "filter_range": cfg.filter_range,
+                               "collapse": cfg.collapse},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
-    out = merge_topk(partials, offsets, fetch)
+    out = merge_topk(partials, offsets, fetch, collapse=cfg.collapse)
     if cfg.offset:
         out = out.map_batches(
             lambda t, _o=cfg.offset: t.filter(pc.greater(t.column("rank"), _o)),
@@ -809,6 +866,10 @@ def search_bulk(index_dir: str, queries: rd.Dataset,
     rows are emitted shard-major per batch so a scorer actor's shard LRU
     and per-batch decode memo get long same-shard runs."""
     cfg = cfg or QueryConfig()
+    if cfg.collapse and cfg.mode == "or" and cfg.method != "exhaustive":
+        raise ValueError('collapse requires method="exhaustive" in "or" '
+                         "mode (WAND theta prunes on the k-th doc, not "
+                         "the k-th conversation)")
     meta = IndexMeta(index_dir)
     offsets = ConvOffsets.load(index_dir)
     spec = meta.stats.get("tokenizer_spec", "deterministic")
@@ -869,10 +930,11 @@ def search_bulk(index_dir: str, queries: rd.Dataset,
                                "filter_attr": cfg.filter_attr,
                                "filter_value": cfg.filter_value,
                                "msm": cfg.min_should_match,
-                               "filter_range": cfg.filter_range},
+                               "filter_range": cfg.filter_range,
+                               "collapse": cfg.collapse},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
-    out = merge_topk(partials, offsets, fetch)
+    out = merge_topk(partials, offsets, fetch, collapse=cfg.collapse)
     if cfg.offset:
         out = out.map_batches(
             lambda t, _o=cfg.offset: t.filter(pc.greater(t.column("rank"), _o)),

@@ -227,6 +227,51 @@ def bm25_documents_topk_appended(sf_dir: str, k: int = 10) -> pa.Table:
                                      "score_q6"]], preserve_index=False)
 
 
+def bm25_transcripts_topk_collapsed(sf_dir: str, k: int = 10,
+                                    n_turns: int | None = None) -> pa.Table:
+    """Field-collapsed flagship: at most ONE result per CONVERSATION,
+    conversations ranked by their best-scoring turn — the Lucene/Solr
+    collapse / Elasticsearch field_collapse shape, and the natural
+    transcripts ask ("the best conversations", not five turns of one).
+
+    Output (query_id, rank, conv_id, score_q6). The best turn's
+    turn_idx is deliberately NOT part of the gated shape: the per-conv
+    MAX quantized score is quantization-stable (floor is monotone, so
+    the raw-score-best turn always carries the conversation's max
+    score_q6), but the IDENTITY of that turn inside a quantized tie is
+    not — the oracle mirrors with max(score_q6) GROUP BY conv_id. Same
+    over-fetch + tie-width guard as :func:`bm25_transcripts_topk`."""
+    from bge_m3_onnx_ray.fixtures import gen_queries, transcripts_path
+
+    if n_turns is None:
+        n_turns = transcripts_n_turns(sf_dir)
+    path = transcripts_path(n_turns)
+    cfg = IndexConfig(docs_per_shard=TRANSCRIPTS_DOCS_PER_SHARD,
+                      term_buckets=8)
+    idx = _cached_index(rd.read_parquet(path), f"transcripts-n{n_turns}", cfg)
+    out = search(idx, gen_queries(50),
+                 QueryConfig(k=3 * k, method="exhaustive", collapse=True))
+    df = out.to_pandas()
+    df["score_q6"] = np.floor(df["score"].to_numpy() * 1e6).astype(np.int64)
+    df = df.sort_values(["query_id", "score_q6", "conv_id"],
+                        ascending=[True, False, True]).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount().astype(np.int32) + 1
+    kth = df[df["rank"] == k].set_index("query_id").score_q6
+    g = df.groupby("query_id")
+    last = g.score_q6.last()
+    nfetch = g.size()
+    risky = (nfetch >= 3 * k) & (kth.reindex(nfetch.index) == last)
+    if bool(risky.any()):
+        raise RuntimeError(
+            f"quantized-score tie group wider than the {3 * k}-conv "
+            f"over-fetch for queries {list(risky[risky].index)[:5]}; "
+            f"re-run with a larger fetch")
+    df = df[df["rank"] <= k]
+    return pa.Table.from_pandas(
+        df[["query_id", "rank", "conv_id", "score_q6"]],
+        preserve_index=False)
+
+
 def transcripts_phrases(sf_dir: str, n: int = 8) -> list[tuple[int, str]]:
     """Deterministic phrase set drawn from the multi-turn fixture itself
     (both the engine query and the DuckDB oracle builder call this, so

@@ -380,3 +380,36 @@ def test_range_and_equality_filters_compose(tiny_index, tiny_corpus,
             for qid, text in queries}
     assert any(want.values())
     _assert_parity(got, want, queries)
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_collapse_parity(tiny_index, tiny_corpus, mode):
+    """Field collapsing == collapse applied to the FULL exhaustive
+    ranking: per query, walk the (score desc, doc_id asc) ranking and
+    keep the first row of each conversation, cut at k. The distributed
+    form (per-shard collapse before the shard's top-k cut + a second
+    collapse in the merge) must lose no conversation and must report the
+    per-conv best turn with a bit-identical score."""
+    idx, _ = tiny_index
+    _, _, queries = tiny_corpus
+    k = 10
+    full = search(idx, queries,
+                  QueryConfig(k=10**6, method="exhaustive",
+                              mode=mode)).to_pandas()
+    col = search(idx, queries,
+                 QueryConfig(k=k, method="exhaustive", mode=mode,
+                             collapse=True)).to_pandas()
+    assert (col.groupby(["query_id", "conv_id"]).size() == 1).all()
+    for qid, g in full.groupby("query_id"):
+        want = (g.sort_values("rank").drop_duplicates("conv_id").head(k))
+        have = col[col.query_id == qid].sort_values("rank")
+        assert list(have.conv_id) == list(want.conv_id), qid
+        assert list(have.doc_id) == list(want.doc_id), qid
+        assert list(have.score) == list(want.score), qid  # bit-identical
+
+
+def test_collapse_wand_raises(tiny_index):
+    idx, _ = tiny_index
+    with pytest.raises(ValueError, match="collapse"):
+        search(idx, [(0, "data")],
+               QueryConfig(k=10, method="wand", collapse=True))
