@@ -114,6 +114,13 @@ def _q_facet_counts(sf_dir):
     return facet_counts_lang(sf_dir)
 
 
+def _q_matches_by_length(sf_dir):
+    # sort-by-field retrieval: top-k MATCHING docs ordered by n_chars
+    # desc (not by relevance) — integer-exact oracle, no quantization
+    from bge_m3_onnx_ray.pipelines.flagship import matches_by_length_topk
+    return matches_by_length_topk(sf_dir)
+
+
 def _q_bm25_appended(sf_dir):
     # delta-append path gated end-to-end: half the corpus indexed fresh,
     # half appended (index.append); N/avgdl/df must come out exactly as
@@ -163,6 +170,14 @@ def _q_fuzzy(sf_dir):
     # distance-1 dictionary neighbourhood (oracle: SQL levenshtein join)
     from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_topk_fuzzy
     return bm25_documents_topk_fuzzy(sf_dir)
+
+
+def _q_boosted(sf_dir):
+    # query-time term boosts ("word^2.5" scales the term's idf; MAX
+    # boost per term across words; exact under WAND — bounds are linear
+    # in idf). Oracle: per-term boost column in qterms.
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_topk_boosted
+    return bm25_documents_topk_boosted(sf_dir)
 
 
 def _q_quoted(sf_dir):
@@ -456,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk_msm": _q_bm25_msm,
         "bm25_documents_topk_page2": _q_bm25_page2,
         "facet_counts_lang": _q_facet_counts,
+        "matches_by_length_topk": _q_matches_by_length,
         "bm25_documents_topk_range": _q_bm25_range,
         "phrase_documents_topk": _q_phrase,
         "bm25_documents_topk_appended": _q_bm25_appended,
@@ -466,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk_quoted": _q_quoted,
         "bm25_documents_topk_prefix": _q_prefix,
         "bm25_documents_topk_fuzzy": _q_fuzzy,
+        "bm25_documents_topk_boosted": _q_boosted,
         "bm25_documents_topk_deleted": _q_bm25_deleted,
         "bm25_documents_topk_deleted_compacted": _q_bm25_deleted_compacted,
         "bm25_documents_bulk_topk": _q_bm25_bulk,
@@ -518,7 +535,8 @@ def _bm25_sql(conjunctive: bool = False, quantized_rank: bool = False,
               query_set=None, parse_negation: bool = False,
               fuzzy: bool = False, candidate_where: str | None = None,
               corpus_where: str | None = None, msm: int = 0,
-              offset: int = 0) -> str:
+              offset: int = 0, parse_boost: bool = False,
+              corpus_table: str = "documents") -> str:
     """``candidate_where``: extra predicate on candidates only — global
     stats stay corpus-wide (tombstone live-docs semantics).
     ``corpus_where``: predicate on the CORPUS itself — stats, dfs and
@@ -539,8 +557,29 @@ def _bm25_sql(conjunctive: bool = False, quantized_rank: bool = False,
             text = " ".join(w for w in words if not w.startswith("-"))
             for t in sorted({x for w in negs for x in tokenize(w)}):
                 nvals.append(f"({qid}, '{t}')")
-        for t in sorted(set(tokenize(text))):
-            vals.append(f"({qid}, '{t}')")
+        if parse_boost:
+            # mirror of the engine's "word^2.5" parse (search.py): strip a
+            # positive-float caret suffix, boost every token the word
+            # contributes, MAX boost per term across words; malformed or
+            # non-positive suffixes leave the word untouched
+            tb: dict[str, float] = {}
+            for w in text.split():
+                boost = 1.0
+                if "^" in w[1:]:
+                    base, _, bs = w.rpartition("^")
+                    try:
+                        bv = float(bs)
+                    except ValueError:
+                        bv = None
+                    if bv is not None and bv > 0.0:
+                        w, boost = base, bv
+                for t in tokenize(w):
+                    tb[t] = max(tb.get(t, 0.0), boost)
+            for t in sorted(tb):
+                vals.append(f"({qid}, '{t}', {tb[t]!r})")
+        else:
+            for t in sorted(set(tokenize(text))):
+                vals.append(f"({qid}, '{t}')")
     qvalues = ", ".join(vals)
     # fuzzy: query tokens are WORDS that expand (inside SQL) to every
     # corpus term within Levenshtein distance 1 — the independent mirror
@@ -549,7 +588,10 @@ def _bm25_sql(conjunctive: bool = False, quantized_rank: bool = False,
 qterms AS (SELECT DISTINCT w.query_id, d.term
            FROM qwords w JOIN dfs d ON levenshtein(w.word, d.term) <= 1)"""
                   if fuzzy
+                  else f"qterms(query_id, term, boost) AS (VALUES {qvalues})"
+                  if parse_boost
                   else f"qterms(query_id, term) AS (VALUES {qvalues})")
+    boost_mul = " * q.boost" if parse_boost else ""
     # negation: a candidate must not contain ANY of the query's negated
     # terms (mirror of the engine's excluded-docID set)
     neg_cte = (f",\nqneg(query_id, term) AS (VALUES {', '.join(nvals)})"
@@ -563,8 +605,13 @@ qterms AS (SELECT DISTINCT w.query_id, d.term
     if candidate_where:
         preds.append(candidate_where)
     neg_where = ("\n  WHERE " + "\n    AND ".join(preds)) if preds else ""
-    toks_src = _TOKS + (f" WHERE {corpus_where}" if corpus_where else "")
-    nexpr = ("(SELECT count(*) FROM documents"
+    # corpus_table: a FROM-able source replacing `documents` — e.g. a
+    # parenthesized subquery applying an upsert's text revisions
+    toks = (_TOKS if corpus_table == "documents" else
+            "SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+            f"'{_TOKEN_RE_SQL}')) AS term FROM {corpus_table}")
+    toks_src = toks + (f" WHERE {corpus_where}" if corpus_where else "")
+    nexpr = (f"(SELECT count(*) FROM {corpus_table}"
              + (f" WHERE {corpus_where})" if corpus_where else ")"))
     # boolean AND: a doc is a candidate only if it matched EVERY distinct
     # query term (a query with an OOV term therefore matches nothing)
@@ -586,7 +633,7 @@ dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 {qterms_cte}{neg_cte},
 scores AS (
   SELECT q.query_id, tf.doc_id,
-         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0){boost_mul}
              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
          ) AS score
   FROM qterms q
@@ -608,6 +655,33 @@ SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
        CAST(floor(score * 1000000) AS BIGINT) AS score_q6
 FROM ranked WHERE rnk > {offset} AND rnk <= {offset + 10}
 ORDER BY query_id, "rank"
+"""
+
+
+def _sort_by_attr_sql(col: str = "n_chars", k: int = 10) -> str:
+    """Sort-by-field oracle: DISTINCT (query, doc) matches (any query
+    term), ordered by the document attribute desc with doc_id tie-break
+    — the mirror of index/facets.sort_by_attr. Integers end to end:
+    exact, no quantization."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_QUERIES
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    vals = []
+    for qid, text in DOC_QUERIES:
+        for t in sorted(set(tokenize(text))):
+            vals.append(f"({qid}, '{t}')")
+    return f"""
+WITH toks AS ({_TOKS}),
+qterms(query_id, term) AS (VALUES {', '.join(vals)}),
+matches AS (SELECT DISTINCT q.query_id, t.doc_id
+            FROM qterms q JOIN toks t ON t.term = q.term),
+ranked AS (
+  SELECT m.query_id, m.doc_id, d.{col} AS sort_value,
+         row_number() OVER (PARTITION BY m.query_id
+                            ORDER BY d.{col} DESC, m.doc_id) AS rnk
+  FROM matches m JOIN documents d ON d.doc_id = m.doc_id)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
+       doc_id::BIGINT AS doc_id, sort_value::BIGINT AS sort_value
+FROM ranked WHERE rnk <= {k} ORDER BY query_id, "rank"
 """
 
 
@@ -1475,6 +1549,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_documents_topk_msm": _bm25_sql(msm=2),
         "bm25_documents_topk_page2": _bm25_sql(offset=10),
         "facet_counts_lang": _facet_counts_sql("lang"),
+        "matches_by_length_topk": _sort_by_attr_sql("n_chars"),
         "bm25_documents_topk_range": _bm25_sql(
             candidate_where=("tf.doc_id IN (SELECT doc_id FROM documents "
                              "WHERE n_chars BETWEEN 150 AND 350)")),
@@ -1494,6 +1569,11 @@ def oracle_sql() -> dict[str, str]:
             query_set=__import__(
                 "bge_m3_onnx_ray.pipelines.flagship",
                 fromlist=["DOC_FUZZY_QUERIES"]).DOC_FUZZY_QUERIES),
+        "bm25_documents_topk_boosted": _bm25_sql(
+            parse_boost=True,
+            query_set=__import__(
+                "bge_m3_onnx_ray.pipelines.flagship",
+                fromlist=["DOC_BOOST_QUERIES"]).DOC_BOOST_QUERIES),
         # tombstones, live-docs semantics: full-corpus stats, deleted
         # docs excluded from candidates only
         "bm25_documents_topk_deleted": _bm25_sql(

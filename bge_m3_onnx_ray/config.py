@@ -98,6 +98,15 @@ class QueryConfig:
     # user opts into typo tolerance.
     parse_fuzzy: bool = False
     max_fuzzy_expansion: int = 10_000
+    # term boosts (the Lucene "word^2.5" syntax): when True, a trailing
+    # ^<positive float> on a whitespace-separated word multiplies the
+    # idf of every term that word contributes (a term reached by several
+    # words takes the MAX boost). Scaling idf is exact for all scorers:
+    # BM25 contributions AND WAND's block upper bounds are linear in
+    # idf, so pruning stays exact under boosts. A malformed or
+    # non-positive suffix leaves the word untouched. Off by default so
+    # carets in text are never misparsed.
+    parse_boost: bool = False
     # minimum-should-match (Lucene semantics): in "or" mode a candidate
     # must contain at least this many DISTINCT query terms. 0/1 = plain
     # disjunction; a value above the query's in-vocabulary term count

@@ -166,3 +166,171 @@ def facet_counts(index_dir: str, queries, col: str,
     from bge_m3_onnx_ray.stages._groups import bucket_reduce
     return bucket_reduce(partials, ["query_id", "value"],
                          [("count", "sum", "n_docs")], n_buckets=32)
+
+
+SORT_RESULT_SCHEMA = pa.schema([
+    ("query_id", pa.int64()),
+    ("rank", pa.int32()),
+    ("doc_id", pa.int64()),
+    ("sort_value", pa.int64()),
+])
+
+
+class AttrTopK:
+    """Per-(query, shard) top-k MATCHING docs ordered by an INTEGER
+    document attribute instead of relevance (the Elasticsearch ``sort``
+    clause: "newest matches first"). Candidates = OR match set (any
+    query term, tombstones excluded), exactly :class:`FacetCounter`'s;
+    ordering is (attr desc|asc, doc_id asc) — integer-exact, so the
+    oracle gate needs no quantization."""
+
+    def __init__(self, index_dir: str, col: str, k: int,
+                 descending: bool = True, cache_size: int = 64):
+        self._sc = ShardScorer(index_dir, idfs={}, k=1, method="exhaustive",
+                               cache_size=cache_size)
+        self.meta = self._sc.meta
+        self.col = col
+        self.k = k
+        self.descending = descending
+        self.cache_size = cache_size
+        self._attr_cache: OrderedDict[int, tuple] = OrderedDict()
+
+    def _attrs(self, shard: int) -> tuple[np.ndarray, np.ndarray]:
+        got = self._attr_cache.get(shard)
+        if got is None:
+            path = attrs_file(self.meta.index_dir, self.col, shard)
+            try:
+                t = pq.read_table(path)
+            except (FileNotFoundError, OSError):
+                # unlike facet counting (where an absent value is a zero
+                # count), a missing attrs shard would silently corrupt a
+                # GLOBAL ordering — fail loudly instead
+                raise FileNotFoundError(
+                    f"attrs table for {self.col!r} missing for shard "
+                    f"{shard} ({path}); run index.attrs.build_doc_attrs "
+                    f"before sort_by_attr") from None
+            col = t.column(self.col)
+            if not pa.types.is_integer(col.type):
+                raise TypeError(
+                    f"sort_by_attr needs an integer attribute; "
+                    f"{self.col!r} is {col.type}")
+            got = (t.column("doc_id").to_numpy().astype(np.int64),
+                   col.to_numpy().astype(np.int64))
+            self._attr_cache[shard] = got
+            while len(self._attr_cache) > self.cache_size:
+                self._attr_cache.popitem(last=False)
+        else:
+            self._attr_cache.move_to_end(shard)
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q: list[int] = []
+        out_d: list[int] = []
+        out_v: list[int] = []
+        qids = batch.column("query_id").to_pylist()
+        termss = batch.column("terms").to_pylist()
+        shards = batch.column("shard").to_pylist()
+        dec_memo: dict[tuple[int, str], tuple] = {}
+        for qid, terms, shard in zip(qids, termss, shards):
+            shard = int(shard)
+            post = self._sc._shard_postings(shard, list(terms))
+            docs = []
+            for t in terms:
+                e = post.get(t)
+                if e is None:
+                    continue
+                got = dec_memo.get((shard, t))
+                if got is None:
+                    got = dec_memo[(shard, t)] = decode_postings(
+                        e, self.meta.block_size)
+                docs.append(got[0])
+            if not docs:
+                continue
+            cand = np.unique(np.concatenate(docs))
+            if self._sc._has_tombstones:
+                dele = self._sc._deleted(shard)
+                if len(dele) and len(cand):
+                    pos = np.searchsorted(dele, cand)
+                    hit = pos < len(dele)
+                    hit[hit] = dele[pos[hit]] == cand[hit]
+                    cand = cand[~hit]
+            adocs, avals = self._attrs(shard)
+            if not len(adocs) or not len(cand):
+                continue
+            pos = np.searchsorted(adocs, cand)
+            ok = pos < len(adocs)
+            ok[ok] = adocs[pos[ok]] == cand[ok]
+            mdocs = cand[ok]
+            mvals = avals[pos[ok]]
+            order = np.lexsort((mdocs, -mvals if self.descending
+                                else mvals))[:self.k]
+            out_q.extend([int(qid)] * len(order))
+            out_d.extend(mdocs[order].tolist())
+            out_v.extend(mvals[order].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "sort_value": pa.array(out_v, pa.int64())})
+
+
+def sort_by_attr(index_dir: str, queries, col: str, k: int = 10,
+                 descending: bool = True,
+                 cfg: QueryConfig | None = None) -> rd.Dataset:
+    """For each query, the top-k MATCHING documents ordered by an
+    integer document attribute (not by relevance) — the search-engine
+    "sort by field" clause. Exact under document sharding: each shard
+    emits its local attr-top-k over its matching docs, and the merge
+    (one tiny query-bucketed shuffle) re-ranks the union. Output
+    (query_id, rank, doc_id, sort_value); both rank key and value are
+    integers, so results are exactly reproducible (no score
+    quantization)."""
+    cfg = cfg or QueryConfig()
+    meta = IndexMeta(index_dir)
+    from bge_m3_onnx_ray.tokenizer import make_tokenizer
+    tok = make_tokenizer(meta.stats.get("tokenizer_spec", "deterministic"))
+    if isinstance(queries, pa.Table):
+        queries = zip(queries.column("query_id").to_pylist(),
+                      queries.column("text").to_pylist())
+    qterms = {int(q): sorted(set(tok.tokenize(str(t)))) for q, t in queries}
+    pairs = [{"query_id": qid, "terms": ts, "shard": s}
+             for s in meta.shards
+             for qid, ts in qterms.items() if ts]
+    if not pairs:
+        return rd.from_arrow(SORT_RESULT_SCHEMA.empty_table())
+    fanout = rd.from_items(sorted(pairs, key=lambda r: r["shard"]))
+    partials = fanout.map_batches(
+        AttrTopK,
+        fn_constructor_kwargs={"index_dir": index_dir, "col": col, "k": k,
+                               "descending": descending,
+                               "cache_size": cfg.shard_cache_size},
+        batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
+        concurrency=cfg.scorer_concurrency, num_cpus=1)
+
+    sign = -1 if descending else 1
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        q = t.column("query_id").to_numpy().astype(np.uint64)
+        b = (q * np.uint64(2654435761)) % np.uint64(256)
+        return t.append_column("_qb", pa.array(b.astype(np.int64)))
+
+    def multi_merge(group: pa.Table) -> pa.Table:
+        qs = group.column("query_id").to_numpy()
+        vals = group.column("sort_value").to_numpy()
+        docs = group.column("doc_id").to_numpy()
+        order = np.lexsort((docs, sign * vals, qs))
+        qs, vals, docs = qs[order], vals[order], docs[order]
+        brk = np.empty(len(qs), bool)
+        brk[0] = True
+        brk[1:] = np.diff(qs) != 0
+        first = np.flatnonzero(brk)
+        rank = np.arange(len(qs)) - np.repeat(first, np.diff(
+            np.concatenate([first, [len(qs)]])))
+        keep = rank < k
+        return pa.table({
+            "query_id": pa.array(qs[keep], pa.int64()),
+            "rank": pa.array((rank[keep] + 1).astype(np.int32), pa.int32()),
+            "doc_id": pa.array(docs[keep], pa.int64()),
+            "sort_value": pa.array(vals[keep], pa.int64()),
+        }, schema=SORT_RESULT_SCHEMA)
+
+    return partials.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_qb").map_groups(multi_merge, batch_format="pyarrow")

@@ -579,14 +579,26 @@ class ShardScorer:
         shards = batch.column("shard").to_pylist()
         negss = (batch.column("neg").to_pylist()
                  if "neg" in batch.schema.names else [()] * len(qids))
+        boostss = (batch.column("boosts").to_pylist()
+                   if "boosts" in batch.schema.names else [None] * len(qids))
         if self._lookup is not None:  # bulk path: one dict probe per batch
             self.idfs = self._lookup.idfs_for(
                 {t for ts in termss for t in ts})
         # decoded-postings memo for THIS batch: many queries in a batch hit
         # the same (shard, term) — decode once, not once per query row
         dec_memo: dict[tuple[int, str], tuple] = {}
-        for qid, terms, negs, shard in zip(qids, termss, negss, shards):
+        for qid, terms, negs, boosts, shard in zip(qids, termss, negss,
+                                                   boostss, shards):
             n_required = len(set(terms))
+            # per-term boosts scale idf — exact for every scorer (BM25
+            # contributions and WAND block bounds are linear in idf)
+            if boosts is not None and any(b != 1.0 for b in boosts):
+                bmap = dict(zip(terms, boosts))
+                qidfs = {t: v * bmap.get(t, 1.0)
+                         for t in terms
+                         if (v := self.idfs.get(t)) is not None}
+            else:
+                qidfs = self.idfs
             terms = [t for t in terms if self.idfs.get(t) is not None]
             if not terms:
                 continue
@@ -644,17 +656,17 @@ class ShardScorer:
                 # an empty shard result (score_conjunctive's guard), not a
                 # match over the remaining terms.
                 scores, docs = score_conjunctive(
-                    decoded, sorted(set(terms)), self.idfs, m.avgdl, m.k1,
+                    decoded, sorted(set(terms)), qidfs, m.avgdl, m.k1,
                     m.b, self.k, allowed=allowed, excluded=excluded,
                     collapse_starts=self._collapse_starts)
             elif self.method == "wand":
-                scores, docs = score_wand(avail, sorted(avail), self.idfs,
+                scores, docs = score_wand(avail, sorted(avail), qidfs,
                                           m.avgdl, m.k1, m.b, self.k,
                                           m.block_size, decoded=decoded,
                                           allowed=allowed, excluded=excluded,
                                           msm=self.msm)
             else:
-                scores, docs = score_exhaustive(decoded, sorted(decoded), self.idfs,
+                scores, docs = score_exhaustive(decoded, sorted(decoded), qidfs,
                                                 m.avgdl, m.k1, m.b, self.k,
                                                 allowed=allowed,
                                                 excluded=excluded,
@@ -761,13 +773,19 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
                       queries.column("text").to_pylist())
     qlist = [(int(q), str(t)) for q, t in queries]
 
-    if cfg.parse_negation or cfg.parse_prefix or cfg.parse_fuzzy:
-        # query syntax on the RAW text (the tokenizer drops '-'/'*'):
+    qboost: dict[int, list[float]] = {}
+    if cfg.parse_negation or cfg.parse_prefix or cfg.parse_fuzzy \
+            or cfg.parse_boost:
+        # query syntax on the RAW text (the tokenizer drops '-'/'*'/'^'):
         # "-word" negates (candidate must not contain the term; OOV
         # negations are no-ops); "word*" expands to every dictionary
         # term with that prefix (disjunctive BM25 over the expansion);
         # parse_fuzzy expands every positive token to its Levenshtein-
-        # distance-1 dictionary neighbourhood (negations stay exact).
+        # distance-1 dictionary neighbourhood (negations stay exact);
+        # "word^2.5" boosts every term the word contributes (a term
+        # reached by several words takes the MAX boost; boosts scale the
+        # term's idf, which is exact for all scorers — BM25 contributions
+        # AND WAND's block upper bounds are linear in idf).
         qpos, qneg = {}, {}
         fuzzy_memo: dict[str, list[str]] = {}  # one dict scan per token
         for qid, text in qlist:
@@ -780,16 +798,34 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
             else:
                 qneg[qid] = []
             terms: set[str] = set()
+            tboost: dict[str, float] = {}
+
+            def _note(ts, b, _tb=tboost):
+                for t in ts:
+                    _tb[t] = max(_tb.get(t, 0.0), b)
+
             for w in words:
+                boost = 1.0
+                if cfg.parse_boost and "^" in w[1:]:
+                    base, _, bs = w.rpartition("^")
+                    try:
+                        bv = float(bs)
+                    except ValueError:
+                        bv = None
+                    if bv is not None and bv > 0.0:
+                        w, boost = base, bv
                 if cfg.parse_prefix and w.endswith("*") and len(w) > 1:
                     ptoks = tok.tokenize(w[:-1])
                     if not ptoks:
                         continue
                     # multi-token prefixes ("data-qu*"): all but the last
                     # normalized token are literals, the last is the prefix
+                    expanded = meta.expand_prefix(
+                        ptoks[-1], cfg.max_prefix_expansion)
                     terms.update(ptoks[:-1])
-                    terms.update(meta.expand_prefix(
-                        ptoks[-1], cfg.max_prefix_expansion))
+                    terms.update(expanded)
+                    _note(ptoks[:-1], boost)
+                    _note(expanded, boost)
                 elif cfg.parse_fuzzy:
                     for t in tok.tokenize(w):
                         got = fuzzy_memo.get(t)
@@ -797,9 +833,13 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
                             got = fuzzy_memo[t] = meta.expand_fuzzy(
                                 t, cfg.max_fuzzy_expansion)
                         terms.update(got)
+                        _note(got, boost)
                 else:
-                    terms.update(tok.tokenize(w))
+                    toks = tok.tokenize(w)
+                    terms.update(toks)
+                    _note(toks, boost)
             qpos[qid] = sorted(terms)
+            qboost[qid] = [tboost[t] for t in qpos[qid]]
         qterms = qpos
     else:
         qterms = {qid: sorted(set(tok.tokenize(text))) for qid, text in qlist}
@@ -808,10 +848,16 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
     dfs = meta.load_term_dfs(all_terms) if all_terms else {}
     idfs = {t: idf(d, meta.n_docs) for t, d in dfs.items()}
 
-    pairs = [{"query_id": qid, "terms": ts, "shard": s,
-              "neg": qneg[qid]}
-             for s in meta.shards
-             for qid, ts in qterms.items() if ts]
+    if cfg.parse_boost:
+        pairs = [{"query_id": qid, "terms": ts, "shard": s,
+                  "neg": qneg[qid], "boosts": qboost[qid]}
+                 for s in meta.shards
+                 for qid, ts in qterms.items() if ts]
+    else:
+        pairs = [{"query_id": qid, "terms": ts, "shard": s,
+                  "neg": qneg[qid]}
+                 for s in meta.shards
+                 for qid, ts in qterms.items() if ts]
     if not pairs:
         return rd.from_arrow(RESULT_SCHEMA.empty_table())
     allow_ref = None

@@ -75,6 +75,20 @@ DOC_FUZZY_QUERIES: list[tuple[int, str]] = [
     (6, "sow"),                     # multi-expansion: slow AND row
 ]
 
+# Term-boost queries (the Lucene "word^2.5" syntax): integer and
+# fractional boosts, a down-boost (<1), a duplicate word where the MAX
+# boost wins, a boosted OOV word (no-op), and a malformed suffix that
+# must parse as a plain word.
+DOC_BOOST_QUERIES: list[tuple[int, str]] = [
+    (0, "key^3 order sort"),
+    (1, "spark group^0.5 query"),
+    (2, "join^2.5 filter window^2.5"),
+    (3, "data data^4"),                  # same term twice: max boost (4)
+    (4, "customer^2 zzzneverseen^9"),    # boosted OOV term: no-op
+    (5, "table^x"),                      # malformed boost: literal word
+    (6, "slow^1 small filter"),          # explicit ^1 == no boost
+]
+
 # Quoted-phrase mixed queries ("..." spans are candidate filters, all
 # terms rank): two-phrase conjunction, OOV phrase (empty), phrase-only.
 DOC_QUOTED_QUERIES: list[tuple[int, str]] = [
@@ -376,6 +390,61 @@ def bm25_documents_topk_fuzzy(sf_dir: str, k: int = 10) -> pa.Table:
                                 preserve_index=False)
 
 
+def bm25_documents_topk_boosted(sf_dir: str, k: int = 10) -> pa.Table:
+    """Query-time term boosting: "word^2.5" multiplies the idf of every
+    term the word contributes (MAX boost per term across words), ranked
+    by the boosted disjunctive BM25 — exact under WAND because block
+    upper bounds are linear in idf. Same shape/oracle conventions as
+    :func:`bm25_documents_topk`; the DuckDB oracle carries a per-term
+    boost column parsed by the same rule."""
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    out = search(idx, DOC_BOOST_QUERIES,
+                 QueryConfig(k=k, method="wand",
+                             parse_boost=True)).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
+
+
+def _ensure_nchars_attrs(sf_dir: str, idx: str) -> None:
+    from bge_m3_onnx_ray.index.attrs import build_doc_attrs, has_doc_attrs
+    if has_doc_attrs(idx, "n_chars"):
+        return
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "n_chars"])
+
+    def to_keyed(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return pa.table({
+            "conv_id": pa.array([f"doc-{i:08d}" for i in ids], pa.string()),
+            "turn_idx": pa.array(np.zeros(len(ids), np.int32), pa.int32()),
+            "n_chars": t.column("n_chars"),
+        })
+
+    build_doc_attrs(ds.map_batches(to_keyed, batch_format="pyarrow"),
+                    idx, "n_chars")
+
+
+def matches_by_length_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Sort-by-field retrieval (the Elasticsearch ``sort`` clause): for
+    each query, the top-k MATCHING documents ordered by n_chars desc
+    (doc_id tie-break) instead of relevance — "longest matches first".
+    Output (query_id, rank, doc_id, sort_value); integers end to end, so
+    the oracle gate is exact with no score quantization."""
+    from bge_m3_onnx_ray.index.facets import sort_by_attr
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    _ensure_nchars_attrs(sf_dir, idx)
+    out = sort_by_attr(idx, DOC_QUERIES, "n_chars", k=k).to_pandas()
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["query_id", "rank", "doc_id", "sort_value"]],
+        preserve_index=False)
+
+
 def bm25_documents_topk_quoted(sf_dir: str, k: int = 10) -> pa.Table:
     """Mixed quoted-phrase retrieval: quoted spans filter candidates
     (consecutive-token match via the positional artifact), BM25 ranks
@@ -482,23 +551,9 @@ def bm25_documents_topk_range(sf_dir: str, k: int = 10,
     (``index/attrs.load_allowed_docs_range``); global stats stay
     corpus-wide, scores are unchanged BM25 sums. Same shape/oracle
     conventions as :func:`bm25_documents_topk`."""
-    from bge_m3_onnx_ray.index.attrs import build_doc_attrs, has_doc_attrs
     key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
     idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
-    if not has_doc_attrs(idx, "n_chars"):
-        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                             columns=["doc_id", "n_chars"])
-
-        def to_keyed(t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_numpy()
-            return pa.table({
-                "conv_id": pa.array([f"doc-{i:08d}" for i in ids], pa.string()),
-                "turn_idx": pa.array(np.zeros(len(ids), np.int32), pa.int32()),
-                "n_chars": t.column("n_chars"),
-            })
-
-        build_doc_attrs(ds.map_batches(to_keyed, batch_format="pyarrow"),
-                        idx, "n_chars")
+    _ensure_nchars_attrs(sf_dir, idx)
     out = search(idx, DOC_QUERIES,
                  QueryConfig(k=k, method="wand",
                              filter_range=("n_chars", lo, hi))).to_pandas()

@@ -413,3 +413,67 @@ def test_collapse_wand_raises(tiny_index):
     with pytest.raises(ValueError, match="collapse"):
         search(idx, [(0, "data")],
                QueryConfig(k=10, method="wand", collapse=True))
+
+
+def test_boost_wand_equals_exhaustive(tiny_index):
+    """Boosts scale idf, and WAND's block upper bounds are linear in
+    idf — pruning must stay exact: bit-identical results on both
+    scorer methods under mixed up/down boosts."""
+    idx, _ = tiny_index
+    queries = [(0, "data^3 order"), (1, "table^0.25 key sort^2"),
+               (2, "zzzneverseen^9 table")]
+    res = {}
+    for method in ("exhaustive", "wand"):
+        out = search(idx, queries,
+                     QueryConfig(k=10, method=method,
+                                 parse_boost=True)).to_pandas()
+        res[method] = out.sort_values(["query_id", "rank"]
+                                      ).reset_index(drop=True)
+    assert res["wand"][["query_id", "rank", "doc_id"]].equals(
+        res["exhaustive"][["query_id", "rank", "doc_id"]])
+    assert list(res["wand"].score) == list(res["exhaustive"].score)
+
+
+def test_boost_one_is_identity(tiny_index, tiny_corpus):
+    """'word^1' everywhere == the plain query, bit-identical (the
+    boost==1 path must not even rebuild the idf dict)."""
+    idx, _ = tiny_index
+    _, _, queries = tiny_corpus
+    plain = search(idx, queries, QueryConfig(k=10)).to_pandas()
+    boosted = search(idx, [(q, " ".join(w + "^1" for w in t.split()))
+                           for q, t in queries],
+                     QueryConfig(k=10, parse_boost=True)).to_pandas()
+    cols = ["query_id", "rank", "doc_id", "score"]
+    assert plain.sort_values(cols[:2]).reset_index(drop=True)[cols].equals(
+        boosted.sort_values(cols[:2]).reset_index(drop=True)[cols])
+
+
+def test_boost_max_rule(tiny_index):
+    """A term reached by several words takes the MAX boost: 'data
+    data^4' must equal 'data^4' bit-identically."""
+    idx, _ = tiny_index
+    a = search(idx, [(0, "data data^4")],
+               QueryConfig(k=10, parse_boost=True)).to_pandas()
+    b = search(idx, [(0, "data^4")],
+               QueryConfig(k=10, parse_boost=True)).to_pandas()
+    cols = ["rank", "doc_id", "score"]
+    assert a.sort_values("rank").reset_index(drop=True)[cols].equals(
+        b.sort_values("rank").reset_index(drop=True)[cols])
+
+
+def test_sort_by_attr_matches(tiny_index, tiny_corpus, nchars_attrs):
+    """sort_by_attr == the OR match set (every doc any query term hits)
+    ordered by (n_chars desc, doc_id asc), cut at k — integer-exact."""
+    from bge_m3_onnx_ray.index.facets import sort_by_attr
+    idx, _ = tiny_index
+    _, _, queries = tiny_corpus
+    full = search(idx, queries,
+                  QueryConfig(k=10**6, method="exhaustive")).to_pandas()
+    got = sort_by_attr(idx, queries, "n_chars", k=10).to_pandas()
+    assert set(got.query_id) == set(full.query_id)
+    for qid, g in full.groupby("query_id"):
+        want = sorted(((nchars_attrs[d], d) for d in g.doc_id),
+                      key=lambda x: (-x[0], x[1]))[:10]
+        have = got[got.query_id == qid].sort_values("rank")
+        assert list(zip(have.sort_value, have.doc_id)) == want, qid
+        assert list(have["rank"]) == list(range(1, len(want) + 1)), qid
