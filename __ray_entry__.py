@@ -165,6 +165,13 @@ def _q_bm25_deleted_compacted(sf_dir):
     return bm25_documents_topk_deleted_compacted(sf_dir)
 
 
+def _q_bm25_upserted(sf_dir):
+    # UPDATE lifecycle: delete old versions -> compact -> delta-append
+    # the revised texts; oracle = fresh SQL BM25 over the UPDATED corpus
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_topk_upserted
+    return bm25_documents_topk_upserted(sf_dir)
+
+
 def _q_fuzzy(sf_dir):
     # typo-tolerant retrieval: every token expands to its Levenshtein-
     # distance-1 dictionary neighbourhood (oracle: SQL levenshtein join)
@@ -475,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk_range": _q_bm25_range,
         "phrase_documents_topk": _q_phrase,
         "bm25_documents_topk_appended": _q_bm25_appended,
+        "bm25_documents_topk_upserted": _q_bm25_upserted,
         "bm25_documents_snippets": _q_snippets,
         "bm25_documents_topk_not": _q_bm25_not,
         "phrase_transcripts_topk": _q_phrase_transcripts,
@@ -1555,6 +1563,11 @@ def oracle_sql() -> dict[str, str]:
                              "WHERE n_chars BETWEEN 150 AND 350)")),
         "phrase_documents_topk": _phrase_sql(),
         "bm25_documents_topk_appended": _bm25_sql(quantized_rank=True),
+        "bm25_documents_topk_upserted": _bm25_sql(
+            quantized_rank=True,
+            corpus_table=("(SELECT doc_id, CASE WHEN doc_id % 7 = 3 "
+                          "THEN text || ' upsert revision' ELSE text END "
+                          "AS text FROM documents) u")),
         "bm25_documents_snippets": _snippets_sql(),
         "bm25_documents_topk_not": _bm25_sql(
             query_set=__import__("bge_m3_onnx_ray.pipelines.flagship",

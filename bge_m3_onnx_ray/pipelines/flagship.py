@@ -685,6 +685,93 @@ def _deleted_docs_index(sf_dir: str) -> str:
     return idx
 
 
+_UPS_SUFFIX = " upsert revision"
+
+
+def _upserted_index(sf_dir: str) -> str:
+    """Full CRUD chain on one index — UPDATE as delete + compact +
+    delta-append: docs with doc_id % 7 == 3 get a revised text
+    (original + ``_UPS_SUFFIX``). The old versions are tombstoned
+    (index.delete), dropped physically with stats recomputed over the
+    survivors (index.compact), then the revised texts arrive as a delta
+    (index.append) — so N, avgdl and every df must come out exactly as
+    a fresh build over the UPDATED corpus, which is what the DuckDB
+    oracle scores. Own cache dirs; rebuilt when the config fingerprint
+    changes."""
+    import json as _json
+    import shutil
+
+    from bge_m3_onnx_ray.index.append import append_index
+    from bge_m3_onnx_ray.index.artifacts import atomic_write_json
+    from bge_m3_onnx_ray.index.build import build_index
+    from bge_m3_onnx_ray.index.compact import compact_index
+    from bge_m3_onnx_ray.index.delete import delete_docs
+
+    sfb = os.path.basename(os.path.normpath(sf_dir))
+    final = os.path.join("/tmp/bm25_indexes", "documents-upsert-" + sfb)
+    marker = os.path.join(final, "upserted.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if _json.load(f).get("fp") == _DOC_CFG.fingerprint():
+                return final
+    shutil.rmtree(final, ignore_errors=True)
+    base = os.path.join("/tmp/bm25_indexes", "documents-upsbase-" + sfb)
+    shutil.rmtree(base, ignore_errors=True)  # deletes mutate it: rebuild
+    build_index(documents_as_transcripts(sf_dir), base, _DOC_CFG)
+    with open(os.path.join(base, "stats.json")) as f:
+        n = _json.load(f)["n_docs"]
+    ids = np.arange(n, dtype=np.int64)
+    delete_docs(base, ids[ids % _DEL_MOD == _DEL_REM])
+    compact_index(base, final)
+
+    def revised(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        sel = np.flatnonzero((ids % _DEL_MOD) == _DEL_REM)
+        ids = ids[sel]
+        texts = t.column("text").take(pa.array(sel)).to_pylist()
+        return pa.table({
+            "conv_id": pa.array([f"doc-{i:08d}" for i in ids], pa.string()),
+            "turn_idx": pa.array(np.zeros(len(ids), np.int32), pa.int32()),
+            "text": pa.array([x + _UPS_SUFFIX for x in texts], pa.string()),
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    append_index(ds.map_batches(revised, batch_format="pyarrow"), final)
+    atomic_write_json({"fp": _DOC_CFG.fingerprint()}, marker)
+    return final
+
+
+def bm25_documents_topk_upserted(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-k BM25 over the upserted index (see :func:`_upserted_index`)
+    — gates UPDATE semantics end to end: the oracle is a fresh SQL BM25
+    over the corpus WITH the revisions applied (``CASE WHEN`` text
+    rewrite), so any stale stat or surviving old version hash-fails.
+    Appended docIDs are not in original doc order, so results re-rank
+    on (floor(score*1e6) desc, doc_id) with the same over-fetch +
+    tie-width guard as :func:`bm25_documents_topk_appended`."""
+    idx = _upserted_index(sf_dir)
+    out = search(idx, DOC_QUERIES,
+                 QueryConfig(k=3 * k, method="wand")).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "score_q6", "doc_id"],
+                          ascending=[True, False, True]) \
+        .reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount().astype(np.int32) + 1
+    kth = out[out["rank"] == k].set_index("query_id").score_q6
+    g = out.groupby("query_id")
+    risky = (g.size() >= 3 * k) & (kth.reindex(g.size().index)
+                                   == g.score_q6.last())
+    if bool(risky.any()):
+        raise RuntimeError(
+            f"quantized-score tie group wider than the {3 * k}-row "
+            f"over-fetch for queries {list(risky[risky].index)[:5]}")
+    out = out[out["rank"] <= k]
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id",
+                                     "score_q6"]], preserve_index=False)
+
+
 def bm25_documents_topk_deleted(sf_dir: str, k: int = 10) -> pa.Table:
     """Top-k BM25 over an index with tombstoned documents — Lucene
     live-docs semantics: deleted docs never surface, but N/avgdl/df keep

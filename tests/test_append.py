@@ -208,3 +208,59 @@ def test_append_empty_noop(appended_index, tmp_path_factory):
     pq.write_table(t, str(d / "e.parquet"))
     res = append_index(str(d / "e.parquet"), idx)
     assert res == {"appended_docs": 0, "skipped": True}
+
+
+def test_upsert_chain_equals_fresh_build(tiny_corpus, tmp_path_factory,
+                                         ray_session):
+    """UPDATE = delete old versions -> compact -> delta-append revised
+    texts: per-(conv, turn) BM25 scores must come out EXACTLY as a fresh
+    build over the updated corpus (N, avgdl, every df)."""
+    from bge_m3_onnx_ray.config import QueryConfig, create_tiny_index_config
+    from bge_m3_onnx_ray.index.append import append_index
+    from bge_m3_onnx_ray.index.build import build_index
+    from bge_m3_onnx_ray.index.compact import compact_index
+    from bge_m3_onnx_ray.index.delete import delete_convs
+    from bge_m3_onnx_ray.index.search import search
+
+    path, _, _ = tiny_corpus
+    t = pa.concat_tables([pq.read_table(os.path.join(path, f))
+                          for f in sorted(os.listdir(path))])
+    convs = sorted(set(t.column("conv_id").to_pylist()))
+    upd = convs[::17][:5]                   # a handful of revised convs
+    cfg = create_tiny_index_config()
+    d = tmp_path_factory.mktemp("upsert")
+
+    mask = pc.is_in(t.column("conv_id"), value_set=pa.array(upd))
+    revised = t.filter(mask)
+    revised = revised.set_column(
+        revised.schema.get_field_index("text"), "text",
+        pc.binary_join_element_wise(revised.column("text").cast(pa.string()),
+                                    " upsertrev", ""))
+    rev_path = str(d / "revised.parquet")
+    pq.write_table(revised, rev_path)
+
+    # chain: build -> delete -> compact -> append
+    base = str(d / "base")
+    build_index(path, base, cfg)
+    delete_convs(base, upd)
+    chained = str(d / "chained")
+    compact_index(base, chained)
+    append_index(rev_path, chained)
+
+    # fresh build over the UPDATED corpus
+    upd_path = str(d / "updated.parquet")
+    pq.write_table(pa.concat_tables(
+        [t.filter(pc.invert(mask)), revised]), upd_path)
+    fresh = str(d / "fresh")
+    build_index(upd_path, fresh, cfg)
+
+    queries = [(0, "data order"), (1, "upsertrev"), (2, "table filter")]
+    qcfg = QueryConfig(k=10**6, method="exhaustive")
+    key = ["conv_id", "turn_idx", "query_id"]
+    a = search(chained, queries, qcfg).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    b = search(fresh, queries, qcfg).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) and len(a[a.query_id == 1]) > 0
+    assert a[key].equals(b[key])
+    assert list(a.score) == list(b.score)   # bit-identical
