@@ -187,6 +187,13 @@ def _q_boosted(sf_dir):
     return bm25_documents_topk_boosted(sf_dir)
 
 
+def _q_synonyms(sf_dir):
+    # query-time synonym expansion: one hop over a broadcast map; the
+    # oracle expands its qterms VALUES with the same map
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_topk_synonyms
+    return bm25_documents_topk_synonyms(sf_dir)
+
+
 def _q_quoted(sf_dir):
     # mixed quoted-phrase retrieval: quoted spans filter candidates via
     # the positional artifact, BM25 ranks over all terms
@@ -491,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk_prefix": _q_prefix,
         "bm25_documents_topk_fuzzy": _q_fuzzy,
         "bm25_documents_topk_boosted": _q_boosted,
+        "bm25_documents_topk_synonyms": _q_synonyms,
         "bm25_documents_topk_deleted": _q_bm25_deleted,
         "bm25_documents_topk_deleted_compacted": _q_bm25_deleted_compacted,
         "bm25_documents_bulk_topk": _q_bm25_bulk,
@@ -544,7 +552,8 @@ def _bm25_sql(conjunctive: bool = False, quantized_rank: bool = False,
               fuzzy: bool = False, candidate_where: str | None = None,
               corpus_where: str | None = None, msm: int = 0,
               offset: int = 0, parse_boost: bool = False,
-              corpus_table: str = "documents") -> str:
+              corpus_table: str = "documents",
+              synonyms: tuple = ()) -> str:
     """``candidate_where``: extra predicate on candidates only — global
     stats stay corpus-wide (tombstone live-docs semantics).
     ``corpus_where``: predicate on the CORPUS itself — stats, dfs and
@@ -586,7 +595,14 @@ def _bm25_sql(conjunctive: bool = False, quantized_rank: bool = False,
             for t in sorted(tb):
                 vals.append(f"({qid}, '{t}', {tb[t]!r})")
         else:
-            for t in sorted(set(tokenize(text))):
+            ts = set(tokenize(text))
+            if synonyms:
+                # one-hop expansion over the snapshot — the mirror of
+                # QueryConfig.synonyms (no transitive closure)
+                smap = dict(synonyms)
+                for t in sorted(ts):
+                    ts.update(smap.get(t, ()))
+            for t in sorted(ts):
                 vals.append(f"({qid}, '{t}')")
     qvalues = ", ".join(vals)
     # fuzzy: query tokens are WORDS that expand (inside SQL) to every
@@ -1587,6 +1603,13 @@ def oracle_sql() -> dict[str, str]:
             query_set=__import__(
                 "bge_m3_onnx_ray.pipelines.flagship",
                 fromlist=["DOC_BOOST_QUERIES"]).DOC_BOOST_QUERIES),
+        "bm25_documents_topk_synonyms": _bm25_sql(
+            synonyms=__import__(
+                "bge_m3_onnx_ray.pipelines.flagship",
+                fromlist=["DOC_SYNONYMS"]).DOC_SYNONYMS,
+            query_set=__import__(
+                "bge_m3_onnx_ray.pipelines.flagship",
+                fromlist=["DOC_SYN_QUERIES"]).DOC_SYN_QUERIES),
         # tombstones, live-docs semantics: full-corpus stats, deleted
         # docs excluded from candidates only
         "bm25_documents_topk_deleted": _bm25_sql(

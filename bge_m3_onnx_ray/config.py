@@ -98,6 +98,15 @@ class QueryConfig:
     # user opts into typo tolerance.
     parse_fuzzy: bool = False
     max_fuzzy_expansion: int = 10_000
+    # query-time synonym expansion (the Elasticsearch query-time synonym
+    # filter): ((term, (synonym, ...)), ...) of NORMALIZED terms. Each
+    # query term with an entry expands one hop to itself plus its
+    # synonyms (plain disjunctive BM25 over the union; no transitive
+    # closure — mirror the map yourself if you want chains). An
+    # expansion that is out-of-vocabulary contributes nothing. Under
+    # parse_boost, a synonym inherits the MAX boost of any source term
+    # that produced it.
+    synonyms: tuple = ()
     # term boosts (the Lucene "word^2.5" syntax): when True, a trailing
     # ^<positive float> on a whitespace-separated word multiplies the
     # idf of every term that word contributes (a term reached by several

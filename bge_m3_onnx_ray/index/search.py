@@ -774,6 +774,7 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
     qlist = [(int(q), str(t)) for q, t in queries]
 
     qboost: dict[int, list[float]] = {}
+    smap = dict(cfg.synonyms) if cfg.synonyms else {}
     if cfg.parse_negation or cfg.parse_prefix or cfg.parse_fuzzy \
             or cfg.parse_boost:
         # query syntax on the RAW text (the tokenizer drops '-'/'*'/'^'):
@@ -838,11 +839,25 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
                     toks = tok.tokenize(w)
                     terms.update(toks)
                     _note(toks, boost)
+            if smap:
+                # one-hop query-time synonym expansion; a synonym
+                # inherits the MAX boost of any source term
+                for t in sorted(terms):
+                    exp = smap.get(t)
+                    if exp:
+                        terms.update(exp)
+                        _note(exp, tboost.get(t, 1.0))
             qpos[qid] = sorted(terms)
             qboost[qid] = [tboost[t] for t in qpos[qid]]
         qterms = qpos
     else:
-        qterms = {qid: sorted(set(tok.tokenize(text))) for qid, text in qlist}
+        qterms = {}
+        for qid, text in qlist:
+            ts = set(tok.tokenize(text))
+            if smap:
+                for t in sorted(ts):
+                    ts.update(smap.get(t, ()))
+            qterms[qid] = sorted(ts)
         qneg = {qid: [] for qid, _ in qlist}
     all_terms = sorted({t for ts in qterms.values() for t in ts})
     dfs = meta.load_term_dfs(all_terms) if all_terms else {}

@@ -89,6 +89,22 @@ DOC_BOOST_QUERIES: list[tuple[int, str]] = [
     (6, "slow^1 small filter"),          # explicit ^1 == no boost
 ]
 
+# Query-time synonym map + queries: an in-vocabulary expansion, a
+# multi-synonym entry, an OOV expansion (contributes nothing), and a
+# query containing both a source term and its synonym (dedup).
+DOC_SYNONYMS: tuple = (
+    ("query", ("scan",)),
+    ("merge", ("join", "group")),
+    ("table", ("zzzneverseen",)),       # OOV synonym: no-op
+    ("slow", ("small",)),
+)
+DOC_SYN_QUERIES: list[tuple[int, str]] = [
+    (0, "query table"),
+    (1, "merge stream"),
+    (2, "slow small row"),              # synonym already present: dedup
+    (3, "data filter"),                 # no entries: plain query
+]
+
 # Quoted-phrase mixed queries ("..." spans are candidate filters, all
 # terms rank): two-phrase conjunction, OOV phrase (empty), phrase-only.
 DOC_QUOTED_QUERIES: list[tuple[int, str]] = [
@@ -443,6 +459,25 @@ def matches_by_length_topk(sf_dir: str, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(
         out[["query_id", "rank", "doc_id", "sort_value"]],
         preserve_index=False)
+
+
+def bm25_documents_topk_synonyms(sf_dir: str, k: int = 10) -> pa.Table:
+    """Query-time synonym expansion: each query term with a
+    ``DOC_SYNONYMS`` entry expands one hop to itself plus its synonyms,
+    ranked by plain disjunctive BM25 over the union (the Elasticsearch
+    query-time synonym filter shape — the index is untouched). Same
+    shape/oracle conventions as :func:`bm25_documents_topk`; the DuckDB
+    oracle expands its qterms VALUES with the same map."""
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    out = search(idx, DOC_SYN_QUERIES,
+                 QueryConfig(k=k, method="wand",
+                             synonyms=DOC_SYNONYMS)).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
 
 
 def bm25_documents_topk_quoted(sf_dir: str, k: int = 10) -> pa.Table:

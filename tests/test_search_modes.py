@@ -477,3 +477,35 @@ def test_sort_by_attr_matches(tiny_index, tiny_corpus, nchars_attrs):
         have = got[got.query_id == qid].sort_values("rank")
         assert list(zip(have.sort_value, have.doc_id)) == want, qid
         assert list(have["rank"]) == list(range(1, len(want) + 1)), qid
+
+
+@pytest.mark.parametrize("method", ["exhaustive", "wand"])
+def test_synonym_expansion_parity(tiny_index, tiny_corpus, method):
+    """Query-time synonyms == the manually expanded plain query,
+    bit-identical (one-hop, dedup, OOV expansion a no-op)."""
+    idx, _ = tiny_index
+    syn = (("data", ("order", "table")), ("key", ("zzzneverseen",)))
+    cases = [(0, "data row", "data order table row"),
+             (1, "key sort", "key sort"),        # OOV synonym: no-op
+             (2, "data order", "data order table")]  # synonym present: dedup
+    got = search(idx, [(q, t) for q, t, _ in cases],
+                 QueryConfig(k=10, method=method, synonyms=syn)).to_pandas()
+    want = search(idx, [(q, t) for q, _, t in cases],
+                  QueryConfig(k=10, method=method)).to_pandas()
+    cols = ["query_id", "rank", "doc_id", "score"]
+    assert got.sort_values(cols[:2]).reset_index(drop=True)[cols].equals(
+        want.sort_values(cols[:2]).reset_index(drop=True)[cols])
+
+
+def test_synonym_boost_inheritance(tiny_index):
+    """Under parse_boost, a synonym inherits its source word's boost:
+    'data^3' with data->order must equal 'data^3 order^3'."""
+    idx, _ = tiny_index
+    a = search(idx, [(0, "data^3")],
+               QueryConfig(k=10, parse_boost=True,
+                           synonyms=(("data", ("order",)),))).to_pandas()
+    b = search(idx, [(0, "data^3 order^3")],
+               QueryConfig(k=10, parse_boost=True)).to_pandas()
+    cols = ["rank", "doc_id", "score"]
+    assert a.sort_values("rank").reset_index(drop=True)[cols].equals(
+        b.sort_values("rank").reset_index(drop=True)[cols])
