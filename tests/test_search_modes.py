@@ -509,3 +509,24 @@ def test_synonym_boost_inheritance(tiny_index):
     cols = ["rank", "doc_id", "score"]
     assert a.sort_values("rank").reset_index(drop=True)[cols].equals(
         b.sort_values("rank").reset_index(drop=True)[cols])
+
+
+def test_collapse_composes_with_filter(tiny_index, tiny_corpus, role_attrs):
+    """collapse + facet filter: the per-conv best is taken over the
+    FILTERED candidates (filter first, then collapse) — must equal
+    collapse applied to the filtered full ranking."""
+    idx, _ = tiny_index
+    _, _, queries = tiny_corpus
+    full = search(idx, queries,
+                  QueryConfig(k=10**6, method="exhaustive",
+                              filter_attr="role",
+                              filter_value="user")).to_pandas()
+    col = search(idx, queries,
+                 QueryConfig(k=10, method="exhaustive", collapse=True,
+                             filter_attr="role",
+                             filter_value="user")).to_pandas()
+    for qid, g in full.groupby("query_id"):
+        want = g.sort_values("rank").drop_duplicates("conv_id").head(10)
+        have = col[col.query_id == qid].sort_values("rank")
+        assert list(have.doc_id) == list(want.doc_id), qid
+        assert list(have.score) == list(want.score), qid
