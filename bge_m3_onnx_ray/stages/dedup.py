@@ -17,6 +17,8 @@ Partitioning strategy (the thing that matters at 100 TB):
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -727,78 +729,124 @@ def simhash(ds: rd.Dataset) -> rd.Dataset:
 
 # ------------------------------------------------- embedding near-dup
 
-class _BlockCos:
-    """One batch of vectors against the full broadcast matrix (exact
-    all-pairs path)."""
+_PAIR_SCHEMA = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                          ("cos_q2", pa.int64())])
 
-    def __init__(self, mat_ref, threshold: float):
-        import ray
-        self.ids, self.m = ray.get(mat_ref)
+
+class _PairBlockCos:
+    """One (block_i, block_j) TILE of the exact all-pairs cosine. No
+    process ever holds more than a handful of blocks: the driver puts
+    one block at a time, each task fetches the two blocks its tile
+    names (zero-copy from the local object store) and keeps a small
+    per-worker LRU for tile reuse. The diagonal tile dedups with the
+    id< mask; off-diagonal tiles orient each hit as (min_id, max_id)."""
+
+    def __init__(self, block_refs, threshold: float):
+        self.block_refs = block_refs
         self.threshold = threshold
+        self._cache: "OrderedDict[int, tuple]" = OrderedDict()
+
+    def _block(self, i: int):
+        got = self._cache.get(i)
+        if got is None:
+            import ray
+            got = ray.get(self.block_refs[i])
+            self._cache[i] = got
+            while len(self._cache) > 8:
+                self._cache.popitem(last=False)
+        else:
+            self._cache.move_to_end(i)
+        return got
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from bge_m3_onnx_ray.stages.ann import _embedding_matrix, _normalize
-        bids = batch.column("vec_id").to_numpy()
-        bm = _normalize(_embedding_matrix(batch.column("embedding")))
-        sims = bm @ self.m.T
-        bi, gj = np.nonzero((sims >= self.threshold) &
-                            (bids[:, None] < self.ids[None, :]))
-        return pa.table({
-            "vec_a": pa.array(bids[bi], pa.int64()),
-            "vec_b": pa.array(self.ids[gj], pa.int64()),
-            "cos_q2": pa.array(np.floor(sims[bi, gj] * 100.0).astype(np.int64),
-                               pa.int64())})
+        out = []
+        for bi, bj in zip(batch.column("bi").to_pylist(),
+                          batch.column("bj").to_pylist()):
+            ids_i, mi = self._block(int(bi))
+            ids_j, mj = self._block(int(bj))
+            sims = mi @ mj.T
+            if bi == bj:
+                r, c = np.nonzero((sims >= self.threshold) &
+                                  (ids_i[:, None] < ids_j[None, :]))
+                a, b = ids_i[r], ids_j[c]
+            else:
+                r, c = np.nonzero(sims >= self.threshold)
+                ai, bj_ = ids_i[r], ids_j[c]
+                a, b = np.minimum(ai, bj_), np.maximum(ai, bj_)
+            out.append(pa.table({
+                "vec_a": pa.array(a, pa.int64()),
+                "vec_b": pa.array(b, pa.int64()),
+                "cos_q2": pa.array(
+                    np.floor(sims[r, c] * 100.0).astype(np.int64),
+                    pa.int64())}, schema=_PAIR_SCHEMA))
+        return (pa.concat_tables(out) if out
+                else _PAIR_SCHEMA.empty_table())
 
 
 def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.4,
-                        max_vectors: int = 1_000_000) -> rd.Dataset:
-    """ALL pairs with cosine >= threshold — the exact baseline: normalize
-    per batch, block-matmul against the full broadcast matrix; O(N^2/B)
-    per task, no shuffle. Right up to ~10^6 vectors; beyond that use
-    :func:`lsh_bucket_pairs` (the LSH-bucketed scale path, which trades
-    cross-bucket recall for per-bucket work). Output (vec_a, vec_b,
-    cos_q2), vec_a < vec_b.
+                        max_vectors: int = 1_000_000,
+                        block_size: int = 4096) -> rd.Dataset:
+    """ALL pairs with cosine >= threshold — the exact baseline, computed
+    block×block: vectors are cut into normalized blocks of
+    ``block_size`` rows (the driver streams batches and puts ONE block
+    at a time — peak driver memory is one block, never the matrix), and
+    each upper-triangle (block_i, block_j) tile is an independent task
+    holding exactly two blocks. Output (vec_a, vec_b, cos_q2),
+    vec_a < vec_b.
 
-    The contract is ENFORCED, not advisory: the broadcast matrix is
-    O(N·dim) in one process and every task scans it, so above
-    ``max_vectors`` this raises instead of quietly becoming the job's
-    memory/compute bottleneck — the error names the scale path."""
+    Total compute is still O(N²·dim) — that is what "exact all-pairs"
+    means — so the ``max_vectors`` cap is ENFORCED: above it this raises
+    and names :func:`lsh_bucket_pairs` (the LSH-bucketed scale path).
+    The cap bounds tile COUNT, not memory: at 10⁶ vectors the fan-out is
+    ~30k tiles of ~33 MB sims each."""
     import ray
 
-    from bge_m3_onnx_ray.stages.ann import _embedding_matrix
+    from bge_m3_onnx_ray.stages.ann import _embedding_matrix, _normalize
 
-    # Build the broadcast matrix WITHOUT a full-table to_pandas: count
-    # once (metadata-cheap on parquet), then stream Arrow batches into a
-    # preallocated float64 array — peak driver memory is exactly the
-    # matrix, no pandas object-column detour.
     src = ds.select_columns(["vec_id", "embedding"])
     n = src.count()
     if n > max_vectors:
         raise ValueError(
             f"embedding_dup_pairs is the exact all-pairs baseline, capped "
-            f"at max_vectors={max_vectors} (got {n}): the O(N*dim) "
-            f"broadcast matrix and O(N^2) scan do not scale past ~10^6 "
-            f"vectors. Use lsh_bucket_pairs() for larger corpora, or "
-            f"raise max_vectors explicitly if the matrix fits.")
-    ids = np.empty(n, np.int64)
-    m = None
-    pos = 0
-    for t in src.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        bm = _embedding_matrix(t.column("embedding"))
-        if m is None:
-            m = np.empty((n, bm.shape[1] if n else 0), np.float64)
-        k = t.num_rows
-        ids[pos:pos + k] = t.column("vec_id").to_numpy()
-        m[pos:pos + k] = bm
-        pos += k
-    if m is None:
-        m = np.empty((0, 0), np.float64)
-    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-    mat_ref = ray.put((ids, m))
+            f"at max_vectors={max_vectors} (got {n}): O(N^2) tiles do not "
+            f"scale past ~10^6 vectors. Use lsh_bucket_pairs() for larger "
+            f"corpora, or raise max_vectors explicitly.")
+    block_refs = []
+    buf_ids: list[np.ndarray] = []
+    buf_ms: list[np.ndarray] = []
+    buffered = 0
 
-    return ds.select_columns(["vec_id", "embedding"]).map_batches(
-        task_stage(_BlockCos, mat_ref=mat_ref, threshold=threshold),
-        batch_format="pyarrow", batch_size=256)
+    def _flush(upto: int) -> None:
+        nonlocal buffered
+        ids_b = np.concatenate(buf_ids)[:upto]
+        m_b = np.concatenate(buf_ms)[:upto]
+        rest_ids, rest_m = (np.concatenate(buf_ids)[upto:],
+                            np.concatenate(buf_ms)[upto:])
+        block_refs.append(ray.put((ids_b, _normalize(m_b))))
+        buf_ids.clear()
+        buf_ms.clear()
+        if len(rest_ids):
+            buf_ids.append(rest_ids)
+            buf_ms.append(rest_m)
+        buffered = len(rest_ids)
+
+    for t in src.iter_batches(batch_size=block_size, batch_format="pyarrow"):
+        buf_ids.append(t.column("vec_id").to_numpy().astype(np.int64))
+        buf_ms.append(_embedding_matrix(t.column("embedding")))
+        buffered += t.num_rows
+        while buffered >= block_size:
+            _flush(block_size)
+    if buffered:
+        _flush(buffered)
+    if not block_refs:
+        return rd.from_arrow(_PAIR_SCHEMA.empty_table())
+
+    p = len(block_refs)
+    tiles = [{"bi": i, "bj": j} for i in range(p) for j in range(i, p)]
+    return rd.from_items(tiles).map_batches(
+        task_stage(_PairBlockCos, block_refs=tuple(block_refs),
+                   threshold=threshold),
+        batch_format="pyarrow", batch_size=4)
 
 
 def _bucket_cos_pairs(group: pa.Table, threshold: float) -> pa.Table:

@@ -356,3 +356,30 @@ def test_ppm_real_decode(ray_session):
                 b"P6 0 0 255 ",               # zero dims
                 b"P6\xff\xfe\xfd" + bytes(50)):
         assert decode_ppm(bad) is None, bad
+
+
+def test_embedding_dup_pairs_blocked_equals_single_block(ray_session):
+    """The block×block tiling must find exactly the pairs a single-block
+    (whole-matrix) run finds — diagonal dedup, off-diagonal (min,max)
+    orientation, and block boundaries straddling batches."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.dedup import embedding_dup_pairs
+    rng = np.random.default_rng(7)
+    n = 230
+    base = rng.normal(size=(n, 8))
+    base[50] = base[200]          # exact dup across distant blocks
+    base[3] = base[4] + 1e-3      # near dup inside one block
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in base.astype(np.float32)],
+                              pa.list_(pa.float32()))}))
+
+    def norm(df):
+        return (df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+                [["vec_a", "vec_b", "cos_q2"]])
+
+    one = norm(embedding_dup_pairs(ds, threshold=0.6).to_pandas())
+    many = norm(embedding_dup_pairs(ds, threshold=0.6,
+                                    block_size=37).to_pandas())
+    assert len(one) > 0 and (one.vec_a < one.vec_b).all()
+    assert one.equals(many)
