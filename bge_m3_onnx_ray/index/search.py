@@ -931,6 +931,18 @@ def search_bulk(index_dir: str, queries: rd.Dataset,
         raise ValueError('collapse requires method="exhaustive" in "or" '
                          "mode (WAND theta prunes on the k-th doc, not "
                          "the k-th conversation)")
+    # the streaming fan-out implements negation parsing only; refuse the
+    # other query-syntax flags LOUDLY rather than silently ignoring them
+    # (prefix/fuzzy need dictionary expansion, boosts/synonyms per-term
+    # metadata the fan stage does not emit yet)
+    unsupported = [f for f, on in (("parse_prefix", cfg.parse_prefix),
+                                   ("parse_fuzzy", cfg.parse_fuzzy),
+                                   ("parse_boost", cfg.parse_boost),
+                                   ("synonyms", bool(cfg.synonyms))) if on]
+    if unsupported:
+        raise NotImplementedError(
+            f"search_bulk does not support {unsupported}; use search() "
+            f"with a materialized query list for these")
     meta = IndexMeta(index_dir)
     offsets = ConvOffsets.load(index_dir)
     spec = meta.stats.get("tokenizer_spec", "deterministic")

@@ -530,3 +530,35 @@ def test_collapse_composes_with_filter(tiny_index, tiny_corpus, role_attrs):
         have = col[col.query_id == qid].sort_values("rank")
         assert list(have.doc_id) == list(want.doc_id), qid
         assert list(have.score) == list(want.score), qid
+
+
+def test_collapse_bulk_equals_driver_path(tiny_index, tiny_corpus):
+    """search_bulk must honour collapse identically to search()."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.index.search import search_bulk
+    idx, _ = tiny_index
+    _, _, queries = tiny_corpus
+    cfg = QueryConfig(k=10, method="exhaustive", collapse=True)
+    a = search(idx, queries, cfg).to_pandas()
+    qds = rd.from_items([{"query_id": q, "text": t} for q, t in queries])
+    b = search_bulk(idx, qds, cfg).to_pandas()
+    cols = ["query_id", "rank", "conv_id", "doc_id", "score"]
+    assert a.sort_values(cols[:2]).reset_index(drop=True)[cols].equals(
+        b.sort_values(cols[:2]).reset_index(drop=True)[cols])
+
+
+def test_bulk_rejects_unsupported_syntax(tiny_index):
+    """The streaming fan-out implements negation only — the other
+    syntax flags must raise, not silently ignore."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.index.search import search_bulk
+    idx, _ = tiny_index
+    qds = rd.from_items([{"query_id": 0, "text": "data"}])
+    for cfg in (QueryConfig(parse_prefix=True),
+                QueryConfig(parse_fuzzy=True),
+                QueryConfig(parse_boost=True),
+                QueryConfig(synonyms=(("data", ("order",)),))):
+        with pytest.raises(NotImplementedError, match="search_bulk"):
+            search_bulk(idx, qds, cfg)
