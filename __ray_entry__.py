@@ -150,6 +150,20 @@ def _q_prefix(sf_dir):
     return bm25_documents_topk_prefix(sf_dir)
 
 
+def _q_wildcard(sf_dir):
+    # generalized wildcard retrieval: '*' anywhere in a word expands
+    # against the global dictionary (head-pruned scan + anchored RE2)
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_topk_wildcard
+    return bm25_documents_topk_wildcard(sf_dir)
+
+
+def _q_regex(sf_dir):
+    # regex term retrieval: "/pat/" expands to dictionary terms fully
+    # matching the RE2 pattern (Lucene RegexpQuery semantics)
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_topk_regex
+    return bm25_documents_topk_regex(sf_dir)
+
+
 def _q_bm25_deleted(sf_dir):
     # tombstone deletes, live-docs semantics: deleted docs never surface
     # while N/avgdl/df keep their as-built values (index.delete)
@@ -496,6 +510,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_documents_topk": _q_near,
         "bm25_documents_topk_quoted": _q_quoted,
         "bm25_documents_topk_prefix": _q_prefix,
+        "bm25_documents_topk_wildcard": _q_wildcard,
+        "bm25_documents_topk_regex": _q_regex,
         "bm25_documents_topk_fuzzy": _q_fuzzy,
         "bm25_documents_topk_boosted": _q_boosted,
         "bm25_documents_topk_synonyms": _q_synonyms,
@@ -1009,6 +1025,86 @@ SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
        CAST(floor(score * 1000000) AS BIGINT) AS score_q6
 FROM ranked WHERE rnk <= {k} ORDER BY query_id, "rank"
 """
+
+
+def _expansion_bm25_sql(arms: list[str], k: int = 10) -> str:
+    """Shared oracle body for dictionary-expansion queries (wildcard /
+    regex): ``arms`` are per-query term-set SELECTs (literals or
+    dictionary scans against ``dfs``), deduped by UNION, then the
+    standard disjunctive BM25 scoring/ranking of ``_bm25_sql``."""
+    qterms_sql = "\nUNION ".join(arms)  # UNION (not ALL): dedup per query
+    return f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM toks)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+qterms AS ({qterms_sql}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scores)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
+       doc_id::BIGINT AS doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_q6
+FROM ranked WHERE rnk <= {k} ORDER BY query_id, "rank"
+"""
+
+
+def _wildcard_sql(k: int = 10) -> str:
+    """Generalized-wildcard oracle: a '*'-bearing word's term set = the
+    distinct corpus terms LIKE the pattern with '*' → '%' (the SQL
+    mirror of IndexMeta.expand_wildcard — LIKE '%' and the engine's
+    '.*' regex runs are the same language); literal words tokenize
+    as usual."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_WILDCARD_QUERIES
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    arms = []
+    for qid, text in DOC_WILDCARD_QUERIES:
+        for w in text.split():
+            if "*" in w and len(w) > 1:
+                pieces = ["".join(tokenize(p)) for p in w.split("*")]
+                pat = "%".join(pieces)
+                arms.append(f"SELECT {qid} AS query_id, term FROM dfs "
+                            f"WHERE term LIKE '{pat}'")
+            else:
+                for t in sorted(set(tokenize(w))):
+                    arms.append(f"SELECT {qid} AS query_id, '{t}' AS term")
+    return _expansion_bm25_sql(arms, k)
+
+
+def _regex_sql(k: int = 10) -> str:
+    """Regex-term oracle: a "/pat/" word's term set = the distinct
+    corpus terms where ``regexp_full_match(term, pat)`` (DuckDB is RE2,
+    the engine matches with Arrow's RE2 — same dialect); literal words
+    tokenize as usual."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_REGEX_QUERIES
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    arms = []
+    for qid, text in DOC_REGEX_QUERIES:
+        for w in text.split():
+            if len(w) > 2 and w.startswith("/") and w.endswith("/"):
+                pat = w[1:-1].replace("'", "''")
+                arms.append(f"SELECT {qid} AS query_id, term FROM dfs "
+                            f"WHERE regexp_full_match(term, '{pat}')")
+            else:
+                for t in sorted(set(tokenize(w))):
+                    arms.append(f"SELECT {qid} AS query_id, '{t}' AS term")
+    return _expansion_bm25_sql(arms, k)
 
 
 def _quoted_sql(k: int = 10) -> str:
@@ -1593,6 +1689,8 @@ def oracle_sql() -> dict[str, str]:
         "near_documents_topk": _near_sql(),
         "bm25_documents_topk_quoted": _quoted_sql(),
         "bm25_documents_topk_prefix": _prefix_sql(),
+        "bm25_documents_topk_wildcard": _wildcard_sql(),
+        "bm25_documents_topk_regex": _regex_sql(),
         "bm25_documents_topk_fuzzy": _bm25_sql(
             fuzzy=True,
             query_set=__import__(

@@ -88,8 +88,23 @@ class QueryConfig:
     # default so asterisks in text are never misparsed.
     parse_prefix: bool = False
     # safety cap on one prefix's expansion (raise, don't truncate: a
-    # silent cut would diverge from the oracle and from user intent)
+    # silent cut would diverge from the oracle and from user intent);
+    # shared by the wildcard and regex expansions below
     max_prefix_expansion: int = 10_000
+    # generalized wildcard syntax (Lucene WildcardQuery): when True, a
+    # whitespace-separated word containing '*' ANYWHERE ("*fix",
+    # "*mid*", "a*b") expands to every dictionary term matching the
+    # pattern (stars = any char run; disjunctive BM25 over the
+    # expansion). Subsumes parse_prefix for starred words. Literal
+    # pieces are normalized through the index tokenizer; a pattern whose
+    # expansion exceeds max_prefix_expansion raises.
+    parse_wildcard: bool = False
+    # regex term syntax (Lucene RegexpQuery): when True, a word wrapped
+    # in slashes ("/s(low|mall)/") expands to every dictionary term
+    # FULLY matching the RE2 pattern (matched verbatim against the
+    # normalized terms — write patterns in lowercase). Disjunctive BM25
+    # over the expansion; capped by max_prefix_expansion.
+    parse_regex: bool = False
     # fuzzy matching: when True, every positive query token expands to
     # the dictionary terms within Levenshtein distance 1 of it
     # (disjunctive BM25 over the union of expansions; a token with no

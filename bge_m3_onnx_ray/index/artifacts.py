@@ -332,6 +332,73 @@ class IndexMeta:
                 f"(> max_prefix_expansion={limit}); narrow the prefix")
         return terms
 
+    def expand_wildcard(self, pattern: str, limit: int = 10_000) -> list[str]:
+        """Every dictionary term matching a ``*``-wildcard pattern with
+        stars ANYWHERE (Lucene WildcardQuery / SQL ``LIKE`` with ``%``):
+        ``mid*``, ``*fix``, ``*mid*``, ``a*b``. A literal head before the
+        first star range-prunes the bucketed dictionary scan exactly like
+        :meth:`expand_prefix`; the exact match is one anchored RE2 regex
+        over the pruned term column (``pyarrow.compute`` — no Python
+        loop). A leading-star pattern cannot range-prune and costs one
+        columnar dictionary scan; Lucene documents the same caveat for
+        leading wildcards. Raises past ``limit`` (silent truncation would
+        diverge from user intent and from the SQL oracle)."""
+        import re
+
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        if "*" not in pattern:
+            raise ValueError(f"wildcard pattern {pattern!r} has no '*'")
+        d = os.path.join(self.index_dir, "dictionary")
+        if not os.path.isdir(d) or not os.listdir(d):
+            return []
+        pieces = pattern.split("*")
+        rx = "^" + ".*".join(re.escape(p) for p in pieces) + "$"
+        dset = pads.dataset(d, format="parquet")
+        head = pieces[0]
+        filt = ((pc.field("term") >= head) & (pc.field("term") < head + "￿")
+                if head else None)
+        t = dset.to_table(filter=filt, columns=["term"])
+        arr = t.column("term").combine_chunks()
+        terms = sorted(set(arr.filter(
+            pc.match_substring_regex(arr, rx)).to_pylist()))
+        if len(terms) > limit:
+            raise ValueError(
+                f"wildcard {pattern!r} expands to {len(terms)} terms "
+                f"(> max_prefix_expansion={limit}); narrow the pattern")
+        return terms
+
+    def expand_regex(self, pattern: str, limit: int = 10_000) -> list[str]:
+        """Every dictionary term FULLY matching an RE2 regex (Lucene
+        RegexpQuery semantics — the pattern is anchored to the whole
+        term). One columnar scan of the bucketed dictionary with
+        ``pyarrow.compute.match_substring_regex`` on ``^(?:pat)$``; RE2
+        on both sides of the gate (Arrow here, DuckDB's
+        ``regexp_full_match`` in the oracle) so the dialects agree.
+        Terms are stored NORMALIZED (tokenizer output), so patterns
+        should be written in lowercase. Raises past ``limit``."""
+        import re
+
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        try:
+            re.compile(pattern)
+        except re.error as e:
+            raise ValueError(f"bad regex {pattern!r}: {e}") from e
+        d = os.path.join(self.index_dir, "dictionary")
+        if not pattern or not os.path.isdir(d) or not os.listdir(d):
+            return []
+        dset = pads.dataset(d, format="parquet")
+        t = dset.to_table(columns=["term"])
+        arr = t.column("term").combine_chunks()
+        terms = sorted(set(arr.filter(
+            pc.match_substring_regex(arr, f"^(?:{pattern})$")).to_pylist()))
+        if len(terms) > limit:
+            raise ValueError(
+                f"regex /{pattern}/ expands to {len(terms)} terms "
+                f"(> max_prefix_expansion={limit}); narrow the pattern")
+        return terms
+
     def expand_fuzzy(self, term: str, limit: int = 10_000) -> list[str]:
         """Every dictionary term within Levenshtein distance 1 of
         ``term`` (fuzzy-query expansion; includes the term itself when

@@ -776,7 +776,7 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
     qboost: dict[int, list[float]] = {}
     smap = dict(cfg.synonyms) if cfg.synonyms else {}
     if cfg.parse_negation or cfg.parse_prefix or cfg.parse_fuzzy \
-            or cfg.parse_boost:
+            or cfg.parse_boost or cfg.parse_wildcard or cfg.parse_regex:
         # query syntax on the RAW text (the tokenizer drops '-'/'*'/'^'):
         # "-word" negates (candidate must not contain the term; OOV
         # negations are no-ops); "word*" expands to every dictionary
@@ -815,7 +815,26 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
                         bv = None
                     if bv is not None and bv > 0.0:
                         w, boost = base, bv
-                if cfg.parse_prefix and w.endswith("*") and len(w) > 1:
+                if cfg.parse_regex and len(w) > 2 and w.startswith("/") \
+                        and w.endswith("/"):
+                    # /pattern/ — anchored RE2 over the dictionary; the
+                    # pattern is matched verbatim against normalized
+                    # terms (NOT tokenized: regex metachars would mangle)
+                    expanded = meta.expand_regex(
+                        w[1:-1], cfg.max_prefix_expansion)
+                    terms.update(expanded)
+                    _note(expanded, boost)
+                elif cfg.parse_wildcard and "*" in w and len(w) > 1:
+                    # stars anywhere; literal pieces normalize through
+                    # the index tokenizer (a piece yielding several
+                    # tokens rejoins as one literal run)
+                    pieces = ["".join(tok.tokenize(p))
+                              for p in w.split("*")]
+                    expanded = meta.expand_wildcard(
+                        "*".join(pieces), cfg.max_prefix_expansion)
+                    terms.update(expanded)
+                    _note(expanded, boost)
+                elif cfg.parse_prefix and w.endswith("*") and len(w) > 1:
                     ptoks = tok.tokenize(w[:-1])
                     if not ptoks:
                         continue
@@ -938,6 +957,8 @@ def search_bulk(index_dir: str, queries: rd.Dataset,
     unsupported = [f for f, on in (("parse_prefix", cfg.parse_prefix),
                                    ("parse_fuzzy", cfg.parse_fuzzy),
                                    ("parse_boost", cfg.parse_boost),
+                                   ("parse_wildcard", cfg.parse_wildcard),
+                                   ("parse_regex", cfg.parse_regex),
                                    ("synonyms", bool(cfg.synonyms))) if on]
     if unsupported:
         raise NotImplementedError(

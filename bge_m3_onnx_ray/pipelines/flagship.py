@@ -60,6 +60,29 @@ DOC_PREFIX_QUERIES: list[tuple[int, str]] = [
     (3, "zz* data"),        # empty expansion: literal terms only
 ]
 
+# Generalized wildcard queries ('*' anywhere — Lucene WildcardQuery):
+# suffix, bounded infix, double-infix, leading-star-with-literal, an
+# empty expansion (literal term only), and a very wide single-char hub.
+DOC_WILDCARD_QUERIES: list[tuple[int, str]] = [
+    (0, "*ream table"),     # suffix: stream
+    (1, "s*w"),             # bounded: slow
+    (2, "*a*ue*"),          # double infix: value
+    (3, "c*er data"),       # head-pruned: customer
+    (4, "*zzz* key"),       # empty expansion: literal only
+    (5, "*a*"),             # wide hub: every term containing 'a'
+]
+
+# Regex term queries (Lucene RegexpQuery: the pattern must match the
+# WHOLE normalized term): alternation, unbounded prefix-star, character
+# class, an empty expansion, and a multi-term alternation.
+DOC_REGEX_QUERIES: list[tuple[int, str]] = [
+    (0, "/s(low|mall)/ table"),
+    (1, "/.*ream/"),
+    (2, "/dat[a-z]/ key"),
+    (3, "/qqq+/"),                  # matches nothing: zero rows
+    (4, "/(key|order|sort)/"),
+]
+
 # Fuzzy (typo-tolerant) queries: every token expands to its
 # Levenshtein-distance-1 dictionary neighbourhood. Misspellings with a
 # unique target, an exact in-vocabulary word (always-expand semantics),
@@ -379,6 +402,45 @@ def bm25_documents_topk_prefix(sf_dir: str, k: int = 10) -> pa.Table:
     out = search(idx, DOC_PREFIX_QUERIES,
                  QueryConfig(k=k, method="wand",
                              parse_prefix=True)).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
+
+
+def bm25_documents_topk_wildcard(sf_dir: str, k: int = 10) -> pa.Table:
+    """Generalized wildcard retrieval: '*' anywhere in a word ("*fix",
+    "a*b") expands against the global dictionary
+    (``IndexMeta.expand_wildcard`` — head-literal range pruning + one
+    anchored RE2 match), ranked by the standard disjunctive BM25 over
+    expansions + literals. The DuckDB oracle mirrors the expansion with
+    ``term LIKE`` patterns ('*' → '%'). Same shape/oracle conventions
+    as :func:`bm25_documents_topk`."""
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    out = search(idx, DOC_WILDCARD_QUERIES,
+                 QueryConfig(k=k, method="wand",
+                             parse_wildcard=True)).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
+
+
+def bm25_documents_topk_regex(sf_dir: str, k: int = 10) -> pa.Table:
+    """Regex term retrieval: "/pat/" words expand to the dictionary
+    terms FULLY matching the RE2 pattern (``IndexMeta.expand_regex``),
+    ranked by the standard disjunctive BM25. RE2 on both sides of the
+    gate: Arrow's match_substring_regex here, DuckDB's
+    ``regexp_full_match`` in the oracle. Same shape/oracle conventions
+    as :func:`bm25_documents_topk`."""
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    out = search(idx, DOC_REGEX_QUERIES,
+                 QueryConfig(k=k, method="wand",
+                             parse_regex=True)).to_pandas()
     out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
     out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
     out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)

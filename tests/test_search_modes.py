@@ -241,6 +241,75 @@ def test_prefix_parity(tiny_index, tiny_corpus, method):
 
 
 @pytest.mark.parametrize("method", ["exhaustive", "wand"])
+def test_wildcard_parity(tiny_index, tiny_corpus, method):
+    """Generalized '*'-wildcard ('*fix', 'a*b', '*mid*'): engine ≡
+    oracle searched with the manually expanded term set (fnmatch on the
+    vocabulary); empty expansion contributes nothing; the cap raises."""
+    import fnmatch
+    idx, _ = tiny_index
+    _, oi, _ = tiny_corpus
+    vocab = sorted(oi.postings)
+    base = max((t for t in vocab if len(t) >= 4), key=len)
+    suffix_pat = "*" + base[-3:]
+    infix_pat = "*" + base[1:-1] + "*"
+    bounded_pat = base[0] + "*" + base[-1]
+    lit = vocab[0]
+    queries = [(0, f"{suffix_pat} {lit}"), (1, infix_pat),
+               (2, bounded_pat), (3, f"*zzznever* {lit}")]
+    got = _engine(idx, queries,
+                  QueryConfig(k=10, method=method, parse_wildcard=True))
+    want = {}
+    for qid, text in queries:
+        terms = set()
+        for w in text.split():
+            if "*" in w:
+                terms |= set(fnmatch.filter(vocab, w))
+            else:
+                terms |= set(oi.tok.tokenize(w))
+        want[qid] = oi.search(" ".join(sorted(terms)), 10) if terms else []
+    assert want[0] and want[1] and want[2]         # non-vacuous
+    assert [d for d, _ in got.get(3, [])] == \
+        [h["doc_id"] for h in oi.search(lit, 10)]  # empty expansion
+    _assert_parity(got, want, queries)
+    with pytest.raises(ValueError, match="expands to"):
+        search(idx, [(9, "*" + base[-1])],
+               QueryConfig(k=5, parse_wildcard=True,
+                           max_prefix_expansion=0)).to_pandas()
+
+
+@pytest.mark.parametrize("method", ["exhaustive", "wand"])
+def test_regex_parity(tiny_index, tiny_corpus, method):
+    """'/pat/' regex terms (anchored full match): engine ≡ oracle with
+    the re.fullmatch-expanded term set; an unmatchable pattern yields
+    nothing; a malformed pattern raises."""
+    import re
+    idx, _ = tiny_index
+    _, oi, _ = tiny_corpus
+    vocab = sorted(oi.postings)
+    a, b = vocab[0], vocab[len(vocab) // 2]
+    queries = [(0, f"/({a}|{b})/"), (1, f"/{b[:-1]}./ {a}"),
+               (2, "/qqqnever+/")]
+    got = _engine(idx, queries,
+                  QueryConfig(k=10, method=method, parse_regex=True))
+    want = {}
+    for qid, text in queries:
+        terms = set()
+        for w in text.split():
+            if len(w) > 2 and w.startswith("/") and w.endswith("/"):
+                rx = re.compile(w[1:-1])
+                terms |= {v for v in vocab if rx.fullmatch(v)}
+            else:
+                terms |= set(oi.tok.tokenize(w))
+        want[qid] = oi.search(" ".join(sorted(terms)), 10) if terms else []
+    assert want[0] and want[1]
+    assert got.get(2, []) == []
+    _assert_parity(got, want, queries)
+    with pytest.raises(ValueError, match="bad regex"):
+        search(idx, [(9, "/a(/")],
+               QueryConfig(k=5, parse_regex=True)).to_pandas()
+
+
+@pytest.mark.parametrize("method", ["exhaustive", "wand"])
 def test_min_should_match_parity(tiny_index, tiny_corpus, method):
     """min_should_match=2: engine ≡ oracle-OR-results restricted to docs
     matching >= 2 distinct query terms; a single-term query returns
@@ -559,6 +628,8 @@ def test_bulk_rejects_unsupported_syntax(tiny_index):
     for cfg in (QueryConfig(parse_prefix=True),
                 QueryConfig(parse_fuzzy=True),
                 QueryConfig(parse_boost=True),
+                QueryConfig(parse_wildcard=True),
+                QueryConfig(parse_regex=True),
                 QueryConfig(synonyms=(("data", ("order",)),))):
         with pytest.raises(NotImplementedError, match="search_bulk"):
             search_bulk(idx, qds, cfg)
