@@ -330,6 +330,22 @@ def _q_ngram_pairs(sf_dir):
     return ngram_pair_candidates(_docs(sf_dir), n=3, min_common=2)
 
 
+def _q_contamination(sf_dir):
+    # benchmark decontamination: flag corpus docs sharing any word-3-gram
+    # with a held-out benchmark slice (doc_id % 97 == 0 — deterministic,
+    # mirrored in SQL). Benchmark shingle hashes broadcast; no shuffle.
+    import pyarrow as pa
+
+    from bge_m3_onnx_ray.stages.decontam import contaminated_docs
+
+    def pick(t):
+        ids = t.column("doc_id").to_numpy()
+        return t.filter(pa.array(ids % 97 == 0))
+
+    bench = _docs(sf_dir).map_batches(pick, batch_format="pyarrow")
+    return contaminated_docs(_docs(sf_dir), bench, n=3)
+
+
 def _q_minhash(sf_dir):
     from bge_m3_onnx_ray.stages.dedup import minhash_lsh_candidates
     return minhash_lsh_candidates(_docs(sf_dir))
@@ -542,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _q_dup_clusters,
         "lsh_dup_pairs": _q_lsh_dup_pairs,
         "minhash_lsh_candidates": _q_minhash,
+        "benchmark_contamination": _q_contamination,
         "simhash": _q_simhash,
         "embedding_dup_pairs": _q_embedding_dups,
         "ann_cosine_topk": _q_ann,
@@ -1725,6 +1742,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _fingerprint_sql(),
         "simhash": _simhash_sql(),
         "minhash_lsh_candidates": _minhash_sql(),
+        "benchmark_contamination": f"""
+WITH toks AS (SELECT doc_id,
+    regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS i
+        FROM toks)),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+SELECT sh.doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_hit_ngrams
+FROM sh JOIN bench USING (shingle)
+GROUP BY sh.doc_id
+""",
         "lsh_buckets": _lsh_buckets_sql(),
         "ngram_jaccard_verify": _jaccard_verify_sql(),
         "minhash_jaccard_verify": _minhash_jaccard_verify_sql(),

@@ -383,3 +383,33 @@ def test_embedding_dup_pairs_blocked_equals_single_block(ray_session):
                                     block_size=37).to_pandas())
     assert len(one) > 0 and (one.vec_a < one.vec_b).all()
     assert one.equals(many)
+
+
+def test_benchmark_contamination(ray_session):
+    """contaminated_docs: a doc sharing a 3-gram with the benchmark is
+    flagged with the DISTINCT-overlap count; docs with no shared 3-gram,
+    sub-n docs, and an empty benchmark all yield nothing."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.decontam import contaminated_docs
+    bench = rd.from_arrow(pa.table({
+        "doc_id": [100, 101],
+        "text": ["alpha beta gamma delta", "omega psi chi"]}))
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            "alpha beta gamma epsilon",        # 1 shared shingle
+            "x alpha beta gamma delta y",      # 2 shared shingles
+            "beta gamma alpha",                # reordered: none shared
+            "omega psi",                       # sub-n: no shingles
+            "totally unrelated words here",    # none
+        ]}))
+    out = contaminated_docs(corpus, bench, n=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.doc_id.tolist() == [0, 1]
+    assert out.n_hit_ngrams.tolist() == [1, 2]
+    empty = contaminated_docs(
+        corpus, rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                        "text": pa.array([], pa.string())})),
+        n=3).to_pandas()
+    assert len(empty) == 0
