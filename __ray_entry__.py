@@ -346,6 +346,35 @@ def _q_contamination(sf_dir):
     return contaminated_docs(_docs(sf_dir), bench, n=3)
 
 
+def _q_redact_pii(sf_dir):
+    # PII scrub: the corpus is deterministically decorated with synthetic
+    # emails / IPs / phone numbers (doc_id-derived, mirrored in SQL since
+    # the sandbox text has no organic PII), then redacted+counted by the
+    # pure map stage. No shuffle.
+    import pyarrow as pa
+
+    from bge_m3_onnx_ray.stages.redact import redact_pii
+
+    def decorate(t):
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        out = []
+        for i, x in zip(ids, texts):
+            m = i % 13
+            if m == 3:
+                x = f"{x} mail doc{i}@example.com ok"
+            elif m == 7:
+                x = f"{x} from 10.0.{i % 256}.1"
+            elif m == 11:
+                x = f"{x} call +1 555 01{i % 90 + 10}"
+            out.append(x)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(out, pa.string())})
+
+    return redact_pii(_docs(sf_dir).map_batches(decorate,
+                                                batch_format="pyarrow"))
+
+
 def _q_minhash(sf_dir):
     from bge_m3_onnx_ray.stages.dedup import minhash_lsh_candidates
     return minhash_lsh_candidates(_docs(sf_dir))
@@ -559,6 +588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_dup_pairs": _q_lsh_dup_pairs,
         "minhash_lsh_candidates": _q_minhash,
         "benchmark_contamination": _q_contamination,
+        "redact_pii": _q_redact_pii,
         "simhash": _q_simhash,
         "embedding_dup_pairs": _q_embedding_dups,
         "ann_cosine_topk": _q_ann,
@@ -1122,6 +1152,35 @@ def _regex_sql(k: int = 10) -> str:
                 for t in sorted(set(tokenize(w))):
                     arms.append(f"SELECT {qid} AS query_id, '{t}' AS term")
     return _expansion_bm25_sql(arms, k)
+
+
+def _redact_sql() -> str:
+    """PII-redaction oracle: the decorated corpus (CASE mirror of the
+    driver's deterministic decoration) scrubbed with the SAME RE2
+    patterns via nested regexp_replace; each pattern's count is taken on
+    the text AFTER the earlier patterns were replaced, matching the
+    engine's fixed application order (stages.redact.PII_PATTERNS)."""
+    from bge_m3_onnx_ray.stages.redact import PII_PATTERNS
+    pats = {name: pat.replace("'", "''") for name, pat, _ in PII_PATTERNS}
+    repl = {name: r for name, _, r in PII_PATTERNS}
+    e, p, i = pats["email"], pats["phone"], pats["ipv4"]
+    after_e = f"regexp_replace(text, '{e}', '{repl['email']}', 'g')"
+    after_p = f"regexp_replace({after_e}, '{p}', '{repl['phone']}', 'g')"
+    after_i = f"regexp_replace({after_p}, '{i}', '{repl['ipv4']}', 'g')"
+    return f"""
+WITH d AS (SELECT doc_id,
+  CASE WHEN doc_id % 13 = 3 THEN text || ' mail doc' || doc_id || '@example.com ok'
+       WHEN doc_id % 13 = 7 THEN text || ' from 10.0.' || (doc_id % 256) || '.1'
+       WHEN doc_id % 13 = 11 THEN text || ' call +1 555 01' || (doc_id % 90 + 10)
+       ELSE text END AS text
+  FROM documents)
+SELECT doc_id::BIGINT AS doc_id,
+       {after_i} AS text,
+       len(regexp_extract_all(text, '{e}'))::BIGINT AS n_email,
+       len(regexp_extract_all({after_e}, '{p}'))::BIGINT AS n_phone,
+       len(regexp_extract_all({after_p}, '{i}'))::BIGINT AS n_ipv4
+FROM d
+"""
 
 
 def _quoted_sql(k: int = 10) -> str:
@@ -1742,6 +1801,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _fingerprint_sql(),
         "simhash": _simhash_sql(),
         "minhash_lsh_candidates": _minhash_sql(),
+        "redact_pii": _redact_sql(),
         "benchmark_contamination": f"""
 WITH toks AS (SELECT doc_id,
     regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ts FROM documents),

@@ -413,3 +413,30 @@ def test_benchmark_contamination(ray_session):
                                         "text": pa.array([], pa.string())})),
         n=3).to_pandas()
     assert len(empty) == 0
+
+
+def test_redact_pii(ray_session):
+    """redact_pii: emails/phones/IPs are replaced with placeholders and
+    counted in application order (an IP inside an email counts once, as
+    the email); clean text passes through untouched."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.redact import redact_pii
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "reach me at bob.smith+x@mail.example.org today",
+            "server 192.168.0.1 and backup 10.0.0.2",
+            "call +1 555 0147 or mail root@10.0.0.1.net",
+            "nothing sensitive here",
+        ]}))
+    out = redact_pii(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert out.text[0] == "reach me at <EMAIL> today"
+    assert out.text[1] == "server <IP> and backup <IP>"
+    # the IP inside the email address is consumed by the email rule
+    assert out.text[2] == "call <PHONE> or mail <EMAIL>"
+    assert out.text[3] == "nothing sensitive here"
+    assert out.n_email.tolist() == [1, 0, 1, 0]
+    assert out.n_ipv4.tolist() == [0, 2, 0, 0]
+    assert out.n_phone.tolist() == [0, 0, 1, 0]
