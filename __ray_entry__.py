@@ -285,6 +285,13 @@ def _q_token_count(sf_dir):
     return token_count(_docs(sf_dir))
 
 
+def _q_pack_sequences(sf_dir):
+    # training-sequence layout: distributed prefix sum of token counts
+    # (coarse-bucket shuffle + tiny driver scan) -> (pack_id, pack_offset)
+    from bge_m3_onnx_ray.stages.packing import pack_sequences
+    return pack_sequences(_docs(sf_dir), budget=256)
+
+
 def _q_corpus_stats(sf_dir):
     from bge_m3_onnx_ray.stages.text import corpus_stats
     return corpus_stats(_docs(sf_dir))
@@ -569,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_transcripts_topk_collapsed": _q_bm25_transcripts_collapsed,
         "transcripts_index_stats": _q_transcripts_index_stats,
         "token_count": _q_token_count,
+        "pack_sequences": _q_pack_sequences,
         "corpus_stats": _q_corpus_stats,
         "term_df_top100": _q_term_df,
         "top5_terms_per_doc": _q_top_terms,
@@ -1829,6 +1837,18 @@ WHERE h < 429496729  -- (200000 * (2^31-1)) // 1e6
 SELECT doc_id, len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}'))::BIGINT
        AS n_tokens
 FROM documents
+""",
+        "pack_sequences": f"""
+WITH c AS (SELECT doc_id,
+  len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}'))::BIGINT AS n_tokens
+  FROM documents),
+o AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
+      FROM c)
+SELECT doc_id, n_tokens, (so // 256)::BIGINT AS pack_id,
+       (so % 256)::BIGINT AS pack_offset
+FROM o
 """,
         "corpus_stats": f"""
 WITH toks AS ({_TOKS})

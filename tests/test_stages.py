@@ -440,3 +440,25 @@ def test_redact_pii(ray_session):
     assert out.n_email.tolist() == [1, 0, 1, 0]
     assert out.n_ipv4.tolist() == [0, 2, 0, 0]
     assert out.n_phone.tolist() == [0, 0, 1, 0]
+
+
+def test_pack_sequences_small_buckets(ray_session):
+    """pack_sequences must produce the sequential-scan truth even when
+    buckets are tiny (many bucket groups, driver prefix across them) and
+    docs span pack boundaries."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.packing import pack_sequences
+    texts = ["w " * (i % 7 + 1) for i in range(40)]   # 1..7 tokens each
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(40), pa.int64()),
+        "text": pa.array([t.strip() for t in texts], pa.string())}))
+    out = pack_sequences(ds, budget=5, bucket_docs=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    off = 0
+    for i in range(40):
+        n = i % 7 + 1
+        assert out.n_tokens[i] == n
+        assert out.pack_id[i] == off // 5, i
+        assert out.pack_offset[i] == off % 5, i
+        off += n
