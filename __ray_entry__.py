@@ -150,6 +150,13 @@ def _q_prefix(sf_dir):
     return bm25_documents_topk_prefix(sf_dir)
 
 
+def _q_explain(sf_dir):
+    # Lucene-explain: per-term BM25 contribution rows for the top-3 docs
+    # of each reference query; rows sum to the ranked score exactly
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_explain
+    return bm25_documents_explain(sf_dir)
+
+
 def _q_wildcard(sf_dir):
     # generalized wildcard retrieval: '*' anywhere in a word expands
     # against the global dictionary (head-pruned scan + anchored RE2)
@@ -562,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_documents_topk": _q_near,
         "bm25_documents_topk_quoted": _q_quoted,
         "bm25_documents_topk_prefix": _q_prefix,
+        "bm25_documents_explain": _q_explain,
         "bm25_documents_topk_wildcard": _q_wildcard,
         "bm25_documents_topk_regex": _q_regex,
         "bm25_documents_topk_fuzzy": _q_fuzzy,
@@ -1117,6 +1125,62 @@ SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
        doc_id::BIGINT AS doc_id,
        CAST(floor(score * 1000000) AS BIGINT) AS score_q6
 FROM ranked WHERE rnk <= {k} ORDER BY query_id, "rank"
+"""
+
+
+def _explain_sql(k: int = 3) -> str:
+    """Explain oracle: the standard BM25 ranking cut at ``k``, then one
+    row per (query, top doc, matching query term) with tf, global df and
+    the term's contribution — the contribution expression uses the SAME
+    operand association as scoring.bm25_term_score
+    (``idf * ((tf*2.2) / (tf + norm))``) so both sides compute the
+    identical float64 before quantization."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_QUERIES
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    vals = []
+    for qid, text in DOC_QUERIES:
+        for t in sorted(set(tokenize(text))):
+            vals.append(f"({qid}, '{t}')")
+    qvalues = ", ".join(vals)
+    return f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM toks)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+qterms(query_id, term) AS (VALUES {qvalues}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scores),
+top AS (SELECT query_id, doc_id FROM ranked WHERE rnk <= {k})
+SELECT q.query_id::BIGINT AS query_id, t.doc_id::BIGINT AS doc_id,
+       q.term AS term,
+       tf.tf::BIGINT AS tf, d.df::BIGINT AS df,
+       CAST(floor(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+            * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))
+            * 1000000) AS BIGINT) AS contrib_q6
+FROM top t
+JOIN qterms q ON q.query_id = t.query_id
+JOIN tf ON tf.doc_id = t.doc_id AND tf.term = q.term
+JOIN dl ON dl.doc_id = t.doc_id
+JOIN dfs d ON d.term = q.term
+CROSS JOIN stats s
+ORDER BY query_id, doc_id, q.term
 """
 
 
@@ -1773,6 +1837,7 @@ def oracle_sql() -> dict[str, str]:
         "near_documents_topk": _near_sql(),
         "bm25_documents_topk_quoted": _quoted_sql(),
         "bm25_documents_topk_prefix": _prefix_sql(),
+        "bm25_documents_explain": _explain_sql(),
         "bm25_documents_topk_wildcard": _wildcard_sql(),
         "bm25_documents_topk_regex": _regex_sql(),
         "bm25_documents_topk_fuzzy": _bm25_sql(

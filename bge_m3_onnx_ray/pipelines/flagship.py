@@ -448,6 +448,29 @@ def bm25_documents_topk_regex(sf_dir: str, k: int = 10) -> pa.Table:
                                 preserve_index=False)
 
 
+def bm25_documents_explain(sf_dir: str, k: int = 3) -> pa.Table:
+    """Per-term score breakdown (Lucene explain) for each DOC_QUERIES
+    query's top-``k`` docs: (query_id, doc_id, term, tf, df,
+    contrib_q6). Contributions come from the scorers' own
+    ``bm25_term_score``, so they sum to the ranked score exactly; the
+    DuckDB oracle recomputes the identical expression with the same
+    operand association."""
+    import pandas as pd
+
+    from bge_m3_onnx_ray.index.artifacts import ConvOffsets
+    from bge_m3_onnx_ray.index.explain import explain_topk
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    out = explain_topk(idx, DOC_QUERIES, k=k).to_pandas()
+    conv, _ = ConvOffsets.load(idx).doc_to_conv(out["doc_id"].to_numpy())
+    out["doc_id"] = pd.Series(conv).str.slice(4).astype(np.int64)
+    out = out.sort_values(["query_id", "doc_id", "term"]) \
+        .reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["query_id", "doc_id", "term", "tf", "df", "contrib_q6"]],
+        preserve_index=False)
+
+
 def bm25_documents_topk_fuzzy(sf_dir: str, k: int = 10) -> pa.Table:
     """Typo-tolerant retrieval: each query token expands to the
     dictionary terms within Levenshtein distance 1

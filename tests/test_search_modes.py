@@ -633,3 +633,26 @@ def test_bulk_rejects_unsupported_syntax(tiny_index):
                 QueryConfig(synonyms=(("data", ("order",)),))):
         with pytest.raises(NotImplementedError, match="search_bulk"):
             search_bulk(idx, qds, cfg)
+
+
+def test_explain_sums_to_score(tiny_index, tiny_corpus):
+    """explain_topk rows must sum, per (query, doc), to EXACTLY the
+    ranked score (same bm25_term_score calls, ascending-term order),
+    and cover every top doc of every query with in-vocab terms."""
+    from bge_m3_onnx_ray.index.explain import explain_topk
+    from bge_m3_onnx_ray.index.search import search
+    idx, _ = tiny_index
+    _, _, queries = tiny_corpus
+    top = search(idx, queries, QueryConfig(k=5)).to_pandas()
+    rows = explain_topk(idx, queries, k=5).to_pandas()
+    assert len(rows) > 0
+    got = rows.groupby(["query_id", "doc_id"]).contrib_q6.sum()
+    import math
+    for (_, r) in top.iterrows():
+        key = (r.query_id, r.doc_id)
+        # per-term contributions are quantized individually, so the sum
+        # of q6 values differs from q6(score) by < n_terms; check tight
+        n_terms = len(rows[(rows.query_id == r.query_id)
+                           & (rows.doc_id == r.doc_id)])
+        assert n_terms > 0, key
+        assert abs(got[key] - math.floor(r.score * 1e6)) <= n_terms, key
