@@ -243,6 +243,14 @@ def _q_snippets(sf_dir):
     return bm25_documents_snippets(sf_dir)
 
 
+def _q_bm25_transcripts_weighted(sf_dir):
+    # function score: per-turn BM25 * role-keyed weight (user x2,
+    # tool x0.25) applied before the top-k cut; exhaustive scorer
+    from bge_m3_onnx_ray.pipelines.flagship import (
+        bm25_transcripts_topk_weighted)
+    return bm25_transcripts_topk_weighted(sf_dir)
+
+
 def _q_bm25_transcripts_filtered(sf_dir):
     # faceted search: role='user' equality filter via the per-shard attrs
     # side table (index.attrs); global stats stay corpus-wide
@@ -581,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_transcripts_topk": _q_bm25_transcripts,
         "bm25_transcripts_topk_exhaustive": _q_bm25_transcripts_exhaustive,
         "bm25_transcripts_topk_filtered": _q_bm25_transcripts_filtered,
+        "bm25_transcripts_topk_weighted": _q_bm25_transcripts_weighted,
         "bm25_transcripts_topk_collapsed": _q_bm25_transcripts_collapsed,
         "transcripts_index_stats": _q_transcripts_index_stats,
         "token_count": _q_token_count,
@@ -958,7 +967,8 @@ def _transcripts_toks_sql() -> str:
 
 
 def _bm25_transcripts_sql(role: str | None = None,
-                          collapse: bool = False) -> str:
+                          collapse: bool = False,
+                          weights: tuple = ()) -> str:
     """Full BM25 ranking oracle over the multi-turn transcripts fixture,
     keyed on (conv_id, turn_idx) — same scoring formula and tie-break
     (score desc, then lexicographic (conv_id, turn_idx) = docID order) as
@@ -980,11 +990,24 @@ def _bm25_transcripts_sql(role: str | None = None,
     role_join = (f"""
   JOIN docs dr ON dr.conv_id = tf.conv_id AND dr.turn_idx = tf.turn_idx
               AND dr.role = '{role}'""" if role is not None else "")
+    # function score: score * CASE role (one multiply, same association
+    # as the engine's scores * w) in a wrapping CTE the tail reads from
+    weighted = ""
+    src = "scores"
+    if weights:
+        arms = " ".join(f"WHEN '{v}' THEN {w}" for v, w in weights)
+        weighted = f"""weighted AS (
+  SELECT s.query_id, s.conv_id, s.turn_idx,
+         s.score * CASE dw.role {arms} ELSE 1.0 END AS score
+  FROM scores s JOIN docs dw ON dw.conv_id = s.conv_id
+                            AND dw.turn_idx = s.turn_idx),
+"""
+        src = "weighted"
     if collapse:
-        tail = """conv_best AS (
+        tail = f"""conv_best AS (
   SELECT query_id, conv_id,
          max(CAST(floor(score * 1000000) AS BIGINT)) AS score_q6
-  FROM scores GROUP BY query_id, conv_id),
+  FROM {src} GROUP BY query_id, conv_id),
 ranked AS (
   SELECT query_id, conv_id, score_q6,
          row_number() OVER (PARTITION BY query_id
@@ -995,7 +1018,7 @@ SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank", conv_id,
 FROM ranked WHERE rnk <= 10 ORDER BY query_id, "rank"
 """
     else:
-        tail = """ranked AS (
+        tail = f"""ranked AS (
   -- rank on the QUANTIZED score: DuckDB's sum() order is unspecified, so
   -- mathematically-equal docs land an ulp apart and raw-score ranking
   -- would tie-break at random; floor(score*1e6) collapses ulp noise and
@@ -1005,7 +1028,7 @@ FROM ranked WHERE rnk <= 10 ORDER BY query_id, "rank"
          row_number() OVER (PARTITION BY query_id
                             ORDER BY CAST(floor(score * 1000000) AS BIGINT)
                               DESC, conv_id, turn_idx) AS rnk
-  FROM scores)
+  FROM {src})
 SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank", conv_id,
        turn_idx::INTEGER AS turn_idx, score_q6
 FROM ranked WHERE rnk <= 10 ORDER BY query_id, "rank"
@@ -1033,7 +1056,7 @@ scores AS (
   JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx{role_join}
   CROSS JOIN stats s
   GROUP BY q.query_id, tf.conv_id, tf.turn_idx),
-{tail}"""
+{weighted}{tail}"""
 
 
 def _prefix_sql(k: int = 10) -> str:
@@ -1868,6 +1891,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_transcripts_topk": _bm25_transcripts_sql(),
         "bm25_transcripts_topk_exhaustive": _bm25_transcripts_sql(),
         "bm25_transcripts_topk_filtered": _bm25_transcripts_sql(role="user"),
+        "bm25_transcripts_topk_weighted": _bm25_transcripts_sql(
+            weights=__import__(
+                "bge_m3_onnx_ray.pipelines.flagship",
+                fromlist=["TRANSCRIPT_ROLE_WEIGHTS"]).TRANSCRIPT_ROLE_WEIGHTS),
         "bm25_transcripts_topk_collapsed": _bm25_transcripts_sql(
             collapse=True),
         "transcripts_index_stats": _transcripts_stats_sql(),

@@ -131,6 +131,16 @@ class QueryConfig:
     # non-positive suffix leaves the word untouched. Off by default so
     # carets in text are never misparsed.
     parse_boost: bool = False
+    # function score (Lucene FunctionScoreQuery / Elasticsearch weight
+    # functions): a per-document multiplicative weight keyed by a doc
+    # attribute value — score' = bm25 * weight(attr(doc)); values not
+    # listed weigh 1.0. Example: weight_attr="role",
+    # attr_weights=(("user", 2.0), ("tool", 0.25)). Requires
+    # method="exhaustive" in "or" mode (WAND's block upper bounds are
+    # not weight-aware; scaling them by the max weight would be valid
+    # but is not implemented).
+    weight_attr: str | None = None
+    attr_weights: tuple = ()
     # minimum-should-match (Lucene semantics): in "or" mode a candidate
     # must contain at least this many DISTINCT query terms. 0/1 = plain
     # disjunction; a value above the query's in-vocabulary term count

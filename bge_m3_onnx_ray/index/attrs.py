@@ -99,6 +99,23 @@ def load_allowed_docs(index_dir: str, col: str, shard: int,
     return t.column("doc_id").to_numpy().astype(np.int64)
 
 
+def load_attr_values(index_dir: str, col: str, shard: int
+                     ) -> tuple[np.ndarray, list]:
+    """(sorted docIDs, attr value per doc) for one shard's side table —
+    the function-score loader (QueryConfig.weight_attr). A missing
+    shard file means no attributed docs (empty arrays). The attrs files
+    are written in ascending-docID order (build_doc_attrs), which the
+    scorer's searchsorted lookup relies on."""
+    import pyarrow.parquet as pq
+    path = attrs_file(index_dir, col, shard)
+    try:
+        t = pq.read_table(path, columns=["doc_id", col])
+    except (FileNotFoundError, OSError):
+        return np.empty(0, np.int64), []
+    return (t.column("doc_id").to_numpy().astype(np.int64),
+            t.column(col).to_pylist())
+
+
 def load_allowed_docs_range(index_dir: str, col: str, shard: int,
                             lo, hi) -> np.ndarray:
     """Sorted docID array of the shard's docs with ``lo <= attr <= hi``

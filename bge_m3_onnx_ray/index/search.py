@@ -109,7 +109,8 @@ def score_exhaustive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarra
                      allowed: np.ndarray | None = None,
                      excluded: np.ndarray | None = None,
                      msm: int = 0,
-                     collapse_starts: np.ndarray | None = None):
+                     collapse_starts: np.ndarray | None = None,
+                     doc_weights: "tuple[np.ndarray, np.ndarray] | None" = None):
     """Exact scorer over fully-decoded postings (the parity fallback the
     reference keeps alongside its fast path). ``qterms`` must be sorted.
     ``allowed``: optional sorted docID facet mask (see _apply_allowed).
@@ -133,6 +134,17 @@ def score_exhaustive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarra
         keep = counts >= msm
         scores, union = scores[keep], union[keep]
     scores, union = _apply_allowed(scores, union, allowed, excluded)
+    if doc_weights is not None and len(union):
+        # function score: one multiply per candidate (score' = score * w)
+        # BEFORE the top-k cut; docs absent from the attr table weigh 1.0
+        wd, wv = doc_weights
+        pos = np.searchsorted(wd, union)
+        pos_c = np.minimum(pos, max(len(wd) - 1, 0))
+        valid = (pos < len(wd)) & (wd[pos_c] == union) if len(wd) \
+            else np.zeros(len(union), bool)
+        w = np.ones(len(union), np.float64)
+        w[valid] = wv[pos[valid]]
+        scores = scores * w
     if collapse_starts is not None:
         scores, union = _collapse_best(scores, union, collapse_starts)
     return _topk_merge(scores, union, k)
@@ -444,7 +456,9 @@ class ShardScorer:
                  filter_value: str | None = None,
                  allow_docs_ref=None, msm: int = 0,
                  filter_range: tuple[str, int, int] | None = None,
-                 collapse: bool = False):
+                 collapse: bool = False,
+                 weight_attr: str | None = None,
+                 attr_weights: tuple = ()):
         self.meta = IndexMeta(index_dir)
         # field collapsing: each shard keeps its per-conversation best
         # BEFORE its top-k cut (see QueryConfig.collapse). The scorer only
@@ -467,6 +481,11 @@ class ShardScorer:
         self.filter_attr = filter_attr
         self.filter_value = filter_value
         self.filter_range = filter_range
+        # function score: per-shard (sorted docIDs, weights) from the
+        # attrs side table, loaded once per shard and LRU-cached
+        self.weight_attr = weight_attr
+        self.attr_weights = dict(attr_weights)
+        self._weight_cache: OrderedDict[int, tuple] = OrderedDict()
         # per-query candidate restriction (quoted-phrase filters): a
         # broadcast {query_id: sorted global docID array}, fetched once
         # per worker (ray.put on the driver, get_broadcast here)
@@ -515,6 +534,29 @@ class ShardScorer:
                 self._allowed_cache.popitem(last=False)
         else:
             self._allowed_cache.move_to_end(shard)
+        return got
+
+    def _doc_weights(self, shard: int) -> "tuple[np.ndarray, np.ndarray] | None":
+        """(sorted docIDs, weight per doc) for this shard's attrs rows
+        whose value has a configured weight — docs not returned weigh
+        1.0 at scoring time (so the array is bounded by the number of
+        weighted-value docs, not the shard size)."""
+        if self.weight_attr is None:
+            return None
+        got = self._weight_cache.get(shard)
+        if got is None:
+            from bge_m3_onnx_ray.index.attrs import load_attr_values
+            docs, vals = load_attr_values(self.meta.index_dir,
+                                          self.weight_attr, shard)
+            w = np.fromiter((self.attr_weights.get(v, 1.0) for v in vals),
+                            np.float64, len(vals))
+            keep = w != 1.0
+            got = (docs[keep], w[keep])
+            self._weight_cache[shard] = got
+            while len(self._weight_cache) > self.cache_size:
+                self._weight_cache.popitem(last=False)
+        else:
+            self._weight_cache.move_to_end(shard)
         return got
 
     def _deleted(self, shard: int) -> np.ndarray:
@@ -671,7 +713,8 @@ class ShardScorer:
                                                 allowed=allowed,
                                                 excluded=excluded,
                                                 msm=self.msm,
-                                                collapse_starts=self._collapse_starts)
+                                                collapse_starts=self._collapse_starts,
+                                                doc_weights=self._doc_weights(int(shard)))
             out_q.extend([qid] * len(docs))
             out_d.extend(docs.tolist())
             out_s.extend(scores.tolist())
@@ -758,6 +801,11 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
         raise ValueError('collapse requires method="exhaustive" in "or" '
                          "mode (WAND theta prunes on the k-th doc, not "
                          "the k-th conversation)")
+    if cfg.weight_attr is not None and (cfg.method != "exhaustive"
+                                        or cfg.mode != "or"):
+        raise ValueError('weight_attr (function score) requires '
+                         'method="exhaustive" in "or" mode (WAND block '
+                         "bounds are not weight-aware)")
     meta = IndexMeta(index_dir)
     offsets = ConvOffsets.load(index_dir)
     # always tokenize queries with the index's own tokenizer (seam:
@@ -915,7 +963,9 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
                                "allow_docs_ref": allow_ref,
                                "msm": cfg.min_should_match,
                                "filter_range": cfg.filter_range,
-                               "collapse": cfg.collapse},
+                               "collapse": cfg.collapse,
+                               "weight_attr": cfg.weight_attr,
+                               "attr_weights": cfg.attr_weights},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
     out = merge_topk(partials, offsets, fetch, collapse=cfg.collapse)
@@ -950,6 +1000,11 @@ def search_bulk(index_dir: str, queries: rd.Dataset,
         raise ValueError('collapse requires method="exhaustive" in "or" '
                          "mode (WAND theta prunes on the k-th doc, not "
                          "the k-th conversation)")
+    if cfg.weight_attr is not None and (cfg.method != "exhaustive"
+                                        or cfg.mode != "or"):
+        raise ValueError('weight_attr (function score) requires '
+                         'method="exhaustive" in "or" mode (WAND block '
+                         "bounds are not weight-aware)")
     # the streaming fan-out implements negation parsing only; refuse the
     # other query-syntax flags LOUDLY rather than silently ignoring them
     # (prefix/fuzzy need dictionary expansion, boosts/synonyms per-term
@@ -1025,7 +1080,9 @@ def search_bulk(index_dir: str, queries: rd.Dataset,
                                "filter_value": cfg.filter_value,
                                "msm": cfg.min_should_match,
                                "filter_range": cfg.filter_range,
-                               "collapse": cfg.collapse},
+                               "collapse": cfg.collapse,
+                               "weight_attr": cfg.weight_attr,
+                               "attr_weights": cfg.attr_weights},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
     out = merge_topk(partials, offsets, fetch, collapse=cfg.collapse)

@@ -1025,9 +1025,23 @@ def transcripts_n_turns(sf_dir: str) -> int:
     return max(2000, int(sf * 2_000_000))
 
 
+TRANSCRIPT_ROLE_WEIGHTS: tuple = (("user", 2.0), ("tool", 0.25))
+
+
+def bm25_transcripts_topk_weighted(sf_dir: str, k: int = 10) -> pa.Table:
+    """Function-score flagship: per-turn score multiplied by a
+    role-keyed weight (user turns boosted 2x, tool output down-weighted
+    4x — the Elasticsearch weight-function shape over the transcripts'
+    natural field). Exhaustive scorer (weights are applied before the
+    per-shard top-k cut); oracle mirrors with score * CASE role."""
+    return bm25_transcripts_topk(sf_dir, method="exhaustive", k=k,
+                                 weights=TRANSCRIPT_ROLE_WEIGHTS)
+
+
 def bm25_transcripts_topk(sf_dir: str, method: str = "wand", k: int = 10,
                           n_turns: int | None = None,
-                          role: str | None = None) -> pa.Table:
+                          role: str | None = None,
+                          weights: tuple | None = None) -> pa.Table:
     """Flagship over the synthetic multi-turn transcripts fixture at a
     scale derived from sf_dir (sf0.001→2k, sf0.01→20k, sf0.1→200k turns).
     Output (query_id, rank, conv_id, turn_idx, score_q6) — shaped to
@@ -1045,14 +1059,18 @@ def bm25_transcripts_topk(sf_dir: str, method: str = "wand", k: int = 10,
                       term_buckets=8)
     idx = _cached_index(rd.read_parquet(path), f"transcripts-n{n_turns}", cfg)
     qcfg = QueryConfig(k=3 * k, method=method)
-    if role is not None:
-        # faceted search: filter by turn role (the 'role' attrs side
-        # table is derived once per index — see index.attrs)
+    if role is not None or weights is not None:
+        # faceted search / function score both key on the turn role (the
+        # 'role' attrs side table is derived once per index — index.attrs)
         from bge_m3_onnx_ray.index.attrs import build_doc_attrs, has_doc_attrs
         if not has_doc_attrs(idx, "role"):
             build_doc_attrs(rd.read_parquet(path), idx, "role")
-        qcfg = QueryConfig(k=3 * k, method=method,
-                           filter_attr="role", filter_value=role)
+        if role is not None:
+            qcfg = QueryConfig(k=3 * k, method=method,
+                               filter_attr="role", filter_value=role)
+        else:
+            qcfg = QueryConfig(k=3 * k, method=method,
+                               weight_attr="role", attr_weights=weights)
     # over-fetch then re-rank on the QUANTIZED score with the docID
     # tie-break: the oracle ranks on floor(score*1e6) (ulp-stable across
     # engines), so a quantized-tie group straddling the raw-score k

@@ -656,3 +656,61 @@ def test_explain_sums_to_score(tiny_index, tiny_corpus):
                            & (rows.doc_id == r.doc_id)])
         assert n_terms > 0, key
         assert abs(got[key] - math.floor(r.score * 1e6)) <= n_terms, key
+
+
+def test_function_score_parity(tiny_index, tiny_corpus, role_attrs):
+    """weight_attr function score: engine ≡ oracle-with-manually-
+    weighted scores (score * w(role), re-ranked); weight 1.0 values and
+    docs missing from the attrs table are untouched; WAND rejects."""
+    idx, _ = tiny_index
+    _, oi, queries = tiny_corpus
+    weights = {"user": 2.0, "tool": 0.25}
+    got = _engine(idx, queries,
+                  QueryConfig(k=10, method="exhaustive",
+                              weight_attr="role",
+                              attr_weights=tuple(weights.items())))
+    doc_w = {}
+    for role, docs in role_attrs.items():
+        for d in docs:
+            doc_w[d] = weights.get(role, 1.0)
+    want = {}
+    for qid, text in queries:
+        hits = oi.search(text, 10_000_000)
+        rescored = sorted(((h["doc_id"], h["score"] * doc_w.get(h["doc_id"], 1.0))
+                           for h in hits), key=lambda x: (-x[1], x[0]))[:10]
+        want[qid] = rescored
+    non_trivial = 0
+    for qid, text in queries:
+        have = got.get(qid, [])
+        assert len(have) == len(want[qid]), (qid, text)
+        for (d, s), (wd, ws) in zip(have, want[qid]):
+            assert d == wd and abs(s - ws) < 1e-9, (qid, text)
+        if [d for d, _ in have] != [h["doc_id"] for h in oi.search(text, 10)]:
+            non_trivial += 1
+    assert non_trivial > 0      # the weights actually reordered something
+    import pytest as _pt
+    with _pt.raises(ValueError, match="weight_attr"):
+        search(idx, queries[:1],
+               QueryConfig(k=5, method="wand", weight_attr="role",
+                           attr_weights=(("user", 2.0),))).to_pandas()
+
+
+def test_function_score_bulk_equals_driver(tiny_index, tiny_corpus,
+                                           role_attrs):
+    """search_bulk honours weight_attr identically to search() (the
+    weighting is entirely actor-side, so the streaming path supports it)."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.index.search import search_bulk
+    idx, _ = tiny_index
+    _, _, queries = tiny_corpus
+    cfg = QueryConfig(k=10, method="exhaustive", weight_attr="role",
+                      attr_weights=(("user", 2.0), ("tool", 0.25)))
+    a = _engine(idx, queries, cfg)
+    qds = rd.from_items([{"query_id": q, "text": t} for q, t in queries])
+    out = search_bulk(idx, qds, cfg).to_pandas()
+    b = {}
+    for qid, g in out.groupby("query_id"):
+        g = g.sort_values("rank")
+        b[int(qid)] = list(zip(g.doc_id.tolist(), g.score.tolist()))
+    assert a == b
