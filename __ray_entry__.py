@@ -150,6 +150,13 @@ def _q_prefix(sf_dir):
     return bm25_documents_topk_prefix(sf_dir)
 
 
+def _q_mlt(sf_dir):
+    # more-like-this: top tf-idf terms of fixed source docs become a
+    # disjunctive BM25 query; the source is excluded from its results
+    from bge_m3_onnx_ray.pipelines.flagship import more_like_this_documents
+    return more_like_this_documents(sf_dir)
+
+
 def _q_explain(sf_dir):
     # Lucene-explain: per-term BM25 contribution rows for the top-3 docs
     # of each reference query; rows sum to the ranked score exactly
@@ -578,6 +585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk_quoted": _q_quoted,
         "bm25_documents_topk_prefix": _q_prefix,
         "bm25_documents_explain": _q_explain,
+        "more_like_this_documents": _q_mlt,
         "bm25_documents_topk_wildcard": _q_wildcard,
         "bm25_documents_topk_regex": _q_regex,
         "bm25_documents_topk_fuzzy": _q_fuzzy,
@@ -1204,6 +1212,56 @@ JOIN dl ON dl.doc_id = t.doc_id
 JOIN dfs d ON d.term = q.term
 CROSS JOIN stats s
 ORDER BY query_id, doc_id, q.term
+"""
+
+
+def _mlt_sql(k: int = 10, n_terms: int = 5) -> str:
+    """More-like-this oracle: per source doc, terms ranked by QUANTIZED
+    tf·idf (floor(tf*idf*1e6) desc, term asc — ulp-stable across
+    engines), top ``n_terms`` become the query; the source doc is
+    excluded from candidates; then the standard BM25 ranking."""
+    from bge_m3_onnx_ray.pipelines.flagship import MLT_SOURCE_DOCS
+    srcs = ", ".join(f"({d})" for d in MLT_SOURCE_DOCS)
+    return f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM toks)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+src(doc_id) AS (VALUES {srcs}),
+sel AS (
+  SELECT s.doc_id AS src_id, tf.term,
+         row_number() OVER (PARTITION BY s.doc_id
+           ORDER BY CAST(floor(tf.tf * ln((st.n - d.df + 0.5)
+                          / (d.df + 0.5) + 1.0) * 1000000) AS BIGINT) DESC,
+                    tf.term) AS trk
+  FROM src s
+  JOIN tf ON tf.doc_id = s.doc_id
+  JOIN dfs d ON d.term = tf.term
+  CROSS JOIN stats st),
+qterms AS (SELECT src_id AS query_id, term FROM sel WHERE trk <= {n_terms}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term AND tf.doc_id <> q.query_id
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scores)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
+       doc_id::BIGINT AS doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_q6
+FROM ranked WHERE rnk <= {k} ORDER BY query_id, "rank"
 """
 
 
@@ -1861,6 +1919,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_documents_topk_quoted": _quoted_sql(),
         "bm25_documents_topk_prefix": _prefix_sql(),
         "bm25_documents_explain": _explain_sql(),
+        "more_like_this_documents": _mlt_sql(),
         "bm25_documents_topk_wildcard": _wildcard_sql(),
         "bm25_documents_topk_regex": _regex_sql(),
         "bm25_documents_topk_fuzzy": _bm25_sql(

@@ -448,6 +448,58 @@ def bm25_documents_topk_regex(sf_dir: str, k: int = 10) -> pa.Table:
                                 preserve_index=False)
 
 
+# More-like-this source documents (Lucene MoreLikeThisQuery): fixed
+# doc_ids present at every scale factor (all sfs carry 500 documents).
+MLT_SOURCE_DOCS: list[int] = [0, 7, 42, 99, 123]
+
+
+def more_like_this_documents(sf_dir: str, k: int = 10,
+                             n_terms: int = 5) -> pa.Table:
+    """Find documents similar to each source doc: the source's terms are
+    ranked by quantized tf·idf (floor(tf*idf*1e6) desc, term asc — the
+    cross-engine-stable selection), the top ``n_terms`` become a
+    disjunctive BM25 query, and the source itself is excluded from the
+    results. Output (query_id=source doc_id, rank, doc_id, score_q6)."""
+    import pyarrow.dataset as pads
+
+    from bge_m3_onnx_ray.index.artifacts import IndexMeta
+    from bge_m3_onnx_ray.scoring import idf
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    meta = IndexMeta(idx)
+
+    import pyarrow.compute as pc
+    src = pads.dataset(os.path.join(sf_dir, "documents.parquet")) \
+        .to_table(filter=pc.field("doc_id").isin(MLT_SOURCE_DOCS),
+                  columns=["doc_id", "text"])
+    tfs: dict[int, dict[str, int]] = {}
+    for did, text in zip(src.column("doc_id").to_pylist(),
+                         src.column("text").to_pylist()):
+        c: dict[str, int] = {}
+        for t in tokenize(text or ""):
+            c[t] = c.get(t, 0) + 1
+        tfs[int(did)] = c
+    all_terms = sorted({t for c in tfs.values() for t in c})
+    dfs = meta.load_term_dfs(all_terms)
+    queries = []
+    for did in MLT_SOURCE_DOCS:
+        scored = [(-(int(np.floor(tf * idf(dfs[t], meta.n_docs) * 1e6))), t)
+                  for t, tf in tfs.get(did, {}).items() if t in dfs]
+        top = [t for _, t in sorted(scored)[:n_terms]]
+        if top:
+            queries.append((did, " ".join(top)))
+    out = search(idx, queries, QueryConfig(k=k + 1)).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out = out[out["doc_id"] != out["query_id"]]
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount().astype(np.int32) + 1
+    out = out[out["rank"] <= k]
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
+
+
 def bm25_documents_explain(sf_dir: str, k: int = 3) -> pa.Table:
     """Per-term score breakdown (Lucene explain) for each DOC_QUERIES
     query's top-``k`` docs: (query_id, doc_id, term, tf, df,
