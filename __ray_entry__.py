@@ -114,6 +114,13 @@ def _q_facet_counts(sf_dir):
     return facet_counts_lang(sf_dir)
 
 
+def _q_facet_histogram_day(sf_dir):
+    # date-histogram aggregation: matching turns per UTC day (derived
+    # integer attrs column, same per-shard facet counting machinery)
+    from bge_m3_onnx_ray.pipelines.flagship import facet_histogram_day
+    return facet_histogram_day(sf_dir)
+
+
 def _q_matches_by_length(sf_dir):
     # sort-by-field retrieval: top-k MATCHING docs ordered by n_chars
     # desc (not by relevance) — integer-exact oracle, no quantization
@@ -573,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk_msm": _q_bm25_msm,
         "bm25_documents_topk_page2": _q_bm25_page2,
         "facet_counts_lang": _q_facet_counts,
+        "facet_histogram_day": _q_facet_histogram_day,
         "matches_by_length_topk": _q_matches_by_length,
         "bm25_documents_topk_range": _q_bm25_range,
         "phrase_documents_topk": _q_phrase,
@@ -1065,6 +1073,33 @@ scores AS (
   CROSS JOIN stats s
   GROUP BY q.query_id, tf.conv_id, tf.turn_idx),
 {weighted}{tail}"""
+
+
+def _facet_histogram_sql() -> str:
+    """Date-histogram oracle: DISTINCT (query, conv, turn) matches (any
+    query term, Unicode tokenizer mirror) joined back to the fixture for
+    the timestamp, bucketed by epoch_us // 1e6 // 86400 — the same
+    integer day key the engine derives into its attrs column."""
+    from bge_m3_onnx_ray.fixtures import gen_queries
+    from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
+    tok = DeterministicTokenizer()
+    vals = []
+    for qid, text in gen_queries(50):
+        for t in sorted(set(tok.tokenize(text))):
+            vals.append(f"({qid}, '{t}')")
+    return f"""
+WITH docs AS (SELECT conv_id, turn_idx, ts, text FROM {_transcripts_src_sql()}),
+toks AS ({_transcripts_toks_sql()}),
+qterms(query_id, term) AS (VALUES {', '.join(vals)}),
+matches AS (SELECT DISTINCT q.query_id, t.conv_id, t.turn_idx
+            FROM qterms q JOIN toks t ON t.term = q.term)
+SELECT m.query_id::BIGINT AS query_id,
+       (epoch_us(d.ts) // 1000000 // 86400)::BIGINT AS day,
+       count(*)::BIGINT AS n_docs
+FROM matches m JOIN docs d ON d.conv_id = m.conv_id
+                          AND d.turn_idx = m.turn_idx
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
 
 def _prefix_sql(k: int = 10) -> str:
@@ -1898,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_documents_topk_msm": _bm25_sql(msm=2),
         "bm25_documents_topk_page2": _bm25_sql(offset=10),
         "facet_counts_lang": _facet_counts_sql("lang"),
+        "facet_histogram_day": _facet_histogram_sql(),
         "matches_by_length_topk": _sort_by_attr_sql("n_chars"),
         "bm25_documents_topk_range": _bm25_sql(
             candidate_where=("tf.doc_id IN (SELECT doc_id FROM documents "

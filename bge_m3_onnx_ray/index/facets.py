@@ -74,9 +74,11 @@ class FacetCounter:
                 got = (np.empty(0, np.int64), np.empty(0, np.int64), [])
             else:
                 enc = t.column(self.col).combine_chunks().dictionary_encode()
+                # numeric attrs (e.g. a derived epoch-day histogram key)
+                # count fine — their values surface as decimal strings
                 got = (t.column("doc_id").to_numpy().astype(np.int64),
                        enc.indices.to_numpy().astype(np.int64),
-                       enc.dictionary.to_pylist())
+                       enc.dictionary.cast(pa.string()).to_pylist())
             self._attr_cache[shard] = got
             while len(self._attr_cache) > self.cache_size:
                 self._attr_cache.popitem(last=False)

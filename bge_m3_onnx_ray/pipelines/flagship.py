@@ -325,6 +325,42 @@ def bm25_transcripts_topk_collapsed(sf_dir: str, k: int = 10,
         preserve_index=False)
 
 
+def facet_histogram_day(sf_dir: str) -> pa.Table:
+    """Date-histogram aggregation (the Elasticsearch date_histogram
+    shape, day interval): per query, the number of matching TURNS per
+    UTC day of their timestamp, over the full OR match set of the
+    transcripts corpus. The day lands in the index as a derived integer
+    attrs column (epoch_seconds // 86400 — ``timestamp[us]`` cast
+    normalizes the parquet unit first), counted by the same per-shard
+    facet machinery as the value facets. Output (query_id, day,
+    n_docs)."""
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.fixtures import gen_queries, transcripts_path
+    from bge_m3_onnx_ray.index.attrs import build_doc_attrs, has_doc_attrs
+    from bge_m3_onnx_ray.index.facets import facet_counts
+    n_turns = transcripts_n_turns(sf_dir)
+    path = transcripts_path(n_turns)
+    cfg = IndexConfig(docs_per_shard=TRANSCRIPTS_DOCS_PER_SHARD,
+                      term_buckets=8)
+    idx = _cached_index(rd.read_parquet(path), f"transcripts-n{n_turns}", cfg)
+    if not has_doc_attrs(idx, "day"):
+        def add_day(t: pa.Table) -> pa.Table:
+            us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            day = pc.divide(pc.divide(us, 1_000_000), 86_400)
+            return t.select(["conv_id", "turn_idx"]) \
+                .append_column("day", day.cast(pa.int64()))
+        build_doc_attrs(
+            rd.read_parquet(path).map_batches(add_day,
+                                              batch_format="pyarrow"),
+            idx, "day")
+    out = facet_counts(idx, gen_queries(50), "day").to_pandas()
+    out["day"] = out["value"].astype(np.int64)
+    out = out.sort_values(["query_id", "day"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "day", "n_docs"]],
+                                preserve_index=False)
+
+
 def transcripts_phrases(sf_dir: str, n: int = 8) -> list[tuple[int, str]]:
     """Deterministic phrase set drawn from the multi-turn fixture itself
     (both the engine query and the DuckDB oracle builder call this, so
