@@ -157,6 +157,14 @@ def _q_prefix(sf_dir):
     return bm25_documents_topk_prefix(sf_dir)
 
 
+def _q_federated(sf_dir):
+    # federated search: two half-corpus indexes, merged global stats
+    # (sum df, union avgdl) — must equal the single-index oracle exactly
+    from bge_m3_onnx_ray.pipelines.flagship import (
+        bm25_documents_federated_topk)
+    return bm25_documents_federated_topk(sf_dir)
+
+
 def _q_mlt(sf_dir):
     # more-like-this: top tf-idf terms of fixed source docs become a
     # disjunctive BM25 query; the source is excluded from its results
@@ -594,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk_prefix": _q_prefix,
         "bm25_documents_explain": _q_explain,
         "more_like_this_documents": _q_mlt,
+        "bm25_documents_federated_topk": _q_federated,
         "bm25_documents_topk_wildcard": _q_wildcard,
         "bm25_documents_topk_regex": _q_regex,
         "bm25_documents_topk_fuzzy": _q_fuzzy,
@@ -1956,6 +1965,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_documents_topk_prefix": _prefix_sql(),
         "bm25_documents_explain": _explain_sql(),
         "more_like_this_documents": _mlt_sql(),
+        # federation must reproduce the single-index ranking exactly:
+        # the oracle IS the standard whole-corpus BM25 SQL
+        "bm25_documents_federated_topk": bm25,
         "bm25_documents_topk_wildcard": _wildcard_sql(),
         "bm25_documents_topk_regex": _regex_sql(),
         "bm25_documents_topk_fuzzy": _bm25_sql(

@@ -458,8 +458,14 @@ class ShardScorer:
                  filter_range: tuple[str, int, int] | None = None,
                  collapse: bool = False,
                  weight_attr: str | None = None,
-                 attr_weights: tuple = ()):
+                 attr_weights: tuple = (),
+                 avgdl_override: float | None = None):
         self.meta = IndexMeta(index_dir)
+        if avgdl_override is not None:
+            # federated search: the caller supplies UNION-corpus global
+            # stats (avgdl here, combined-df idfs via ``idfs``) so this
+            # index's scores equal a single union-index build
+            self.meta.avgdl = float(avgdl_override)
         # field collapsing: each shard keeps its per-conversation best
         # BEFORE its top-k cut (see QueryConfig.collapse). The scorer only
         # needs the int64 conv-start array (n_convs × 8 B per actor; a

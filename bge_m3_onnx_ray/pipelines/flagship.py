@@ -484,6 +484,39 @@ def bm25_documents_topk_regex(sf_dir: str, k: int = 10) -> pa.Table:
                                 preserve_index=False)
 
 
+def _documents_half(sf_dir: str, parity: int) -> rd.Dataset:
+    """Even / odd doc_id half of the documents corpus, as transcripts —
+    the two federation members whose union is the whole corpus."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return t.filter(pa.array(ids % 2 == parity))
+
+    return ds.map_batches(pick, batch_format="pyarrow") \
+        .map_batches(_doc_rows_to_transcript, batch_format="pyarrow")
+
+
+def bm25_documents_federated_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Federated search over TWO half-corpus indexes (even / odd
+    doc_ids) with merged global stats — scores and ranks must equal the
+    single whole-corpus index, so the oracle is the unchanged standard
+    BM25 SQL. Output (query_id, rank, doc_id, score_q6)."""
+    from bge_m3_onnx_ray.index.federate import search_federated
+    base = os.path.basename(os.path.normpath(sf_dir))
+    idxs = [_cached_index(_documents_half(sf_dir, p),
+                          f"documents-h{p}-{base}", _DOC_CFG)
+            for p in (0, 1)]
+    out = search_federated(idxs, DOC_QUERIES,
+                           QueryConfig(k=k)).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
+
+
 # More-like-this source documents (Lucene MoreLikeThisQuery): fixed
 # doc_ids present at every scale factor (all sfs carry 500 documents).
 MLT_SOURCE_DOCS: list[int] = [0, 7, 42, 99, 123]

@@ -714,3 +714,36 @@ def test_function_score_bulk_equals_driver(tiny_index, tiny_corpus,
         g = g.sort_values("rank")
         b[int(qid)] = list(zip(g.doc_id.tolist(), g.score.tolist()))
     assert a == b
+
+
+def test_federated_equals_union(tiny_index, tiny_corpus, tmp_path, ray_session):
+    """search_federated over two half-corpus indexes must be
+    bit-identical (docs AND scores) to search over the single union
+    index — merged N/avgdl/df make member scores globally exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.config import create_tiny_index_config
+    from bge_m3_onnx_ray.index.build import build_index
+    from bge_m3_onnx_ray.index.federate import search_federated
+    idx, _ = tiny_index
+    path, _, queries = tiny_corpus
+    t = pq.read_table(path)
+    convs = sorted(set(t.column("conv_id").to_pylist()))
+    half = set(convs[: len(convs) // 2])
+    mask = pa.array([c in half for c in t.column("conv_id").to_pylist()])
+    parts = []
+    for i, m in enumerate((mask, pa.compute.invert(mask))):
+        sub = t.filter(m)
+        d = str(tmp_path / f"fed{i}")
+        build_index(rd.from_arrow(sub), d, create_tiny_index_config())
+        parts.append(d)
+    fed = search_federated(parts, queries, QueryConfig(k=10)).to_pandas()
+    solo = search(idx, queries, QueryConfig(k=10)).to_pandas()
+    fed = fed.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    solo = solo.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(fed) == len(solo) > 0
+    assert fed.conv_id.tolist() == solo.conv_id.tolist()
+    assert fed.turn_idx.tolist() == solo.turn_idx.tolist()
+    assert fed.score.tolist() == solo.score.tolist()   # bit-identical
