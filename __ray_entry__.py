@@ -157,6 +157,13 @@ def _q_prefix(sf_dir):
     return bm25_documents_topk_prefix(sf_dir)
 
 
+def _q_substring(sf_dir):
+    # trigram substring index: grep-style contains over raw text —
+    # candidate intersection from byte-trigram postings, exact verify
+    from bge_m3_onnx_ray.pipelines.flagship import substring_documents
+    return substring_documents(sf_dir)
+
+
 def _q_federated(sf_dir):
     # federated search: two half-corpus indexes, merged global stats
     # (sum df, union avgdl) — must equal the single-index oracle exactly
@@ -603,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_explain": _q_explain,
         "more_like_this_documents": _q_mlt,
         "bm25_documents_federated_topk": _q_federated,
+        "substring_documents": _q_substring,
         "bm25_documents_topk_wildcard": _q_wildcard,
         "bm25_documents_topk_regex": _q_regex,
         "bm25_documents_topk_fuzzy": _q_fuzzy,
@@ -1082,6 +1090,21 @@ scores AS (
   CROSS JOIN stats s
   GROUP BY q.query_id, tf.conv_id, tf.turn_idx),
 {weighted}{tail}"""
+
+
+def _substring_sql() -> str:
+    """Substring-search oracle: a straight scan with contains() — the
+    semantic ground truth the trigram-index path must reproduce (the
+    engine takes the indexed route; same answer required)."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_SUBSTRINGS
+    vals = ", ".join(f"({pid}, '{pat.replace(chr(39), chr(39) * 2)}')"
+                     for pid, pat in DOC_SUBSTRINGS)
+    return f"""
+WITH pats(pattern_id, pat) AS (VALUES {vals})
+SELECT p.pattern_id::BIGINT AS pattern_id, d.doc_id::BIGINT AS doc_id
+FROM pats p JOIN documents d ON contains(lower(d.text), p.pat)
+ORDER BY 1, 2
+"""
 
 
 def _facet_histogram_sql() -> str:
@@ -1968,6 +1991,7 @@ def oracle_sql() -> dict[str, str]:
         # federation must reproduce the single-index ranking exactly:
         # the oracle IS the standard whole-corpus BM25 SQL
         "bm25_documents_federated_topk": bm25,
+        "substring_documents": _substring_sql(),
         "bm25_documents_topk_wildcard": _wildcard_sql(),
         "bm25_documents_topk_regex": _regex_sql(),
         "bm25_documents_topk_fuzzy": _bm25_sql(

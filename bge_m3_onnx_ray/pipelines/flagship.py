@@ -484,6 +484,35 @@ def bm25_documents_topk_regex(sf_dir: str, k: int = 10) -> pa.Table:
                                 preserve_index=False)
 
 
+# Substring (grep-style contains) patterns: cross-token spans the
+# inverted index cannot answer, a within-token infix, and a no-match.
+DOC_SUBSTRINGS: list[tuple[int, str]] = [
+    (0, "er sort"),         # crosses a token boundary (…er + sort)
+    (1, "data bat"),        # crosses into a token prefix
+    (2, "stream merge"),    # two whole tokens incl. the space
+    (3, "tab"),             # within-token infix
+    (4, "zzzq"),            # matches nothing
+]
+
+
+def substring_documents(sf_dir: str) -> pa.Table:
+    """Grep at scale: documents whose raw lowercased text CONTAINS each
+    pattern — answered from the trigram index (candidate intersection)
+    + exact distributed verification, never a full-corpus scan per
+    query. Output (pattern_id, doc_id); oracle: LIKE on the text."""
+    from bge_m3_onnx_ray.index.trigram import (build_trigram_index,
+                                               substring_search)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    corpus = os.path.join(sf_dir, "documents.parquet")
+    tri_dir = os.path.join("/tmp/bm25_indexes", f"trigram-{base}")
+    build_trigram_index(
+        rd.read_parquet(corpus, columns=["doc_id", "text"]), tri_dir)
+    out = substring_search(tri_dir, corpus, DOC_SUBSTRINGS).to_pandas() \
+        .sort_values(["pattern_id", "doc_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["pattern_id", "doc_id"]],
+                                preserve_index=False)
+
+
 def _documents_half(sf_dir: str, parity: int) -> rd.Dataset:
     """Even / odd doc_id half of the documents corpus, as transcripts —
     the two federation members whose union is the whole corpus."""

@@ -747,3 +747,44 @@ def test_federated_equals_union(tiny_index, tiny_corpus, tmp_path, ray_session):
     assert fed.conv_id.tolist() == solo.conv_id.tolist()
     assert fed.turn_idx.tolist() == solo.turn_idx.tolist()
     assert fed.score.tolist() == solo.score.tolist()   # bit-identical
+
+
+def test_trigram_substring_search(tmp_path, ray_session):
+    """Trigram index candidates ∩ verify ≡ a brute-force contains scan,
+    including cross-token patterns, case-insensitivity, multibyte text,
+    and the <3-byte pattern rejection."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.index.trigram import (build_trigram_index,
+                                               pattern_trigrams,
+                                               substring_search)
+    texts = [
+        "alpha beta gamma",
+        "ALPHA omega",              # case-insensitive match
+        "the gam mabet special",    # shares trigrams, not the substring
+        "中文 beta 文本",             # multibyte neighbours
+        "nothing here",
+    ]
+    corpus = str(tmp_path / "docs.parquet")
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    import pyarrow.parquet as pq
+    pq.write_table(t, corpus)
+    tri = str(tmp_path / "tri")
+    assert build_trigram_index(rd.from_arrow(t), tri) > 0
+    pats = [(0, "a bet"), (1, "alpha"), (2, "gamma"), (3, "文 bet"),
+            (4, "zzzz")]
+    out = substring_search(tri, corpus, pats).to_pandas()
+    got = {p: sorted(g.doc_id) for p, g in out.groupby("pattern_id")}
+    want = {}
+    for pid, pat in pats:
+        m = sorted(i for i, x in enumerate(texts)
+                   if pat.lower() in x.lower())
+        if m:
+            want[pid] = m
+    assert got == want
+    assert 0 in want and 3 in want          # cross-token + multibyte hit
+    import pytest as _pt
+    with _pt.raises(ValueError, match="shorter than 3"):
+        pattern_trigrams("ab")
