@@ -157,6 +157,13 @@ def _q_prefix(sf_dir):
     return bm25_documents_topk_prefix(sf_dir)
 
 
+def _q_stemmed(sf_dir):
+    # stemmed analyzer chain (tokenize -> suffix-strip) through the
+    # WHOLE pipeline: build, dictionary, query-time stemming, ranking
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_topk_stemmed
+    return bm25_documents_topk_stemmed(sf_dir)
+
+
 def _q_substring(sf_dir):
     # trigram substring index: grep-style contains over raw text —
     # candidate intersection from byte-trigram postings, exact verify
@@ -611,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this_documents": _q_mlt,
         "bm25_documents_federated_topk": _q_federated,
         "substring_documents": _q_substring,
+        "bm25_documents_topk_stemmed": _q_stemmed,
         "bm25_documents_topk_wildcard": _q_wildcard,
         "bm25_documents_topk_regex": _q_regex,
         "bm25_documents_topk_fuzzy": _q_fuzzy,
@@ -1090,6 +1098,62 @@ scores AS (
   CROSS JOIN stats s
   GROUP BY q.query_id, tf.conv_id, tf.turn_idx),
 {weighted}{tail}"""
+
+
+def _stem_sql(k: int = 10) -> str:
+    """Stemmed-analyzer oracle: the decorated corpus (CASE mirror of
+    the driver's inflection decoration), terms stemmed by the SAME
+    anchored RE2 rules (tokenizer.STEM_RULES) via nested
+    regexp_replace, query tokens stemmed Python-side by the engine's
+    own StemTokenizer, then the standard BM25 ranking."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_STEM_QUERIES
+    from bge_m3_onnx_ray.tokenizer import STEM_RULES, StemTokenizer
+    tok = StemTokenizer()
+    vals = []
+    for qid, text in DOC_STEM_QUERIES:
+        for t in sorted(set(tok.tokenize(text))):
+            vals.append(f"({qid}, '{t}')")
+    stem_expr = "term0"
+    for pat, rep in STEM_RULES:
+        stem_expr = f"regexp_replace({stem_expr}, '{pat}', '{rep}')"
+    return f"""
+WITH base AS (SELECT doc_id,
+  CASE WHEN doc_id % 5 = 1 THEN text || ' sorting joins'
+       WHEN doc_id % 5 = 2 THEN text || ' merged batches'
+       WHEN doc_id % 5 = 3 THEN text || ' filtering scanned'
+       ELSE text END AS text
+  FROM documents),
+raw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+          '{_TOKEN_RE_SQL}')) AS term0 FROM base),
+toks AS (SELECT doc_id, {stem_expr} AS term FROM raw),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM base)::DOUBLE AS n,
+                 (SELECT count(*) FROM toks)::DOUBLE
+                   / (SELECT count(*) FROM base)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+qterms(query_id, term) AS (VALUES {', '.join(vals)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scores)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
+       doc_id::BIGINT AS doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_q6
+FROM ranked WHERE rnk <= {k} ORDER BY query_id, "rank"
+"""
 
 
 def _substring_sql() -> str:
@@ -1992,6 +2056,7 @@ def oracle_sql() -> dict[str, str]:
         # the oracle IS the standard whole-corpus BM25 SQL
         "bm25_documents_federated_topk": bm25,
         "substring_documents": _substring_sql(),
+        "bm25_documents_topk_stemmed": _stem_sql(),
         "bm25_documents_topk_wildcard": _wildcard_sql(),
         "bm25_documents_topk_regex": _regex_sql(),
         "bm25_documents_topk_fuzzy": _bm25_sql(

@@ -324,6 +324,34 @@ def run_bench() -> dict:
                      "append_sec": round(dt, 2),
                      "append_turns_per_sec": round(ar["appended_docs"] / dt)}
 
+    # ---- trigram substring search: cold (incl. index build — its own
+    # bucket shuffle) vs warm (candidate reads + verify only)
+    from bge_m3_onnx_ray.pipelines.flagship import substring_documents
+    shutil.rmtree("/tmp/bm25_indexes/trigram-"
+                  + os.path.basename(os.path.normpath(SF_DIR)),
+                  ignore_errors=True)
+    t0 = time.perf_counter()
+    substring_documents(SF_DIR)
+    sub_cold = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    sub_rows = substring_documents(SF_DIR).num_rows
+    out["substring"] = {"cold_sec_incl_trigram_build": sub_cold,
+                        "warm_sec": round(time.perf_counter() - t0, 2),
+                        "result_rows": sub_rows}
+
+    # ---- federated search: two half-indexes vs the single-index run
+    from bge_m3_onnx_ray.pipelines.flagship import (
+        bm25_documents_federated_topk, bm25_documents_topk)
+    bm25_documents_topk(SF_DIR)                   # both sides warm
+    bm25_documents_federated_topk(SF_DIR)
+    t0 = time.perf_counter()
+    bm25_documents_topk(SF_DIR)
+    solo_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    bm25_documents_federated_topk(SF_DIR)
+    out["federated"] = {"single_index_sec": round(solo_sec, 2),
+                        "two_member_sec": round(time.perf_counter() - t0, 2)}
+
     # ---- documents-table operator suite over SF_DIR
     if os.environ.get("BENCH_SKIP_QUERIES"):
         out["queries"] = {}
@@ -332,7 +360,8 @@ def run_bench() -> dict:
     qtimes = {}
     wanted = ["bm25_documents_topk", "token_count", "term_df_top100",
               "exact_dedup", "minhash_lsh_candidates", "ann_cosine_topk",
-              "events_hourly", "events_sessionize", "quality_score"]
+              "events_hourly", "events_sessionize", "quality_score",
+              "benchmark_contamination", "redact_pii", "pack_sequences"]
     qs = m.queries()
     for name in wanted:
         t0 = time.perf_counter()
@@ -407,6 +436,8 @@ def main() -> None:
         "ivf_clustered": out.get("ivf_clustered"),
         "phrase": out.get("phrase"),
         "append": out.get("append"),
+        "substring": out.get("substring"),
+        "federated": out.get("federated"),
         "positions_build_sec": out.get("positions_build_sec"),
         "positions_turns_per_sec": out.get("positions_turns_per_sec"),
     }))

@@ -484,6 +484,65 @@ def bm25_documents_topk_regex(sf_dir: str, k: int = 10) -> pa.Table:
                                 preserve_index=False)
 
 
+# Stemmed-analyzer queries: inflected forms that must match the
+# decorated corpus (and each other) only through the stemmer.
+DOC_STEM_QUERIES: list[tuple[int, str]] = [
+    (0, "sorts join"),          # sorts→sort: hits originals + decoration
+    (1, "merging batch"),       # merging→merg: hits only 'merged' docs
+    (2, "filtered scans"),
+    (3, "queries data"),        # queries→queri (sequential-rule artifact)
+]
+
+_DOC_STEM_CFG = IndexConfig(docs_per_shard=4096, term_buckets=8,
+                            block_size=128, tokenizer_spec="stem_en")
+
+
+def _documents_inflected(sf_dir: str) -> rd.Dataset:
+    """Documents corpus deterministically decorated with inflected
+    word forms (the sandbox text has none), mirrored by a CASE in the
+    SQL oracle — makes the stemming gate non-vacuous."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def decorate(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        out = []
+        for i, x in zip(ids, texts):
+            m = i % 5
+            if m == 1:
+                x = f"{x} sorting joins"
+            elif m == 2:
+                x = f"{x} merged batches"
+            elif m == 3:
+                x = f"{x} filtering scanned"
+            out.append(x)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(out, pa.string())})
+
+    return ds.map_batches(decorate, batch_format="pyarrow") \
+        .map_batches(_doc_rows_to_transcript, batch_format="pyarrow")
+
+
+def bm25_documents_topk_stemmed(sf_dir: str, k: int = 10) -> pa.Table:
+    """Stemmed-analyzer retrieval: the index is built with the
+    ``stem_en`` analyzer chain (tokenize → suffix-strip, recorded in
+    the config fingerprint and stats.json), so query tokens stem
+    automatically at search time and inflected query forms match
+    inflected document forms. Same shape/oracle conventions as
+    :func:`bm25_documents_topk`; the DuckDB oracle stems with the
+    identical RE2 rules via nested regexp_replace."""
+    key = "documents-stem-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(_documents_inflected(sf_dir), key, _DOC_STEM_CFG)
+    out = search(idx, DOC_STEM_QUERIES,
+                 QueryConfig(k=k, method="wand")).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
+
+
 # Substring (grep-style contains) patterns: cross-token spans the
 # inverted index cannot answer, a within-token infix, and a no-match.
 DOC_SUBSTRINGS: list[tuple[int, str]] = [

@@ -380,6 +380,46 @@ class VocabSubwordTokenizer:
         return _counts_from_flat(*self.batch_token_lists(texts))
 
 
+# Suffix-strip rules (Harman 1991 "S stemmer" extended with -ed/-ing —
+# public weak-stemming literature), applied SEQUENTIALLY in this order,
+# each at most once, as anchored RE2 replaces. Both sides of the
+# correctness gate run these exact patterns (pyarrow.compute here,
+# DuckDB regexp_replace in the oracle — both RE2), so parity holds by
+# construction regardless of linguistic corner cases.
+STEM_RULES: tuple[tuple[str, str], ...] = (
+    (r"^(.{2,})ing$", r"\1"),       # len>4: drop -ing
+    (r"^(.{2,})ed$", r"\1"),        # len>3: drop -ed
+    (r"^(.{2,})es$", r"\1"),        # len>3: drop -es
+    (r"^(.{1,}[^s])s$", r"\1"),     # len>2, not -ss: drop -s
+)
+
+
+class StemTokenizer(DeterministicTokenizer):
+    """Analyzer chain: the deterministic tokenizer + English
+    suffix-strip stemming (spec ``"stem_en"``). Lucene's
+    EnglishAnalyzer shape — normalize, tokenize, stem — with a stemmer
+    weak enough to mirror exactly in SQL. Batch path is columnar: four
+    anchored RE2 replaces over the flat token array."""
+
+    def tokenize(self, text: str) -> list[str]:
+        import re
+        out = super().tokenize(text)
+        for pat, rep in STEM_RULES:
+            rx = re.compile(pat)
+            out = [rx.sub(rep, w) for w in out]
+        return out
+
+    def batch_token_lists(self, texts):
+        import pyarrow.compute as pc
+        flat, offsets = super().batch_token_lists(texts)
+        for pat, rep in STEM_RULES:
+            flat = pc.replace_substring_regex(flat, pat, rep)
+        return flat, offsets
+
+    def batch_term_counts_coded(self, texts):
+        return _counts_from_flat(*self.batch_token_lists(texts))
+
+
 def default_vocab_path() -> str:
     """The committed toy vocabulary proving the subword seam."""
     return os.path.join(os.path.dirname(__file__), "data", "toy_vocab.txt")
@@ -396,6 +436,8 @@ def make_tokenizer(spec: str = "deterministic"):
     in here)."""
     if spec == "deterministic":
         return DeterministicTokenizer()
+    if spec == "stem_en":
+        return StemTokenizer()
     if spec == "vocab":
         return VocabSubwordTokenizer(default_vocab_path())
     if spec.startswith("vocab:"):

@@ -80,3 +80,23 @@ def test_build_query_parity_under_both_tokenizers(ray_session, tiny_corpus,
         vt = make_tokenizer("vocab")
         assert det.tokenize("customers streaming") != \
             vt.tokenize("customers streaming")
+
+
+def test_stem_tokenizer_batch_equals_scalar():
+    """StemTokenizer's columnar RE2 path must equal the scalar path,
+    and the sequential-rule semantics must hold (documented artifacts
+    like braises->brai included)."""
+    import pyarrow as pa
+
+    from bge_m3_onnx_ray.tokenizer import StemTokenizer, make_tokenizer
+    t = make_tokenizer("stem_en")
+    assert isinstance(t, StemTokenizer)
+    texts = ["Sorting sorted sorts sort", "classes dress dressing ss",
+             "braises bees queries", "", "ing ed es s"]
+    flat, offs = t.batch_token_lists(pa.array(texts))
+    toks = flat.to_pylist()
+    batch = [toks[offs[i]:offs[i + 1]] for i in range(len(texts))]
+    assert batch == [t.tokenize(x) for x in texts]
+    assert t.tokenize("sorting sorted sorts") == ["sort"] * 3
+    assert t.tokenize("dress ss") == ["dress", "ss"]   # -ss guard
+    assert t.tokenize("braises") == ["brai"]           # sequential rules
