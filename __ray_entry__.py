@@ -157,6 +157,21 @@ def _q_prefix(sf_dir):
     return bm25_documents_topk_prefix(sf_dir)
 
 
+def _q_search_after(sf_dir):
+    # cursor pagination: page 2 via a strictly-after (score, docID)
+    # filter applied before the top-k cut — no offset over-fetch; the
+    # oracle is the SAME offset-pagination SQL as ..._page2
+    from bge_m3_onnx_ray.pipelines.flagship import (
+        bm25_documents_topk_search_after)
+    return bm25_documents_topk_search_after(sf_dir)
+
+
+def _q_match_counts(sf_dir):
+    # total-hit counts (track_total_hits): exact OR match counts
+    from bge_m3_onnx_ray.pipelines.flagship import match_counts_documents
+    return match_counts_documents(sf_dir)
+
+
 def _q_stemmed(sf_dir):
     # stemmed analyzer chain (tokenize -> suffix-strip) through the
     # WHOLE pipeline: build, dictionary, query-time stemming, ranking
@@ -619,6 +634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_federated_topk": _q_federated,
         "substring_documents": _q_substring,
         "bm25_documents_topk_stemmed": _q_stemmed,
+        "match_counts_documents": _q_match_counts,
+        "bm25_documents_topk_search_after": _q_search_after,
         "bm25_documents_topk_wildcard": _q_wildcard,
         "bm25_documents_topk_regex": _q_regex,
         "bm25_documents_topk_fuzzy": _q_fuzzy,
@@ -1098,6 +1115,25 @@ scores AS (
   CROSS JOIN stats s
   GROUP BY q.query_id, tf.conv_id, tf.turn_idx),
 {weighted}{tail}"""
+
+
+def _match_counts_sql() -> str:
+    """Total-hits oracle: COUNT of DISTINCT docs matching any query
+    term, per query."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_QUERIES
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    vals = []
+    for qid, text in DOC_QUERIES:
+        for t in sorted(set(tokenize(text))):
+            vals.append(f"({qid}, '{t}')")
+    return f"""
+WITH toks AS ({_TOKS}),
+qterms(query_id, term) AS (VALUES {', '.join(vals)}),
+matches AS (SELECT DISTINCT q.query_id, t.doc_id
+            FROM qterms q JOIN toks t ON t.term = q.term)
+SELECT query_id::BIGINT AS query_id, count(*)::BIGINT AS n_matches
+FROM matches GROUP BY 1 ORDER BY 1
+"""
 
 
 def _stem_sql(k: int = 10) -> str:
@@ -2057,6 +2093,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_documents_federated_topk": bm25,
         "substring_documents": _substring_sql(),
         "bm25_documents_topk_stemmed": _stem_sql(),
+        "match_counts_documents": _match_counts_sql(),
+        "bm25_documents_topk_search_after": _bm25_sql(offset=10),
         "bm25_documents_topk_wildcard": _wildcard_sql(),
         "bm25_documents_topk_regex": _regex_sql(),
         "bm25_documents_topk_fuzzy": _bm25_sql(

@@ -170,6 +170,82 @@ def facet_counts(index_dir: str, queries, col: str,
                          [("count", "sum", "n_docs")], n_buckets=32)
 
 
+class _CountMatches(FacetCounter):
+    """FacetCounter's candidate machinery, counting candidates directly
+    instead of joining the attrs table (see :func:`match_counts`)."""
+
+    def __init__(self, index_dir: str, cache_size: int = 64):
+        super().__init__(index_dir, col="", cache_size=cache_size)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_c = [], []
+        dec_memo: dict[tuple[int, str], tuple] = {}
+        for qid, terms, shard in zip(
+                batch.column("query_id").to_pylist(),
+                batch.column("terms").to_pylist(),
+                batch.column("shard").to_pylist()):
+            shard = int(shard)
+            post = self._sc._shard_postings(shard, list(terms))
+            docs = []
+            for t in terms:
+                e = post.get(t)
+                if e is None:
+                    continue
+                got = dec_memo.get((shard, t))
+                if got is None:
+                    got = dec_memo[(shard, t)] = decode_postings(
+                        e, self.meta.block_size)
+                docs.append(got[0])
+            if not docs:
+                continue
+            cand = np.unique(np.concatenate(docs))
+            if self._sc._has_tombstones:
+                dele = self._sc._deleted(shard)
+                if len(dele) and len(cand):
+                    pos = np.searchsorted(dele, cand)
+                    hit = pos < len(dele)
+                    hit[hit] = dele[pos[hit]] == cand[hit]
+                    cand = cand[~hit]
+            out_q.append(int(qid))
+            out_c.append(int(len(cand)))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "count": pa.array(out_c, pa.int64())})
+
+
+def match_counts(index_dir: str, queries,
+                 cfg: QueryConfig | None = None) -> rd.Dataset:
+    """Total-hit counts (Elasticsearch ``track_total_hits``): per query,
+    the exact number of live documents matching ANY query term. Same
+    per-(query, shard) fan-out as :func:`facet_counts` but without the
+    attribute join — a doc lives in exactly one shard, so per-shard
+    candidate counts sum exactly. Returns (query_id, n_matches)."""
+    cfg = cfg or QueryConfig()
+    meta = IndexMeta(index_dir)
+    from bge_m3_onnx_ray.tokenizer import make_tokenizer
+    tok = make_tokenizer(meta.stats.get("tokenizer_spec", "deterministic"))
+    if isinstance(queries, pa.Table):
+        queries = zip(queries.column("query_id").to_pylist(),
+                      queries.column("text").to_pylist())
+    qterms = {int(q): sorted(set(tok.tokenize(str(t)))) for q, t in queries}
+    pairs = [{"query_id": qid, "terms": ts, "shard": s}
+             for s in meta.shards
+             for qid, ts in qterms.items() if ts]
+    if not pairs:
+        return rd.from_arrow(pa.schema([
+            ("query_id", pa.int64()),
+            ("n_matches", pa.int64())]).empty_table())
+    fanout = rd.from_items(sorted(pairs, key=lambda r: r["shard"]))
+    partials = fanout.map_batches(
+        _CountMatches,
+        fn_constructor_kwargs={"index_dir": index_dir,
+                               "cache_size": cfg.shard_cache_size},
+        batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
+        concurrency=cfg.scorer_concurrency, num_cpus=1)
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+    return bucket_reduce(partials, ["query_id"],
+                         [("count", "sum", "n_matches")], n_buckets=16)
+
+
 SORT_RESULT_SCHEMA = pa.schema([
     ("query_id", pa.int64()),
     ("rank", pa.int32()),

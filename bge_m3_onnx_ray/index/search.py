@@ -110,7 +110,8 @@ def score_exhaustive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarra
                      excluded: np.ndarray | None = None,
                      msm: int = 0,
                      collapse_starts: np.ndarray | None = None,
-                     doc_weights: "tuple[np.ndarray, np.ndarray] | None" = None):
+                     doc_weights: "tuple[np.ndarray, np.ndarray] | None" = None,
+                     after: "tuple[float, int] | None" = None):
     """Exact scorer over fully-decoded postings (the parity fallback the
     reference keeps alongside its fast path). ``qterms`` must be sorted.
     ``allowed``: optional sorted docID facet mask (see _apply_allowed).
@@ -145,6 +146,14 @@ def score_exhaustive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarra
         w = np.ones(len(union), np.float64)
         w[valid] = wv[pos[valid]]
         scores = scores * w
+    if after is not None and len(union):
+        # search_after cursor (Elasticsearch deep pagination): keep only
+        # candidates STRICTLY after (score desc, docID asc) the cursor —
+        # applied before the top-k cut, so page boundaries are exact
+        # without fetching offset+k rows
+        s_c, d_c = after
+        keep = (scores < s_c) | ((scores == s_c) & (union > d_c))
+        scores, union = scores[keep], union[keep]
     if collapse_starts is not None:
         scores, union = _collapse_best(scores, union, collapse_starts)
     return _topk_merge(scores, union, k)
@@ -459,7 +468,8 @@ class ShardScorer:
                  collapse: bool = False,
                  weight_attr: str | None = None,
                  attr_weights: tuple = (),
-                 avgdl_override: float | None = None):
+                 avgdl_override: float | None = None,
+                 after_ref=None):
         self.meta = IndexMeta(index_dir)
         if avgdl_override is not None:
             # federated search: the caller supplies UNION-corpus global
@@ -492,6 +502,13 @@ class ShardScorer:
         self.weight_attr = weight_attr
         self.attr_weights = dict(attr_weights)
         self._weight_cache: OrderedDict[int, tuple] = OrderedDict()
+        # search_after cursors: broadcast {query_id: (score, docID)}
+        if after_ref is not None:
+            from bge_m3_onnx_ray.index.build import get_broadcast
+            self.after_by_query: dict[int, tuple] | None = \
+                get_broadcast(after_ref)
+        else:
+            self.after_by_query = None
         # per-query candidate restriction (quoted-phrase filters): a
         # broadcast {query_id: sorted global docID array}, fetched once
         # per worker (ray.put on the driver, get_broadcast here)
@@ -720,7 +737,9 @@ class ShardScorer:
                                                 excluded=excluded,
                                                 msm=self.msm,
                                                 collapse_starts=self._collapse_starts,
-                                                doc_weights=self._doc_weights(int(shard)))
+                                                doc_weights=self._doc_weights(int(shard)),
+                                                after=(None if self.after_by_query is None
+                                                       else self.after_by_query.get(int(qid))))
             out_q.extend([qid] * len(docs))
             out_d.extend(docs.tolist())
             out_s.extend(scores.tolist())
@@ -786,7 +805,9 @@ def merge_topk(partials: rd.Dataset, offsets: ConvOffsets, k: int,
 
 
 def search(index_dir: str, queries, cfg: QueryConfig | None = None,
-           allow_docs: "dict[int, np.ndarray] | None" = None) -> rd.Dataset:
+           allow_docs: "dict[int, np.ndarray] | None" = None,
+           search_after: "dict[int, tuple[float, int]] | None" = None
+           ) -> rd.Dataset:
     """Top-k BM25 over the index. ``queries``: list[(query_id, text)] or a
     Dataset/Table with (query_id, text). Returns a Dataset of
     (query_id, rank, doc_id, score, conv_id, turn_idx).
@@ -812,6 +833,11 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
         raise ValueError('weight_attr (function score) requires '
                          'method="exhaustive" in "or" mode (WAND block '
                          "bounds are not weight-aware)")
+    if search_after is not None and (cfg.method != "exhaustive"
+                                     or cfg.mode != "or" or cfg.collapse):
+        raise ValueError('search_after requires method="exhaustive" in '
+                         '"or" mode without collapse (the cursor cut '
+                         "happens on raw per-doc scores)")
     meta = IndexMeta(index_dir)
     offsets = ConvOffsets.load(index_dir)
     # always tokenize queries with the index's own tokenizer (seam:
@@ -953,6 +979,11 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
         import ray
         allow_ref = ray.put({int(q): np.asarray(a, np.int64)
                              for q, a in allow_docs.items()})
+    after_ref = None
+    if search_after is not None:
+        import ray
+        after_ref = ray.put({int(q): (float(s), int(d))
+                             for q, (s, d) in search_after.items()})
     fanout = rd.from_items(sorted(pairs, key=lambda r: r["shard"]))
     # pagination: fetch offset+k everywhere (per-shard partials AND the
     # merge), then drop ranks <= offset — ranks stay GLOBAL (offset+1..),
@@ -971,7 +1002,8 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
                                "filter_range": cfg.filter_range,
                                "collapse": cfg.collapse,
                                "weight_attr": cfg.weight_attr,
-                               "attr_weights": cfg.attr_weights},
+                               "attr_weights": cfg.attr_weights,
+                               "after_ref": after_ref},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
     out = merge_topk(partials, offsets, fetch, collapse=cfg.collapse)

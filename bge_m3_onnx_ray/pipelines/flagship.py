@@ -484,6 +484,46 @@ def bm25_documents_topk_regex(sf_dir: str, k: int = 10) -> pa.Table:
                                 preserve_index=False)
 
 
+def bm25_documents_topk_search_after(sf_dir: str, k: int = 10) -> pa.Table:
+    """Cursor (search_after) deep pagination: page 1's last (score,
+    docID) per query becomes the cursor, and page 2 is fetched with a
+    strictly-after filter applied BEFORE the top-k cut — no offset+k
+    over-fetch, the Elasticsearch search_after shape. Must equal the
+    offset-pagination oracle rows (global ranks 11..20) exactly."""
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    p1 = search(idx, DOC_QUERIES,
+                QueryConfig(k=k, method="exhaustive")).to_pandas()
+    cursors = {}
+    for qid, g in p1.groupby("query_id"):
+        g = g.sort_values("rank")
+        if len(g) == k:            # a shorter page 1 has no page 2
+            last = g.iloc[-1]
+            cursors[int(qid)] = (float(last.score), int(last.doc_id))
+    qs = [(q, t) for q, t in DOC_QUERIES if q in cursors]
+    out = search(idx, qs, QueryConfig(k=k, method="exhaustive"),
+                 search_after=cursors).to_pandas()
+    out["rank"] = out["rank"].astype(np.int32) + k      # global ranks
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
+
+
+def match_counts_documents(sf_dir: str) -> pa.Table:
+    """Total-hit counts per reference query (track_total_hits): exact
+    live-doc match counts from per-shard candidate sets — no scoring,
+    no top-k. Output (query_id, n_matches)."""
+    from bge_m3_onnx_ray.index.facets import match_counts
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    out = match_counts(idx, DOC_QUERIES).to_pandas() \
+        .sort_values("query_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "n_matches"]],
+                                preserve_index=False)
+
+
 # Stemmed-analyzer queries: inflected forms that must match the
 # decorated corpus (and each other) only through the stemmer.
 DOC_STEM_QUERIES: list[tuple[int, str]] = [

@@ -788,3 +788,34 @@ def test_trigram_substring_search(tmp_path, ray_session):
     import pytest as _pt
     with _pt.raises(ValueError, match="shorter than 3"):
         pattern_trigrams("ab")
+
+
+def test_search_after_equals_offset(tiny_index, tiny_corpus):
+    """Cursor pagination: walking pages with search_after must
+    reproduce the offset-pagination pages exactly, scores bit-equal."""
+    idx, _ = tiny_index
+    _, _, queries = tiny_corpus
+    k = 5
+    p1 = search(idx, queries, QueryConfig(k=k, method="exhaustive")) \
+        .to_pandas()
+    cursors = {}
+    for qid, g in p1.groupby("query_id"):
+        g = g.sort_values("rank")
+        if len(g) == k:
+            last = g.iloc[-1]
+            cursors[int(qid)] = (float(last.score), int(last.doc_id))
+    assert cursors     # non-vacuous
+    qs = [(q, t) for q, t in queries if q in cursors]
+    after = search(idx, qs, QueryConfig(k=k, method="exhaustive"),
+                   search_after=cursors).to_pandas()
+    off = search(idx, qs, QueryConfig(k=k, method="exhaustive",
+                                      offset=k)).to_pandas()
+    a = after.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    o = off.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(a) == len(o) > 0
+    assert a.doc_id.tolist() == o.doc_id.tolist()
+    assert a.score.tolist() == o.score.tolist()
+    import pytest as _pt
+    with _pt.raises(ValueError, match="search_after"):
+        search(idx, qs, QueryConfig(k=k, method="wand"),
+               search_after=cursors).to_pandas()
