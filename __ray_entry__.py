@@ -294,6 +294,14 @@ def _q_snippets(sf_dir):
     return bm25_documents_snippets(sf_dir)
 
 
+def _q_bm25_transcripts_recency(sf_dir):
+    # recency decay: score * tau/(tau + age_days), origin = max day
+    # derived from the data on BOTH sides of the gate
+    from bge_m3_onnx_ray.pipelines.flagship import (
+        bm25_transcripts_topk_recency)
+    return bm25_transcripts_topk_recency(sf_dir)
+
+
 def _q_bm25_transcripts_weighted(sf_dir):
     # function score: per-turn BM25 * role-keyed weight (user x2,
     # tool x0.25) applied before the top-k cut; exhaustive scorer
@@ -648,6 +656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_transcripts_topk_exhaustive": _q_bm25_transcripts_exhaustive,
         "bm25_transcripts_topk_filtered": _q_bm25_transcripts_filtered,
         "bm25_transcripts_topk_weighted": _q_bm25_transcripts_weighted,
+        "bm25_transcripts_topk_recency": _q_bm25_transcripts_recency,
         "bm25_transcripts_topk_collapsed": _q_bm25_transcripts_collapsed,
         "transcripts_index_stats": _q_transcripts_index_stats,
         "token_count": _q_token_count,
@@ -1026,7 +1035,8 @@ def _transcripts_toks_sql() -> str:
 
 def _bm25_transcripts_sql(role: str | None = None,
                           collapse: bool = False,
-                          weights: tuple = ()) -> str:
+                          weights: tuple = (),
+                          decay_tau: float | None = None) -> str:
     """Full BM25 ranking oracle over the multi-turn transcripts fixture,
     keyed on (conv_id, turn_idx) — same scoring formula and tie-break
     (score desc, then lexicographic (conv_id, turn_idx) = docID order) as
@@ -1052,7 +1062,20 @@ def _bm25_transcripts_sql(role: str | None = None,
     # as the engine's scores * w) in a wrapping CTE the tail reads from
     weighted = ""
     src = "scores"
-    if weights:
+    if decay_tau is not None:
+        # recency decay: score * (tau / (tau + age_days)), origin =
+        # newest day in the corpus (derived, like the engine's)
+        day = "(epoch_us(dw.ts) // 1000000 // 86400)"
+        mx = "(SELECT max(epoch_us(ts) // 1000000 // 86400) FROM docs)"
+        weighted = f"""weighted AS (
+  SELECT s.query_id, s.conv_id, s.turn_idx,
+         s.score * ({decay_tau} / ({decay_tau}
+                    + greatest({mx} - {day}, 0))) AS score
+  FROM scores s JOIN docs dw ON dw.conv_id = s.conv_id
+                            AND dw.turn_idx = s.turn_idx),
+"""
+        src = "weighted"
+    elif weights:
         arms = " ".join(f"WHEN '{v}' THEN {w}" for v, w in weights)
         weighted = f"""weighted AS (
   SELECT s.query_id, s.conv_id, s.turn_idx,
@@ -1092,7 +1115,8 @@ SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank", conv_id,
 FROM ranked WHERE rnk <= 10 ORDER BY query_id, "rank"
 """
     return f"""
-WITH docs AS (SELECT conv_id, turn_idx, role, text FROM {_transcripts_src_sql()}),
+WITH docs AS (SELECT conv_id, turn_idx, role, text, ts
+              FROM {_transcripts_src_sql()}),
 toks AS ({_transcripts_toks_sql()}),
 tf AS (SELECT conv_id, turn_idx, term, count(*)::DOUBLE AS tf FROM toks
        GROUP BY conv_id, turn_idx, term),
@@ -2129,6 +2153,8 @@ def oracle_sql() -> dict[str, str]:
             weights=__import__(
                 "bge_m3_onnx_ray.pipelines.flagship",
                 fromlist=["TRANSCRIPT_ROLE_WEIGHTS"]).TRANSCRIPT_ROLE_WEIGHTS),
+        "bm25_transcripts_topk_recency": _bm25_transcripts_sql(
+            decay_tau=30.0),
         "bm25_transcripts_topk_collapsed": _bm25_transcripts_sql(
             collapse=True),
         "transcripts_index_stats": _transcripts_stats_sql(),

@@ -141,6 +141,12 @@ class QueryConfig:
     # but is not implemented).
     weight_attr: str | None = None
     attr_weights: tuple = ()
+    # time-decay function score (Elasticsearch decay / recency ranking):
+    # (col, origin, tau) over a NUMERIC attrs column — score' = score *
+    # (tau / (tau + age)) with age = max(origin - value, 0), so a doc at
+    # the origin keeps its score and one tau units older scores half.
+    # Mutually exclusive with weight_attr; method="exhaustive" only.
+    decay_attr: tuple | None = None
     # minimum-should-match (Lucene semantics): in "or" mode a candidate
     # must contain at least this many DISTINCT query terms. 0/1 = plain
     # disjunction; a value above the query's in-vocabulary term count

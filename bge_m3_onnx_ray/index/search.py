@@ -469,7 +469,8 @@ class ShardScorer:
                  weight_attr: str | None = None,
                  attr_weights: tuple = (),
                  avgdl_override: float | None = None,
-                 after_ref=None):
+                 after_ref=None,
+                 decay_attr: tuple | None = None):
         self.meta = IndexMeta(index_dir)
         if avgdl_override is not None:
             # federated search: the caller supplies UNION-corpus global
@@ -501,6 +502,10 @@ class ShardScorer:
         # attrs side table, loaded once per shard and LRU-cached
         self.weight_attr = weight_attr
         self.attr_weights = dict(attr_weights)
+        if weight_attr is not None and decay_attr is not None:
+            raise ValueError("weight_attr and decay_attr are mutually "
+                             "exclusive")
+        self.decay_attr = decay_attr
         self._weight_cache: OrderedDict[int, tuple] = OrderedDict()
         # search_after cursors: broadcast {query_id: (score, docID)}
         if after_ref is not None:
@@ -564,17 +569,26 @@ class ShardScorer:
         whose value has a configured weight — docs not returned weigh
         1.0 at scoring time (so the array is bounded by the number of
         weighted-value docs, not the shard size)."""
-        if self.weight_attr is None:
+        if self.weight_attr is None and self.decay_attr is None:
             return None
         got = self._weight_cache.get(shard)
         if got is None:
             from bge_m3_onnx_ray.index.attrs import load_attr_values
-            docs, vals = load_attr_values(self.meta.index_dir,
-                                          self.weight_attr, shard)
-            w = np.fromiter((self.attr_weights.get(v, 1.0) for v in vals),
-                            np.float64, len(vals))
-            keep = w != 1.0
-            got = (docs[keep], w[keep])
+            if self.decay_attr is not None:
+                # time decay: w = tau / (tau + max(origin - value, 0))
+                col, origin, tau = self.decay_attr
+                docs, vals = load_attr_values(self.meta.index_dir,
+                                              col, shard)
+                age = float(origin) - np.asarray(vals, np.float64)
+                age[age < 0] = 0.0
+                got = (docs, float(tau) / (float(tau) + age))
+            else:
+                docs, vals = load_attr_values(self.meta.index_dir,
+                                              self.weight_attr, shard)
+                w = np.fromiter((self.attr_weights.get(v, 1.0)
+                                 for v in vals), np.float64, len(vals))
+                keep = w != 1.0
+                got = (docs[keep], w[keep])
             self._weight_cache[shard] = got
             while len(self._weight_cache) > self.cache_size:
                 self._weight_cache.popitem(last=False)
@@ -828,9 +842,9 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
         raise ValueError('collapse requires method="exhaustive" in "or" '
                          "mode (WAND theta prunes on the k-th doc, not "
                          "the k-th conversation)")
-    if cfg.weight_attr is not None and (cfg.method != "exhaustive"
-                                        or cfg.mode != "or"):
-        raise ValueError('weight_attr (function score) requires '
+    if (cfg.weight_attr is not None or cfg.decay_attr is not None) \
+            and (cfg.method != "exhaustive" or cfg.mode != "or"):
+        raise ValueError('weight_attr/decay_attr (function score) require '
                          'method="exhaustive" in "or" mode (WAND block '
                          "bounds are not weight-aware)")
     if search_after is not None and (cfg.method != "exhaustive"
@@ -1003,6 +1017,7 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
                                "collapse": cfg.collapse,
                                "weight_attr": cfg.weight_attr,
                                "attr_weights": cfg.attr_weights,
+                               "decay_attr": cfg.decay_attr,
                                "after_ref": after_ref},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
@@ -1038,9 +1053,9 @@ def search_bulk(index_dir: str, queries: rd.Dataset,
         raise ValueError('collapse requires method="exhaustive" in "or" '
                          "mode (WAND theta prunes on the k-th doc, not "
                          "the k-th conversation)")
-    if cfg.weight_attr is not None and (cfg.method != "exhaustive"
-                                        or cfg.mode != "or"):
-        raise ValueError('weight_attr (function score) requires '
+    if (cfg.weight_attr is not None or cfg.decay_attr is not None) \
+            and (cfg.method != "exhaustive" or cfg.mode != "or"):
+        raise ValueError('weight_attr/decay_attr (function score) require '
                          'method="exhaustive" in "or" mode (WAND block '
                          "bounds are not weight-aware)")
     # the streaming fan-out implements negation parsing only; refuse the
@@ -1120,7 +1135,8 @@ def search_bulk(index_dir: str, queries: rd.Dataset,
                                "filter_range": cfg.filter_range,
                                "collapse": cfg.collapse,
                                "weight_attr": cfg.weight_attr,
-                               "attr_weights": cfg.attr_weights},
+                               "attr_weights": cfg.attr_weights,
+                               "decay_attr": cfg.decay_attr},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
     out = merge_topk(partials, offsets, fetch, collapse=cfg.collapse)

@@ -325,6 +325,35 @@ def bm25_transcripts_topk_collapsed(sf_dir: str, k: int = 10,
         preserve_index=False)
 
 
+def _add_day(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+    day = pc.divide(pc.divide(us, 1_000_000), 86_400)
+    return t.select(["conv_id", "turn_idx"]) \
+        .append_column("day", day.cast(pa.int64()))
+
+
+def _ensure_day_attrs(idx: str, path: str) -> None:
+    """Derived epoch-day integer attrs column (histogram key / recency
+    decay input): epoch_seconds // 86400 from the fixture timestamp."""
+    from bge_m3_onnx_ray.index.attrs import build_doc_attrs, has_doc_attrs
+    if not has_doc_attrs(idx, "day"):
+        build_doc_attrs(
+            rd.read_parquet(path).map_batches(_add_day,
+                                              batch_format="pyarrow"),
+            idx, "day")
+
+
+def bm25_transcripts_topk_recency(sf_dir: str, k: int = 10,
+                                  tau: float = 30.0) -> pa.Table:
+    """Recency-decayed ranking (the Elasticsearch decay-function
+    shape): score' = score * (tau / (tau + age_days)), age measured
+    from the corpus' newest day — both sides derive origin = max(day)
+    from the data, so the gate carries no magic constant."""
+    return bm25_transcripts_topk(sf_dir, method="exhaustive", k=k,
+                                 decay_tau=tau)
+
+
 def facet_histogram_day(sf_dir: str) -> pa.Table:
     """Date-histogram aggregation (the Elasticsearch date_histogram
     shape, day interval): per query, the number of matching TURNS per
@@ -344,16 +373,7 @@ def facet_histogram_day(sf_dir: str) -> pa.Table:
     cfg = IndexConfig(docs_per_shard=TRANSCRIPTS_DOCS_PER_SHARD,
                       term_buckets=8)
     idx = _cached_index(rd.read_parquet(path), f"transcripts-n{n_turns}", cfg)
-    if not has_doc_attrs(idx, "day"):
-        def add_day(t: pa.Table) -> pa.Table:
-            us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
-            day = pc.divide(pc.divide(us, 1_000_000), 86_400)
-            return t.select(["conv_id", "turn_idx"]) \
-                .append_column("day", day.cast(pa.int64()))
-        build_doc_attrs(
-            rd.read_parquet(path).map_batches(add_day,
-                                              batch_format="pyarrow"),
-            idx, "day")
+    _ensure_day_attrs(idx, path)
     out = facet_counts(idx, gen_queries(50), "day").to_pandas()
     out["day"] = out["value"].astype(np.int64)
     out = out.sort_values(["query_id", "day"]).reset_index(drop=True)
@@ -1290,7 +1310,8 @@ def bm25_transcripts_topk_weighted(sf_dir: str, k: int = 10) -> pa.Table:
 def bm25_transcripts_topk(sf_dir: str, method: str = "wand", k: int = 10,
                           n_turns: int | None = None,
                           role: str | None = None,
-                          weights: tuple | None = None) -> pa.Table:
+                          weights: tuple | None = None,
+                          decay_tau: float | None = None) -> pa.Table:
     """Flagship over the synthetic multi-turn transcripts fixture at a
     scale derived from sf_dir (sf0.001→2k, sf0.01→20k, sf0.1→200k turns).
     Output (query_id, rank, conv_id, turn_idx, score_q6) — shaped to
@@ -1308,7 +1329,18 @@ def bm25_transcripts_topk(sf_dir: str, method: str = "wand", k: int = 10,
                       term_buckets=8)
     idx = _cached_index(rd.read_parquet(path), f"transcripts-n{n_turns}", cfg)
     qcfg = QueryConfig(k=3 * k, method=method)
-    if role is not None or weights is not None:
+    if decay_tau is not None:
+        _ensure_day_attrs(idx, path)
+        import pyarrow.parquet as pq
+        days = [int(pq.read_table(os.path.join(path, f), columns=["ts"])
+                    .column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+                    .to_numpy().max() // 1_000_000 // 86_400)
+                for f in sorted(os.listdir(path))]
+        origin = max(days)          # newest day, derived from the data
+        qcfg = QueryConfig(k=3 * k, method=method,
+                           decay_attr=("day", float(origin),
+                                       float(decay_tau)))
+    elif role is not None or weights is not None:
         # faceted search / function score both key on the turn role (the
         # 'role' attrs side table is derived once per index — index.attrs)
         from bge_m3_onnx_ray.index.attrs import build_doc_attrs, has_doc_attrs
