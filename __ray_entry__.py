@@ -558,6 +558,13 @@ def _q_events_hourly(sf_dir):
     return hourly_agg(_events(sf_dir))
 
 
+def _q_events_hopping(sf_dir):
+    # hopping (sliding) windows: 1h windows every 15min — each event in
+    # 4 overlapping windows; tiled partials + one bucket_reduce
+    from bge_m3_onnx_ray.stages.events import hopping_agg
+    return hopping_agg(_events(sf_dir))
+
+
 def _q_sessionize(sf_dir):
     from bge_m3_onnx_ray.stages.events import sessionize
     return sessionize(_events(sf_dir))
@@ -690,6 +697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_term_weights": _q_doc_term_weights,
         "revenue_by_segment": _q_revenue_by_segment,
         "events_hourly": _q_events_hourly,
+        "events_hopping": _q_events_hopping,
         "events_sessionize": _q_sessionize,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frame_sample": _q_frame_sample,
@@ -2346,6 +2354,16 @@ SELECT event_type,
        count(*)::BIGINT AS n_events,
        CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_q2
 FROM events GROUP BY event_type, date_trunc('hour', ts)
+""",
+        "events_hopping": """
+WITH n AS (SELECT unnest(range(0, 4)) AS j),
+e AS (SELECT event_type, value,
+             (epoch_us(ts) // 1000000 // 900) * 900 AS base FROM events)
+SELECT event_type, (base - j * 900)::BIGINT AS wstart,
+       count(*)::BIGINT AS n_events,
+       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_q2
+FROM e CROSS JOIN n
+GROUP BY 1, 2
 """,
         "events_sessionize": """
 WITH e AS (SELECT user_id, event_id, ts,

@@ -72,6 +72,70 @@ def hourly_agg(ds: rd.Dataset) -> rd.Dataset:
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def hopping_agg(ds: rd.Dataset, window_s: int = 3600,
+                hop_s: int = 900) -> rd.Dataset:
+    """HOPPING (sliding) windows per event_type — the Flink/Beam/Kafka-
+    Streams hop shape: windows of ``window_s`` seconds starting every
+    ``hop_s`` seconds, so each event lands in ``window_s // hop_s``
+    overlapping windows. Output (event_type, wstart, n_events,
+    sum_value_q2) with ``wstart`` = window start in epoch seconds.
+
+    Same two-level shape as :func:`hourly_agg`: the per-batch partial
+    TILES the batch into its window replicas (vectorized — the fan-out
+    factor is the constant window/hop ratio, not data-dependent) and
+    pre-aggregates before the one low-cardinality bucket_reduce."""
+    if window_s % hop_s != 0:
+        raise ValueError("window_s must be a multiple of hop_s "
+                         f"({window_s} % {hop_s} != 0)")
+    nw = window_s // hop_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        base = (ts // (hop_s * 1_000_000)) * hop_s
+        et = batch.column("event_type").combine_chunks().dictionary_encode()
+        codes = np.asarray(et.indices).astype(np.int64)
+        val = batch.column("value").to_numpy()
+        if not len(codes):
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "wstart": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "sum_value": pa.array([], pa.float64())})
+        c = np.tile(codes, nw)
+        v = np.tile(val, nw)
+        w = np.concatenate([base - j * hop_s for j in range(nw)])
+        order = np.lexsort((w, c))
+        c, w, v = c[order], w[order], v[order]
+        brk = np.empty(len(c), bool)
+        brk[0] = True
+        brk[1:] = (np.diff(c) != 0) | (np.diff(w) != 0)
+        starts = np.flatnonzero(brk)
+        return pa.table({
+            "event_type": et.dictionary.take(pa.array(c[starts]))
+                .cast(pa.string()),
+            "wstart": pa.array(w[starts], pa.int64()),
+            "n_events": pa.array(
+                np.diff(np.concatenate([starts, [len(c)]])).astype(np.int64),
+                pa.int64()),
+            "sum_value": pa.array(np.add.reduceat(v, starts), pa.float64())})
+
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+    agg = bucket_reduce(
+        ds.select_columns(["ts", "event_type", "value"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "wstart"],
+        [("n_events", "sum", "n_events"), ("sum_value", "sum", "sum_value")])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        # same q2 round-half-up argument as hourly_agg's finalize
+        sv = batch.column("sum_value").to_numpy()
+        return batch.drop_columns(["sum_value"]).append_column(
+            "sum_value_q2",
+            pa.array(np.floor(sv * 100.0 + 0.5).astype(np.int64), pa.int64()))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def sessionize(ds: rd.Dataset, gap_minutes: int = 30,
                n_buckets: int = 512) -> rd.Dataset:
     """Session windows per user (new session when the gap to the previous

@@ -462,3 +462,40 @@ def test_pack_sequences_small_buckets(ray_session):
         assert out.pack_id[i] == off // 5, i
         assert out.pack_offset[i] == off % 5, i
         off += n
+
+
+def test_hopping_windows(ray_session):
+    """hopping_agg: each event lands in window/hop overlapping windows;
+    counts/sums match a brute-force reference; non-divisible raises."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.events import hopping_agg
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = {
+        "ts": [base, base + dt.timedelta(seconds=950),
+               base + dt.timedelta(seconds=3650)],
+        "event_type": ["a", "a", "b"],
+        "value": [1.0, 2.0, 4.0],
+    }
+    ds = rd.from_arrow(pa.table(rows))
+    out = hopping_agg(ds, window_s=3600, hop_s=900).to_pandas()
+    got = {(r.event_type, r.wstart): (r.n_events, r.sum_value_q2)
+           for r in out.itertuples()}
+    # brute force: event at t is in windows starting w, w%900==0,
+    # t-3600 < w <= t
+    want = {}
+    epoch = int(base.timestamp())
+    for t_off, et, v in [(0, "a", 1.0), (950, "a", 2.0), (3650, "b", 4.0)]:
+        t = epoch + t_off
+        w = (t // 900) * 900
+        for j in range(4):
+            key = (et, w - j * 900)
+            n, s = want.get(key, (0, 0.0))
+            want[key] = (n + 1, s + v)
+    want = {k: (n, int(np.floor(s * 100 + 0.5))) for k, (n, s) in want.items()}
+    assert got == want
+    import pytest as _pt
+    with _pt.raises(ValueError, match="multiple of"):
+        hopping_agg(ds, window_s=3600, hop_s=1000)
