@@ -157,6 +157,14 @@ def _q_prefix(sf_dir):
     return bm25_documents_topk_prefix(sf_dir)
 
 
+def _q_significant_terms(sf_dir):
+    # significant-terms aggregation: terms over-represented in the match
+    # set vs the corpus, integer-exact lift score
+    from bge_m3_onnx_ray.pipelines.flagship import (
+        significant_terms_documents)
+    return significant_terms_documents(sf_dir)
+
+
 def _q_search_after(sf_dir):
     # cursor pagination: page 2 via a strictly-after (score, docID)
     # filter applied before the top-k cut — no offset over-fetch; the
@@ -651,6 +659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk_stemmed": _q_stemmed,
         "match_counts_documents": _q_match_counts,
         "bm25_documents_topk_search_after": _q_search_after,
+        "significant_terms_documents": _q_significant_terms,
         "bm25_documents_topk_wildcard": _q_wildcard,
         "bm25_documents_topk_regex": _q_regex,
         "bm25_documents_topk_fuzzy": _q_fuzzy,
@@ -1147,6 +1156,45 @@ scores AS (
   CROSS JOIN stats s
   GROUP BY q.query_id, tf.conv_id, tf.turn_idx),
 {weighted}{tail}"""
+
+
+def _significant_terms_sql(k: int = 10) -> str:
+    """Significant-terms oracle: integer-exact lift
+    (fg_df * n_docs * 1e6) // (bg_df * n_matches), rank (lift desc,
+    term asc), top k per query."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_QUERIES
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    vals = []
+    for qid, text in DOC_QUERIES:
+        for t in sorted(set(tokenize(text))):
+            vals.append(f"({qid}, '{t}')")
+    return f"""
+WITH toks AS ({_TOKS}),
+qterms(query_id, term) AS (VALUES {', '.join(vals)}),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+matches AS (SELECT DISTINCT q.query_id, d.doc_id
+            FROM qterms q JOIN dt d ON d.term = q.term),
+nm AS (SELECT query_id, count(*)::BIGINT AS n_matches
+       FROM matches GROUP BY 1),
+bg AS (SELECT term, count(*)::BIGINT AS bg_df FROM dt GROUP BY term),
+fg AS (SELECT m.query_id, d.term, count(*)::BIGINT AS fg_df
+       FROM matches m JOIN dt d ON d.doc_id = m.doc_id GROUP BY 1, 2),
+nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+scored AS (
+  SELECT f.query_id, f.term, f.fg_df, b.bg_df,
+         (f.fg_df * nd.n * 1000000) // (b.bg_df * nm.n_matches) AS lift_q6
+  FROM fg f
+  JOIN bg b ON b.term = f.term
+  JOIN nm ON nm.query_id = f.query_id
+  CROSS JOIN nd),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY lift_q6 DESC, term) AS term_rank
+  FROM scored)
+SELECT query_id::BIGINT AS query_id, term_rank::INTEGER AS term_rank,
+       term, fg_df, bg_df, lift_q6::BIGINT AS lift_q6
+FROM ranked WHERE term_rank <= {k} ORDER BY query_id, term_rank
+"""
 
 
 def _match_counts_sql() -> str:
@@ -2127,6 +2175,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_documents_topk_stemmed": _stem_sql(),
         "match_counts_documents": _match_counts_sql(),
         "bm25_documents_topk_search_after": _bm25_sql(offset=10),
+        "significant_terms_documents": _significant_terms_sql(),
         "bm25_documents_topk_wildcard": _wildcard_sql(),
         "bm25_documents_topk_regex": _regex_sql(),
         "bm25_documents_topk_fuzzy": _bm25_sql(

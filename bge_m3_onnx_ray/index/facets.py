@@ -212,6 +212,73 @@ class _CountMatches(FacetCounter):
                          "count": pa.array(out_c, pa.int64())})
 
 
+class _MatchingDocs(_CountMatches):
+    """Candidate machinery emitting the (query_id, doc_id) match rows
+    themselves (see :func:`matching_docs`)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        out_q, out_d = [], []
+        dec_memo: dict[tuple[int, str], tuple] = {}
+        for qid, terms, shard in zip(
+                batch.column("query_id").to_pylist(),
+                batch.column("terms").to_pylist(),
+                batch.column("shard").to_pylist()):
+            shard = int(shard)
+            post = self._sc._shard_postings(shard, list(terms))
+            docs = []
+            for t in terms:
+                e = post.get(t)
+                if e is None:
+                    continue
+                got = dec_memo.get((shard, t))
+                if got is None:
+                    got = dec_memo[(shard, t)] = decode_postings(
+                        e, self.meta.block_size)
+                docs.append(got[0])
+            if not docs:
+                continue
+            cand = np.unique(np.concatenate(docs))
+            if self._sc._has_tombstones:
+                dele = self._sc._deleted(shard)
+                if len(dele) and len(cand):
+                    pos = np.searchsorted(dele, cand)
+                    hit = pos < len(dele)
+                    hit[hit] = dele[pos[hit]] == cand[hit]
+                    cand = cand[~hit]
+            out_q.extend([int(qid)] * len(cand))
+            out_d.extend(cand.tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64())})
+
+
+def matching_docs(index_dir: str, queries,
+                  cfg: QueryConfig | None = None) -> rd.Dataset:
+    """The full OR match set per query as (query_id, doc_id) rows —
+    feeds set-shaped analytics (significant terms). Scale note: for
+    stopword-grade queries this is corpus-sized by definition; sample
+    first (stages.text hash sampling) when the match set must be
+    bounded."""
+    cfg = cfg or QueryConfig()
+    meta = IndexMeta(index_dir)
+    from bge_m3_onnx_ray.tokenizer import make_tokenizer
+    tok = make_tokenizer(meta.stats.get("tokenizer_spec", "deterministic"))
+    qterms = {int(q): sorted(set(tok.tokenize(str(t)))) for q, t in queries}
+    pairs = [{"query_id": qid, "terms": ts, "shard": s}
+             for s in meta.shards
+             for qid, ts in qterms.items() if ts]
+    if not pairs:
+        return rd.from_arrow(pa.schema([
+            ("query_id", pa.int64()),
+            ("doc_id", pa.int64())]).empty_table())
+    fanout = rd.from_items(sorted(pairs, key=lambda r: r["shard"]))
+    return fanout.map_batches(
+        _MatchingDocs,
+        fn_constructor_kwargs={"index_dir": index_dir,
+                               "cache_size": cfg.shard_cache_size},
+        batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
+        concurrency=cfg.scorer_concurrency, num_cpus=1)
+
+
 def match_counts(index_dir: str, queries,
                  cfg: QueryConfig | None = None) -> rd.Dataset:
     """Total-hit counts (Elasticsearch ``track_total_hits``): per query,

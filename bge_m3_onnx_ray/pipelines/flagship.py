@@ -504,6 +504,106 @@ def bm25_documents_topk_regex(sf_dir: str, k: int = 10) -> pa.Table:
                                 preserve_index=False)
 
 
+class _FgTermCounts:
+    """Per-batch foreground term counts for significant-terms: for
+    (query_id, doc_id) match rows, read those docs' texts (row-group
+    pushdown), take each doc's DISTINCT terms (vectorized dictionary
+    trick, no per-doc Python tokenatomy), emit (query_id, term, n=1 per
+    match-doc) partial rows."""
+
+    def __init__(self, corpus_path: str):
+        from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
+        self.corpus_path = corpus_path
+        self.tok = DeterministicTokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+        qid = batch.column("query_id").to_numpy()
+        doc = batch.column("doc_id").to_numpy()
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if not len(doc):
+            return empty
+        uniq = np.unique(doc)
+        t = pads.dataset(self.corpus_path, format="parquet").to_table(
+            filter=pads.field("doc_id").isin(uniq.tolist()),
+            columns=["doc_id", "text"])
+        row_of = {d: i for i, d in enumerate(t.column("doc_id").to_pylist())}
+        flat, offs = self.tok.batch_token_lists(t.column("text"))
+        if not len(flat):
+            return empty
+        de = flat.dictionary_encode()
+        codes = np.asarray(de.indices).astype(np.int64)
+        k = max(len(de.dictionary), 1)
+        row_idx = np.repeat(np.arange(t.num_rows), np.diff(offs))
+        upair = np.unique(row_idx * k + codes)       # distinct per doc
+        urow, ucode = upair // k, upair % k
+        # per corpus row: its distinct-term slice boundaries
+        starts = np.searchsorted(urow, np.arange(t.num_rows))
+        ends = np.searchsorted(urow, np.arange(t.num_rows) + 1)
+        rows = np.fromiter((row_of[d] for d in doc), np.int64, len(doc))
+        counts = ends[rows] - starts[rows]
+        qrep = np.repeat(qid, counts)
+        take = np.concatenate([np.arange(starts[r], ends[r]) for r in rows]) \
+            if counts.sum() else np.empty(0, np.int64)
+        terms = de.dictionary.take(pa.array(ucode[take])).cast(pa.string())
+        return pa.table({"query_id": pa.array(qrep, pa.int64()),
+                         "term": terms,
+                         "n": pa.array(np.ones(len(qrep), np.int64))})
+
+
+def significant_terms_documents(sf_dir: str, k: int = 10) -> pa.Table:
+    """Significant-terms aggregation (the Elasticsearch shape): per
+    query, the terms most over-represented in the match set vs the
+    whole corpus, scored by integer-exact lift
+    ``(fg_df * n_docs * 1e6) // (bg_df * n_matches)`` — pure integer
+    arithmetic, so engine and oracle agree bit-for-bit with no float
+    quantization argument. Output (query_id, term_rank, term, fg_df,
+    bg_df, lift_q6). Match sets stream through a distributed term-count
+    stage; only the vocabulary-bounded (query, term) partials reach the
+    driver for the final rank."""
+    import pandas as pd
+
+    from bge_m3_onnx_ray.index.artifacts import ConvOffsets, IndexMeta
+    from bge_m3_onnx_ray.index.facets import matching_docs
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    meta = IndexMeta(idx)
+    corpus = os.path.join(sf_dir, "documents.parquet")
+
+    m = matching_docs(idx, DOC_QUERIES)
+    offsets = ConvOffsets.load(idx)
+
+    def to_table_ids(t: pa.Table) -> pa.Table:
+        conv, _ = offsets.doc_to_conv(t.column("doc_id").to_numpy())
+        ids = pd.Series(conv).str.slice(4).astype(np.int64)
+        return pa.table({"query_id": t.column("query_id"),
+                         "doc_id": pa.array(ids.to_numpy(), pa.int64())})
+
+    mt = m.map_batches(to_table_ids, batch_format="pyarrow")
+    n_matches = mt.to_pandas().groupby("query_id").size().to_dict()
+    fg = bucket_reduce(
+        mt.map_batches(_FgTermCounts,
+                       fn_constructor_kwargs={"corpus_path": corpus},
+                       batch_format="pyarrow", concurrency=(1, 8),
+                       num_cpus=1, batch_size=8192),
+        ["query_id", "term"], [("n", "sum", "fg_df")]).to_pandas()
+    dfs = meta.load_term_dfs(sorted(fg["term"].unique()))
+    fg["bg_df"] = fg["term"].map(dfs).astype(np.int64)
+    fg["nm"] = fg["query_id"].map(n_matches).astype(np.int64)
+    fg["lift_q6"] = (fg["fg_df"] * meta.n_docs * 1_000_000) \
+        // (fg["bg_df"] * fg["nm"])
+    fg = fg.sort_values(["query_id", "lift_q6", "term"],
+                        ascending=[True, False, True]).reset_index(drop=True)
+    fg["term_rank"] = fg.groupby("query_id").cumcount().astype(np.int32) + 1
+    fg = fg[fg["term_rank"] <= k]
+    return pa.Table.from_pandas(
+        fg[["query_id", "term_rank", "term", "fg_df", "bg_df", "lift_q6"]],
+        preserve_index=False)
+
+
 def bm25_documents_topk_search_after(sf_dir: str, k: int = 10) -> pa.Table:
     """Cursor (search_after) deep pagination: page 1's last (score,
     docID) per query becomes the cursor, and page 2 is fetched with a
