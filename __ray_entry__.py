@@ -157,6 +157,13 @@ def _q_prefix(sf_dir):
     return bm25_documents_topk_prefix(sf_dir)
 
 
+def _q_percolate(sf_dir):
+    # reverse search (percolator): which registered queries does each
+    # document satisfy (AND semantics); queries broadcast, corpus streams
+    from bge_m3_onnx_ray.pipelines.flagship import percolate_documents
+    return percolate_documents(sf_dir)
+
+
 def _q_significant_terms(sf_dir):
     # significant-terms aggregation: terms over-represented in the match
     # set vs the corpus, integer-exact lift score
@@ -660,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_counts_documents": _q_match_counts,
         "bm25_documents_topk_search_after": _q_search_after,
         "significant_terms_documents": _q_significant_terms,
+        "percolate_documents": _q_percolate,
         "bm25_documents_topk_wildcard": _q_wildcard,
         "bm25_documents_topk_regex": _q_regex,
         "bm25_documents_topk_fuzzy": _q_fuzzy,
@@ -1156,6 +1164,29 @@ scores AS (
   CROSS JOIN stats s
   GROUP BY q.query_id, tf.conv_id, tf.turn_idx),
 {weighted}{tail}"""
+
+
+def _percolate_sql() -> str:
+    """Percolator oracle: a doc matches a query when it contains EVERY
+    distinct query term."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_QUERIES
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    vals = []
+    for qid, text in DOC_QUERIES:
+        for t in sorted(set(tokenize(text))):
+            vals.append(f"({qid}, '{t}')")
+    return f"""
+WITH toks AS ({_TOKS}),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+qterms(query_id, term) AS (VALUES {', '.join(vals)}),
+qn AS (SELECT query_id, count(*)::BIGINT AS n FROM qterms GROUP BY 1),
+hit AS (SELECT q.query_id, d.doc_id, count(*)::BIGINT AS c
+        FROM qterms q JOIN dt d ON d.term = q.term GROUP BY 1, 2)
+SELECT h.doc_id::BIGINT AS doc_id, h.query_id::BIGINT AS query_id
+FROM hit h JOIN qn ON qn.query_id = h.query_id
+WHERE h.c = qn.n
+ORDER BY 1, 2
+"""
 
 
 def _significant_terms_sql(k: int = 10) -> str:
@@ -2176,6 +2207,7 @@ def oracle_sql() -> dict[str, str]:
         "match_counts_documents": _match_counts_sql(),
         "bm25_documents_topk_search_after": _bm25_sql(offset=10),
         "significant_terms_documents": _significant_terms_sql(),
+        "percolate_documents": _percolate_sql(),
         "bm25_documents_topk_wildcard": _wildcard_sql(),
         "bm25_documents_topk_regex": _regex_sql(),
         "bm25_documents_topk_fuzzy": _bm25_sql(

@@ -504,6 +504,70 @@ def bm25_documents_topk_regex(sf_dir: str, k: int = 10) -> pa.Table:
                                 preserve_index=False)
 
 
+class _PercolateStage:
+    """Reverse search (the Elasticsearch percolator): registered
+    queries are broadcast, and each incoming document reports which
+    queries it satisfies (AND semantics — the doc must contain EVERY
+    query term). Vectorized per batch: one dictionary encode, then
+    per-query sorted-row intersections over term-presence arrays."""
+
+    def __init__(self, queries: tuple):
+        from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
+        self.tok = DeterministicTokenizer()
+        self.queries = [(int(q), sorted(set(self.tok.tokenize(t))))
+                        for q, t in queries]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy()
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "query_id": pa.array([], pa.int64())})
+        if not len(doc):
+            return empty
+        flat, offs = self.tok.batch_token_lists(batch.column("text"))
+        if not len(flat):
+            return empty
+        de = flat.dictionary_encode()
+        codes = np.asarray(de.indices).astype(np.int64)
+        row_idx = np.repeat(np.arange(len(doc)), np.diff(offs))
+        vocab = {t: i for i, t in enumerate(de.dictionary.to_pylist())}
+        out_d, out_q = [], []
+        for qid, terms in self.queries:
+            if not terms:
+                continue
+            need = [vocab.get(t) for t in terms]
+            if any(c is None for c in need):    # a term absent from the
+                continue                        # whole batch: no matches
+            rows = None
+            for c in need:
+                rc = np.unique(row_idx[codes == c])
+                rows = rc if rows is None else \
+                    np.intersect1d(rows, rc, assume_unique=True)
+                if not len(rows):
+                    break
+            if rows is not None and len(rows):
+                out_d.extend(doc[rows].tolist())
+                out_q.extend([qid] * len(rows))
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "query_id": pa.array(out_q, pa.int64())})
+
+
+def percolate_documents(sf_dir: str) -> pa.Table:
+    """Route every corpus document against the registered DOC_QUERIES
+    (AND semantics) — the streaming-ingest percolation shape: the query
+    set is the broadcast small side, the corpus streams through one
+    map stage, no index needed. Output (doc_id, query_id)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(
+        _PercolateStage,
+        fn_constructor_kwargs={"queries": tuple(DOC_QUERIES)},
+        batch_format="pyarrow", concurrency=(1, 8),
+        num_cpus=1).to_pandas()
+    out = out.sort_values(["doc_id", "query_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["doc_id", "query_id"]],
+                                preserve_index=False)
+
+
 class _FgTermCounts:
     """Per-batch foreground term counts for significant-terms: for
     (query_id, doc_id) match rows, read those docs' texts (row-group
