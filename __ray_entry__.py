@@ -181,6 +181,14 @@ def _q_search_after(sf_dir):
     return bm25_documents_topk_search_after(sf_dir)
 
 
+def _q_stopworded(sf_dir):
+    # stopword analyzer chain: the shared English stop list dropped at
+    # index AND query time (dl/avgdl/df over the filtered stream)
+    from bge_m3_onnx_ray.pipelines.flagship import (
+        bm25_documents_topk_stopworded)
+    return bm25_documents_topk_stopworded(sf_dir)
+
+
 def _q_match_counts(sf_dir):
     # total-hit counts (track_total_hits): exact OR match counts
     from bge_m3_onnx_ray.pipelines.flagship import match_counts_documents
@@ -664,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_federated_topk": _q_federated,
         "substring_documents": _q_substring,
         "bm25_documents_topk_stemmed": _q_stemmed,
+        "bm25_documents_topk_stopworded": _q_stopworded,
         "match_counts_documents": _q_match_counts,
         "bm25_documents_topk_search_after": _q_search_after,
         "significant_terms_documents": _q_significant_terms,
@@ -1244,6 +1253,53 @@ matches AS (SELECT DISTINCT q.query_id, t.doc_id
             FROM qterms q JOIN toks t ON t.term = q.term)
 SELECT query_id::BIGINT AS query_id, count(*)::BIGINT AS n_matches
 FROM matches GROUP BY 1 ORDER BY 1
+"""
+
+
+def _stop_sql(k: int = 10) -> str:
+    """Stopword-analyzer oracle: the token stream filtered by the SAME
+    English stop list before tf/dl/stats, query tokens filtered by the
+    engine's own StopTokenizer."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_STOP_QUERIES
+    from bge_m3_onnx_ray.tokenizer import StopTokenizer
+    tok = StopTokenizer()
+    stop_list = ", ".join(f"'{w}'" for w in sorted(tok.stop))
+    vals = []
+    for qid, text in DOC_STOP_QUERIES:
+        for t in sorted(set(tok.tokenize(text))):
+            vals.append(f"({qid}, '{t}')")
+    if not vals:
+        vals = ["(999999, 'zzznevermatch')"]
+    return f"""
+WITH toks AS (SELECT doc_id, term FROM ({_TOKS})
+              WHERE term NOT IN ({stop_list})),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM toks)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+qterms(query_id, term) AS (VALUES {', '.join(vals)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scores)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
+       doc_id::BIGINT AS doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_q6
+FROM ranked WHERE rnk <= {k} ORDER BY query_id, "rank"
 """
 
 
@@ -2204,6 +2260,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_documents_federated_topk": bm25,
         "substring_documents": _substring_sql(),
         "bm25_documents_topk_stemmed": _stem_sql(),
+        "bm25_documents_topk_stopworded": _stop_sql(),
         "match_counts_documents": _match_counts_sql(),
         "bm25_documents_topk_search_after": _bm25_sql(offset=10),
         "significant_terms_documents": _significant_terms_sql(),

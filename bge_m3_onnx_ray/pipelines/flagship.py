@@ -767,6 +767,38 @@ def bm25_documents_topk_stemmed(sf_dir: str, k: int = 10) -> pa.Table:
                                 preserve_index=False)
 
 
+# Stopword-analyzer queries: stopwords in the query are dropped by the
+# same chain that dropped them at index time; an all-stopword query
+# matches nothing.
+DOC_STOP_QUERIES: list[tuple[int, str]] = [
+    (0, "the key order"),
+    (1, "a data stream"),
+    (2, "the a of"),            # all stopwords: zero rows
+    (3, "table and value"),
+]
+
+_DOC_STOP_CFG = IndexConfig(docs_per_shard=4096, term_buckets=8,
+                            block_size=128, tokenizer_spec="stop_en")
+
+
+def bm25_documents_topk_stopworded(sf_dir: str, k: int = 10) -> pa.Table:
+    """Stopword-filtered retrieval: the ``stop_en`` analyzer drops the
+    shared English stop list at index AND query time, so doc lengths,
+    avgdl and df all reflect the filtered stream (the corpus text
+    contains 'the'/'a', making the gate non-vacuous). Same
+    shape/oracle conventions as :func:`bm25_documents_topk`."""
+    key = "documents-stop-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key,
+                        _DOC_STOP_CFG)
+    out = search(idx, DOC_STOP_QUERIES,
+                 QueryConfig(k=k, method="wand")).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
+
+
 # Substring (grep-style contains) patterns: cross-token spans the
 # inverted index cannot answer, a within-token infix, and a no-match.
 DOC_SUBSTRINGS: list[tuple[int, str]] = [

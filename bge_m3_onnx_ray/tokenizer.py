@@ -420,6 +420,38 @@ class StemTokenizer(DeterministicTokenizer):
         return _counts_from_flat(*self.batch_token_lists(texts))
 
 
+class StopTokenizer(DeterministicTokenizer):
+    """Analyzer chain: the deterministic tokenizer + English stopword
+    removal (spec ``"stop_en"`` — Lucene StandardAnalyzer + StopFilter
+    shape). The stop set is the engine's shared English list
+    (stages.text.STOPWORDS — also the quality-score denominator), so
+    the SQL mirror is ``term NOT IN (...)``. Batch path: one ``is_in``
+    mask + an offsets re-base, no Python loop."""
+
+    def __init__(self):
+        super().__init__()
+        from bge_m3_onnx_ray.stages.text import STOPWORDS
+        self.stop = frozenset(STOPWORDS["en"])
+
+    def tokenize(self, text: str) -> list[str]:
+        return [w for w in super().tokenize(text) if w not in self.stop]
+
+    def batch_token_lists(self, texts):
+        import pyarrow.compute as pc
+        flat, offsets = super().batch_token_lists(texts)
+        if not len(flat):
+            return flat, offsets
+        keep = pc.invert(pc.is_in(
+            flat, value_set=pa.array(sorted(self.stop), flat.type)))
+        keep_np = np.asarray(keep.to_numpy(zero_copy_only=False))
+        cum = np.zeros(len(flat) + 1, np.int64)
+        np.cumsum(keep_np, out=cum[1:])
+        return flat.filter(keep), cum[offsets]
+
+    def batch_term_counts_coded(self, texts):
+        return _counts_from_flat(*self.batch_token_lists(texts))
+
+
 def default_vocab_path() -> str:
     """The committed toy vocabulary proving the subword seam."""
     return os.path.join(os.path.dirname(__file__), "data", "toy_vocab.txt")
@@ -438,6 +470,8 @@ def make_tokenizer(spec: str = "deterministic"):
         return DeterministicTokenizer()
     if spec == "stem_en":
         return StemTokenizer()
+    if spec == "stop_en":
+        return StopTokenizer()
     if spec == "vocab":
         return VocabSubwordTokenizer(default_vocab_path())
     if spec.startswith("vocab:"):

@@ -100,3 +100,20 @@ def test_stem_tokenizer_batch_equals_scalar():
     assert t.tokenize("sorting sorted sorts") == ["sort"] * 3
     assert t.tokenize("dress ss") == ["dress", "ss"]   # -ss guard
     assert t.tokenize("braises") == ["brai"]           # sequential rules
+
+
+def test_stop_tokenizer_batch_equals_scalar():
+    """StopTokenizer: stopwords dropped identically by the scalar and
+    columnar paths; offsets re-base correctly around empty rows."""
+    import pyarrow as pa
+
+    from bge_m3_onnx_ray.tokenizer import StopTokenizer, make_tokenizer
+    t = make_tokenizer("stop_en")
+    assert isinstance(t, StopTokenizer)
+    texts = ["the quick fox", "a and of", "", "data the stream", "the"]
+    flat, offs = t.batch_token_lists(pa.array(texts))
+    toks = flat.to_pylist()
+    batch = [toks[offs[i]:offs[i + 1]] for i in range(len(texts))]
+    assert batch == [t.tokenize(x) for x in texts]
+    assert t.tokenize("the quick fox") == ["quick", "fox"]
+    assert t.tokenize("a and of the") == []
