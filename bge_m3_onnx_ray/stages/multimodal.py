@@ -57,6 +57,12 @@ def make_fake_media(n: int, seed: int = 5) -> pa.Table:
             widths[i], heights[i] = w, h
             px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
             payloads.append(encode_ppm(px))
+        elif kinds[i] == "audio":
+            # REAL PCM16 WAV payloads (stdlib wave): seeded noise, so
+            # decode output is checkable against the generator
+            ns = int(rng.integers(200, 4000))
+            s = rng.integers(-20000, 20000, ns, dtype=np.int16)
+            payloads.append(encode_wav(s, rate=8000))
         else:
             payloads.append(rng.integers(
                 0, 256, int(rng.integers(100, 5000)), dtype=np.uint8).tobytes())
@@ -109,6 +115,56 @@ def decode_ppm(payload: bytes) -> np.ndarray | None:
         return None
 
 
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono samples → RIFF/WAV bytes via the stdlib ``wave``
+    module (no external audio library needed)."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.ascontiguousarray(samples, np.int16).tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """Real decode for PCM16 WAV payloads (stdlib ``wave`` + one
+    frombuffer): returns (float64 samples in [-1, 1], rate), or None
+    for anything that isn't parseable 16-bit PCM — the caller falls
+    back to the stub, never raises (same contract as decode_ppm)."""
+    import io
+    import wave
+    if not payload.startswith(b"RIFF"):
+        return None
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            nch = w.getnchannels()
+            if w.getsampwidth() != 2 or nch < 1:
+                return None
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+        s = np.frombuffer(raw, np.int16).astype(np.float64) / 32768.0
+        if nch > 1:
+            s = s.reshape(-1, nch).mean(axis=1)
+        return s, rate
+    except Exception:
+        return None
+
+
+def envelope(samples: np.ndarray, n_bins: int = 64) -> np.ndarray:
+    """Per-bin RMS energy envelope over ``n_bins`` equal segments —
+    the audio analogue of the 8x8 thumbnail (one reduceat pass)."""
+    n = len(samples)
+    if n == 0:
+        return np.zeros(n_bins)
+    edges = (np.arange(n_bins) * n) // n_bins
+    acc = np.add.reduceat(samples * samples, edges)
+    cnt = np.diff(np.concatenate([edges, [n]])).astype(np.float64)
+    return np.sqrt(acc / np.maximum(cnt, 1.0))
+
+
 def resize_area(img: np.ndarray, out_h: int = 8, out_w: int = 8) -> np.ndarray:
     """Area-average resize to (out_h, out_w, 3) — the classic thumbnail
     kernel, vectorized with add.reduceat over row/column bin edges."""
@@ -144,14 +200,26 @@ class DecodeFeatures:
         payloads = batch.column("payload").to_pylist()
         for payload in payloads:
             img = decode_ppm(payload)
-            real.append(img is not None)
-            if img is None:
-                img = self.fallback(payload)
-                thumb = img.astype(np.float64)
-            else:
+            if img is not None:
+                real.append(True)
                 thumb = resize_area(img)      # real decode + real resize
+                feats.append((thumb.ravel() / 255.0).astype(np.float32))
+                means.append(float(img.mean()))   # FULL decoded pixels
+                continue
+            wav = decode_wav(payload)
+            if wav is not None:               # real PCM16 audio decode
+                s, _rate = wav
+                real.append(True)
+                feats.append(envelope(s, 64).astype(np.float32))
+                # rms in [0,1] scaled to the image intensity range so
+                # one quantized column serves both modalities
+                means.append(float(np.sqrt(np.mean(s * s)) * 255.0))
+                continue
+            real.append(False)
+            img = self.fallback(payload)
+            thumb = img.astype(np.float64)
             feats.append((thumb.ravel() / 255.0).astype(np.float32))
-            means.append(float(img.mean()))   # over FULL decoded pixels
+            means.append(float(img.mean()))
         return pa.table({
             "media_id": batch.column("media_id"),
             "kind": batch.column("kind"),

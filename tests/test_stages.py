@@ -203,7 +203,9 @@ def test_multimodal_plumbing(ray_session):
     media = make_fake_media(50)
     out = decode_features(rd.from_arrow(media)).to_pandas()
     assert len(out) == 50
-    assert all(len(f) == 192 for f in out.feature)     # 8x8x3 stub decode
+    # 8x8x3 thumbnails for image/video, 64-bin RMS envelope for audio
+    assert all(len(f) == (64 if k == "audio" else 192)
+               for k, f in zip(out.kind, out.feature))
     assert (out.payload_bytes > 0).all()
     fs = frame_sample(rd.from_arrow(media), every_ms=1000).to_pandas()
     vids = media.to_pandas().query("kind == 'video'")
@@ -336,7 +338,9 @@ def test_ppm_real_decode(ray_session):
     mdf = media.to_pandas().set_index("media_id")
     n_img = (mdf.kind == "image").sum()
     assert n_img > 5
-    assert out.decoded.sum() == n_img          # every image really decoded
+    n_audio = (mdf.kind == "audio").sum()
+    # every image AND audio row really decoded (video stays stubbed)
+    assert out.decoded.sum() == n_img + n_audio
     for mid, row in mdf[mdf.kind == "image"].iterrows():
         img = decode_ppm(row.payload)
         assert img.shape == (row.height, row.width, 3)
@@ -499,3 +503,26 @@ def test_hopping_windows(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError, match="multiple of"):
         hopping_agg(ds, window_s=3600, hop_s=1000)
+
+
+def test_wav_real_decode(ray_session):
+    """Audio payloads now REALLY decode: PCM16 WAV round-trips through
+    the stdlib parser, the 64-bin RMS envelope matches a reference
+    computation, and malformed RIFF payloads fall back, never raise."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.multimodal import (decode_features,
+                                                   decode_wav, encode_wav,
+                                                   envelope, make_fake_media)
+    s = np.array([0, 16384, -16384, 32767, -32768, 100], np.int16)
+    dec, rate = decode_wav(encode_wav(s, rate=16000))
+    assert rate == 16000
+    np.testing.assert_allclose(dec, s.astype(np.float64) / 32768.0)
+    env = envelope(dec, 3)
+    ref = [np.sqrt(np.mean(dec[i * 2:(i + 1) * 2] ** 2)) for i in range(3)]
+    np.testing.assert_allclose(env, ref)
+    for bad in (b"RIFF", b"RIFF1234WAVEfmt garbage", b"", b"\x00" * 60):
+        assert decode_wav(bad) is None, bad
+    out = decode_features(rd.from_arrow(make_fake_media(60))).to_pandas()
+    assert out[out.kind == "audio"].decoded.all()
+    assert not out[out.kind == "video"].decoded.any()
