@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import glob
 import os
+from collections import OrderedDict
 
 import numpy as np
 import pyarrow as pa
@@ -245,8 +246,17 @@ class Searcher:
     """
 
     def __init__(self, index_dir: str, n_actors: int = 8,
-                 cfg: QueryConfig | None = None):
+                 cfg: QueryConfig | None = None,
+                 result_cache_size: int = 1024):
         import ray
+        # request cache (the Elasticsearch request-cache shape): results
+        # keyed by (query text, k, method) and by the index GENERATION —
+        # a cheap stat fingerprint of manifest/stats/tombstones — so a
+        # delete or append flushes stale entries instead of serving them
+        self.index_dir = index_dir
+        self._res_cache: "OrderedDict[tuple, list[dict]]" = OrderedDict()
+        self._res_cache_size = result_cache_size
+        self._gen = self._generation()
         # serving default = vectorized exhaustive: measured ~20x faster
         # p50 than the pure-Python block-max WAND loop at sandbox corpus
         # shapes (results are bit-identical either way); pass a cfg with
@@ -309,8 +319,44 @@ class Searcher:
                              "conv_id": conv[r], "turn_idx": int(turn[r])})
         return rows
 
+    def _generation(self) -> tuple:
+        """Index generation fingerprint: (mtime_ns, size) of the
+        artifacts whose change invalidates cached results. os.stat only
+        — cheap enough to run per request."""
+        parts = []
+        from bge_m3_onnx_ray.index.delete import tombstones_file
+        for p in (os.path.join(self.index_dir, "manifest.json"),
+                  os.path.join(self.index_dir, "stats.json"),
+                  tombstones_file(self.index_dir)):
+            try:
+                st = os.stat(p)
+                parts.append((p, st.st_mtime_ns, st.st_size))
+            except OSError:
+                parts.append((p, -1, -1))
+        return tuple(parts)
+
     def search(self, text: str, k: int | None = None) -> list[dict]:
-        return self.search_batch([(0, text)], k)
+        """Single-query entry with the request cache: a repeat of the
+        same (text, k) on the same index generation is served from the
+        driver-side LRU without touching the actors. NOTE the cached
+        actors themselves hold as-loaded postings; a generation change
+        flushes this cache, but a mutated index needs a new Searcher
+        for the actors to reload (documented serving contract)."""
+        k = k or self.cfg.k
+        gen = self._generation()
+        if gen != self._gen:
+            self._res_cache.clear()
+            self._gen = gen
+        key = (text, k, self.cfg.method)
+        got = self._res_cache.get(key)
+        if got is not None:
+            self._res_cache.move_to_end(key)
+            return [dict(r) for r in got]
+        rows = self.search_batch([(0, text)], k)
+        self._res_cache[key] = [dict(r) for r in rows]
+        while len(self._res_cache) > self._res_cache_size:
+            self._res_cache.popitem(last=False)
+        return rows
 
     def shutdown(self) -> None:
         import ray

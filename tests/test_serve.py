@@ -35,3 +35,44 @@ def test_serve_single_and_empty(searcher):
     assert searcher.search("zzzqx notinvocab") == []
     hits = searcher.search("fox")
     assert hits and hits[0]["rank"] == 1
+
+
+def test_request_cache_hits_and_invalidates(ray_session, tiny_index,
+                                            tiny_corpus, tmp_path):
+    """search() serves repeats from the driver-side request cache
+    (identical, independent row copies) and flushes it when the index
+    generation changes (stats/manifest/tombstones stat fingerprint)."""
+    import os
+    import shutil
+
+    idx, _ = tiny_index
+    _, oi, queries = tiny_corpus
+    # private index copy: the test mutates generation markers
+    my = str(tmp_path / "idx")
+    shutil.copytree(idx, my)
+    s = Searcher(my, n_actors=1)
+    try:
+        text = queries[0][1]
+        a = s.search(text, 5)
+        assert len(s._res_cache) == 1
+        b = s.search(text, 5)
+        assert a == b
+        assert b is not a and (not a or b[0] is not a[0])  # copies
+        # mutation: touching stats.json bumps the generation fingerprint
+        st = os.path.join(my, "stats.json")
+        os.utime(st, ns=(os.stat(st).st_mtime_ns + 10**9,) * 2)
+        s.search(text, 5)
+        assert len(s._res_cache) == 1          # flushed then repopulated
+        # different k = different entry
+        s.search(text, 3)
+        assert len(s._res_cache) == 2
+        # LRU bound
+        s2 = Searcher(my, n_actors=1, result_cache_size=2)
+        try:
+            for i, (qid, t) in enumerate(queries[:4]):
+                s2.search(t, 5)
+            assert len(s2._res_cache) <= 2
+        finally:
+            s2.shutdown()
+    finally:
+        s.shutdown()
