@@ -245,6 +245,15 @@ def _q_regex(sf_dir):
     return bm25_documents_topk_regex(sf_dir)
 
 
+def _q_phrase_appended(sf_dir):
+    # positional delta-append: positions built for the base half, the
+    # appended half arrives via append_positions — phrase results must
+    # equal the whole-corpus oracle
+    from bge_m3_onnx_ray.pipelines.flagship import (
+        phrase_documents_topk_appended)
+    return phrase_documents_topk_appended(sf_dir)
+
+
 def _q_bm25_deleted(sf_dir):
     # tombstone deletes, live-docs semantics: deleted docs never surface
     # while N/avgdl/df keep their as-built values (index.delete)
@@ -664,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_snippets": _q_snippets,
         "bm25_documents_topk_not": _q_bm25_not,
         "phrase_transcripts_topk": _q_phrase_transcripts,
+        "phrase_documents_topk_appended": _q_phrase_appended,
         "near_documents_topk": _q_near,
         "bm25_documents_topk_quoted": _q_quoted,
         "bm25_documents_topk_prefix": _q_prefix,
@@ -2238,6 +2248,7 @@ def oracle_sql() -> dict[str, str]:
             candidate_where=("tf.doc_id IN (SELECT doc_id FROM documents "
                              "WHERE n_chars BETWEEN 150 AND 350)")),
         "phrase_documents_topk": _phrase_sql(),
+        "phrase_documents_topk_appended": _phrase_sql(),
         "bm25_documents_topk_appended": _bm25_sql(quantized_rank=True),
         "bm25_documents_topk_upserted": _bm25_sql(
             quantized_rank=True,

@@ -371,6 +371,78 @@ def build_positions(transcripts, index_dir: str) -> dict:
             "nbytes": int(sum(e["nbytes"] for e in entries))}
 
 
+def append_positions(new_transcripts, index_dir: str) -> dict:
+    """Delta-append for the positional artifact: run the occurrence
+    build over ONLY the appended transcripts (their docIDs resolve to
+    the fresh shards ``append_index`` created, so every written
+    per-group file is new — existing files are never rewritten) and
+    re-point the manifest at the post-append offsets digest. Call right
+    after ``append_index`` with the same delta; phrase/NEAR results are
+    then identical to positions built from scratch over the union
+    (gated by the driver ledger)."""
+    meta = IndexMeta(index_dir)
+    man_path = os.path.join(index_dir, "positions_manifest.json")
+    if not os.path.exists(man_path):
+        raise FileNotFoundError(
+            "no positions artifact to append to — run build_positions "
+            "over the base corpus first")
+    with open(man_path) as f:
+        man = json.load(f)
+    if man.get("config_fingerprint") != meta.stats.get("config_fingerprint"):
+        raise ValueError("positions artifact belongs to a different index "
+                         "config; rebuild with build_positions")
+    offsets = ConvOffsets.load(index_dir)   # post-append merged offsets
+    if isinstance(new_transcripts, str):
+        ds = rd.read_parquet(new_transcripts,
+                             columns=["conv_id", "turn_idx", "text"])
+    else:
+        ds = new_transcripts.select_columns(["conv_id", "turn_idx", "text"])
+    import ray
+    offsets_ref = ray.put(offsets)
+    cfg = IndexConfig()
+    kwargs = {"offsets_ref": offsets_ref,
+              "docs_per_shard": meta.docs_per_shard,
+              "term_buckets": meta.term_buckets,
+              "tokenizer_spec": meta.stats.get("tokenizer_spec",
+                                               "deterministic")}
+    from bge_m3_onnx_ray.index.build import _BROADCAST_CACHE
+
+    def occ_fn(batch: pa.Table, _k=kwargs) -> pa.Table:
+        worker = _BROADCAST_CACHE.get("__occ_stage__")
+        if worker is None or worker._kargs != _k:  # type: ignore[attr-defined]
+            worker = TokenizeOccurrences(**_k)
+            worker._kargs = _k  # type: ignore[attr-defined]
+            _BROADCAST_CACHE["__occ_stage__"] = worker
+        return worker(batch)
+
+    occ = ds.map_batches(occ_fn, batch_format="pyarrow",
+                         zero_copy_batch=True,
+                         batch_size=cfg.tokenize_batch_size, num_cpus=1)
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+    ctx = DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    try:
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        entries = occ.groupby("gkey").map_groups(
+            _make_merge_pos_group(index_dir, meta.term_buckets),
+            batch_format="pyarrow").take_all()
+    finally:
+        ctx.shuffle_strategy = prev
+    from bge_m3_onnx_ray.index.build import _offsets_digest
+    files = sorted(set(man["files"]) | {e["file"] for e in entries})
+    atomic_write_json(
+        {"config_fingerprint": man["config_fingerprint"],
+         "offsets_digest": _offsets_digest(offsets),
+         "files": files,
+         "n_terms": int(man["n_terms"]
+                        + sum(e["n_terms"] for e in entries)),
+         "nbytes": int(man["nbytes"] + sum(e["nbytes"] for e in entries))},
+        man_path)
+    return {"groups": len(entries),
+            "nbytes": int(sum(e["nbytes"] for e in entries))}
+
+
 # ------------------------------------------------------------ phrase query
 
 _MATCH_SCHEMA = pa.schema([

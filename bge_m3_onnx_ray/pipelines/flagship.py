@@ -1228,6 +1228,72 @@ def phrase_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
         preserve_index=False)
 
 
+def phrase_documents_topk_appended(sf_dir: str, k: int = 10) -> pa.Table:
+    """Exact-phrase top-k over an INCREMENTALLY built index: half the
+    corpus indexed fresh (postings + positions), the other half arrives
+    via ``append_index`` + ``append_positions`` — gating the positional
+    delta-append end-to-end against the same whole-corpus phrase
+    oracle. Appended internal docIDs are not in table order, so results
+    re-rank on (score_q6 desc, table doc_id) over a 3k over-fetch with
+    the standard tie-width guard."""
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.index.append import append_index
+    from bge_m3_onnx_ray.index.artifacts import atomic_write_json
+    from bge_m3_onnx_ray.index.positions import (append_positions,
+                                                 build_positions,
+                                                 phrase_search)
+    idx = os.path.join("/tmp/bm25_indexes", "documents-appended-pos-"
+                       + os.path.basename(os.path.normpath(sf_dir)))
+
+    def _half(parity: int) -> rd.Dataset:
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return ds.map_batches(
+            lambda t, _p=parity: t.filter(pc.equal(
+                pc.bit_wise_and(t.column("doc_id"), 1), _p)),
+            batch_format="pyarrow").map_batches(
+            _doc_rows_to_transcript, batch_format="pyarrow")
+
+    if not os.path.exists(os.path.join(idx, "appended.json")):
+        import shutil
+        shutil.rmtree(idx, ignore_errors=True)
+        build_index(_half(0), idx, _DOC_CFG)
+        build_positions(_half(0), idx)
+        append_index(_half(1), idx)
+        append_positions(_half(1), idx)
+        atomic_write_json({"appended": True},
+                          os.path.join(idx, "appended.json"))
+    out = phrase_search(idx, DOC_PHRASES, 3 * k).to_pandas()
+    if not len(out):
+        import pandas as pd
+        return pa.Table.from_pandas(pd.DataFrame({
+            "query_id": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int32),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "tf": pd.Series([], dtype=np.int64),
+            "score_q6": pd.Series([], dtype=np.int64)}),
+            preserve_index=False)
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "score_q6", "doc_id"],
+                          ascending=[True, False, True]) \
+        .reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount().astype(np.int32) + 1
+    kth = out[out["rank"] == k].set_index("query_id").score_q6
+    g = out.groupby("query_id")
+    risky = (g.size() >= 3 * k) & (kth.reindex(g.size().index)
+                                   == g.score_q6.last())
+    if bool(risky.any()):
+        raise RuntimeError(
+            f"quantized-score tie group wider than the {3 * k}-row "
+            f"over-fetch for queries {list(risky[risky].index)[:5]}")
+    out = out[out["rank"] <= k]
+    return pa.Table.from_pandas(
+        out[["query_id", "rank", "doc_id", "tf", "score_q6"]],
+        preserve_index=False)
+
+
 def bm25_documents_bulk_topk(sf_dir: str, k: int = 10) -> pa.Table:
     """Same result as :func:`bm25_documents_topk` but through the
     streaming bulk path: queries enter as a ``ray.data.Dataset``, are

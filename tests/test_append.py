@@ -264,3 +264,59 @@ def test_upsert_chain_equals_fresh_build(tiny_corpus, tmp_path_factory,
     assert len(a) == len(b) and len(a[a.query_id == 1]) > 0
     assert a[key].equals(b[key])
     assert list(a.score) == list(b.score)   # bit-identical
+
+
+def test_append_positions_matches_fresh(tiny_corpus, tmp_path, ray_session):
+    """append_positions: phrase results over (base build + positional
+    delta-append) are identical to positions built from scratch over
+    the union; appending without a base artifact raises."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.config import create_tiny_index_config
+    from bge_m3_onnx_ray.index.append import append_index
+    from bge_m3_onnx_ray.index.build import build_index
+    from bge_m3_onnx_ray.index.positions import (append_positions,
+                                                 build_positions,
+                                                 phrase_search)
+    path, oi, _ = tiny_corpus
+    t = pq.read_table(path)
+    convs = sorted(set(t.column("conv_id").to_pylist()))
+    half = set(convs[: len(convs) // 2])
+    mask = pa.array([c in half for c in t.column("conv_id").to_pylist()])
+    a, b = t.filter(mask), t.filter(pc.invert(mask))
+
+    fresh = str(tmp_path / "fresh")
+    build_index(rd.from_arrow(t), fresh, create_tiny_index_config())
+    build_positions(rd.from_arrow(t), fresh)
+
+    inc = str(tmp_path / "inc")
+    build_index(rd.from_arrow(a), inc, create_tiny_index_config())
+    with pytest.raises(FileNotFoundError, match="positions"):
+        append_positions(rd.from_arrow(b), inc)
+    build_positions(rd.from_arrow(a), inc)
+    append_index(rd.from_arrow(b), inc)
+    append_positions(rd.from_arrow(b), inc)
+
+    # phrases drawn from both halves of the corpus
+    texts = t.column("text").to_pylist()
+    phrases, qid = [], 0
+    for x in texts[:50]:
+        ws = oi.tok.tokenize(x)
+        if len(ws) >= 2:
+            phrases.append((qid, f"{ws[0]} {ws[1]}"))
+            qid += 1
+        if qid >= 6:
+            break
+    assert len(phrases) >= 3
+    fa = phrase_search(fresh, phrases, 10).to_pandas()
+    fb = phrase_search(inc, phrases, 10).to_pandas()
+    cols = ["query_id", "conv_id", "turn_idx", "tf"]
+    fa = fa.sort_values(cols).reset_index(drop=True)
+    fb = fb.sort_values(cols).reset_index(drop=True)
+    assert len(fa) == len(fb) > 0
+    assert fa[cols].equals(fb[cols])
+    assert fa.score.tolist() == fb.score.tolist()   # bit-identical
