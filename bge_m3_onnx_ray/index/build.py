@@ -167,25 +167,33 @@ def _finish_conv_offsets(agg: pa.Table, ds: rd.Dataset) -> ConvOffsets:
 
 
 def compute_conv_offsets(ds: rd.Dataset,
-                         driver_finish_limit: int = 4_000_000) -> ConvOffsets:
+                         driver_finish_limit: int = 16_000_000) -> ConvOffsets:
     """Pass A: stable docID assignment. Pre-aggregated per batch (one row
     per conv per batch) and finished on the driver with an arrow groupby —
     cheaper than a Ray sort shuffle for the partials, which are tiny
     relative to the input (a conv rarely spans two 64k-row batches).
 
     Scale path: when the partial row count exceeds ``driver_finish_limit``
-    the finish itself runs as a Ray ``groupby(conv_id)`` reduce + sort, and
-    the driver only streams the already-aggregated per-conv rows for the
-    prefix sum (one small row per conversation — at 10^12 turns this is
-    the conv-count-sized offsets table the artifact stores anyway)."""
+    the finish itself runs as a Ray bucket-reduce, and the driver only
+    streams the already-aggregated per-conv rows for the prefix sum (one
+    small row per conversation — at 10^12 turns this is the
+    conv-count-sized offsets table the artifact stores anyway). The limit
+    bounds transient driver memory at ~driver_finish_limit x ~55 B/row
+    (~0.9 GB at the 16M default — measured: skipping the conv-key
+    shuffle under the limit cut the 64M-turn/4.5M-conv offsets pass from
+    ~12 s to ~5 s); beyond it the reduce path takes over."""
     import pyarrow.compute as pc
+    # materialize the partials: they are conv-count-sized (tiny next to
+    # the input) and BOTH finish paths read them — without this, the
+    # overflow path recomputed the whole pass-A map (measured at 64M
+    # turns / 4.5M convs: the recompute was most of the offsets wall)
     partial_ds = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
-        _conv_partial, batch_format="pyarrow", batch_size=65536)
-    # common path: STREAM the partials to the driver (no materialize
-    # round-trip), folding them into one arrow groupby as they arrive; if
-    # the stream exceeds driver_finish_limit rows, abandon it and finish
-    # with a Ray groupby reduce instead (the partials are recomputed —
-    # only in the regime where the driver could not have held them).
+        _conv_partial, batch_format="pyarrow", batch_size=65536) \
+        .materialize()
+    # common path: STREAM the partials to the driver, folding them into
+    # one arrow groupby as they arrive; if the stream exceeds
+    # driver_finish_limit rows, abandon it and finish with a Ray
+    # bucket-reduce over the SAME materialized partials.
     batches: list[pa.Table] = []
     n_rows = 0
     overflow = False
@@ -219,11 +227,16 @@ def compute_conv_offsets(ds: rd.Dataset,
         agg_ds = bucket_reduce(partial_ds, ["conv_id"], [
             ("n", "sum", "n"), ("min_t", "min", "min_t"),
             ("max_t", "max", "max_t"), ("sum_h1", "sum", "sum_h1"),
-            ("sum_h2", "sum", "sum_h2")]).sort("conv_id")
+            ("sum_h2", "sum", "sum_h2")])
         agg = pa.concat_tables(agg_ds.iter_batches(batch_size=None,
                                                    batch_format="pyarrow"))
+        # ONE driver-side arrow sort of the conv-count-sized reduce
+        # output — measured faster than a distributed Dataset.sort on
+        # millions of short strings, and the rows must land on the
+        # driver anyway for the prefix sum
         agg = agg.select(["conv_id", "n", "min_t", "max_t",
                           "sum_h1", "sum_h2"])
+        agg = agg.take(pc.sort_indices(agg.column("conv_id")))
     return _finish_conv_offsets(agg, ds)
 
 
