@@ -368,6 +368,13 @@ def _q_bm25_transcripts_collapsed(sf_dir):
     return bm25_transcripts_topk_collapsed(sf_dir)
 
 
+def _q_transcripts_tool_stats(sf_dir):
+    # per-tool usage analytics over the full input_hint schema (the one
+    # column no other key exercises)
+    from bge_m3_onnx_ray.pipelines.flagship import transcripts_tool_stats
+    return transcripts_tool_stats(sf_dir)
+
+
 def _q_transcripts_index_stats(sf_dir):
     import json
 
@@ -702,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_transcripts_topk_recency": _q_bm25_transcripts_recency,
         "bm25_transcripts_topk_collapsed": _q_bm25_transcripts_collapsed,
         "transcripts_index_stats": _q_transcripts_index_stats,
+        "transcripts_tool_stats": _q_transcripts_tool_stats,
         "token_count": _q_token_count,
         "pack_sequences": _q_pack_sequences,
         "corpus_stats": _q_corpus_stats,
@@ -2315,6 +2323,24 @@ def oracle_sql() -> dict[str, str]:
         "bm25_transcripts_topk_collapsed": _bm25_transcripts_sql(
             collapse=True),
         "transcripts_index_stats": _transcripts_stats_sql(),
+        "transcripts_tool_stats": """
+WITH docs AS (SELECT conv_id, turn_idx, tool, text
+              FROM __SRC__),
+toks AS (SELECT conv_id, turn_idx, unnest(regexp_extract_all(
+           __CJK__, '__UNI__')) AS term FROM docs),
+dl AS (SELECT conv_id, turn_idx, count(*)::BIGINT AS dl FROM toks
+       GROUP BY conv_id, turn_idx)
+SELECT d.tool, count(*)::BIGINT AS n_turns,
+       count(DISTINCT d.conv_id)::BIGINT AS n_convs,
+       sum(coalesce(dl.dl, 0))::BIGINT AS sum_len,
+       CAST(floor(sum(coalesce(dl.dl, 0))::DOUBLE
+                  / count(*)::DOUBLE * 1000000) AS BIGINT) AS avg_len_q6
+FROM docs d LEFT JOIN dl ON dl.conv_id = d.conv_id
+                        AND dl.turn_idx = d.turn_idx
+GROUP BY d.tool ORDER BY d.tool
+""".replace("__SRC__", _transcripts_src_sql())
+   .replace("__CJK__", _CJK_SPLIT_SQL)
+   .replace("__UNI__", _UNI_TOKEN_RE_SQL),
         "doc_fingerprint": _fingerprint_sql(),
         "simhash": _simhash_sql(),
         "minhash_lsh_candidates": _minhash_sql(),

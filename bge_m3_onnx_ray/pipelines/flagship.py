@@ -381,6 +381,65 @@ def facet_histogram_day(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def transcripts_tool_stats(sf_dir: str) -> pa.Table:
+    """Per-tool usage analytics over the full input_hint schema — the
+    ``tool`` column's first first-class consumer: turns, DISTINCT
+    conversations, total/average token length per tool value. Two
+    vectorized partial stages + low-cardinality bucket reduces; the
+    distinct-conversation count reduces (tool, conv) pairs, so a
+    conversation spanning many batches counts once. Output (tool,
+    n_turns, n_convs, sum_len, avg_len_q6)."""
+    import pandas as pd
+
+    from bge_m3_onnx_ray.fixtures import transcripts_path
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+    from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
+    path = transcripts_path(transcripts_n_turns(sf_dir))
+
+    def partial_turns(t: pa.Table) -> pa.Table:
+        tok = DeterministicTokenizer()
+        _, _, _, _, dls = tok.batch_term_counts_coded(t.column("text"))
+        tool = t.column("tool").combine_chunks().dictionary_encode()
+        codes = np.asarray(tool.indices).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        c, d = codes[order], dls[order].astype(np.int64)
+        brk = np.empty(len(c), bool)
+        if len(c):
+            brk[0] = True
+            brk[1:] = np.diff(c) != 0
+        starts = np.flatnonzero(brk)
+        return pa.table({
+            "tool": tool.dictionary.take(pa.array(c[starts]))
+                .cast(pa.string()),
+            "n_turns": pa.array(np.diff(np.concatenate(
+                [starts, [len(c)]])).astype(np.int64), pa.int64()),
+            "sum_len": pa.array(np.add.reduceat(d, starts)
+                                if len(starts) else np.empty(0, np.int64),
+                                pa.int64())})
+
+    def partial_convs(t: pa.Table) -> pa.Table:
+        return t.select(["tool", "conv_id"])
+
+    src = rd.read_parquet(path, columns=["conv_id", "tool", "text"])
+    turns = bucket_reduce(
+        src.map_batches(partial_turns, batch_format="pyarrow"),
+        ["tool"], [("n_turns", "sum", "n_turns"),
+                   ("sum_len", "sum", "sum_len")]).to_pandas()
+    pairs = bucket_reduce(
+        rd.read_parquet(path, columns=["conv_id", "tool"])
+        .map_batches(partial_convs, batch_format="pyarrow"),
+        ["tool", "conv_id"], [(None, "count", "x")]).to_pandas()
+    convs = pairs.groupby("tool").size().rename("n_convs").reset_index()
+    out = turns.merge(convs, on="tool")
+    out["avg_len_q6"] = np.floor(
+        out["sum_len"].to_numpy(np.float64)
+        / out["n_turns"].to_numpy(np.float64) * 1e6).astype(np.int64)
+    out = out.sort_values("tool").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["tool", "n_turns", "n_convs", "sum_len", "avg_len_q6"]],
+        preserve_index=False)
+
+
 def transcripts_phrases(sf_dir: str, n: int = 8) -> list[tuple[int, str]]:
     """Deterministic phrase set drawn from the multi-turn fixture itself
     (both the engine query and the DuckDB oracle builder call this, so
