@@ -254,6 +254,14 @@ def _q_phrase_appended(sf_dir):
     return phrase_documents_topk_appended(sf_dir)
 
 
+def _q_bm25_deleted_by_query(sf_dir):
+    # delete-by-query: the match set of "customer stream" tombstoned in
+    # one pass; live-docs semantics until compaction
+    from bge_m3_onnx_ray.pipelines.flagship import (
+        bm25_documents_topk_deleted_by_query)
+    return bm25_documents_topk_deleted_by_query(sf_dir)
+
+
 def _q_bm25_deleted(sf_dir):
     # tombstone deletes, live-docs semantics: deleted docs never surface
     # while N/avgdl/df keep their as-built values (index.delete)
@@ -700,6 +708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk_boosted": _q_boosted,
         "bm25_documents_topk_synonyms": _q_synonyms,
         "bm25_documents_topk_deleted": _q_bm25_deleted,
+        "bm25_documents_topk_deleted_by_query": _q_bm25_deleted_by_query,
         "bm25_documents_topk_deleted_compacted": _q_bm25_deleted_compacted,
         "bm25_documents_bulk_topk": _q_bm25_bulk,
         "bm25_transcripts_topk": _q_bm25_transcripts,
@@ -2307,6 +2316,11 @@ def oracle_sql() -> dict[str, str]:
         # docs excluded from candidates only
         "bm25_documents_topk_deleted": _bm25_sql(
             candidate_where="(tf.doc_id % 7) <> 3"),
+        # delete-by-query: candidates exclude docs containing ANY term
+        # of the delete query; as-built stats (live-docs semantics)
+        "bm25_documents_topk_deleted_by_query": _bm25_sql(
+            candidate_where=("tf.doc_id NOT IN (SELECT doc_id FROM toks "
+                             "WHERE term IN ('customer', 'stream'))")),
         # after compaction: stats AND candidates over the survivors
         "bm25_documents_topk_deleted_compacted": _bm25_sql(
             corpus_where="(doc_id % 7) <> 3"),

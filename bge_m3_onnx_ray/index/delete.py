@@ -74,6 +74,26 @@ def delete_docs(index_dir: str, doc_ids) -> dict:
             "n_new": int(len(merged) - len(prev))}
 
 
+def delete_by_query(index_dir: str, query_text: str) -> dict:
+    """Tombstone every live document matching the query (OR semantics —
+    any query term; the Elasticsearch ``_delete_by_query`` shape). The
+    match set comes from the same per-shard candidate machinery the
+    aggregations use (``index.facets.matching_docs``), streamed and
+    tombstoned in one pass; subsequent searches exclude the docs under
+    the standard live-docs semantics until compaction drops them."""
+    from bge_m3_onnx_ray.index.facets import matching_docs
+    m = matching_docs(index_dir, [(0, query_text)])
+    ids: list[int] = []
+    for b in m.iter_batches(batch_format="pyarrow"):
+        ids.extend(b.column("doc_id").to_pylist())
+    if not ids:
+        return {"n_matched": 0, "n_new": 0,
+                "n_tombstones": int(len(load_tombstones(index_dir)))}
+    out = delete_docs(index_dir, ids)
+    out["n_matched"] = len(set(ids))
+    return out
+
+
 def delete_convs(index_dir: str, conv_ids) -> dict:
     """Tombstone every turn of the given conversations (whole-document
     deletion in the multi-turn model — the granularity compaction can

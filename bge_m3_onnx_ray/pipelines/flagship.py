@@ -1395,6 +1395,31 @@ def _deleted_docs_index(sf_dir: str) -> str:
     return idx
 
 
+DELETE_BY_QUERY_TEXT = "customer stream"
+
+
+def bm25_documents_topk_deleted_by_query(sf_dir: str,
+                                         k: int = 10) -> pa.Table:
+    """Delete-by-query lifecycle (the Elasticsearch _delete_by_query
+    shape): every doc matching "customer stream" (OR) is tombstoned in
+    one pass via the match-set machinery, then the reference queries
+    run under live-docs semantics — candidates exclude the deleted
+    docs, corpus-wide stats keep their as-built values. The oracle
+    mirrors with a NOT IN (docs containing either term) candidate
+    filter. Same shape as :func:`bm25_documents_topk`."""
+    from bge_m3_onnx_ray.index.delete import delete_by_query
+    key = "documents-delq-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    delete_by_query(idx, DELETE_BY_QUERY_TEXT)      # idempotent
+    out = search(idx, DOC_QUERIES, QueryConfig(k=k, method="wand")) \
+        .to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
+
+
 _UPS_SUFFIX = " upsert revision"
 
 

@@ -139,3 +139,30 @@ def test_partial_conv_tombstone_compact_raises(ray_session, tiny_corpus,
     out = str(tmp_path_factory.mktemp("pout") / "compacted")
     with pytest.raises(NotImplementedError, match="partially"):
         compact_index(idx, out)
+
+
+def test_delete_by_query(tiny_index, tiny_corpus, tmp_path, ray_session):
+    """delete_by_query tombstones exactly the OR match set; searches
+    then exclude those docs under live-docs semantics; a no-match query
+    deletes nothing; re-running is idempotent."""
+    import shutil
+
+    from bge_m3_onnx_ray.config import QueryConfig
+    from bge_m3_onnx_ray.index.delete import delete_by_query, load_tombstones
+    from bge_m3_onnx_ray.index.search import search
+    idx, _ = tiny_index
+    _, oi, queries = tiny_corpus
+    my = str(tmp_path / "idx")
+    shutil.copytree(idx, my)
+    vocab = sorted(oi.postings)
+    target = max(vocab, key=lambda t: len(oi.postings[t]))
+    expect = {d for d, _ in oi.postings[target]}
+    r = delete_by_query(my, target)
+    assert r["n_matched"] == len(expect)
+    assert set(load_tombstones(my).tolist()) == expect
+    r2 = delete_by_query(my, target)            # idempotent
+    assert r2["n_new"] == 0
+    r3 = delete_by_query(my, "zzzneverseen")
+    assert r3["n_matched"] == 0
+    out = search(my, queries, QueryConfig(k=1000)).to_pandas()
+    assert not set(out.doc_id).intersection(expect)
