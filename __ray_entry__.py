@@ -254,6 +254,20 @@ def _q_phrase_appended(sf_dir):
     return phrase_documents_topk_appended(sf_dir)
 
 
+def _q_suggest_completions(sf_dir):
+    # search-box prefix completion, df-ranked over the dictionary
+    from bge_m3_onnx_ray.pipelines.flagship import (
+        suggest_completions_documents)
+    return suggest_completions_documents(sf_dir)
+
+
+def _q_suggest_corrections(sf_dir):
+    # "did you mean": Levenshtein-1 dictionary neighbours, df-ranked
+    from bge_m3_onnx_ray.pipelines.flagship import (
+        suggest_corrections_documents)
+    return suggest_corrections_documents(sf_dir)
+
+
 def _q_bm25_deleted_by_query(sf_dir):
     # delete-by-query: the match set of "customer stream" tombstoned in
     # one pass; live-docs semantics until compaction
@@ -709,6 +723,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk_synonyms": _q_synonyms,
         "bm25_documents_topk_deleted": _q_bm25_deleted,
         "bm25_documents_topk_deleted_by_query": _q_bm25_deleted_by_query,
+        "suggest_completions_documents": _q_suggest_completions,
+        "suggest_corrections_documents": _q_suggest_corrections,
         "bm25_documents_topk_deleted_compacted": _q_bm25_deleted_compacted,
         "bm25_documents_bulk_topk": _q_bm25_bulk,
         "bm25_transcripts_topk": _q_bm25_transcripts,
@@ -1261,6 +1277,32 @@ ranked AS (
 SELECT query_id::BIGINT AS query_id, term_rank::INTEGER AS term_rank,
        term, fg_df, bg_df, lift_q6::BIGINT AS lift_q6
 FROM ranked WHERE term_rank <= {k} ORDER BY query_id, term_rank
+"""
+
+
+def _suggest_sql(kind: str, k: int) -> str:
+    """Suggestion oracles: candidates from LIKE (completion) or
+    levenshtein<=1 (correction) against the corpus-derived dictionary,
+    ranked (df desc, term asc) — df = distinct containing docs."""
+    from bge_m3_onnx_ray.pipelines.flagship import (SUGGEST_PREFIXES,
+                                                    SUGGEST_TYPOS)
+    if kind == "completion":
+        vals = ", ".join(f"({i}, '{p}')" for i, p in SUGGEST_PREFIXES)
+        join = "d.term LIKE w.w || '%'"
+    else:
+        vals = ", ".join(f"({i}, '{w}')" for i, w in SUGGEST_TYPOS)
+        join = "levenshtein(w.w, d.term) <= 1"
+    return f"""
+WITH toks AS ({_TOKS}),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY term),
+w(input_id, w) AS (VALUES {vals}),
+cand AS (SELECT w.input_id, d.term, d.df FROM w JOIN dfs d ON {join}),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY input_id
+             ORDER BY df DESC, term) AS term_rank FROM cand)
+SELECT input_id::BIGINT AS input_id, term_rank::INTEGER AS term_rank,
+       term, df
+FROM ranked WHERE term_rank <= {k} ORDER BY input_id, term_rank
 """
 
 
@@ -2318,6 +2360,8 @@ def oracle_sql() -> dict[str, str]:
             candidate_where="(tf.doc_id % 7) <> 3"),
         # delete-by-query: candidates exclude docs containing ANY term
         # of the delete query; as-built stats (live-docs semantics)
+        "suggest_completions_documents": _suggest_sql("completion", 5),
+        "suggest_corrections_documents": _suggest_sql("correction", 3),
         "bm25_documents_topk_deleted_by_query": _bm25_sql(
             candidate_where=("tf.doc_id NOT IN (SELECT doc_id FROM toks "
                              "WHERE term IN ('customer', 'stream'))")),

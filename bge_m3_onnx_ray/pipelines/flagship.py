@@ -1395,6 +1395,30 @@ def _deleted_docs_index(sf_dir: str) -> str:
     return idx
 
 
+# Suggestion fixtures: wide/narrow/unmatched prefixes; typos with
+# unique and multiple neighbours, an exact word, a no-neighbour word.
+SUGGEST_PREFIXES: list[tuple[int, str]] = [
+    (0, "s"), (1, "qu"), (2, "c"), (3, "zz")]
+SUGGEST_TYPOS: list[tuple[int, str]] = [
+    (0, "keey"), (1, "qury"), (2, "sow"), (3, "data"), (4, "zzzneverseen")]
+
+
+def suggest_completions_documents(sf_dir: str) -> pa.Table:
+    """Prefix completion over the documents dictionary, ranked by df."""
+    from bge_m3_onnx_ray.index.suggest import suggest_completions
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    return suggest_completions(idx, SUGGEST_PREFIXES)
+
+
+def suggest_corrections_documents(sf_dir: str) -> pa.Table:
+    """Did-you-mean spell correction over the documents dictionary."""
+    from bge_m3_onnx_ray.index.suggest import suggest_corrections
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    return suggest_corrections(idx, SUGGEST_TYPOS)
+
+
 DELETE_BY_QUERY_TEXT = "customer stream"
 
 
