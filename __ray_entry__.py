@@ -390,6 +390,13 @@ def _q_bm25_transcripts_collapsed(sf_dir):
     return bm25_transcripts_topk_collapsed(sf_dir)
 
 
+def _q_bm25_transcripts_conv_sum(sf_dir):
+    # has_child score_mode=sum: conversations ranked by the SUM of their
+    # matching turns' quantized scores (exact distributed int aggregation)
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_transcripts_conv_topk
+    return bm25_transcripts_conv_topk(sf_dir)
+
+
 def _q_transcripts_tool_stats(sf_dir):
     # per-tool usage analytics over the full input_hint schema (the one
     # column no other key exercises)
@@ -733,6 +740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_transcripts_topk_weighted": _q_bm25_transcripts_weighted,
         "bm25_transcripts_topk_recency": _q_bm25_transcripts_recency,
         "bm25_transcripts_topk_collapsed": _q_bm25_transcripts_collapsed,
+        "bm25_transcripts_conv_topk": _q_bm25_transcripts_conv_sum,
         "transcripts_index_stats": _q_transcripts_index_stats,
         "transcripts_tool_stats": _q_transcripts_tool_stats,
         "token_count": _q_token_count,
@@ -1113,7 +1121,8 @@ def _transcripts_toks_sql() -> str:
 def _bm25_transcripts_sql(role: str | None = None,
                           collapse: bool = False,
                           weights: tuple = (),
-                          decay_tau: float | None = None) -> str:
+                          decay_tau: float | None = None,
+                          conv_sum: bool = False) -> str:
     """Full BM25 ranking oracle over the multi-turn transcripts fixture,
     keyed on (conv_id, turn_idx) — same scoring formula and tie-break
     (score desc, then lexicographic (conv_id, turn_idx) = docID order) as
@@ -1161,7 +1170,26 @@ def _bm25_transcripts_sql(role: str | None = None,
                             AND dw.turn_idx = s.turn_idx),
 """
         src = "weighted"
-    if collapse:
+    if conv_sum:
+        # has_child score_mode=sum: per-turn scores quantized FIRST
+        # (floor(score*1e6) — the per-turn q6 every other transcripts
+        # gate proves stable), then integer-summed per conversation —
+        # order-free on both sides, so engine shard partials and
+        # DuckDB's unspecified sum() order can't diverge
+        tail = f"""conv_sums AS (
+  SELECT query_id, conv_id,
+         sum(CAST(floor(score * 1000000) AS BIGINT)) AS score_sum_q6
+  FROM {src} GROUP BY query_id, conv_id),
+ranked AS (
+  SELECT query_id, conv_id, score_sum_q6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_sum_q6 DESC, conv_id) AS rnk
+  FROM conv_sums)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank", conv_id,
+       score_sum_q6::BIGINT AS score_sum_q6
+FROM ranked WHERE rnk <= 10 ORDER BY query_id, "rank"
+"""
+    elif collapse:
         tail = f"""conv_best AS (
   SELECT query_id, conv_id,
          max(CAST(floor(score * 1000000) AS BIGINT)) AS score_q6
@@ -2380,6 +2408,8 @@ def oracle_sql() -> dict[str, str]:
             decay_tau=30.0),
         "bm25_transcripts_topk_collapsed": _bm25_transcripts_sql(
             collapse=True),
+        "bm25_transcripts_conv_topk": _bm25_transcripts_sql(
+            conv_sum=True),
         "transcripts_index_stats": _transcripts_stats_sql(),
         "transcripts_tool_stats": """
 WITH docs AS (SELECT conv_id, turn_idx, tool, text

@@ -162,6 +162,17 @@ class QueryConfig:
     # method="exhaustive" in "or" mode (WAND's theta bound prunes on the
     # k-th best DOC, which overshoots the k-th best CONV).
     collapse: bool = False
+    # parent-level ranking (the Elasticsearch has_child / join-field
+    # score_mode="sum" shape): rank CONVERSATIONS by the sum of their
+    # matching turns' scores. Scores are per-turn BM25 quantized to
+    # floor(score*1e6) int64 BEFORE summing, so partial per-shard sums
+    # merge exactly (integer addition is order-free) — a conversation
+    # straddling a shard boundary contributes one partial per shard and
+    # the merge adds them. k applies to conversations; no per-shard
+    # top-k cut happens (an aggregation visits every match — that IS the
+    # has_child cost model). Requires method="exhaustive" in "or" mode;
+    # mutually exclusive with collapse/offset.
+    conv_score_mode: str | None = None  # None | "sum"
     # pagination: skip the first `offset` results per query and return
     # the next k (ranks offset+1 .. offset+k — global rank numbers, the
     # search_after/from page shape). Applied after the deterministic

@@ -470,7 +470,8 @@ class ShardScorer:
                  attr_weights: tuple = (),
                  avgdl_override: float | None = None,
                  after_ref=None,
-                 decay_attr: tuple | None = None):
+                 decay_attr: tuple | None = None,
+                 conv_sum: bool = False):
         self.meta = IndexMeta(index_dir)
         if avgdl_override is not None:
             # federated search: the caller supplies UNION-corpus global
@@ -483,6 +484,15 @@ class ShardScorer:
         # doc-range-sliced view would bound this at 10¹²-doc scale).
         self._collapse_starts = (ConvOffsets.load(index_dir).starts
                                  if collapse else None)
+        # parent-level sum ranking (QueryConfig.conv_score_mode="sum"):
+        # this shard emits one partial per matched CONVERSATION — the
+        # int64 sum of floor(turn_score*1e6) over its matched turns, keyed
+        # by the conv's first docID (global, so cross-shard partials for a
+        # straddling conv meet under one key in the merge). Same bounded
+        # starts array as collapse (n_convs x 8 B).
+        self._conv_sum = bool(conv_sum)
+        self._conv_starts = (ConvOffsets.load(index_dir).starts
+                             if conv_sum else None)
         if collapse and method == "wand" and mode == "or":
             raise ValueError('collapse requires method="exhaustive" '
                              '(WAND theta prunes on the k-th doc, not '
@@ -744,6 +754,31 @@ class ShardScorer:
                                           m.block_size, decoded=decoded,
                                           allowed=allowed, excluded=excluded,
                                           msm=self.msm)
+            elif self._conv_sum:
+                # no top-k cut: an aggregation visits every matched turn.
+                # k = 2**62 makes _topk_merge keep the full (sorted) set;
+                # the shard's match count bounds the cost.
+                scores, docs = score_exhaustive(decoded, sorted(decoded),
+                                                qidfs, m.avgdl, m.k1, m.b,
+                                                2 ** 62, allowed=allowed,
+                                                excluded=excluded,
+                                                msm=self.msm)
+                if len(docs):
+                    q6 = np.floor(scores * 1e6).astype(np.int64)
+                    conv = np.searchsorted(self._conv_starts, docs,
+                                           side="right") - 1
+                    order = np.argsort(conv, kind="stable")
+                    conv_o, q6_o = conv[order], q6[order]
+                    head = np.empty(len(conv_o), bool)
+                    head[0] = True
+                    head[1:] = conv_o[1:] != conv_o[:-1]
+                    firsts = np.flatnonzero(head)
+                    sums = np.add.reduceat(q6_o, firsts)
+                    # float64 carries the int sum exactly (< 2**53 by a
+                    # wide margin: q6 per turn is ~1e7, convs have few
+                    # hundred turns at most)
+                    scores = sums.astype(np.float64)
+                    docs = self._conv_starts[conv_o[firsts]]
             else:
                 scores, docs = score_exhaustive(decoded, sorted(decoded), qidfs,
                                                 m.avgdl, m.k1, m.b, self.k,
@@ -764,7 +799,8 @@ class ShardScorer:
 
 
 def merge_topk(partials: rd.Dataset, offsets: ConvOffsets, k: int,
-               n_buckets: int = 256, collapse: bool = False) -> rd.Dataset:
+               n_buckets: int = 256, collapse: bool = False,
+               conv_sum: bool = False) -> rd.Dataset:
     """Global per-query top-k over scorer partials — ONE shuffle keyed by
     a hash BUCKET of query_id (many queries per map_groups call, the
     per-group-Python-call rule), merged by a vectorized multi-query
@@ -784,6 +820,18 @@ def merge_topk(partials: rd.Dataset, offsets: ConvOffsets, k: int,
         qs = group.column("query_id").to_numpy()
         scores = group.column("score").to_numpy()
         docs = group.column("doc_id").to_numpy()
+        if conv_sum and len(qs):
+            # add cross-shard partials per (query, conv-start docID) —
+            # integer-valued float64 sums, order-free, so a straddling
+            # conversation's two shard partials combine exactly
+            o2 = np.lexsort((docs, qs))
+            q2, d2, s2 = qs[o2], docs[o2], scores[o2]
+            head = np.empty(len(o2), bool)
+            head[0] = True
+            head[1:] = (q2[1:] != q2[:-1]) | (d2[1:] != d2[:-1])
+            firsts = np.flatnonzero(head)
+            scores = np.add.reduceat(s2, firsts)
+            qs, docs = q2[firsts], d2[firsts]
         if collapse and len(qs):
             conv = np.searchsorted(offsets.starts, docs, side="right") - 1
             o2 = np.lexsort((docs, -scores, conv, qs))
@@ -852,6 +900,17 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
         raise ValueError('search_after requires method="exhaustive" in '
                          '"or" mode without collapse (the cursor cut '
                          "happens on raw per-doc scores)")
+    if cfg.conv_score_mode is not None:
+        if cfg.conv_score_mode != "sum":
+            raise ValueError(f"unknown conv_score_mode "
+                             f"{cfg.conv_score_mode!r} (only 'sum')")
+        if cfg.method != "exhaustive" or cfg.mode != "or" or cfg.collapse \
+                or cfg.offset or cfg.weight_attr is not None \
+                or cfg.decay_attr is not None or search_after is not None:
+            raise ValueError('conv_score_mode="sum" requires method='
+                             '"exhaustive" in "or" mode, without collapse/'
+                             "offset/function-score/search_after (the sum "
+                             "aggregates raw per-turn BM25 over every match)")
     meta = IndexMeta(index_dir)
     offsets = ConvOffsets.load(index_dir)
     # always tokenize queries with the index's own tokenizer (seam:
@@ -1018,10 +1077,12 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
                                "weight_attr": cfg.weight_attr,
                                "attr_weights": cfg.attr_weights,
                                "decay_attr": cfg.decay_attr,
-                               "after_ref": after_ref},
+                               "after_ref": after_ref,
+                               "conv_sum": cfg.conv_score_mode == "sum"},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
-    out = merge_topk(partials, offsets, fetch, collapse=cfg.collapse)
+    out = merge_topk(partials, offsets, fetch, collapse=cfg.collapse,
+                     conv_sum=cfg.conv_score_mode == "sum")
     if cfg.offset:
         out = out.map_batches(
             lambda t, _o=cfg.offset: t.filter(pc.greater(t.column("rank"), _o)),

@@ -325,6 +325,40 @@ def bm25_transcripts_topk_collapsed(sf_dir: str, k: int = 10,
         preserve_index=False)
 
 
+def bm25_transcripts_conv_topk(sf_dir: str, k: int = 10,
+                               n_turns: int | None = None) -> pa.Table:
+    """Parent-level ranking, score_mode=sum (the Elasticsearch has_child
+    / join-field shape): conversations ranked by the SUM of their
+    matching turns' BM25 scores — "which conversations are most about
+    X overall", vs collapse's "which conversation has the single best
+    turn".
+
+    Exact under sharding with no over-fetch: per-turn scores are
+    quantized to floor(score*1e6) int64 BEFORE summing, shards emit
+    per-conv partial int sums keyed by the conv's first docID, and the
+    merge adds partials (integer addition is order-free) — the global
+    per-conv sum is exact, so the top-k cut needs no tie-width guard.
+    Output (query_id, rank, conv_id, score_sum_q6); oracle mirrors with
+    sum(floor(score*1e6)) GROUP BY conv_id."""
+    from bge_m3_onnx_ray.fixtures import gen_queries, transcripts_path
+
+    if n_turns is None:
+        n_turns = transcripts_n_turns(sf_dir)
+    path = transcripts_path(n_turns)
+    cfg = IndexConfig(docs_per_shard=TRANSCRIPTS_DOCS_PER_SHARD,
+                      term_buckets=8)
+    idx = _cached_index(rd.read_parquet(path), f"transcripts-n{n_turns}", cfg)
+    out = search(idx, gen_queries(50),
+                 QueryConfig(k=k, method="exhaustive",
+                             conv_score_mode="sum"))
+    df = out.to_pandas()
+    df["score_sum_q6"] = df["score"].to_numpy().astype(np.int64)
+    df = df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["query_id", "rank", "conv_id", "score_sum_q6"]],
+        preserve_index=False)
+
+
 def _add_day(t: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
     us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())

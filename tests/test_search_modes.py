@@ -819,3 +819,44 @@ def test_search_after_equals_offset(tiny_index, tiny_corpus):
     with _pt.raises(ValueError, match="search_after"):
         search(idx, qs, QueryConfig(k=k, method="wand"),
                search_after=cursors).to_pandas()
+
+
+def test_conv_sum_parity(tiny_index, tiny_corpus):
+    """conv_score_mode="sum" == the per-conv integer sum of quantized
+    per-turn scores over the FULL exhaustive match set, ranked
+    (sum desc, conv-start docID asc), cut at k. The tiny index's
+    64-doc shards split conversations across shards, so this exercises
+    the cross-shard partial-sum merge."""
+    idx, _ = tiny_index
+    _, _, queries = tiny_corpus
+    k = 10
+    full = search(idx, queries,
+                  QueryConfig(k=10**6, method="exhaustive")).to_pandas()
+    got = search(idx, queries,
+                 QueryConfig(k=k, method="exhaustive",
+                             conv_score_mode="sum")).to_pandas()
+    assert (got.groupby(["query_id", "conv_id"]).size() == 1).all()
+    full["q6"] = np.floor(full["score"].to_numpy() * 1e6).astype(np.int64)
+    full["conv_start"] = full.doc_id - full.turn_idx
+    for qid, g in full.groupby("query_id"):
+        want = (g.groupby(["conv_id", "conv_start"], as_index=False)
+                .q6.sum()
+                .sort_values(["q6", "conv_start"], ascending=[False, True])
+                .head(k))
+        have = got[got.query_id == qid].sort_values("rank")
+        assert list(have.conv_id) == list(want.conv_id), qid
+        assert [int(s) for s in have.score] == list(want.q6), qid
+
+
+def test_conv_sum_rejects_unsupported(tiny_index):
+    idx, _ = tiny_index
+    with pytest.raises(ValueError, match="conv_score_mode"):
+        search(idx, [(0, "data")],
+               QueryConfig(k=10, method="wand", conv_score_mode="sum"))
+    with pytest.raises(ValueError, match="conv_score_mode"):
+        search(idx, [(0, "data")],
+               QueryConfig(k=10, method="exhaustive", collapse=True,
+                           conv_score_mode="sum"))
+    with pytest.raises(ValueError, match="conv_score_mode"):
+        search(idx, [(0, "data")],
+               QueryConfig(k=10, method="exhaustive", conv_score_mode="max"))
