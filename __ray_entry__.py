@@ -626,6 +626,27 @@ def _q_events_hourly(sf_dir):
     return hourly_agg(_events(sf_dir))
 
 
+def _q_events_distinct_daily(sf_dir):
+    # exact distributed COUNT DISTINCT per day: per-batch pair dedupe ->
+    # one pair-bucket shuffle -> per-bucket distinct counts -> tiny sum
+    from bge_m3_onnx_ray.stages.events import distinct_users_daily
+    return distinct_users_daily(_events(sf_dir))
+
+
+def _q_hll_distinct_users(sf_dir):
+    # HyperLogLog cardinality sketch (rows-only: approximate by design;
+    # accuracy gated in pytest against the exact count) — the fixed-
+    # memory COUNT DISTINCT for when the exact pair exchange is too big
+    import pyarrow as pa
+    from bge_m3_onnx_ray.stages.sketch import hll_distinct
+    r = hll_distinct(_events(sf_dir), "user_id")
+    return pa.table({"p": pa.array([r["p"]], pa.int64()),
+                     "estimate_floor": pa.array(
+                         [int(r["estimate"])], pa.int64()),
+                     "registers_nonzero": pa.array(
+                         [r["registers_nonzero"]], pa.int64())})
+
+
 def _q_events_hopping(sf_dir):
     # hopping (sliding) windows: 1h windows every 15min — each event in
     # 4 overlapping windows; tiled partials + one bucket_reduce
@@ -774,6 +795,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_term_weights": _q_doc_term_weights,
         "revenue_by_segment": _q_revenue_by_segment,
         "events_hourly": _q_events_hourly,
+        "events_distinct_users_daily": _q_events_distinct_daily,
+        "hll_distinct_users": _q_hll_distinct_users,
         "events_hopping": _q_events_hopping,
         "events_sessionize": _q_sessionize,
         "multimodal_decode": _q_multimodal_decode,
@@ -2617,6 +2640,11 @@ SELECT event_type,
        count(*)::BIGINT AS n_events,
        CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_q2
 FROM events GROUP BY event_type, date_trunc('hour', ts)
+""",
+        "events_distinct_users_daily": """
+SELECT (epoch_us(ts) // 1000000 // 86400) * 86400 AS day,
+       count(DISTINCT user_id)::BIGINT AS distinct_users
+FROM events GROUP BY 1
 """,
         "events_hopping": """
 WITH n AS (SELECT unnest(range(0, 4)) AS j),

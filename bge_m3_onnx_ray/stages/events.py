@@ -198,3 +198,67 @@ def sessionize(ds: rd.Dataset, gap_minutes: int = 30,
     return ds.select_columns(["event_id", "ts", "user_id"]) \
         .map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def distinct_users_daily(ds: rd.Dataset, n_buckets: int = 256) -> rd.Dataset:
+    """Exact COUNT(DISTINCT user_id) per UTC day — the cardinality
+    aggregation, exact path.
+
+    Distributed shape (ONE wide shuffle): per-batch dedupe of
+    (day, user) pairs (a combiner — repeated users inside a batch never
+    leave it), shuffle keyed by hash-bucket of the PAIR (a pair lands in
+    exactly one bucket, so per-bucket distinct counts per day sum to the
+    exact global count), vectorized per-bucket dedupe + per-day count,
+    then a tiny second reduce over n_days x n_buckets partial rows. The
+    wide exchange carries 16 B/pair — the irreducible cost of exact
+    distinct; :func:`bge_m3_onnx_ray.stages.sketch.hll_distinct` is the
+    fixed-memory approximate path beyond."""
+    from bge_m3_onnx_ray.hashing import P53
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        day = (ts // 86_400_000_000) * 86400
+        user = batch.column("user_id").to_numpy()
+        if not len(user):
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "_db": pa.array([], pa.int64())})
+        order = np.lexsort((user, day))
+        d, u = day[order], user[order]
+        head = np.empty(len(d), bool)
+        head[0] = True
+        head[1:] = (np.diff(d) != 0) | (np.diff(u) != 0)
+        d, u = d[head], u[head]
+        h = ((d.astype(np.uint64) % P53) * np.uint64(131)
+             + u.astype(np.uint64) % P53) % P53
+        return pa.table({"day": pa.array(d, pa.int64()),
+                         "user_id": pa.array(u, pa.int64()),
+                         "_db": pa.array(
+                             (h % np.uint64(n_buckets)).astype(np.int64))})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        d = g.column("day").to_numpy()
+        u = g.column("user_id").to_numpy()
+        order = np.lexsort((u, d))
+        d, u = d[order], u[order]
+        head = np.empty(len(d), bool)
+        head[0] = True
+        head[1:] = (np.diff(d) != 0) | (np.diff(u) != 0)
+        d = d[head]
+        brk = np.empty(len(d), bool)
+        brk[0] = True
+        brk[1:] = np.diff(d) != 0
+        starts = np.flatnonzero(brk)
+        return pa.table({
+            "day": pa.array(d[starts], pa.int64()),
+            "partial": pa.array(np.diff(np.concatenate(
+                [starts, [len(d)]])).astype(np.int64), pa.int64())})
+
+    pairs = ds.select_columns(["ts", "user_id"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby("_db").map_groups(per_bucket, batch_format="pyarrow")
+    return bucket_reduce(pairs, ["day"],
+                         [("partial", "sum", "distinct_users")],
+                         n_buckets=32)
