@@ -647,6 +647,13 @@ def _q_hll_distinct_users(sf_dir):
                          [r["registers_nonzero"]], pa.int64())})
 
 
+def _q_events_percentiles(sf_dir):
+    # exact percentiles via the bounded-domain histogram (the exchange
+    # carries (type, grid value) counts, never rows)
+    from bge_m3_onnx_ray.stages.events import percentiles_value_by_type
+    return percentiles_value_by_type(_events(sf_dir))
+
+
 def _q_events_hopping(sf_dir):
     # hopping (sliding) windows: 1h windows every 15min — each event in
     # 4 overlapping windows; tiled partials + one bucket_reduce
@@ -796,6 +803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": _q_revenue_by_segment,
         "events_hourly": _q_events_hourly,
         "events_distinct_users_daily": _q_events_distinct_daily,
+        "events_value_percentiles": _q_events_percentiles,
         "hll_distinct_users": _q_hll_distinct_users,
         "events_hopping": _q_events_hopping,
         "events_sessionize": _q_sessionize,
@@ -2645,6 +2653,18 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 SELECT (epoch_us(ts) // 1000000 // 86400) * 86400 AS day,
        count(DISTINCT user_id)::BIGINT AS distinct_users
 FROM events GROUP BY 1
+""",
+        "events_value_percentiles": """
+WITH e AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS q2
+           FROM events)
+SELECT event_type,
+       quantile_disc(q2, 0.25)::BIGINT AS p25,
+       quantile_disc(q2, 0.5)::BIGINT AS p50,
+       quantile_disc(q2, 0.75)::BIGINT AS p75,
+       quantile_disc(q2, 0.95)::BIGINT AS p95,
+       quantile_disc(q2, 0.99)::BIGINT AS p99
+FROM e GROUP BY event_type
 """,
         "events_hopping": """
 WITH n AS (SELECT unnest(range(0, 4)) AS j),

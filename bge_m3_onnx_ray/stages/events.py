@@ -262,3 +262,66 @@ def distinct_users_daily(ds: rd.Dataset, n_buckets: int = 256) -> rd.Dataset:
     return bucket_reduce(pairs, ["day"],
                          [("partial", "sum", "distinct_users")],
                          n_buckets=32)
+
+
+def percentiles_value_by_type(ds: rd.Dataset,
+                              qs: tuple = (0.25, 0.5, 0.75, 0.95, 0.99)
+                              ) -> rd.Dataset:
+    """Exact percentiles of ``value`` per event_type — the metrics
+    percentiles aggregation, computed the bounded-domain way: event
+    values are 2-decimal, so quantizing to the q2 integer grid
+    (floor(v*100+0.5)) is lossless and the whole distribution becomes a
+    HISTOGRAM of (event_type, value_q2) counts. The histogram (not the
+    rows) is what shuffles: per-batch partial counts -> bucket_reduce ->
+    one tiny per-type quantile pass. At 100 TB the exchange is bounded
+    by types x distinct grid values, independent of row count.
+
+    Quantile rule = SQL percentile_disc / DuckDB quantile_disc: smallest
+    value whose cumulative count reaches ceil(q*n) (both sides compute
+    ceil on the same IEEE double product, so boundaries agree)."""
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").combine_chunks().dictionary_encode()
+        codes = np.asarray(et.indices).astype(np.int64)
+        q2 = np.floor(batch.column("value").to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        if not len(codes):
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "value_q2": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        order = np.lexsort((q2, codes))
+        c, v = codes[order], q2[order]
+        brk = np.empty(len(c), bool)
+        brk[0] = True
+        brk[1:] = (np.diff(c) != 0) | (np.diff(v) != 0)
+        starts = np.flatnonzero(brk)
+        return pa.table({
+            "event_type": et.dictionary.take(pa.array(c[starts]))
+                .cast(pa.string()),
+            "value_q2": pa.array(v[starts], pa.int64()),
+            "n": pa.array(np.diff(np.concatenate(
+                [starts, [len(c)]])).astype(np.int64), pa.int64())})
+
+    hist = bucket_reduce(
+        ds.select_columns(["event_type", "value"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "value_q2"], [("n", "sum", "n")], n_buckets=32)
+
+    def quantiles(g: pa.Table) -> pa.Table:
+        et = g.column("event_type")[0].as_py()
+        v = g.column("value_q2").to_numpy()
+        n = g.column("n").to_numpy()
+        order = np.argsort(v, kind="stable")
+        v, n = v[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        out = {"event_type": pa.array([et], pa.string())}
+        for q in qs:
+            rank = min(max(int(np.ceil(q * total)), 1), total)
+            out[f"p{int(q * 100)}"] = pa.array(
+                [int(v[np.searchsorted(cum, rank)])], pa.int64())
+        return pa.table(out)
+
+    return hist.groupby("event_type").map_groups(
+        quantiles, batch_format="pyarrow")

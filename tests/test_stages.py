@@ -580,3 +580,22 @@ def test_distinct_users_daily_matches_duckdb(ray_session):
     assert got["day"].tolist() == want["day"].astype(int).tolist()
     assert got["distinct_users"].tolist() == \
         want["distinct_users"].astype(int).tolist()
+
+
+def test_percentiles_value_by_type_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.events import percentiles_value_by_type
+    path = "/root/testdata/sf0.001/events.parquet"
+    got = percentiles_value_by_type(rd.read_parquet(path)) \
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    want = duckdb.sql(f"""
+        WITH e AS (SELECT event_type,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS q2
+                   FROM '{path}')
+        SELECT event_type, quantile_disc(q2, 0.25) AS p25,
+               quantile_disc(q2, 0.5) AS p50, quantile_disc(q2, 0.75) AS p75,
+               quantile_disc(q2, 0.95) AS p95, quantile_disc(q2, 0.99) AS p99
+        FROM e GROUP BY event_type ORDER BY event_type""").df()
+    for c in ("event_type", "p25", "p50", "p75", "p95", "p99"):
+        assert got[c].tolist() == want[c].tolist(), c
