@@ -654,6 +654,23 @@ def _q_events_percentiles(sf_dir):
     return percentiles_value_by_type(_events(sf_dir))
 
 
+def _q_events_stats(sf_dir):
+    # stats metrics agg (count/min/max/sum/avg), integer-exact on the q2
+    # grid so distributed partial merges are order-free
+    from bge_m3_onnx_ray.stages.events import stats_value_by_type
+    return stats_value_by_type(_events(sf_dir))
+
+
+def _q_top_docs_per_lang(sf_dir):
+    # top_hits aggregation: per-batch per-lang top-k combiner + one tiny
+    # lang groupby
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.text import top_docs_per_lang
+    return top_docs_per_lang(rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"]))
+
+
 def _q_events_hopping(sf_dir):
     # hopping (sliding) windows: 1h windows every 15min — each event in
     # 4 overlapping windows; tiled partials + one bucket_reduce
@@ -804,6 +821,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_distinct_users_daily": _q_events_distinct_daily,
         "events_value_percentiles": _q_events_percentiles,
+        "events_value_stats": _q_events_stats,
+        "top_docs_per_lang": _q_top_docs_per_lang,
         "hll_distinct_users": _q_hll_distinct_users,
         "events_hopping": _q_events_hopping,
         "events_sessionize": _q_sessionize,
@@ -2653,6 +2672,24 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 SELECT (epoch_us(ts) // 1000000 // 86400) * 86400 AS day,
        count(DISTINCT user_id)::BIGINT AS distinct_users
 FROM events GROUP BY 1
+""",
+        "events_value_stats": """
+WITH e AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS q2
+           FROM events)
+SELECT event_type, count(*)::BIGINT AS n,
+       min(q2)::BIGINT AS min_q2, max(q2)::BIGINT AS max_q2,
+       sum(q2)::BIGINT AS sum_q2,
+       ((sum(q2) * 100) // count(*))::BIGINT AS avg_q4
+FROM e GROUP BY event_type
+""",
+        "top_docs_per_lang": """
+WITH r AS (SELECT lang, doc_id, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY n_chars DESC, doc_id) AS rnk
+           FROM documents)
+SELECT lang, rnk::INTEGER AS "rank", doc_id, n_chars
+FROM r WHERE rnk <= 3 ORDER BY lang, rnk
 """,
         "events_value_percentiles": """
 WITH e AS (SELECT event_type,

@@ -325,3 +325,57 @@ def percentiles_value_by_type(ds: rd.Dataset,
 
     return hist.groupby("event_type").map_groups(
         quantiles, batch_format="pyarrow")
+
+
+def stats_value_by_type(ds: rd.Dataset) -> rd.Dataset:
+    """The stats metrics aggregation (count/min/max/sum/avg of ``value``
+    per event_type), integer-exact: values quantized to the lossless q2
+    grid per row, batch-level pre-aggregation (one partial row per type
+    per batch), then one bucket_reduce — every reduced quantity is an
+    int64, so results are order-free and engine-neutral. avg is reported
+    as avg_q4 = (sum_q2 * 100) // count (exact integer division; values
+    here are positive, so floor vs truncate division cannot differ —
+    keep it that way or switch both sides to a signed-safe form)."""
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").combine_chunks().dictionary_encode()
+        codes = np.asarray(et.indices).astype(np.int64)
+        q2 = np.floor(batch.column("value").to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        if not len(codes):
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "min_q2": pa.array([], pa.int64()),
+                             "max_q2": pa.array([], pa.int64()),
+                             "sum_q2": pa.array([], pa.int64())})
+        order = np.argsort(codes, kind="stable")
+        c, v = codes[order], q2[order]
+        brk = np.empty(len(c), bool)
+        brk[0] = True
+        brk[1:] = np.diff(c) != 0
+        starts = np.flatnonzero(brk)
+        return pa.table({
+            "event_type": et.dictionary.take(pa.array(c[starts]))
+                .cast(pa.string()),
+            "n": pa.array(np.diff(np.concatenate(
+                [starts, [len(c)]])).astype(np.int64), pa.int64()),
+            "min_q2": pa.array(np.minimum.reduceat(v, starts), pa.int64()),
+            "max_q2": pa.array(np.maximum.reduceat(v, starts), pa.int64()),
+            "sum_q2": pa.array(np.add.reduceat(v, starts), pa.int64())})
+
+    agg = bucket_reduce(
+        ds.select_columns(["event_type", "value"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type"],
+        [("n", "sum", "n"), ("min_q2", "min", "min_q2"),
+         ("max_q2", "max", "max_q2"), ("sum_q2", "sum", "sum_q2")],
+        n_buckets=8)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t.column("sum_q2").to_numpy()
+        n = t.column("n").to_numpy()
+        return t.append_column(
+            "avg_q4", pa.array((s * 100) // np.maximum(n, 1), pa.int64()))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

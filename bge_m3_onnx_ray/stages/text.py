@@ -435,3 +435,49 @@ class Fingerprint:
 def fingerprint(ds: rd.Dataset) -> rd.Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
         task_stage(Fingerprint), batch_format="pyarrow", batch_size=4096)
+
+
+def top_docs_per_lang(ds: rd.Dataset, k: int = 3) -> rd.Dataset:
+    """The top_hits aggregation: per language bucket, the k largest
+    documents by (n_chars desc, doc_id asc), with rank.
+
+    Distributed shape: each batch keeps its own per-lang top-k (a
+    combiner — at most k x n_langs rows leave any batch), then ONE tiny
+    groupby over lang finishes. Exact: the global top-k per lang is a
+    subset of the union of per-batch top-ks."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").combine_chunks().dictionary_encode()
+        codes = np.asarray(lang.indices).astype(np.int64)
+        nc = batch.column("n_chars").to_numpy()
+        did = batch.column("doc_id").to_numpy()
+        if not len(codes):
+            return batch.select(["lang", "doc_id", "n_chars"])
+        order = np.lexsort((did, -nc, codes))
+        c = codes[order]
+        brk = np.empty(len(c), bool)
+        brk[0] = True
+        brk[1:] = np.diff(c) != 0
+        firsts = np.flatnonzero(brk)
+        pos = np.arange(len(c)) - np.repeat(firsts, np.diff(
+            np.concatenate([firsts, [len(c)]])))
+        keep = order[pos < k]
+        return pa.table({
+            "lang": batch.column("lang").take(pa.array(keep)),
+            "doc_id": pa.array(did[keep], pa.int64()),
+            "n_chars": pa.array(nc[keep], pa.int64())})
+
+    def final(g: pa.Table) -> pa.Table:
+        nc = g.column("n_chars").to_numpy()
+        did = g.column("doc_id").to_numpy()
+        order = np.lexsort((did, -nc))[:k]
+        return pa.table({
+            "lang": g.column("lang").take(pa.array(order)),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32),
+                             pa.int32()),
+            "doc_id": pa.array(did[order], pa.int64()),
+            "n_chars": pa.array(nc[order], pa.int64())})
+
+    return ds.select_columns(["lang", "doc_id", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby("lang").map_groups(final, batch_format="pyarrow")

@@ -599,3 +599,24 @@ def test_percentiles_value_by_type_matches_duckdb(ray_session):
         FROM e GROUP BY event_type ORDER BY event_type""").df()
     for c in ("event_type", "p25", "p50", "p75", "p95", "p99"):
         assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_top_docs_per_lang_combiner_exact(ray_session):
+    """The per-batch top-k combiner must not lose the global top-k: use
+    tiny batches so every lang's winners are scattered across batches."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.text import top_docs_per_lang
+    rng = np.random.default_rng(11)
+    n = 2000
+    tbl = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                    "lang": pa.array(np.repeat(["en", "de", "fr", "zz"],
+                                               n // 4)),
+                    "n_chars": pa.array(rng.integers(0, 500, n), pa.int64())})
+    got = top_docs_per_lang(rd.from_arrow(tbl).repartition(40), k=3) \
+        .to_pandas().sort_values(["lang", "rank"]).reset_index(drop=True)
+    df = tbl.to_pandas()
+    df = df.sort_values(["lang", "n_chars", "doc_id"],
+                        ascending=[True, False, True])
+    want = df.groupby("lang").head(3).reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_chars"].tolist() == want["n_chars"].tolist()
