@@ -390,6 +390,15 @@ def _q_bm25_transcripts_collapsed(sf_dir):
     return bm25_transcripts_topk_collapsed(sf_dir)
 
 
+def _q_rank_eval(sf_dir):
+    # search-quality evaluation: precision@10 + MRR against the
+    # deterministic all-terms-contained judgment; the relevance pass is
+    # an allow_docs-restricted AND search (membership only, never the
+    # full conjunctive set)
+    from bge_m3_onnx_ray.pipelines.flagship import rank_eval_documents
+    return rank_eval_documents(sf_dir)
+
+
 def _q_bm25_transcripts_conv_sum(sf_dir):
     # has_child score_mode=sum: conversations ranked by the SUM of their
     # matching turns' quantized scores (exact distributed int aggregation)
@@ -786,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_transcripts_topk_recency": _q_bm25_transcripts_recency,
         "bm25_transcripts_topk_collapsed": _q_bm25_transcripts_collapsed,
         "bm25_transcripts_conv_topk": _q_bm25_transcripts_conv_sum,
+        "rank_eval_documents": _q_rank_eval,
         "transcripts_index_stats": _q_transcripts_index_stats,
         "transcripts_tool_stats": _q_transcripts_tool_stats,
         "token_count": _q_token_count,
@@ -969,6 +979,64 @@ SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
        CAST(floor(score * 1000000) AS BIGINT) AS score_q6
 FROM ranked WHERE rnk > {offset} AND rnk <= {offset + 10}
 ORDER BY query_id, "rank"
+"""
+
+
+def _rank_eval_sql(k: int = 10) -> str:
+    """rank_eval oracle: precision@k and reciprocal rank of the BM25
+    top-k against the deterministic all-terms-contained judgment
+    (the percolator predicate). Integer metrics: hits*1e6 // k and
+    1e6 // first_hit_rank — exact on both sides."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_QUERIES
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    vals = []
+    for qid, text in DOC_QUERIES:
+        for t in sorted(set(tokenize(text))):
+            vals.append(f"({qid}, '{t}')")
+    return f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM toks)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+qterms(query_id, term) AS (VALUES {', '.join(vals)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+topk AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scores),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+qn AS (SELECT query_id, count(DISTINCT term)::BIGINT AS n
+       FROM qterms GROUP BY 1),
+rel AS (SELECT q.query_id, d.doc_id
+        FROM (SELECT DISTINCT query_id, term FROM qterms) q
+        JOIN dt d ON d.term = q.term
+        GROUP BY q.query_id, d.doc_id
+        HAVING count(*) = (SELECT n FROM qn WHERE qn.query_id = q.query_id)),
+hits AS (SELECT t.query_id, t.rnk,
+                CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS hit
+         FROM topk t
+         LEFT JOIN rel r ON r.query_id = t.query_id
+                        AND r.doc_id = t.doc_id
+         WHERE t.rnk <= {k})
+SELECT query_id::BIGINT AS query_id,
+       ((sum(hit) * 1000000) // {k})::BIGINT AS precision_q6,
+       coalesce(1000000 // min(CASE WHEN hit = 1 THEN rnk END), 0)::BIGINT
+         AS rr_q6
+FROM hits GROUP BY query_id ORDER BY query_id
 """
 
 
@@ -2460,6 +2528,7 @@ def oracle_sql() -> dict[str, str]:
             collapse=True),
         "bm25_transcripts_conv_topk": _bm25_transcripts_sql(
             conv_sum=True),
+        "rank_eval_documents": _rank_eval_sql(),
         "transcripts_index_stats": _transcripts_stats_sql(),
         "transcripts_tool_stats": """
 WITH docs AS (SELECT conv_id, turn_idx, tool, text

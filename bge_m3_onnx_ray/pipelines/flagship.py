@@ -1787,3 +1787,44 @@ def bm25_transcripts_topk(sf_dir: str, method: str = "wand", k: int = 10,
     return pa.Table.from_pandas(
         df[["query_id", "rank", "conv_id", "turn_idx", "score_q6"]],
         preserve_index=False)
+
+
+def rank_eval_documents(sf_dir: str, k: int = 10) -> pa.Table:
+    """The rank_eval API: search-quality metrics (precision@k, MRR) for
+    the BM25 top-k against deterministic relevance judgments — a doc is
+    RELEVANT to a query iff it contains EVERY distinct query term (the
+    percolator predicate, so judgments need no human labels and the SQL
+    oracle can mirror them exactly).
+
+    Scale shape: judging needs only MEMBERSHIP of the k returned docs in
+    the relevant set, so the second pass is an AND-mode search RESTRICTED
+    to the top-k docIDs via allow_docs (<= n_queries x k candidates
+    corpus-wide) — the full conjunctive match set is never materialized.
+    Metrics are exact integers: precision_q6 = hits*1e6 // k,
+    rr_q6 = 1e6 // first_hit_rank (0 when no hit)."""
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    top = search(idx, DOC_QUERIES, QueryConfig(k=k, method="wand")) \
+        .to_pandas()
+    top["doc_id"] = top["conv_id"].str.slice(4).astype(np.int64)
+    allow = {int(qid): np.sort(g["doc_id"].to_numpy())
+             for qid, g in top.groupby("query_id")}
+    rel = search(idx, DOC_QUERIES,
+                 QueryConfig(k=k, method="exhaustive", mode="and"),
+                 allow_docs=allow).to_pandas()
+    rel["doc_id"] = rel["conv_id"].str.slice(4).astype(np.int64)
+    hit_sets = {int(qid): set(g["doc_id"].tolist())
+                for qid, g in rel.groupby("query_id")}
+    rows = []
+    for qid, g in top.groupby("query_id"):
+        hits = hit_sets.get(int(qid), set())
+        g = g.sort_values("rank")
+        is_hit = g["doc_id"].isin(hits).to_numpy()
+        first = int(g["rank"].to_numpy()[is_hit][0]) if is_hit.any() else 0
+        rows.append((int(qid), int(is_hit.sum()) * 1_000_000 // k,
+                     1_000_000 // first if first else 0))
+    rows.sort()
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "precision_q6": pa.array([r[1] for r in rows], pa.int64()),
+        "rr_q6": pa.array([r[2] for r in rows], pa.int64())})
