@@ -680,6 +680,15 @@ def _q_top_docs_per_lang(sf_dir):
         columns=["doc_id", "lang", "n_chars"]))
 
 
+def _q_histogram_n_chars(sf_dir):
+    # numeric histogram agg: per-batch bucket-count combiner + one
+    # bucket_reduce; the exchange carries bucket counts, never rows
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.text import histogram_n_chars
+    return histogram_n_chars(rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"]))
+
+
 def _q_events_hopping(sf_dir):
     # hopping (sliding) windows: 1h windows every 15min — each event in
     # 4 overlapping windows; tiled partials + one bucket_reduce
@@ -833,6 +842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_percentiles": _q_events_percentiles,
         "events_value_stats": _q_events_stats,
         "top_docs_per_lang": _q_top_docs_per_lang,
+        "histogram_n_chars": _q_histogram_n_chars,
         "hll_distinct_users": _q_hll_distinct_users,
         "events_hopping": _q_events_hopping,
         "events_sessionize": _q_sessionize,
@@ -2759,6 +2769,10 @@ WITH r AS (SELECT lang, doc_id, n_chars,
            FROM documents)
 SELECT lang, rnk::INTEGER AS "rank", doc_id, n_chars
 FROM r WHERE rnk <= 3 ORDER BY lang, rnk
+""",
+        "histogram_n_chars": """
+SELECT (n_chars // 200) * 200 AS bucket, count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1
 """,
         "events_value_percentiles": """
 WITH e AS (SELECT event_type,

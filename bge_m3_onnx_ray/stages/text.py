@@ -481,3 +481,27 @@ def top_docs_per_lang(ds: rd.Dataset, k: int = 3) -> rd.Dataset:
     return ds.select_columns(["lang", "doc_id", "n_chars"]) \
         .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
         .groupby("lang").map_groups(final, batch_format="pyarrow")
+
+
+def histogram_n_chars(ds: rd.Dataset, interval: int = 200) -> rd.Dataset:
+    """The histogram aggregation: fixed-interval buckets of a numeric
+    field with counts. Per-batch partial bucket counts (a combiner — at
+    most range/interval rows leave a batch), one bucket_reduce. Buckets
+    with no documents are absent (the sparse convention; densify at the
+    consumer if a chart needs empty bars)."""
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_chars").to_numpy()
+        if not len(nc):
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64())})
+        b = (nc // interval) * interval
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()),
+                         "n_docs": pa.array(c.astype(np.int64), pa.int64())})
+
+    return bucket_reduce(
+        ds.select_columns(["n_chars"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=65536),
+        ["bucket"], [("n_docs", "sum", "n_docs")], n_buckets=8)
