@@ -711,7 +711,13 @@ def build_index(transcripts, index_dir: str, cfg: IndexConfig | None = None,
         prev = ctx.shuffle_strategy
         t0 = time.perf_counter()
         try:
-            ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+            # BM25_SHUFFLE_STRATEGY overrides for A/B experiments
+            # (hash | push | pull); push-based measured fastest here
+            strat = {"hash": ShuffleStrategy.HASH_SHUFFLE,
+                     "pull": ShuffleStrategy.SORT_SHUFFLE_PULL_BASED,
+                     "push": ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED}[
+                os.environ.get("BM25_SHUFFLE_STRATEGY", "push")]
+            ctx.shuffle_strategy = strat
             meta.materialize()  # drive the build; meta rows are tiny
         finally:
             ctx.shuffle_strategy = prev
