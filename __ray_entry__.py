@@ -406,6 +406,14 @@ def _q_bm25_transcripts_conv_sum(sf_dir):
     return bm25_transcripts_conv_topk(sf_dir)
 
 
+def _q_transcripts_role_transitions(sf_dir):
+    # conversation-flow analytics: role bigrams in turn order, one
+    # conv-bucket shuffle + adjacent-pair kernel
+    from bge_m3_onnx_ray.pipelines.flagship import \
+        transcripts_role_transitions
+    return transcripts_role_transitions(sf_dir)
+
+
 def _q_transcripts_tool_stats(sf_dir):
     # per-tool usage analytics over the full input_hint schema (the one
     # column no other key exercises)
@@ -689,6 +697,13 @@ def _q_histogram_n_chars(sf_dir):
         os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"]))
 
 
+def _q_events_daily_pipeline(sf_dir):
+    # pipeline aggs (cumulative_sum/derivative/moving sum) over the
+    # distributed daily bucket table
+    from bge_m3_onnx_ray.stages.events import daily_pipeline_aggs
+    return daily_pipeline_aggs(_events(sf_dir))
+
+
 def _q_events_hopping(sf_dir):
     # hopping (sliding) windows: 1h windows every 15min — each event in
     # 4 overlapping windows; tiled partials + one bucket_reduce
@@ -807,6 +822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_eval_documents": _q_rank_eval,
         "transcripts_index_stats": _q_transcripts_index_stats,
         "transcripts_tool_stats": _q_transcripts_tool_stats,
+        "transcripts_role_transitions": _q_transcripts_role_transitions,
         "token_count": _q_token_count,
         "pack_sequences": _q_pack_sequences,
         "corpus_stats": _q_corpus_stats,
@@ -843,6 +859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_stats": _q_events_stats,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "histogram_n_chars": _q_histogram_n_chars,
+        "events_daily_pipeline": _q_events_daily_pipeline,
         "hll_distinct_users": _q_hll_distinct_users,
         "events_hopping": _q_events_hopping,
         "events_sessionize": _q_sessionize,
@@ -2540,6 +2557,16 @@ def oracle_sql() -> dict[str, str]:
             conv_sum=True),
         "rank_eval_documents": _rank_eval_sql(),
         "transcripts_index_stats": _transcripts_stats_sql(),
+        "transcripts_role_transitions": """
+WITH t AS (SELECT conv_id, turn_idx, role FROM __SRC__),
+p AS (SELECT role AS to_role,
+             lag(role) OVER (PARTITION BY conv_id
+                             ORDER BY turn_idx) AS from_role
+      FROM t)
+SELECT from_role, to_role, count(*)::BIGINT AS n
+FROM p WHERE from_role IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""".replace("__SRC__", _transcripts_src_sql()),
         "transcripts_tool_stats": """
 WITH docs AS (SELECT conv_id, turn_idx, tool, text
               FROM __SRC__),
@@ -2773,6 +2800,24 @@ FROM r WHERE rnk <= 3 ORDER BY lang, rnk
         "histogram_n_chars": """
 SELECT (n_chars // 200) * 200 AS bucket, count(*)::BIGINT AS n_docs
 FROM documents GROUP BY 1
+""",
+        "events_daily_pipeline": """
+WITH daily AS (
+  SELECT (epoch_us(ts) // 1000000 // 86400) * 86400 AS day,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1)
+SELECT day, n_events,
+       sum(n_events) OVER w ::BIGINT AS cum_events,
+       coalesce(n_events - lag(n_events) OVER (ORDER BY day), 0)::BIGINT
+         AS delta_events,
+       sum(n_events) OVER (ORDER BY day
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT
+         AS moving7_events,
+       count(*) OVER (ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT
+         AS moving7_window
+FROM daily WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+ORDER BY day
 """,
         "events_value_percentiles": """
 WITH e AS (SELECT event_type,

@@ -474,6 +474,55 @@ def transcripts_tool_stats(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def transcripts_role_transitions(sf_dir: str, n_buckets: int = 64) -> pa.Table:
+    """Role-transition bigram counts over the multi-turn schema: how
+    often does a turn of role A follow a turn of role B inside one
+    conversation (turn_idx order) — the conversation-flow analytic.
+
+    Distributed shape: ONE shuffle keyed by a hash bucket of conv_id
+    (all of a conversation's turns co-locate; transitions never cross
+    conversations, so buckets are independent), a vectorized per-bucket
+    sort + adjacent-pair kernel, then a tiny (roles x roles) reduce.
+    Output (from_role, to_role, n)."""
+    from bge_m3_onnx_ray.fixtures import transcripts_path
+    from bge_m3_onnx_ray.hashing import P53, poly_hash
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+    path = transcripts_path(transcripts_n_turns(sf_dir))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = poly_hash(t.column("conv_id"), P53) % np.uint64(n_buckets)
+        return t.append_column("_cb", pa.array(b.astype(np.int64)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        conv = g.column("conv_id").combine_chunks().dictionary_encode()
+        cc = np.asarray(conv.indices).astype(np.int64)
+        turn = g.column("turn_idx").to_numpy()
+        role = g.column("role").combine_chunks().dictionary_encode()
+        rc = np.asarray(role.indices).astype(np.int64)
+        order = np.lexsort((turn, cc))
+        cc, rc = cc[order], rc[order]
+        same = cc[1:] == cc[:-1]              # adjacent rows, same conv
+        frm, to = rc[:-1][same], rc[1:][same]
+        nr = len(role.dictionary)
+        pair = frm * nr + to
+        u, c = np.unique(pair, return_counts=True)
+        return pa.table({
+            "from_role": role.dictionary.take(pa.array(u // nr))
+                .cast(pa.string()),
+            "to_role": role.dictionary.take(pa.array(u % nr))
+                .cast(pa.string()),
+            "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    src = rd.read_parquet(path, columns=["conv_id", "turn_idx", "role"])
+    pairs = src.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_cb").map_groups(per_bucket, batch_format="pyarrow")
+    return bucket_reduce(pairs, ["from_role", "to_role"],
+                         [("n", "sum", "n")], n_buckets=8) \
+        .to_pandas().sort_values(["from_role", "to_role"]) \
+        .pipe(lambda d: pa.Table.from_pandas(d.reset_index(drop=True),
+                                             preserve_index=False))
+
+
 def transcripts_phrases(sf_dir: str, n: int = 8) -> list[tuple[int, str]]:
     """Deterministic phrase set drawn from the multi-turn fixture itself
     (both the engine query and the DuckDB oracle builder call this, so

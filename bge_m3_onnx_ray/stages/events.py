@@ -379,3 +379,49 @@ def stats_value_by_type(ds: rd.Dataset) -> rd.Dataset:
             "avg_q4", pa.array((s * 100) // np.maximum(n, 1), pa.int64()))
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def daily_pipeline_aggs(ds: rd.Dataset) -> rd.Dataset:
+    """Pipeline aggregations (cumulative_sum / derivative / moving window
+    sum) over daily event counts. The parent agg (events per UTC day) is
+    fully distributed (batch pre-agg + bucket_reduce); the pipeline part
+    then runs over the BUCKET TABLE — n_days rows, small by construction
+    — in one task, exactly the semantics pipeline aggs have upstream
+    (they consume the reduced bucket list, never raw rows). All outputs
+    are integers: order-free and engine-neutral."""
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        day = (ts // 86_400_000_000) * 86400
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int64()),
+                         "n_events": pa.array(c.astype(np.int64), pa.int64())})
+
+    daily = bucket_reduce(
+        ds.select_columns(["ts"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=65536),
+        ["day"], [("n_events", "sum", "n_events")], n_buckets=8)
+
+    def pipeline(t: pa.Table) -> pa.Table:
+        d = t.column("day").to_numpy()
+        n = t.column("n_events").to_numpy()
+        order = np.argsort(d, kind="stable")
+        d, n = d[order], n[order]
+        cum = np.cumsum(n)
+        delta = np.empty(len(n), np.int64)
+        delta[0] = 0
+        delta[1:] = np.diff(n)
+        win = np.minimum(np.arange(len(n)) + 1, 7)
+        mov = cum - np.concatenate([[0] * min(7, len(n)), cum[:-7]])[:len(n)]
+        return pa.table({
+            "day": pa.array(d, pa.int64()),
+            "n_events": pa.array(n, pa.int64()),
+            "cum_events": pa.array(cum.astype(np.int64), pa.int64()),
+            "delta_events": pa.array(delta, pa.int64()),
+            "moving7_events": pa.array(mov.astype(np.int64), pa.int64()),
+            "moving7_window": pa.array(win.astype(np.int64), pa.int64())})
+
+    return daily.repartition(1).map_batches(pipeline, batch_format="pyarrow",
+                                            batch_size=None)

@@ -31,7 +31,7 @@ def duck():
     "exact_dedup", "events_hourly", "revenue_by_segment",
     "rank_eval_documents", "events_value_stats", "top_docs_per_lang",
     "events_value_percentiles", "events_distinct_users_daily",
-    "histogram_n_chars",
+    "histogram_n_chars", "events_daily_pipeline",
 ])
 def test_flagship_vs_sql_oracle(ray_session, duck, name):
     import sys

@@ -620,3 +620,31 @@ def test_top_docs_per_lang_combiner_exact(ray_session):
     want = df.groupby("lang").head(3).reset_index(drop=True)
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["n_chars"].tolist() == want["n_chars"].tolist()
+
+
+def test_role_transitions_cross_batch(ray_session):
+    """A conversation scattered across many input blocks must still
+    produce its turn-order transitions exactly once: the conv-bucket
+    shuffle reassembles conversations before the adjacent-pair kernel."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    import os
+    from bge_m3_onnx_ray.fixtures import transcripts_path
+    from bge_m3_onnx_ray.pipelines.flagship import \
+        transcripts_role_transitions
+
+    got = transcripts_role_transitions("/root/testdata/sf0.001") \
+        .to_pandas()
+    # brute force on the same fixture
+    from bge_m3_onnx_ray.pipelines.flagship import transcripts_n_turns
+    t = pq.read_table(transcripts_path(
+        transcripts_n_turns("/root/testdata/sf0.001")),
+        columns=["conv_id", "turn_idx", "role"]).to_pandas()
+    t = t.sort_values(["conv_id", "turn_idx"])
+    same = t["conv_id"].to_numpy()[1:] == t["conv_id"].to_numpy()[:-1]
+    frm = t["role"].to_numpy()[:-1][same]
+    to = t["role"].to_numpy()[1:][same]
+    import collections
+    want = collections.Counter(zip(frm, to))
+    have = {(r.from_role, r.to_role): r.n for r in got.itertuples()}
+    assert have == dict(want)
