@@ -390,6 +390,13 @@ def _q_bm25_transcripts_collapsed(sf_dir):
     return bm25_transcripts_topk_collapsed(sf_dir)
 
 
+def _q_bool(sf_dir):
+    # compound bool query: must intersection as the allowed mask for the
+    # exhaustive scorer; should terms boost, must_not excludes
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_topk_bool
+    return bm25_documents_topk_bool(sf_dir)
+
+
 def _q_rank_eval(sf_dir):
     # search-quality evaluation: precision@10 + MRR against the
     # deterministic all-terms-contained judgment; the relevance pass is
@@ -820,6 +827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_transcripts_topk_collapsed": _q_bm25_transcripts_collapsed,
         "bm25_transcripts_conv_topk": _q_bm25_transcripts_conv_sum,
         "rank_eval_documents": _q_rank_eval,
+        "bm25_documents_topk_bool": _q_bool,
         "transcripts_index_stats": _q_transcripts_index_stats,
         "transcripts_tool_stats": _q_transcripts_tool_stats,
         "transcripts_role_transitions": _q_transcripts_role_transitions,
@@ -1006,6 +1014,69 @@ SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
        CAST(floor(score * 1000000) AS BIGINT) AS score_q6
 FROM ranked WHERE rnk > {offset} AND rnk <= {offset + 10}
 ORDER BY query_id, "rank"
+"""
+
+
+def _bool_sql(k: int = 10) -> str:
+    """Compound bool oracle: candidates contain EVERY must term and NO
+    must_not term; score = BM25 sum over present must-or-should terms."""
+    from bge_m3_onnx_ray.pipelines.flagship import BOOL_QUERIES
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    qvals, mvals, nvals = [], [], []
+    for qid, must, should, neg in BOOL_QUERIES:
+        mterms = sorted(set(tokenize(must)))
+        for t in sorted(set(tokenize(must)) | set(tokenize(should or ""))):
+            qvals.append(f"({qid}, '{t}')")
+        for t in mterms:
+            mvals.append(f"({qid}, '{t}')")
+        for t in sorted(set(tokenize(neg or ""))):
+            nvals.append(f"({qid}, '{t}')")
+    neg_cte = (f",\nqneg(query_id, term) AS (VALUES {', '.join(nvals)})"
+               if nvals else "")
+    neg_where = ("""
+    AND NOT EXISTS (SELECT 1 FROM toks tx JOIN qneg nq ON nq.term = tx.term
+                    WHERE nq.query_id = q.query_id
+                      AND tx.doc_id = tf.doc_id)""" if nvals else "")
+    return f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM toks)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+qterms(query_id, term) AS (VALUES {', '.join(qvals)}),
+qmust(query_id, term) AS (VALUES {', '.join(mvals)}){neg_cte},
+mn AS (SELECT query_id, count(DISTINCT term)::BIGINT AS n
+       FROM qmust GROUP BY 1),
+cover AS (SELECT m.query_id, t.doc_id
+          FROM qmust m JOIN (SELECT DISTINCT doc_id, term FROM toks) t
+            ON t.term = m.term
+          GROUP BY m.query_id, t.doc_id
+          HAVING count(*) = (SELECT n FROM mn
+                             WHERE mn.query_id = m.query_id)),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN cover c ON c.query_id = q.query_id AND c.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE 1 = 1{neg_where}
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scores)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
+       doc_id::BIGINT AS doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_q6
+FROM ranked WHERE rnk <= {k} ORDER BY query_id, "rank"
 """
 
 
@@ -2556,6 +2627,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_transcripts_conv_topk": _bm25_transcripts_sql(
             conv_sum=True),
         "rank_eval_documents": _rank_eval_sql(),
+        "bm25_documents_topk_bool": _bool_sql(),
         "transcripts_index_stats": _transcripts_stats_sql(),
         "transcripts_role_transitions": """
 WITH t AS (SELECT conv_id, turn_idx, role FROM __SRC__),

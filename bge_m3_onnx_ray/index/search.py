@@ -670,14 +670,16 @@ class ShardScorer:
                  if "neg" in batch.schema.names else [()] * len(qids))
         boostss = (batch.column("boosts").to_pylist()
                    if "boosts" in batch.schema.names else [None] * len(qids))
+        mustss = (batch.column("must").to_pylist()
+                  if "must" in batch.schema.names else [None] * len(qids))
         if self._lookup is not None:  # bulk path: one dict probe per batch
             self.idfs = self._lookup.idfs_for(
                 {t for ts in termss for t in ts})
         # decoded-postings memo for THIS batch: many queries in a batch hit
         # the same (shard, term) — decode once, not once per query row
         dec_memo: dict[tuple[int, str], tuple] = {}
-        for qid, terms, negs, boosts, shard in zip(qids, termss, negss,
-                                                   boostss, shards):
+        for qid, terms, negs, boosts, musts, shard in zip(
+                qids, termss, negss, boostss, mustss, shards):
             n_required = len(set(terms))
             # per-term boosts scale idf — exact for every scorer (BM25
             # contributions and WAND block bounds are linear in idf)
@@ -693,6 +695,9 @@ class ShardScorer:
                 continue
             if self.mode == "and" and len(set(terms)) < n_required:
                 continue  # a query term is OOV corpus-wide: AND matches nothing
+            if self.mode == "bool" and any(
+                    self.idfs.get(t) is None for t in (musts or ())):
+                continue  # a REQUIRED clause is OOV corpus-wide: no matches
             post = self._shard_postings(int(shard), terms)
             avail = {t: e for t in terms if (e := post.get(t)) is not None}
             if not avail:
@@ -738,7 +743,33 @@ class ShardScorer:
                     got = decode_postings(e, m.block_size)
                     dec_memo[(shard, t)] = got
                 decoded[t] = got
-            if self.mode == "and":
+            if self.mode == "bool":
+                # Lucene BooleanQuery: candidates = docs containing EVERY
+                # must term (minus must_not, handled via `excluded`); the
+                # SCORE sums BM25 over every present must-or-should term.
+                # Intersection first (smallest list leads), passed to the
+                # exhaustive scorer as an `allowed` mask — should terms
+                # never widen the candidate set, only the score.
+                must = list(musts or ())
+                if any(t not in decoded for t in must) or not must:
+                    continue  # a required term is absent from this shard
+                by_len = sorted(must, key=lambda t: len(decoded[t][0]))
+                inter = decoded[by_len[0]][0]
+                for t in by_len[1:]:
+                    darr = decoded[t][0]
+                    if not len(inter):
+                        break
+                    pos = np.searchsorted(darr, inter)
+                    keep = pos < len(darr)
+                    keep[keep] = darr[pos[keep]] == inter[keep]
+                    inter = inter[keep]
+                allow2 = (inter if allowed is None
+                          else np.intersect1d(allowed, inter,
+                                              assume_unique=True))
+                scores, docs = score_exhaustive(
+                    decoded, sorted(decoded), qidfs, m.avgdl, m.k1, m.b,
+                    self.k, allowed=allow2, excluded=excluded)
+            elif self.mode == "and":
                 # conjunctive: intersection-first IS the fast path (WAND's
                 # bound pruning is an OR-mode optimization). Pass the FULL
                 # query term set: a term absent from this shard must yield
@@ -1206,3 +1237,53 @@ def search_bulk(index_dir: str, queries: rd.Dataset,
             lambda t, _o=cfg.offset: t.filter(pc.greater(t.column("rank"), _o)),
             batch_format="pyarrow")
     return out
+
+
+def search_bool(index_dir: str,
+                queries: "list[tuple[int, str, str, str]]",
+                cfg: QueryConfig | None = None) -> rd.Dataset:
+    """Compound boolean search — the Lucene BooleanQuery / Elasticsearch
+    bool query: ``queries`` rows are (query_id, must_text, should_text,
+    must_not_text). Candidates contain EVERY must term and NO must_not
+    term; the score is the plain BM25 sum over every present must-or-
+    should term (should clauses boost ranking, never matching — SHOULD
+    with a MUST present is purely additive, as in Lucene).
+
+    Distribution is the standard fan-out: the must intersection runs
+    per shard (smallest posting list first), becomes an `allowed` mask
+    for the exhaustive scorer, and partials merge through the same tiny
+    per-query top-k shuffle as every other mode."""
+    cfg = cfg or QueryConfig()
+    meta = IndexMeta(index_dir)
+    offsets = ConvOffsets.load(index_dir)
+    from bge_m3_onnx_ray.tokenizer import make_tokenizer
+    tok = make_tokenizer(meta.stats.get("tokenizer_spec", "deterministic"))
+
+    rows = []
+    all_terms: set[str] = set()
+    for qid, must_text, should_text, not_text in queries:
+        must = sorted(set(tok.tokenize(must_text)))
+        if not must:
+            raise ValueError(f"query {qid}: empty must clause")
+        should = sorted(set(tok.tokenize(should_text or "")))
+        neg = sorted(set(tok.tokenize(not_text or "")))
+        terms = sorted(set(must) | set(should))
+        all_terms.update(terms)
+        rows.append({"query_id": int(qid), "terms": terms, "must": must,
+                     "neg": neg})
+    dfs = meta.load_term_dfs(sorted(all_terms)) if all_terms else {}
+    idfs = {t: idf(d, meta.n_docs) for t, d in dfs.items()}
+
+    pairs = [dict(r, shard=s) for s in meta.shards for r in rows]
+    if not pairs:
+        return rd.from_arrow(RESULT_SCHEMA.empty_table())
+    fanout = rd.from_items(sorted(pairs, key=lambda r: r["shard"]))
+    partials = fanout.map_batches(
+        ShardScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "idfs": idfs,
+                               "k": cfg.k, "method": "exhaustive",
+                               "cache_size": cfg.shard_cache_size,
+                               "mode": "bool"},
+        batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
+        concurrency=cfg.scorer_concurrency, num_cpus=1)
+    return merge_topk(partials, offsets, cfg.k)

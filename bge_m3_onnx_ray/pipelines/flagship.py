@@ -1877,3 +1877,32 @@ def rank_eval_documents(sf_dir: str, k: int = 10) -> pa.Table:
         "query_id": pa.array([r[0] for r in rows], pa.int64()),
         "precision_q6": pa.array([r[1] for r in rows], pa.int64()),
         "rr_q6": pa.array([r[2] for r in rows], pa.int64())})
+
+
+# Compound bool queries: (query_id, must_text, should_text, must_not_text).
+# Shapes covered: pure-boost should, filter-only must, OOV must (matches
+# nothing), OOV must_not (no-op), duplicate should terms (deduped).
+BOOL_QUERIES: list[tuple[int, str, str, str]] = [
+    (0, "table", "key order", ""),
+    (1, "data filter", "window", "stream"),
+    (2, "customer", "", "merge"),
+    (3, "zzzneverseen", "table", ""),
+    (4, "join window", "scan slow", "zzzneverseen"),
+    (5, "query", "query query group", ""),
+]
+
+
+def bm25_documents_topk_bool(sf_dir: str, k: int = 10) -> pa.Table:
+    """Compound bool query (must/should/must_not) over the documents
+    corpus — Lucene BooleanQuery semantics: candidates contain every
+    must term and no must_not term; the score adds BM25 over every
+    present must-or-should term. Output shaped for the SQL oracle."""
+    from bge_m3_onnx_ray.index.search import search_bool
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    out = search_bool(idx, BOOL_QUERIES, QueryConfig(k=k)).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id",
+                                     "score_q6"]], preserve_index=False)

@@ -860,3 +860,33 @@ def test_conv_sum_rejects_unsupported(tiny_index):
     with pytest.raises(ValueError, match="conv_score_mode"):
         search(idx, [(0, "data")],
                QueryConfig(k=10, method="exhaustive", conv_score_mode="max"))
+
+
+def test_bool_query_parity(tiny_index, tiny_corpus):
+    """bool(must/should/must_not) == OR scoring over must+should terms,
+    restricted to the AND(must) candidate set minus docs containing any
+    must_not term — composed from oracle primitives."""
+    from bge_m3_onnx_ray.index.search import search_bool
+    from bge_m3_onnx_ray.oracle import OracleIndex
+    import pyarrow.parquet as pq
+
+    idx, _ = tiny_index
+    path, _, _ = tiny_corpus
+    t = pq.read_table(path)
+    oi = OracleIndex(zip(t.column("conv_id").to_pylist(),
+                         t.column("turn_idx").to_pylist(),
+                         t.column("text").to_pylist()))
+    cases = [(0, "data", "table key", ""),
+             (1, "table sort", "", "merge"),
+             (2, "order", "data data", "zzznope"),
+             (3, "zzznope", "data", "")]
+    got = search_bool(idx, cases, QueryConfig(k=8)).to_pandas()
+    for qid, must, should, neg in cases:
+        allowed = {r["doc_id"] for r in oi.search(must, k=10**9, mode="and")}
+        for nt in set(oi.tok.tokenize(neg or "")):
+            allowed -= {d for d, _ in oi.postings.get(nt, [])}
+        want = oi.search(f"{must} {should}", k=8, allowed=allowed)
+        have = got[got.query_id == qid].sort_values("rank")
+        assert list(have.doc_id) == [r["doc_id"] for r in want], qid
+        assert np.allclose(list(have.score),
+                           [r["score"] for r in want], rtol=0, atol=0), qid
