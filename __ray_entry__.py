@@ -738,6 +738,16 @@ def _q_corpus_sample_hash(sf_dir):
     return corpus_sample_hash(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_gopher_repetition(sf_dir):
+    from bge_m3_onnx_ray.stages.text import gopher_repetition
+    return gopher_repetition(_docs(sf_dir))
+
+
+def _q_mixture_sample(sf_dir):
+    from bge_m3_onnx_ray.stages.text import mixture_sample
+    return mixture_sample(_docs(sf_dir).select_columns(["doc_id", "source"]))
+
+
 def _q_text_variations(sf_dir):
     from bge_m3_onnx_ray.stages.text import text_variations
     return text_variations(_docs(sf_dir))
@@ -843,6 +853,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distribution_counts": _q_distribution_counts,
         "corpus_sample": _q_corpus_sample,
         "corpus_sample_hash": _q_corpus_sample_hash,
+        "gopher_repetition": _q_gopher_repetition,
+        "mixture_sample": _q_mixture_sample,
         "text_variations": _q_text_variations,
         "exact_dedup": _q_exact_dedup,
         "ngram_dup_pairs": _q_ngram_pairs,
@@ -2683,6 +2695,46 @@ WITH h1 AS (SELECT doc_id, text,
 h2 AS (SELECT doc_id, text, (h * 1103515245 + 17) % 2147483647 AS h FROM h1)
 SELECT doc_id, text FROM h2
 WHERE h < 429496729  -- (200000 * (2^31-1)) // 1e6
+""",
+        "gopher_repetition": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+wc AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+              sum(length(tok))::BIGINT AS sum_word_chars
+       FROM toks GROUP BY doc_id),
+wmax AS (SELECT doc_id, max(c)::BIGINT AS max_word_count
+         FROM (SELECT doc_id, tok, count(*) AS c FROM toks
+               GROUP BY doc_id, tok) GROUP BY doc_id),
+bmax AS (SELECT doc_id, max(c)::BIGINT AS max_bigram_count
+         FROM (SELECT a.doc_id, a.tok AS t1, b.tok AS t2, count(*) AS c
+               FROM toks a JOIN toks b
+                 ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+               GROUP BY a.doc_id, a.tok, b.tok) GROUP BY doc_id)
+SELECT wc.doc_id, wc.n_words, wmax.max_word_count,
+       coalesce(bmax.max_bigram_count, 0)::BIGINT AS max_bigram_count,
+       wc.sum_word_chars,
+       (CASE WHEN wc.n_words >= 5
+              AND 3 * wc.n_words <= wc.sum_word_chars
+              AND wc.sum_word_chars <= 10 * wc.n_words
+              AND 5 * wmax.max_word_count <= wc.n_words
+              AND 100 * coalesce(bmax.max_bigram_count, 0)
+                    <= 18 * (wc.n_words - 1)
+             THEN 1 ELSE 0 END)::INTEGER AS keep
+FROM wc JOIN wmax USING (doc_id) LEFT JOIN bmax USING (doc_id)
+""",
+        "mixture_sample": """
+WITH h1 AS (SELECT doc_id, source,
+                   ((doc_id % 2147483647) * 1103515245 + 29)
+                     % 2147483647 AS h FROM documents),
+h2 AS (SELECT doc_id, source,
+              (h * 1103515245 + 29) % 2147483647 AS h FROM h1)
+SELECT doc_id, source FROM h2
+WHERE h * 100 < (10 + 7 * (CAST(substr(source, 4) AS BIGINT) % 12))
+                * 2147483647
 """,
         "token_count": f"""
 SELECT doc_id, len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}'))::BIGINT

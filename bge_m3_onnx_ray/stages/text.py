@@ -505,3 +505,113 @@ def histogram_n_chars(ds: rd.Dataset, interval: int = 200) -> rd.Dataset:
         ds.select_columns(["n_chars"]).map_batches(
             partial, batch_format="pyarrow", batch_size=65536),
         ["bucket"], [("n_docs", "sum", "n_docs")], n_buckets=8)
+
+
+def gopher_repetition(ds: rd.Dataset) -> rd.Dataset:
+    """Gopher-style repetition/quality signals per document (Rae et al.
+    2021 §A1.1 "repetition removal"), integer-exact so the DuckDB oracle
+    hash-matches without quantization.
+
+    Per doc (split on single spaces, the corpus's delimiter):
+      n_words          — token count
+      max_word_count   — occurrences of the most frequent word
+      max_bigram_count — occurrences of the most frequent adjacent bigram
+      sum_word_chars   — total characters across words
+      keep             — 1 iff ALL of: n_words >= 5;
+                         3*n_words <= sum_word_chars <= 10*n_words
+                         (mean word length in [3, 10]);
+                         5*max_word_count <= n_words (top word <= 20 %);
+                         100*max_bigram_count <= 18*(n_words-1)
+                         (top bigram <= 18 %).
+
+    Shuffle-free: one vectorized map_batches pass. Per-(doc, word) and
+    per-(doc, bigram) counts come from a single np.unique over composite
+    int64 keys (doc-major, so one reduceat per batch yields the per-doc
+    maxima). Key range is bounded by batch_rows * V^2 with V = distinct
+    words in the batch; batch_size=2048 keeps that far under 2^63 for any
+    plausible document length (2048 * (2^21)^2 < 2^63 tolerates ~2M
+    distinct words per batch).
+    """
+    import pyarrow.compute as pc
+
+    def stats(t: pa.Table) -> pa.Table:
+        n = len(t)
+        toks = pc.split_pattern(t.column("text"), " ")
+        n_words = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_words)
+        codes = np.unique(np.asarray(flat), return_inverse=True)[1]
+        v = np.int64(codes.max() + 2) if len(codes) else np.int64(2)
+
+        # per-(doc, word) max — composite key is doc-major so np.unique's
+        # sorted output groups by doc and one reduceat gives the maxima
+        out_w = np.zeros(n, np.int64)
+        if len(codes):
+            uk, kc = np.unique(doc_idx * v + codes, return_counts=True)
+            udoc = uk // v
+            b = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+            out_w[udoc[b]] = np.maximum.reduceat(kc, b)
+
+        out_b = np.zeros(n, np.int64)
+        if len(codes) > 1:
+            same = doc_idx[1:] == doc_idx[:-1]
+            if same.any():
+                bk = (doc_idx[:-1][same] * v + codes[:-1][same]) * v \
+                    + codes[1:][same]
+                ub, bc = np.unique(bk, return_counts=True)
+                bdoc = ub // (v * v)
+                bb = np.flatnonzero(np.r_[True, bdoc[1:] != bdoc[:-1]])
+                out_b[bdoc[bb]] = np.maximum.reduceat(bc, bb)
+
+        sum_chars = np.zeros(n, np.int64)
+        if len(codes):
+            lens = pc.utf8_length(flat).to_numpy().astype(np.int64)
+            db = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
+            sum_chars[doc_idx[db]] = np.add.reduceat(lens, db)
+
+        keep = ((n_words >= 5)
+                & (3 * n_words <= sum_chars) & (sum_chars <= 10 * n_words)
+                & (5 * out_w <= n_words)
+                & (100 * out_b <= 18 * (n_words - 1)))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_words": pa.array(n_words, pa.int64()),
+            "max_word_count": pa.array(out_w, pa.int64()),
+            "max_bigram_count": pa.array(out_b, pa.int64()),
+            "sum_word_chars": pa.array(sum_chars, pa.int64()),
+            "keep": pa.array(keep.astype(np.int32), pa.int32()),
+        })
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow", batch_size=2048)
+
+
+def mixture_sample(ds: rd.Dataset, seed: int = 29) -> rd.Dataset:
+    """Deterministic per-SOURCE-rate sampling — the domain-mixture
+    resampling step of a training-data pipeline (each source kept at its
+    own rate, e.g. upweight curated corpora, downsample crawl). Rate for
+    source ``src<N>`` is ``(10 + 7*(N % 12))`` percent; keep a row iff
+    ``h(doc_id) * 100 < rate * P31`` with the same two-round LCG mod
+    2^31-1 as :func:`corpus_sample_hash` (SQL-reproducible bit-for-bit).
+
+    Shuffle-free per-batch filter; the rate table is derived from the
+    source string itself so nothing is broadcast. A real pipeline would
+    ``ray.put`` a source→rate dict once and look it up here — same shape.
+    """
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.hashing import P31
+    p = np.uint64(P31)
+    a = np.uint64(1103515245)
+    s = np.uint64(seed)
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy().astype(np.uint64)
+        h = ((d % p) * a + s) % p
+        h = (h * a + s) % p
+        num = pc.cast(pc.utf8_slice_codeunits(
+            pc.cast(t.column("source"), pa.string()), 3, 32), pa.int64())
+        rate = (10 + 7 * (num.to_numpy().astype(np.int64) % 12)).astype(np.uint64)
+        return t.filter(pa.array(h * np.uint64(100) < rate * p))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

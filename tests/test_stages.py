@@ -648,3 +648,53 @@ def test_role_transitions_cross_batch(ray_session):
     want = collections.Counter(zip(frm, to))
     have = {(r.from_role, r.to_role): r.n for r in got.itertuples()}
     assert have == dict(want)
+
+
+def test_gopher_repetition_known_values(ray_session):
+    """Hand-checked repetition signals: a healthy doc, a top-word-heavy
+    doc, a repeated-bigram doc, and a too-short doc."""
+    import ray.data as rd
+    import pyarrow as pa
+    from bge_m3_onnx_ray.stages.text import gopher_repetition
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta epsilon zeta eta theta",  # healthy
+            "spam spam spam spam eggs and toast",    # top word 4/7 > 20%
+            "one two one two one two one two cap",   # bigram "one two" 4/8
+            "tiny doc",                              # n_words < 5
+        ]),
+    })
+    got = gopher_repetition(rd.from_arrow(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["n_words"].tolist() == [8, 7, 9, 2]
+    assert got["max_word_count"].tolist() == [1, 4, 4, 1]
+    # doc1: "spam spam" x3; doc2: "one two" x4
+    assert got["max_bigram_count"].tolist() == [1, 3, 4, 1]
+    assert got["sum_word_chars"].tolist() == [38, 28, 27, 7]
+    assert got["keep"].tolist() == [1, 0, 0, 0]
+
+
+def test_mixture_sample_rates(ray_session):
+    """Per-source keep rates must track the declared rate table and be
+    reproducible across partitionings."""
+    import ray.data as rd
+    import pyarrow as pa
+    import numpy as np
+    from bge_m3_onnx_ray.stages.text import mixture_sample
+
+    n = 20_000
+    rng_src = np.arange(n) % 12
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "source": pa.array([f"src{i}" for i in rng_src]),
+    })
+    got = mixture_sample(rd.from_arrow(t)).to_pandas()
+    got2 = mixture_sample(
+        rd.from_arrow(t).repartition(13)).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(got2["doc_id"])
+    rates = got.groupby("source").size() / (n / 12)
+    for src, r in rates.items():
+        want = (10 + 7 * (int(src[3:]) % 12)) / 100
+        assert abs(r - want) < 0.03, (src, r, want)
