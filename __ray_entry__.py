@@ -748,6 +748,11 @@ def _q_mixture_sample(sf_dir):
     return mixture_sample(_docs(sf_dir).select_columns(["doc_id", "source"]))
 
 
+def _q_unigram_surprise(sf_dir):
+    from bge_m3_onnx_ray.stages.text import unigram_surprise
+    return unigram_surprise(_docs(sf_dir))
+
+
 def _q_text_variations(sf_dir):
     from bge_m3_onnx_ray.stages.text import text_variations
     return text_variations(_docs(sf_dir))
@@ -855,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_sample_hash": _q_corpus_sample_hash,
         "gopher_repetition": _q_gopher_repetition,
         "mixture_sample": _q_mixture_sample,
+        "unigram_surprise": _q_unigram_surprise,
         "text_variations": _q_text_variations,
         "exact_dedup": _q_exact_dedup,
         "ngram_dup_pairs": _q_ngram_pairs,
@@ -2725,6 +2731,29 @@ SELECT wc.doc_id, wc.n_words, wmax.max_word_count,
                     <= 18 * (wc.n_words - 1)
              THEN 1 ELSE 0 END)::INTEGER AS keep
 FROM wc JOIN wmax USING (doc_id) LEFT JOIN bmax USING (doc_id)
+""",
+        "unigram_surprise": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}'))
+         AS term
+  FROM documents
+),
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY term),
+tot AS (SELECT sum(cf)::BIGINT AS total FROM cf),
+model AS (SELECT term, cf FROM
+            (SELECT term, cf,
+                    row_number() OVER (ORDER BY cf DESC, term) AS rk
+             FROM cf) WHERE rk <= 65536),
+sc AS (SELECT m.term, length(bin(t.total // m.cf))::BIGINT AS sur
+       FROM model m, tot t),
+per AS (SELECT toks.doc_id, count(*)::BIGINT AS n_tokens,
+               sum(coalesce(sc.sur,
+                   (SELECT length(bin(total)) FROM tot)))::BIGINT
+                 AS surprise_sum
+        FROM toks LEFT JOIN sc USING (term) GROUP BY toks.doc_id)
+SELECT d.doc_id, coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(per.surprise_sum, 0)::BIGINT AS surprise_sum
+FROM documents d LEFT JOIN per USING (doc_id)
 """,
         "mixture_sample": """
 WITH h1 AS (SELECT doc_id, source,

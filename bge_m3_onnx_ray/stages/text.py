@@ -615,3 +615,75 @@ def mixture_sample(ds: rd.Dataset, seed: int = 29) -> rd.Dataset:
         return t.filter(pa.array(h * np.uint64(100) < rate * p))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def unigram_surprise(ds: rd.Dataset, top_v: int = 1 << 16) -> rd.Dataset:
+    """CCNet-shaped LM-quality scoring (Wenzek et al. 2020 use a KenLM
+    perplexity filter; this is its integer-exact unigram analogue so the
+    DuckDB oracle hash-matches with no float logs).
+
+    Two stages — the canonical "train a small model, broadcast it, score
+    the corpus" shape:
+      1. corpus term frequencies ``cf`` (per-batch partials →
+         ``bucket_reduce``); the model = top ``top_v`` terms by
+         (cf desc, term asc) — the enforced bound on broadcast size.
+      2. broadcast (sorted terms, surprise) once via ``ray.put``; a
+         shuffle-free scoring pass computes per doc
+         ``surprise_sum = Σ_tokens bits(total_tokens // cf(term))``
+         (bits = bit_length, exact in numpy via power-table searchsorted
+         and in DuckDB via ``length(bin(x))``); out-of-model terms score
+         ``bits(total_tokens)`` (cf treated as 1).
+
+    Output: (doc_id, n_tokens, surprise_sum) int64. High mean surprise =
+    rare-term-heavy (OOV garbage); low = stopword soup — the two tails a
+    perplexity filter trims.
+    """
+    import ray
+
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    agg = bucket_reduce(
+        ds.select_columns(["doc_id", "text"]).map_batches(
+            task_stage(_DfPartial), batch_format="pyarrow",
+            batch_size=4096),
+        ["term"], [("cf", "sum", "cf")])
+    model = agg.to_pandas()
+    total = int(model["cf"].sum())
+    powers = np.left_shift(np.uint64(1), np.arange(63, dtype=np.uint64)) \
+        .astype(np.int64)
+    model = model.sort_values(["cf", "term"], ascending=[False, True]) \
+        .head(top_v).sort_values("term")
+    terms = pa.array(model["term"].to_numpy(), pa.string())
+    bits = np.searchsorted(
+        powers, total // model["cf"].to_numpy().astype(np.int64),
+        side="right").astype(np.int64)
+    default = int(np.searchsorted(powers, total, side="right"))
+    ref = ray.put((terms, bits))
+
+    class Score(_TokenStage):
+        def __init__(self):
+            super().__init__()
+            self.terms, self.bits = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            n = len(batch)
+            doc_idx, codes, uniques, tfs, doc_lens = \
+                self.tok.batch_term_counts_coded(batch.column("text"))
+            out = np.zeros(n, np.int64)
+            if len(codes):
+                pos = pc.index_in(uniques, value_set=self.terms) \
+                    .to_numpy(zero_copy_only=False)
+                sur = np.where(np.isnan(pos.astype(np.float64)), default,
+                               self.bits[np.nan_to_num(pos).astype(np.int64)])
+                contrib = tfs.astype(np.int64) * sur[codes]
+                b = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
+                out[doc_idx[b]] = np.add.reduceat(contrib, b)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(doc_lens.astype(np.int64), pa.int64()),
+                "surprise_sum": pa.array(out, pa.int64()),
+            })
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        task_stage(Score), batch_format="pyarrow", batch_size=4096)

@@ -698,3 +698,33 @@ def test_mixture_sample_rates(ray_session):
     for src, r in rates.items():
         want = (10 + 7 * (int(src[3:]) % 12)) / 100
         assert abs(r - want) < 0.03, (src, r, want)
+
+
+def test_unigram_surprise_brute_force_and_cap(ray_session):
+    """Engine scores equal a pure-Python brute force with the same
+    tokenizer; a tiny top_v cap forces the out-of-model default path."""
+    import ray.data as rd
+    import pyarrow as pa
+    import collections
+    from bge_m3_onnx_ray.stages.text import unigram_surprise
+    from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
+
+    texts = ["the the the cat", "the dog ran far", "qq zz", ""]
+    docs = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                     "text": pa.array(texts)})
+    tok = DeterministicTokenizer()
+    toks = [tok.tokenize(t) for t in texts]
+    cf = collections.Counter(w for ts in toks for w in ts)
+    total = sum(cf.values())
+
+    def brute(top_v):
+        model = dict(sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:top_v])
+        dflt = (total).bit_length()
+        return [sum((total // model[w]).bit_length() if w in model else dflt
+                    for w in ts) for ts in toks]
+
+    for top_v in (65536, 2):
+        got = unigram_surprise(rd.from_arrow(docs), top_v=top_v) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert got["n_tokens"].tolist() == [len(t) for t in toks]
+        assert got["surprise_sum"].tolist() == brute(top_v), top_v
