@@ -723,6 +723,11 @@ def _q_sessionize(sf_dir):
     return sessionize(_events(sf_dir))
 
 
+def _q_events_asof_join(sf_dir):
+    from bge_m3_onnx_ray.stages.events import asof_join
+    return asof_join(_events(sf_dir))
+
+
 def _q_distribution_counts(sf_dir):
     from bge_m3_onnx_ray.stages.text import distribution_counts
     return distribution_counts(_docs(sf_dir))
@@ -889,6 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _q_hll_distinct_users,
         "events_hopping": _q_events_hopping,
         "events_sessionize": _q_sessionize,
+        "events_asof_join": _q_events_asof_join,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frame_sample": _q_frame_sample,
     }
@@ -2993,6 +2999,18 @@ SELECT event_type, (base - j * 900)::BIGINT AS wstart,
        CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_q2
 FROM e CROSS JOIN n
 GROUP BY 1, 2
+""",
+        "events_asof_join": """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'view')
+SELECT l.event_id, l.user_id, l.ts_us,
+       r.event_id AS right_event_id, r.ts_us AS right_ts_us,
+       (l.ts_us - r.ts_us)::BIGINT AS delta_us
+FROM l JOIN r ON r.user_id = l.user_id AND r.ts_us < l.ts_us
+QUALIFY row_number() OVER (PARTITION BY l.event_id
+                           ORDER BY r.ts_us DESC, r.event_id DESC) = 1
 """,
         "events_sessionize": """
 WITH e AS (SELECT user_id, event_id, ts,

@@ -728,3 +728,40 @@ def test_unigram_surprise_brute_force_and_cap(ray_session):
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert got["n_tokens"].tolist() == [len(t) for t in toks]
         assert got["surprise_sum"].tolist() == brute(top_v), top_v
+
+
+def test_asof_join_matches_pandas_merge_asof(ray_session):
+    """Engine as-of join == pandas merge_asof (allow_exact_matches=False)
+    on a synthetic stream with same-timestamp ties and users scattered
+    across partitions."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.events import asof_join
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    ts = np.sort(rng.integers(0, 10**9, n)) * 1000  # epoch us, sorted
+    ts[100] = ts[101]                               # force exact-tie pairs
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(ts, unit="us"),
+        "user_id": rng.integers(0, 37, n).astype(np.int64),
+        "event_type": rng.choice(["click", "view", "error"], n),
+        "value": np.zeros(n),
+        "props": [""] * n,
+    })
+    got = asof_join(rd.from_pandas(df).repartition(7)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+    l = df[df.event_type == "click"].sort_values("ts")
+    r = df[df.event_type == "view"].sort_values("ts") \
+        .rename(columns={"event_id": "right_event_id"})
+    want = pd.merge_asof(l, r[["ts", "user_id", "right_event_id"]],
+                         on="ts", by="user_id",
+                         allow_exact_matches=False)
+    want = want.dropna(subset=["right_event_id"]).sort_values("event_id")
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    # merge_asof ties on equal right ts pick the LAST sorted row (greatest
+    # event_id under our stable sort) — same contract as the engine
+    assert got["right_event_id"].tolist() == \
+        want["right_event_id"].astype(np.int64).tolist()
+    assert (got["delta_us"] > 0).all()
