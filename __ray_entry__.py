@@ -728,6 +728,11 @@ def _q_events_asof_join(sf_dir):
     return asof_join(_events(sf_dir))
 
 
+def _q_events_funnel(sf_dir):
+    from bge_m3_onnx_ray.stages.events import funnel
+    return funnel(_events(sf_dir))
+
+
 def _q_distribution_counts(sf_dir):
     from bge_m3_onnx_ray.stages.text import distribution_counts
     return distribution_counts(_docs(sf_dir))
@@ -895,6 +900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "events_sessionize": _q_sessionize,
         "events_asof_join": _q_events_asof_join,
+        "events_funnel": _q_events_funnel,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frame_sample": _q_frame_sample,
     }
@@ -3011,6 +3017,22 @@ SELECT l.event_id, l.user_id, l.ts_us,
 FROM l JOIN r ON r.user_id = l.user_id AND r.ts_us < l.ts_us
 QUALIFY row_number() OVER (PARTITION BY l.event_id
                            ORDER BY r.ts_us DESC, r.event_id DESC) = 1
+""",
+        "events_funnel": """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view'
+       GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND t > t1 AND t - t1 <= 3600000000
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND t > t2 AND t - t2 <= 3600000000
+       GROUP BY e.user_id)
+SELECT s1.user_id,
+       (CASE WHEN s3.user_id IS NOT NULL THEN 3
+             WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END)::BIGINT
+         AS reached
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """,
         "events_sessionize": """
 WITH e AS (SELECT user_id, event_id, ts,

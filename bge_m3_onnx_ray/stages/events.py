@@ -504,3 +504,88 @@ def asof_join(ds: rd.Dataset, left_type: str = "click",
     return ds.select_columns(["event_id", "ts", "user_id", "event_type"]) \
         .map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def funnel(ds: rd.Dataset, steps: tuple = ("view", "click", "purchase"),
+           window_minutes: int = 60, n_buckets: int = 512) -> rd.Dataset:
+    """K-step FUNNEL with sequential-first semantics (the Amplitude/
+    Mixpanel funnel shape): a user's step-1 time is their FIRST
+    ``steps[0]`` event; step i+1 completes at the first ``steps[i+1]``
+    event strictly after step i's completion and within
+    ``window_minutes`` of it. Output one row per user with >= 1 step-1
+    event: (user_id, reached) where reached in [1, len(steps)].
+
+    Same distributed shape as :func:`asof_join` — ONE user-hash-bucket
+    shuffle, then a vectorized kernel: per step, one
+    ``np.searchsorted(side='right')`` of every active user's previous
+    completion time into that step's (user, ts)-packed key array. The
+    per-bucket loop is over STEPS (a constant), never rows or users.
+    """
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.hashing import P53, poly_hash
+    window_us = np.int64(window_minutes * 60) * 1_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("event_type"),
+                              value_set=pa.array(list(steps))))
+        b = poly_hash(t.column("user_id"), P53) % np.uint64(n_buckets)
+        return t.append_column("_bucket", pa.array(b.astype(np.int64)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "reached": pa.array([], pa.int64())})
+        if not g.num_rows:
+            return empty
+        tbl = g.take(pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")]))
+        user = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        etype = tbl.column("event_type").to_pandas().to_numpy()
+        users, urank = np.unique(user, return_inverse=True)
+        urank = urank.astype(np.int64)
+        rel = ts - ts.min()
+        span = rel.max() + 2
+        key = urank * span + rel
+
+        m0 = etype == steps[0]
+        if not m0.any():
+            return empty
+        # first step-1 event per user
+        u0, first = np.unique(urank[m0], return_index=True)
+        prev_t = np.full(len(users), np.int64(-1))
+        prev_t[u0] = rel[m0][first]
+        active = np.zeros(len(users), bool)
+        active[u0] = True
+        reached = np.where(active, 1, 0).astype(np.int64)
+
+        for i, s in enumerate(steps[1:], start=2):
+            mi = etype == s
+            skey = key[mi]
+            srel = rel[mi]
+            suser = urank[mi]
+            au = np.flatnonzero(active)
+            if not len(au) or not len(skey):
+                break
+            # first event of this step strictly after prev_t, same user
+            pos = np.searchsorted(skey, au * span + prev_t[au], side="right")
+            ok = pos < len(skey)
+            ok[ok] &= suser[pos[ok]] == au[ok]
+            ok[ok] &= srel[pos[ok]] - prev_t[au[ok]] <= window_us
+            hit = au[ok]
+            active[:] = False
+            active[hit] = True
+            reached[hit] = i
+            prev_t[hit] = srel[pos[ok]]
+
+        keep = reached >= 1
+        return pa.table({
+            "user_id": pa.array(users[keep].astype(np.int64), pa.int64()),
+            "reached": pa.array(reached[keep], pa.int64()),
+        })
+
+    return ds.select_columns(["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")

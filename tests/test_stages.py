@@ -765,3 +765,41 @@ def test_asof_join_matches_pandas_merge_asof(ray_session):
     assert got["right_event_id"].tolist() == \
         want["right_event_id"].astype(np.int64).tolist()
     assert (got["delta_us"] > 0).all()
+
+
+def test_funnel_sequential_first_semantics(ray_session):
+    """Hand-built stream proving sequential-FIRST: a user whose first
+    click lands outside the window fails step 2 even though a later
+    click is inside; step order must be respected."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.events import funnel
+
+    M = 60_000_000  # one minute in us
+    rows = [
+        # user 1: view@0, click@10m, purchase@20m -> reached 3
+        (0, 0 * M, 1, "view"), (1, 10 * M, 1, "click"),
+        (2, 20 * M, 1, "purchase"),
+        # user 2: view@0, first click@70m (outside 60m window) -> 1,
+        # even though click@80m also exists
+        (3, 0 * M, 2, "view"), (4, 70 * M, 2, "click"),
+        (5, 80 * M, 2, "click"),
+        # user 3: click@0, view@10m (wrong order; no click after view)
+        # -> reached 1
+        (6, 0 * M, 3, "click"), (7, 10 * M, 3, "view"),
+        # user 4: purchase BEFORE click step completes does not count:
+        # view@0, purchase@5m, click@10m, purchase@15m -> 3 via 15m
+        (8, 0 * M, 4, "view"), (9, 5 * M, 4, "purchase"),
+        (10, 10 * M, 4, "click"), (11, 15 * M, 4, "purchase"),
+        # user 5: no view at all -> absent from output
+        (12, 0 * M, 5, "click"), (13, 1 * M, 5, "purchase"),
+        # user 6: view + click at the SAME us -> strictly-after fails
+        (14, 0 * M, 6, "view"), (15, 0 * M, 6, "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts_us", "user_id",
+                                     "event_type"])
+    df["ts"] = pd.to_datetime(df.pop("ts_us"), unit="us")
+    df["value"] = 0.0
+    df["props"] = ""
+    got = funnel(rd.from_pandas(df).repartition(5)).to_pandas() \
+        .sort_values("user_id").set_index("user_id")["reached"]
+    assert got.to_dict() == {1: 3, 2: 1, 3: 1, 4: 3, 6: 1}
