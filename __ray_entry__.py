@@ -733,6 +733,11 @@ def _q_events_funnel(sf_dir):
     return funnel(_events(sf_dir))
 
 
+def _q_events_retention(sf_dir):
+    from bge_m3_onnx_ray.stages.events import retention
+    return retention(_events(sf_dir))
+
+
 def _q_distribution_counts(sf_dir):
     from bge_m3_onnx_ray.stages.text import distribution_counts
     return distribution_counts(_docs(sf_dir))
@@ -901,6 +906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_sessionize,
         "events_asof_join": _q_events_asof_join,
         "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frame_sample": _q_frame_sample,
     }
@@ -3017,6 +3023,17 @@ SELECT l.event_id, l.user_id, l.ts_us,
 FROM l JOIN r ON r.user_id = l.user_id AND r.ts_us < l.ts_us
 QUALIFY row_number() OVER (PARTITION BY l.event_id
                            ORDER BY r.ts_us DESC, r.event_id DESC) = 1
+""",
+        "events_retention": """
+WITH f AS (SELECT user_id,
+                  min(epoch_us(ts) // 604800000000::BIGINT) AS cw
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, f.cw,
+             (epoch_us(e.ts) // 604800000000::BIGINT) - f.cw AS off
+      FROM events e JOIN f USING (user_id))
+SELECT (cw * 7 * 86400)::BIGINT AS cohort_period_s,
+       off::BIGINT AS period_offset, count(*)::BIGINT AS n_users
+FROM a WHERE off >= 0 GROUP BY 1, 2
 """,
         "events_funnel": """
 WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),

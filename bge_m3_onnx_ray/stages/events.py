@@ -589,3 +589,73 @@ def funnel(ds: rd.Dataset, steps: tuple = ("view", "click", "purchase"),
     return ds.select_columns(["event_id", "ts", "user_id", "event_type"]) \
         .map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def retention(ds: rd.Dataset, cohort_type: str = "signup",
+              period_s: int = 7 * 86400, n_buckets: int = 256) -> rd.Dataset:
+    """Cohort RETENTION matrix — the product-analytics staple: users are
+    cohorted by the period of their FIRST ``cohort_type`` event; cell
+    (cohort, offset) counts distinct cohort members with ANY event in
+    cohort_period + offset. Output (cohort_period_s, period_offset,
+    n_users), offsets >= 0 only.
+
+    Distributed shape: ONE user-hash-bucket shuffle (a user's whole
+    history lands in one group, so per-bucket distinct counts are exact
+    and disjoint), vectorized per-bucket kernel (np.unique over packed
+    (cohort, offset, user) keys), then a tiny bucket_reduce over the
+    cohort x offset matrix — cells, not users, cross the second
+    exchange.
+    """
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.hashing import P53, poly_hash
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+    period_us = np.int64(period_s) * 1_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = poly_hash(t.column("user_id"), P53) % np.uint64(n_buckets)
+        return t.append_column("_bucket", pa.array(b.astype(np.int64)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"cohort_period_s": pa.array([], pa.int64()),
+                          "period_offset": pa.array([], pa.int64()),
+                          "n_users": pa.array([], pa.int64())})
+        if not g.num_rows:
+            return empty
+        tbl = g.take(pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("ts", "ascending")]))
+        user = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        week = ts // period_us
+        urank = np.unique(user, return_inverse=True)[1].astype(np.int64)
+        n_users = int(urank[-1]) + 1
+        is_c = pc.equal(tbl.column("event_type"), cohort_type) \
+            .to_numpy(zero_copy_only=False)
+        if not is_c.any():
+            return empty
+        cu, first = np.unique(urank[is_c], return_index=True)
+        cohort = np.full(n_users, np.int64(-1))
+        cohort[cu] = week[is_c][first]      # first cohort event per user
+        cw = cohort[urank]
+        off = week - cw
+        keep = (cw >= 0) & (off >= 0)
+        if not keep.any():
+            return empty
+        # distinct (cohort, offset, user) -> count per (cohort, offset)
+        span_o = off[keep].max() + 1
+        key = (cw[keep] * span_o + off[keep]) * n_users + urank[keep]
+        cells = np.unique(key) // n_users
+        uc, counts = np.unique(cells, return_counts=True)
+        return pa.table({
+            "cohort_period_s": pa.array((uc // span_o) * period_s,
+                                        pa.int64()),
+            "period_offset": pa.array(uc % span_o, pa.int64()),
+            "n_users": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    partials = ds.select_columns(["ts", "user_id", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+    return bucket_reduce(partials, ["cohort_period_s", "period_offset"],
+                         [("n_users", "sum", "n_users")], n_buckets=8)

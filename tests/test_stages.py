@@ -803,3 +803,41 @@ def test_funnel_sequential_first_semantics(ray_session):
     got = funnel(rd.from_pandas(df).repartition(5)).to_pandas() \
         .sort_values("user_id").set_index("user_id")["reached"]
     assert got.to_dict() == {1: 3, 2: 1, 3: 1, 4: 3, 6: 1}
+
+
+def test_retention_brute_force(ray_session):
+    """Retention matrix == a pandas brute force over a random stream."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.events import retention
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    wk = 7 * 86400 * 1_000_000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 6 * wk, n), unit="us"),
+        "user_id": rng.integers(0, 40, n).astype(np.int64),
+        "event_type": rng.choice(["signup", "view", "click"], n,
+                                 p=[0.1, 0.5, 0.4]),
+        "value": np.zeros(n), "props": [""] * n,
+    })
+    got = retention(rd.from_pandas(df).repartition(9)).to_pandas() \
+        .sort_values(["cohort_period_s", "period_offset"]) \
+        .reset_index(drop=True)
+
+    d = df.copy()
+    d["week"] = d.ts.astype("int64") // 1000 // wk  # ns -> us -> week
+    first = d[d.event_type == "signup"].groupby("user_id")["week"].min()
+    d = d[d.user_id.isin(first.index)]
+    d["cw"] = d.user_id.map(first)
+    d["off"] = d.week - d.cw
+    d = d[d.off >= 0]
+    want = d.drop_duplicates(["cw", "off", "user_id"]) \
+        .groupby(["cw", "off"]).size().reset_index(name="n_users")
+    want["cohort_period_s"] = want.pop("cw") * 7 * 86400
+    want = want.rename(columns={"off": "period_offset"}) \
+        [["cohort_period_s", "period_offset", "n_users"]] \
+        .sort_values(["cohort_period_s", "period_offset"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[want.columns].astype("int64"), want.astype("int64"))
