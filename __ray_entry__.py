@@ -78,6 +78,11 @@ def _q_bm25_bulk(sf_dir):
     return bm25_documents_bulk_topk(sf_dir)
 
 
+def _q_tfidf(sf_dir):
+    from bge_m3_onnx_ray.pipelines.flagship import tfidf_documents_topk
+    return tfidf_documents_topk(sf_dir)
+
+
 def _q_bm25_and(sf_dir):
     # conjunctive (boolean AND) retrieval: candidates must contain every
     # query term; scores are the same BM25 sums (QueryConfig(mode="and"))
@@ -811,6 +816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_documents_topk": _q_bm25,
         "bm25_documents_topk_exhaustive": _q_bm25_exhaustive,
+        "tfidf_documents_topk": _q_tfidf,
         "bm25_documents_topk_and": _q_bm25_and,
         "bm25_documents_topk_msm": _q_bm25_msm,
         "bm25_documents_topk_page2": _q_bm25_page2,
@@ -924,7 +930,7 @@ def _bm25_sql(conjunctive: bool = False, quantized_rank: bool = False,
               corpus_where: str | None = None, msm: int = 0,
               offset: int = 0, parse_boost: bool = False,
               corpus_table: str = "documents",
-              synonyms: tuple = ()) -> str:
+              synonyms: tuple = (), similarity: str = "bm25") -> str:
     """``candidate_where``: extra predicate on candidates only — global
     stats stay corpus-wide (tombstone live-docs semantics).
     ``corpus_where``: predicate on the CORPUS itself — stats, dfs and
@@ -1028,8 +1034,11 @@ dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 {qterms_cte}{neg_cte},
 scores AS (
   SELECT q.query_id, tf.doc_id,
-         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0){boost_mul}
-             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         sum({("((1.0 + ln(s.n / (d.df + 1.0))) * (1.0 + ln(s.n / (d.df + 1.0))))"
+               + boost_mul + " * (sqrt(tf.tf) / sqrt(dl.dl))")
+              if similarity == "classic" else
+              ("ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)" + boost_mul + '''
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))''')}
          ) AS score
   FROM qterms q
   JOIN dfs d ON d.term = q.term
@@ -2577,6 +2586,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_documents_topk": bm25,
         "bm25_documents_topk_exhaustive": bm25,
+        "tfidf_documents_topk": _bm25_sql(similarity="classic"),
         "bm25_documents_topk_and": _bm25_sql(conjunctive=True),
         "bm25_documents_topk_msm": _bm25_sql(msm=2),
         "bm25_documents_topk_page2": _bm25_sql(offset=10),

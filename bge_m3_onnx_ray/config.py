@@ -62,6 +62,10 @@ class IndexConfig:
 class QueryConfig:
     k: int = 10
     method: str = "wand"  # "wand" | "exhaustive"
+    # pluggable similarity (the Lucene Similarity seam): "bm25"
+    # (default) or "classic" (pre-BM25 TF-IDF: idf^2 * sqrt(tf)/
+    # sqrt(dl)); classic requires method="exhaustive", mode="or"
+    similarity: str = "bm25"
     # "or" (default, rank by summed BM25) | "and" (conjunctive: only docs
     # containing EVERY query term are candidates; scores are the same
     # BM25 sums, so an AND result is the OR result restricted to the

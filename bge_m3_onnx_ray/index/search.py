@@ -34,7 +34,8 @@ from bge_m3_onnx_ray.config import QueryConfig
 from bge_m3_onnx_ray.index.artifacts import ConvOffsets, IndexMeta, postings_file
 from bge_m3_onnx_ray.index.codec import EncodedPostings, decode_block, decode_postings
 from bge_m3_onnx_ray.index.build import term_bucket
-from bge_m3_onnx_ray.scoring import bm25_term_score, idf
+from bge_m3_onnx_ray.scoring import (bm25_term_score, classic_idf,
+                                     classic_term_score, idf)
 from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
 
 RESULT_SCHEMA = pa.schema([
@@ -111,7 +112,8 @@ def score_exhaustive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarra
                      msm: int = 0,
                      collapse_starts: np.ndarray | None = None,
                      doc_weights: "tuple[np.ndarray, np.ndarray] | None" = None,
-                     after: "tuple[float, int] | None" = None):
+                     after: "tuple[float, int] | None" = None,
+                     term_score=bm25_term_score):
     """Exact scorer over fully-decoded postings (the parity fallback the
     reference keeps alongside its fast path). ``qterms`` must be sorted.
     ``allowed``: optional sorted docID facet mask (see _apply_allowed).
@@ -125,8 +127,8 @@ def score_exhaustive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarra
     scores = np.zeros(len(union), np.float64)
     counts = np.zeros(len(union), np.int32) if msm > 1 else None
     for t, docs, tfs, dls in arrs:  # ascending term order = summation order
-        contrib = bm25_term_score(tfs.astype(np.float64), dls.astype(np.float64),
-                                  idfs[t], avgdl, k1, b)
+        contrib = term_score(tfs.astype(np.float64), dls.astype(np.float64),
+                             idfs[t], avgdl, k1, b)
         pos = np.searchsorted(union, docs)
         scores[pos] += contrib
         if counts is not None:
@@ -471,7 +473,8 @@ class ShardScorer:
                  avgdl_override: float | None = None,
                  after_ref=None,
                  decay_attr: tuple | None = None,
-                 conv_sum: bool = False):
+                 conv_sum: bool = False,
+                 similarity: str = "bm25"):
         self.meta = IndexMeta(index_dir)
         if avgdl_override is not None:
             # federated search: the caller supplies UNION-corpus global
@@ -493,6 +496,15 @@ class ShardScorer:
         self._conv_sum = bool(conv_sum)
         self._conv_starts = (ConvOffsets.load(index_dir).starts
                              if conv_sum else None)
+        # pluggable similarity (Lucene's Similarity seam): "classic"
+        # TF-IDF is exhaustive-OR only — WAND block bounds and the AND/
+        # bool fast paths are precomputed/derived for BM25
+        self._term_score = (classic_term_score if similarity == "classic"
+                            else bm25_term_score)
+        if similarity == "classic" and (method == "wand" or mode != "or"
+                                        or conv_sum):
+            raise ValueError('similarity="classic" requires '
+                             'method="exhaustive", mode="or"')
         if collapse and method == "wand" and mode == "or":
             raise ValueError('collapse requires method="exhaustive" '
                              '(WAND theta prunes on the k-th doc, not '
@@ -819,7 +831,8 @@ class ShardScorer:
                                                 collapse_starts=self._collapse_starts,
                                                 doc_weights=self._doc_weights(int(shard)),
                                                 after=(None if self.after_by_query is None
-                                                       else self.after_by_query.get(int(qid))))
+                                                       else self.after_by_query.get(int(qid))),
+                                                term_score=self._term_score)
             out_q.extend([qid] * len(docs))
             out_d.extend(docs.tolist())
             out_s.extend(scores.tolist())
@@ -1064,7 +1077,18 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
         qneg = {qid: [] for qid, _ in qlist}
     all_terms = sorted({t for ts in qterms.values() for t in ts})
     dfs = meta.load_term_dfs(all_terms) if all_terms else {}
-    idfs = {t: idf(d, meta.n_docs) for t, d in dfs.items()}
+    if cfg.similarity == "classic":
+        if cfg.method != "exhaustive" or cfg.mode != "or":
+            raise ValueError('similarity="classic" requires '
+                             'method="exhaustive", mode="or"')
+        # classic weight = idf^2 (query idf x doc idf, Lucene 6+ shape);
+        # the square is i*i, mirrored as (expr)*(expr) in the SQL oracle
+        idfs = {}
+        for t, d in dfs.items():
+            i = classic_idf(d, meta.n_docs)
+            idfs[t] = i * i
+    else:
+        idfs = {t: idf(d, meta.n_docs) for t, d in dfs.items()}
 
     if cfg.parse_boost:
         pairs = [{"query_id": qid, "terms": ts, "shard": s,
@@ -1108,6 +1132,7 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
                                "weight_attr": cfg.weight_attr,
                                "attr_weights": cfg.attr_weights,
                                "decay_attr": cfg.decay_attr,
+                               "similarity": cfg.similarity,
                                "after_ref": after_ref,
                                "conv_sum": cfg.conv_score_mode == "sum"},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,

@@ -1906,3 +1906,21 @@ def bm25_documents_topk_bool(sf_dir: str, k: int = 10) -> pa.Table:
     out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(out[["query_id", "rank", "doc_id",
                                      "score_q6"]], preserve_index=False)
+
+
+def tfidf_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-k under the pluggable CLASSIC similarity
+    (``QueryConfig(similarity="classic")`` — Lucene's pre-BM25 TF-IDF:
+    idf^2 * sqrt(tf)/sqrt(dl)) over the same documents index — the
+    Similarity abstraction proof: one index, two scoring models. Same
+    result shape/oracle conventions as :func:`bm25_documents_topk`."""
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    out = search(idx, DOC_QUERIES,
+                 QueryConfig(k=k, method="exhaustive",
+                             similarity="classic")).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)

@@ -41,3 +41,24 @@ def bm25_term_score(tf, dl, idf_t: float, avgdl: float,
     """
     norm = k1 * ((1.0 - b) + b * (dl / avgdl))
     return idf_t * ((tf * (k1 + 1.0)) / (tf + norm))
+
+
+def classic_idf(df: int, n_docs: int) -> float:
+    """Lucene ClassicSimilarity idf: 1 + ln(N / (df + 1)). Scalar only,
+    like :func:`idf` (transcendentals stay out of vectorized paths)."""
+    return 1.0 + math.log(n_docs / (df + 1.0))
+
+
+def classic_term_score(tf, dl, w_t: float, avgdl: float = 0.0,
+                       k1: float = 0.0, b: float = 0.0):
+    """Lucene ClassicSimilarity (pre-BM25 TF-IDF) term score:
+    ``w_t * (sqrt(tf) / sqrt(dl))`` with ``w_t = classic_idf**2``
+    (idf contributes once for the query weight and once for the doc
+    weight in the classic model; queryNorm/coord omitted as Lucene 6+
+    does). Same call shape as :func:`bm25_term_score` so the exhaustive
+    scorer can take either as its ``term_score`` — avgdl/k1/b unused.
+    ``sqrt`` is exactly rounded in IEEE-754, so numpy here and DuckDB's
+    sqrt in the oracle agree bit-for-bit; the operand grouping
+    ``w * (sqrt(tf) / sqrt(dl))`` is the determinism contract."""
+    import numpy as np
+    return w_t * (np.sqrt(tf) / np.sqrt(dl))

@@ -890,3 +890,40 @@ def test_bool_query_parity(tiny_index, tiny_corpus):
         assert list(have.doc_id) == [r["doc_id"] for r in want], qid
         assert np.allclose(list(have.score),
                            [r["score"] for r in want], rtol=0, atol=0), qid
+
+
+def test_classic_similarity(tiny_index, tiny_corpus):
+    """Pluggable similarity: classic TF-IDF scores equal a pure-numpy
+    recompute over the oracle's postings (bit-identical), and the config
+    seam rejects the BM25-only fast paths."""
+    import math
+
+    idx, _ = tiny_index
+    _, oi, queries = tiny_corpus
+    queries = list(queries)[:10]
+    out = search(idx, queries,
+                 QueryConfig(k=10, method="exhaustive",
+                             similarity="classic")).to_pandas()
+    assert len(out)
+    n = oi.n_docs
+    for qid, text in queries:
+        # brute force with the oracle's dict index
+        scores: dict[int, float] = {}
+        for t in sorted(set(oi.tok.tokenize(text))):
+            pl = oi.postings.get(t)
+            if not pl:
+                continue
+            i = 1.0 + math.log(n / (len(pl) + 1.0))
+            w = i * i
+            for doc_id, tf in pl:
+                s = w * (np.sqrt(np.float64(tf))
+                         / np.sqrt(np.float64(oi.doc_lens[doc_id])))
+                scores[doc_id] = scores.get(doc_id, 0.0) + float(s)
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        g = out[out.query_id == qid].sort_values("rank")
+        got = list(zip(g.doc_id.tolist(), g.score.tolist()))
+        assert [d for d, _ in got] == [d for d, _ in want], (qid, text)
+        assert all(a == b for (_, a), (_, b) in zip(got, want)), (qid, text)
+    with pytest.raises(ValueError, match="classic"):
+        search(idx, queries[:1],
+               QueryConfig(k=5, method="wand", similarity="classic"))
