@@ -83,6 +83,13 @@ def _q_tfidf(sf_dir):
     return tfidf_documents_topk(sf_dir)
 
 
+def _q_rescore(sf_dir):
+    # two-phase window rescore: WAND BM25 top-30, classic TF-IDF
+    # re-scores the window, rank by bm25 + 0.5 * classic
+    from bge_m3_onnx_ray.pipelines.flagship import rescore_documents_topk
+    return rescore_documents_topk(sf_dir)
+
+
 def _q_bm25_and(sf_dir):
     # conjunctive (boolean AND) retrieval: candidates must contain every
     # query term; scores are the same BM25 sums (QueryConfig(mode="and"))
@@ -817,6 +824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk": _q_bm25,
         "bm25_documents_topk_exhaustive": _q_bm25_exhaustive,
         "tfidf_documents_topk": _q_tfidf,
+        "rescore_documents_topk": _q_rescore,
         "bm25_documents_topk_and": _q_bm25_and,
         "bm25_documents_topk_msm": _q_bm25_msm,
         "bm25_documents_topk_page2": _q_bm25_page2,
@@ -930,7 +938,8 @@ def _bm25_sql(conjunctive: bool = False, quantized_rank: bool = False,
               corpus_where: str | None = None, msm: int = 0,
               offset: int = 0, parse_boost: bool = False,
               corpus_table: str = "documents",
-              synonyms: tuple = (), similarity: str = "bm25") -> str:
+              synonyms: tuple = (), similarity: str = "bm25",
+              rescore: "tuple[int, float] | None" = None) -> str:
     """``candidate_where``: extra predicate on candidates only — global
     stats stay corpus-wide (tombstone live-docs semantics).
     ``corpus_where``: predicate on the CORPUS itself — stats, dfs and
@@ -1023,6 +1032,33 @@ qterms AS (SELECT DISTINCT w.query_id, d.term
               if conjunctive
               else f"\n  HAVING count(DISTINCT q.term) >= {msm}"
               if msm > 1 else "")
+    classic_expr = ("((1.0 + ln(s.n / (d.df + 1.0))) "
+                    "* (1.0 + ln(s.n / (d.df + 1.0))))"
+                    + boost_mul + " * (sqrt(tf.tf) / sqrt(dl.dl))")
+    bm25_expr = ("ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)" + boost_mul
+                 + """
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))""")
+    score_sums = (f"sum({classic_expr}\n         ) AS score"
+                  if similarity == "classic" else
+                  f"sum({bm25_expr}\n         ) AS score")
+    # window rescore: both sums computed in the one scores pass, the
+    # BM25-ordered window cut, then combined = bm25 + w * classic —
+    # operand grouping mirrors rescore_search exactly
+    rescore_cte = ""
+    if rescore is not None:
+        rwindow, rweight = rescore
+        score_sums = (f"sum({bm25_expr}\n         ) AS score,\n"
+                      f"         sum({classic_expr}) AS score2")
+        rescore_cte = f""",
+win AS (
+  SELECT query_id, doc_id, score, score2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS wrnk
+  FROM scores),
+rescored AS (
+  SELECT query_id, doc_id, score + {rweight!r} * score2 AS score
+  FROM win WHERE wrnk <= {rwindow})"""
+    scores_src = "rescored" if rescore is not None else "scores"
     return f"""
 WITH toks AS ({toks_src}),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
@@ -1034,18 +1070,13 @@ dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 {qterms_cte}{neg_cte},
 scores AS (
   SELECT q.query_id, tf.doc_id,
-         sum({("((1.0 + ln(s.n / (d.df + 1.0))) * (1.0 + ln(s.n / (d.df + 1.0))))"
-               + boost_mul + " * (sqrt(tf.tf) / sqrt(dl.dl))")
-              if similarity == "classic" else
-              ("ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)" + boost_mul + '''
-             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))''')}
-         ) AS score
+         {score_sums}
   FROM qterms q
   JOIN dfs d ON d.term = q.term
   JOIN tf ON tf.term = q.term
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s{neg_where}
-  GROUP BY q.query_id, tf.doc_id{having}),
+  GROUP BY q.query_id, tf.doc_id{having}){rescore_cte},
 ranked AS (
   SELECT query_id, doc_id, score,
          row_number() OVER (PARTITION BY query_id
@@ -1053,7 +1084,7 @@ ranked AS (
                                        "BIGINT) DESC, doc_id")
                                       if quantized_rank
                                       else "score DESC, doc_id"}) AS rnk
-  FROM scores)
+  FROM {scores_src})
 SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
        doc_id::BIGINT AS doc_id,
        CAST(floor(score * 1000000) AS BIGINT) AS score_q6
@@ -2587,6 +2618,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_documents_topk": bm25,
         "bm25_documents_topk_exhaustive": bm25,
         "tfidf_documents_topk": _bm25_sql(similarity="classic"),
+        "rescore_documents_topk": _bm25_sql(rescore=(30, 0.5)),
         "bm25_documents_topk_and": _bm25_sql(conjunctive=True),
         "bm25_documents_topk_msm": _bm25_sql(msm=2),
         "bm25_documents_topk_page2": _bm25_sql(offset=10),

@@ -1312,3 +1312,63 @@ def search_bool(index_dir: str,
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
     return merge_topk(partials, offsets, cfg.k)
+
+
+def rescore_search(index_dir: str, queries, cfg: QueryConfig | None = None,
+                   window: int = 30, rescore_weight: float = 0.5
+                   ) -> "pa.Table":
+    """Two-phase window rescore (the Elasticsearch ``rescore`` shape):
+    a cheap first pass (WAND BM25 by default, per ``cfg``) retrieves the
+    top ``window`` documents per query; a second, more expensive model —
+    classic TF-IDF via the pluggable similarity seam — re-scores ONLY
+    those documents, and the final ranking is
+
+        combined = bm25 + rescore_weight * classic
+
+    (query_weight fixed at 1.0; operand grouping is the determinism
+    contract mirrored by the SQL oracle). The second pass runs as a
+    normal distributed search restricted to the window via per-query
+    ``allow_docs`` sets, so no new scorer machinery exists: phase 2 is
+    exactly the candidate-restriction path quoted-phrase queries use.
+
+    Scale: phase-2 work is O(n_queries x window) postings lookups and
+    the driver holds only n_queries x window result rows — the window is
+    a per-query constant, so this is top-k-result-sized data, never
+    corpus-sized. Returns an Arrow table (query_id, rank, doc_id, score,
+    conv_id, turn_idx) with ranks 1..k by combined score.
+    """
+    cfg = cfg or QueryConfig()
+    if cfg.similarity != "bm25":
+        raise ValueError("rescore_search's first pass is BM25; the "
+                         "rescorer is the classic similarity")
+    if window < cfg.k:
+        raise ValueError(f"window ({window}) must be >= k ({cfg.k})")
+    from dataclasses import replace
+    base = search(index_dir, queries,
+                  replace(cfg, k=window)).to_pandas()
+    if not len(base):
+        return RESULT_SCHEMA.empty_table()
+    allow = {int(qid): np.sort(g["doc_id"].to_numpy())
+             for qid, g in base.groupby("query_id")}
+    cls = search(index_dir, queries,
+                 QueryConfig(k=window, method="exhaustive",
+                             similarity="classic",
+                             scorer_concurrency=cfg.scorer_concurrency,
+                             scorer_batch_size=cfg.scorer_batch_size),
+                 allow_docs=allow).to_pandas()
+    m = base.merge(cls[["query_id", "doc_id", "score"]],
+                   on=["query_id", "doc_id"], how="inner",
+                   suffixes=("", "_rescore"))
+    assert len(m) == len(base), "window doc missing a rescore score"
+    m["score"] = (m["score"].to_numpy()
+                  + rescore_weight * m["score_rescore"].to_numpy())
+    m = m.sort_values(["query_id", "score", "doc_id"],
+                      ascending=[True, False, True], kind="mergesort")
+    m["rank"] = m.groupby("query_id").cumcount() + 1
+    m = m[m["rank"] <= cfg.k].reset_index(drop=True)
+    return pa.Table.from_pandas(
+        m[["query_id", "rank", "doc_id", "score", "conv_id", "turn_idx"]],
+        preserve_index=False).cast(pa.schema([
+            ("query_id", pa.int64()), ("rank", pa.int32()),
+            ("doc_id", pa.int64()), ("score", pa.float64()),
+            ("conv_id", pa.string()), ("turn_idx", pa.int32())]))

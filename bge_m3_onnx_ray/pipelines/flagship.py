@@ -1924,3 +1924,24 @@ def tfidf_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
     out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
                                 preserve_index=False)
+
+
+def rescore_documents_topk(sf_dir: str, k: int = 10, window: int = 30,
+                           rescore_weight: float = 0.5) -> pa.Table:
+    """Top-k under two-phase window rescoring
+    (:func:`~bge_m3_onnx_ray.index.search.rescore_search`): WAND BM25
+    fetches the top ``window`` per query, classic TF-IDF re-scores just
+    that window, final rank is ``bm25 + rescore_weight * classic`` —
+    the Elasticsearch rescore shape. Same result/oracle conventions as
+    :func:`bm25_documents_topk`."""
+    from bge_m3_onnx_ray.index.search import rescore_search
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    out = rescore_search(idx, DOC_QUERIES, QueryConfig(k=k),
+                         window=window,
+                         rescore_weight=rescore_weight).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)

@@ -927,3 +927,46 @@ def test_classic_similarity(tiny_index, tiny_corpus):
     with pytest.raises(ValueError, match="classic"):
         search(idx, queries[:1],
                QueryConfig(k=5, method="wand", similarity="classic"))
+
+
+def test_rescore_window(tiny_index, tiny_corpus):
+    """Two-phase window rescore: combined ranking equals a brute-force
+    recompute (BM25 window by exact scores, classic re-score, combined
+    = bm25 + w * classic) over the oracle's postings, bit-identically."""
+    import math
+
+    from bge_m3_onnx_ray.index.search import rescore_search
+
+    idx, _ = tiny_index
+    _, oi, queries = tiny_corpus
+    queries = list(queries)[:10]
+    window, w = 15, 0.5
+    out = rescore_search(idx, queries, QueryConfig(k=10),
+                         window=window, rescore_weight=w).to_pandas()
+    assert len(out)
+    n = oi.n_docs
+    for qid, text in queries:
+        bm25: dict[int, float] = {}
+        cls: dict[int, float] = {}
+        for t in sorted(set(oi.tok.tokenize(text))):
+            pl = oi.postings.get(t)
+            if not pl:
+                continue
+            i_b = math.log((n - len(pl) + 0.5) / (len(pl) + 0.5) + 1.0)
+            i_c = 1.0 + math.log(n / (len(pl) + 1.0))
+            w_c = i_c * i_c
+            for doc_id, tf in pl:
+                dl = float(oi.doc_lens[doc_id])
+                bm25[doc_id] = bm25.get(doc_id, 0.0) + i_b * (
+                    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / oi.avgdl)))
+                cls[doc_id] = cls.get(doc_id, 0.0) + float(
+                    w_c * (np.sqrt(np.float64(tf)) / np.sqrt(np.float64(dl))))
+        win = sorted(bm25.items(), key=lambda kv: (-kv[1], kv[0]))[:window]
+        combined = sorted(((d, s + w * cls[d]) for d, s in win),
+                          key=lambda kv: (-kv[1], kv[0]))[:10]
+        g = out[out.query_id == qid].sort_values("rank")
+        assert list(g.doc_id) == [d for d, _ in combined], (qid, text)
+        assert np.allclose(list(g.score), [s for _, s in combined],
+                           rtol=0, atol=1e-12), (qid, text)
+    with pytest.raises(ValueError, match="window"):
+        rescore_search(idx, queries[:1], QueryConfig(k=10), window=5)
