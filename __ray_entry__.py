@@ -589,6 +589,21 @@ def _q_ann(sf_dir):
         k=10, exclude={int(v): int(v) for v in qdf.vec_id})
 
 
+def _q_ann_int8(sf_dir):
+    # int8 scalar-quantized dot-product top-k (the 4x-compressed
+    # serving path); integer scores, so the gate is grid-free exact
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.stages.ann import int8_topk
+    emb = _embeddings(sf_dir)
+    qdf = emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 5)),
+                          batch_format="pyarrow").to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    return int8_topk(
+        emb, np.stack(qdf.embedding.to_numpy()), qdf.vec_id.to_numpy(),
+        k=10, exclude={int(v): int(v) for v in qdf.vec_id})
+
+
 def _q_ivf(sf_dir):
     """IVF cosine top-k with nprobe = n_lists (all lists probed): exactly
     brute-force results, so the SQL ANN oracle checks the whole IVF
@@ -903,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "embedding_dup_pairs": _q_embedding_dups,
         "ann_cosine_topk": _q_ann,
+        "ann_int8_topk": _q_ann_int8,
         "ivf_cosine_topk": _q_ivf,
         "hybrid_rrf_topk": _q_hybrid,
         "lsh_buckets": _q_lsh_buckets,
@@ -2609,6 +2625,34 @@ SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
 FROM ranked WHERE rnk <= 10
 """
 
+# int8 scalar-quantized ANN oracle: the SQL re-derives the quantized
+# vectors with the IDENTICAL arithmetic as stages.ann.quantize_int8
+# (float32->double widening, s = max|x|, q = floor((127.0*x)/s + 0.5),
+# zero vector -> zeros) and ranks by the exact integer dot product —
+# no output quantization grid needed, the score IS an integer.
+_ANN_INT8_SQL = """
+WITH base AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+sc AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS s
+       FROM base),
+qv AS (SELECT vec_id, CASE WHEN s = 0 OR s IS NULL
+         THEN list_transform(e, x -> CAST(0 AS BIGINT))
+         ELSE list_transform(e, x -> CAST(floor((127.0 * x) / s + 0.5)
+                                          AS BIGINT)) END AS q
+       FROM sc),
+qq AS (SELECT vec_id AS query_id, q AS qvec FROM qv WHERE vec_id < 5),
+sims AS (SELECT qq.query_id, v.vec_id,
+                CAST(list_dot_product(qq.qvec, v.q) AS BIGINT) AS dot
+         FROM qq CROSS JOIN qv v WHERE v.vec_id <> qq.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY dot DESC, vec_id) AS rnk FROM sims)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
+       vec_id::BIGINT AS vec_id, dot
+FROM ranked WHERE rnk <= 10
+ORDER BY query_id, "rank"
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     from bge_m3_onnx_ray.stages.text import STOPWORDS
@@ -2953,6 +2997,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """,
         "ivf_cosine_topk": _ANN_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "ann_int8_topk": _ANN_INT8_SQL,
         "hybrid_rrf_topk": _hybrid_sql(),
         "doc_term_weights": f"""
 WITH toks AS ({_TOKS}),
