@@ -83,6 +83,13 @@ def _q_tfidf(sf_dir):
     return tfidf_documents_topk(sf_dir)
 
 
+def _q_bm25f(sf_dir):
+    # multi-field BM25F: title = first 5 tokens, body = rest; per-field
+    # length normalization, weighted tf blend BEFORE k1 saturation
+    from bge_m3_onnx_ray.pipelines.flagship import bm25f_documents_topk
+    return bm25f_documents_topk(sf_dir)
+
+
 def _q_rescore(sf_dir):
     # two-phase window rescore: WAND BM25 top-30, classic TF-IDF
     # re-scores the window, rank by bm25 + 0.5 * classic
@@ -840,6 +847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk_exhaustive": _q_bm25_exhaustive,
         "tfidf_documents_topk": _q_tfidf,
         "rescore_documents_topk": _q_rescore,
+        "bm25f_documents_topk": _q_bm25f,
         "bm25_documents_topk_and": _q_bm25_and,
         "bm25_documents_topk_msm": _q_bm25_msm,
         "bm25_documents_topk_page2": _q_bm25_page2,
@@ -2625,6 +2633,62 @@ SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
 FROM ranked WHERE rnk <= 10
 """
 
+def _bm25f_sql() -> str:
+    """BM25F oracle: token positions via generate_subscripts define the
+    fields (title = pos <= 5, body = pos > 5); df is whole-doc; tfd
+    blends the per-field normalized tfs with the IDENTICAL operand
+    grouping as pipelines.flagship._Bm25fScore."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_QUERIES
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    vals = []
+    for qid, text in DOC_QUERIES:
+        for t in sorted(set(tokenize(text))):
+            vals.append(f"({qid}, '{t}')")
+    tfd = """(2.0 * (f.tf_t / (0.25 + 0.75 * dl.dl_t / s.avgdl_t))
+                + 1.0 * (f.tf_b / (0.25 + 0.75 * dl.dl_b / s.avgdl_b)))"""
+    return f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text),
+                 '{_TOKEN_RE_SQL}') AS ts FROM documents),
+ptoks AS (SELECT doc_id, generate_subscripts(ts, 1) AS pos,
+                 unnest(ts) AS term FROM lists),
+ftf AS (SELECT doc_id, term,
+               sum(CASE WHEN pos <= 5 THEN 1 ELSE 0 END)::DOUBLE AS tf_t,
+               sum(CASE WHEN pos > 5 THEN 1 ELSE 0 END)::DOUBLE AS tf_b
+        FROM ptoks GROUP BY doc_id, term),
+fdl AS (SELECT doc_id,
+               sum(CASE WHEN pos <= 5 THEN 1 ELSE 0 END)::DOUBLE AS dl_t,
+               sum(CASE WHEN pos > 5 THEN 1 ELSE 0 END)::DOUBLE AS dl_b
+        FROM ptoks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT sum(dl_t) FROM fdl)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl_t,
+                 (SELECT sum(dl_b) FROM fdl)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl_b),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM ftf GROUP BY term),
+qterms(query_id, term) AS (VALUES {', '.join(vals)}),
+scores AS (
+  SELECT q.query_id, f.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * ({tfd} / (1.2 + {tfd}))) AS score
+  FROM qterms q
+  JOIN dfs d ON d.term = q.term
+  JOIN ftf f ON f.term = q.term
+  JOIN fdl dl ON dl.doc_id = f.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, f.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scores)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
+       doc_id::BIGINT AS doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_q6
+FROM ranked WHERE rnk <= 10
+ORDER BY query_id, "rank"
+"""
+
+
 # int8 scalar-quantized ANN oracle: the SQL re-derives the quantized
 # vectors with the IDENTICAL arithmetic as stages.ann.quantize_int8
 # (float32->double widening, s = max|x|, q = floor((127.0*x)/s + 0.5),
@@ -2663,6 +2727,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_documents_topk_exhaustive": bm25,
         "tfidf_documents_topk": _bm25_sql(similarity="classic"),
         "rescore_documents_topk": _bm25_sql(rescore=(30, 0.5)),
+        "bm25f_documents_topk": _bm25f_sql(),
         "bm25_documents_topk_and": _bm25_sql(conjunctive=True),
         "bm25_documents_topk_msm": _bm25_sql(msm=2),
         "bm25_documents_topk_page2": _bm25_sql(offset=10),

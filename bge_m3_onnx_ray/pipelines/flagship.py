@@ -1945,3 +1945,186 @@ def rescore_documents_topk(sf_dir: str, k: int = 10, window: int = 30,
     out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
                                 preserve_index=False)
+
+
+class _Bm25fStats:
+    """Pass 1 of BM25F: per-batch partials of the global model — doc
+    count, per-field token totals (title = first TITLE_LEN tokens, body
+    = the rest), and per-QUERY-term document frequencies (df is whole-
+    doc: a doc counts once if the term appears in either field). Output
+    is one tiny row per (batch, term) plus one marker row (term='')
+    per batch carrying the corpus partials — driver-reduced."""
+
+    TITLE_LEN = 5
+
+    def __init__(self, qterms: tuple):
+        from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
+        self.tok = DeterministicTokenizer()
+        self.qterms = pa.array(sorted(qterms), pa.large_string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        flat, offsets = self.tok.batch_token_lists(batch.column("text"))
+        lens = np.diff(offsets)
+        n = len(lens)
+        sum_t = int(np.minimum(lens, self.TITLE_LEN).sum())
+        sum_b = int(np.maximum(lens - self.TITLE_LEN, 0).sum())
+        # whole-doc df for query terms only
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        hit = pc.is_in(flat, value_set=self.qterms).to_numpy(
+            zero_copy_only=False)
+        terms, dfs = [], []
+        if hit.any():
+            qsorted = self.qterms.to_pylist()
+            ht = flat.filter(pa.array(hit))
+            code = np.searchsorted(
+                np.array(qsorted),
+                np.asarray(ht, dtype=object).astype(str))
+            pairs = np.unique(code.astype(np.int64) * (len(lens) + 1)
+                              + doc_of[hit])
+            tcode, counts = np.unique(pairs // (len(lens) + 1),
+                                      return_counts=True)
+            terms = [qsorted[c] for c in tcode]
+            dfs = counts.tolist()
+        return pa.table({
+            "term": pa.array([""] + terms, pa.string()),
+            "df": pa.array([0] + dfs, pa.int64()),
+            "n": pa.array([n] + [0] * len(terms), pa.int64()),
+            "sdl_t": pa.array([sum_t] + [0] * len(terms), pa.int64()),
+            "sdl_b": pa.array([sum_b] + [0] * len(terms), pa.int64())})
+
+
+class _Bm25fScore:
+    """Pass 2 of BM25F: with the broadcast model (idf per query term,
+    per-field avgdl, query->terms), score every doc in the batch —
+    tf blended ACROSS fields before saturation (Robertson BM25F):
+
+        tfd = w_t * (tf_title / B_t) + w_b * (tf_body / B_b)
+        B_f = (1 - b) + b * dl_f / avgdl_f
+        score = sum_t idf_t * tfd / (k1 + tfd)
+
+    (w_t=2.0, w_b=1.0, k1=1.2, b=0.75; operand grouping mirrored by the
+    SQL oracle). Emits a tie-safe per-batch partial top-k."""
+
+    TITLE_LEN = 5
+
+    def __init__(self, model_ref, k: int):
+        import ray
+        from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
+        self.tok = DeterministicTokenizer()
+        (self.idfs, self.avgdl_t, self.avgdl_b,
+         self.queries) = ray.get(model_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        doc_ids = batch.column("doc_id").to_numpy()
+        flat, offsets = self.tok.batch_token_lists(batch.column("text"))
+        lens = np.diff(offsets)
+        n = len(lens)
+        dl_t = np.minimum(lens, self.TITLE_LEN).astype(np.float64)
+        dl_b = np.maximum(lens - self.TITLE_LEN, 0).astype(np.float64)
+        b_t = 0.25 + 0.75 * dl_t / self.avgdl_t
+        b_b = 0.25 + 0.75 * dl_b / self.avgdl_b
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        pos = np.arange(len(doc_of)) - np.repeat(offsets[:-1], lens)
+        # per-(doc, term) field tfs for query terms only
+        tfs: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for term in self.idfs:
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            if not m.any():
+                continue
+            d = doc_of[m]
+            is_t = (pos[m] < self.TITLE_LEN)
+            ud = np.unique(d)
+            tf_t = np.bincount(np.searchsorted(ud, d[is_t]),
+                               minlength=len(ud)).astype(np.float64)
+            tf_b = np.bincount(np.searchsorted(ud, d[~is_t]),
+                               minlength=len(ud)).astype(np.float64)
+            tfs[term] = (ud, tf_t, tf_b)
+        out_q, out_d, out_s = [], [], []
+        k = self.k
+        for qid, terms in self.queries:
+            scores: dict[int, float] = {}
+            for t in terms:                      # ascending = sum order
+                got = tfs.get(t)
+                if got is None:
+                    continue
+                ud, tf_t, tf_b = got
+                tfd = (2.0 * (tf_t / b_t[ud])
+                       + 1.0 * (tf_b / b_b[ud]))
+                contrib = self.idfs[t] * (tfd / (1.2 + tfd))
+                for di, c in zip(ud, contrib):
+                    scores[int(di)] = scores.get(int(di), 0.0) + float(c)
+            if not scores:
+                continue
+            items = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+            if len(items) > k:                   # tie-safe pre-cut
+                kth = items[k - 1][1]
+                items = [it for it in items if it[1] >= kth]
+            out_q.extend([qid] * len(items))
+            out_d.extend(int(doc_ids[d]) for d, _ in items)
+            out_s.extend(s for _, s in items)
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+
+def bm25f_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Multi-field BM25F top-k over the documents table, fields derived
+    deterministically from token positions (title = first 5 tokens,
+    body = the rest — the schema has one text column, so the split IS
+    the field definition, mirrored exactly by the SQL oracle's
+    generate_subscripts positions). True BM25F: per-field length
+    normalization and weighted tf blending BEFORE the k1 saturation —
+    not a sum of per-field BM25 scores.
+
+    Scale shape: two streaming corpus passes. Pass 1 reduces to a tiny
+    (term, df) + corpus-stats table on the driver (query terms only —
+    a few dozen rows regardless of corpus size); pass 2 broadcasts the
+    model once via ray.put and emits tie-safe per-batch partial top-k,
+    merged by a per-query groupby. No shuffle ever carries corpus-sized
+    data."""
+    import math
+
+    import ray
+
+    from bge_m3_onnx_ray.stages._pool import task_stage
+    from bge_m3_onnx_ray.tokenizer import tokenize
+
+    queries = [(qid, sorted(set(tokenize(text)))) for qid, text in DOC_QUERIES]
+    all_terms = tuple(sorted({t for _, ts in queries for t in ts}))
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    part = rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        task_stage(_Bm25fStats, qterms=all_terms),
+        batch_format="pyarrow", batch_size=8192).to_pandas()
+    n = int(part["n"].sum())
+    avgdl_t = float(part["sdl_t"].sum()) / float(n)
+    avgdl_b = float(part["sdl_b"].sum()) / float(n)
+    df = part[part.term != ""].groupby("term")["df"].sum()
+    idfs = {t: math.log((n - int(d) + 0.5) / (int(d) + 0.5) + 1.0)
+            for t, d in df.items()}
+
+    model_ref = ray.put((idfs, avgdl_t, avgdl_b, queries))
+    partials = rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        task_stage(_Bm25fScore, model_ref=model_ref, k=k),
+        batch_format="pyarrow", batch_size=8192)
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        s = group.column("score").to_numpy()
+        d = group.column("doc_id").to_numpy()
+        order = np.lexsort((d, -s))[:k]
+        return pa.table({
+            "query_id": pa.array(np.full(len(order), qid), pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32),
+                             pa.int32()),
+            "doc_id": pa.array(d[order], pa.int64()),
+            "score_q6": pa.array(np.floor(s[order] * 1e6).astype(np.int64),
+                                 pa.int64())})
+
+    out = partials.groupby("query_id").map_groups(
+        merge, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -55,3 +55,61 @@ def test_entry_smoke(ray_session):
     r = m.entry()
     assert r.num_rows > 0
     assert r.schema.names == ["query_id", "rank", "doc_id", "score_q6"]
+
+
+def test_bm25f_multi_field(ray_session, tmp_path):
+    """BM25F over a synthetic corpus: engine result equals a pure-Python
+    recompute of the Robertson field-blended model (title = first 5
+    tokens, body = rest, whole-doc df) at q6 precision."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bge_m3_onnx_ray.pipelines.flagship import (DOC_QUERIES,
+                                                    bm25f_documents_topk)
+    from bge_m3_onnx_ray.tokenizer import tokenize
+
+    rng = np.random.default_rng(5)
+    vocab = ["key", "order", "sort", "data", "table", "join", "filter",
+             "window", "row", "count", "alpha", "beta", "gamma"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 20)))
+             for _ in range(120)]
+    texts[7] = ""                                    # empty doc
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(range(120), pa.int64()),
+                             "text": pa.array(texts, pa.string())}),
+                   sf / "documents.parquet")
+
+    out = bm25f_documents_topk(str(sf)).to_pandas()
+    assert len(out)
+
+    # pure-Python recompute
+    TITLE = 5
+    toks = [tokenize(t) for t in texts]
+    n = len(texts)
+    avg_t = sum(min(len(ts), TITLE) for ts in toks) / n
+    avg_b = sum(max(len(ts) - TITLE, 0) for ts in toks) / n
+    for qid, qtext in DOC_QUERIES:
+        scores = {}
+        for t in sorted(set(tokenize(qtext))):
+            df = sum(1 for ts in toks if t in ts)
+            if not df:
+                continue
+            i = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            for d, ts in enumerate(toks):
+                tf_t = ts[:TITLE].count(t)
+                tf_b = ts[TITLE:].count(t)
+                if not (tf_t or tf_b):
+                    continue
+                b_t = 0.25 + 0.75 * min(len(ts), TITLE) / avg_t
+                b_b = 0.25 + 0.75 * max(len(ts) - TITLE, 0) / avg_b
+                tfd = 2.0 * (tf_t / b_t) + 1.0 * (tf_b / b_b)
+                scores[d] = scores.get(d, 0.0) + i * (tfd / (1.2 + tfd))
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        g = out[out.query_id == qid].sort_values("rank")
+        assert g.doc_id.tolist() == [d for d, _ in want], (qid, qtext)
+        assert g.score_q6.tolist() == [math.floor(s * 1e6)
+                                       for _, s in want], (qid, qtext)
