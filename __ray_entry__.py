@@ -440,6 +440,13 @@ def _q_transcripts_role_transitions(sf_dir):
     return transcripts_role_transitions(sf_dir)
 
 
+def _q_transcripts_sft_pairs(sf_dir):
+    # dialogue -> SFT training pairs: adjacent (user, assistant) turns
+    # within a conversation; one conv-bucket shuffle + adjacent kernel
+    from bge_m3_onnx_ray.pipelines.flagship import transcripts_sft_pairs
+    return transcripts_sft_pairs(sf_dir)
+
+
 def _q_transcripts_tool_stats(sf_dir):
     # per-tool usage analytics over the full input_hint schema (the one
     # column no other key exercises)
@@ -897,6 +904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk_bool": _q_bool,
         "transcripts_index_stats": _q_transcripts_index_stats,
         "transcripts_tool_stats": _q_transcripts_tool_stats,
+        "transcripts_sft_pairs": _q_transcripts_sft_pairs,
         "transcripts_role_transitions": _q_transcripts_role_transitions,
         "token_count": _q_token_count,
         "pack_sequences": _q_pack_sequences,
@@ -2844,6 +2852,19 @@ GROUP BY d.tool ORDER BY d.tool
 """.replace("__SRC__", _transcripts_src_sql())
    .replace("__CJK__", _CJK_SPLIT_SQL)
    .replace("__UNI__", _UNI_TOKEN_RE_SQL),
+        "transcripts_sft_pairs": """
+WITH t AS (SELECT conv_id, turn_idx, role, text FROM __SRC__),
+nxt AS (SELECT conv_id, turn_idx, role, text,
+               lead(role) OVER w AS next_role,
+               lead(text) OVER w AS next_text,
+               lead(turn_idx) OVER w AS next_turn
+        FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT conv_id, turn_idx::INTEGER AS prompt_turn_idx,
+       next_turn::INTEGER AS response_turn_idx,
+       text AS prompt, next_text AS response
+FROM nxt WHERE role = 'user' AND next_role = 'assistant'
+ORDER BY conv_id, prompt_turn_idx
+""".replace("__SRC__", _transcripts_src_sql()),
         "doc_fingerprint": _fingerprint_sql(),
         "simhash": _simhash_sql(),
         "minhash_lsh_candidates": _minhash_sql(),

@@ -2128,3 +2128,60 @@ def bm25f_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
         merge, batch_format="pyarrow").to_pandas()
     out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def transcripts_sft_pairs(sf_dir: str, n_buckets: int = 64) -> pa.Table:
+    """Extract supervised-fine-tuning (prompt, response) pairs from the
+    multi-turn transcripts: every adjacent (user turn, assistant turn)
+    within one conversation in turn order — the standard dialogue->SFT
+    training-data transformation.
+
+    Same distributed shape as :func:`transcripts_role_transitions`: ONE
+    shuffle keyed by hash-bucket of conv_id (a conversation's turns
+    co-locate, pairs never cross conversations), then a vectorized
+    per-bucket sort + adjacent-row kernel. Output (conv_id,
+    prompt_turn_idx, response_turn_idx, prompt, response) sorted by
+    (conv_id, prompt_turn_idx)."""
+    from bge_m3_onnx_ray.fixtures import transcripts_path
+    from bge_m3_onnx_ray.hashing import P53, poly_hash
+    path = transcripts_path(transcripts_n_turns(sf_dir))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = poly_hash(t.column("conv_id"), P53) % np.uint64(n_buckets)
+        return t.append_column("_cb", pa.array(b.astype(np.int64)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        conv = g.column("conv_id").combine_chunks().dictionary_encode()
+        cc = np.asarray(conv.indices).astype(np.int64)
+        turn = g.column("turn_idx").to_numpy()
+        role = g.column("role").combine_chunks().dictionary_encode()
+        rc = np.asarray(role.indices).astype(np.int64)
+        rdict = role.dictionary.to_pylist()
+        uid = rdict.index("user") if "user" in rdict else -1
+        aid = rdict.index("assistant") if "assistant" in rdict else -2
+        order = np.lexsort((turn, cc))
+        cc, rc, turn = cc[order], rc[order], turn[order]
+        m = ((cc[1:] == cc[:-1]) & (rc[:-1] == uid) & (rc[1:] == aid))
+        lo = np.flatnonzero(m)               # index of the user turn
+        text = g.column("text").combine_chunks()
+        take = lambda idx: text.take(pa.array(
+            order[idx], pa.int64())).cast(pa.string())
+        return pa.table({
+            "conv_id": conv.dictionary.take(pa.array(cc[lo]))
+                .cast(pa.string()),
+            "prompt_turn_idx": pa.array(turn[lo].astype(np.int32),
+                                        pa.int32()),
+            "response_turn_idx": pa.array(turn[lo + 1].astype(np.int32),
+                                          pa.int32()),
+            "prompt": take(lo),
+            "response": take(lo + 1)})
+
+    src = rd.read_parquet(path, columns=["conv_id", "turn_idx", "role",
+                                         "text"])
+    out = src.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_cb").map_groups(per_bucket, batch_format="pyarrow") \
+        .to_pandas()
+    out = out.sort_values(["conv_id", "prompt_turn_idx"]) \
+        .reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -113,3 +113,29 @@ def test_bm25f_multi_field(ray_session, tmp_path):
         assert g.doc_id.tolist() == [d for d, _ in want], (qid, qtext)
         assert g.score_q6.tolist() == [math.floor(s * 1e6)
                                        for _, s in want], (qid, qtext)
+
+
+def test_sft_pairs(ray_session):
+    """SFT pair extraction equals a pandas shift-based recompute over
+    the same fixture (adjacent user->assistant turns per conversation)."""
+    import pyarrow.parquet as pq
+
+    from bge_m3_onnx_ray.fixtures import transcripts_path
+    from bge_m3_onnx_ray.pipelines.flagship import (transcripts_n_turns,
+                                                    transcripts_sft_pairs)
+
+    out = transcripts_sft_pairs(SF).to_pandas()
+    path = transcripts_path(transcripts_n_turns(SF))
+    df = pq.read_table(path).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    nxt = df.groupby("conv_id", sort=False).shift(-1)
+    m = (df.role == "user") & (nxt.role == "assistant")
+    want = df[m].assign(response_turn_idx=nxt.turn_idx[m].astype("int32"),
+                        response=nxt.text[m]) \
+        .rename(columns={"turn_idx": "prompt_turn_idx", "text": "prompt"}) \
+        [["conv_id", "prompt_turn_idx", "response_turn_idx",
+          "prompt", "response"]] \
+        .sort_values(["conv_id", "prompt_turn_idx"]).reset_index(drop=True)
+    assert len(out) == len(want) > 0
+    for c in want.columns:
+        assert out[c].astype(want[c].dtype).tolist() == want[c].tolist(), c
