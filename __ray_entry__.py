@@ -83,6 +83,13 @@ def _q_tfidf(sf_dir):
     return tfidf_documents_topk(sf_dir)
 
 
+def _q_bm25_restored(sf_dir):
+    # snapshot -> digest-verify -> restore -> search: byte-identical to
+    # the source index, gated by the standard BM25 oracle
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_topk_restored
+    return bm25_documents_topk_restored(sf_dir)
+
+
 def _q_bm25f(sf_dir):
     # multi-field BM25F: title = first 5 tokens, body = rest; per-field
     # length normalization, weighted tf blend BEFORE k1 saturation
@@ -775,8 +782,15 @@ def _q_events_funnel(sf_dir):
 
 
 def _q_events_retention(sf_dir):
+    import pyarrow as pa
+
     from bge_m3_onnx_ray.stages.events import retention
-    return retention(_events(sf_dir))
+    # collect the (small, cohortxoffset-bounded) matrix to one typed
+    # table: the raw Dataset can carry a schema-less empty block from an
+    # empty shuffle partition, which trips strict schema-equality
+    # consumers downstream
+    return pa.Table.from_pandas(retention(_events(sf_dir)).to_pandas(),
+                                preserve_index=False)
 
 
 def _q_distribution_counts(sf_dir):
@@ -855,6 +869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_documents_topk": _q_tfidf,
         "rescore_documents_topk": _q_rescore,
         "bm25f_documents_topk": _q_bm25f,
+        "bm25_documents_topk_restored": _q_bm25_restored,
         "bm25_documents_topk_and": _q_bm25_and,
         "bm25_documents_topk_msm": _q_bm25_msm,
         "bm25_documents_topk_page2": _q_bm25_page2,
@@ -2736,6 +2751,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_documents_topk": _bm25_sql(similarity="classic"),
         "rescore_documents_topk": _bm25_sql(rescore=(30, 0.5)),
         "bm25f_documents_topk": _bm25f_sql(),
+        "bm25_documents_topk_restored": bm25,
         "bm25_documents_topk_and": _bm25_sql(conjunctive=True),
         "bm25_documents_topk_msm": _bm25_sql(msm=2),
         "bm25_documents_topk_page2": _bm25_sql(offset=10),

@@ -2185,3 +2185,27 @@ def transcripts_sft_pairs(sf_dir: str, n_buckets: int = 64) -> pa.Table:
     out = out.sort_values(["conv_id", "prompt_turn_idx"]) \
         .reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def bm25_documents_topk_restored(sf_dir: str, k: int = 10) -> pa.Table:
+    """Search over a snapshot-restored index (snapshot -> digest-verify
+    -> restore -> search): results are byte-identical to the source
+    index's, so the standard BM25 oracle gates the whole backup/restore
+    lifecycle. Same result shape as :func:`bm25_documents_topk`."""
+    import shutil
+
+    from bge_m3_onnx_ray.index.snapshot import restore_index, snapshot_index
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    snap = idx + "-snap"
+    restored = idx + "-restored"
+    shutil.rmtree(snap, ignore_errors=True)
+    shutil.rmtree(restored, ignore_errors=True)
+    snapshot_index(idx, snap)
+    restore_index(snap, restored)
+    out = search(restored, DOC_QUERIES, QueryConfig(k=k)).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)

@@ -217,3 +217,52 @@ def test_empty_corpus_searchable(ray_session, tmp_path):
     assert res["n_docs"] == 0
     out = search(idx, [(0, "anything at all")]).to_pandas()
     assert len(out) == 0
+
+
+def test_snapshot_restore(tiny_index, tiny_corpus, tmp_path):
+    """Snapshot/restore lifecycle: restored index answers queries
+    byte-identically, verify_snapshot catches tampering, and both
+    snapshot and restore refuse non-empty targets."""
+    import json
+
+    import pytest
+
+    from bge_m3_onnx_ray.config import QueryConfig
+    from bge_m3_onnx_ray.index.search import search
+    from bge_m3_onnx_ray.index.snapshot import (restore_index,
+                                                snapshot_index,
+                                                verify_snapshot)
+
+    idx, _ = tiny_index
+    _, _, queries = tiny_corpus
+    queries = list(queries)[:5]
+    snap = str(tmp_path / "snap")
+    restored = str(tmp_path / "restored")
+    man = snapshot_index(idx, snap)
+    assert man["n_files"] > 3
+    verify_snapshot(snap)
+    restore_index(snap, restored)
+
+    a = search(idx, queries, QueryConfig(k=10)).to_pandas()
+    b = search(restored, queries, QueryConfig(k=10)).to_pandas()
+    assert a.equals(b)
+
+    # tamper detection: flip one byte of one postings file
+    rel = next(r for r in man["files"] if "postings" in r)
+    p = os.path.join(snap, rel)
+    blob = bytearray(open(p, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(RuntimeError, match="digest mismatch"):
+        verify_snapshot(snap)
+    with pytest.raises(RuntimeError, match="digest mismatch"):
+        restore_index(snap, str(tmp_path / "r2"))
+
+    # non-empty target guards
+    with pytest.raises(ValueError, match="not empty"):
+        snapshot_index(idx, snap)
+    with pytest.raises(ValueError, match="not empty"):
+        # fix the tampered byte back so verify passes, then hit the guard
+        blob[len(blob) // 2] ^= 0xFF
+        open(p, "wb").write(bytes(blob))
+        restore_index(snap, restored)
