@@ -610,6 +610,29 @@ def _q_ann(sf_dir):
         k=10, exclude={int(v): int(v) for v in qdf.vec_id})
 
 
+def _q_ivf_disk(sf_dir):
+    # persisted IVF index: partitioned-by-list parquet + probe-pruned
+    # partition READS; nprobe=all == brute force (the SQL gate)
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.stages.ann import ivf_search_disk, ivf_write
+    emb = _embeddings(sf_dir)
+    idx = os.path.join("/tmp/bm25_indexes",
+                       "ivf-disk-" + os.path.basename(
+                           os.path.normpath(sf_dir)))
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        shutil.rmtree(idx, ignore_errors=True)
+        ivf_write(emb, idx, n_lists=16, n_iters=5)
+    qdf = emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 5)),
+                          batch_format="pyarrow").to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    return ivf_search_disk(
+        idx, np.stack(qdf.embedding.to_numpy()), qdf.vec_id.to_numpy(),
+        k=10, nprobe=16, exclude={int(v): int(v) for v in qdf.vec_id})
+
+
 def _q_ann_int8(sf_dir):
     # int8 scalar-quantized dot-product top-k (the 4x-compressed
     # serving path); integer scores, so the gate is grid-free exact
@@ -950,6 +973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dups,
         "ann_cosine_topk": _q_ann,
         "ann_int8_topk": _q_ann_int8,
+        "ivf_disk_cosine_topk": _q_ivf_disk,
         "ivf_cosine_topk": _q_ivf,
         "hybrid_rrf_topk": _q_hybrid,
         "lsh_buckets": _q_lsh_buckets,
@@ -3100,6 +3124,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         "ivf_cosine_topk": _ANN_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_int8_topk": _ANN_INT8_SQL,
+        "ivf_disk_cosine_topk": _ANN_SQL,
         "hybrid_rrf_topk": _hybrid_sql(),
         "doc_term_weights": f"""
 WITH toks AS ({_TOKS}),

@@ -12,6 +12,8 @@ kernel.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
@@ -435,3 +437,94 @@ def int8_topk(ds: rd.Dataset, query_vecs: np.ndarray,
         })
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+def ivf_write(ds: rd.Dataset, index_dir: str, n_lists: int = 64,
+              n_iters: int = 5) -> dict:
+    """Persist an IVF index: centroids + the corpus written as Parquet
+    PARTITIONED BY list_id (one directory per inverted list). This is
+    the 100-TB ANN serving artifact — a query that probes ``nprobe``
+    lists READS only those partitions from storage; every other byte of
+    the corpus never leaves disk. ``list_id`` is duplicated into an
+    ordinary column ("list") so the probe-pruned read needs no
+    partition-path parsing. Returns the meta dict (also written to
+    meta.json)."""
+    import json
+
+    centroids = kmeans_centroids(ds, n_lists=n_lists, n_iters=n_iters)
+    assigned = ivf_assign(ds, centroids).map_batches(
+        lambda t: t.append_column("list", t.column("list_id")),
+        batch_format="pyarrow")
+    os.makedirs(index_dir, exist_ok=True)
+    assigned.write_parquet(os.path.join(index_dir, "lists"),
+                           partition_cols=["list_id"])
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    meta = {"n_lists": int(n_lists), "dim": int(centroids.shape[1]),
+            "n_vectors": int(ds.count())}
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    return meta
+
+
+def ivf_search_disk(index_dir: str, query_vecs: np.ndarray,
+                    query_ids: np.ndarray, k: int = 10,
+                    nprobe: int | None = None,
+                    exclude: dict[int, int] | None = None) -> rd.Dataset:
+    """Query a persisted IVF index with probe-pruned PARTITION READS:
+    only the union of the queries' probed lists is read from storage
+    (``read_parquet`` over exactly those ``list_id=<l>`` directories).
+    With ``nprobe == n_lists`` results are exactly brute force — the
+    SQL-gated completeness point; smaller nprobe reads a fraction of
+    the corpus. Same kernel/merge as :func:`ivf_topk`."""
+    import ray
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _normalize(np.asarray(query_vecs, np.float64))
+    csims = q @ np.ascontiguousarray(centroids, np.float64).T
+    n_lists = csims.shape[1]
+    if nprobe is None:
+        nprobe = max(8, n_lists // 2)
+    nprobe = min(nprobe, n_lists)
+    probes = [row[:nprobe] for row in
+              np.lexsort((np.arange(n_lists)[None, :].repeat(len(q), 0),
+                          -csims), axis=1)[:, :nprobe]]
+    probes = [np.sort(p).astype(np.int64) for p in probes]
+    union = (np.unique(np.concatenate(probes)) if probes
+             else np.empty(0, np.int64))
+    # THE read prune: only probed partitions are opened
+    dirs = [os.path.join(index_dir, "lists", f"list_id={int(l)}")
+            for l in union]
+    paths = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not paths:
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int32()),
+            "vec_id": pa.array([], pa.int64()),
+            "cos_q2": pa.array([], pa.int64())}))
+    probed = rd.read_parquet(paths, columns=["vec_id", "embedding", "list"]) \
+        .map_batches(lambda t: t.append_column(
+            "list_id", t.column("list").cast(pa.int64())),
+            batch_format="pyarrow")
+    q_ref = ray.put((np.asarray(query_ids, np.int64), q, probes, union,
+                     dict(exclude or {})))
+    partials = probed.map_batches(
+        task_stage(_IvfPartialTopK, q_ref=q_ref, k=k),
+        batch_format="pyarrow", batch_size=8192)
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        s = group.column("cos").to_numpy()
+        v = group.column("vec_id").to_numpy()
+        order = np.lexsort((v, -s))[:k]
+        return pa.table({
+            "query_id": pa.array(np.full(len(order), qid), pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32),
+                             pa.int32()),
+            "vec_id": pa.array(v[order], pa.int64()),
+            "cos_q2": pa.array(np.floor(s[order] * 100.0).astype(np.int64),
+                               pa.int64()),
+        })
+
+    return partials.groupby("query_id").map_groups(
+        merge, batch_format="pyarrow")

@@ -882,3 +882,40 @@ def test_int8_topk(ray_session):
         a = set(out[out.query_id == qi].vec_id)
         hits += len(e & a); total += len(e)
     assert hits / total >= 0.7, hits / total
+
+
+def test_ivf_disk(ray_session, tmp_path):
+    """Persisted IVF index: partitioned-by-list write, probe-pruned
+    partition reads; nprobe=all equals brute force exactly, small
+    nprobe reads only a subset of partition files."""
+    import os
+
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.ann import (brute_force_topk,
+                                            ivf_search_disk, ivf_write)
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((300, 16)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(300), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in m],
+                              pa.list_(pa.float32()))}))
+    idx = str(tmp_path / "ivf")
+    meta = ivf_write(ds, idx, n_lists=8, n_iters=3)
+    assert meta["n_vectors"] == 300 and meta["dim"] == 16
+    parts = sorted(os.listdir(os.path.join(idx, "lists")))
+    assert all(p.startswith("list_id=") for p in parts)
+
+    qids = np.arange(5)
+    ex = {i: i for i in range(5)}
+    full = ivf_search_disk(idx, m[:5], qids, k=10, nprobe=8,
+                           exclude=ex).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    bf = brute_force_topk(ds, m[:5], qids, k=10, exclude=ex).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert full.equals(bf)
+
+    small = ivf_search_disk(idx, m[:5], qids, k=10, nprobe=2,
+                            exclude=ex).to_pandas()
+    hit = len(set(map(tuple, small[["query_id", "vec_id"]].values))
+              & set(map(tuple, bf[["query_id", "vec_id"]].values)))
+    assert 0 < hit <= len(bf)
