@@ -454,6 +454,13 @@ def _q_transcripts_sft_pairs(sf_dir):
     return transcripts_sft_pairs(sf_dir)
 
 
+def _q_transcripts_sft_history(sf_dir):
+    # chat-format SFT: full prior-turn history -> assistant response
+    from bge_m3_onnx_ray.pipelines.flagship import \
+        transcripts_sft_with_history
+    return transcripts_sft_with_history(sf_dir)
+
+
 def _q_transcripts_tool_stats(sf_dir):
     # per-tool usage analytics over the full input_hint schema (the one
     # column no other key exercises)
@@ -943,6 +950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_index_stats": _q_transcripts_index_stats,
         "transcripts_tool_stats": _q_transcripts_tool_stats,
         "transcripts_sft_pairs": _q_transcripts_sft_pairs,
+        "transcripts_sft_with_history": _q_transcripts_sft_history,
         "transcripts_role_transitions": _q_transcripts_role_transitions,
         "token_count": _q_token_count,
         "pack_sequences": _q_pack_sequences,
@@ -2739,8 +2747,9 @@ ORDER BY query_id, "rank"
 # int8 scalar-quantized ANN oracle: the SQL re-derives the quantized
 # vectors with the IDENTICAL arithmetic as stages.ann.quantize_int8
 # (float32->double widening, s = max|x|, q = floor((127.0*x)/s + 0.5),
-# zero vector -> zeros) and ranks by the exact integer dot product —
-# no output quantization grid needed, the score IS an integer.
+# zero vector -> zeros) and ranks by the QUANTIZED COSINE
+# dot / (sqrt(na) * sqrt(nb)) — dot/na/nb are exact integers, so the
+# float score is bit-identical across engines; zero vectors never rank.
 _ANN_INT8_SQL = """
 WITH base AS (SELECT vec_id,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -2752,14 +2761,22 @@ qv AS (SELECT vec_id, CASE WHEN s = 0 OR s IS NULL
          ELSE list_transform(e, x -> CAST(floor((127.0 * x) / s + 0.5)
                                           AS BIGINT)) END AS q
        FROM sc),
-qq AS (SELECT vec_id AS query_id, q AS qvec FROM qv WHERE vec_id < 5),
+qn AS (SELECT vec_id, q,
+              CAST(list_dot_product(q, q) AS BIGINT) AS nn FROM qv),
+qq AS (SELECT vec_id AS query_id, q AS qvec, nn AS qn
+       FROM qn WHERE vec_id < 5),
 sims AS (SELECT qq.query_id, v.vec_id,
-                CAST(list_dot_product(qq.qvec, v.q) AS BIGINT) AS dot
-         FROM qq CROSS JOIN qv v WHERE v.vec_id <> qq.query_id),
+                CAST(list_dot_product(qq.qvec, v.q) AS BIGINT) AS dot,
+                CAST(list_dot_product(qq.qvec, v.q) AS DOUBLE)
+                  / (sqrt(CAST(qq.qn AS DOUBLE))
+                     * sqrt(CAST(v.nn AS DOUBLE))) AS cos
+         FROM qq CROSS JOIN qn v
+         WHERE v.vec_id <> qq.query_id AND v.nn > 0 AND qq.qn > 0),
 ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                        ORDER BY dot DESC, vec_id) AS rnk FROM sims)
+                        ORDER BY cos DESC, vec_id) AS rnk FROM sims)
 SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
-       vec_id::BIGINT AS vec_id, dot
+       vec_id::BIGINT AS vec_id, dot,
+       CAST(floor(cos * 1000000) AS BIGINT) AS cos_qq6
 FROM ranked WHERE rnk <= 10
 ORDER BY query_id, "rank"
 """
@@ -2904,6 +2921,18 @@ SELECT conv_id, turn_idx::INTEGER AS prompt_turn_idx,
        text AS prompt, next_text AS response
 FROM nxt WHERE role = 'user' AND next_role = 'assistant'
 ORDER BY conv_id, prompt_turn_idx
+""".replace("__SRC__", _transcripts_src_sql()),
+        "transcripts_sft_with_history": """
+WITH t AS (SELECT conv_id, turn_idx, role, text FROM __SRC__),
+h AS (SELECT conv_id, turn_idx, role, text,
+             string_agg(role || ': ' || text, chr(10))
+               OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS history
+      FROM t)
+SELECT conv_id, turn_idx::INTEGER AS turn_idx, history, text AS response
+FROM h WHERE role = 'assistant' AND history IS NOT NULL
+ORDER BY conv_id, turn_idx
 """.replace("__SRC__", _transcripts_src_sql()),
         "doc_fingerprint": _fingerprint_sql(),
         "simhash": _simhash_sql(),

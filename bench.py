@@ -273,6 +273,56 @@ def run_bench() -> dict:
     out["ivf_clustered"] = {"n_lists": 64, "exact_sec": round(ct_bf, 2),
                             "curve": ccurve, "recommended_nprobe": crec}
 
+    # ---- persisted IVF (partitioned parquet, probe-pruned READS): the
+    # storage-level prune — bytes opened at nprobe=1 vs the whole index
+    import os as _os
+    import shutil as _shutil
+
+    from bge_m3_onnx_ray.stages.ann import int8_topk, ivf_search_disk, ivf_write
+    didx = "/tmp/bm25_bench/ivf_disk"
+    _shutil.rmtree(didx, ignore_errors=True)
+    t0 = time.perf_counter()
+    ivf_write(cemb, didx, n_lists=64, n_iters=4)
+    t_write = time.perf_counter() - t0
+
+    def _bytes_under(p):
+        return sum(_os.path.getsize(_os.path.join(dp, f))
+                   for dp, _, fs in _os.walk(p) for f in fs)
+
+    total_bytes = _bytes_under(_os.path.join(didx, "lists"))
+    t0 = time.perf_counter()
+    d1 = ivf_search_disk(didx, cqv, cqid, k=10, nprobe=1).to_pandas()
+    t_d1 = time.perf_counter() - t0
+    # bytes actually openable at nprobe=1 = union of probed partitions
+    cents_d = np.load(_os.path.join(didx, "centroids.npy"))
+    sims_d = (cqv / np.linalg.norm(cqv, axis=1, keepdims=True)) @ cents_d.T
+    probed = np.unique(np.argmax(sims_d, axis=1))
+    probed_bytes = sum(_bytes_under(_os.path.join(
+        didx, "lists", f"list_id={int(l)}")) for l in probed)
+    t0 = time.perf_counter()
+    dall = ivf_search_disk(didx, cqv, cqid, k=10, nprobe=64).to_pandas()
+    t_dall = time.perf_counter() - t0
+    rec_d1 = round(d1.merge(cbf, on=["query_id", "vec_id"]).shape[0]
+                   / max(len(cbf), 1), 3)
+    assert dall.sort_values(["query_id", "rank"]).reset_index(drop=True) \
+        .equals(cbf.sort_values(["query_id", "rank"]).reset_index(drop=True))
+    out["ivf_disk"] = {
+        "write_sec": round(t_write, 2),
+        "nprobe1_sec": round(t_d1, 2), "nprobe1_recall_at_10": rec_d1,
+        "nprobe_all_sec": round(t_dall, 2),
+        "bytes_read_frac_nprobe1": round(probed_bytes / total_bytes, 4),
+        "nprobe_all_equals_brute_force": True}
+
+    # ---- int8 scalar-quantized ANN vs float brute force (same corpus)
+    t0 = time.perf_counter()
+    i8 = int8_topk(cemb, cqv, cqid, k=10).to_pandas()
+    t_i8 = time.perf_counter() - t0
+    rec_i8 = round(i8.merge(cbf, on=["query_id", "vec_id"]).shape[0]
+                   / max(len(cbf), 1), 3)
+    out["ann_int8"] = {"int8_sec": round(t_i8, 2),
+                       "float_sec": round(ct_bf, 2),
+                       "recall_at_10_vs_float": rec_i8}
+
     # ---- positional artifact build at headline scale (the occurrences
     # SPIMI + merge shuffle over the same 4M-turn corpus)
     from bge_m3_onnx_ray.index.positions import build_positions
@@ -434,6 +484,8 @@ def main() -> None:
         "zipf_wand": out.get("zipf_wand"),
         "ivf": out.get("ivf"),
         "ivf_clustered": out.get("ivf_clustered"),
+        "ivf_disk": out.get("ivf_disk"),
+        "ann_int8": out.get("ann_int8"),
         "phrase": out.get("phrase"),
         "append": out.get("append"),
         "substring": out.get("substring"),

@@ -367,25 +367,42 @@ def quantize_int8(m: np.ndarray) -> np.ndarray:
 
 
 class _PartialTopKInt8:
-    """Per-batch partial top-k by integer dot product of int8-quantized
-    vectors against the broadcast quantized query matrix. Integer
-    scores: no float-comparison hazards anywhere — partials merge
-    exactly, and the driver gate needs no quantized-output grid."""
+    """Per-batch partial top-k by QUANTIZED COSINE: integer dot product
+    of the int8 vectors normalized by their exact integer self-dots,
+
+        score = dot / (sqrt(na) * sqrt(nb))
+
+    All three inputs are exact int64 (sums of int8 products), and
+    sqrt/divide are correctly-rounded IEEE-754 ops on them, so the
+    float score is a pure function of the integers — bit-identical
+    across batch splits AND in the DuckDB mirror. Ranking by the raw
+    dot instead would NOT approximate cosine (max-abs scales differ per
+    vector); normalizing restores rank fidelity while keeping every
+    comparison hazard-free. A zero vector (na or nb = 0) has no cosine
+    and never ranks."""
 
     def __init__(self, q_ref, k: int):
         import ray
         self.qids, self.q, self.exclude = ray.get(q_ref)
+        qn = (self.q * self.q).sum(axis=1)        # exact int64
+        self.q_sqrt = np.sqrt(qn.astype(np.float64))
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vids = batch.column("vec_id").to_numpy()
         m = quantize_int8(_embedding_matrix(batch.column("embedding")))
-        dots = self.q @ m.T                      # (n_q, n_batch) int64
-        out_q, out_v, out_s = [], [], []
+        nb = (m * m).sum(axis=1)                  # exact int64 per row
+        nb_sqrt = np.sqrt(nb.astype(np.float64))
+        dots = self.q @ m.T                       # (n_q, n_batch) int64
+        out_q, out_v, out_d, out_s = [], [], [], []
         k = self.k
         for qi, qid in enumerate(self.qids):
-            s = dots[qi]
-            mask = np.ones(len(vids), bool)
+            d = dots[qi]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s = d.astype(np.float64) / (self.q_sqrt[qi] * nb_sqrt)
+            mask = nb > 0
+            if self.q_sqrt[qi] == 0.0:
+                mask = np.zeros(len(vids), bool)
             ex = self.exclude.get(int(qid))
             if ex is not None:
                 mask &= vids != ex
@@ -400,20 +417,25 @@ class _PartialTopKInt8:
                 top = idx
             out_q.extend([qid] * len(top))
             out_v.extend(vids[top].tolist())
+            out_d.extend(d[top].tolist())
             out_s.extend(s[top].tolist())
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
                          "vec_id": pa.array(out_v, pa.int64()),
-                         "dot": pa.array(out_s, pa.int64())})
+                         "dot": pa.array(out_d, pa.int64()),
+                         "cos": pa.array(out_s, pa.float64())})
 
 
 def int8_topk(ds: rd.Dataset, query_vecs: np.ndarray,
               query_ids: np.ndarray, k: int = 10,
               exclude: dict[int, int] | None = None) -> rd.Dataset:
-    """Top-k by int8-quantized dot product — the scalar-quantization
-    serving path (4x smaller vectors, SIMD int8 kernels at scale).
-    Output (query_id, rank, vec_id, dot) with the EXACT integer score;
-    ties break by ascending vec_id. Same broadcast/partial/merge shape
-    as :func:`brute_force_topk`."""
+    """Top-k by int8-quantized COSINE — the scalar-quantization serving
+    path (4x smaller vectors, SIMD int8 kernels at scale). Output
+    (query_id, rank, vec_id, dot, cos_qq6): ``dot`` is the exact
+    integer dot product, ``cos_qq6`` the quantized cosine floored to a
+    1e-6 grid; ranking is by the float quantized cosine (a pure
+    function of three exact integers, so deterministic), ties by
+    ascending vec_id. Same broadcast/partial/merge shape as
+    :func:`brute_force_topk`."""
     import ray
 
     q = quantize_int8(np.asarray(query_vecs, np.float64))
@@ -426,14 +448,17 @@ def int8_topk(ds: rd.Dataset, query_vecs: np.ndarray,
 
     def merge(group: pa.Table) -> pa.Table:
         qid = group.column("query_id")[0].as_py()
-        s = group.column("dot").to_numpy()
+        s = group.column("cos").to_numpy()
+        d = group.column("dot").to_numpy()
         v = group.column("vec_id").to_numpy()
         order = np.lexsort((v, -s))[:k]
         return pa.table({
             "query_id": pa.array(np.full(len(order), qid), pa.int64()),
             "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32), pa.int32()),
             "vec_id": pa.array(v[order], pa.int64()),
-            "dot": pa.array(s[order], pa.int64()),
+            "dot": pa.array(d[order], pa.int64()),
+            "cos_qq6": pa.array(np.floor(s[order] * 1e6).astype(np.int64),
+                                pa.int64()),
         })
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")

@@ -863,15 +863,23 @@ def test_int8_topk(ray_session):
     qids = np.arange(5)
     out = int8_topk(ds, m[:5], qids, k=10,
                     exclude={i: i for i in range(5)}).to_pandas()
-    # exact integer recompute
+    # exact recompute: quantized cosine = dot / (sqrt(na) * sqrt(nb)),
+    # all three exact integers; zero vectors (nb == 0) never rank
     dots = q[:5] @ q.T
+    nn = (q * q).sum(axis=1)
     for qi in qids:
-        s = dots[qi].copy()
-        s[qi] = -(1 << 62)   # not int64.min: -min overflows under lexsort
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = dots[qi].astype(np.float64) / (np.sqrt(np.float64(nn[qi]))
+                                               * np.sqrt(nn.astype(np.float64)))
+        s[nn == 0] = -np.inf
+        s[qi] = -np.inf
         want = np.lexsort((np.arange(200), -s))[:10]
         g = out[out.query_id == qi].sort_values("rank")
         assert g.vec_id.tolist() == want.tolist(), qi
-        assert g["dot"].tolist() == s[want].tolist(), qi
+        assert g["dot"].tolist() == dots[qi][want].tolist(), qi
+        assert g["cos_qq6"].tolist() == np.floor(
+            s[want] * 1e6).astype(np.int64).tolist(), qi
+    assert 11 not in out.vec_id.values   # zero vector never ranks
     # recall@10 vs exact cosine (batch split must not matter; int8 on
     # 16-dim gaussians loses little)
     exact = brute_force_topk(ds, m[:5], qids, k=10,
