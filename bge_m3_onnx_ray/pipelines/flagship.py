@@ -2209,3 +2209,59 @@ def bm25_documents_topk_restored(sf_dir: str, k: int = 10) -> pa.Table:
     out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
                                 preserve_index=False)
+
+
+def transcripts_sft_with_history(sf_dir: str, n_buckets: int = 64) -> pa.Table:
+    """SFT examples WITH full conversational context: for every
+    assistant turn that has at least one preceding turn, prompt =
+    newline-joined "role: text" of ALL prior turns in the conversation,
+    response = the assistant turn — the chat-format SFT shape (history
+    -> reply), complementing :func:`transcripts_sft_pairs`'s adjacent
+    pairs.
+
+    Same ONE conv-bucket shuffle; inside a bucket the kernel walks each
+    conversation once, accumulating fragments (O(total chars) per conv;
+    conversations are short by the input_hint's construction — the
+    per-conv history is the OUTPUT, so no asymptotic slack exists to
+    exploit). Output (conv_id, turn_idx, history, response)."""
+    from bge_m3_onnx_ray.fixtures import transcripts_path
+    from bge_m3_onnx_ray.hashing import P53, poly_hash
+    path = transcripts_path(transcripts_n_turns(sf_dir))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = poly_hash(t.column("conv_id"), P53) % np.uint64(n_buckets)
+        return t.append_column("_cb", pa.array(b.astype(np.int64)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        tbl = g.take(pc.sort_indices(
+            g, sort_keys=[("conv_id", "ascending"),
+                          ("turn_idx", "ascending")]))
+        conv = tbl.column("conv_id").to_pylist()
+        turn = tbl.column("turn_idx").to_numpy()
+        role = tbl.column("role").to_pylist()
+        text = tbl.column("text").to_pylist()
+        out_c, out_t, out_h, out_r = [], [], [], []
+        acc: list[str] = []
+        prev = None
+        for i in range(len(conv)):
+            if conv[i] != prev:
+                acc, prev = [], conv[i]
+            if role[i] == "assistant" and acc:
+                out_c.append(conv[i])
+                out_t.append(int(turn[i]))
+                out_h.append("\n".join(acc))
+                out_r.append(text[i])
+            acc.append(f"{role[i]}: {text[i]}")
+        return pa.table({"conv_id": pa.array(out_c, pa.string()),
+                         "turn_idx": pa.array(out_t, pa.int32()),
+                         "history": pa.array(out_h, pa.string()),
+                         "response": pa.array(out_r, pa.string())})
+
+    src = rd.read_parquet(path, columns=["conv_id", "turn_idx", "role",
+                                         "text"])
+    out = src.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_cb").map_groups(per_bucket, batch_format="pyarrow") \
+        .to_pandas()
+    out = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -139,3 +139,30 @@ def test_sft_pairs(ray_session):
     assert len(out) == len(want) > 0
     for c in want.columns:
         assert out[c].astype(want[c].dtype).tolist() == want[c].tolist(), c
+
+
+def test_sft_with_history(ray_session):
+    """Chat-format SFT: history equals a pandas cumulative recompute
+    (all prior turns joined as 'role: text' lines) for assistant turns."""
+    import pyarrow.parquet as pq
+
+    from bge_m3_onnx_ray.fixtures import transcripts_path
+    from bge_m3_onnx_ray.pipelines.flagship import (
+        transcripts_n_turns, transcripts_sft_with_history)
+
+    out = transcripts_sft_with_history(SF).to_pandas()
+    df = pq.read_table(path := transcripts_path(transcripts_n_turns(SF))) \
+        .to_pandas().sort_values(["conv_id", "turn_idx"]) \
+        .reset_index(drop=True)
+    frag = df.role + ": " + df.text
+    want = []
+    for conv, g in df.groupby("conv_id", sort=True):
+        acc = []
+        for _, r in g.iterrows():
+            if r.role == "assistant" and acc:
+                want.append((conv, int(r.turn_idx), "\n".join(acc), r.text))
+            acc.append(f"{r.role}: {r.text}")
+    assert len(out) == len(want) > 0
+    got = list(zip(out.conv_id, out.turn_idx.astype(int), out.history,
+                   out.response))
+    assert got == want
