@@ -83,6 +83,12 @@ def _q_tfidf(sf_dir):
     return tfidf_documents_topk(sf_dir)
 
 
+def _q_dismax(sf_dir):
+    # disjunction-max: best term contribution + 0.3 * sum of the rest
+    from bge_m3_onnx_ray.pipelines.flagship import dismax_documents_topk
+    return dismax_documents_topk(sf_dir)
+
+
 def _q_bm25_restored(sf_dir):
     # snapshot -> digest-verify -> restore -> search: byte-identical to
     # the source index, gated by the standard BM25 oracle
@@ -900,6 +906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rescore_documents_topk": _q_rescore,
         "bm25f_documents_topk": _q_bm25f,
         "bm25_documents_topk_restored": _q_bm25_restored,
+        "dismax_documents_topk": _q_dismax,
         "bm25_documents_topk_and": _q_bm25_and,
         "bm25_documents_topk_msm": _q_bm25_msm,
         "bm25_documents_topk_page2": _q_bm25_page2,
@@ -1018,7 +1025,8 @@ def _bm25_sql(conjunctive: bool = False, quantized_rank: bool = False,
               offset: int = 0, parse_boost: bool = False,
               corpus_table: str = "documents",
               synonyms: tuple = (), similarity: str = "bm25",
-              rescore: "tuple[int, float] | None" = None) -> str:
+              rescore: "tuple[int, float] | None" = None,
+              dismax: float | None = None) -> str:
     """``candidate_where``: extra predicate on candidates only — global
     stats stay corpus-wide (tombstone live-docs semantics).
     ``corpus_where``: predicate on the CORPUS itself — stats, dfs and
@@ -1120,6 +1128,12 @@ qterms AS (SELECT DISTINCT w.query_id, d.term
     score_sums = (f"sum({classic_expr}\n         ) AS score"
                   if similarity == "classic" else
                   f"sum({bm25_expr}\n         ) AS score")
+    if dismax is not None:
+        # Lucene DisjunctionMaxQuery: best + tie * (sum - best), the
+        # exact operand grouping of score_exhaustive's dismax branch
+        score_sums = (f"max({bm25_expr}\n         ) + {dismax!r} * "
+                      f"(sum({bm25_expr}\n         ) - "
+                      f"max({bm25_expr}\n         )) AS score")
     # window rescore: both sums computed in the one scores pass, the
     # BM25-ordered window cut, then combined = bm25 + w * classic —
     # operand grouping mirrors rescore_search exactly
@@ -2793,6 +2807,7 @@ def oracle_sql() -> dict[str, str]:
         "rescore_documents_topk": _bm25_sql(rescore=(30, 0.5)),
         "bm25f_documents_topk": _bm25f_sql(),
         "bm25_documents_topk_restored": bm25,
+        "dismax_documents_topk": _bm25_sql(dismax=0.3),
         "bm25_documents_topk_and": _bm25_sql(conjunctive=True),
         "bm25_documents_topk_msm": _bm25_sql(msm=2),
         "bm25_documents_topk_page2": _bm25_sql(offset=10),

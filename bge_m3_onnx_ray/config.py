@@ -151,6 +151,11 @@ class QueryConfig:
     # the origin keeps its score and one tau units older scores half.
     # Mutually exclusive with weight_attr; method="exhaustive" only.
     decay_attr: tuple | None = None
+    # disjunction-max (Lucene DisjunctionMaxQuery over the query terms):
+    # score = best term contribution + dismax_tie * (sum of the rest) —
+    # rank by the single best matching term, others only break ties.
+    # None = normal summed BM25; requires method="exhaustive", mode="or".
+    dismax_tie: float | None = None
     # minimum-should-match (Lucene semantics): in "or" mode a candidate
     # must contain at least this many DISTINCT query terms. 0/1 = plain
     # disjunction; a value above the query's in-vocabulary term count

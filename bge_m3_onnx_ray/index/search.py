@@ -113,26 +113,36 @@ def score_exhaustive(postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarra
                      collapse_starts: np.ndarray | None = None,
                      doc_weights: "tuple[np.ndarray, np.ndarray] | None" = None,
                      after: "tuple[float, int] | None" = None,
-                     term_score=bm25_term_score):
+                     term_score=bm25_term_score,
+                     dismax_tie: float | None = None):
     """Exact scorer over fully-decoded postings (the parity fallback the
     reference keeps alongside its fast path). ``qterms`` must be sorted.
     ``allowed``: optional sorted docID facet mask (see _apply_allowed).
     ``msm``: minimum-should-match — candidates must contain at least this
     many distinct query terms (each term's postings are unique per doc,
-    so one increment per term list == the distinct-match count)."""
+    so one increment per term list == the distinct-match count).
+    ``dismax_tie``: Lucene DisjunctionMaxQuery semantics over the query
+    terms — score = best_contrib + tie * (sum - best_contrib), computed
+    as that exact expression (mirrored by the SQL oracle) so ranking
+    favours the single best term with the others as tie-breakers."""
     arrs = [(t,) + postings[t] for t in qterms if t in postings]
     if not arrs:
         return np.empty(0, np.float64), np.empty(0, np.int64)
     union = np.unique(np.concatenate([a[1] for a in arrs]))
     scores = np.zeros(len(union), np.float64)
+    best = np.zeros(len(union), np.float64) if dismax_tie is not None else None
     counts = np.zeros(len(union), np.int32) if msm > 1 else None
     for t, docs, tfs, dls in arrs:  # ascending term order = summation order
         contrib = term_score(tfs.astype(np.float64), dls.astype(np.float64),
                              idfs[t], avgdl, k1, b)
         pos = np.searchsorted(union, docs)
         scores[pos] += contrib
+        if best is not None:
+            np.maximum.at(best, pos, contrib)
         if counts is not None:
             counts[pos] += 1
+    if best is not None:
+        scores = best + dismax_tie * (scores - best)
     if counts is not None:
         keep = counts >= msm
         scores, union = scores[keep], union[keep]
@@ -474,7 +484,8 @@ class ShardScorer:
                  after_ref=None,
                  decay_attr: tuple | None = None,
                  conv_sum: bool = False,
-                 similarity: str = "bm25"):
+                 similarity: str = "bm25",
+                 dismax_tie: float | None = None):
         self.meta = IndexMeta(index_dir)
         if avgdl_override is not None:
             # federated search: the caller supplies UNION-corpus global
@@ -501,6 +512,11 @@ class ShardScorer:
         # bool fast paths are precomputed/derived for BM25
         self._term_score = (classic_term_score if similarity == "classic"
                             else bm25_term_score)
+        self._dismax_tie = dismax_tie
+        if dismax_tie is not None and (method == "wand" or mode != "or"):
+            raise ValueError('dismax requires method="exhaustive", '
+                             'mode="or" (WAND theta bounds assume '
+                             "summed contributions)")
         if similarity == "classic" and (method == "wand" or mode != "or"
                                         or conv_sum):
             raise ValueError('similarity="classic" requires '
@@ -832,7 +848,8 @@ class ShardScorer:
                                                 doc_weights=self._doc_weights(int(shard)),
                                                 after=(None if self.after_by_query is None
                                                        else self.after_by_query.get(int(qid))),
-                                                term_score=self._term_score)
+                                                term_score=self._term_score,
+                                                dismax_tie=self._dismax_tie)
             out_q.extend([qid] * len(docs))
             out_d.extend(docs.tolist())
             out_s.extend(scores.tolist())
@@ -939,6 +956,11 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
         raise ValueError('weight_attr/decay_attr (function score) require '
                          'method="exhaustive" in "or" mode (WAND block '
                          "bounds are not weight-aware)")
+    if cfg.dismax_tie is not None and (cfg.method != "exhaustive"
+                                       or cfg.mode != "or"):
+        raise ValueError('dismax_tie requires method="exhaustive" in '
+                         '"or" mode (WAND theta bounds assume summed '
+                         "contributions)")
     if search_after is not None and (cfg.method != "exhaustive"
                                      or cfg.mode != "or" or cfg.collapse):
         raise ValueError('search_after requires method="exhaustive" in '
@@ -1133,6 +1155,7 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
                                "attr_weights": cfg.attr_weights,
                                "decay_attr": cfg.decay_attr,
                                "similarity": cfg.similarity,
+                               "dismax_tie": cfg.dismax_tie,
                                "after_ref": after_ref,
                                "conv_sum": cfg.conv_score_mode == "sum"},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,

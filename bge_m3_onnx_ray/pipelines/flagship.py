@@ -2265,3 +2265,22 @@ def transcripts_sft_with_history(sf_dir: str, n_buckets: int = 64) -> pa.Table:
         .to_pandas()
     out = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def dismax_documents_topk(sf_dir: str, k: int = 10,
+                          tie: float = 0.3) -> pa.Table:
+    """Top-k under disjunction-max scoring
+    (``QueryConfig(dismax_tie=0.3)`` — Lucene's DisjunctionMaxQuery
+    over the query terms: the best single term contribution dominates,
+    the remaining terms contribute tie-broken). Same result/oracle
+    conventions as :func:`bm25_documents_topk`."""
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    out = search(idx, DOC_QUERIES,
+                 QueryConfig(k=k, method="exhaustive",
+                             dismax_tie=tie)).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)

@@ -970,3 +970,40 @@ def test_rescore_window(tiny_index, tiny_corpus):
                            rtol=0, atol=1e-12), (qid, text)
     with pytest.raises(ValueError, match="window"):
         rescore_search(idx, queries[:1], QueryConfig(k=10), window=5)
+
+
+def test_dismax(tiny_index, tiny_corpus):
+    """Disjunction-max: scores equal best + tie*(sum-best) recomputed
+    from the oracle's postings; WAND rejects the mode."""
+    import math
+
+    idx, _ = tiny_index
+    _, oi, queries = tiny_corpus
+    queries = list(queries)[:10]
+    tie = 0.3
+    out = search(idx, queries,
+                 QueryConfig(k=10, method="exhaustive",
+                             dismax_tie=tie)).to_pandas()
+    assert len(out)
+    n, avgdl = oi.n_docs, oi.avgdl
+    for qid, text in queries:
+        sums: dict[int, float] = {}
+        best: dict[int, float] = {}
+        for t in sorted(set(oi.tok.tokenize(text))):
+            pl = oi.postings.get(t)
+            if not pl:
+                continue
+            i = math.log((n - len(pl) + 0.5) / (len(pl) + 0.5) + 1.0)
+            for doc_id, tf in pl:
+                dl = float(oi.doc_lens[doc_id])
+                c = i * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                sums[doc_id] = sums.get(doc_id, 0.0) + c
+                best[doc_id] = max(best.get(doc_id, 0.0), c)
+        comb = {d: best[d] + tie * (sums[d] - best[d]) for d in sums}
+        want = sorted(comb.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        g = out[out.query_id == qid].sort_values("rank")
+        assert list(g.doc_id) == [d for d, _ in want], (qid, text)
+        assert np.allclose(list(g.score), [s for _, s in want],
+                           rtol=0, atol=1e-12), (qid, text)
+    with pytest.raises(ValueError, match="dismax"):
+        search(idx, queries[:1], QueryConfig(k=5, dismax_tie=tie))
