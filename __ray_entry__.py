@@ -870,6 +870,19 @@ def _q_dup_clusters(sf_dir):
     return dup_clusters(pairs)
 
 
+def _q_dedup_keep_best(sf_dir):
+    # representative selection: per duplicate cluster keep the longest
+    # member (token count, tie lowest doc_id) — clusters joined to
+    # per-doc lengths via two int64-only bucket shuffles
+    from bge_m3_onnx_ray.stages.dedup import (dup_clusters, keep_best,
+                                              ngram_pair_candidates)
+    pairs = ngram_pair_candidates(_docs(sf_dir), n=3, min_common=2)
+    import pyarrow as pa
+    return pa.Table.from_pandas(
+        keep_best(dup_clusters(pairs), _docs(sf_dir)).to_pandas(),
+        preserve_index=False)
+
+
 def _q_doc_term_weights(sf_dir):
     from bge_m3_onnx_ray.stages.text import doc_term_weights
     return doc_term_weights(_docs(sf_dir), max_doc_id=50)
@@ -980,6 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_verify": _q_jaccard_verify,
         "minhash_jaccard_verify": _q_minhash_jaccard_verify,
         "dup_clusters": _q_dup_clusters,
+        "dedup_keep_best": _q_dedup_keep_best,
         "lsh_dup_pairs": _q_lsh_dup_pairs,
         "minhash_lsh_candidates": _q_minhash,
         "benchmark_contamination": _q_contamination,
@@ -3157,6 +3171,38 @@ reach(u, v) AS (
   SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v)
 SELECT u::BIGINT AS doc_id, min(v)::BIGINT AS cluster_id
 FROM reach GROUP BY u
+""",
+        "dedup_keep_best": f"""
+WITH RECURSIVE toks AS (SELECT doc_id,
+    regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS i
+        FROM toks)),
+ok AS (SELECT shingle FROM sh GROUP BY shingle
+       HAVING count(*) BETWEEN 2 AND 1000),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle IN (SELECT shingle FROM ok)
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+clusters AS (SELECT u::BIGINT AS doc_id, min(v)::BIGINT AS cluster_id
+             FROM reach GROUP BY u),
+dl AS (SELECT doc_id, len(ts)::BIGINT AS n_words FROM toks),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, d.n_words,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_words DESC, c.doc_id) AS rnk,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN dl d USING (doc_id))
+SELECT cluster_id, doc_id AS keep_doc_id, n_words AS keep_n_words,
+       n_members::BIGINT AS n_members
+FROM ranked WHERE rnk = 1
 """,
         "embedding_dup_pairs": """
 SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,

@@ -889,3 +889,85 @@ def lsh_bucket_pairs(ds: rd.Dataset, threshold: float = 0.4,
         batch_format="pyarrow", batch_size=4096)
     return bucketed.groupby("bucket").map_groups(
         lambda g: _bucket_cos_pairs(g, threshold), batch_format="pyarrow")
+
+
+def keep_best(clusters: rd.Dataset, docs: rd.Dataset,
+              n_buckets: int = 64) -> rd.Dataset:
+    """Representative selection for duplicate clusters: per cluster keep
+    the LONGEST member (token count; ties by ascending doc_id) — the
+    "which copy survives dedup" step a real training-data pipeline runs
+    after :func:`dup_clusters`. Output (cluster_id, keep_doc_id,
+    keep_n_words, n_members).
+
+    Distributed shape: two bucket-keyed shuffles, both carrying only
+    (int64 x 4) rows — (1) join cluster labels to per-doc token counts
+    on hash(doc_id) with a searchsorted kernel, (2) per-cluster argmax
+    on hash(cluster_id) with one lexsort. Neither the corpus text nor
+    any per-group Python loop crosses an exchange."""
+    from bge_m3_onnx_ray.hashing import splitmix64
+    from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
+
+    def word_counts(t: pa.Table) -> pa.Table:
+        tok = DeterministicTokenizer()
+        _, _, _, _, dls = tok.batch_term_counts_coded(t.column("text"))
+        return pa.table({"doc_id": t.column("doc_id").cast(pa.int64()),
+                         "side": pa.array(np.ones(t.num_rows, np.int64)),
+                         "val": pa.array(dls.astype(np.int64))})
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id").cast(pa.int64()),
+                         "side": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "val": t.column("cluster_id").cast(pa.int64())})
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy().astype(np.uint64)
+        return t.append_column("_jb", pa.array(
+            (splitmix64(d) % np.uint64(n_buckets)).astype(np.int64)))
+
+    def join_kernel(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy()
+        doc = g.column("doc_id").to_numpy()
+        val = g.column("val").to_numpy()
+        lab = side == 0
+        ld, lv = doc[lab], val[lab]          # labeled docs (in clusters)
+        wd, wv = doc[~lab], val[~lab]        # word counts (all docs)
+        order = np.argsort(wd, kind="stable")
+        wd, wv = wd[order], wv[order]
+        pos = np.searchsorted(wd, ld)
+        ok = (pos < len(wd)) & (wd[np.minimum(pos, max(len(wd) - 1, 0))]
+                                == ld) if len(wd) else np.zeros(len(ld), bool)
+        return pa.table({"cluster_id": pa.array(lv[ok], pa.int64()),
+                         "doc_id": pa.array(ld[ok], pa.int64()),
+                         "n_words": pa.array(wv[pos[ok]], pa.int64())})
+
+    def add_cluster_bucket(t: pa.Table) -> pa.Table:
+        c = t.column("cluster_id").to_numpy().astype(np.uint64)
+        return t.append_column("_cb", pa.array(
+            (splitmix64(c) % np.uint64(n_buckets)).astype(np.int64)))
+
+    def argmax_kernel(g: pa.Table) -> pa.Table:
+        c = g.column("cluster_id").to_numpy()
+        d = g.column("doc_id").to_numpy()
+        w = g.column("n_words").to_numpy()
+        order = np.lexsort((d, -w, c))       # per cluster: best first
+        c, d, w = c[order], d[order], w[order]
+        brk = np.empty(len(c), bool)
+        if len(c):
+            brk[0] = True
+            brk[1:] = np.diff(c) != 0
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.concatenate([starts, [len(c)]]))
+        return pa.table({
+            "cluster_id": pa.array(c[starts], pa.int64()),
+            "keep_doc_id": pa.array(d[starts], pa.int64()),
+            "keep_n_words": pa.array(w[starts], pa.int64()),
+            "n_members": pa.array(sizes.astype(np.int64), pa.int64())})
+
+    lens = docs.select_columns(["doc_id", "text"]).map_batches(
+        word_counts, batch_format="pyarrow", batch_size=4096)
+    labels = clusters.map_batches(label_rows, batch_format="pyarrow")
+    joined = labels.union(lens).map_batches(
+        add_doc_bucket, batch_format="pyarrow") \
+        .groupby("_jb").map_groups(join_kernel, batch_format="pyarrow")
+    return joined.map_batches(add_cluster_bucket, batch_format="pyarrow") \
+        .groupby("_cb").map_groups(argmax_kernel, batch_format="pyarrow")

@@ -927,3 +927,23 @@ def test_ivf_disk(ray_session, tmp_path):
     hit = len(set(map(tuple, small[["query_id", "vec_id"]].values))
               & set(map(tuple, bf[["query_id", "vec_id"]].values)))
     assert 0 < hit <= len(bf)
+
+
+def test_keep_best(ray_session):
+    """Representative selection: longest member wins, ties break to the
+    lowest doc_id; members and counts come out right."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.dedup import keep_best
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": ["one two three", "one two three four", "one two three",
+                 "alpha beta", "unrelated"]}))
+    clusters = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "cluster_id": pa.array([0, 0, 0, 3], pa.int64())}))
+    out = keep_best(clusters, docs).to_pandas() \
+        .sort_values("cluster_id").reset_index(drop=True)
+    assert out.cluster_id.tolist() == [0, 3]
+    assert out.keep_doc_id.tolist() == [1, 3]      # doc 1 is longest
+    assert out.keep_n_words.tolist() == [4, 2]
+    assert out.n_members.tolist() == [3, 1]
