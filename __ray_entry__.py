@@ -529,6 +529,14 @@ def _q_langid(sf_dir):
     return langid(_docs(sf_dir))
 
 
+def _q_profile_documents(sf_dir):
+    # per-column profiling: rows/nulls/exact-distinct/min/max — distinct
+    # via two chained 24-byte-row bucket reduces, values never shuffle
+    from bge_m3_onnx_ray.stages.profile import profile_table
+    return profile_table(_docs(sf_dir),
+                         ["doc_id", "text", "lang", "source", "n_chars"])
+
+
 def _q_quality(sf_dir):
     from bge_m3_onnx_ray.stages.text import quality_score
     return quality_score(_docs(sf_dir))
@@ -980,6 +988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_categorize": _q_length_cat,
         "langid": _q_langid,
         "quality_score": _q_quality,
+        "profile_documents": _q_profile_documents,
         "doc_fingerprint": _q_fingerprint,
         "distribution_counts": _q_distribution_counts,
         "corpus_sample": _q_corpus_sample,
@@ -2716,6 +2725,22 @@ SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
 FROM ranked WHERE rnk <= 10
 """
 
+def _profile_sql() -> str:
+    """Per-column profile oracle: one UNION ALL leg per column — exact
+    SQL aggregate semantics (NULLs out of distinct/min/max), min/max
+    rendered as VARCHAR after the native-type reduction."""
+    legs = []
+    for c in ["doc_id", "text", "lang", "source", "n_chars"]:
+        legs.append(f"""
+SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM documents""")
+    return " UNION ALL ".join(legs)
+
+
 def _bm25f_sql() -> str:
     """BM25F oracle: token positions via generate_subscripts define the
     fields (title = pos <= 5, body = pos > 5); df is whole-doc; tfd
@@ -2820,6 +2845,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_documents_topk": _bm25_sql(similarity="classic"),
         "rescore_documents_topk": _bm25_sql(rescore=(30, 0.5)),
         "bm25f_documents_topk": _bm25f_sql(),
+        "profile_documents": _profile_sql(),
         "bm25_documents_topk_restored": bm25,
         "dismax_documents_topk": _bm25_sql(dismax=0.3),
         "bm25_documents_topk_and": _bm25_sql(conjunctive=True),

@@ -947,3 +947,21 @@ def test_keep_best(ray_session):
     assert out.keep_doc_id.tolist() == [1, 3]      # doc 1 is longest
     assert out.keep_n_words.tolist() == [4, 2]
     assert out.n_members.tolist() == [3, 1]
+
+
+def test_profile_table(ray_session):
+    """Profiler: exact rows/nulls/distinct/min-max per column, NULLs
+    excluded from distinct and min/max, numeric min/max reduced
+    numerically (not lexicographically)."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.profile import profile_table
+    t = pa.table({
+        "i": pa.array([9, 72, 5, None, 5], pa.int64()),
+        "s": pa.array(["b", None, "a", "a", "c"], pa.string())})
+    out = profile_table(rd.from_arrow(t), ["i", "s"]).to_pandas() \
+        .set_index("col_name")
+    assert out.loc["i", "n_rows"] == 5 and out.loc["i", "n_nulls"] == 1
+    assert out.loc["i", "n_distinct"] == 3
+    assert out.loc["i", "min_val"] == "5" and out.loc["i", "max_val"] == "72"
+    assert out.loc["s", "n_nulls"] == 1 and out.loc["s", "n_distinct"] == 3
+    assert out.loc["s", "min_val"] == "a" and out.loc["s", "max_val"] == "c"
