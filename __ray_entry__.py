@@ -654,6 +654,42 @@ def _q_ivf_disk(sf_dir):
         k=10, nprobe=16, exclude={int(v): int(v) for v in qdf.vec_id})
 
 
+def _q_ivf_disk_appended(sf_dir):
+    # IVF delta-append: build over the first 80% of vectors, append the
+    # rest (same centroids, new partition files only); nprobe=all over
+    # the appended index == brute force over the UNION, so the exact
+    # ANN oracle gates the whole lifecycle
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.stages.ann import (ivf_append, ivf_search_disk,
+                                            ivf_write)
+    emb = _embeddings(sf_dir)
+    n = emb.count()
+    cut = (n * 4) // 5
+    idx = os.path.join("/tmp/bm25_indexes",
+                       "ivf-disk-app-" + os.path.basename(
+                           os.path.normpath(sf_dir)))
+    if not os.path.exists(os.path.join(idx, "_appended")):
+        shutil.rmtree(idx, ignore_errors=True)
+        base = emb.map_batches(
+            lambda t, c=cut: t.filter(pc.less(t["vec_id"], c)),
+            batch_format="pyarrow")
+        delta = emb.map_batches(
+            lambda t, c=cut: t.filter(pc.greater_equal(t["vec_id"], c)),
+            batch_format="pyarrow")
+        ivf_write(base, idx, n_lists=16, n_iters=5)
+        ivf_append(delta, idx)
+        open(os.path.join(idx, "_appended"), "w").close()
+    qdf = emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 5)),
+                          batch_format="pyarrow").to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    return ivf_search_disk(
+        idx, np.stack(qdf.embedding.to_numpy()), qdf.vec_id.to_numpy(),
+        k=10, nprobe=16, exclude={int(v): int(v) for v in qdf.vec_id})
+
+
 def _q_ann_int8(sf_dir):
     # int8 scalar-quantized dot-product top-k (the 4x-compressed
     # serving path); integer scores, so the gate is grid-free exact
@@ -1012,6 +1048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _q_ann,
         "ann_int8_topk": _q_ann_int8,
         "ivf_disk_cosine_topk": _q_ivf_disk,
+        "ivf_disk_cosine_topk_appended": _q_ivf_disk_appended,
         "ivf_cosine_topk": _q_ivf,
         "hybrid_rrf_topk": _q_hybrid,
         "lsh_buckets": _q_lsh_buckets,
@@ -3241,6 +3278,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         "ann_cosine_topk": _ANN_SQL,
         "ann_int8_topk": _ANN_INT8_SQL,
         "ivf_disk_cosine_topk": _ANN_SQL,
+        "ivf_disk_cosine_topk_appended": _ANN_SQL,
         "hybrid_rrf_topk": _hybrid_sql(),
         "doc_term_weights": f"""
 WITH toks AS ({_TOKS}),

@@ -553,3 +553,32 @@ def ivf_search_disk(index_dir: str, query_vecs: np.ndarray,
 
     return partials.groupby("query_id").map_groups(
         merge, batch_format="pyarrow")
+
+
+def ivf_append(ds: rd.Dataset, index_dir: str) -> dict:
+    """Incrementally add vectors to a persisted IVF index: assign the
+    NEW vectors to the EXISTING centroids and write them as additional
+    files inside the matching ``list_id=`` partitions — the build never
+    re-reads old vectors, so appending N rows costs O(N) regardless of
+    index size (the lexical index's delta-append contract, applied to
+    ANN). Centroids are not retrained (standard IVF practice: retrain =
+    rebuild); search over the appended index is exactly a one-shot
+    build over the union at the same centroids. Updates meta.json's
+    n_vectors and returns the new meta."""
+    import json
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    assigned = ivf_assign(ds, centroids).map_batches(
+        lambda t: t.append_column("list", t.column("list_id")),
+        batch_format="pyarrow")
+    # write_parquet appends new UUID-named files; existing partition
+    # files are never touched
+    assigned.write_parquet(os.path.join(index_dir, "lists"),
+                           partition_cols=["list_id"])
+    meta_path = os.path.join(index_dir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["n_vectors"] = int(meta["n_vectors"]) + int(ds.count())
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    return meta

@@ -965,3 +965,41 @@ def test_profile_table(ray_session):
     assert out.loc["i", "min_val"] == "5" and out.loc["i", "max_val"] == "72"
     assert out.loc["s", "n_nulls"] == 1 and out.loc["s", "n_distinct"] == 3
     assert out.loc["s", "min_val"] == "a" and out.loc["s", "max_val"] == "c"
+
+
+def test_ivf_append(ray_session, tmp_path):
+    """IVF delta-append: appended index at nprobe=all equals a one-shot
+    build over the union (same centroids by construction — append never
+    retrains), and meta.n_vectors tracks the addition."""
+    import json
+    import os
+
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.ann import (brute_force_topk, ivf_append,
+                                            ivf_search_disk, ivf_write)
+    rng = np.random.default_rng(9)
+    m = rng.standard_normal((240, 16)).astype(np.float32)
+
+    def mk(lo, hi):
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(lo, hi), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in m[lo:hi]],
+                                  pa.list_(pa.float32()))}))
+
+    idx = str(tmp_path / "ivf")
+    ivf_write(mk(0, 200), idx, n_lists=8, n_iters=3)
+    ivf_append(mk(200, 240), idx)
+    with open(os.path.join(idx, "meta.json")) as f:
+        assert json.load(f)["n_vectors"] == 240
+
+    qids = np.arange(3)
+    ex = {i: i for i in range(3)}
+    got = ivf_search_disk(idx, m[:3], qids, k=10, nprobe=8,
+                          exclude=ex).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    bf = brute_force_topk(mk(0, 240), m[:3], qids, k=10,
+                          exclude=ex).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got.equals(bf)
+    # the appended vectors are actually retrievable
+    assert (got.vec_id >= 200).any()
