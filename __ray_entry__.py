@@ -103,6 +103,13 @@ def _q_bm25f(sf_dir):
     return bm25f_documents_topk(sf_dir)
 
 
+def _q_bm25f_best_fields(sf_dir):
+    # multi_match best_fields: strongest field wins, the other
+    # tie-breaks at 0.3
+    from bge_m3_onnx_ray.pipelines.flagship import bm25f_best_fields_topk
+    return bm25f_best_fields_topk(sf_dir)
+
+
 def _q_rescore(sf_dir):
     # two-phase window rescore: WAND BM25 top-30, classic TF-IDF
     # re-scores the window, rank by bm25 + 0.5 * classic
@@ -962,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_documents_topk": _q_tfidf,
         "rescore_documents_topk": _q_rescore,
         "bm25f_documents_topk": _q_bm25f,
+        "bm25f_best_fields_topk": _q_bm25f_best_fields,
         "bm25_documents_topk_restored": _q_bm25_restored,
         "dismax_documents_topk": _q_dismax,
         "bm25_documents_topk_and": _q_bm25_and,
@@ -2778,11 +2786,13 @@ FROM documents""")
     return " UNION ALL ".join(legs)
 
 
-def _bm25f_sql() -> str:
+def _bm25f_sql(best_fields_tie: float | None = None) -> str:
     """BM25F oracle: token positions via generate_subscripts define the
     fields (title = pos <= 5, body = pos > 5); df is whole-doc; tfd
     blends the per-field normalized tfs with the IDENTICAL operand
-    grouping as pipelines.flagship._Bm25fScore."""
+    grouping as pipelines.flagship._Bm25fScore. ``best_fields_tie``:
+    the multi_match best_fields variant instead — per-field BM25 sums,
+    greatest + tie * rest."""
     from bge_m3_onnx_ray.pipelines.flagship import DOC_QUERIES
     from bge_m3_onnx_ray.tokenizer import tokenize
     vals = []
@@ -2791,6 +2801,17 @@ def _bm25f_sql() -> str:
             vals.append(f"({qid}, '{t}')")
     tfd = """(2.0 * (f.tf_t / (0.25 + 0.75 * dl.dl_t / s.avgdl_t))
                 + 1.0 * (f.tf_b / (0.25 + 0.75 * dl.dl_b / s.avgdl_b)))"""
+    if best_fields_tie is not None:
+        idf_e = "ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)"
+        st = (f"sum({idf_e} * (f.tf_t * 2.2) / (f.tf_t + 1.2 * "
+              "(0.25 + 0.75 * dl.dl_t / s.avgdl_t)))")
+        sb = (f"sum({idf_e} * (f.tf_b * 2.2) / (f.tf_b + 1.2 * "
+              "(0.25 + 0.75 * dl.dl_b / s.avgdl_b)))")
+        score_expr = (f"greatest({st}, {sb}) + {best_fields_tie!r} * "
+                      f"(({st} + {sb}) - greatest({st}, {sb}))")
+    else:
+        score_expr = f"""sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * ({tfd} / (1.2 + {tfd})))"""
     return f"""
 WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text),
                  '{_TOKEN_RE_SQL}') AS ts FROM documents),
@@ -2813,8 +2834,7 @@ dfs AS (SELECT term, count(*)::DOUBLE AS df FROM ftf GROUP BY term),
 qterms(query_id, term) AS (VALUES {', '.join(vals)}),
 scores AS (
   SELECT q.query_id, f.doc_id,
-         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-             * ({tfd} / (1.2 + {tfd}))) AS score
+         {score_expr} AS score
   FROM qterms q
   JOIN dfs d ON d.term = q.term
   JOIN ftf f ON f.term = q.term
@@ -2882,6 +2902,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_documents_topk": _bm25_sql(similarity="classic"),
         "rescore_documents_topk": _bm25_sql(rescore=(30, 0.5)),
         "bm25f_documents_topk": _bm25f_sql(),
+        "bm25f_best_fields_topk": _bm25f_sql(best_fields_tie=0.3),
         "profile_documents": _profile_sql(),
         "bm25_documents_topk_restored": bm25,
         "dismax_documents_topk": _bm25_sql(dismax=0.3),

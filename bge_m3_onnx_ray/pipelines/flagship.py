@@ -2004,17 +2004,30 @@ class _Bm25fScore:
         score = sum_t idf_t * tfd / (k1 + tfd)
 
     (w_t=2.0, w_b=1.0, k1=1.2, b=0.75; operand grouping mirrored by the
-    SQL oracle). Emits a tie-safe per-batch partial top-k."""
+    SQL oracle). Emits a tie-safe per-batch partial top-k.
+
+    ``mode="best_fields"`` (Elasticsearch multi_match best_fields)
+    instead scores each FIELD as its own BM25 query (per-field tf
+    saturation against that field's length norm) and combines
+
+        score = best_field + tie * (sum_fields - best_field)
+
+    — rank by the strongest single field, the other only breaks ties."""
 
     TITLE_LEN = 5
 
-    def __init__(self, model_ref, k: int):
+    def __init__(self, model_ref, k: int, mode: str = "blend",
+                 tie: float = 0.3):
         import ray
         from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
         self.tok = DeterministicTokenizer()
         (self.idfs, self.avgdl_t, self.avgdl_b,
          self.queries) = ray.get(model_ref)
         self.k = k
+        if mode not in ("blend", "best_fields"):
+            raise ValueError(f"unknown bm25f mode {mode!r}")
+        self.mode = mode
+        self.tie = tie
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -2046,16 +2059,33 @@ class _Bm25fScore:
         k = self.k
         for qid, terms in self.queries:
             scores: dict[int, float] = {}
+            f_t: dict[int, float] = {}
+            f_b: dict[int, float] = {}
             for t in terms:                      # ascending = sum order
                 got = tfs.get(t)
                 if got is None:
                     continue
                 ud, tf_t, tf_b = got
+                if self.mode == "best_fields":
+                    # per-field BM25, saturated against that field's norm
+                    c_t = self.idfs[t] * ((tf_t * 2.2)
+                                          / (tf_t + 1.2 * b_t[ud]))
+                    c_b = self.idfs[t] * ((tf_b * 2.2)
+                                          / (tf_b + 1.2 * b_b[ud]))
+                    for di, a, bb in zip(ud, c_t, c_b):
+                        f_t[int(di)] = f_t.get(int(di), 0.0) + float(a)
+                        f_b[int(di)] = f_b.get(int(di), 0.0) + float(bb)
+                    continue
                 tfd = (2.0 * (tf_t / b_t[ud])
                        + 1.0 * (tf_b / b_b[ud]))
                 contrib = self.idfs[t] * (tfd / (1.2 + tfd))
                 for di, c in zip(ud, contrib):
                     scores[int(di)] = scores.get(int(di), 0.0) + float(c)
+            if self.mode == "best_fields":
+                for di in f_t:
+                    st, sb = f_t[di], f_b[di]
+                    m = max(st, sb)
+                    scores[di] = m + self.tie * ((st + sb) - m)
             if not scores:
                 continue
             items = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -2070,7 +2100,8 @@ class _Bm25fScore:
                          "score": pa.array(out_s, pa.float64())})
 
 
-def bm25f_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
+def bm25f_documents_topk(sf_dir: str, k: int = 10,
+                         mode: str = "blend") -> pa.Table:
     """Multi-field BM25F top-k over the documents table, fields derived
     deterministically from token positions (title = first 5 tokens,
     body = the rest — the schema has one text column, so the split IS
@@ -2108,7 +2139,7 @@ def bm25f_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
 
     model_ref = ray.put((idfs, avgdl_t, avgdl_b, queries))
     partials = rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
-        task_stage(_Bm25fScore, model_ref=model_ref, k=k),
+        task_stage(_Bm25fScore, model_ref=model_ref, k=k, mode=mode),
         batch_format="pyarrow", batch_size=8192)
 
     def merge(group: pa.Table) -> pa.Table:
@@ -2284,3 +2315,12 @@ def dismax_documents_topk(sf_dir: str, k: int = 10,
     out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
                                 preserve_index=False)
+
+
+def bm25f_best_fields_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Multi-field best_fields top-k (Elasticsearch multi_match
+    best_fields over the position-derived title/body fields): each
+    field scores as its own BM25 query, the best field dominates and
+    the other tie-breaks (tie=0.3). Same machinery and result shape as
+    :func:`bm25f_documents_topk`."""
+    return bm25f_documents_topk(sf_dir, k=k, mode="best_fields")

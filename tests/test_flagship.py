@@ -166,3 +166,60 @@ def test_sft_with_history(ray_session):
     got = list(zip(out.conv_id, out.turn_idx.astype(int), out.history,
                    out.response))
     assert got == want
+
+
+def test_bm25f_best_fields(ray_session, tmp_path):
+    """best_fields multi-match: per-field BM25 sums combined as
+    greatest + tie * rest, q6-exact vs a pure-Python recompute."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bge_m3_onnx_ray.pipelines.flagship import (DOC_QUERIES,
+                                                    bm25f_best_fields_topk)
+    from bge_m3_onnx_ray.tokenizer import tokenize
+
+    rng = np.random.default_rng(11)
+    vocab = ["key", "order", "sort", "data", "table", "join", "filter"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 16)))
+             for _ in range(80)]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(range(80), pa.int64()),
+                             "text": pa.array(texts, pa.string())}),
+                   sf / "documents.parquet")
+    out = bm25f_best_fields_topk(str(sf)).to_pandas()
+    assert len(out)
+
+    TITLE, tie = 5, 0.3
+    toks = [tokenize(t) for t in texts]
+    n = len(texts)
+    avg_t = sum(min(len(ts), TITLE) for ts in toks) / n
+    avg_b = sum(max(len(ts) - TITLE, 0) for ts in toks) / n
+    for qid, qtext in DOC_QUERIES:
+        st, sb = {}, {}
+        for t in sorted(set(tokenize(qtext))):
+            df = sum(1 for ts in toks if t in ts)
+            if not df:
+                continue
+            i = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            for d, ts in enumerate(toks):
+                tf_t, tf_b = ts[:TITLE].count(t), ts[TITLE:].count(t)
+                if not (tf_t or tf_b):
+                    continue
+                b_t = 0.25 + 0.75 * min(len(ts), TITLE) / avg_t
+                b_b = 0.25 + 0.75 * max(len(ts) - TITLE, 0) / avg_b
+                st[d] = st.get(d, 0.0) + i * ((tf_t * 2.2)
+                                              / (tf_t + 1.2 * b_t))
+                sb[d] = sb.get(d, 0.0) + i * ((tf_b * 2.2)
+                                              / (tf_b + 1.2 * b_b))
+        comb = {d: max(st[d], sb[d]) + tie * ((st[d] + sb[d])
+                                              - max(st[d], sb[d]))
+                for d in st}
+        want = sorted(comb.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        g = out[out.query_id == qid].sort_values("rank")
+        assert g.doc_id.tolist() == [d for d, _ in want], (qid, qtext)
+        assert g.score_q6.tolist() == [math.floor(s * 1e6)
+                                       for _, s in want], (qid, qtext)
