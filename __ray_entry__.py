@@ -846,6 +846,13 @@ def _q_events_daily_pipeline(sf_dir):
     return daily_pipeline_aggs(_events(sf_dir))
 
 
+def _q_events_anomaly(sf_dir):
+    # anomalous days per event type: |z| > 2 evaluated as an exact
+    # integer inequality — no float anywhere on either side
+    from bge_m3_onnx_ray.stages.events import anomaly_days
+    return anomaly_days(_events(sf_dir))
+
+
 def _q_events_hopping(sf_dir):
     # hopping (sliding) windows: 1h windows every 15min — each event in
     # 4 overlapping windows; tiled partials + one bucket_reduce
@@ -1071,6 +1078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_pipeline": _q_events_daily_pipeline,
         "hll_distinct_users": _q_hll_distinct_users,
         "events_hopping": _q_events_hopping,
+        "events_anomaly_days": _q_events_anomaly,
         "events_sessionize": _q_sessionize,
         "events_asof_join": _q_events_asof_join,
         "events_funnel": _q_events_funnel,
@@ -3378,6 +3386,22 @@ SELECT day, n_events,
          AS moving7_window
 FROM daily WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
 ORDER BY day
+""",
+        "events_anomaly_days": """
+WITH d AS (
+  SELECT event_type, (epoch_us(ts) // 1000000 // 86400) * 86400 AS day,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, count(*)::BIGINT AS n,
+             sum(n_events)::BIGINT AS s,
+             sum(n_events * n_events)::BIGINT AS q
+      FROM d GROUP BY 1)
+SELECT d.event_type, d.day, d.n_events,
+       CASE WHEN (s.n * d.n_events - s.s) * (s.n * d.n_events - s.s)
+                 > 4 * (s.n * s.q - s.s * s.s)
+            THEN 1 ELSE 0 END::BIGINT AS flagged
+FROM d JOIN s USING (event_type)
+ORDER BY d.event_type, d.day
 """,
         "events_value_percentiles": """
 WITH e AS (SELECT event_type,

@@ -659,3 +659,64 @@ def retention(ds: rd.Dataset, cohort_type: str = "signup",
         .groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
     return bucket_reduce(partials, ["cohort_period_s", "period_offset"],
                          [("n_users", "sum", "n_users")], n_buckets=8)
+
+
+def anomaly_days(ds: rd.Dataset) -> pa.Table:
+    """Anomalous-day detection per event type: flag days whose event
+    count deviates from that type's mean by more than two population
+    standard deviations. The test is evaluated as the EXACT integer
+    inequality
+
+        (n * cnt - S)^2 > 4 * (n * Q - S^2)
+
+    (S = sum of daily counts, Q = sum of squares, n = number of days) —
+    algebraically identical to |z| > 2 but with no float anywhere, so
+    the SQL oracle matches bit-for-bit by construction. Distributed
+    shape: batch pre-agg + ONE bucket_reduce to the (type, day) counts;
+    the per-type stats reduce over the bucket table (n_types x n_days
+    rows, small by construction). Output (event_type, day, n_events,
+    flagged) sorted by (event_type, day)."""
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ts = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        day = (ts // 86_400_000_000) * 86400
+        et = batch.column("event_type").combine_chunks().dictionary_encode()
+        code = np.asarray(et.indices).astype(np.int64)
+        key = code * np.int64(1 << 32) + day // 86400
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": et.dictionary.take(
+                pa.array(u >> np.int64(32))).cast(pa.string()),
+            "day": pa.array((u & np.int64((1 << 32) - 1)) * 86400,
+                            pa.int64()),
+            "n_events": pa.array(c.astype(np.int64), pa.int64())})
+
+    daily = bucket_reduce(
+        ds.select_columns(["ts", "event_type"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "day"], [("n_events", "sum", "n_events")],
+        n_buckets=16).to_pandas()
+
+    out = []
+    import pandas as pd
+    for et, g in daily.groupby("event_type", sort=True):
+        cnt = g["n_events"].to_numpy(np.int64)
+        n = np.int64(len(cnt))
+        s = np.int64(cnt.sum())
+        q = np.int64((cnt * cnt).sum())
+        lhs = (n * cnt - s).astype(object)       # python ints: no overflow
+        flagged = np.array([int(v * v > 4 * (int(n) * int(q)
+                                             - int(s) * int(s)))
+                            for v in lhs], np.int64)
+        gg = g.sort_values("day").reset_index(drop=True)
+        gg["flagged"] = flagged[np.argsort(g["day"].to_numpy(),
+                                           kind="stable")]
+        out.append(gg)
+    res = pd.concat(out, ignore_index=True) if out else \
+        pd.DataFrame(columns=["event_type", "day", "n_events", "flagged"])
+    return pa.Table.from_pandas(
+        res[["event_type", "day", "n_events", "flagged"]],
+        preserve_index=False)

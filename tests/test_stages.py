@@ -1003,3 +1003,29 @@ def test_ivf_append(ray_session, tmp_path):
     assert got.equals(bf)
     # the appended vectors are actually retrievable
     assert (got.vec_id >= 200).any()
+
+
+def test_anomaly_days(ray_session):
+    """Anomaly flags: a synthetic spike day flags, normal days don't,
+    and the integer inequality agrees with a float z-score recompute."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.events import anomaly_days
+    # one event type, 10 days of 5 events, one day of 50
+    days = list(range(10)) + [10] * 0
+    rows_ts, rows_ty = [], []
+    for d in range(10):
+        n = 50 if d == 7 else 5
+        for i in range(n):
+            rows_ts.append((d * 86400 + i) * 1_000_000)
+            rows_ty.append("view")
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array(rows_ts, pa.timestamp("us")),
+        "event_type": pa.array(rows_ty, pa.string())}))
+    out = anomaly_days(ds).to_pandas()
+    assert len(out) == 10
+    assert out.flagged.sum() == 1
+    assert int(out[out.flagged == 1]["day"].iloc[0]) == 7 * 86400
+    # float recompute agreement
+    cnt = out.n_events.to_numpy(np.float64)
+    z = (cnt - cnt.mean()) / np.sqrt(((cnt - cnt.mean()) ** 2).mean())
+    assert ((np.abs(z) > 2).astype(int) == out.flagged.to_numpy()).all()
