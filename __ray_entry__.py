@@ -549,6 +549,13 @@ def _q_quality(sf_dir):
     return quality_score(_docs(sf_dir))
 
 
+def _q_collocations(sf_dir):
+    # PMI-ranked bigram collocations; integer counts -> bit-identical
+    # float PMI on both sides
+    from bge_m3_onnx_ray.stages.text import collocations
+    return collocations(_docs(sf_dir))
+
+
 def _q_fingerprint(sf_dir):
     from bge_m3_onnx_ray.stages.text import fingerprint
     return fingerprint(_docs(sf_dir))
@@ -1040,6 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "quality_score": _q_quality,
         "profile_documents": _q_profile_documents,
+        "collocations_documents": _q_collocations,
         "doc_fingerprint": _q_fingerprint,
         "distribution_counts": _q_distribution_counts,
         "corpus_sample": _q_corpus_sample,
@@ -2912,6 +2920,30 @@ def oracle_sql() -> dict[str, str]:
         "bm25f_documents_topk": _bm25f_sql(),
         "bm25f_best_fields_topk": _bm25f_sql(best_fields_tie=0.3),
         "profile_documents": _profile_sql(),
+        "collocations_documents": f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text),
+                 '{_TOKEN_RE_SQL}') AS ts FROM documents),
+uni AS (SELECT unnest(ts) AS term FROM lists),
+cfs AS (SELECT term, count(*)::BIGINT AS c FROM uni GROUP BY term),
+stats AS (SELECT (SELECT count(*) FROM uni)::BIGINT AS u,
+                 (SELECT sum(greatest(len(ts) - 1, 0))
+                  FROM lists)::BIGINT AS b),
+bi AS (SELECT ts[i] AS x, ts[i+1] AS y
+       FROM (SELECT ts, unnest(range(1, greatest(len(ts) - 1, 0) + 1)) AS i
+             FROM lists)),
+bic AS (SELECT x, y, count(*)::BIGINT AS c FROM bi GROUP BY x, y
+        HAVING count(*) >= 5),
+scored AS (
+  SELECT x, y, bic.c AS c,
+         CAST(floor(ln((bic.c::DOUBLE * s.u::DOUBLE * s.u::DOUBLE)
+                       / (s.b::DOUBLE * cx.c::DOUBLE * cy.c::DOUBLE))
+                    * 1000000) AS BIGINT) AS pmi_q6
+  FROM bic JOIN cfs cx ON cx.term = bic.x
+           JOIN cfs cy ON cy.term = bic.y
+  CROSS JOIN stats s)
+SELECT x, y, c, pmi_q6 FROM scored
+ORDER BY pmi_q6 DESC, x, y LIMIT 50
+""",
         "bm25_documents_topk_restored": bm25,
         "dismax_documents_topk": _bm25_sql(dismax=0.3),
         "bm25_documents_topk_and": _bm25_sql(conjunctive=True),

@@ -687,3 +687,101 @@ def unigram_surprise(ds: rd.Dataset, top_v: int = 1 << 16) -> rd.Dataset:
 
     return ds.select_columns(["doc_id", "text"]).map_batches(
         task_stage(Score), batch_format="pyarrow", batch_size=4096)
+
+
+def collocations(ds: rd.Dataset, min_count: int = 5, k: int = 50) -> pa.Table:
+    """Collocation (bigram) extraction ranked by pointwise mutual
+    information: PMI = ln((c_xy * U * U) / (B * c_x * c_y)) with c_xy
+    the bigram count, c_x/c_y unigram counts, U total tokens, B total
+    bigrams — every input an exact integer, so the float PMI is a pure
+    function of integers and the SQL oracle agrees bit-for-bit. Output:
+    top ``k`` bigrams with count >= ``min_count`` by (pmi desc, x, y).
+
+    Distributed shape: ONE bucket_reduce over per-batch pre-aggregated
+    bigram counts; unigram counts reduce the same way and broadcast as
+    a vocabulary-bounded dict (the same assumption the index dictionary
+    tier makes); PMI + the top-k cut run vectorized over the reduced
+    bigram table."""
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+    from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        tok = DeterministicTokenizer()
+        flat, offsets = tok.batch_token_lists(t.column("text"))
+        lens = np.diff(offsets)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        n = len(doc_of)
+        if n < 2:
+            return pa.table({"x": pa.array([], pa.string()),
+                             "y": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        same = doc_of[1:] == doc_of[:-1]
+        xs = flat.slice(0, n - 1).filter(pa.array(same))
+        ys = flat.slice(1, n - 1).filter(pa.array(same))
+        # space separator: tokens are \w+ runs, so a space cannot occur
+        # inside either side and the partition below is unambiguous
+        pair = pc.binary_join_element_wise(
+            xs, ys, pa.scalar(" ", pa.large_string()))
+        u, c = np.unique(np.asarray(pair, dtype=object).astype(str),
+                         return_counts=True)
+        split = np.char.partition(u, " ")
+        return pa.table({"x": pa.array(split[:, 0], pa.string()),
+                         "y": pa.array(split[:, 2], pa.string()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
+        tok = DeterministicTokenizer()
+        _, codes, uniques, tfs, _ = tok.batch_term_counts_coded(
+            t.column("text"))
+        if not len(codes):
+            return pa.table({"term": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        cf = np.bincount(codes, weights=tfs).astype(np.int64)
+        return pa.table({"term": uniques.cast(pa.string()),
+                         "c": pa.array(cf, pa.int64())})
+
+    import ray
+
+    src = ds.select_columns(["text"])
+    bi = bucket_reduce(
+        src.map_batches(bigram_partial, batch_format="pyarrow",
+                        batch_size=8192),
+        ["x", "y"], [("c", "sum", "c")]).materialize()
+    uni = bucket_reduce(
+        src.map_batches(unigram_partial, batch_format="pyarrow",
+                        batch_size=8192),
+        ["term"], [("c", "sum", "c")]).to_pandas()
+    cf = dict(zip(uni["term"], uni["c"].astype(int)))
+    n_uni = int(uni["c"].sum())
+    n_bi = int(bi.sum("c") or 0)
+    model = ray.put((cf, float(n_uni), float(n_bi)))
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        cfm, u_f, b_f = ray.get(model)
+        import pandas as pd
+        d = t.to_pandas()
+        d = d[d["c"] >= min_count]
+        if not len(d):
+            return pa.table({"x": pa.array([], pa.string()),
+                             "y": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64()),
+                             "pmi_q6": pa.array([], pa.int64())})
+        cx = d["x"].map(cfm).to_numpy(np.float64)
+        cy = d["y"].map(cfm).to_numpy(np.float64)
+        cxy = d["c"].to_numpy(np.float64)
+        pmi = np.log((cxy * u_f * u_f) / (b_f * cx * cy))
+        d = d.assign(pmi_q6=np.floor(pmi * 1e6).astype(np.int64))
+        # per-batch partial top-k (tie-safe: quantized key is exact)
+        d = d.sort_values(["pmi_q6", "x", "y"],
+                          ascending=[False, True, True]).head(k)
+        return pa.Table.from_pandas(d[["x", "y", "c", "pmi_q6"]],
+                                    preserve_index=False)
+
+    parts = bi.map_batches(score_partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    parts = parts.sort_values(["pmi_q6", "x", "y"],
+                              ascending=[False, True, True]).head(k)
+    return pa.Table.from_pandas(parts.reset_index(drop=True),
+                                preserve_index=False)

@@ -1029,3 +1029,43 @@ def test_anomaly_days(ray_session):
     cnt = out.n_events.to_numpy(np.float64)
     z = (cnt - cnt.mean()) / np.sqrt(((cnt - cnt.mean()) ** 2).mean())
     assert ((np.abs(z) > 2).astype(int) == out.flagged.to_numpy()).all()
+
+
+def test_collocations(ray_session):
+    """PMI collocations: a bigram that always co-occurs ranks above a
+    frequent-but-independent pair; counts and quantized PMI match a
+    pure-Python recompute."""
+    import math
+
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.text import collocations
+    # "san francisco" always adjacent (8x); "the cat"/"the dog" mixed
+    texts = (["san francisco is great"] * 8
+             + ["the cat sat", "the dog sat", "the cat ran",
+                "the dog ran"] * 4)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = collocations(ds, min_count=5, k=10).to_pandas()
+    assert len(out)
+    # "san francisco", "francisco is", "is great" all co-occur perfectly
+    # (identical PMI, tie-break (x, y) asc); the independent "the cat"
+    # pairs rank strictly below
+    tied = set(zip(out.x, out.y))
+    assert {("san", "francisco"), ("francisco", "is")} <= tied
+    top = out[(out.x == "san") & (out.y == "francisco")].iloc[0]
+    assert out.iloc[0].pmi_q6 == top.pmi_q6          # tied at the top
+    the_pairs = out[out.x == "the"]
+    assert len(the_pairs) == 0 or \
+        (the_pairs.pmi_q6 < top.pmi_q6).all()
+    # recompute PMI for the san-francisco row
+    toks = [t.split() for t in texts]
+    u = sum(len(t) for t in toks)
+    b = sum(len(t) - 1 for t in toks)
+    cf = {}
+    for t in toks:
+        for w in t:
+            cf[w] = cf.get(w, 0) + 1
+    pmi = math.log((8.0 * u * u) / (float(b) * cf["san"] * cf["francisco"]))
+    assert int(top.pmi_q6) == math.floor(pmi * 1e6)
+    assert int(top.c) == 8
