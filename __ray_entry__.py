@@ -25,7 +25,7 @@ import numpy as np
 _TOKEN_RE_SQL = "[0-9a-z_]+"
 
 
-def _sized_read(path: str):
+def _sized_read(path: str, columns=None):
     """read_parquet with a data-sized block count. Ray's default read
     splits to ~2x CPUs regardless of size; for a small table feeding a
     groupby that over-fragmentation dominates the shuffle (measured:
@@ -40,7 +40,8 @@ def _sized_read(path: str):
     cpus = int(ray.cluster_resources().get("CPU", 32)) \
         if ray.is_initialized() else 32
     blocks = max(8, cpus // 2, os.path.getsize(path) // (32 << 20))
-    return rd.read_parquet(path, override_num_blocks=int(blocks))
+    return rd.read_parquet(path, override_num_blocks=int(blocks),
+                           columns=columns)
 
 
 def _docs(sf_dir: str):
@@ -853,6 +854,40 @@ def _q_events_daily_pipeline(sf_dir):
     return daily_pipeline_aggs(_events(sf_dir))
 
 
+def _q_customers_no_urgent(sf_dir):
+    # ANTI join (NOT EXISTS, TPC-H Q22 shape): customers with no
+    # 1-URGENT order; one hash-bucket shuffle, right side ships only
+    # deduplicated int64 keys
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.stages.relational import semi_anti_join
+    cust = _sized_read(os.path.join(sf_dir, "customer.parquet"),
+                       columns=["c_custkey", "c_name", "c_mktsegment"])
+    urgent = _sized_read(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_orderpriority"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT")),
+            batch_format="pyarrow")
+    return semi_anti_join(cust, urgent, "c_custkey", "o_custkey",
+                          anti=True)
+
+
+def _q_customers_semi_urgent(sf_dir):
+    # SEMI join (EXISTS): the complement of the anti join above
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.stages.relational import semi_anti_join
+    cust = _sized_read(os.path.join(sf_dir, "customer.parquet"),
+                       columns=["c_custkey", "c_name", "c_mktsegment"])
+    urgent = _sized_read(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_orderpriority"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT")),
+            batch_format="pyarrow")
+    return semi_anti_join(cust, urgent, "c_custkey", "o_custkey",
+                          anti=False)
+
+
 def _q_events_anomaly(sf_dir):
     # anomalous days per event type: |z| > 2 evaluated as an exact
     # integer inequality — no float anywhere on either side
@@ -1087,6 +1122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _q_hll_distinct_users,
         "events_hopping": _q_events_hopping,
         "events_anomaly_days": _q_events_anomaly,
+        "customers_no_urgent": _q_customers_no_urgent,
+        "customers_with_urgent": _q_customers_semi_urgent,
         "events_sessionize": _q_sessionize,
         "events_asof_join": _q_events_asof_join,
         "events_funnel": _q_events_funnel,
@@ -3418,6 +3455,20 @@ SELECT day, n_events,
          AS moving7_window
 FROM daily WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
 ORDER BY day
+""",
+        "customers_no_urgent": """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+""",
+        "customers_with_urgent": """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
 """,
         "events_anomaly_days": """
 WITH d AS (

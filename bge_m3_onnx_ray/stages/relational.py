@@ -179,3 +179,60 @@ def revenue_by_segment(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
                                    pa.int64())})
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def semi_anti_join(left: rd.Dataset, right: rd.Dataset, left_key: str,
+                   right_key: str, anti: bool = False,
+                   n_buckets: int = 64) -> rd.Dataset:
+    """Distributed SEMI (``anti=False``) / ANTI (``anti=True``) join:
+    keep left rows whose key does / does not appear in the right side —
+    the EXISTS / NOT EXISTS shapes (TPC-H Q4/Q22). ONE shuffle keyed by
+    a hash bucket of the join key; the right side ships only its
+    (deduplicated-per-batch) int64 keys, the left side its full rows;
+    each bucket resolves membership with one searchsorted. A key hashes
+    to exactly one bucket, so results equal the relational semantics
+    exactly."""
+    from bge_m3_onnx_ray.hashing import splitmix64
+
+    lschema = left.schema()
+    left_pa = getattr(lschema, "base_schema", None) or pa.schema(
+        [pa.field(n, t) for n, t in zip(lschema.names, lschema.types)])
+    left_cols = list(left_pa.names)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        k = t.column(left_key).to_numpy().astype(np.uint64)
+        return t.append_column("_side", pa.array(
+            np.zeros(t.num_rows, np.int64))).append_column(
+            "_jb", pa.array((splitmix64(k) % np.uint64(n_buckets))
+                            .astype(np.int64)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        # per-batch dedup: only distinct keys cross the exchange
+        k = np.unique(t.column(right_key).to_numpy().astype(np.int64))
+        out = {c: pa.nulls(len(k), left_pa.field(c).type)
+               for c in left_cols}
+        out[left_key] = pa.array(k, pa.int64())
+        out["_side"] = pa.array(np.ones(len(k), np.int64))
+        out["_jb"] = pa.array((splitmix64(k.astype(np.uint64))
+                               % np.uint64(n_buckets)).astype(np.int64))
+        return pa.table(out)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        side = g.column("_side").to_numpy()
+        keys = g.column(left_key).to_numpy(zero_copy_only=False)
+        rk = np.unique(keys[side == 1])
+        lrows = np.flatnonzero(side == 0)
+        if len(rk):
+            pos = np.searchsorted(rk, keys[lrows])
+            hit = (pos < len(rk)) & (rk[np.minimum(pos, len(rk) - 1)]
+                                     == keys[lrows])
+        else:
+            hit = np.zeros(len(lrows), bool)
+        keep = lrows[~hit] if anti else lrows[hit]
+        return g.take(pa.array(keep, pa.int64())).select(left_cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.select_columns([right_key]).map_batches(
+        tag_right, batch_format="pyarrow")
+    return lt.union(rt).groupby("_jb").map_groups(
+        kernel, batch_format="pyarrow")

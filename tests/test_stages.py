@@ -1069,3 +1069,22 @@ def test_collocations(ray_session):
     pmi = math.log((8.0 * u * u) / (float(b) * cf["san"] * cf["francisco"]))
     assert int(top.pmi_q6) == math.floor(pmi * 1e6)
     assert int(top.c) == 8
+
+
+def test_semi_anti_join(ray_session):
+    """Semi/anti join: membership semantics exact, complementary, and
+    right-side duplicates don't duplicate left rows."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.relational import semi_anti_join
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "v": pa.array(list("abcde"), pa.string())}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 2, 4, 4, 4, 9], pa.int64())}))
+    semi = semi_anti_join(left, right, "k", "rk").to_pandas() \
+        .sort_values("k")
+    anti = semi_anti_join(left, right, "k", "rk", anti=True).to_pandas() \
+        .sort_values("k")
+    assert semi.k.tolist() == [2, 4] and semi.v.tolist() == ["b", "d"]
+    assert anti.k.tolist() == [1, 3, 5]
+    assert len(semi) + len(anti) == 5
