@@ -1,0 +1,85 @@
+"""Self-audit: run EVERY driver key in ``__ray_entry__.queries()``
+against its DuckDB oracle at a given scale factor and print a PASS /
+FAIL / no_oracle line per key — the same comparison the external driver
+runs, usable between rounds.
+
+Usage::
+
+    python tools/sweep.py [sf_dir]     # default /root/testdata/sf0.01
+
+Collects Ray Datasets via ``to_pandas()`` (NOT ``to_arrow_refs`` — Ray
+``map_groups`` can emit a schema-less empty block for an empty shuffle
+partition, which breaks strict ``concat_tables``)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+
+def _canon_hash(tb) -> str:
+    tb = tb.select(sorted(tb.column_names))
+    tb = tb.sort_by([(c, "ascending") for c in tb.column_names])
+    return hashlib.sha256(str(tb.to_pylist()).encode()).hexdigest()
+
+
+def main() -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __ray_entry__ as entry
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for tbl in ["region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{tbl}.parquet')")
+
+    queries, oracles = entry.queries(), entry.oracle_sql()
+    n_fail = 0
+    for key in queries:
+        t0 = time.time()
+        try:
+            t = queries[key](sf)
+            if isinstance(t, rd.Dataset):
+                t = pa.Table.from_pandas(t.to_pandas(),
+                                         preserve_index=False)
+            elif hasattr(t, "to_arrow"):
+                t = t.to_arrow()
+            if not isinstance(t, pa.Table):
+                t = pa.Table.from_pandas(t)
+            if key in oracles:
+                o = con.execute(oracles[key]).arrow()
+                ok = (t.num_rows == o.num_rows
+                      and sorted(t.column_names) == sorted(o.column_names)
+                      and _canon_hash(t) == _canon_hash(o))
+                status = "PASS" if ok else "FAIL"
+                n_fail += 0 if ok else 1
+                print(f"{key} {status} rows={t.num_rows}/{o.num_rows} "
+                      f"{time.time() - t0:.1f}s", flush=True)
+            else:
+                print(f"{key} no_oracle rows={t.num_rows} "
+                      f"{time.time() - t0:.1f}s", flush=True)
+        except Exception as e:  # noqa: BLE001 — audit must not stop
+            n_fail += 1
+            print(f"{key} ERR {str(e)[:160]}", flush=True)
+    print(f"\nTOTAL {len(queries)} keys, {n_fail} FAIL/ERR")
+    ray.shutdown()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
