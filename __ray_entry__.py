@@ -939,6 +939,13 @@ def _q_corpus_sample(sf_dir):
     return corpus_sample(_docs(sf_dir).select_columns(["doc_id", "text"]), n=100)
 
 
+def _q_weighted_sample(sf_dir):
+    # Efraimidis-Spirtakis weighted sampling without replacement:
+    # deterministic LCG uniform, key = ln(u)/w, top-k — bit-reproducible
+    from bge_m3_onnx_ray.stages.text import weighted_sample
+    return weighted_sample(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def _q_corpus_sample_hash(sf_dir):
     from bge_m3_onnx_ray.stages.text import corpus_sample_hash
     return corpus_sample_hash(_docs(sf_dir).select_columns(["doc_id", "text"]))
@@ -1083,6 +1090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "profile_documents": _q_profile_documents,
         "collocations_documents": _q_collocations,
+        "weighted_sample_documents": _q_weighted_sample,
         "doc_fingerprint": _q_fingerprint,
         "distribution_counts": _q_distribution_counts,
         "corpus_sample": _q_corpus_sample,
@@ -3143,6 +3151,23 @@ GROUP BY sh.doc_id
         "ngram_jaccard_verify": _jaccard_verify_sql(),
         "minhash_jaccard_verify": _minhash_jaccard_verify_sql(),
         "lsh_dup_pairs": _lsh_dup_pairs_sql(n_planes=8, threshold=0.0),
+        "weighted_sample_documents": f"""
+WITH toks AS (SELECT doc_id,
+                     len(regexp_extract_all(lower(text),
+                         '{_TOKEN_RE_SQL}'))::BIGINT AS w FROM documents),
+h1 AS (SELECT doc_id, w, ((doc_id % 2147483647) * 1103515245 + 17)
+                           % 2147483647 AS h FROM toks),
+h2 AS (SELECT doc_id, w, (h * 1103515245 + 17) % 2147483647 AS h FROM h1),
+keyed AS (SELECT doc_id, w,
+                 ln((h + 1) / 2147483648.0) / w AS key
+          FROM h2 WHERE w > 0),
+ranked AS (SELECT *, row_number() OVER (ORDER BY key DESC, doc_id) AS rnk
+           FROM keyed)
+SELECT doc_id, w AS n_words,
+       CAST(floor(key * 1000000) AS BIGINT) AS key_q6
+FROM ranked WHERE rnk <= 100
+ORDER BY doc_id
+""",
         "corpus_sample_hash": """
 WITH h1 AS (SELECT doc_id, text,
                    ((doc_id % 2147483647) * 1103515245 + 17)

@@ -785,3 +785,56 @@ def collocations(ds: rd.Dataset, min_count: int = 5, k: int = 50) -> pa.Table:
                               ascending=[False, True, True]).head(k)
     return pa.Table.from_pandas(parts.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def weighted_sample(ds: rd.Dataset, k: int = 100,
+                    seed: int = 17) -> pa.Table:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirtakis A-Res): each doc gets key = ln(u)/w with
+    w = its token count and u a (0,1] uniform derived from the same
+    two-round LCG-mod-2^31-1 hash the engine's SQL-mirrored sampler
+    uses; the k largest keys ARE a weighted sample without replacement.
+    Every input is an integer, the key expression is mirrored verbatim
+    by the oracle, so the sample is bit-reproducible across engines and
+    partitionings — the "sample training docs proportional to length/
+    quality" step, with zero randomness at run time.
+
+    Shuffle-free: per-batch keys + tie-safe partial top-k, one tiny
+    driver merge. Zero-token docs carry no weight and never sample.
+    Output (doc_id, n_words, key_q6) sorted by doc_id."""
+    from bge_m3_onnx_ray.hashing import P31
+
+    p = np.uint64(P31)
+    a = np.uint64(1103515245)
+    s = np.uint64(seed)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tok = DeterministicTokenizer()
+        _, _, _, _, dls = tok.batch_term_counts_coded(t.column("text"))
+        d = t.column("doc_id").to_numpy().astype(np.uint64)
+        h = ((d % p) * a + s) % p
+        h = (h * a + s) % p
+        w = dls.astype(np.float64)
+        keep = w > 0
+        key = np.log((h[keep].astype(np.float64) + 1.0) / 2147483648.0) \
+            / w[keep]
+        dd = d[keep].astype(np.int64)
+        order = np.lexsort((dd, -key))
+        if len(order) > k:                   # tie-safe pre-cut
+            kth = key[order[k - 1]]
+            order = order[key[order] >= kth]
+        return pa.table({
+            "doc_id": pa.array(dd[order], pa.int64()),
+            "n_words": pa.array(dls[keep][order].astype(np.int64),
+                                pa.int64()),
+            "key_q6": pa.array(np.floor(key[order] * 1e6).astype(np.int64),
+                               pa.int64()),
+            "_key": pa.array(key[order], pa.float64())})
+
+    parts = ds.select_columns(["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=8192).to_pandas()
+    parts = parts.sort_values(["_key", "doc_id"],
+                              ascending=[False, True]).head(k)
+    parts = parts.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(parts[["doc_id", "n_words", "key_q6"]],
+                                preserve_index=False)

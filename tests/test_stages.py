@@ -1088,3 +1088,36 @@ def test_semi_anti_join(ray_session):
     assert semi.k.tolist() == [2, 4] and semi.v.tolist() == ["b", "d"]
     assert anti.k.tolist() == [1, 3, 5]
     assert len(semi) + len(anti) == 5
+
+
+def test_weighted_sample(ray_session):
+    """Weighted sampling: exact match vs a brute recompute of the
+    Efraimidis-Spirtakis keys; zero-weight docs never sample; heavier
+    docs dominate the sample on average."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.text import weighted_sample
+    texts = ["word " * (1 + (i % 10)) for i in range(300)]
+    texts[5] = ""                          # zero weight
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(300), pa.int64()),
+        "text": pa.array([t.strip() for t in texts], pa.string())}))
+    out = weighted_sample(ds, k=50).to_pandas()
+    assert len(out) == 50 and 5 not in out.doc_id.values
+    # brute recompute
+    P, A, S = 2147483647, 1103515245, 17
+    keys = {}
+    for d in range(300):
+        w = len(texts[d].split())
+        if not w:
+            continue
+        h = ((d % P) * A + S) % P
+        h = (h * A + S) % P
+        keys[d] = np.log((np.float64(h) + 1.0) / 2147483648.0) / w
+    want = sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert sorted(out.doc_id.tolist()) == sorted(d for d, _ in want)
+    # heavier docs (w=10) should outnumber light docs (w=1) in a
+    # weighted-without-replacement sample
+    w_of = lambda d: len(texts[d].split())
+    heavy = sum(1 for d in out.doc_id if w_of(int(d)) >= 8)
+    light = sum(1 for d in out.doc_id if w_of(int(d)) <= 2)
+    assert heavy > light
