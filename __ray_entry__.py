@@ -84,6 +84,13 @@ def _q_tfidf(sf_dir):
     return tfidf_documents_topk(sf_dir)
 
 
+def _q_bm25_deduped(sf_dir):
+    # exact-dedup -> semi-join survivors -> rebuild -> search: the
+    # composed training-data lifecycle; deduped global stats gate it
+    from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_topk_deduped
+    return bm25_documents_topk_deduped(sf_dir)
+
+
 def _q_dismax(sf_dir):
     # disjunction-max: best term contribution + 0.3 * sum of the rest
     from bge_m3_onnx_ray.pipelines.flagship import dismax_documents_topk
@@ -1028,6 +1035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_best_fields_topk": _q_bm25f_best_fields,
         "bm25_documents_topk_restored": _q_bm25_restored,
         "dismax_documents_topk": _q_dismax,
+        "bm25_documents_topk_deduped": _q_bm25_deduped,
         "bm25_documents_topk_and": _q_bm25_and,
         "bm25_documents_topk_msm": _q_bm25_msm,
         "bm25_documents_topk_page2": _q_bm25_page2,
@@ -2991,6 +2999,11 @@ ORDER BY pmi_q6 DESC, x, y LIMIT 50
 """,
         "bm25_documents_topk_restored": bm25,
         "dismax_documents_topk": _bm25_sql(dismax=0.3),
+        "bm25_documents_topk_deduped": _bm25_sql(
+            corpus_table=("(SELECT d.doc_id, d.text FROM documents d "
+                          "JOIN (SELECT min(doc_id) AS doc_id "
+                          "FROM documents GROUP BY text) kk "
+                          "USING (doc_id)) dd")),
         "bm25_documents_topk_and": _bm25_sql(conjunctive=True),
         "bm25_documents_topk_msm": _bm25_sql(msm=2),
         "bm25_documents_topk_page2": _bm25_sql(offset=10),

@@ -2324,3 +2324,30 @@ def bm25f_best_fields_topk(sf_dir: str, k: int = 10) -> pa.Table:
     the other tie-breaks (tie=0.3). Same machinery and result shape as
     :func:`bm25f_documents_topk`."""
     return bm25f_documents_topk(sf_dir, k=k, mode="best_fields")
+
+
+def bm25_documents_topk_deduped(sf_dir: str, k: int = 10) -> pa.Table:
+    """End-to-end training-data lifecycle in one key: exact-dedup the
+    corpus (keep the canonical lowest-doc_id copy of each distinct
+    text), REBUILD the index over only the survivors, search — global
+    stats (N, avgdl, df) reflect the deduped corpus, so any leaked
+    duplicate or wrong survivor set shifts every score and hash-fails.
+    Composition of three first-class ops: ``stages.dedup.exact_dedup``
+    -> ``stages.relational.semi_anti_join`` (corpus ⋉ canonical ids,
+    one hash-bucket shuffle) -> the standard build/search."""
+    from bge_m3_onnx_ray.stages.dedup import exact_dedup
+    from bge_m3_onnx_ray.stages.relational import semi_anti_join
+    key = "documents-deduped-" + os.path.basename(os.path.normpath(sf_dir))
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    canonical = exact_dedup(docs)        # (doc_id, n_dups): survivors
+    survivors = semi_anti_join(docs, canonical, "doc_id", "doc_id")
+    corpus = survivors.map_batches(_doc_rows_to_transcript,
+                                   batch_format="pyarrow")
+    idx = _cached_index(corpus, key, _DOC_CFG)
+    out = search(idx, DOC_QUERIES, QueryConfig(k=k)).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)

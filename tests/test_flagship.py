@@ -223,3 +223,50 @@ def test_bm25f_best_fields(ray_session, tmp_path):
         assert g.doc_id.tolist() == [d for d, _ in want], (qid, qtext)
         assert g.score_q6.tolist() == [math.floor(s * 1e6)
                                        for _, s in want], (qid, qtext)
+
+
+def test_deduped_pipeline(ray_session, tmp_path):
+    """Dedup -> rebuild -> search composition on a corpus WITH real
+    duplicates: results equal a pure-SQL BM25 over the canonical-only
+    corpus, and differ from the full-corpus ranking (the duplicates
+    shift N/df/avgdl, so a leaked dup would be visible)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bge_m3_onnx_ray.pipelines.flagship import (
+        bm25_documents_topk, bm25_documents_topk_deduped)
+
+    rng = np.random.default_rng(21)
+    vocab = ["key", "order", "sort", "data", "table", "join", "filter",
+             "group", "row"]
+    base = [" ".join(rng.choice(vocab, size=rng.integers(3, 12)))
+            for _ in range(90)]
+    texts = base + [base[i] for i in range(0, 30)]      # 30 exact dups
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(range(len(texts)),
+                                                pa.int64()),
+                             "text": pa.array(texts, pa.string())}),
+                   sf / "documents.parquet")
+
+    deduped = bm25_documents_topk_deduped(str(sf)).to_pandas()
+    full = bm25_documents_topk(str(sf)).to_pandas()
+    assert len(deduped)
+    # duplicates changed the stats: the two rankings must differ
+    assert not deduped.equals(full)
+    # no duplicate (doc_id >= 90) can appear in deduped results
+    assert (deduped.doc_id < 90).all()
+    # deduped scores equal DuckDB BM25 over the canonical corpus
+    import duckdb
+
+    import __ray_entry__ as entry
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    sql = entry.oracle_sql()["bm25_documents_topk_deduped"]
+    o = con.execute(sql).fetch_df()
+    got = deduped.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = o.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert got.score_q6.tolist() == want.score_q6.tolist()
