@@ -712,6 +712,30 @@ def _q_ivf_disk_appended(sf_dir):
         k=10, nprobe=16, exclude={int(v): int(v) for v in qdf.vec_id})
 
 
+def _q_ivf_disk_q8(sf_dir):
+    # compressed IVF: int8 partitions (4x smaller artifact), probe-
+    # pruned reads, quantized-cosine ranking; nprobe=all == int8_topk,
+    # so the int8 SQL oracle gates the whole compressed path
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.stages.ann import ivf_search_disk_q8, ivf_write_q8
+    emb = _embeddings(sf_dir)
+    idx = os.path.join("/tmp/bm25_indexes",
+                       "ivf-disk-q8-" + os.path.basename(
+                           os.path.normpath(sf_dir)))
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        shutil.rmtree(idx, ignore_errors=True)
+        ivf_write_q8(emb, idx, n_lists=16, n_iters=5)
+    qdf = emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 5)),
+                          batch_format="pyarrow").to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    return ivf_search_disk_q8(
+        idx, np.stack(qdf.embedding.to_numpy()), qdf.vec_id.to_numpy(),
+        k=10, nprobe=16, exclude={int(v): int(v) for v in qdf.vec_id})
+
+
 def _q_ann_int8(sf_dir):
     # int8 scalar-quantized dot-product top-k (the 4x-compressed
     # serving path); integer scores, so the gate is grid-free exact
@@ -1123,6 +1147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_int8_topk": _q_ann_int8,
         "ivf_disk_cosine_topk": _q_ivf_disk,
         "ivf_disk_cosine_topk_appended": _q_ivf_disk_appended,
+        "ivf_disk_int8_topk": _q_ivf_disk_q8,
         "ivf_cosine_topk": _q_ivf,
         "hybrid_rrf_topk": _q_hybrid,
         "lsh_buckets": _q_lsh_buckets,
@@ -3415,6 +3440,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         "ann_int8_topk": _ANN_INT8_SQL,
         "ivf_disk_cosine_topk": _ANN_SQL,
         "ivf_disk_cosine_topk_appended": _ANN_SQL,
+        "ivf_disk_int8_topk": _ANN_INT8_SQL,
         "hybrid_rrf_topk": _hybrid_sql(),
         "doc_term_weights": f"""
 WITH toks AS ({_TOKS}),

@@ -582,3 +582,155 @@ def ivf_append(ds: rd.Dataset, index_dir: str) -> dict:
     with open(meta_path, "w") as f:
         json.dump(meta, f, sort_keys=True)
     return meta
+
+
+def ivf_write_q8(ds: rd.Dataset, index_dir: str, n_lists: int = 64,
+                 n_iters: int = 5) -> dict:
+    """Persist a COMPRESSED IVF index: centroids train and lists assign
+    on the float vectors, but each partition stores only the int8
+    quantization (list<int8> ``q``) plus its exact integer self-dot
+    (``nn``) — a 4x smaller artifact whose probe-pruned reads move a
+    quarter of the bytes. Ranking at query time is the quantized cosine
+    (see :class:`_PartialTopKInt8`), so at ``nprobe = n_lists`` results
+    equal :func:`int8_topk` exactly — one SQL oracle gates both."""
+    import json
+
+    centroids = kmeans_centroids(ds, n_lists=n_lists, n_iters=n_iters)
+    assigned = ivf_assign(ds, centroids)
+
+    def compress(t: pa.Table) -> pa.Table:
+        q = quantize_int8(_embedding_matrix(t.column("embedding")))
+        nn = (q * q).sum(axis=1)
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "q": pa.array(list(q.astype(np.int8)), pa.list_(pa.int8())),
+            "nn": pa.array(nn.astype(np.int64), pa.int64()),
+            "list": t.column("list_id"),
+            "list_id": t.column("list_id")})
+
+    os.makedirs(index_dir, exist_ok=True)
+    assigned.map_batches(compress, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "lists"), partition_cols=["list_id"])
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    meta = {"n_lists": int(n_lists), "dim": int(centroids.shape[1]),
+            "n_vectors": int(ds.count()), "quantized": "int8"}
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    return meta
+
+
+class _PartialTopKInt8Stored:
+    """Like :class:`_PartialTopKInt8` but over PRE-QUANTIZED partition
+    rows (q, nn) — no re-quantization at query time — with per-query
+    probe-list restriction."""
+
+    def __init__(self, q_ref, k: int):
+        import ray
+        (self.qids, self.q, self.probes, self.union,
+         self.exclude) = ray.get(q_ref)
+        qn = (self.q * self.q).sum(axis=1)
+        self.q_sqrt = np.sqrt(qn.astype(np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lists = batch.column("list_id").to_numpy()
+        keep = np.isin(lists, self.union)
+        out_q, out_v, out_d, out_s = [], [], [], []
+        if keep.any():
+            sub = batch.filter(pa.array(keep))
+            vids = sub.column("vec_id").to_numpy()
+            lsub = lists[keep]
+            m = _embedding_matrix(sub.column("q")).astype(np.int64)
+            nb = sub.column("nn").to_numpy()
+            nb_sqrt = np.sqrt(nb.astype(np.float64))
+            dots = self.q @ m.T
+            k = self.k
+            for qi, qid in enumerate(self.qids):
+                d = dots[qi]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    s = d.astype(np.float64) / (self.q_sqrt[qi] * nb_sqrt)
+                mask = (nb > 0) & np.isin(lsub, self.probes[qi])
+                if self.q_sqrt[qi] == 0.0:
+                    mask[:] = False
+                ex = self.exclude.get(int(qid))
+                if ex is not None:
+                    mask &= vids != ex
+                sel = np.flatnonzero(mask)
+                if not len(sel):
+                    continue
+                kk = min(k, len(sel))
+                if len(sel) > kk:
+                    kth = -np.partition(-s[sel], kk - 1)[kk - 1]
+                    pick = sel[s[sel] >= kth]
+                else:
+                    pick = sel
+                out_q.extend([qid] * len(pick))
+                out_v.extend(vids[pick].tolist())
+                out_d.extend(d[pick].tolist())
+                out_s.extend(s[pick].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "dot": pa.array(out_d, pa.int64()),
+                         "cos": pa.array(out_s, pa.float64())})
+
+
+def ivf_search_disk_q8(index_dir: str, query_vecs: np.ndarray,
+                       query_ids: np.ndarray, k: int = 10,
+                       nprobe: int | None = None,
+                       exclude: dict[int, int] | None = None) -> rd.Dataset:
+    """Query the compressed IVF index: probe-pruned partition reads of
+    int8 rows, quantized-cosine ranking. Output matches
+    :func:`int8_topk` (query_id, rank, vec_id, dot, cos_qq6)."""
+    import ray
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    qf = _normalize(np.asarray(query_vecs, np.float64))
+    csims = qf @ np.ascontiguousarray(centroids, np.float64).T
+    n_lists = csims.shape[1]
+    if nprobe is None:
+        nprobe = max(8, n_lists // 2)
+    nprobe = min(nprobe, n_lists)
+    probes = [np.sort(row[:nprobe]).astype(np.int64) for row in
+              np.lexsort((np.arange(n_lists)[None, :].repeat(len(qf), 0),
+                          -csims), axis=1)[:, :nprobe]]
+    union = (np.unique(np.concatenate(probes)) if probes
+             else np.empty(0, np.int64))
+    dirs = [os.path.join(index_dir, "lists", f"list_id={int(l)}")
+            for l in union]
+    paths = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not paths:
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int32()),
+            "vec_id": pa.array([], pa.int64()),
+            "dot": pa.array([], pa.int64()),
+            "cos_qq6": pa.array([], pa.int64())}))
+    probed = rd.read_parquet(paths, columns=["vec_id", "q", "nn", "list"]) \
+        .map_batches(lambda t: t.append_column(
+            "list_id", t.column("list").cast(pa.int64())),
+            batch_format="pyarrow")
+    q8 = quantize_int8(np.asarray(query_vecs, np.float64))
+    q_ref = ray.put((np.asarray(query_ids, np.int64), q8, probes, union,
+                     dict(exclude or {})))
+    partials = probed.map_batches(
+        task_stage(_PartialTopKInt8Stored, q_ref=q_ref, k=k),
+        batch_format="pyarrow", batch_size=8192)
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        s = group.column("cos").to_numpy()
+        d = group.column("dot").to_numpy()
+        v = group.column("vec_id").to_numpy()
+        order = np.lexsort((v, -s))[:k]
+        return pa.table({
+            "query_id": pa.array(np.full(len(order), qid), pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32),
+                             pa.int32()),
+            "vec_id": pa.array(v[order], pa.int64()),
+            "dot": pa.array(d[order], pa.int64()),
+            "cos_qq6": pa.array(np.floor(s[order] * 1e6).astype(np.int64),
+                                pa.int64())})
+
+    return partials.groupby("query_id").map_groups(
+        merge, batch_format="pyarrow")

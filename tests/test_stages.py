@@ -1121,3 +1121,39 @@ def test_weighted_sample(ray_session):
     heavy = sum(1 for d in out.doc_id if w_of(int(d)) >= 8)
     light = sum(1 for d in out.doc_id if w_of(int(d)) <= 2)
     assert heavy > light
+
+
+def test_ivf_disk_q8(ray_session, tmp_path):
+    """Compressed IVF: int8 partitions are ~4x smaller than float ones,
+    and nprobe=all equals int8_topk exactly (same quantization, ties)."""
+    import os
+
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.ann import (int8_topk, ivf_search_disk_q8,
+                                            ivf_write, ivf_write_q8)
+    rng = np.random.default_rng(13)
+    m = rng.standard_normal((300, 32)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(300), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in m],
+                              pa.list_(pa.float32()))})).materialize()
+    qidx = str(tmp_path / "q8")
+    fidx = str(tmp_path / "f32")
+    ivf_write_q8(ds, qidx, n_lists=8, n_iters=3)
+    ivf_write(ds, fidx, n_lists=8, n_iters=3)
+
+    def nbytes(p):
+        return sum(os.path.getsize(os.path.join(dp, f))
+                   for dp, _, fs in os.walk(os.path.join(p, "lists"))
+                   for f in fs)
+
+    assert nbytes(qidx) < 0.55 * nbytes(fidx)   # ~4x payload cut + overhead
+
+    qids = np.arange(4)
+    ex = {i: i for i in range(4)}
+    got = ivf_search_disk_q8(qidx, m[:4], qids, k=10, nprobe=8,
+                             exclude=ex).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = int8_topk(ds, m[:4], qids, k=10, exclude=ex).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got.equals(want)
