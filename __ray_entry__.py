@@ -544,6 +544,38 @@ def _q_langid(sf_dir):
     return langid(_docs(sf_dir))
 
 
+def _q_corpus_diff(sf_dir):
+    # dataset-versioning diff vs a deterministically derived v2
+    # (doc_id%13==5 removed, %7==3 revised, %17==2 spawns an addition);
+    # one 32-byte-row bucket shuffle, bodies never move
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.stages.profile import corpus_diff
+
+    def mk_v2(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        txt = t.column("text")
+        rev = pc.binary_join_element_wise(
+            txt.combine_chunks().cast(pa.string()), " rev2", "")
+        new_text = pc.if_else(pa.array(d % 7 == 3), rev, txt)
+        base = pa.table({"doc_id": t.column("doc_id"), "text": new_text}) \
+            .filter(pa.array(d % 13 != 5))
+        add_src = d[d % 17 == 2]
+        added = pa.table({
+            "doc_id": pa.array(add_src + 1_000_000, pa.int64()),
+            "text": pa.array([f"added document {i}" for i in add_src],
+                             pa.string())})
+        return pa.concat_tables([base, added])
+
+    v1 = _docs(sf_dir).select_columns(["doc_id", "text"])
+    v2 = _docs(sf_dir).select_columns(["doc_id", "text"]) \
+        .map_batches(mk_v2, batch_format="pyarrow")
+    out = corpus_diff(v1, v2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _q_profile_documents(sf_dir):
     # per-column profiling: rows/nulls/exact-distinct/min/max — distinct
     # via two chained 24-byte-row bucket reduces, values never shuffle
@@ -1123,6 +1155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_documents": _q_profile_documents,
         "collocations_documents": _q_collocations,
         "weighted_sample_documents": _q_weighted_sample,
+        "corpus_diff_documents": _q_corpus_diff,
         "doc_fingerprint": _q_fingerprint,
         "distribution_counts": _q_distribution_counts,
         "corpus_sample": _q_corpus_sample,
@@ -3189,6 +3222,23 @@ GROUP BY sh.doc_id
         "ngram_jaccard_verify": _jaccard_verify_sql(),
         "minhash_jaccard_verify": _minhash_jaccard_verify_sql(),
         "lsh_dup_pairs": _lsh_dup_pairs_sql(n_planes=8, threshold=0.0),
+        "corpus_diff_documents": """
+WITH v2 AS (
+  SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN text || ' rev2'
+                      ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 5
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         'added document ' || doc_id AS text
+  FROM documents WHERE doc_id % 17 = 2)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.doc_id IS NULL THEN 'added'
+            ELSE 'changed' END AS change
+FROM documents a FULL OUTER JOIN v2 b USING (doc_id)
+WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.text <> b.text
+ORDER BY doc_id
+""",
         "weighted_sample_documents": f"""
 WITH toks AS (SELECT doc_id,
                      len(regexp_extract_all(lower(text),

@@ -106,3 +106,66 @@ def profile_table(ds: rd.Dataset, columns: list[str]) -> pa.Table:
     import pandas as pd
     return pa.Table.from_pandas(pd.DataFrame(out_rows),
                                 preserve_index=False)
+
+
+def corpus_diff(v1: rd.Dataset, v2: rd.Dataset,
+                n_buckets: int = 64) -> rd.Dataset:
+    """Dataset-versioning diff: which doc_ids were added, removed, or
+    changed between two corpus versions (unchanged rows are omitted).
+    'Changed' compares the 106-bit two-lane content hash, so the ONE
+    hash-bucket exchange carries 32-byte rows — document bodies never
+    shuffle. Output (doc_id, change) with change in
+    {added, removed, changed}."""
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.hashing import P53, poly_hash, splitmix64
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            d = t.column("doc_id").to_numpy().astype(np.int64)
+            h1 = poly_hash(t.column("text"), P53).astype(np.int64)
+            h2 = poly_hash(t.column("text"), P53,
+                           base=np.uint64(257)).astype(np.int64)
+            return pa.table({
+                "doc_id": pa.array(d, pa.int64()),
+                "side": pa.array(np.full(len(d), side, np.int64)),
+                "h1": pa.array(h1), "h2": pa.array(h2),
+                "_db": pa.array((splitmix64(d.astype(np.uint64))
+                                 % np.uint64(n_buckets)).astype(np.int64))})
+        return fn
+
+    def kernel(g: pa.Table) -> pa.Table:
+        d = g.column("doc_id").to_numpy()
+        s = g.column("side").to_numpy()
+        h1 = g.column("h1").to_numpy()
+        h2 = g.column("h2").to_numpy()
+        order = np.lexsort((s, d))
+        d, s, h1, h2 = d[order], s[order], h1[order], h2[order]
+        n = len(d)
+        if not n:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "change": pa.array([], pa.string())})
+        brk = np.empty(n, bool)
+        brk[0] = True
+        brk[1:] = np.diff(d) != 0
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        lone = sizes == 1                     # present on one side only
+        lone_d = d[starts[lone]]
+        lone_c = np.where(s[starts[lone]] == 0, "removed", "added")
+        both = starts[sizes == 2]             # sorted (side0, side1)
+        chg = (h1[both] != h1[both + 1]) | (h2[both] != h2[both + 1])
+        out_d = np.concatenate([lone_d, d[both[chg]]])
+        out_c = np.concatenate([lone_c, np.full(int(chg.sum()), "changed",
+                                                object)])
+        return pa.table({"doc_id": pa.array(out_d.astype(np.int64),
+                                            pa.int64()),
+                         "change": pa.array(out_c.astype(str),
+                                            pa.string())})
+
+    a = v1.select_columns(["doc_id", "text"]).map_batches(
+        tag(0), batch_format="pyarrow")
+    b = v2.select_columns(["doc_id", "text"]).map_batches(
+        tag(1), batch_format="pyarrow")
+    return a.union(b).groupby("_db").map_groups(
+        kernel, batch_format="pyarrow")

@@ -1157,3 +1157,18 @@ def test_ivf_disk_q8(ray_session, tmp_path):
     want = int8_topk(ds, m[:4], qids, k=10, exclude=ex).to_pandas() \
         .sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_corpus_diff(ray_session):
+    """Versioning diff: added/removed/changed classified exactly,
+    unchanged docs omitted."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.profile import corpus_diff
+    v1 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["same", "will change", "will vanish", "same too"]}))
+    v2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 4, 9], pa.int64()),
+        "text": ["same", "changed!", "same too", "brand new"]}))
+    out = corpus_diff(v1, v2).to_pandas().set_index("doc_id")["change"]
+    assert out.to_dict() == {2: "changed", 3: "removed", 9: "added"}
