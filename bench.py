@@ -411,7 +411,11 @@ def run_bench() -> dict:
     wanted = ["bm25_documents_topk", "token_count", "term_df_top100",
               "exact_dedup", "minhash_lsh_candidates", "ann_cosine_topk",
               "events_hourly", "events_sessionize", "quality_score",
-              "benchmark_contamination", "redact_pii", "pack_sequences"]
+              "benchmark_contamination", "redact_pii", "pack_sequences",
+              "bm25f_documents_topk", "rescore_documents_topk",
+              "collocations_documents", "dedup_keep_best",
+              "profile_documents", "weighted_sample_documents",
+              "transcripts_sft_pairs", "corpus_diff_documents"]
     qs = m.queries()
     for name in wanted:
         t0 = time.perf_counter()
