@@ -266,3 +266,47 @@ def test_snapshot_restore(tiny_index, tiny_corpus, tmp_path):
         blob[len(blob) // 2] ^= 0xFF
         open(p, "wb").write(bytes(blob))
         restore_index(snap, restored)
+
+
+def test_fsck(tiny_index, tmp_path):
+    """fsck passes a healthy index, and catches (a) a corrupted postings
+    blob, (b) a tampered dictionary count, each as IndexCorruption."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from bge_m3_onnx_ray.index.fsck import IndexCorruption, fsck_index
+
+    idx, _ = tiny_index
+    rep = fsck_index(idx)
+    assert not rep["errors"] and rep["postings_df"] > 0
+    assert rep["n_docs"] > 0
+
+    # (a) corrupt one postings blob byte
+    work = str(tmp_path / "corrupt")
+    shutil.copytree(idx, work)
+    victim = sorted(glob.glob(os.path.join(work, "postings", "*.parquet")))[0]
+    t = pq.read_table(victim)
+    blob = t.column("blob").to_pylist()
+    blob[0] = (bytes([blob[0][0] ^ 0x55]) + blob[0][1:]) if blob[0] else b"\x01"
+    t = t.set_column(t.schema.get_field_index("blob"), "blob",
+                     __import__("pyarrow").array(blob,
+                                                 type=t.schema.field("blob").type))
+    pq.write_table(t, victim)
+    with pytest.raises(IndexCorruption):
+        fsck_index(work)
+
+    # (b) tamper the dictionary df
+    work2 = str(tmp_path / "tamper")
+    shutil.copytree(idx, work2)
+    dfile = sorted(glob.glob(os.path.join(work2, "dictionary", "*.parquet")))[0]
+    t = pq.read_table(dfile)
+    df = t.column("df").to_pylist()
+    df[0] += 1
+    t = t.set_column(t.schema.get_field_index("df"), "df",
+                     __import__("pyarrow").array(df, type="int64"))
+    pq.write_table(t, dfile)
+    with pytest.raises(IndexCorruption, match="df sum"):
+        fsck_index(work2)
