@@ -744,6 +744,20 @@ def _q_ivf_disk_appended(sf_dir):
         k=10, nprobe=16, exclude={int(v): int(v) for v in qdf.vec_id})
 
 
+def _q_embedding_contamination(sf_dir):
+    # semantic decontamination: benchmark = vec_id < 20 (broadcast),
+    # flag corpus vectors with cosine >= 0.4 vs any benchmark vector
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.stages.ann import embedding_contamination
+    emb = _embeddings(sf_dir)
+    bdf = emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 20)),
+                          batch_format="pyarrow").to_pandas()
+    bdf = bdf.sort_values("vec_id")
+    return embedding_contamination(
+        emb, np.stack(bdf.embedding.to_numpy()), bdf.vec_id.to_numpy())
+
+
 def _q_ivf_disk_q8(sf_dir):
     # compressed IVF: int8 partitions (4x smaller artifact), probe-
     # pruned reads, quantized-cosine ranking; nprobe=all == int8_topk,
@@ -1181,6 +1195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_disk_cosine_topk": _q_ivf_disk,
         "ivf_disk_cosine_topk_appended": _q_ivf_disk_appended,
         "ivf_disk_int8_topk": _q_ivf_disk_q8,
+        "embedding_contamination": _q_embedding_contamination,
         "ivf_cosine_topk": _q_ivf,
         "hybrid_rrf_topk": _q_hybrid,
         "lsh_buckets": _q_lsh_buckets,
@@ -3491,6 +3506,16 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         "ivf_disk_cosine_topk": _ANN_SQL,
         "ivf_disk_cosine_topk_appended": _ANN_SQL,
         "ivf_disk_int8_topk": _ANN_INT8_SQL,
+        "embedding_contamination": """
+WITH bench AS (SELECT vec_id AS bid, embedding AS bv FROM embeddings
+               WHERE vec_id < 20),
+hits AS (SELECT e.vec_id, count(*)::BIGINT AS n_contaminating
+         FROM embeddings e JOIN bench b
+           ON list_cosine_similarity(b.bv, e.embedding) >= 0.4
+          AND b.bid <> e.vec_id
+         GROUP BY e.vec_id)
+SELECT vec_id, n_contaminating FROM hits ORDER BY vec_id
+""",
         "hybrid_rrf_topk": _hybrid_sql(),
         "doc_term_weights": f"""
 WITH toks AS ({_TOKS}),

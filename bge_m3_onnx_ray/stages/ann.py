@@ -734,3 +734,45 @@ def ivf_search_disk_q8(index_dir: str, query_vecs: np.ndarray,
 
     return partials.groupby("query_id").map_groups(
         merge, batch_format="pyarrow")
+
+
+def embedding_contamination(ds: rd.Dataset, bench_vecs: np.ndarray,
+                            bench_ids: np.ndarray,
+                            threshold: float = 0.4) -> rd.Dataset:
+    """Semantic benchmark decontamination: flag corpus vectors whose
+    cosine against ANY benchmark vector reaches ``threshold`` — the
+    embedding-space complement of the n-gram overlap check
+    (``stages.decontam``), catching paraphrased leakage n-grams miss.
+
+    Shuffle-free: the benchmark matrix broadcasts once via ``ray.put``
+    (the small side by definition) and every batch does one matmul;
+    output (vec_id, n_contaminating) only for flagged rows, so the
+    result is contamination-sized, not corpus-sized. A corpus vector
+    that IS a benchmark vector (same vec_id) does not count itself."""
+    import ray
+
+    b = _normalize(np.asarray(bench_vecs, np.float64))
+    b_ref = ray.put((np.asarray(bench_ids, np.int64), b,
+                     np.float64(threshold)))
+
+    class _Flag:
+        def __init__(self, b_ref):
+            self.bids, self.b, self.thresh = ray.get(b_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = batch.column("vec_id").to_numpy()
+            m = _normalize(_embedding_matrix(batch.column("embedding")))
+            sims = self.b @ m.T                    # (n_bench, n_batch)
+            hit = sims >= self.thresh
+            # self-match exclusion by vec_id
+            same = self.bids[:, None] == vids[None, :]
+            hit &= ~same
+            n = hit.sum(axis=0).astype(np.int64)
+            keep = n > 0
+            return pa.table({
+                "vec_id": pa.array(vids[keep], pa.int64()),
+                "n_contaminating": pa.array(n[keep], pa.int64())})
+
+    return ds.select_columns(["vec_id", "embedding"]).map_batches(
+        task_stage(_Flag, b_ref=b_ref), batch_format="pyarrow",
+        batch_size=4096)

@@ -1172,3 +1172,25 @@ def test_corpus_diff(ray_session):
         "text": ["same", "changed!", "same too", "brand new"]}))
     out = corpus_diff(v1, v2).to_pandas().set_index("doc_id")["change"]
     assert out.to_dict() == {2: "changed", 3: "removed", 9: "added"}
+
+
+def test_embedding_contamination(ray_session):
+    """Semantic decontamination: a paraphrase-direction vector flags, an
+    orthogonal one doesn't, self-matches don't count."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.ann import embedding_contamination
+    rng = np.random.default_rng(17)
+    bench = rng.standard_normal((3, 8)).astype(np.float32)
+    near = bench[1] * 0.9 + rng.standard_normal(8).astype(np.float32) * 0.01
+    corpus = np.vstack([bench, near[None, :],
+                        rng.standard_normal((5, 8)).astype(np.float32)])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(corpus)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in corpus],
+                              pa.list_(pa.float32()))}))
+    out = embedding_contamination(ds, bench, np.arange(3),
+                                  threshold=0.95).to_pandas() \
+        .set_index("vec_id")["n_contaminating"]
+    assert out.to_dict() == {3: 1}   # only the paraphrase flags; the
+    # benchmark rows themselves are self-excluded and don't reach 0.95
+    # against each OTHER (random gaussians)
