@@ -931,6 +931,18 @@ def _q_events_daily_pipeline(sf_dir):
     return daily_pipeline_aggs(_events(sf_dir))
 
 
+def _q_orders_with_segment(sf_dir):
+    # row-materializing big-big INNER join (orders x customer on
+    # custkey): one hash-bucket shuffle, searchsorted + run-expansion
+    from bge_m3_onnx_ray.stages.relational import equi_join
+    orders = _sized_read(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey"])
+    cust = _sized_read(os.path.join(sf_dir, "customer.parquet"),
+                       columns=["c_custkey", "c_mktsegment"])
+    return equi_join(orders, cust, "o_custkey", "c_custkey",
+                     ["c_mktsegment"])
+
+
 def _q_customers_no_urgent(sf_dir):
     # ANTI join (NOT EXISTS, TPC-H Q22 shape): customers with no
     # 1-URGENT order; one hash-bucket shuffle, right side ships only
@@ -1211,6 +1223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _q_hll_distinct_users,
         "events_hopping": _q_events_hopping,
         "events_anomaly_days": _q_events_anomaly,
+        "orders_with_segment": _q_orders_with_segment,
         "customers_no_urgent": _q_customers_no_urgent,
         "customers_with_urgent": _q_customers_semi_urgent,
         "events_sessionize": _q_sessionize,
@@ -3594,6 +3607,11 @@ SELECT day, n_events,
          AS moving7_window
 FROM daily WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
 ORDER BY day
+""",
+        "orders_with_segment": """
+SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_orderkey
 """,
         "customers_no_urgent": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer c

@@ -236,3 +236,85 @@ def semi_anti_join(left: rd.Dataset, right: rd.Dataset, left_key: str,
         tag_right, batch_format="pyarrow")
     return lt.union(rt).groupby("_jb").map_groups(
         kernel, batch_format="pyarrow")
+
+
+def equi_join(left: rd.Dataset, right: rd.Dataset, left_key: str,
+              right_key: str, right_cols: list[str],
+              n_buckets: int = 64) -> rd.Dataset:
+    """Row-materializing INNER equi-join of two large tables — the
+    general shape (``bucket_join_agg`` covers join+aggregate;
+    ``semi_anti_join`` covers membership; this one emits the joined
+    rows). ONE shuffle keyed by a hash bucket of the join key; each
+    bucket sorts the (deduplicated-per-key) right side once and gathers
+    matches with a searchsorted, so multiplicity comes from the LEFT
+    side only when the right key is unique — duplicate right keys fan
+    out via the standard run-expansion. Left columns pass through,
+    ``right_cols`` are appended."""
+    from bge_m3_onnx_ray.hashing import splitmix64
+
+    lschema = left.schema()
+    left_pa = getattr(lschema, "base_schema", None) or pa.schema(
+        [pa.field(n, t) for n, t in zip(lschema.names, lschema.types)])
+    left_cols = list(left_pa.names)
+    rschema = right.schema()
+    right_pa = getattr(rschema, "base_schema", None) or pa.schema(
+        [pa.field(n, t) for n, t in zip(rschema.names, rschema.types)])
+    all_cols = left_cols + right_cols
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        k = t.column(left_key).to_numpy().astype(np.uint64)
+        out = {c: t.column(c) for c in left_cols}
+        for c in right_cols:
+            out[c] = pa.nulls(t.num_rows, right_pa.field(c).type)
+        out["_k"] = t.column(left_key).cast(pa.int64())
+        out["_side"] = pa.array(np.zeros(t.num_rows, np.int64))
+        out["_jb"] = pa.array((splitmix64(k) % np.uint64(n_buckets))
+                              .astype(np.int64))
+        return pa.table(out)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        k = t.column(right_key).to_numpy().astype(np.uint64)
+        out = {c: pa.nulls(t.num_rows, left_pa.field(c).type)
+               for c in left_cols}
+        for c in right_cols:
+            out[c] = t.column(c)
+        out["_k"] = t.column(right_key).cast(pa.int64())
+        out["_side"] = pa.array(np.ones(t.num_rows, np.int64))
+        out["_jb"] = pa.array((splitmix64(k) % np.uint64(n_buckets))
+                              .astype(np.int64))
+        return pa.table(out)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        side = g.column("_side").to_numpy()
+        keys = g.column("_k").to_numpy()
+        lrows = np.flatnonzero(side == 0)
+        rrows = np.flatnonzero(side == 1)
+        if not len(lrows) or not len(rrows):
+            return g.take(pa.array([], pa.int64())).select(all_cols)
+        rk = keys[rrows]
+        order = np.argsort(rk, kind="stable")
+        rk_s, rrows_s = rk[order], rrows[order]
+        # run boundaries of the sorted right keys
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(rk_s)) + 1])
+        run_key = rk_s[starts]
+        run_len = np.diff(np.concatenate([starts, [len(rk_s)]]))
+        pos = np.searchsorted(run_key, keys[lrows])
+        ok = (pos < len(run_key)) & (run_key[np.minimum(
+            pos, len(run_key) - 1)] == keys[lrows])
+        li = lrows[ok]
+        pi = pos[ok]
+        # fan out left rows across duplicate right keys (run expansion)
+        reps = run_len[pi]
+        l_take = np.repeat(li, reps)
+        offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        r_take = rrows_s[np.repeat(starts[pi], reps)
+                         + (np.arange(int(reps.sum())) - np.repeat(offs, reps))]
+        lt = g.take(pa.array(l_take, pa.int64())).select(left_cols)
+        rt = g.take(pa.array(r_take, pa.int64())).select(right_cols)
+        return pa.table({**{c: lt.column(c) for c in left_cols},
+                         **{c: rt.column(c) for c in right_cols}})
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    return lt.union(rt).groupby("_jb").map_groups(
+        kernel, batch_format="pyarrow")

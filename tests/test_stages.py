@@ -1194,3 +1194,23 @@ def test_embedding_contamination(ray_session):
     assert out.to_dict() == {3: 1}   # only the paraphrase flags; the
     # benchmark rows themselves are self-excluded and don't reach 0.95
     # against each OTHER (random gaussians)
+
+
+def test_equi_join(ray_session):
+    """Row-materializing inner join: unmatched keys drop, duplicate
+    right keys fan out the left rows, payload columns are correct."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.relational import equi_join
+    left = rd.from_arrow(pa.table({
+        "lk": pa.array([1, 2, 2, 3, 9], pa.int64()),
+        "lv": pa.array(list("abcde"), pa.string())}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 3, 3, 4], pa.int64()),
+        "rv": pa.array(["x", "y", "z", "w"], pa.string())}))
+    out = equi_join(left, right, "lk", "rk", ["rv"]).to_pandas() \
+        .sort_values(["lk", "lv", "rv"]).reset_index(drop=True)
+    got = list(zip(out.lk, out.lv, out.rv))
+    # lk=1 and lk=9 unmatched; lk=2 rows (b, c) join rv=x;
+    # lk=3 (d) fans out to rv in {y, z}
+    assert got == [(2, "b", "x"), (2, "c", "x"),
+                   (3, "d", "y"), (3, "d", "z")]
