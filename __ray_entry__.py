@@ -931,6 +931,13 @@ def _q_events_daily_pipeline(sf_dir):
     return daily_pipeline_aggs(_events(sf_dir))
 
 
+def _q_customer_order_distribution(sf_dir):
+    # TPC-H Q13: orders-per-customer histogram incl. zero-order
+    # customers (left-outer semantics from bucket_reduce + anti join)
+    from bge_m3_onnx_ray.stages.relational import customer_order_distribution
+    return customer_order_distribution(sf_dir)
+
+
 def _q_orders_with_segment(sf_dir):
     # row-materializing big-big INNER join (orders x customer on
     # custkey): one hash-bucket shuffle, searchsorted + run-expansion
@@ -1224,6 +1231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "events_anomaly_days": _q_events_anomaly,
         "orders_with_segment": _q_orders_with_segment,
+        "customer_order_distribution": _q_customer_order_distribution,
         "customers_no_urgent": _q_customers_no_urgent,
         "customers_with_urgent": _q_customers_semi_urgent,
         "events_sessionize": _q_sessionize,
@@ -3607,6 +3615,14 @@ SELECT day, n_events,
          AS moving7_window
 FROM daily WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
 ORDER BY day
+""",
+        "customer_order_distribution": """
+WITH pc AS (SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+            FROM customer c LEFT OUTER JOIN orders o
+              ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey)
+SELECT c_count, count(*)::BIGINT AS n_customers
+FROM pc GROUP BY c_count ORDER BY c_count
 """,
         "orders_with_segment": """
 SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment

@@ -318,3 +318,39 @@ def equi_join(left: rd.Dataset, right: rd.Dataset, left_key: str,
     rt = right.map_batches(tag_right, batch_format="pyarrow")
     return lt.union(rt).groupby("_jb").map_groups(
         kernel, batch_format="pyarrow")
+
+
+def customer_order_distribution(sf_dir: str) -> pa.Table:
+    """TPC-H Q13 shape: the distribution of orders-per-customer,
+    INCLUDING zero-order customers (the part a plain inner join loses —
+    this is the canonical LEFT OUTER JOIN + double GROUP BY). Composed
+    entirely from existing primitives: per-customer order counts via
+    ``bucket_reduce`` (one exchange of (custkey, partial) int rows),
+    zero-order customers via :func:`semi_anti_join` (anti), and a tiny
+    final count-of-counts. Output (c_count, n_customers) sorted by
+    c_count."""
+    import os
+
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"])
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey"])
+    # exchange 1: per-customer counts; exchange 2: count-of-counts —
+    # both distributed, the driver only sees the tiny final histogram
+    per_cust = bucket_reduce(orders, ["o_custkey"],
+                             [(None, "count", "c_count")])
+    dist = bucket_reduce(per_cust, ["c_count"],
+                         [(None, "count", "n_customers")],
+                         n_buckets=8).to_pandas()
+    zero = semi_anti_join(cust, orders, "c_custkey", "o_custkey",
+                          anti=True).count()
+    if zero:
+        import pandas as pd
+        dist = pd.concat([dist, pd.DataFrame(
+            [{"c_count": 0, "n_customers": zero}])], ignore_index=True)
+    dist = dist.sort_values("c_count").reset_index(drop=True)
+    dist["c_count"] = dist["c_count"].astype("int64")
+    dist["n_customers"] = dist["n_customers"].astype("int64")
+    return pa.Table.from_pandas(dist, preserve_index=False)

@@ -1214,3 +1214,23 @@ def test_equi_join(ray_session):
     # lk=3 (d) fans out to rv in {y, z}
     assert got == [(2, "b", "x"), (2, "c", "x"),
                    (3, "d", "y"), (3, "d", "z")]
+
+
+def test_customer_order_distribution(ray_session, tmp_path):
+    """Q13 shape: zero-order customers appear in the histogram (the
+    left-outer part), counts are exact."""
+    import pyarrow.parquet as pq
+
+    from bge_m3_onnx_ray.stages.relational import customer_order_distribution
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({"c_custkey": pa.array([1, 2, 3, 4], pa.int64())}),
+                   sf / "customer.parquet")
+    pq.write_table(pa.table({"o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+                             "o_orderkey": pa.array([10, 11, 12, 13],
+                                                    pa.int64())}),
+                   sf / "orders.parquet")
+    out = customer_order_distribution(str(sf)).to_pandas() \
+        .set_index("c_count")["n_customers"]
+    # cust 1 -> 3 orders, cust 2 -> 1, cust 3/4 -> 0
+    assert out.to_dict() == {0: 2, 1: 1, 3: 1}
