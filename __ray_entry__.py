@@ -1025,6 +1025,13 @@ def _q_events_retention(sf_dir):
                                 preserve_index=False)
 
 
+def _q_distribution_rollup(sf_dir):
+    # GROUP BY ROLLUP(lang, source): flat counts + per-lang subtotals +
+    # grand total, NULL levels rendered '(all)'
+    from bge_m3_onnx_ray.stages.text import distribution_rollup
+    return distribution_rollup(_docs(sf_dir))
+
+
 def _q_distribution_counts(sf_dir):
     from bge_m3_onnx_ray.stages.text import distribution_counts
     return distribution_counts(_docs(sf_dir))
@@ -1189,6 +1196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations_documents": _q_collocations,
         "weighted_sample_documents": _q_weighted_sample,
         "corpus_diff_documents": _q_corpus_diff,
+        "distribution_rollup": _q_distribution_rollup,
         "doc_fingerprint": _q_fingerprint,
         "distribution_counts": _q_distribution_counts,
         "corpus_sample": _q_corpus_sample,
@@ -3258,6 +3266,14 @@ GROUP BY sh.doc_id
         "ngram_jaccard_verify": _jaccard_verify_sql(),
         "minhash_jaccard_verify": _minhash_jaccard_verify_sql(),
         "lsh_dup_pairs": _lsh_dup_pairs_sql(n_planes=8, threshold=0.0),
+        "distribution_rollup": """
+SELECT coalesce(lang, '(all)') AS lang,
+       coalesce(source, '(all)') AS source,
+       count(*)::BIGINT AS n_docs
+FROM documents
+GROUP BY ROLLUP (lang, source)
+ORDER BY lang, source
+""",
         "corpus_diff_documents": """
 WITH v2 AS (
   SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN text || ' rev2'

@@ -838,3 +838,47 @@ def weighted_sample(ds: rd.Dataset, k: int = 100,
     parts = parts.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(parts[["doc_id", "n_words", "key_q6"]],
                                 preserve_index=False)
+
+
+def distribution_rollup(ds: rd.Dataset) -> pa.Table:
+    """GROUP BY ROLLUP(lang, source) over the documents table: the flat
+    (lang, source) doc counts plus per-lang subtotals plus the grand
+    total, NULL marking the rolled-up level (standard ROLLUP
+    semantics; NULLs rendered as '(all)' so the gate's hash covers
+    them). Distribution is the flat distributed aggregate — subtotals
+    derive from the (small by construction) flat group table on the
+    driver, exactly as a SQL engine computes ROLLUP from the finest
+    grouping."""
+    import pandas as pd
+
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        lang = t.column("lang").combine_chunks().dictionary_encode()
+        src = t.column("source").combine_chunks().dictionary_encode()
+        lc = np.asarray(lang.indices).astype(np.int64)
+        sc = np.asarray(src.indices).astype(np.int64)
+        key = lc * (len(src.dictionary) + 1) + sc
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "lang": lang.dictionary.take(
+                pa.array(u // (len(src.dictionary) + 1))).cast(pa.string()),
+            "source": src.dictionary.take(
+                pa.array(u % (len(src.dictionary) + 1))).cast(pa.string()),
+            "n_docs": pa.array(c.astype(np.int64), pa.int64())})
+
+    flat = bucket_reduce(
+        ds.select_columns(["lang", "source"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=16384),
+        ["lang", "source"], [("n_docs", "sum", "n_docs")],
+        n_buckets=8).to_pandas()
+    sub = flat.groupby("lang", as_index=False)["n_docs"].sum()
+    sub["source"] = "(all)"
+    total = pd.DataFrame([{"lang": "(all)", "source": "(all)",
+                           "n_docs": int(flat["n_docs"].sum())}])
+    out = pd.concat([flat, sub[["lang", "source", "n_docs"]], total],
+                    ignore_index=True).sort_values(
+        ["lang", "source"]).reset_index(drop=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1234,3 +1234,18 @@ def test_customer_order_distribution(ray_session, tmp_path):
         .set_index("c_count")["n_customers"]
     # cust 1 -> 3 orders, cust 2 -> 1, cust 3/4 -> 0
     assert out.to_dict() == {0: 2, 1: 1, 3: 1}
+
+
+def test_distribution_rollup(ray_session):
+    """ROLLUP: flat counts, per-lang subtotals, and grand total are all
+    present and consistent."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.text import distribution_rollup
+    ds = rd.from_arrow(pa.table({
+        "lang": pa.array(["en", "en", "en", "de"], pa.string()),
+        "source": pa.array(["web", "web", "book", "web"], pa.string())}))
+    out = distribution_rollup(ds).to_pandas()
+    d = {(r.lang, r.source): r.n_docs for r in out.itertuples()}
+    assert d[("en", "web")] == 2 and d[("en", "book")] == 1
+    assert d[("en", "(all)")] == 3 and d[("de", "(all)")] == 1
+    assert d[("(all)", "(all)")] == 4
