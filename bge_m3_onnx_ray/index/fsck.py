@@ -139,3 +139,101 @@ def fsck_index(index_dir: str) -> dict:
     if errors:
         raise IndexCorruption("; ".join(errors))
     return report
+
+
+def fsck_positions(index_dir: str) -> dict:
+    """Integrity check for the positional artifact, cross-verified
+    against the lexical postings: for every (shard, bucket) the two
+    files share the same term-bucket function, so one task decodes both
+    and asserts that each term's occurrence DOC SET equals its postings
+    docIDs and that each (term, doc) occurrence COUNT equals its tf —
+    the strongest invariant the two artifacts share (phrase tf is
+    derived data; raw position counts are not). Also checks per-doc
+    position strict monotonicity. Raises IndexCorruption."""
+    import pyarrow.parquet as pq
+
+    from bge_m3_onnx_ray.index.artifacts import IndexMeta, postings_file
+    from bge_m3_onnx_ray.index.codec import decode_postings_file
+    from bge_m3_onnx_ray.index.positions import (decode_occ_rows,
+                                                 positions_file)
+
+    meta = IndexMeta(index_dir)
+    jobs = []
+    for shard in meta.shards:
+        for bucket in range(meta.term_buckets):
+            p = positions_file(index_dir, shard, bucket)
+            q = postings_file(index_dir, shard, bucket)
+            if os.path.exists(p):
+                jobs.append({"shard": int(shard), "bucket": int(bucket),
+                             "pos_path": p,
+                             "post_path": q if os.path.exists(q) else ""})
+    bs = meta.block_size
+
+    def check(batch: pa.Table) -> pa.Table:
+        errs_out = []
+        for row in batch.to_pylist():
+            tag = f"positions shard {row['shard']} bucket {row['bucket']}"
+            errs: list[str] = []
+            t = pq.read_table(row["pos_path"])
+            ns = t.column("n").to_numpy().astype(np.int64)
+            bc = t.column("blob").combine_chunks()
+            off_dtype = np.int64 if pa.types.is_large_binary(bc.type) \
+                else np.int32
+            boffs = np.frombuffer(bc.buffers()[1], off_dtype)[
+                bc.offset:bc.offset + len(bc) + 1].astype(np.int64)
+            bdata = np.frombuffer(bc.buffers()[2] or b"", np.uint8)
+            try:
+                docs, poss = decode_occ_rows(bdata, boffs, ns,
+                                             np.arange(len(ns)))
+            except Exception as e:  # noqa: BLE001
+                errs_out.append(f"{tag}: decode failed: {e}")
+                continue
+            if (poss < 0).any() or (docs < 0).any():
+                errs.append(f"{tag}: negative doc/pos")
+            # per-(term, doc) position strict monotonicity
+            starts = np.zeros(len(ns) + 1, np.int64)
+            np.cumsum(ns, out=starts[1:])
+            term_of = np.repeat(np.arange(len(ns)), ns)
+            if len(docs) > 1:
+                same = (term_of[1:] == term_of[:-1]) \
+                    & (docs[1:] == docs[:-1])
+                if (np.diff(poss)[same] <= 0).any():
+                    errs.append(f"{tag}: positions not strictly "
+                                "increasing within a doc")
+            if row["post_path"]:
+                pt = pq.read_table(row["post_path"])
+                counts, pdocs, ptfs, _ = decode_postings_file(pt, bs)
+                # align terms by name (both files sort by term)
+                pos_terms = t.column("term").to_pylist()
+                post_terms = pt.column("term").to_pylist()
+                pmap = {tm: i for i, tm in enumerate(post_terms)}
+                pstarts = np.zeros(len(counts) + 1, np.int64)
+                np.cumsum(counts, out=pstarts[1:])
+                for i, tm in enumerate(pos_terms):
+                    j = pmap.get(tm)
+                    if j is None:
+                        errs.append(f"{tag}: term {tm!r} missing from "
+                                    "postings")
+                        continue
+                    od = docs[starts[i]:starts[i + 1]]
+                    ud, uc = np.unique(od, return_counts=True)
+                    pd_ = pdocs[pstarts[j]:pstarts[j + 1]]
+                    pt_ = ptfs[pstarts[j]:pstarts[j + 1]]
+                    if not (np.array_equal(ud, pd_)
+                            and np.array_equal(uc, pt_)):
+                        errs.append(f"{tag}: term {tm!r} occurrence "
+                                    "docs/counts != postings docs/tfs")
+            errs_out.extend(errs)
+        return pa.table({"err": pa.array(errs_out, pa.string())})
+
+    errors: list[str] = []
+    if jobs:
+        checked = rd.from_items(jobs).map_batches(
+            check, batch_format="pyarrow", batch_size=1).to_pandas()
+        # an all-clean run yields only empty blocks -> column may vanish
+        errors = ([e for e in checked["err"] if e]
+                  if "err" in checked.columns else [])
+    report = {"n_position_files": len(jobs), "errors": errors}
+    if errors:
+        raise IndexCorruption("; ".join(errors))
+    return report

@@ -310,3 +310,39 @@ def test_fsck(tiny_index, tmp_path):
     pq.write_table(t, dfile)
     with pytest.raises(IndexCorruption, match="df sum"):
         fsck_index(work2)
+
+
+def test_fsck_positions(tiny_index, tiny_corpus, tmp_path):
+    """Positional fsck cross-verifies occurrences against postings
+    (doc sets and per-doc counts == tf) and catches a corrupted
+    occurrence blob."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from bge_m3_onnx_ray.index.fsck import IndexCorruption, fsck_positions
+    from bge_m3_onnx_ray.index.positions import build_positions, has_positions
+
+    idx, _ = tiny_index
+    path, _, _ = tiny_corpus
+    if not has_positions(idx):
+        build_positions(path, idx)
+    rep = fsck_positions(idx)
+    assert rep["n_position_files"] > 0 and not rep["errors"]
+
+    import shutil
+    work = str(tmp_path / "poscorrupt")
+    shutil.copytree(idx, work)
+    victim = sorted(glob.glob(os.path.join(work, "positions",
+                                           "*.parquet")),
+                    key=os.path.getsize)[-1]
+    t = pq.read_table(victim)
+    blob = t.column("blob").to_pylist()
+    k = next(i for i, b in enumerate(blob) if b)
+    blob[k] = bytes([blob[k][0] ^ 0x7F]) + blob[k][1:]
+    t = t.set_column(t.schema.get_field_index("blob"), "blob",
+                     pa.array(blob, type=t.schema.field("blob").type))
+    pq.write_table(t, victim)
+    with pytest.raises(IndexCorruption):
+        fsck_positions(work)
