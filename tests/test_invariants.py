@@ -346,3 +346,39 @@ def test_fsck_positions(tiny_index, tiny_corpus, tmp_path):
     pq.write_table(t, victim)
     with pytest.raises(IndexCorruption):
         fsck_positions(work)
+
+
+def test_write_partitioned_resume(ray_session, tmp_path):
+    """Resumable partitioned sink: a partial run's partitions are
+    SKIPPED on resume (files untouched byte-for-byte), and the resumed
+    tree equals a fresh one-shot write exactly."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.sinks import write_partitioned
+
+    t = pa.table({
+        "grp": pa.array(["a", "b", "c", "a", "b", "c", "a"], pa.string()),
+        "v": pa.array([3, 1, 4, 1, 5, 9, 2], pa.int64())})
+
+    # partial run: only groups a and b reach the sink
+    part = rd.from_arrow(t.filter(
+        pa.compute.is_in(t["grp"], value_set=pa.array(["a", "b"]))))
+    out1 = str(tmp_path / "out")
+    r1 = write_partitioned(part, out1, "grp")
+    assert r1["written"] == 2 and r1["skipped"] == 0
+
+    def digest(p):
+        return {f: hashlib.sha256(open(os.path.join(dp, f), "rb").read())
+                .hexdigest()
+                for dp, _, fs in os.walk(p) for f in fs}
+
+    before = digest(os.path.join(out1, "part=a"))
+    # resume with the FULL dataset: a and b skip, only c writes
+    r2 = write_partitioned(rd.from_arrow(t), out1, "grp")
+    assert r2["written"] == 1 and r2["skipped"] == 2
+    assert digest(os.path.join(out1, "part=a")) == before
+
+    # byte-identical to a fresh one-shot write
+    out2 = str(tmp_path / "fresh")
+    write_partitioned(rd.from_arrow(t), out2, "grp")
+    assert digest(out1) == digest(out2)
