@@ -1249,3 +1249,63 @@ def test_distribution_rollup(ray_session):
     assert d[("en", "web")] == 2 and d[("en", "book")] == 1
     assert d[("en", "(all)")] == 3 and d[("de", "(all)")] == 1
     assert d[("(all)", "(all)")] == 4
+
+
+def test_join_kernels_randomized_parity(ray_session):
+    """Randomized parity for the join family: equi/semi/anti join and
+    corpus_diff agree with pandas ground truth on corpora with
+    duplicate keys, skewed buckets, and missing matches (3 seeds)."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.profile import corpus_diff
+    from bge_m3_onnx_ray.stages.relational import equi_join, semi_anti_join
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n_l, n_r = 200, 150
+        lk = rng.integers(0, 60, n_l).astype(np.int64)
+        rk = rng.integers(0, 60, n_r).astype(np.int64)
+        left = pa.table({"k": pa.array(lk),
+                         "lv": pa.array(rng.integers(0, 10, n_l))})
+        right = pa.table({"rk": pa.array(rk),
+                          "rv": pa.array(rng.integers(0, 10, n_r))})
+        lds, rds = rd.from_arrow(left), rd.from_arrow(right)
+
+        # inner join vs pandas merge (multiset equality)
+        got = equi_join(lds, rds, "k", "rk", ["rv"]).to_pandas()
+        want = left.to_pandas().merge(
+            right.to_pandas().rename(columns={"rk": "k"}), on="k")
+        key = lambda df: sorted(map(tuple, df[["k", "lv", "rv"]].values))
+        assert key(got) == key(want), seed
+
+        # semi/anti vs pandas isin
+        semi = semi_anti_join(lds, rds, "k", "rk").to_pandas()
+        anti = semi_anti_join(lds, rds, "k", "rk", anti=True).to_pandas()
+        ldf = left.to_pandas()
+        m = ldf.k.isin(set(rk.tolist()))
+        assert sorted(map(tuple, semi.values)) \
+            == sorted(map(tuple, ldf[m].values)), seed
+        assert sorted(map(tuple, anti.values)) \
+            == sorted(map(tuple, ldf[~m].values)), seed
+
+        # corpus_diff vs a dict-based diff
+        ids1 = rng.choice(100, 60, replace=False).astype(np.int64)
+        ids2 = rng.choice(100, 60, replace=False).astype(np.int64)
+        tx1 = {i: f"doc {i} v{rng.integers(0, 2)}" for i in ids1}
+        tx2 = {i: f"doc {i} v{rng.integers(0, 2)}" for i in ids2}
+        v1 = rd.from_arrow(pa.table({
+            "doc_id": pa.array(sorted(tx1)),
+            "text": pa.array([tx1[i] for i in sorted(tx1)])}))
+        v2 = rd.from_arrow(pa.table({
+            "doc_id": pa.array(sorted(tx2)),
+            "text": pa.array([tx2[i] for i in sorted(tx2)])}))
+        got_d = corpus_diff(v1, v2).to_pandas() \
+            .set_index("doc_id")["change"].to_dict()
+        want_d = {}
+        for i in set(tx1) | set(tx2):
+            if i not in tx2:
+                want_d[int(i)] = "removed"
+            elif i not in tx1:
+                want_d[int(i)] = "added"
+            elif tx1[i] != tx2[i]:
+                want_d[int(i)] = "changed"
+        assert got_d == want_d, seed
