@@ -64,16 +64,82 @@ def make_fake_media(n: int, seed: int = 5) -> pa.Table:
             s = rng.integers(-20000, 20000, ns, dtype=np.int16)
             payloads.append(encode_wav(s, rate=8000))
         else:
-            payloads.append(rng.integers(
-                0, 256, int(rng.integers(100, 5000)), dtype=np.uint8).tobytes())
+            # REAL Y4M (YUV4MPEG2, Cmono) video payloads: seeded luma
+            # frames at 4 fps, so frame sampling + luma features are
+            # checkable against the generator
+            w = int(rng.integers(8, 25))
+            h = int(rng.integers(8, 25))
+            widths[i], heights[i] = w, h
+            nf = int(rng.integers(1, 25))
+            frames = rng.integers(0, 256, (nf, h, w), dtype=np.uint8)
+            payloads.append(encode_y4m(frames, fps=4))
+    durs = rng.integers(0, 60000, n).astype(np.int32)
+    # keep duration metadata consistent with the real video payloads
+    for i in range(n):
+        if kinds[i] == "video":
+            nf = decode_y4m(payloads[i])[0].shape[0]
+            durs[i] = nf * 250          # 4 fps -> 250 ms per frame
     return pa.table({
         "media_id": pa.array(np.arange(n), pa.int64()),
         "kind": pa.array(kinds, pa.string()),
         "payload": pa.array(payloads, pa.binary()),
         "width": pa.array(widths, pa.int32()),
         "height": pa.array(heights, pa.int32()),
-        "duration_ms": pa.array(rng.integers(0, 60000, n).astype(np.int32), pa.int32()),
+        "duration_ms": pa.array(durs, pa.int32()),
     })
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 4) -> bytes:
+    """(n, h, w) uint8 luma → YUV4MPEG2 Cmono bytes (the uncompressed
+    video container: text header + FRAME-delimited raw planes)."""
+    n, h, w = frames.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 Cmono\n".encode()
+    return head + b"".join(b"FRAME\n" + frames[i].tobytes()
+                           for i in range(n))
+
+
+def decode_y4m(payload: bytes) -> "tuple[np.ndarray, int] | None":
+    """Real decode for YUV4MPEG2 Cmono: returns ((n, h, w) uint8 luma
+    frames, fps) or None when the payload isn't y4m (caller falls back
+    to metadata-only plumbing)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        return None
+    try:
+        nl = payload.find(b"\n")
+        if nl < 0:
+            return None
+        w = h = fps = None
+        for tok in payload[:nl].split()[1:]:
+            if tok[:1] == b"W":
+                w = int(tok[1:])
+            elif tok[:1] == b"H":
+                h = int(tok[1:])
+            elif tok[:1] == b"F":
+                num, den = tok[1:].split(b":")
+                fps = max(1, int(num) // max(1, int(den)))
+            elif tok[:1] == b"C" and tok != b"Cmono":
+                return None              # only mono planes supported
+        if not (w and h and fps):
+            return None
+        fsize = w * h
+        body = payload[nl + 1:]
+        marker = b"FRAME"
+        frames = []
+        pos = 0
+        while pos < len(body):
+            if body[pos:pos + 5] != marker:
+                return None
+            fnl = body.find(b"\n", pos)
+            if fnl < 0 or fnl + 1 + fsize > len(body):
+                return None
+            frames.append(np.frombuffer(
+                body, np.uint8, fsize, fnl + 1).reshape(h, w))
+            pos = fnl + 1 + fsize
+        if not frames:
+            return None
+        return np.stack(frames), fps
+    except Exception:  # noqa: BLE001 — malformed payload: not y4m
+        return None
 
 
 def decode_ppm(payload: bytes) -> np.ndarray | None:
@@ -240,9 +306,14 @@ def decode_features(ds: rd.Dataset, concurrency=(1, 4),
 
 
 class FrameSample:
-    """Video frame-sampling plumbing: emits one row per sampled frame
-    index, vectorized (repeat/arange explode — no per-media Python loop;
-    the decode itself is stubbed; a real impl would seek the container)."""
+    """Video frame sampling: emits one row per sampled frame index.
+    Y4M (YUV4MPEG2 Cmono) payloads are REALLY decoded — the sampled
+    frame's mean luma ships as a feature (``luma_q6``, floor(mean*1e6)
+    over exact integer sums) and the sample grid comes from the actual
+    frame count/fps; other containers (mp4/webm — no codecs in this
+    sandbox) keep the metadata-only plumbing path (``luma_q6`` null).
+    The index explode stays vectorized; the per-payload decode is
+    inherently per-item and batch-bounded."""
 
     def __init__(self, every_ms: int = 1000):
         self.every_ms = every_ms
@@ -253,16 +324,47 @@ class FrameSample:
         mids = vid.column("media_id").to_numpy()
         durs = np.maximum(vid.column("duration_ms").to_numpy()
                           .astype(np.int64), 1)
-        counts = (durs + self.every_ms - 1) // self.every_ms
+        payloads = vid.column("payload").to_pylist()
+        counts = np.empty(len(mids), np.int64)
+        decoded: list = []
+        for i, p in enumerate(payloads):
+            got = decode_y4m(p) if p else None
+            decoded.append(got)
+            if got is None:
+                counts[i] = (durs[i] + self.every_ms - 1) // self.every_ms
+            else:
+                frames, fps = got
+                step = max(1, (self.every_ms * fps) // 1000)
+                counts[i] = (frames.shape[0] + step - 1) // step
         total = int(counts.sum())
         cum = np.zeros(len(counts), np.int64)
         np.cumsum(counts[:-1], out=cum[1:])
-        frame_idx = np.arange(total) - np.repeat(cum, counts)
+        sample_idx = np.arange(total) - np.repeat(cum, counts)
+        frame_idx = np.empty(total, np.int64)
+        ts_ms = np.empty(total, np.int64)
+        luma = np.full(total, np.nan)
+        for i, got in enumerate(decoded):
+            sl = slice(int(cum[i]), int(cum[i] + counts[i]))
+            si = sample_idx[sl]
+            if got is None:
+                frame_idx[sl] = si
+                ts_ms[sl] = si * self.every_ms
+                continue
+            frames, fps = got
+            step = max(1, (self.every_ms * fps) // 1000)
+            fi = si * step
+            frame_idx[sl] = fi
+            ts_ms[sl] = fi * 1000 // fps
+            f = frames[fi].reshape(len(fi), -1)
+            luma[sl] = f.sum(axis=1, dtype=np.int64) / f.shape[1]
+        luma_q6 = pa.array(
+            [None if np.isnan(v) else int(np.floor(v * 1e6))
+             for v in luma], pa.int64())
         return pa.table({
             "media_id": pa.array(np.repeat(mids, counts), pa.int64()),
             "frame_idx": pa.array(frame_idx.astype(np.int32), pa.int32()),
-            "ts_ms": pa.array((frame_idx * self.every_ms).astype(np.int32),
-                              pa.int32())})
+            "ts_ms": pa.array(ts_ms.astype(np.int32), pa.int32()),
+            "luma_q6": luma_q6})
 
 
 def frame_sample(ds: rd.Dataset, every_ms: int = 1000) -> rd.Dataset:

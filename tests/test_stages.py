@@ -279,20 +279,40 @@ def test_lsh_bucket_pairs_matches_bruteforce_within_bucket(ray_session):
 
 
 def test_frame_sample_counts(ray_session):
+    """Frame sampling REALLY decodes the y4m payloads: frame indices
+    step on the true fps grid and each sampled frame's mean luma equals
+    the generator's frames exactly."""
     import ray.data as rd
 
-    from bge_m3_onnx_ray.stages.multimodal import frame_sample, make_fake_media
+    from bge_m3_onnx_ray.stages.multimodal import (decode_y4m, frame_sample,
+                                                   make_fake_media)
     media = make_fake_media(50)
     out = frame_sample(rd.from_arrow(media), every_ms=1000).to_pandas()
     vids = media.to_pandas()
     vids = vids[vids.kind == "video"]
     for _, r in vids.iterrows():
-        n = max(int(r.duration_ms), 1)
-        expect = (n + 999) // 1000
-        sub = out[out.media_id == r.media_id]
+        frames, fps = decode_y4m(r.payload)
+        step = max(1, (1000 * fps) // 1000)          # 4 fps -> every 4th
+        expect = (frames.shape[0] + step - 1) // step
+        sub = out[out.media_id == r.media_id].sort_values("frame_idx")
         assert len(sub) == expect
-        assert sub.frame_idx.tolist() == list(range(expect))
-        assert sub.ts_ms.tolist() == [i * 1000 for i in range(expect)]
+        assert sub.frame_idx.tolist() == [i * step for i in range(expect)]
+        assert sub.ts_ms.tolist() == [i * step * 1000 // fps
+                                      for i in range(expect)]
+        for fi, lq in zip(sub.frame_idx, sub.luma_q6):
+            f = frames[fi].astype(np.int64)
+            want = np.floor(f.sum() / f.size * 1e6)
+            assert int(lq) == int(want)
+    # a non-y4m payload keeps the metadata-only path (luma null)
+    weird = pa.table({
+        "media_id": pa.array([99], pa.int64()),
+        "kind": pa.array(["video"], pa.string()),
+        "payload": pa.array([b"\x00\x01\x02junk"], pa.binary()),
+        "width": pa.array([1], pa.int32()),
+        "height": pa.array([1], pa.int32()),
+        "duration_ms": pa.array([2500], pa.int32())})
+    w = frame_sample(rd.from_arrow(weird), every_ms=1000).to_pandas()
+    assert len(w) == 3 and w.luma_q6.isna().all()
 
 
 def test_ivf_full_probe_equals_bruteforce(ray_session):
