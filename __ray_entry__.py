@@ -118,6 +118,13 @@ def _q_bm25f_best_fields(sf_dir):
     return bm25f_best_fields_topk(sf_dir)
 
 
+def _q_prf(sf_dir):
+    # Rocchio pseudo-relevance feedback: BM25 top-10 -> integer-exact
+    # expansion-term selection -> boosted second pass
+    from bge_m3_onnx_ray.pipelines.flagship import prf_documents_topk
+    return prf_documents_topk(sf_dir)
+
+
 def _q_rescore(sf_dir):
     # two-phase window rescore: WAND BM25 top-30, classic TF-IDF
     # re-scores the window, rank by bm25 + 0.5 * classic
@@ -1127,6 +1134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk_exhaustive": _q_bm25_exhaustive,
         "tfidf_documents_topk": _q_tfidf,
         "rescore_documents_topk": _q_rescore,
+        "prf_documents_topk": _q_prf,
         "bm25f_documents_topk": _q_bm25f,
         "bm25f_best_fields_topk": _q_bm25f_best_fields,
         "bm25_documents_topk_restored": _q_bm25_restored,
@@ -2957,6 +2965,80 @@ FROM documents""")
     return " UNION ALL ".join(legs)
 
 
+def _prf_sql(fb_docs: int = 10, fb_terms: int = 3,
+             fb_boost: float = 0.5, k: int = 10) -> str:
+    """Rocchio PRF oracle: first-pass BM25 top-``fb_docs``, expansion =
+    top-``fb_terms`` non-query terms by the INTEGER sum of quantized
+    per-doc BM25 weights over those docs (the doc_term_weights
+    arithmetic — selection is integer-exact), second pass scores
+    original terms at boost 1.0 plus expansions at ``fb_boost``."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_QUERIES
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    vals = []
+    for qid, text in DOC_QUERIES:
+        for t in sorted(set(tokenize(text))):
+            vals.append(f"({qid}, '{t}')")
+    sat = "(tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))"
+    idf = "ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)"
+    return f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM toks)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+qterms(query_id, term) AS (VALUES {', '.join(vals)}),
+s1 AS (
+  SELECT q.query_id, tf.doc_id, sum({idf} * {sat}) AS score
+  FROM qterms q JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id),
+top1 AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rnk
+    FROM s1) WHERE rnk <= {fb_docs}),
+cand AS (
+  SELECT t1.query_id, tf.term,
+         sum(CAST(floor({idf} * {sat} * 1000000) AS BIGINT)) AS w
+  FROM top1 t1
+  JOIN tf ON tf.doc_id = t1.doc_id
+  JOIN dfs d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  LEFT JOIN qterms q0 ON q0.query_id = t1.query_id AND q0.term = tf.term
+  WHERE q0.term IS NULL
+  GROUP BY t1.query_id, tf.term),
+exp3 AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY w DESC, term) AS rnk
+    FROM cand) WHERE rnk <= {fb_terms}),
+q2 AS (SELECT query_id, term, 1.0 AS boost FROM qterms
+       UNION ALL
+       SELECT query_id, term, {fb_boost!r} AS boost FROM exp3),
+s2 AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({idf} * q.boost * {sat}) AS score
+  FROM q2 q JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM s2)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
+       doc_id::BIGINT AS doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_q6
+FROM ranked WHERE rnk <= {k}
+ORDER BY query_id, "rank"
+"""
+
+
 def _bm25f_sql(best_fields_tie: float | None = None) -> str:
     """BM25F oracle: token positions via generate_subscripts define the
     fields (title = pos <= 5, body = pos > 5); df is whole-doc; tfd
@@ -3072,6 +3154,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_documents_topk_exhaustive": bm25,
         "tfidf_documents_topk": _bm25_sql(similarity="classic"),
         "rescore_documents_topk": _bm25_sql(rescore=(30, 0.5)),
+        "prf_documents_topk": _prf_sql(),
         "bm25f_documents_topk": _bm25f_sql(),
         "bm25f_best_fields_topk": _bm25f_sql(best_fields_tie=0.3),
         "profile_documents": _profile_sql(),

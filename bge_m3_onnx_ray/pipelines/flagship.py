@@ -2351,3 +2351,82 @@ def bm25_documents_topk_deduped(sf_dir: str, k: int = 10) -> pa.Table:
     out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
                                 preserve_index=False)
+
+
+def prf_documents_topk(sf_dir: str, k: int = 10, fb_docs: int = 10,
+                       fb_terms: int = 3, fb_boost: float = 0.5) -> pa.Table:
+    """Pseudo-relevance feedback (Rocchio query expansion): a first BM25
+    pass fetches each query's top ``fb_docs`` documents; the
+    ``fb_terms`` strongest non-query terms ACROSS those documents —
+    ranked by the integer sum of their quantized per-doc BM25 weights
+    (floor(idf * sat(tf, dl) * 1e6), the ``doc_term_weights``
+    arithmetic, so expansion selection is integer-exact on both sides)
+    — join the query at weight ``fb_boost`` via the existing term-boost
+    machinery, and the final ranking is the boosted second pass. The
+    classic two-pass feedback loop, composed entirely from shipped
+    pieces (search, dictionary df lookup, parse_boost).
+
+    Scale shape: the feedback fetch reads only the top-doc rows from
+    the corpus (predicate-pushdown filter), term dfs come from the
+    bucketed dictionary scan, and both passes are the standard
+    distributed search."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.index.artifacts import IndexMeta
+    from bge_m3_onnx_ray.tokenizer import tokenize
+
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    meta = IndexMeta(idx)
+
+    first = search(idx, DOC_QUERIES, QueryConfig(k=fb_docs)).to_pandas()
+    if not len(first):
+        first = first.assign(doc_id=[])
+    first["doc_id"] = first["conv_id"].str.slice(4).astype(np.int64)
+    fb_ids = np.unique(first["doc_id"].to_numpy()) if len(first) \
+        else np.empty(0, np.int64)
+
+    # tokenize ONLY the feedback docs (predicate-pushdown read)
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"]) \
+        .map_batches(lambda t: t.filter(
+            pc.is_in(t["doc_id"], value_set=pa.array(fb_ids, pa.int64()))),
+            batch_format="pyarrow").to_pandas()
+    toks = {int(r.doc_id): tokenize(r.text) for r in docs.itertuples()}
+    dfs_needed = sorted({t for ts in toks.values() for t in ts})
+    dfs = meta.load_term_dfs(dfs_needed)
+    n, avgdl = float(meta.n_docs), meta.avgdl
+
+    def wq6(term: str, tf: int, dl: int) -> int:
+        i = math.log((n - dfs[term] + 0.5) / (dfs[term] + 0.5) + 1.0)
+        return int(np.floor(i * (tf * 2.2)
+                            / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                            * 1e6))
+
+    expanded = []
+    for qid, text in DOC_QUERIES:
+        orig = sorted(set(tokenize(text)))
+        cand: dict[str, int] = {}
+        g = first[first.query_id == qid]
+        for d in g["doc_id"]:
+            ts = toks.get(int(d), [])
+            dl = len(ts)
+            from collections import Counter
+            for t, tf in Counter(ts).items():
+                if t in orig or t not in dfs:
+                    continue
+                cand[t] = cand.get(t, 0) + wq6(t, tf, dl)
+        exp = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_terms]
+        qtext = " ".join(orig + [f"{t}^{fb_boost}" for t, _ in exp])
+        expanded.append((qid, qtext))
+
+    out = search(idx, expanded,
+                 QueryConfig(k=k, method="exhaustive",
+                             parse_boost=True)).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)

@@ -270,3 +270,21 @@ def test_deduped_pipeline(ray_session, tmp_path):
     want = o.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert got.doc_id.tolist() == want.doc_id.tolist()
     assert got.score_q6.tolist() == want.score_q6.tolist()
+
+
+def test_prf_expands(ray_session):
+    """PRF: the feedback pass changes at least one query's ranking vs
+    plain BM25 (expansion terms pull in new documents), and a zero-boost
+    feedback degenerates to exactly the plain ranking."""
+    from bge_m3_onnx_ray.pipelines.flagship import (bm25_documents_topk,
+                                                    prf_documents_topk)
+
+    plain = bm25_documents_topk(SF).to_pandas()
+    prf = prf_documents_topk(SF).to_pandas()
+    assert len(prf)
+    assert not prf.equals(plain)          # feedback moved something
+    # fb_terms=0: no expansion -> exactly the plain ranking (the second
+    # pass scores the original terms alone)
+    degenerate = prf_documents_topk(SF, fb_terms=0).to_pandas()
+    assert degenerate[["query_id", "rank", "doc_id", "score_q6"]].equals(
+        plain[["query_id", "rank", "doc_id", "score_q6"]])
