@@ -84,6 +84,11 @@ def _q_tfidf(sf_dir):
     return tfidf_documents_topk(sf_dir)
 
 
+def _q_lmd(sf_dir):
+    from bge_m3_onnx_ray.pipelines.flagship import lmd_documents_topk
+    return lmd_documents_topk(sf_dir)
+
+
 def _q_bm25_deduped(sf_dir):
     # exact-dedup -> semi-join survivors -> rebuild -> search: the
     # composed training-data lifecycle; deduped global stats gate it
@@ -1133,6 +1138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents_topk": _q_bm25,
         "bm25_documents_topk_exhaustive": _q_bm25_exhaustive,
         "tfidf_documents_topk": _q_tfidf,
+        "lmd_documents_topk": _q_lmd,
         "rescore_documents_topk": _q_rescore,
         "prf_documents_topk": _q_prf,
         "bm25f_documents_topk": _q_bm25f,
@@ -1372,9 +1378,20 @@ qterms AS (SELECT DISTINCT w.query_id, d.term
     bm25_expr = ("ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)" + boost_mul
                  + """
              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))""")
+    # LM Dirichlet (scoring.lmd_term_score, mu=2000): the operand
+    # grouping ln(1 + tf/(mu*cf/total)) + ln(mu/(dl+mu)), clamped at 0,
+    # is the engine's determinism contract mirrored token for token
+    lmd_expr = ("greatest(0.0, ln(1.0 + tf.tf / (2000.0 * c.cf / s.total)) "
+                "+ ln(2000.0 / (dl.dl + 2000.0)))")
     score_sums = (f"sum({classic_expr}\n         ) AS score"
                   if similarity == "classic" else
+                  f"sum({lmd_expr}\n         ) AS score"
+                  if similarity == "lmd" else
                   f"sum({bm25_expr}\n         ) AS score")
+    cf_join = ("\n  JOIN cfs c ON c.term = q.term"
+               if similarity == "lmd" else "")
+    cf_cte = (",\ncfs AS (SELECT term, count(*)::DOUBLE AS cf "
+              "FROM toks GROUP BY term)" if similarity == "lmd" else "")
     if dismax is not None:
         # Lucene DisjunctionMaxQuery: best + tie * (sum - best), the
         # exact operand grouping of score_exhaustive's dismax branch
@@ -1405,14 +1422,15 @@ tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, te
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT {nexpr}::DOUBLE AS n,
                  (SELECT count(*) FROM toks)::DOUBLE
-                   / {nexpr}::DOUBLE AS avgdl),
-dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+                   / {nexpr}::DOUBLE AS avgdl,
+                 (SELECT count(*) FROM toks)::DOUBLE AS total),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term){cf_cte},
 {qterms_cte}{neg_cte},
 scores AS (
   SELECT q.query_id, tf.doc_id,
          {score_sums}
   FROM qterms q
-  JOIN dfs d ON d.term = q.term
+  JOIN dfs d ON d.term = q.term{cf_join}
   JOIN tf ON tf.term = q.term
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s{neg_where}
@@ -3153,6 +3171,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_documents_topk": bm25,
         "bm25_documents_topk_exhaustive": bm25,
         "tfidf_documents_topk": _bm25_sql(similarity="classic"),
+        "lmd_documents_topk": _bm25_sql(similarity="lmd"),
         "rescore_documents_topk": _bm25_sql(rescore=(30, 0.5)),
         "prf_documents_topk": _prf_sql(),
         "bm25f_documents_topk": _bm25f_sql(),

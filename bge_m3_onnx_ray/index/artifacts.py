@@ -450,3 +450,18 @@ class IndexMeta:
         dset = pads.dataset(d, format="parquet")
         t = dset.to_table(filter=pc.field("term").isin(terms), columns=["term", "df"])
         return dict(zip(t.column("term").to_pylist(), t.column("df").to_pylist()))
+
+    def load_term_cfs(self, terms: list[str]) -> dict[str, int]:
+        """Global collection frequency (total occurrences, not doc count)
+        for a small set of query terms — same predicate-pushdown scan as
+        :meth:`load_term_dfs` over the dictionary's ``cf`` column. Used
+        by the LM-Dirichlet similarity, whose smoothing mass is
+        ``mu * cf / total_len``."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        d = os.path.join(self.index_dir, "dictionary")
+        if not os.path.isdir(d) or not os.listdir(d):
+            return {}
+        dset = pads.dataset(d, format="parquet")
+        t = dset.to_table(filter=pc.field("term").isin(terms), columns=["term", "cf"])
+        return dict(zip(t.column("term").to_pylist(), t.column("cf").to_pylist()))

@@ -34,8 +34,9 @@ from bge_m3_onnx_ray.config import QueryConfig
 from bge_m3_onnx_ray.index.artifacts import ConvOffsets, IndexMeta, postings_file
 from bge_m3_onnx_ray.index.codec import EncodedPostings, decode_block, decode_postings
 from bge_m3_onnx_ray.index.build import term_bucket
-from bge_m3_onnx_ray.scoring import (bm25_term_score, classic_idf,
-                                     classic_term_score, idf)
+from bge_m3_onnx_ray.scoring import (MU, bm25_term_score, classic_idf,
+                                     classic_term_score, idf,
+                                     lmd_term_score)
 from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
 
 RESULT_SCHEMA = pa.schema([
@@ -508,18 +509,21 @@ class ShardScorer:
         self._conv_starts = (ConvOffsets.load(index_dir).starts
                              if conv_sum else None)
         # pluggable similarity (Lucene's Similarity seam): "classic"
-        # TF-IDF is exhaustive-OR only — WAND block bounds and the AND/
-        # bool fast paths are precomputed/derived for BM25
-        self._term_score = (classic_term_score if similarity == "classic"
-                            else bm25_term_score)
+        # TF-IDF and "lmd" (LM Dirichlet) are exhaustive-OR only — WAND
+        # block bounds and the AND/bool fast paths are precomputed/
+        # derived for BM25
+        self._term_score = {"classic": classic_term_score,
+                            "lmd": lmd_term_score}.get(similarity,
+                                                       bm25_term_score)
         self._dismax_tie = dismax_tie
         if dismax_tie is not None and (method == "wand" or mode != "or"):
             raise ValueError('dismax requires method="exhaustive", '
                              'mode="or" (WAND theta bounds assume '
                              "summed contributions)")
-        if similarity == "classic" and (method == "wand" or mode != "or"
-                                        or conv_sum):
-            raise ValueError('similarity="classic" requires '
+        if similarity in ("classic", "lmd") and (method == "wand"
+                                                 or mode != "or"
+                                                 or conv_sum):
+            raise ValueError(f'similarity="{similarity}" requires '
                              'method="exhaustive", mode="or"')
         if collapse and method == "wand" and mode == "or":
             raise ValueError('collapse requires method="exhaustive" '
@@ -1109,6 +1113,16 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
         for t, d in dfs.items():
             i = classic_idf(d, meta.n_docs)
             idfs[t] = i * i
+    elif cfg.similarity == "lmd":
+        if cfg.method != "exhaustive" or cfg.mode != "or":
+            raise ValueError('similarity="lmd" requires '
+                             'method="exhaustive", mode="or"')
+        # LM-Dirichlet weight = mu * p_c(t) = MU * cf / total_len —
+        # collection frequency, not df; operand order mirrored by the
+        # SQL oracle (MU * cf first, then / total)
+        cfs = meta.load_term_cfs(all_terms) if all_terms else {}
+        total = float(meta.total_len)
+        idfs = {t: MU * float(c) / total for t, c in cfs.items()}
     else:
         idfs = {t: idf(d, meta.n_docs) for t, d in dfs.items()}
 

@@ -1926,6 +1926,27 @@ def tfidf_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
                                 preserve_index=False)
 
 
+def lmd_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-k under the pluggable LM-DIRICHLET similarity
+    (``QueryConfig(similarity="lmd")`` — Zhai & Lafferty 2001
+    query-likelihood with Dirichlet smoothing, Lucene's
+    LMDirichletSimilarity shape: max(0, ln(1 + tf/(mu*cf/total)) +
+    ln(mu/(dl+mu)))) over the same documents index — third model
+    through the Similarity seam: one index, three scoring models
+    (BM25 / classic TF-IDF / LMD). Same result shape/oracle
+    conventions as :func:`bm25_documents_topk`."""
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    out = search(idx, DOC_QUERIES,
+                 QueryConfig(k=k, method="exhaustive",
+                             similarity="lmd")).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
+
+
 def rescore_documents_topk(sf_dir: str, k: int = 10, window: int = 30,
                            rescore_weight: float = 0.5) -> pa.Table:
     """Top-k under two-phase window rescoring

@@ -62,3 +62,34 @@ def classic_term_score(tf, dl, w_t: float, avgdl: float = 0.0,
     ``w * (sqrt(tf) / sqrt(dl))`` is the determinism contract."""
     import numpy as np
     return w_t * (np.sqrt(tf) / np.sqrt(dl))
+
+
+MU = 2000.0  # Dirichlet smoothing parameter (Lucene's LMDirichlet default)
+
+
+def lmd_term_score(tf, dl, w_t: float, avgdl: float = 0.0,
+                   k1: float = 0.0, b: float = 0.0):
+    """Lucene LMDirichletSimilarity (query-likelihood language model with
+    Dirichlet smoothing — Zhai & Lafferty 2001) term score:
+
+        max(0, ln(1 + tf / (mu * p_c(t))) + ln(mu / (dl + mu)))
+
+    where ``w_t = MU * cf(t) / total_len`` is the smoothed collection
+    mass of the term (collection frequency over total token count —
+    NOT df; the dictionary artifact stores both). The clamp at 0 mirrors
+    Lucene 8+'s non-negative-scores requirement, and keeps a long doc
+    that matches only a stopword-ish term from ranking below docs the
+    query never touched. Same call shape as :func:`bm25_term_score` so
+    the exhaustive scorer takes it through the Similarity seam;
+    avgdl/k1/b unused.
+
+    Determinism: ``1.0 + tf / w_t`` and ``dl + MU`` are exactly rounded;
+    ``np.log`` and DuckDB's ``ln`` both resolve to the platform libm on
+    this container, and any residual ulp is absorbed by the oracle's q6
+    quantization (the repo-wide float-score convention). The operand
+    grouping ``ln(1.0 + tf / w) + ln(MU / (dl + MU))`` is the contract —
+    the SQL oracle mirrors it token for token (``log1p`` is deliberately
+    NOT used: DuckDB computes ``ln(1 + x)``, so the engine must too)."""
+    import numpy as np
+    return np.maximum(0.0, np.log(1.0 + tf / w_t)
+                      + np.log(MU / (dl + MU)))

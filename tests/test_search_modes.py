@@ -929,6 +929,54 @@ def test_classic_similarity(tiny_index, tiny_corpus):
                QueryConfig(k=5, method="wand", similarity="classic"))
 
 
+def test_lmd_similarity(tiny_index, tiny_corpus):
+    """Pluggable similarity #3: LM-Dirichlet scores equal an independent
+    recompute over the oracle's postings (same float64 kernel/operand
+    order, so bit-identical), stay within 1e-12 of a scalar math.log
+    evaluation, and the config seam rejects the BM25-only fast paths."""
+    import math
+
+    idx, _ = tiny_index
+    _, oi, queries = tiny_corpus
+    queries = list(queries)[:10]
+    out = search(idx, queries,
+                 QueryConfig(k=10, method="exhaustive",
+                             similarity="lmd")).to_pandas()
+    assert len(out)
+    total = float(sum(oi.doc_lens))
+    MU = 2000.0
+    for qid, text in queries:
+        scores: dict[int, float] = {}
+        approx: dict[int, float] = {}
+        for t in sorted(set(oi.tok.tokenize(text))):
+            pl = oi.postings.get(t)
+            if not pl:
+                continue
+            cf = sum(tf for _, tf in pl)
+            w = MU * float(cf) / total
+            docs = np.array([d for d, _ in pl], np.int64)
+            tfs = np.array([tf for _, tf in pl], np.float64)
+            dls = np.array([oi.doc_lens[d] for d in docs], np.float64)
+            contrib = np.maximum(0.0, np.log(1.0 + tfs / w)
+                                 + np.log(MU / (dls + MU)))
+            for d, s in zip(docs, contrib):
+                scores[d] = scores.get(int(d), 0.0) + float(s)
+            for d, tf in pl:
+                sa = max(0.0, math.log(1.0 + tf / w)
+                         + math.log(MU / (oi.doc_lens[d] + MU)))
+                approx[d] = approx.get(d, 0.0) + sa
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        g = out[out.query_id == qid].sort_values("rank")
+        got = list(zip(g.doc_id.tolist(), g.score.tolist()))
+        assert [d for d, _ in got] == [d for d, _ in want], (qid, text)
+        assert all(a == b for (_, a), (_, b) in zip(got, want)), (qid, text)
+        # independent transcendental: scalar libm log agrees to 1e-12
+        assert all(abs(s - approx[d]) < 1e-12 for d, s in got), (qid, text)
+    with pytest.raises(ValueError, match="lmd"):
+        search(idx, queries[:1],
+               QueryConfig(k=5, method="wand", similarity="lmd"))
+
+
 def test_rescore_window(tiny_index, tiny_corpus):
     """Two-phase window rescore: combined ranking equals a brute-force
     recompute (BM25 window by exact scores, classic re-score, combined
