@@ -465,6 +465,14 @@ def _q_rank_eval(sf_dir):
     return rank_eval_documents(sf_dir)
 
 
+def _q_rank_eval_ndcg(sf_dir):
+    # graded nDCG@10: grade = count of distinct matched query terms;
+    # observed DCG from a doc-restricted grade pass, ideal DCG from the
+    # corpus-wide per-query grade histogram (bounded rows at any scale)
+    from bge_m3_onnx_ray.pipelines.flagship import rank_eval_ndcg_documents
+    return rank_eval_ndcg_documents(sf_dir)
+
+
 def _q_bm25_transcripts_conv_sum(sf_dir):
     # has_child score_mode=sum: conversations ranked by the SUM of their
     # matching turns' quantized scores (exact distributed int aggregation)
@@ -1192,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_transcripts_topk_collapsed": _q_bm25_transcripts_collapsed,
         "bm25_transcripts_conv_topk": _q_bm25_transcripts_conv_sum,
         "rank_eval_documents": _q_rank_eval,
+        "rank_eval_ndcg_documents": _q_rank_eval_ndcg,
         "bm25_documents_topk_bool": _q_bool,
         "transcripts_index_stats": _q_transcripts_index_stats,
         "transcripts_tool_stats": _q_transcripts_tool_stats,
@@ -1569,6 +1578,68 @@ SELECT query_id::BIGINT AS query_id,
        coalesce(1000000 // min(CASE WHEN hit = 1 THEN rnk END), 0)::BIGINT
          AS rr_q6
 FROM hits GROUP BY query_id ORDER BY query_id
+"""
+
+
+def _rank_eval_ndcg_sql(k: int = 10) -> str:
+    """Graded-nDCG oracle: grade(query, doc) = count of DISTINCT query
+    terms the doc contains; DCG = sum(grade / log2(rank+1)) over the
+    BM25 top-k; IDCG re-ranks the WHOLE corpus by grade desc (tie order
+    irrelevant — equal grades contribute identically). q6-quantized."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_QUERIES
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    vals = []
+    for qid, text in DOC_QUERIES:
+        for t in sorted(set(tokenize(text))):
+            vals.append(f"({qid}, '{t}')")
+    return f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM toks)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+qterms(query_id, term) AS (VALUES {', '.join(vals)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+topk AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scores),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+grades AS (SELECT q.query_id, d.doc_id, count(*)::DOUBLE AS grade
+           FROM (SELECT DISTINCT query_id, term FROM qterms) q
+           JOIN dt d ON d.term = q.term
+           GROUP BY q.query_id, d.doc_id),
+dcg AS (SELECT t.query_id,
+               sum(coalesce(g.grade, 0) / log2(t.rnk + 1)) AS dcg
+        FROM topk t
+        LEFT JOIN grades g ON g.query_id = t.query_id
+                          AND g.doc_id = t.doc_id
+        WHERE t.rnk <= {k} GROUP BY t.query_id),
+ideal AS (SELECT query_id, grade,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY grade DESC, doc_id) AS irnk
+          FROM grades),
+idcg AS (SELECT query_id, sum(grade / log2(irnk + 1)) AS idcg
+         FROM ideal WHERE irnk <= {k} GROUP BY query_id)
+SELECT d.query_id::BIGINT AS query_id,
+       CAST(floor(d.dcg * 1000000 + 0.5) AS BIGINT) AS dcg_q6,
+       CAST(floor(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 0 END
+                  * 1000000 + 0.5) AS BIGINT) AS ndcg_q6
+FROM dcg d JOIN idcg i ON i.query_id = d.query_id
+ORDER BY query_id
 """
 
 
@@ -3294,6 +3365,7 @@ ORDER BY pmi_q6 DESC, x, y LIMIT 50
         "bm25_transcripts_conv_topk": _bm25_transcripts_sql(
             conv_sum=True),
         "rank_eval_documents": _rank_eval_sql(),
+        "rank_eval_ndcg_documents": _rank_eval_ndcg_sql(),
         "bm25_documents_topk_bool": _bool_sql(),
         "transcripts_index_stats": _transcripts_stats_sql(),
         "transcripts_role_transitions": """

@@ -251,6 +251,144 @@ class _MatchingDocs(_CountMatches):
                          "doc_id": pa.array(out_d, pa.int64())})
 
 
+class _MatchGrades(_CountMatches):
+    """GRADED candidate machinery: a candidate doc's grade for a query
+    is its count of DISTINCT matched query terms (1..n_terms) — free
+    from the same per-term postings decode as :class:`_CountMatches`
+    (each term's doc list is unique per doc, so occurrence counts over
+    the concatenation ARE the distinct-match grades).
+
+    Histogram mode (default): emits (query_id, grade, count) partials —
+    the exact per-query grade distribution at any corpus size without
+    ever materializing match rows (the ideal-DCG input). Rows mode
+    (``allow``: (query_id, sorted global docID array) pairs): emits
+    (query_id, doc_id, grade) for just the allowed docs (the observed-
+    DCG input, <= n_queries x k rows corpus-wide)."""
+
+    def __init__(self, index_dir: str, allow: tuple = (),
+                 cache_size: int = 64):
+        super().__init__(index_dir, cache_size=cache_size)
+        self.allow = {int(q): np.asarray(a, np.int64) for q, a in allow}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        rows_mode = bool(self.allow)
+        out_q: list[int] = []
+        out_k: list[int] = []
+        out_v: list[int] = []
+        dec_memo: dict[tuple[int, str], tuple] = {}
+        for qid, terms, shard in zip(
+                batch.column("query_id").to_pylist(),
+                batch.column("terms").to_pylist(),
+                batch.column("shard").to_pylist()):
+            shard = int(shard)
+            post = self._sc._shard_postings(shard, list(terms))
+            docs = []
+            for t in terms:
+                e = post.get(t)
+                if e is None:
+                    continue
+                got = dec_memo.get((shard, t))
+                if got is None:
+                    got = dec_memo[(shard, t)] = decode_postings(
+                        e, self.meta.block_size)
+                docs.append(got[0])
+            if not docs:
+                continue
+            cand, grades = np.unique(np.concatenate(docs),
+                                     return_counts=True)
+            if self._sc._has_tombstones:
+                dele = self._sc._deleted(shard)
+                if len(dele) and len(cand):
+                    pos = np.searchsorted(dele, cand)
+                    hit = pos < len(dele)
+                    hit[hit] = dele[pos[hit]] == cand[hit]
+                    cand, grades = cand[~hit], grades[~hit]
+            if not len(cand):
+                continue
+            if rows_mode:
+                al = self.allow.get(int(qid))
+                if al is None or not len(al):
+                    continue
+                pos = np.searchsorted(cand, al)
+                pos_c = np.minimum(pos, len(cand) - 1)
+                hit = (pos < len(cand)) & (cand[pos_c] == al)
+                out_q.extend([int(qid)] * int(hit.sum()))
+                out_k.extend(al[hit].tolist())
+                out_v.extend(grades[pos_c[hit]].tolist())
+            else:
+                hist = np.bincount(grades)
+                gs = np.nonzero(hist)[0]
+                out_q.extend([int(qid)] * len(gs))
+                out_k.extend(gs.tolist())
+                out_v.extend(hist[gs].tolist())
+        kname, vname = (("doc_id", "grade") if rows_mode
+                        else ("grade", "count"))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         kname: pa.array(out_k, pa.int64()),
+                         vname: pa.array(out_v, pa.int64())})
+
+
+def match_grade_histogram(index_dir: str, queries,
+                          cfg: QueryConfig | None = None) -> rd.Dataset:
+    """Per-query distribution of match grades (distinct matched query
+    terms) over the LIVE corpus: (query_id, grade, n_docs). The ideal-
+    ranking input for graded nDCG — a doc lives in exactly one shard,
+    so per-shard histograms sum exactly; result size is bounded by
+    n_queries x n_query_terms regardless of corpus size."""
+    cfg = cfg or QueryConfig()
+    meta = IndexMeta(index_dir)
+    from bge_m3_onnx_ray.tokenizer import make_tokenizer
+    tok = make_tokenizer(meta.stats.get("tokenizer_spec", "deterministic"))
+    qterms = {int(q): sorted(set(tok.tokenize(str(t)))) for q, t in queries}
+    pairs = [{"query_id": qid, "terms": ts, "shard": s}
+             for s in meta.shards
+             for qid, ts in qterms.items() if ts]
+    if not pairs:
+        return rd.from_arrow(pa.schema([
+            ("query_id", pa.int64()), ("grade", pa.int64()),
+            ("n_docs", pa.int64())]).empty_table())
+    fanout = rd.from_items(sorted(pairs, key=lambda r: r["shard"]))
+    partials = fanout.map_batches(
+        _MatchGrades,
+        fn_constructor_kwargs={"index_dir": index_dir,
+                               "cache_size": cfg.shard_cache_size},
+        batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
+        concurrency=cfg.scorer_concurrency, num_cpus=1)
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+    return bucket_reduce(partials, ["query_id", "grade"],
+                         [("count", "sum", "n_docs")], n_buckets=16)
+
+
+def match_grades(index_dir: str, queries, allow: dict,
+                 cfg: QueryConfig | None = None) -> rd.Dataset:
+    """Match grades for a RESTRICTED doc set: (query_id, doc_id, grade)
+    for just ``allow``'s (query_id -> sorted global docID array) docs —
+    the observed-ranking input for graded nDCG (<= n_queries x k rows).
+    No reduce needed: a doc lives in exactly one shard."""
+    cfg = cfg or QueryConfig()
+    meta = IndexMeta(index_dir)
+    from bge_m3_onnx_ray.tokenizer import make_tokenizer
+    tok = make_tokenizer(meta.stats.get("tokenizer_spec", "deterministic"))
+    qterms = {int(q): sorted(set(tok.tokenize(str(t)))) for q, t in queries}
+    pairs = [{"query_id": qid, "terms": ts, "shard": s}
+             for s in meta.shards
+             for qid, ts in qterms.items() if ts]
+    if not pairs:
+        return rd.from_arrow(pa.schema([
+            ("query_id", pa.int64()), ("doc_id", pa.int64()),
+            ("grade", pa.int64())]).empty_table())
+    fanout = rd.from_items(sorted(pairs, key=lambda r: r["shard"]))
+    return fanout.map_batches(
+        _MatchGrades,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "allow": tuple((int(q), np.asarray(a, np.int64))
+                           for q, a in sorted(allow.items())),
+            "cache_size": cfg.shard_cache_size},
+        batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
+        concurrency=cfg.scorer_concurrency, num_cpus=1)
+
+
 def matching_docs(index_dir: str, queries,
                   cfg: QueryConfig | None = None) -> rd.Dataset:
     """The full OR match set per query as (query_id, doc_id) rows —

@@ -1879,6 +1879,67 @@ def rank_eval_documents(sf_dir: str, k: int = 10) -> pa.Table:
         "rr_q6": pa.array([r[2] for r in rows], pa.int64())})
 
 
+def rank_eval_ndcg_documents(sf_dir: str, k: int = 10) -> pa.Table:
+    """Graded nDCG@k for the BM25 top-k (the rank_eval ndcg metric):
+    a doc's RELEVANCE GRADE for a query is its count of distinct
+    matched query terms (deterministic graded judgments — no human
+    labels, SQL-mirrorable), gain is linear (gain = grade),
+    DCG = sum(grade_i / log2(rank_i + 1)), and IDCG re-ranks the WHOLE
+    corpus by grade (the true ideal, not just the returned page).
+
+    Scale shape: observed grades come from a doc-restricted pass
+    (<= n_queries x k rows via ``match_grades``); the ideal needs only
+    the per-query GRADE HISTOGRAM (``match_grade_histogram``, bounded
+    by n_query_terms rows per query at any corpus size) because equal
+    grades contribute identically to IDCG regardless of tie order.
+    Output (query_id, dcg_q6, ndcg_q6) — q6-quantized floats, the
+    repo-wide oracle convention."""
+    from bge_m3_onnx_ray.index.facets import (match_grade_histogram,
+                                              match_grades)
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    top = search(idx, DOC_QUERIES, QueryConfig(k=k, method="wand")) \
+        .to_pandas()
+    top["doc_id"] = top["conv_id"].str.slice(4).astype(np.int64)
+    allow = {int(qid): np.sort(g["doc_id"].to_numpy())
+             for qid, g in top.groupby("query_id")}
+    gr = match_grades(idx, DOC_QUERIES, allow).to_pandas()
+    grade_of = {(int(q), int(d)): int(g)
+                for q, d, g in zip(gr["query_id"], gr["doc_id"],
+                                   gr["grade"])}
+    hist = match_grade_histogram(idx, DOC_QUERIES).to_pandas()
+    rows = []
+    for qid, g in top.groupby("query_id"):
+        g = g.sort_values("rank")
+        ranks = g["rank"].to_numpy().astype(np.float64)
+        gains = np.array([grade_of.get((int(qid), int(d)), 0)
+                          for d in g["doc_id"]], np.float64)
+        dcg = float(np.sum(gains / np.log2(ranks + 1.0)))
+        h = hist[hist.query_id == int(qid)].sort_values(
+            "grade", ascending=False)
+        idcg, pos = 0.0, 0
+        for grade, n in zip(h["grade"], h["n_docs"]):
+            take = min(int(n), k - pos)
+            if take <= 0:
+                break
+            i = np.arange(pos + 1, pos + take + 1, dtype=np.float64)
+            idcg += float(np.sum(float(grade) / np.log2(i + 1.0)))
+            pos += take
+        # Half-up rounding, not floor: nDCG is EXACTLY 1.0 whenever the
+        # top-k grade multiset equals the ideal one (common), and floor
+        # is knife-edged there across FP summation orders (engine 1.0 vs
+        # oracle 0.999999999…); round is only fragile at half-microunit
+        # boundaries, measure-zero for ratios of irrational log2 sums.
+        rows.append((int(qid), int(np.floor(dcg * 1e6 + 0.5)),
+                     int(np.floor(dcg / idcg * 1e6 + 0.5))
+                     if idcg > 0 else 0))
+    rows.sort()
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "dcg_q6": pa.array([r[1] for r in rows], pa.int64()),
+        "ndcg_q6": pa.array([r[2] for r in rows], pa.int64())})
+
+
 # Compound bool queries: (query_id, must_text, should_text, must_not_text).
 # Shapes covered: pure-boost should, filter-only must, OOV must (matches
 # nothing), OOV must_not (no-op), duplicate should terms (deduped).
