@@ -123,6 +123,13 @@ def _q_bm25f_best_fields(sf_dir):
     return bm25f_best_fields_topk(sf_dir)
 
 
+def _q_bm25f_cross_fields(sf_dir):
+    # multi_match cross_fields: per-TERM dis-max across fields, summed
+    # over terms — different terms may each win in a different field
+    from bge_m3_onnx_ray.pipelines.flagship import bm25f_cross_fields_topk
+    return bm25f_cross_fields_topk(sf_dir)
+
+
 def _q_prf(sf_dir):
     # Rocchio pseudo-relevance feedback: BM25 top-10 -> integer-exact
     # expansion-term selection -> boosted second pass
@@ -1151,6 +1158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prf_documents_topk": _q_prf,
         "bm25f_documents_topk": _q_bm25f,
         "bm25f_best_fields_topk": _q_bm25f_best_fields,
+        "bm25f_cross_fields_topk": _q_bm25f_cross_fields,
         "bm25_documents_topk_restored": _q_bm25_restored,
         "dismax_documents_topk": _q_dismax,
         "bm25_documents_topk_deduped": _q_bm25_deduped,
@@ -3128,13 +3136,15 @@ ORDER BY query_id, "rank"
 """
 
 
-def _bm25f_sql(best_fields_tie: float | None = None) -> str:
+def _bm25f_sql(best_fields_tie: float | None = None,
+               cross_fields_tie: float | None = None) -> str:
     """BM25F oracle: token positions via generate_subscripts define the
     fields (title = pos <= 5, body = pos > 5); df is whole-doc; tfd
     blends the per-field normalized tfs with the IDENTICAL operand
     grouping as pipelines.flagship._Bm25fScore. ``best_fields_tie``:
     the multi_match best_fields variant instead — per-field BM25 sums,
-    greatest + tie * rest."""
+    greatest + tie * rest. ``cross_fields_tie``: the term-centric
+    cross_fields variant — per-TERM greatest + tie * rest, then sum."""
     from bge_m3_onnx_ray.pipelines.flagship import DOC_QUERIES
     from bge_m3_onnx_ray.tokenizer import tokenize
     vals = []
@@ -3143,7 +3153,15 @@ def _bm25f_sql(best_fields_tie: float | None = None) -> str:
             vals.append(f"({qid}, '{t}')")
     tfd = """(2.0 * (f.tf_t / (0.25 + 0.75 * dl.dl_t / s.avgdl_t))
                 + 1.0 * (f.tf_b / (0.25 + 0.75 * dl.dl_b / s.avgdl_b)))"""
-    if best_fields_tie is not None:
+    if cross_fields_tie is not None:
+        idf_e = "ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)"
+        ct = (f"{idf_e} * (f.tf_t * 2.2) / (f.tf_t + 1.2 * "
+              "(0.25 + 0.75 * dl.dl_t / s.avgdl_t))")
+        cb = (f"{idf_e} * (f.tf_b * 2.2) / (f.tf_b + 1.2 * "
+              "(0.25 + 0.75 * dl.dl_b / s.avgdl_b))")
+        score_expr = (f"sum(greatest({ct}, {cb}) + {cross_fields_tie!r} * "
+                      f"(({ct} + {cb}) - greatest({ct}, {cb})))")
+    elif best_fields_tie is not None:
         idf_e = "ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)"
         st = (f"sum({idf_e} * (f.tf_t * 2.2) / (f.tf_t + 1.2 * "
               "(0.25 + 0.75 * dl.dl_t / s.avgdl_t)))")
@@ -3247,6 +3265,7 @@ def oracle_sql() -> dict[str, str]:
         "prf_documents_topk": _prf_sql(),
         "bm25f_documents_topk": _bm25f_sql(),
         "bm25f_best_fields_topk": _bm25f_sql(best_fields_tie=0.3),
+        "bm25f_cross_fields_topk": _bm25f_sql(cross_fields_tie=0.3),
         "profile_documents": _profile_sql(),
         "collocations_documents": f"""
 WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text),

@@ -2094,7 +2094,15 @@ class _Bm25fScore:
 
         score = best_field + tie * (sum_fields - best_field)
 
-    — rank by the strongest single field, the other only breaks ties."""
+    — rank by the strongest single field, the other only breaks ties.
+
+    ``mode="cross_fields"`` (multi_match cross_fields with a
+    tie_breaker) is TERM-centric: each term takes the dis-max of its
+    per-field BM25 contributions, and the per-term results SUM —
+    a term may win in title and another in body (best_fields can't
+    mix fields across terms; blend mixes before saturation):
+
+        score = sum_t [max_f c_{t,f} + tie * (sum_f c_{t,f} - max_f)]"""
 
     TITLE_LEN = 5
 
@@ -2106,7 +2114,7 @@ class _Bm25fScore:
         (self.idfs, self.avgdl_t, self.avgdl_b,
          self.queries) = ray.get(model_ref)
         self.k = k
-        if mode not in ("blend", "best_fields"):
+        if mode not in ("blend", "best_fields", "cross_fields"):
             raise ValueError(f"unknown bm25f mode {mode!r}")
         self.mode = mode
         self.tie = tie
@@ -2148,12 +2156,19 @@ class _Bm25fScore:
                 if got is None:
                     continue
                 ud, tf_t, tf_b = got
-                if self.mode == "best_fields":
+                if self.mode in ("best_fields", "cross_fields"):
                     # per-field BM25, saturated against that field's norm
                     c_t = self.idfs[t] * ((tf_t * 2.2)
                                           / (tf_t + 1.2 * b_t[ud]))
                     c_b = self.idfs[t] * ((tf_b * 2.2)
                                           / (tf_b + 1.2 * b_b[ud]))
+                    if self.mode == "cross_fields":
+                        m = np.maximum(c_t, c_b)
+                        contrib = m + self.tie * ((c_t + c_b) - m)
+                        for di, c in zip(ud, contrib):
+                            scores[int(di)] = (scores.get(int(di), 0.0)
+                                               + float(c))
+                        continue
                     for di, a, bb in zip(ud, c_t, c_b):
                         f_t[int(di)] = f_t.get(int(di), 0.0) + float(a)
                         f_b[int(di)] = f_b.get(int(di), 0.0) + float(bb)
@@ -2406,6 +2421,18 @@ def bm25f_best_fields_topk(sf_dir: str, k: int = 10) -> pa.Table:
     the other tie-breaks (tie=0.3). Same machinery and result shape as
     :func:`bm25f_documents_topk`."""
     return bm25f_documents_topk(sf_dir, k=k, mode="best_fields")
+
+
+def bm25f_cross_fields_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Multi-field cross_fields top-k (Elasticsearch multi_match
+    cross_fields with tie_breaker=0.3 over the position-derived
+    title/body fields): TERM-centric — each query term takes the
+    dis-max of its per-field BM25 contributions and the per-term
+    results sum, so different terms may each win in a different field
+    (the "first name in one field, last name in another" query shape
+    neither best_fields nor blend can express). Same machinery and
+    result shape as :func:`bm25f_documents_topk`."""
+    return bm25f_documents_topk(sf_dir, k=k, mode="cross_fields")
 
 
 def bm25_documents_topk_deduped(sf_dir: str, k: int = 10) -> pa.Table:

@@ -226,6 +226,61 @@ def test_bm25f_best_fields(ray_session, tmp_path):
                                        for _, s in want], (qid, qtext)
 
 
+def test_bm25f_cross_fields(ray_session, tmp_path):
+    """cross_fields multi-match: per-TERM dis-max across fields summed
+    over terms, q6-exact vs a pure-Python recompute — and distinct from
+    best_fields on the same corpus (terms may win in different fields)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bge_m3_onnx_ray.pipelines.flagship import (DOC_QUERIES,
+                                                    bm25f_cross_fields_topk)
+    from bge_m3_onnx_ray.tokenizer import tokenize
+
+    rng = np.random.default_rng(13)
+    vocab = ["key", "order", "sort", "data", "table", "join", "filter"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 16)))
+             for _ in range(80)]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(range(80), pa.int64()),
+                             "text": pa.array(texts, pa.string())}),
+                   sf / "documents.parquet")
+    out = bm25f_cross_fields_topk(str(sf)).to_pandas()
+    assert len(out)
+
+    TITLE, tie = 5, 0.3
+    toks = [tokenize(t) for t in texts]
+    n = len(texts)
+    avg_t = sum(min(len(ts), TITLE) for ts in toks) / n
+    avg_b = sum(max(len(ts) - TITLE, 0) for ts in toks) / n
+    for qid, qtext in DOC_QUERIES:
+        comb = {}
+        for t in sorted(set(tokenize(qtext))):
+            df = sum(1 for ts in toks if t in ts)
+            if not df:
+                continue
+            i = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            for d, ts in enumerate(toks):
+                tf_t, tf_b = ts[:TITLE].count(t), ts[TITLE:].count(t)
+                if not (tf_t or tf_b):
+                    continue
+                b_t = 0.25 + 0.75 * min(len(ts), TITLE) / avg_t
+                b_b = 0.25 + 0.75 * max(len(ts) - TITLE, 0) / avg_b
+                c_t = i * ((tf_t * 2.2) / (tf_t + 1.2 * b_t))
+                c_b = i * ((tf_b * 2.2) / (tf_b + 1.2 * b_b))
+                m = max(c_t, c_b)
+                comb[d] = comb.get(d, 0.0) + m + tie * ((c_t + c_b) - m)
+        want = sorted(comb.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        g = out[out.query_id == qid].sort_values("rank")
+        assert g.doc_id.tolist() == [d for d, _ in want], (qid, qtext)
+        assert g.score_q6.tolist() == [math.floor(s * 1e6)
+                                       for _, s in want], (qid, qtext)
+
+
 def test_deduped_pipeline(ray_session, tmp_path):
     """Dedup -> rebuild -> search composition on a corpus WITH real
     duplicates: results equal a pure-SQL BM25 over the canonical-only
