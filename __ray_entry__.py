@@ -480,6 +480,14 @@ def _q_rank_eval_ndcg(sf_dir):
     return rank_eval_ndcg_documents(sf_dir)
 
 
+def _q_boosting(sf_dir):
+    # boosting query: negative terms DEMOTE (score x 0.5) instead of
+    # excluding — demotion applies in-shard before any top-k cut
+    from bge_m3_onnx_ray.pipelines.flagship import \
+        bm25_documents_topk_boosting
+    return bm25_documents_topk_boosting(sf_dir)
+
+
 def _q_bm25_transcripts_conv_sum(sf_dir):
     # has_child score_mode=sum: conversations ranked by the SUM of their
     # matching turns' quantized scores (exact distributed int aggregation)
@@ -1210,6 +1218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_eval_documents": _q_rank_eval,
         "rank_eval_ndcg_documents": _q_rank_eval_ndcg,
         "bm25_documents_topk_bool": _q_bool,
+        "bm25_documents_topk_boosting": _q_boosting,
         "transcripts_index_stats": _q_transcripts_index_stats,
         "transcripts_tool_stats": _q_transcripts_tool_stats,
         "transcripts_sft_pairs": _q_transcripts_sft_pairs,
@@ -1524,6 +1533,62 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score DESC, doc_id) AS rnk
   FROM scores)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
+       doc_id::BIGINT AS doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_q6
+FROM ranked WHERE rnk <= {k} ORDER BY query_id, "rank"
+"""
+
+
+def _boosting_sql(k: int = 10, nb: float = 0.5) -> str:
+    """Boosting-query oracle: plain BM25 over the positive terms; a doc
+    that also contains ANY negative term keeps matching but its score
+    multiplies by ``nb`` (demotion, not exclusion — the contrast with
+    bool must_not). nb=0.5 is FP-exact, so quantization is safe."""
+    from bge_m3_onnx_ray.pipelines.flagship import BOOSTING_QUERIES
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    qvals, nvals = [], []
+    for qid, pos, neg in BOOSTING_QUERIES:
+        for t in sorted(set(tokenize(pos))):
+            qvals.append(f"({qid}, '{t}')")
+        for t in sorted(set(tokenize(neg or ""))):
+            nvals.append(f"({qid}, '{t}')")
+    return f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM toks)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+qterms(query_id, term) AS (VALUES {', '.join(qvals)}),
+qneg(query_id, term) AS (VALUES {', '.join(nvals)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+neghit AS (SELECT DISTINCT nq.query_id, tx.doc_id
+           FROM qneg nq
+           JOIN (SELECT DISTINCT doc_id, term FROM toks) tx
+             ON tx.term = nq.term),
+final AS (SELECT s.query_id, s.doc_id,
+                 CASE WHEN nh.doc_id IS NULL THEN s.score
+                      ELSE s.score * {nb!r} END AS score
+          FROM scores s
+          LEFT JOIN neghit nh ON nh.query_id = s.query_id
+                             AND nh.doc_id = s.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM final)
 SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
        doc_id::BIGINT AS doc_id,
        CAST(floor(score * 1000000) AS BIGINT) AS score_q6
@@ -3386,6 +3451,7 @@ ORDER BY pmi_q6 DESC, x, y LIMIT 50
         "rank_eval_documents": _rank_eval_sql(),
         "rank_eval_ndcg_documents": _rank_eval_ndcg_sql(),
         "bm25_documents_topk_bool": _bool_sql(),
+        "bm25_documents_topk_boosting": _boosting_sql(),
         "transcripts_index_stats": _transcripts_stats_sql(),
         "transcripts_role_transitions": """
 WITH t AS (SELECT conv_id, turn_idx, role FROM __SRC__),

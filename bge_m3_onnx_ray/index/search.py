@@ -486,7 +486,8 @@ class ShardScorer:
                  decay_attr: tuple | None = None,
                  conv_sum: bool = False,
                  similarity: str = "bm25",
-                 dismax_tie: float | None = None):
+                 dismax_tie: float | None = None,
+                 demote_weight: float = 0.5):
         self.meta = IndexMeta(index_dir)
         if avgdl_override is not None:
             # federated search: the caller supplies UNION-corpus global
@@ -516,6 +517,11 @@ class ShardScorer:
                             "lmd": lmd_term_score}.get(similarity,
                                                        bm25_term_score)
         self._dismax_tie = dismax_tie
+        # boosting query (Elasticsearch `boosting`): docs matching any
+        # per-query "demote" term keep matching but score × this factor
+        # (0.5 = one exponent decrement: the multiply is FP-exact, so
+        # demoted scores stay bit-identical to oracle arithmetic)
+        self.demote_weight = float(demote_weight)
         if dismax_tie is not None and (method == "wand" or mode != "or"):
             raise ValueError('dismax requires method="exhaustive", '
                              'mode="or" (WAND theta bounds assume '
@@ -704,14 +710,16 @@ class ShardScorer:
                    if "boosts" in batch.schema.names else [None] * len(qids))
         mustss = (batch.column("must").to_pylist()
                   if "must" in batch.schema.names else [None] * len(qids))
+        demotess = (batch.column("demote").to_pylist()
+                    if "demote" in batch.schema.names else [()] * len(qids))
         if self._lookup is not None:  # bulk path: one dict probe per batch
             self.idfs = self._lookup.idfs_for(
                 {t for ts in termss for t in ts})
         # decoded-postings memo for THIS batch: many queries in a batch hit
         # the same (shard, term) — decode once, not once per query row
         dec_memo: dict[tuple[int, str], tuple] = {}
-        for qid, terms, negs, boosts, musts, shard in zip(
-                qids, termss, negss, boostss, mustss, shards):
+        for qid, terms, negs, boosts, musts, demotes, shard in zip(
+                qids, termss, negss, boostss, mustss, demotess, shards):
             n_required = len(set(terms))
             # per-term boosts scale idf — exact for every scorer (BM25
             # contributions and WAND block bounds are linear in idf)
@@ -768,6 +776,34 @@ class ShardScorer:
                 if len(dele):
                     excluded = (dele if excluded is None
                                 else np.union1d(excluded, dele))
+            # boosting query: this shard's docs containing ANY demote
+            # term score × demote_weight — same postings path/memo as
+            # negs, applied as a doc_weights multiplier pre-top-k (OOV
+            # demote terms are naturally a no-op)
+            demote_w = None
+            if demotes:
+                dpost = self._shard_postings(int(shard), list(demotes))
+                dds = []
+                for t in demotes:
+                    e = dpost.get(t)
+                    if e is None:
+                        continue
+                    got = dec_memo.get((shard, t))
+                    if got is None:
+                        got = decode_postings(e, m.block_size)
+                        dec_memo[(shard, t)] = got
+                    dds.append(got[0])
+                if dds:
+                    dem = np.unique(np.concatenate(dds))
+                    demote_w = (dem, np.full(len(dem),
+                                             self.demote_weight))
+                if (self.mode != "or" or self.method == "wand"
+                        or self._conv_sum or self.weight_attr is not None
+                        or self.decay_attr is not None):
+                    raise ValueError(
+                        "demote terms require the exhaustive OR scorer "
+                        "without attr weights (WAND theta bounds and "
+                        "attr doc_weights don't compose with demotion)")
             decoded = {}
             for t, e in avail.items():
                 got = dec_memo.get((shard, t))
@@ -849,7 +885,9 @@ class ShardScorer:
                                                 excluded=excluded,
                                                 msm=self.msm,
                                                 collapse_starts=self._collapse_starts,
-                                                doc_weights=self._doc_weights(int(shard)),
+                                                doc_weights=(demote_w
+                                                             if demote_w is not None
+                                                             else self._doc_weights(int(shard))),
                                                 after=(None if self.after_by_query is None
                                                        else self.after_by_query.get(int(qid))),
                                                 term_score=self._term_score,
@@ -1346,6 +1384,67 @@ def search_bool(index_dir: str,
                                "k": cfg.k, "method": "exhaustive",
                                "cache_size": cfg.shard_cache_size,
                                "mode": "bool"},
+        batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
+        concurrency=cfg.scorer_concurrency, num_cpus=1)
+    return merge_topk(partials, offsets, cfg.k)
+
+
+def search_boosting(index_dir: str,
+                    queries: "list[tuple[int, str, str]]",
+                    cfg: QueryConfig | None = None,
+                    negative_boost: float = 0.5) -> rd.Dataset:
+    """Boosting search — the Elasticsearch/Lucene ``boosting`` query:
+    ``queries`` rows are (query_id, positive_text, negative_text).
+    Candidates and base scores come from the positive clause alone
+    (plain BM25 OR); a candidate that ALSO matches any negative term is
+    DEMOTED — score × ``negative_boost`` — not excluded (the contrast
+    with bool must_not). Demotion applies inside the shard scorer
+    BEFORE any top-k cut, so a demoted doc correctly drops below
+    non-demoted docs that would otherwise miss the per-shard partial.
+
+    ``negative_boost`` defaults to 0.5 (one FP exponent decrement) so
+    demoted scores are bit-exact products, oracle-mirrorable. Fan-out,
+    postings decode memo and the per-query top-k merge shuffle are the
+    standard search machinery; the negative terms ride the same
+    per-shard postings path as bool's must_not."""
+    cfg = cfg or QueryConfig()
+    meta = IndexMeta(index_dir)
+    offsets = ConvOffsets.load(index_dir)
+    from bge_m3_onnx_ray.tokenizer import make_tokenizer
+    tok = make_tokenizer(meta.stats.get("tokenizer_spec", "deterministic"))
+
+    rows = []
+    all_terms: set[str] = set()
+    for qid, pos_text, neg_text in queries:
+        terms = sorted(set(tok.tokenize(pos_text)))
+        if not terms:
+            continue
+        demote = sorted(set(tok.tokenize(neg_text or "")))
+        all_terms.update(terms)
+        rows.append({"query_id": int(qid), "terms": terms,
+                     "demote": demote})
+    dfs = meta.load_term_dfs(sorted(all_terms)) if all_terms else {}
+    idfs = {t: idf(d, meta.n_docs) for t, d in dfs.items()}
+
+    pairs = [dict(r, shard=s) for s in meta.shards for r in rows]
+    if not pairs:
+        return rd.from_arrow(RESULT_SCHEMA.empty_table())
+    pairs.sort(key=lambda r: r["shard"])
+    # explicit schema: an all-empty demote column must still be
+    # list<string>, not the inferred list<null> (blocks would disagree)
+    fanout = rd.from_arrow(pa.table({
+        "query_id": pa.array([p["query_id"] for p in pairs], pa.int64()),
+        "terms": pa.array([p["terms"] for p in pairs],
+                          pa.list_(pa.string())),
+        "demote": pa.array([p["demote"] for p in pairs],
+                           pa.list_(pa.string())),
+        "shard": pa.array([p["shard"] for p in pairs], pa.int64())}))
+    partials = fanout.map_batches(
+        ShardScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "idfs": idfs,
+                               "k": cfg.k, "method": "exhaustive",
+                               "cache_size": cfg.shard_cache_size,
+                               "demote_weight": float(negative_boost)},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
     return merge_topk(partials, offsets, cfg.k)

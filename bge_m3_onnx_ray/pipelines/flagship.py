@@ -1969,6 +1969,37 @@ def bm25_documents_topk_bool(sf_dir: str, k: int = 10) -> pa.Table:
                                      "score_q6"]], preserve_index=False)
 
 
+# Boosting queries: (query_id, positive_text, negative_text). Shapes
+# covered: plain demotion, multi-term negative, OOV negative (no-op),
+# negative == a positive term (uniform self-demotion of every match),
+# empty negative (plain BM25), negative hitting most of the corpus.
+BOOSTING_QUERIES: list[tuple[int, str, str]] = [
+    (0, "key order sort", "table"),
+    (1, "data filter window", "stream merge"),
+    (2, "customer scan", "zzzneverseen"),       # OOV negative: no-op
+    (3, "join group", "join"),                  # self-demotion
+    (4, "table query", ""),                     # no negative clause
+    (5, "slow small count", "data"),            # high-df negative
+]
+
+
+def bm25_documents_topk_boosting(sf_dir: str, k: int = 10) -> pa.Table:
+    """Boosting query (positive scores BM25, matching any negative term
+    DEMOTES by ×0.5 instead of excluding — the Elasticsearch `boosting`
+    query, contrasting bool's must_not) over the documents corpus.
+    Output shaped for the SQL oracle."""
+    from bge_m3_onnx_ray.index.search import search_boosting
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    out = search_boosting(idx, BOOSTING_QUERIES,
+                          QueryConfig(k=k)).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id",
+                                     "score_q6"]], preserve_index=False)
+
+
 def tfidf_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
     """Top-k under the pluggable CLASSIC similarity
     (``QueryConfig(similarity="classic")`` — Lucene's pre-BM25 TF-IDF:
