@@ -1084,6 +1084,15 @@ def _q_weighted_sample(sf_dir):
     return weighted_sample(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_stratified_split(sf_dir):
+    # exact 80/10/10 train/val/test per language WITHOUT a per-stratum
+    # global sort: bucket-histogram cutoffs + within-boundary-bucket
+    # ranks (only ~n/256 rows ever shuffle)
+    from bge_m3_onnx_ray.stages.split import stratified_split
+    return stratified_split(_docs(sf_dir).select_columns(
+        ["doc_id", "lang"]))
+
+
 def _q_corpus_sample_hash(sf_dir):
     from bge_m3_onnx_ray.stages.text import corpus_sample_hash
     return corpus_sample_hash(_docs(sf_dir).select_columns(["doc_id", "text"]))
@@ -1241,6 +1250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distribution_counts": _q_distribution_counts,
         "corpus_sample": _q_corpus_sample,
         "corpus_sample_hash": _q_corpus_sample_hash,
+        "stratified_split_documents": _q_stratified_split,
         "gopher_repetition": _q_gopher_repetition,
         "mixture_sample": _q_mixture_sample,
         "unigram_surprise": _q_unigram_surprise,
@@ -3566,6 +3576,26 @@ SELECT doc_id, w AS n_words,
        CAST(floor(key * 1000000) AS BIGINT) AS key_q6
 FROM ranked WHERE rnk <= 100
 ORDER BY doc_id
+""",
+        # exact per-stratum quantile split: row_number over (hash, id)
+        # inside each lang; integer cutoffs (8n//10, 9n//10) match the
+        # engine's arithmetic exactly (no float fractions anywhere)
+        "stratified_split_documents": """
+WITH h1 AS (SELECT doc_id, lang,
+                   ((doc_id % 2147483647) * 1103515245 + 29)
+                     % 2147483647 AS h FROM documents),
+h2 AS (SELECT doc_id, lang, (h * 1103515245 + 29) % 2147483647 AS h
+       FROM h1),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY h, doc_id) - 1 AS r,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM h2)
+SELECT doc_id, lang,
+       CASE WHEN r < (n * 8) // 10 THEN 'train'
+            WHEN r < (n * 9) // 10 THEN 'val'
+            ELSE 'test' END AS split
+FROM r ORDER BY doc_id
 """,
         "corpus_sample_hash": """
 WITH h1 AS (SELECT doc_id, text,
