@@ -905,6 +905,13 @@ def _q_events_hourly(sf_dir):
     return hourly_agg(_events(sf_dir))
 
 
+def _q_events_moving(sf_dir):
+    # pipeline aggs over the hourly output: dense per-type hour series,
+    # trailing 3-bucket integer moving average + bucket derivative
+    from bge_m3_onnx_ray.stages.events import moving_hourly
+    return moving_hourly(_events(sf_dir))
+
+
 def _q_events_distinct_daily(sf_dir):
     # exact distributed COUNT DISTINCT per day: per-batch pair dedupe ->
     # one pair-bucket shuffle -> per-bucket distinct counts -> tiny sum
@@ -1279,6 +1286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_term_weights": _q_doc_term_weights,
         "revenue_by_segment": _q_revenue_by_segment,
         "events_hourly": _q_events_hourly,
+        "events_moving_hourly": _q_events_moving,
         "events_distinct_users_daily": _q_events_distinct_daily,
         "events_value_percentiles": _q_events_percentiles,
         "events_value_stats": _q_events_stats,
@@ -3875,6 +3883,36 @@ SELECT event_type,
        count(*)::BIGINT AS n_events,
        CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_q2
 FROM events GROUP BY event_type, date_trunc('hour', ts)
+""",
+        # pipeline aggs (moving_fn + derivative on a min_doc_count=0
+        # date_histogram): dense hour series per type, trailing
+        # 3-bucket integer moving average (trunc division — BIGINT //),
+        # bucket delta vs an implicit empty predecessor
+        "events_moving_hourly": """
+WITH hb AS (SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour,
+                   CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS q2
+            FROM events GROUP BY 1, 2),
+bounds AS (SELECT event_type, min(hour) AS lo, max(hour) AS hi
+           FROM hb GROUP BY 1),
+dense AS (SELECT event_type,
+                 unnest(generate_series(lo, hi, 3600)) AS hour
+          FROM bounds),
+ser AS (SELECT d.event_type, d.hour, COALESCE(h.q2, 0) AS q2
+        FROM dense d
+        LEFT JOIN hb h ON h.event_type = d.event_type
+                      AND h.hour = d.hour),
+win AS (SELECT event_type, hour, q2,
+               sum(q2) OVER w AS wsum, count(*) OVER w AS wn,
+               COALESCE(lag(q2) OVER (PARTITION BY event_type
+                                      ORDER BY hour), 0) AS prev
+        FROM ser
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+SELECT event_type, hour, q2 AS sum_value_q2,
+       ((wsum * 100) // wn)::BIGINT AS mavg_q4,
+       (q2 - prev)::BIGINT AS delta_q2
+FROM win ORDER BY event_type, hour
 """,
         "events_distinct_users_daily": """
 SELECT (epoch_us(ts) // 1000000 // 86400) * 86400 AS day,

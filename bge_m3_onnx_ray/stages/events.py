@@ -72,6 +72,55 @@ def hourly_agg(ds: rd.Dataset) -> rd.Dataset:
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def moving_hourly(ds: rd.Dataset, window: int = 3) -> rd.Dataset:
+    """Pipeline aggregations over the hourly series — the Elasticsearch
+    ``moving_fn`` + ``derivative`` pair on a date_histogram with
+    min_doc_count=0: per event_type, the DENSE hour series from its
+    first to last bucket (gap hours = 0), a trailing ``window``-bucket
+    integer moving average, and the bucket-to-bucket delta. Output
+    (event_type, hour, sum_value_q2, mavg_q4, delta_q2); the first
+    bucket's delta is taken against an implicit empty predecessor and
+    partial leading windows average over the buckets that exist, both
+    as ES does.
+
+    All arithmetic is integer on the q2-quantized sums so the SQL
+    oracle matches exactly: mavg_q4 = trunc-div(wsum*100, wn) —
+    TRUNCATING division, matching SQL's BIGINT ``//`` on any sign.
+
+    Scale shape: this runs on the OUTPUT of :func:`hourly_agg` (already
+    reduced), so a group is one event_type's full series — bounded by
+    calendar hours in the data's time range, never by event count. The
+    window pass is one cumsum per group."""
+    hourly = hourly_agg(ds)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        hours = g.column("hour").to_numpy()
+        q2 = g.column("sum_value_q2").to_numpy()
+        order = np.argsort(hours)
+        hours, q2 = hours[order], q2[order]
+        dense_h = np.arange(hours[0], hours[-1] + 1, 3600)
+        dq = np.zeros(len(dense_h), np.int64)
+        dq[(hours - hours[0]) // 3600] = q2
+        idx = np.arange(len(dense_h))
+        csum = np.concatenate([[0], np.cumsum(dq)])
+        start = np.maximum(idx - window + 1, 0)
+        wsum = csum[idx + 1] - csum[start]
+        wn = idx + 1 - start
+        num = wsum * 100
+        mavg = np.sign(num) * (np.abs(num) // wn)    # trunc toward zero
+        delta = dq - np.concatenate([[0], dq[:-1]])
+        et = g.column("event_type")[0].as_py()
+        return pa.table({
+            "event_type": pa.array([et] * len(dense_h), pa.string()),
+            "hour": pa.array(dense_h, pa.int64()),
+            "sum_value_q2": pa.array(dq, pa.int64()),
+            "mavg_q4": pa.array(mavg.astype(np.int64), pa.int64()),
+            "delta_q2": pa.array(delta, pa.int64())})
+
+    return hourly.groupby("event_type").map_groups(
+        kernel, batch_format="pyarrow")
+
+
 def hopping_agg(ds: rd.Dataset, window_s: int = 3600,
                 hop_s: int = 900) -> rd.Dataset:
     """HOPPING (sliding) windows per event_type — the Flink/Beam/Kafka-

@@ -1329,3 +1329,44 @@ def test_join_kernels_randomized_parity(ray_session):
             elif tx1[i] != tx2[i]:
                 want_d[int(i)] = "changed"
         assert got_d == want_d, seed
+
+
+def test_moving_hourly_gaps_and_negatives(ray_session):
+    """moving_hourly on a hand-built series with hour GAPS (dense fill)
+    and NEGATIVE values (trunc-division parity with SQL BIGINT //):
+    engine output equals a direct recompute."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.events import moving_hourly
+
+    # type "a": hours 0, 1, 4 (gap at 2-3), values incl. negatives
+    rows = [("a", 0, 1.25), ("a", 0, -0.75), ("a", 3600, -2.0),
+            ("a", 4 * 3600, 5.5), ("b", 7200, 1.0)]
+    ts = pa.array([r[1] * 1_000_000 for r in rows],
+                  pa.int64()).cast(pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({
+        "ts": ts,
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.float64())}))
+    got = moving_hourly(ds, window=3).to_pandas() \
+        .sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+    # direct recompute: q2 per hour, dense series, trailing window of 3
+    def trunc_div(a, b):
+        return int(np.sign(a)) * (abs(int(a)) // int(b))
+
+    q2a = {0: 50, 3600: -200, 14400: 550}      # 1.25-0.75, -2.0, 5.5
+    dense = [q2a.get(h, 0) for h in range(0, 14401, 3600)]
+    want_a = []
+    for i, q in enumerate(dense):
+        wl = dense[max(i - 2, 0):i + 1]
+        want_a.append((i * 3600, q, trunc_div(sum(wl) * 100, len(wl)),
+                       q - (dense[i - 1] if i else 0)))
+    ga = got[got.event_type == "a"]
+    assert list(zip(ga.hour, ga.sum_value_q2, ga.mavg_q4,
+                    ga.delta_q2)) == want_a
+    gb = got[got.event_type == "b"]
+    assert list(zip(gb.hour, gb.sum_value_q2, gb.mavg_q4,
+                    gb.delta_q2)) == [(7200, 100, 100 * 100 // 1, 100)]
