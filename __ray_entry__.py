@@ -109,6 +109,15 @@ def _q_bm25_restored(sf_dir):
     return bm25_documents_topk_restored(sf_dir)
 
 
+def _q_bm25_resharded(sf_dir):
+    # _split/_shrink lifecycle: postings sliced at the new shard
+    # boundaries and re-encoded (no corpus re-read); scores bit-identical
+    # so the standard BM25 oracle gates the whole reshard
+    from bge_m3_onnx_ray.pipelines.flagship import \
+        bm25_documents_topk_resharded
+    return bm25_documents_topk_resharded(sf_dir)
+
+
 def _q_bm25f(sf_dir):
     # multi-field BM25F: title = first 5 tokens, body = rest; per-field
     # length normalization, weighted tf blend BEFORE k1 saturation
@@ -1184,6 +1193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_best_fields_topk": _q_bm25f_best_fields,
         "bm25f_cross_fields_topk": _q_bm25f_cross_fields,
         "bm25_documents_topk_restored": _q_bm25_restored,
+        "bm25_documents_topk_resharded": _q_bm25_resharded,
         "dismax_documents_topk": _q_dismax,
         "bm25_documents_topk_deduped": _q_bm25_deduped,
         "bm25_documents_topk_and": _q_bm25_and,
@@ -3375,6 +3385,7 @@ SELECT x, y, c, pmi_q6 FROM scored
 ORDER BY pmi_q6 DESC, x, y LIMIT 50
 """,
         "bm25_documents_topk_restored": bm25,
+        "bm25_documents_topk_resharded": bm25,
         "dismax_documents_topk": _bm25_sql(dismax=0.3),
         "bm25_documents_topk_deduped": _bm25_sql(
             corpus_table=("(SELECT d.doc_id, d.text FROM documents d "

@@ -2370,6 +2370,31 @@ def bm25_documents_topk_restored(sf_dir: str, k: int = 10) -> pa.Table:
                                 preserve_index=False)
 
 
+def bm25_documents_topk_resharded(sf_dir: str, k: int = 10,
+                                  new_dps: int = 64) -> pa.Table:
+    """Search over a RESHARDED index (the Elasticsearch _split/_shrink
+    lifecycle): the cached documents index (docs_per_shard=4096) is
+    re-partitioned to docs_per_shard=64 — postings decoded, sliced at
+    the new boundaries and re-encoded, with NO corpus re-read — and the
+    standard BM25 oracle gates the result (scores are bit-identical:
+    resharding moves postings, never changes global stats). Same result
+    shape as :func:`bm25_documents_topk`."""
+    import shutil
+
+    from bge_m3_onnx_ray.index.reshard import reshard_index
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    dst = idx + f"-reshard{new_dps}"
+    shutil.rmtree(dst, ignore_errors=True)
+    reshard_index(idx, dst, new_dps)
+    out = search(dst, DOC_QUERIES, QueryConfig(k=k)).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id",
+                                     "score_q6"]], preserve_index=False)
+
+
 def transcripts_sft_with_history(sf_dir: str, n_buckets: int = 64) -> pa.Table:
     """SFT examples WITH full conversational context: for every
     assistant turn that has at least one preceding turn, prompt =

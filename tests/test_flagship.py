@@ -30,7 +30,7 @@ def duck():
     "token_count", "term_df_top100", "doc_term_weights",
     "exact_dedup", "events_hourly", "revenue_by_segment",
     "rank_eval_documents", "rank_eval_ndcg_documents",
-    "bm25_documents_topk_boosting",
+    "bm25_documents_topk_boosting", "bm25_documents_topk_resharded",
     "events_value_stats", "top_docs_per_lang",
     "events_value_percentiles", "events_distinct_users_daily",
     "stratified_split_documents", "events_moving_hourly",
