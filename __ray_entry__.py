@@ -1109,6 +1109,14 @@ def _q_stratified_split(sf_dir):
         ["doc_id", "lang"]))
 
 
+def _q_heavy_hitters(sf_dir):
+    # exact heavy hitters by sketch-then-verify: count-min partials +
+    # pigeonhole candidates merge in one bucket_reduce; sketch point
+    # queries prune; an exact restricted pass verifies survivors
+    from bge_m3_onnx_ray.stages.sketch import heavy_hitter_terms
+    return heavy_hitter_terms(_docs(sf_dir).select_columns(["text"]))
+
+
 def _q_corpus_sample_hash(sf_dir):
     from bge_m3_onnx_ray.stages.text import corpus_sample_hash
     return corpus_sample_hash(_docs(sf_dir).select_columns(["doc_id", "text"]))
@@ -1268,6 +1276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_sample": _q_corpus_sample,
         "corpus_sample_hash": _q_corpus_sample_hash,
         "stratified_split_documents": _q_stratified_split,
+        "heavy_hitter_terms": _q_heavy_hitters,
         "gopher_repetition": _q_gopher_repetition,
         "mixture_sample": _q_mixture_sample,
         "unigram_surprise": _q_unigram_surprise,
@@ -3595,6 +3604,18 @@ SELECT doc_id, w AS n_words,
        CAST(floor(key * 1000000) AS BIGINT) AS key_q6
 FROM ranked WHERE rnk <= 100
 ORDER BY doc_id
+""",
+        # heavy hitters: terms with tf >= 2000 ppm of all tokens — the
+        # engine's count-min candidates-then-exact-verify result is
+        # EXACT, so plain SQL counting is the oracle
+        "heavy_hitter_terms": f"""
+WITH toks AS ({_TOKS}),
+tot AS (SELECT count(*)::BIGINT AS n FROM toks)
+SELECT t.term, count(*)::BIGINT AS tf
+FROM toks t, tot
+GROUP BY t.term, tot.n
+HAVING count(*) * 1000000 >= 2000 * tot.n
+ORDER BY t.term
 """,
         # exact per-stratum quantile split: row_number over (hash, id)
         # inside each lang; integer cutoffs (8n//10, 9n//10) match the

@@ -103,3 +103,144 @@ def hll_distinct(ds: rd.Dataset, col: str, p: int = 14) -> dict:
     return {"estimate": hll_estimate(regs),
             "registers_nonzero": int(np.count_nonzero(regs)),
             "p": p}
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters (Cormode & Muthukrishnan 2005, "An improved
+# data stream summary: the count-min sketch and its applications").
+
+
+class _CmsPartial:
+    """One streaming pass emitting three row kinds in ONE narrow table
+    (cell, term, n) so a single bucket_reduce merges everything:
+
+    - sketch cells: (cell = j*width + idx, term = "", n = count) — the
+      nonzero cells of this batch's count-min sketch, summed globally
+      (CMS merge IS elementwise sum);
+    - candidates: (cell = -1, term, n = batch count) for terms LOCALLY
+      heavy in this batch (count*1e6 >= ppm * batch_tokens). Pigeonhole
+      guarantees a globally heavy term is locally heavy in >= 1 batch,
+      so the candidate union has NO false negatives;
+    - the token total: (cell = -2, term = "", n = batch tokens)."""
+
+    def __init__(self, depth: int, width: int, ppm: int, seed: int = 31):
+        from bge_m3_onnx_ray.hashing import minhash_seeds
+        from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
+        self.tok = DeterministicTokenizer()
+        self.depth, self.width, self.ppm = depth, width, ppm
+        self.a, self.b = minhash_seeds(depth, seed=seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from bge_m3_onnx_ray.hashing import P31, P53, poly_hash
+        flat, _ = self.tok.batch_token_lists(batch.column("text"))
+        total = len(flat)
+        if not total:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = pc.value_counts(flat)
+        terms = vc.field("values")
+        counts = vc.field("counts").to_numpy().astype(np.int64)
+        h = poly_hash(terms, P53) % P31
+        cells, ns = [], []
+        for j in range(self.depth):
+            idx = ((h * self.a[j] + self.b[j]) % P31) \
+                % np.uint64(self.width)
+            cells.append(np.int64(j * self.width) + idx.astype(np.int64))
+            ns.append(counts)
+        cell = np.concatenate(cells)
+        n = np.concatenate(ns)
+        # in-batch cell dedup (two terms may share a cell)
+        uc, inv = np.unique(cell, return_inverse=True)
+        un = np.zeros(len(uc), np.int64)
+        np.add.at(un, inv, n)
+        heavy = counts * 1_000_000 >= self.ppm * total
+        hterms = terms.filter(pa.array(heavy))
+        return pa.table({
+            "cell": pa.array(np.concatenate(
+                [uc, np.full(int(heavy.sum()), -1, np.int64), [-2]]),
+                pa.int64()),
+            "term": pa.concat_arrays([
+                pa.array([""] * len(uc), pa.string()),
+                pc.cast(hterms, pa.string()),
+                pa.array([""], pa.string())]),
+            "n": pa.array(np.concatenate(
+                [un, counts[heavy], [total]]), pa.int64())})
+
+
+class _ExactTermCounts:
+    """Exact tf for a broadcast candidate set only — the verify pass."""
+
+    def __init__(self, cand: tuple):
+        from bge_m3_onnx_ray.tokenizer import DeterministicTokenizer
+        self.tok = DeterministicTokenizer()
+        self.cand = pa.array(sorted(cand), pa.large_string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        flat, _ = self.tok.batch_token_lists(batch.column("text"))
+        if not len(flat):
+            return pa.table({"term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        hit = pc.is_in(flat, value_set=self.cand)
+        vc = pc.value_counts(flat.filter(hit))
+        return pa.table({
+            "term": vc.field("values").cast(pa.string()),
+            "tf": vc.field("counts").cast(pa.int64())})
+
+
+def heavy_hitter_terms(ds: rd.Dataset, threshold_ppm: int = 2000,
+                       depth: int = 4, width: int = 8192) -> pa.Table:
+    """EXACT heavy hitters — every term whose corpus-wide tf is >=
+    threshold_ppm/1e6 of all tokens — via the classic sketch-then-verify
+    shape: one streaming pass builds a merged count-min sketch + a
+    no-false-negative candidate union (locally-heavy pigeonhole) + the
+    token total; the sketch's overestimate-only point queries PRUNE
+    candidates (est < T cannot be heavy); a second streaming pass counts
+    the survivors exactly. Nothing corpus-sized ever aggregates: the
+    sketch is depth x width cells, candidates are bounded by
+    batches/phi, and the verify pass carries survivor terms only.
+    Returns (term, tf) sorted by term, exact."""
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+    from bge_m3_onnx_ray.stages._pool import task_stage
+
+    part = ds.select_columns(["text"]).map_batches(
+        task_stage(_CmsPartial, depth=depth, width=width,
+                   ppm=threshold_ppm),
+        batch_format="pyarrow", batch_size=8192)
+    merged = bucket_reduce(part, ["cell", "term"],
+                           [("n", "sum", "n")], n_buckets=32).to_pandas()
+    total = int(merged.loc[merged.cell == -2, "n"].sum())
+    if not total:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64())})
+    thresh_num = threshold_ppm * total            # compare tf*1e6 >= this
+    cand = merged[merged.cell == -1]["term"].tolist()
+    cells = merged[merged.cell >= 0]
+    sk = np.zeros(depth * width, np.int64)
+    sk[cells["cell"].to_numpy()] = cells["n"].to_numpy()
+    from bge_m3_onnx_ray.hashing import P31, P53, poly_hash
+    from bge_m3_onnx_ray.hashing import minhash_seeds
+    a, b = minhash_seeds(depth, seed=31)
+    carr = pa.array(sorted(set(cand)), pa.large_string())
+    h = poly_hash(carr, P53) % P31
+    est = np.full(len(h), np.iinfo(np.int64).max, np.int64)
+    for j in range(depth):
+        idx = ((h * a[j] + b[j]) % P31) % np.uint64(width)
+        est = np.minimum(est, sk[j * width + idx.astype(np.int64)])
+    keep = est * 1_000_000 >= thresh_num
+    survivors = tuple(t for t, k in zip(carr.to_pylist(), keep) if k)
+    if not survivors:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64())})
+    exact = bucket_reduce(
+        ds.select_columns(["text"]).map_batches(
+            task_stage(_ExactTermCounts, cand=survivors),
+            batch_format="pyarrow", batch_size=8192),
+        ["term"], [("tf", "sum", "tf")], n_buckets=16).to_pandas()
+    out = exact[exact.tf * 1_000_000 >= thresh_num] \
+        .sort_values("term").reset_index(drop=True)
+    return pa.table({"term": pa.array(out.term.tolist(), pa.string()),
+                     "tf": pa.array(out.tf.to_numpy(), pa.int64())})

@@ -1370,3 +1370,37 @@ def test_moving_hourly_gaps_and_negatives(ray_session):
     gb = got[got.event_type == "b"]
     assert list(zip(gb.hour, gb.sum_value_q2, gb.mavg_q4,
                     gb.delta_q2)) == [(7200, 100, 100 * 100 // 1, 100)]
+
+
+def test_heavy_hitters_zipf_exact(ray_session):
+    """Sketch-then-verify heavy hitters on a Zipf corpus where MOST
+    terms are below threshold: result equals a plain Python count
+    filter exactly, and the candidate/survivor machinery is actually
+    exercised (rare terms become local candidates yet get pruned)."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.sketch import heavy_hitter_terms
+    from bge_m3_onnx_ray.tokenizer import tokenize
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    probs = 1.0 / np.arange(1, 401)              # Zipf
+    probs /= probs.sum()
+    texts = [" ".join(rng.choice(vocab, size=30, p=probs))
+             for _ in range(400)]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    ppm = 5000
+    got = heavy_hitter_terms(ds, threshold_ppm=ppm).to_pandas()
+
+    cnt = collections.Counter()
+    for t in texts:
+        cnt.update(tokenize(t))
+    total = sum(cnt.values())
+    want = sorted((t, c) for t, c in cnt.items()
+                  if c * 1_000_000 >= ppm * total)
+    assert list(zip(got.term, got.tf.astype(int))) == want
+    assert 0 < len(want) < 100        # most of the 400 terms pruned
