@@ -219,6 +219,15 @@ def _q_phrase(sf_dir):
     return phrase_documents_topk(sf_dir)
 
 
+def _q_phrase_prefix(sf_dir):
+    # match_phrase_prefix: last token expands against the bucketed
+    # dictionary; expansions fill the last position slot of the exact
+    # phrase kernel as alternatives
+    from bge_m3_onnx_ray.pipelines.flagship import \
+        phrase_prefix_documents_topk
+    return phrase_prefix_documents_topk(sf_dir)
+
+
 def _q_phrase_transcripts(sf_dir):
     # exact-phrase over the authoritative multi-turn corpus (positional
     # index on the transcripts shard geometry; Unicode tokenizer mirror)
@@ -1212,6 +1221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matches_by_length_topk": _q_matches_by_length,
         "bm25_documents_topk_range": _q_bm25_range,
         "phrase_documents_topk": _q_phrase,
+        "phrase_prefix_documents_topk": _q_phrase_prefix,
         "bm25_documents_topk_appended": _q_bm25_appended,
         "bm25_documents_topk_upserted": _q_bm25_upserted,
         "bm25_documents_snippets": _q_snippets,
@@ -1883,6 +1893,66 @@ def _phrase_sql(k: int = 10) -> str:
             f"JOIN toks t{j} ON t{j}.doc_id = t0.doc_id "
             f"AND t{j}.pos = t0.pos + {j}" for j in range(1, len(ws)))
         conds = " AND ".join(f"t{j}.tok = '{w}'" for j, w in enumerate(ws))
+        match_ctes.append(
+            f"m{qid} AS (SELECT t0.doc_id, count(*)::DOUBLE AS tf "
+            f"FROM toks t0 {joins} WHERE {conds} GROUP BY t0.doc_id)")
+        union_parts.append(
+            f"SELECT {qid} AS query_id, doc_id, tf FROM m{qid}")
+    ctes = ",\n".join(match_ctes)
+    unions = "\nUNION ALL ".join(union_parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(ts, 1) AS pos, unnest(ts) AS tok
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')
+          AS ts FROM documents)),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM toks)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+{ctes},
+matches AS ({unions}),
+dfs AS (SELECT query_id, count(*)::DOUBLE AS df FROM matches
+        GROUP BY query_id),
+scores AS (
+  SELECT m.query_id, m.doc_id, m.tf,
+         ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           * (m.tf * 2.2) / (m.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+           AS score
+  FROM matches m
+  JOIN dfs f ON f.query_id = m.query_id
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s),
+ranked AS (
+  SELECT query_id, doc_id, tf,
+         CAST(floor(score * 1000000) AS BIGINT) AS score_q6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(floor(score * 1000000) AS BIGINT)
+                              DESC, doc_id) AS rnk
+  FROM scores)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
+       doc_id::BIGINT AS doc_id, tf::BIGINT AS tf, score_q6
+FROM ranked WHERE rnk <= {k} ORDER BY query_id, "rank"
+"""
+
+
+def _phrase_prefix_sql(k: int = 10) -> str:
+    """match_phrase_prefix oracle: the exact-phrase chained self-join
+    with the LAST position's equality swapped for LIKE 'prefix%' — the
+    SQL form of "any dictionary expansion may fill the last slot"."""
+    from bge_m3_onnx_ray.pipelines.flagship import PHRASE_PREFIX_QUERIES
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    match_ctes = []
+    union_parts = []
+    for qid, text in PHRASE_PREFIX_QUERIES:
+        ws = tokenize(text)
+        if not ws:
+            continue
+        joins = " ".join(
+            f"JOIN toks t{j} ON t{j}.doc_id = t0.doc_id "
+            f"AND t{j}.pos = t0.pos + {j}" for j in range(1, len(ws)))
+        conds = " AND ".join(
+            [f"t{j}.tok = '{w}'" for j, w in enumerate(ws[:-1])]
+            + [f"t{len(ws) - 1}.tok LIKE '{ws[-1]}%'"])
         match_ctes.append(
             f"m{qid} AS (SELECT t0.doc_id, count(*)::DOUBLE AS tf "
             f"FROM toks t0 {joins} WHERE {conds} GROUP BY t0.doc_id)")
@@ -3411,6 +3481,7 @@ ORDER BY pmi_q6 DESC, x, y LIMIT 50
             candidate_where=("tf.doc_id IN (SELECT doc_id FROM documents "
                              "WHERE n_chars BETWEEN 150 AND 350)")),
         "phrase_documents_topk": _phrase_sql(),
+        "phrase_prefix_documents_topk": _phrase_prefix_sql(),
         "phrase_documents_topk_appended": _phrase_sql(),
         "bm25_documents_topk_appended": _bm25_sql(quantized_rank=True),
         "bm25_documents_topk_upserted": _bm25_sql(

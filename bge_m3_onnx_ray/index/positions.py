@@ -578,6 +578,130 @@ class PhraseScorer:
                         schema=_MATCH_SCHEMA)
 
 
+class PhrasePrefixScorer(PhraseScorer):
+    """match_phrase_prefix actor: input rows (query_id, terms, alts,
+    shard) — ``terms`` are the exact leading tokens, ``alts`` the
+    dictionary expansion of the trailing PREFIX. A position holds
+    exactly one token, so the union of the alternatives' (doc, pos)
+    sets is still unique and drops straight into the same packed
+    sorted-set intersection as the exact phrase kernel."""
+
+    @staticmethod
+    def _prefix_hits(occ: dict, terms: list[str], alts: list[str]
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        per_term = [occ.get(t) for t in terms]
+        if any(p is None for p in per_term):
+            return empty
+        alt_occ = [o for a in alts if (o := occ.get(a)) is not None]
+        if not alt_occ:
+            return empty
+        ld = np.concatenate([o[0] for o in alt_occ])
+        lp = np.concatenate([o[1] for o in alt_occ])
+        if not terms:
+            docs, tfs = np.unique(ld, return_counts=True)
+            return docs, tfs.astype(np.int64)
+        m = len(terms) + 1
+        max_pos = max([int(p[1].max()) for p in per_term]
+                      + [int(lp.max())]) + m + 2
+        max_doc = max([int(p[0].max()) for p in per_term]
+                      + [int(ld.max())]) + 1
+        P = np.int64(1) << max(21, int(max_pos).bit_length())
+        if int(max_doc) * int(P) >= (1 << 62):
+            raise OverflowError(
+                "phrase key packing overflow: document too long for the "
+                "docID range (raise docs_per_shard granularity)")
+        s = per_term[0][0] * P + per_term[0][1]
+        for j in range(1, len(terms)):
+            kj = per_term[j][0] * P + per_term[j][1] - j
+            s = np.intersect1d(s, kj, assume_unique=True)
+            if not len(s):
+                return empty
+        klast = ld * P + lp - len(terms)
+        s = np.intersect1d(s, klast, assume_unique=True)
+        if not len(s):
+            return empty
+        docs, tfs = np.unique(s // P, return_counts=True)
+        return docs, tfs.astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_t, out_l = [], [], [], []
+        qids = batch.column("query_id").to_pylist()
+        termss = batch.column("terms").to_pylist()
+        altss = batch.column("alts").to_pylist()
+        shards = batch.column("shard").to_pylist()
+        hit_memo: dict[tuple[int, int], tuple] = {}
+        for qid, terms, alts, shard in zip(qids, termss, altss, shards):
+            shard = int(shard)
+            got = hit_memo.get((shard, qid))
+            if got is None:
+                occ = self._shard_occurrences(
+                    shard, sorted(set(terms) | set(alts)))
+                got = self._prefix_hits(occ, list(terms), list(alts))
+                hit_memo[(shard, qid)] = got
+            docs, tfs = got
+            if not len(docs):
+                continue
+            dl_docs, dls = self._shard_dls(shard)
+            dl = dls[np.searchsorted(dl_docs, docs)]
+            out_q.extend([qid] * len(docs))
+            out_d.extend(docs.tolist())
+            out_t.extend(tfs.tolist())
+            out_l.extend(dl.tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "tf": pa.array(out_t, pa.int64()),
+                         "dl": pa.array(out_l, pa.int64())},
+                        schema=_MATCH_SCHEMA)
+
+
+def phrase_prefix_search(index_dir: str, queries, k: int = 10,
+                         max_expansions: int = 10_000,
+                         batch_size: int = 64) -> rd.Dataset:
+    """match_phrase_prefix (the Elasticsearch query / Lucene
+    MultiPhraseQuery shape): the query's last token is a PREFIX —
+    "slow qu" matches "slow query", "slow quack", … . The prefix
+    expands once against the bucketed dictionary (a range-pruned scan,
+    never a full read; > ``max_expansions`` raises rather than silently
+    truncating, diverging from ES's quiet cap on purpose), the
+    expansion rides the fan-out as per-query alternatives for the last
+    position slot, and match df/score/top-k reuse the exact-phrase
+    tail, so the SQL mirror is the phrase oracle with its last join
+    condition swapped for LIKE 'prefix%'."""
+    _require_positions(index_dir)
+    meta = IndexMeta(index_dir)
+    offsets = ConvOffsets.load(index_dir)
+    from bge_m3_onnx_ray.tokenizer import make_tokenizer
+    tok = make_tokenizer(meta.stats.get("tokenizer_spec", "deterministic"))
+    rows = []
+    for qid, text in queries:
+        ts = tok.tokenize(str(text))
+        if not ts:
+            continue
+        alts = meta.expand_prefix(ts[-1], limit=max_expansions)
+        if not alts:
+            continue                       # prefix matches no term
+        rows.append({"query_id": int(qid), "terms": ts[:-1],
+                     "alts": alts})
+    pairs = [dict(r, shard=s) for s in meta.shards for r in rows]
+    if not pairs:
+        return rd.from_arrow(PHRASE_RESULT_SCHEMA.empty_table())
+    pairs.sort(key=lambda r: r["shard"])
+    from bge_m3_onnx_ray.stages._pool import task_stage
+    fanout = rd.from_arrow(pa.table({
+        "query_id": pa.array([p["query_id"] for p in pairs], pa.int64()),
+        "terms": pa.array([p["terms"] for p in pairs],
+                          pa.list_(pa.string())),
+        "alts": pa.array([p["alts"] for p in pairs],
+                         pa.list_(pa.string())),
+        "shard": pa.array([p["shard"] for p in pairs], pa.int64())}))
+    matches = fanout.map_batches(
+        task_stage(PhrasePrefixScorer, index_dir=index_dir),
+        batch_format="pyarrow", batch_size=batch_size,
+        num_cpus=1).materialize()
+    return _score_and_rank_matches(matches, meta, offsets, k)
+
+
 class NearScorer(PhraseScorer):
     """Proximity-match actor: input rows (query_id, term_a, term_b,
     slop, shard); output (query_id, doc_id, tf, dl) where tf = number of

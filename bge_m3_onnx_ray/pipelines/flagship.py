@@ -163,6 +163,18 @@ DOC_PHRASES: list[tuple[int, str]] = [
     (7, "slow query"),
 ]
 
+# match_phrase_prefix fixtures: the LAST token is a prefix. Shapes:
+# multi-expansion last slot, exact-term-as-prefix, single-token prefix,
+# prefix matching nothing, one-char prefix (wide expansion).
+PHRASE_PREFIX_QUERIES: list[tuple[int, str]] = [
+    (0, "key or"),                 # "or" -> order
+    (1, "table s"),                # wide: sort/scan/stream/spark/...
+    (2, "quer"),                   # single-token prefix
+    (3, "data zz"),                # prefix matches no term: zero rows
+    (4, "batch batch"),            # full term as prefix, repeated word
+    (5, "c"),                      # one char: customer/count/column/...
+]
+
 
 def _doc_rows_to_transcript(batch: pa.Table) -> pa.Table:
     ids = batch.column("doc_id").to_numpy()
@@ -1354,6 +1366,35 @@ def phrase_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
     idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
     build_positions(documents_as_transcripts(sf_dir), idx)  # no-op if built
     out = phrase_search(idx, DOC_PHRASES, k).to_pandas()
+    if not len(out):
+        import pandas as pd
+        out = pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                            "rank": pd.Series([], dtype=np.int32),
+                            "doc_id": pd.Series([], dtype=np.int64),
+                            "tf": pd.Series([], dtype=np.int64),
+                            "score_q6": pd.Series([], dtype=np.int64)})
+        return pa.Table.from_pandas(out, preserve_index=False)
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["query_id", "rank", "doc_id", "tf", "score_q6"]],
+        preserve_index=False)
+
+
+def phrase_prefix_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """match_phrase_prefix top-k: the query's last token is a PREFIX,
+    expanded against the bucketed dictionary and matched as alternative
+    last-position slots through the exact-phrase kernel. Same output
+    shape and quantized-ranking conventions as
+    :func:`phrase_documents_topk`; the oracle is the phrase self-join
+    with its last condition as LIKE 'prefix%'."""
+    from bge_m3_onnx_ray.index.positions import (build_positions,
+                                                 phrase_prefix_search)
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    build_positions(documents_as_transcripts(sf_dir), idx)  # no-op if built
+    out = phrase_prefix_search(idx, PHRASE_PREFIX_QUERIES, k).to_pandas()
     if not len(out):
         import pandas as pd
         out = pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),

@@ -321,3 +321,63 @@ def test_search_box_composition(positions_index):
     for (_, r), w in zip(got.iterrows(), want):
         assert int(r.doc_id) == w["doc_id"]
         assert abs(r.score - w["score"]) < 1e-12
+
+
+def test_phrase_prefix_vs_pure_python(positions_index):
+    """match_phrase_prefix: engine equals a direct token-scan recompute
+    (leading tokens exact, last token startswith-prefix; BM25 with
+    df = matching docs), across multi-expansion, exact-term-as-prefix,
+    single-token-prefix and no-expansion shapes."""
+    import math
+
+    import numpy as np
+
+    from bge_m3_onnx_ray.index.positions import phrase_prefix_search
+    idx, oi = positions_index
+
+    first = oi.doc_tokens[[i for i, t in enumerate(oi.doc_tokens)
+                           if len(t) >= 3][0]]
+    queries = [
+        (0, f"{first[0]} {first[1][:2]}"),    # bigram, 2-char prefix
+        (1, f"{first[0]} {first[1]}"),        # full term as prefix
+        (2, first[0][:1]),                    # 1-char single-token prefix
+        (3, f"{first[0]} zzzzz"),             # prefix matches nothing
+    ]
+    got = phrase_prefix_search(idx, queries, k=10).to_pandas()
+
+    import json
+    import os
+    stats = json.load(open(os.path.join(idx, "stats.json")))
+    avgdl, n_docs = stats["avgdl"], stats["n_docs"]  # engine's (q3) avgdl
+
+    for qid, text in queries:
+        ws = text.split()
+        lead, pref = ws[:-1], ws[-1]
+        matches = {}
+        for d, toks in enumerate(oi.doc_tokens):
+            n = 0
+            m = len(lead)
+            for i in range(len(toks) - m):
+                if toks[i:i + m] == lead and toks[i + m].startswith(pref):
+                    n += 1
+            if n:
+                matches[d] = n
+        mine = got[got.query_id == qid].sort_values("rank")
+        if not matches:
+            assert len(mine) == 0, (qid, text)
+            continue
+        df = len(matches)
+        w = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        scored = []
+        for d, tf in matches.items():
+            dl = float(oi.doc_lens[d])
+            # scoring.bm25_term_score's exact operand order
+            norm = 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))
+            s = ((tf * 2.2) / (tf + norm)) * w
+            scored.append((d, tf, s))
+        scored.sort(key=lambda r: (-math.floor(r[2] * 1e6), r[0]))
+        scored = scored[:10]
+        assert len(mine) == len(scored), (qid, text)
+        for (_, row), (d, tf, s) in zip(mine.iterrows(), scored):
+            assert int(row.doc_id) == d and int(row.tf) == tf, (qid, text)
+            assert row.score == pytest.approx(s, abs=0.0), (qid, text)
