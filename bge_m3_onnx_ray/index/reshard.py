@@ -72,20 +72,28 @@ def _postings_table(uniques: np.ndarray, enc: dict) -> pa.Table:
 
 
 def reshard_index(src_dir: str, dst_dir: str, new_docs_per_shard: int,
-                  concurrency: int | None = None) -> dict:
+                  concurrency: int | None = None,
+                  drop: tuple = ()) -> dict:
     """Write a ``new_docs_per_shard`` re-sharding of ``src_dir`` at
     ``dst_dir``. Split (smaller shards) and shrink (larger) both work;
-    boundaries need not align. Returns the new index's summary dict."""
+    boundaries need not align. Returns the new index's summary dict.
+
+    Optional artifacts (tombstones/attrs/positions) are not migrated:
+    by default their presence RAISES so a reshard can't silently lose
+    query capability; a caller that doesn't need one lists it in
+    ``drop`` and the destination is written without it (positional /
+    filtered queries against the new index will refuse as unbuilt)."""
     meta = IndexMeta(src_dir)
     odps = meta.docs_per_shard
     ndps = int(new_docs_per_shard)
     if ndps <= 0:
         raise ValueError("new_docs_per_shard must be positive")
     for d in ("tombstones", "attrs", "positions"):
-        if os.path.isdir(os.path.join(src_dir, d)):
+        if d not in drop and os.path.isdir(os.path.join(src_dir, d)):
             raise NotImplementedError(
                 f"reshard does not yet migrate the optional {d!r} "
-                "artifact; compact/drop it first")
+                "artifact; compact/drop it first, or pass "
+                f"drop=({d!r},) to reshard without it")
     n_docs = meta.n_docs
     n_new = (n_docs + ndps - 1) // ndps
     old_shards = meta.shards

@@ -63,3 +63,8 @@ def test_reshard_refuses_optional_artifacts(built, tmp_path):
     os.makedirs(os.path.join(src2, "tombstones"))
     with pytest.raises(NotImplementedError):
         reshard_index(src2, str(tmp_path / "dst"), 128)
+    # explicit drop: reshard proceeds, destination has no tombstones
+    reshard_index(src2, str(tmp_path / "dst2"), 128,
+                  drop=("tombstones",))
+    assert not os.path.isdir(os.path.join(str(tmp_path / "dst2"),
+                                          "tombstones"))
