@@ -835,6 +835,23 @@ def _q_ivf_disk_q8(sf_dir):
         k=10, nprobe=16, exclude={int(v): int(v) for v in qdf.vec_id})
 
 
+def _q_ann_filtered(sf_dir):
+    # filtered kNN: each query's candidates restrict to rows with the
+    # query's own label (pruning mask in the partial-top-k stage);
+    # cosine and tie-breaks unchanged
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.stages.ann import brute_force_topk
+    emb = _embeddings(sf_dir)
+    qdf = emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 5)),
+                          batch_format="pyarrow").to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    return brute_force_topk(
+        emb, np.stack(qdf.embedding.to_numpy()), qdf.vec_id.to_numpy(),
+        k=10, exclude={int(v): int(v) for v in qdf.vec_id},
+        label_of={int(v): int(l) for v, l in zip(qdf.vec_id, qdf.label)})
+
+
 def _q_ann_int8(sf_dir):
     # int8 scalar-quantized dot-product top-k (the 4x-compressed
     # serving path); integer scores, so the gate is grid-free exact
@@ -1304,6 +1321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "embedding_dup_pairs": _q_embedding_dups,
         "ann_cosine_topk": _q_ann,
+        "ann_filtered_topk": _q_ann_filtered,
         "ann_int8_topk": _q_ann_int8,
         "ivf_disk_cosine_topk": _q_ivf_disk,
         "ivf_disk_cosine_topk_appended": _q_ivf_disk_appended,
@@ -3218,6 +3236,25 @@ SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
 FROM ranked WHERE rnk <= 10
 """
 
+# filtered kNN (the Elasticsearch knn-with-filter shape): each query
+# vector searches ONLY rows carrying ITS OWN label — the filter prunes
+# candidates, cosine unchanged; self-match excluded as in _ANN_SQL
+_ANN_FILTERED_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 5),
+sims AS (SELECT q.query_id, e.vec_id,
+                list_cosine_similarity(q.qv, e.embedding) AS cos
+         FROM q CROSS JOIN embeddings e
+         WHERE e.vec_id <> q.query_id AND e.label = q.ql),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, vec_id) AS rnk FROM sims)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
+       vec_id::BIGINT AS vec_id,
+       CAST(floor(cos * 100) AS BIGINT) AS cos_q2
+FROM ranked WHERE rnk <= 10
+"""
+
+
 def _profile_sql() -> str:
     """Per-column profile oracle: one UNION ALL leg per column — exact
     SQL aggregate semantics (NULLs out of distinct/min/max), min/max
@@ -3939,6 +3976,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """,
         "ivf_cosine_topk": _ANN_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "ann_filtered_topk": _ANN_FILTERED_SQL,
         "ann_int8_topk": _ANN_INT8_SQL,
         "ivf_disk_cosine_topk": _ANN_SQL,
         "ivf_disk_cosine_topk_appended": _ANN_SQL,

@@ -38,15 +38,23 @@ def _embedding_matrix(col) -> np.ndarray:
 
 class _PartialTopK:
     """Per-batch exact cosine partial top-k against the broadcast query
-    matrix; state fetched once per worker (task_stage cache)."""
+    matrix; state fetched once per worker (task_stage cache).
+    ``label_of`` (query_id -> label), when present, restricts each
+    query's CANDIDATES to rows with that label (the Elasticsearch
+    knn-with-filter shape) — scores are unchanged, the filter only
+    prunes."""
 
     def __init__(self, q_ref, k: int):
         import ray
-        self.qids, self.q, self.exclude = ray.get(q_ref)
+        got = ray.get(q_ref)
+        self.qids, self.q, self.exclude = got[:3]
+        self.label_of = got[3] if len(got) > 3 else None
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vids = batch.column("vec_id").to_numpy()
+        labels = (batch.column("label").to_numpy()
+                  if self.label_of is not None else None)
         m = _normalize(_embedding_matrix(batch.column("embedding")))
         sims = self.q @ m.T                      # (n_q, n_batch)
         out_q, out_v, out_s = [], [], []
@@ -57,6 +65,8 @@ class _PartialTopK:
             ex = self.exclude.get(int(qid))
             if ex is not None:
                 mask &= vids != ex
+            if labels is not None:
+                mask &= labels == self.label_of[int(qid)]
             idx = np.flatnonzero(mask)
             if not len(idx):
                 continue
@@ -79,19 +89,26 @@ class _PartialTopK:
 
 def brute_force_topk(ds: rd.Dataset, query_vecs: np.ndarray,
                      query_ids: np.ndarray, k: int = 10,
-                     exclude: dict[int, int] | None = None) -> rd.Dataset:
+                     exclude: dict[int, int] | None = None,
+                     label_of: dict[int, int] | None = None) -> rd.Dataset:
     """Exact cosine top-k for each query vector.
 
     Output (query_id, rank, vec_id, cos_q2); ties (cos equal) break by
     ascending vec_id. ``exclude`` maps query_id -> vec_id to drop (self-
-    match exclusion when queries come from the corpus)."""
+    match exclusion when queries come from the corpus). ``label_of``
+    maps query_id -> required ``label`` value: filtered kNN — each
+    query's candidates restrict to rows carrying its label (pruning
+    only; cosine unchanged)."""
     import ray
 
     q = _normalize(np.asarray(query_vecs, np.float64))
     q_ref = ray.put((np.asarray(query_ids, np.int64), q,
-                     dict(exclude or {})))
+                     dict(exclude or {}),
+                     dict(label_of) if label_of is not None else None))
 
-    partials = ds.select_columns(["vec_id", "embedding"]).map_batches(
+    cols = (["vec_id", "embedding", "label"] if label_of is not None
+            else ["vec_id", "embedding"])
+    partials = ds.select_columns(cols).map_batches(
         task_stage(_PartialTopK, q_ref=q_ref, k=k),
         batch_format="pyarrow", batch_size=4096)
 
