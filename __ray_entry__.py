@@ -947,6 +947,14 @@ def _q_events_moving(sf_dir):
     return moving_hourly(_events(sf_dir))
 
 
+def _q_events_running(sf_dir):
+    # ordered-window running total per user: q2-quantize BEFORE the
+    # integer cumsum so both engines agree bit-for-bit; one
+    # user-bucket shuffle + vectorized multi-user kernel
+    from bge_m3_onnx_ray.stages.events import user_running_totals
+    return user_running_totals(_events(sf_dir))
+
+
 def _q_events_distinct_daily(sf_dir):
     # exact distributed COUNT DISTINCT per day: per-batch pair dedupe ->
     # one pair-bucket shuffle -> per-bucket distinct counts -> tiny sum
@@ -1334,6 +1342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": _q_revenue_by_segment,
         "events_hourly": _q_events_hourly,
         "events_moving_hourly": _q_events_moving,
+        "events_user_running_totals": _q_events_running,
         "events_distinct_users_daily": _q_events_distinct_daily,
         "events_value_percentiles": _q_events_percentiles,
         "events_value_stats": _q_events_stats,
@@ -4054,6 +4063,18 @@ SELECT event_type, hour, q2 AS sum_value_q2,
        ((wsum * 100) // wn)::BIGINT AS mavg_q4,
        (q2 - prev)::BIGINT AS delta_q2
 FROM win ORDER BY event_type, hour
+""",
+        # running total per user: inputs quantized to the exact q2 grid
+        # BEFORE the ordered-window sum, so integer accumulation matches
+        # the engine bit-for-bit at any summation tree
+        "events_user_running_totals": """
+WITH e AS (SELECT event_id, user_id, ts,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS q2
+           FROM events)
+SELECT event_id, user_id,
+       sum(q2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)::BIGINT AS running_q2
+FROM e ORDER BY event_id
 """,
         "events_distinct_users_daily": """
 SELECT (epoch_us(ts) // 1000000 // 86400) * 86400 AS day,

@@ -249,6 +249,52 @@ def sessionize(ds: rd.Dataset, gap_minutes: int = 30,
         .groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
+def user_running_totals(ds: rd.Dataset, n_buckets: int = 512) -> rd.Dataset:
+    """Per-user running total of ``value`` — the ordered-window
+    cumulative sum (SQL: SUM OVER PARTITION BY user ORDER BY ts, id).
+    Output one row per event: (event_id, user_id, running_q2).
+
+    Values quantize to the q2 integer grid BEFORE accumulation
+    (2-decimal inputs are exact there), so the integer cumsum equals
+    the oracle's windowed sum bit-for-bit regardless of either engine's
+    summation tree. Same ONE hash-bucket-of-user shuffle + vectorized
+    multi-user kernel as :func:`sessionize`; per-call work is
+    ~rows/n_buckets, and n_buckets scales with the cluster."""
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = g.num_rows
+        order = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")])
+        tbl = g.take(order)
+        users = tbl.column("user_id").combine_chunks()
+        q2 = np.floor(tbl.column("value").to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        uchg = np.empty(n, bool)
+        uchg[0] = True
+        uchg[1:] = np.asarray(
+            pc.not_equal(users.slice(1), users.slice(0, n - 1))
+            .to_numpy(zero_copy_only=False))
+        starts = np.flatnonzero(uchg)
+        counts = np.diff(np.concatenate([starts, [n]]))
+        csum = np.cumsum(q2)
+        base = np.repeat(csum[starts] - q2[starts], counts)
+        return pa.table({
+            "event_id": tbl.column("event_id"),
+            "user_id": users,
+            "running_q2": pa.array(csum - base, pa.int64())})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from bge_m3_onnx_ray.hashing import P53, poly_hash
+        b = (poly_hash(t.column("user_id"), P53) % np.uint64(n_buckets))
+        return t.append_column("_bucket", pa.array(b.astype(np.int64)))
+
+    return ds.select_columns(["event_id", "ts", "user_id", "value"]) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
 def distinct_users_daily(ds: rd.Dataset, n_buckets: int = 256) -> rd.Dataset:
     """Exact COUNT(DISTINCT user_id) per UTC day — the cardinality
     aggregation, exact path.

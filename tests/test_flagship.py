@@ -35,7 +35,7 @@ def duck():
     "events_value_percentiles", "events_distinct_users_daily",
     "stratified_split_documents", "events_moving_hourly",
     "heavy_hitter_terms", "phrase_prefix_documents_topk",
-    "ann_filtered_topk",
+    "ann_filtered_topk", "events_user_running_totals",
     "histogram_n_chars", "events_daily_pipeline",
 ])
 def test_flagship_vs_sql_oracle(ray_session, duck, name):
