@@ -852,6 +852,26 @@ def _q_ann_filtered(sf_dir):
         label_of={int(v): int(l) for v, l in zip(qdf.vec_id, qdf.label)})
 
 
+def _q_pq_adc(sf_dir):
+    # product quantization: 64-dim float -> 8 one-byte codes (64x vs
+    # float64), queries answered by ADC lookup-table sums over the codes
+    # column — the memory-side ANN scale path. Approximate by design:
+    # rows-only driver check; recall/determinism gated in pytest
+    # (tests/test_stages.py::test_pq_adc_recall_and_determinism)
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.stages.ann import pq_encode, pq_topk, pq_train
+    emb = _embeddings(sf_dir)
+    qdf = emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 5)),
+                          batch_format="pyarrow").to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    books = pq_train(emb, m=8, k=32, n_iters=3)
+    codes = pq_encode(emb, books)
+    return pq_topk(codes, books, np.stack(qdf.embedding.to_numpy()),
+                   qdf.vec_id.to_numpy(), k=10,
+                   exclude={int(v): int(v) for v in qdf.vec_id})
+
+
 def _q_ann_int8(sf_dir):
     # int8 scalar-quantized dot-product top-k (the 4x-compressed
     # serving path); integer scores, so the gate is grid-free exact
@@ -1330,6 +1350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dups,
         "ann_cosine_topk": _q_ann,
         "ann_filtered_topk": _q_ann_filtered,
+        "pq_adc_topk": _q_pq_adc,
         "ann_int8_topk": _q_ann_int8,
         "ivf_disk_cosine_topk": _q_ivf_disk,
         "ivf_disk_cosine_topk_appended": _q_ivf_disk_appended,

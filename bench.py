@@ -273,6 +273,29 @@ def run_bench() -> dict:
     out["ivf_clustered"] = {"n_lists": 64, "exact_sec": round(ct_bf, 2),
                             "curve": ccurve, "recommended_nprobe": crec}
 
+    # ---- PQ (product quantization, m=8 x k=32 -> 8 bytes/vector): ADC
+    # shortlist recall of the exact top-10 over the sf embeddings —
+    # the shortlist-then-rerank trade the memory-side path offers
+    from bge_m3_onnx_ray.stages.ann import pq_encode, pq_topk, pq_train
+    t0 = time.perf_counter()
+    books = pq_train(emb, m=8, k=32, n_iters=3)
+    pq_codes = pq_encode(emb, books).materialize()
+    t_pq_build = time.perf_counter() - t0
+    pq_curve = {}
+    for sl in (10, 50, 100, 200):
+        t0 = time.perf_counter()
+        sdf = pq_topk(pq_codes, books, qv, qid, k=sl).to_pandas()
+        t_sl = time.perf_counter() - t0
+        rec = round(np.mean([
+            len(set(sdf[sdf.query_id == q].vec_id)
+                & set(bf[bf.query_id == q].vec_id)) / 10.0
+            for q in qid]), 3)
+        pq_curve[sl] = {"recall_of_exact_top10": rec,
+                        "adc_sec": round(t_sl, 2)}
+    out["pq"] = {"m": 8, "k": 32, "bytes_per_vector": 8,
+                 "train_encode_sec": round(t_pq_build, 2),
+                 "shortlist_curve": pq_curve}
+
     # ---- persisted IVF (partitioned parquet, probe-pruned READS): the
     # storage-level prune — bytes opened at nprobe=1 vs the whole index
     import os as _os
@@ -415,7 +438,12 @@ def run_bench() -> dict:
               "bm25f_documents_topk", "rescore_documents_topk",
               "collocations_documents", "dedup_keep_best",
               "profile_documents", "weighted_sample_documents",
-              "transcripts_sft_pairs", "corpus_diff_documents"]
+              "transcripts_sft_pairs", "corpus_diff_documents",
+              "stratified_split_documents", "heavy_hitter_terms",
+              "events_moving_hourly", "events_user_running_totals",
+              "bm25_documents_topk_resharded", "ann_filtered_topk",
+              "rank_eval_ndcg_documents",
+              "phrase_prefix_documents_topk"]
     qs = m.queries()
     for name in wanted:
         t0 = time.perf_counter()

@@ -793,3 +793,201 @@ def embedding_contamination(ds: rd.Dataset, bench_vecs: np.ndarray,
     return ds.select_columns(["vec_id", "embedding"]).map_batches(
         task_stage(_Flag, b_ref=b_ref), batch_format="pyarrow",
         batch_size=4096)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou, Douze & Schmid 2011, "Product
+# quantization for nearest neighbor search"): split each NORMALIZED
+# vector into m subvectors, k-means each subspace independently, store
+# one byte-ish code per subspace — dim x 8 bytes shrinks to m bytes —
+# and answer queries with asymmetric distance (ADC): per query one
+# (m x k) lookup table of exact subspace dot products, per candidate a
+# SUM of m table gathers, no float vector ever read at query time.
+# This is the memory-side 100 TB ANN path (int8 SQ is 4x; PQ here is
+# dim*8/m = 64x at m=8 over float64, 32x over float32), composable
+# with IVF (probe lists, then ADC within them).
+
+
+def pq_train(ds: rd.Dataset, m: int = 8, k: int = 16,
+             n_iters: int = 5) -> np.ndarray:
+    """(m, k, dim/m) PQ codebooks via per-subspace k-means, every heavy
+    pass a map_batches partial (same reduce discipline as
+    :func:`kmeans_centroids`: the driver folds m*k*subdim floats per
+    iteration, partial rows sorted before summing so codebooks are
+    independent of batch arrival order). Seeds: the k corpus rows with
+    the smallest deterministic hash, sliced per subspace."""
+    import ray
+
+    seeds = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        task_stage(_KMeansSeed, k=k),
+        batch_format="pyarrow", batch_size=8192).to_pandas()
+    seeds = seeds.sort_values(["h", "vec_id"]).head(k)
+    full = _normalize(np.vstack(seeds["embedding"].to_numpy()))
+    dim = full.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.stack([full[:, j * sub:(j + 1) * sub] for j in range(m)])
+
+    class _PqPartial:
+        """Per-batch (subspace, cid) partial sums for the next
+        codebooks: assignment by exact squared distance
+        |x|^2 - 2 x.c + |c|^2 (only the argmin-relevant terms)."""
+
+        def __init__(self, b_ref):
+            self.books = ray.get(b_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = _normalize(_embedding_matrix(batch.column("embedding")))
+            mm, kk, sd = self.books.shape
+            out_j, out_c, out_n, out_s = [], [], [], []
+            for j in range(mm):
+                xs = x[:, j * sd:(j + 1) * sd]
+                b = self.books[j]
+                d = (xs * xs).sum(1)[:, None] - 2.0 * (xs @ b.T) \
+                    + (b * b).sum(1)[None, :]
+                a = np.argmin(d, axis=1)
+                order = np.argsort(a, kind="stable")
+                a_o = a[order]
+                bounds = np.concatenate(
+                    [[0], np.flatnonzero(np.diff(a_o)) + 1, [len(a_o)]])
+                cids = a_o[bounds[:-1]]
+                sums = np.add.reduceat(xs[order], bounds[:-1], axis=0)
+                out_j.extend([j] * len(cids))
+                out_c.extend(cids.tolist())
+                out_n.extend(np.diff(bounds).tolist())
+                out_s.extend(list(sums))
+            return pa.table({
+                "sub": pa.array(out_j, pa.int64()),
+                "cid": pa.array(out_c, pa.int64()),
+                "cnt": pa.array(out_n, pa.int64()),
+                "sum": pa.array([s.tolist() for s in out_s],
+                                pa.list_(pa.float64()))})
+
+    for _ in range(n_iters):
+        b_ref = ray.put(books)
+        parts = ds.select_columns(["vec_id", "embedding"]).map_batches(
+            task_stage(_PqPartial, b_ref=b_ref),
+            batch_format="pyarrow", batch_size=8192).to_pandas()
+        parts["key"] = parts["sum"].map(lambda v: np.asarray(v).tobytes())
+        parts = parts.sort_values(["sub", "cid", "cnt", "key"])
+        nxt = books.copy()               # empty cell keeps its centroid
+        for (j, cid), grp in parts.groupby(["sub", "cid"], sort=True):
+            s = np.sum(np.vstack(grp["sum"].to_numpy()), axis=0)
+            n = int(grp["cnt"].sum())
+            if n > 0:
+                nxt[int(j), int(cid)] = s / n
+        books = nxt
+    return books
+
+
+def pq_encode(ds: rd.Dataset, books: np.ndarray) -> rd.Dataset:
+    """(vec_id, code): each NORMALIZED vector's per-subspace nearest
+    codewords packed as an m-byte binary — the stored index body (this
+    is what you write_parquet at scale; the float column never ships to
+    the query tier)."""
+    import ray
+    b_ref = ray.put(np.ascontiguousarray(books))
+
+    class _Encode:
+        def __init__(self, b_ref):
+            self.books = ray.get(b_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = _normalize(_embedding_matrix(batch.column("embedding")))
+            mm, kk, sd = self.books.shape
+            codes = np.empty((len(x), mm), np.uint8)
+            for j in range(mm):
+                xs = x[:, j * sd:(j + 1) * sd]
+                b = self.books[j]
+                d = (xs * xs).sum(1)[:, None] - 2.0 * (xs @ b.T) \
+                    + (b * b).sum(1)[None, :]
+                codes[:, j] = np.argmin(d, axis=1).astype(np.uint8)
+            return pa.table({
+                "vec_id": batch.column("vec_id"),
+                "code": pa.array([c.tobytes() for c in codes],
+                                 pa.binary())})
+
+    return ds.select_columns(["vec_id", "embedding"]).map_batches(
+        task_stage(_Encode, b_ref=b_ref),
+        batch_format="pyarrow", batch_size=8192)
+
+
+class _PqAdcPartial:
+    """ADC partial top-k over a codes batch: per query an (m x k) LUT of
+    exact subspace dots; candidate score = sum of m gathers. No float
+    vectors at query time."""
+
+    def __init__(self, q_ref, k: int):
+        import ray
+        self.qids, self.luts, self.exclude = ray.get(q_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch.column("vec_id").to_numpy()
+        bc = batch.column("code").combine_chunks()
+        mm = self.luts.shape[1]
+        codes = np.frombuffer(
+            b"".join(bc.to_pylist()), np.uint8).reshape(-1, mm)
+        out_q, out_v, out_s = [], [], []
+        k = self.k
+        for qi, qid in enumerate(self.qids):
+            lut = self.luts[qi]                  # (m, k_codes)
+            s = lut[np.arange(mm)[None, :], codes].sum(axis=1)
+            mask = np.ones(len(vids), bool)
+            ex = self.exclude.get(int(qid))
+            if ex is not None:
+                mask &= vids != ex
+            idx = np.flatnonzero(mask)
+            if not len(idx):
+                continue
+            kk = min(k, len(idx))
+            if len(idx) > kk:
+                kth = -np.partition(-s[idx], kk - 1)[kk - 1]
+                top = idx[s[idx] >= kth]
+            else:
+                top = idx
+            out_q.extend([qid] * len(top))
+            out_v.extend(vids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "cos": pa.array(out_s, pa.float64())})
+
+
+def pq_topk(codes: rd.Dataset, books: np.ndarray, query_vecs: np.ndarray,
+            query_ids: np.ndarray, k: int = 10,
+            exclude: dict[int, int] | None = None) -> rd.Dataset:
+    """Approximate cosine top-k by ADC over a PQ-coded corpus. Output
+    (query_id, rank, vec_id, cos_q2) — same shape as
+    :func:`brute_force_topk`; scores are the ADC approximation (bench
+    records recall@k against the exact path)."""
+    import ray
+
+    q = _normalize(np.asarray(query_vecs, np.float64))
+    mm, kk, sd = books.shape
+    luts = np.empty((len(q), mm, kk), np.float64)
+    for j in range(mm):
+        luts[:, j, :] = q[:, j * sd:(j + 1) * sd] @ books[j].T
+    q_ref = ray.put((np.asarray(query_ids, np.int64), luts,
+                     dict(exclude or {})))
+
+    partials = codes.map_batches(
+        task_stage(_PqAdcPartial, q_ref=q_ref, k=k),
+        batch_format="pyarrow", batch_size=8192)
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        s = group.column("cos").to_numpy()
+        v = group.column("vec_id").to_numpy()
+        order = np.lexsort((v, -s))[:k]
+        return pa.table({
+            "query_id": pa.array(np.full(len(order), qid), pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32),
+                             pa.int32()),
+            "vec_id": pa.array(v[order], pa.int64()),
+            "cos_q2": pa.array(np.floor(s[order] * 100.0).astype(np.int64),
+                               pa.int64())})
+
+    return partials.groupby("query_id").map_groups(
+        merge, batch_format="pyarrow")
