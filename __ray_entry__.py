@@ -1163,6 +1163,31 @@ def _q_stratified_split(sf_dir):
         ["doc_id", "lang"]))
 
 
+def _q_bpe_merges(sf_dir):
+    # BPE tokenizer TRAINING: corpus -> (word, count) table in one
+    # streaming pass, merge loop on the vocabulary-sized table. Rows-only
+    # by nature (iterative algorithm); reference-implementation parity
+    # gated in tests/test_bpe.py
+    import pyarrow as pa
+
+    from bge_m3_onnx_ray.stages.bpe import bpe_train
+    merges = bpe_train(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                       n_merges=50)
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([a for a, _ in merges], pa.string()),
+        "right": pa.array([b for _, b in merges], pa.string())})
+
+
+def _q_bpe_token_count(sf_dir):
+    # distributed BPE encode under the learned merges: per-batch word
+    # memo, vectorized scatter back to documents
+    from bge_m3_onnx_ray.stages.bpe import bpe_encode_counts, bpe_train
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=50)
+    return bpe_encode_counts(docs, merges)
+
+
 def _q_heavy_hitters(sf_dir):
     # exact heavy hitters by sketch-then-verify: count-min partials +
     # pigeonhole candidates merge in one bucket_reduce; sketch point
@@ -1332,6 +1357,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_sample_hash": _q_corpus_sample_hash,
         "stratified_split_documents": _q_stratified_split,
         "heavy_hitter_terms": _q_heavy_hitters,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_token_count": _q_bpe_token_count,
         "gopher_repetition": _q_gopher_repetition,
         "mixture_sample": _q_mixture_sample,
         "unigram_surprise": _q_unigram_surprise,
