@@ -967,6 +967,13 @@ def _q_events_moving(sf_dir):
     return moving_hourly(_events(sf_dir))
 
 
+def _q_events_percentile_ranks(sf_dir):
+    # percentile_ranks (inverse percentiles): map-side partial counts
+    # per (type, threshold), tiny reduce, exact integer ppm
+    from bge_m3_onnx_ray.stages.events import value_percentile_ranks
+    return value_percentile_ranks(_events(sf_dir))
+
+
 def _q_events_running(sf_dir):
     # ordered-window running total per user: q2-quantize BEFORE the
     # integer cumsum so both engines agree bit-for-bit; one
@@ -1391,6 +1398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_moving_hourly": _q_events_moving,
         "events_user_running_totals": _q_events_running,
+        "events_value_percentile_ranks": _q_events_percentile_ranks,
         "events_distinct_users_daily": _q_events_distinct_daily,
         "events_value_percentiles": _q_events_percentiles,
         "events_value_stats": _q_events_stats,
@@ -4211,6 +4219,19 @@ SELECT d.event_type, d.day, d.n_events,
             THEN 1 ELSE 0 END::BIGINT AS flagged
 FROM d JOIN s USING (event_type)
 ORDER BY d.event_type, d.day
+""",
+        # percentile_ranks: exact ppm of events at or below each q2
+        # threshold, per type — integer division both sides
+        "events_value_percentile_ranks": """
+WITH e AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS q2
+           FROM events),
+th(threshold_q2) AS (VALUES (100), (1000), (5000))
+SELECT event_type, threshold_q2::BIGINT AS threshold_q2,
+       ((sum(CASE WHEN q2 <= threshold_q2 THEN 1 ELSE 0 END) * 1000000)
+         // count(*))::BIGINT AS rank_ppm,
+       count(*)::BIGINT AS n_events
+FROM e CROSS JOIN th GROUP BY event_type, threshold_q2
 """,
         "events_value_percentiles": """
 WITH e AS (SELECT event_type,

@@ -249,6 +249,62 @@ def sessionize(ds: rd.Dataset, gap_minutes: int = 30,
         .groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
+def value_percentile_ranks(ds: rd.Dataset,
+                           thresholds: tuple = (100, 1000, 5000)
+                           ) -> rd.Dataset:
+    """percentile_ranks — the INVERSE of the percentiles aggregation:
+    for each event_type and each q2 threshold, what fraction (ppm) of
+    events have value <= threshold. Pure map-side partial counts (one
+    int per (type, threshold) per batch) + a tiny bucket_reduce; the
+    exact-integer ppm ((n_le * 1e6) // n) matches SQL BIGINT division.
+    Output (event_type, threshold_q2, rank_ppm, n_events)."""
+    th = np.asarray(sorted(thresholds), np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").combine_chunks().dictionary_encode()
+        codes = np.asarray(et.indices).astype(np.int64)
+        q2 = np.floor(batch.column("value").to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        if not len(codes):
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "threshold_q2": pa.array([], pa.int64()),
+                             "n_le": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        out_e, out_t, out_le, out_n = [], [], [], []
+        for ci in range(len(et.dictionary)):
+            m = codes == ci
+            vals = q2[m]
+            for t in th:
+                out_e.append(ci)
+                out_t.append(int(t))
+                out_le.append(int((vals <= t).sum()))
+                out_n.append(int(m.sum()))
+        return pa.table({
+            "event_type": et.dictionary.take(pa.array(out_e))
+                .cast(pa.string()),
+            "threshold_q2": pa.array(out_t, pa.int64()),
+            "n_le": pa.array(out_le, pa.int64()),
+            "n": pa.array(out_n, pa.int64())})
+
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+    agg = bucket_reduce(
+        ds.select_columns(["event_type", "value"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "threshold_q2"],
+        [("n_le", "sum", "n_le"), ("n", "sum", "n")], n_buckets=16)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n_le = batch.column("n_le").to_numpy()
+        n = batch.column("n").to_numpy()
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "threshold_q2": batch.column("threshold_q2"),
+            "rank_ppm": pa.array((n_le * 1_000_000) // n, pa.int64()),
+            "n_events": pa.array(n, pa.int64())})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def user_running_totals(ds: rd.Dataset, n_buckets: int = 512) -> rd.Dataset:
     """Per-user running total of ``value`` — the ordered-window
     cumulative sum (SQL: SUM OVER PARTITION BY user ORDER BY ts, id).

@@ -36,6 +36,7 @@ def duck():
     "stratified_split_documents", "events_moving_hourly",
     "heavy_hitter_terms", "phrase_prefix_documents_topk",
     "ann_filtered_topk", "events_user_running_totals",
+    "events_value_percentile_ranks",
     "histogram_n_chars", "events_daily_pipeline",
 ])
 def test_flagship_vs_sql_oracle(ray_session, duck, name):
