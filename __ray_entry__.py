@@ -872,6 +872,28 @@ def _q_pq_adc(sf_dir):
                    exclude={int(v): int(v) for v in qdf.vec_id})
 
 
+def _q_ivfpq_adc(sf_dir):
+    # IVF+PQ composed: probe-pruned lists, ADC within — the
+    # 10^12-vector index body (list-partitioned m-byte codes, floats
+    # discarded). Approximate by design: rows-only; nprobe=all ==
+    # plain-PQ exactness gated in pytest (test_ivfpq_full_probe...)
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.stages.ann import (ivfpq_encode, ivfpq_topk,
+                                            kmeans_centroids, pq_train)
+    emb = _embeddings(sf_dir)
+    qdf = emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 5)),
+                          batch_format="pyarrow").to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    cents = kmeans_centroids(emb, n_lists=16, n_iters=3)
+    books = pq_train(emb, m=8, k=32, n_iters=3)
+    codes = ivfpq_encode(emb, cents, books)
+    return ivfpq_topk(codes, cents, books,
+                      np.stack(qdf.embedding.to_numpy()),
+                      qdf.vec_id.to_numpy(), k=10, nprobe=4,
+                      exclude={int(v): int(v) for v in qdf.vec_id})
+
+
 def _q_ann_int8(sf_dir):
     # int8 scalar-quantized dot-product top-k (the 4x-compressed
     # serving path); integer scores, so the gate is grid-free exact
@@ -1385,6 +1407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _q_ann,
         "ann_filtered_topk": _q_ann_filtered,
         "pq_adc_topk": _q_pq_adc,
+        "ivfpq_adc_topk": _q_ivfpq_adc,
         "ann_int8_topk": _q_ann_int8,
         "ivf_disk_cosine_topk": _q_ivf_disk,
         "ivf_disk_cosine_topk_appended": _q_ivf_disk_appended,

@@ -991,3 +991,128 @@ def pq_topk(codes: rd.Dataset, books: np.ndarray, query_vecs: np.ndarray,
 
     return partials.groupby("query_id").map_groups(
         merge, batch_format="pyarrow")
+
+
+class _IvfPqAdcPartial(_PqAdcPartial):
+    """ADC partial top-k restricted to PROBED IVF lists: rows outside
+    every query's probe set drop before any LUT gather (the compute
+    analogue of reading only the probed code partitions)."""
+
+    def __init__(self, q_ref, k: int):
+        import ray
+        (self.qids, self.luts, self.exclude,
+         self.probes, self.union) = ray.get(q_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lists = batch.column("list_id").to_numpy()
+        keep = np.isin(lists, self.union)
+        out_q, out_v, out_s = [], [], []
+        if keep.any():
+            sub = batch.filter(pa.array(keep))
+            vids = sub.column("vec_id").to_numpy()
+            lsub = lists[keep]
+            bc = sub.column("code").combine_chunks()
+            mm = self.luts.shape[1]
+            codes = np.frombuffer(
+                b"".join(bc.to_pylist()), np.uint8).reshape(-1, mm)
+            k = self.k
+            for qi, qid in enumerate(self.qids):
+                lut = self.luts[qi]
+                s = lut[np.arange(mm)[None, :], codes].sum(axis=1)
+                mask = np.isin(lsub, self.probes[qi])
+                ex = self.exclude.get(int(qid))
+                if ex is not None:
+                    mask &= vids != ex
+                idx = np.flatnonzero(mask)
+                if not len(idx):
+                    continue
+                kk = min(k, len(idx))
+                if len(idx) > kk:
+                    kth = -np.partition(-s[idx], kk - 1)[kk - 1]
+                    top = idx[s[idx] >= kth]
+                else:
+                    top = idx
+                out_q.extend([qid] * len(top))
+                out_v.extend(vids[top].tolist())
+                out_s.extend(s[top].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "cos": pa.array(out_s, pa.float64())})
+
+
+def ivfpq_encode(ds: rd.Dataset, centroids: np.ndarray,
+                 books: np.ndarray) -> rd.Dataset:
+    """(vec_id, list_id, code): the composed IVF+PQ index body — the
+    shape a 10^12-vector system stores (parquet partitioned by list_id,
+    m bytes of code per vector, floats discarded)."""
+    assigned = ivf_assign(ds, centroids)
+    import ray
+    b_ref = ray.put(np.ascontiguousarray(books))
+
+    class _Encode:
+        def __init__(self, b_ref):
+            self.books = ray.get(b_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = _normalize(_embedding_matrix(batch.column("embedding")))
+            mm, kk, sd = self.books.shape
+            codes = np.empty((len(x), mm), np.uint8)
+            for j in range(mm):
+                xs = x[:, j * sd:(j + 1) * sd]
+                b = self.books[j]
+                d = (xs * xs).sum(1)[:, None] - 2.0 * (xs @ b.T) \
+                    + (b * b).sum(1)[None, :]
+                codes[:, j] = np.argmin(d, axis=1).astype(np.uint8)
+            return pa.table({
+                "vec_id": batch.column("vec_id"),
+                "list_id": batch.column("list_id"),
+                "code": pa.array([c.tobytes() for c in codes],
+                                 pa.binary())})
+
+    return assigned.map_batches(
+        task_stage(_Encode, b_ref=b_ref),
+        batch_format="pyarrow", batch_size=8192)
+
+
+def ivfpq_topk(codes: rd.Dataset, centroids: np.ndarray,
+               books: np.ndarray, query_vecs: np.ndarray,
+               query_ids: np.ndarray, k: int = 10, nprobe: int = 4,
+               exclude: dict[int, int] | None = None) -> rd.Dataset:
+    """IVF+PQ search: probe each query's ``nprobe`` nearest lists, score
+    ONLY their rows by ADC. At ``nprobe = n_lists`` this equals plain
+    :func:`pq_topk` over the same codes exactly (tested), so the probe
+    pruning is separately measurable from the quantization loss."""
+    import ray
+
+    q = _normalize(np.asarray(query_vecs, np.float64))
+    mm, kk, sd = books.shape
+    luts = np.empty((len(q), mm, kk), np.float64)
+    for j in range(mm):
+        luts[:, j, :] = q[:, j * sd:(j + 1) * sd] @ books[j].T
+    cs = q @ np.ascontiguousarray(centroids, np.float64).T
+    nprobe = min(nprobe, centroids.shape[0])
+    probes = np.argsort(-cs, axis=1)[:, :nprobe].astype(np.int64)
+    union = np.unique(probes)
+    q_ref = ray.put((np.asarray(query_ids, np.int64), luts,
+                     dict(exclude or {}), probes, union))
+
+    partials = codes.map_batches(
+        task_stage(_IvfPqAdcPartial, q_ref=q_ref, k=k),
+        batch_format="pyarrow", batch_size=8192)
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        s = group.column("cos").to_numpy()
+        v = group.column("vec_id").to_numpy()
+        order = np.lexsort((v, -s))[:k]
+        return pa.table({
+            "query_id": pa.array(np.full(len(order), qid), pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32),
+                             pa.int32()),
+            "vec_id": pa.array(v[order], pa.int64()),
+            "cos_q2": pa.array(np.floor(s[order] * 100.0).astype(np.int64),
+                               pa.int64())})
+
+    return partials.groupby("query_id").map_groups(
+        merge, batch_format="pyarrow")

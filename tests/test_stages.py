@@ -1452,3 +1452,42 @@ def test_pq_adc_recall_and_determinism(ray_session):
         hits += len(a & e) / len(e)
     recall = hits / len(qids)
     assert recall >= 0.8, f"ADC shortlist-50 recall@10 too low: {recall:.3f}"
+
+
+def test_ivfpq_full_probe_equals_plain_pq(ray_session):
+    """IVF+PQ at nprobe = n_lists must equal plain ADC over the same
+    codes EXACTLY (probe pruning and quantization loss are separable),
+    and nprobe=1 must return a subset with nonzero overlap."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.ann import (ivfpq_encode, ivfpq_topk,
+                                            kmeans_centroids, pq_encode,
+                                            pq_topk, pq_train)
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((5, 32)) * 4.0
+    m = np.vstack([centers[i % 5] + rng.standard_normal(32) * 1.5
+                   for i in range(500)])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(500), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in m],
+                              pa.list_(pa.float32()))}))
+    cents = kmeans_centroids(ds, n_lists=8, n_iters=3)
+    books = pq_train(ds, m=8, k=32, n_iters=3)
+    codes = ivfpq_encode(ds, cents, books).materialize()
+
+    q, qids = m[:4], np.arange(4)
+    full = ivfpq_topk(codes, cents, books, q, qids, k=10,
+                      nprobe=8).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    plain = pq_topk(pq_encode(ds, books), books, q, qids,
+                    k=10).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(full, plain)
+
+    one = ivfpq_topk(codes, cents, books, q, qids, k=10,
+                     nprobe=1).to_pandas()
+    assert len(one) <= len(full)
+    hit = one.merge(full, on=["query_id", "vec_id"], how="inner")
+    assert len(hit) > 0
