@@ -1279,6 +1279,16 @@ def _q_revenue_by_segment(sf_dir):
     return revenue_by_segment(sf_dir)
 
 
+def _q_pricing_summary(sf_dir):
+    from bge_m3_onnx_ray.stages.relational import pricing_summary
+    return pricing_summary(sf_dir)
+
+
+def _q_shipping_priority_topk(sf_dir):
+    from bge_m3_onnx_ray.stages.relational import shipping_priority_topk
+    return shipping_priority_topk(sf_dir)
+
+
 def _q_multimodal_decode(sf_dir):
     import ray.data as rd
 
@@ -1433,6 +1443,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly_days": _q_events_anomaly,
         "orders_with_segment": _q_orders_with_segment,
         "customer_order_distribution": _q_customer_order_distribution,
+        "pricing_summary": _q_pricing_summary,
+        "shipping_priority_topk": _q_shipping_priority_topk,
         "customers_no_urgent": _q_customers_no_urgent,
         "customers_with_urgent": _q_customers_semi_urgent,
         "events_sessionize": _q_sessionize,
@@ -4212,6 +4224,44 @@ FROM pc GROUP BY c_count ORDER BY c_count
 SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 ORDER BY o.o_orderkey
+""",
+        # TPC-H Q1: exact integer-cents arithmetic on both sides — the
+        # 0.01 grids make round(x*100) the exact decimal, so no float
+        # summation exists in either engine
+        "pricing_summary": """
+WITH b AS (SELECT l_returnflag, l_linestatus,
+  CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+  CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+  CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 23:59:59.999999')
+SELECT l_returnflag, l_linestatus,
+  sum(qty_c)::BIGINT AS sum_qty_q2,
+  sum(price_c)::BIGINT AS sum_base_price_q2,
+  sum(price_c * (100 - disc_c))::BIGINT AS sum_disc_price_q4,
+  sum(price_c * (100 - disc_c) * (100 + tax_c))::BIGINT AS sum_charge_q6,
+  (sum(qty_c) * 10000 // count(*))::BIGINT AS avg_qty_q6,
+  (sum(price_c) * 10000 // count(*))::BIGINT AS avg_price_q6,
+  (sum(disc_c) * 10000 // count(*))::BIGINT AS avg_disc_q6,
+  count(*)::BIGINT AS count_order
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # TPC-H Q3: top-10 by exact integer revenue, deterministic
+        # (revenue desc, orderkey asc) tie-break on both sides
+        "shipping_priority_topk": """
+WITH l AS (SELECT l_orderkey,
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+    AS revenue_q4
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-07-01' GROUP BY 1)
+SELECT o.o_orderkey AS l_orderkey, l.revenue_q4,
+       CAST(epoch(o.o_orderdate) AS BIGINT) AS o_orderdate_s,
+       o.o_orderpriority
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-07-01'
+ORDER BY revenue_q4 DESC, l_orderkey LIMIT 10
 """,
         "customers_no_urgent": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer c

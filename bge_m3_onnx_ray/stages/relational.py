@@ -354,3 +354,236 @@ def customer_order_distribution(sf_dir: str) -> pa.Table:
     dist["c_count"] = dist["c_count"].astype("int64")
     dist["n_customers"] = dist["n_customers"].astype("int64")
     return pa.Table.from_pandas(dist, preserve_index=False)
+
+
+def pricing_summary(sf_dir: str, cutoff: str = "2000-09-02") -> pa.Table:
+    """TPC-H Q1 shape: the pricing-summary report — per (returnflag,
+    linestatus) sums/averages of quantity, price, discounted price and
+    charge over lineitems shipped on or before ``cutoff``.
+
+    Exactness contract: every money/rate column in the table sits on a
+    0.01 grid, so all arithmetic runs in INTEGER cents —
+    ``disc_price = price_c·(100−disc_c)`` (units 1e-4 $),
+    ``charge = price_c·(100−disc_c)·(100+tax_c)`` (units 1e-6 $) — and
+    the averages are integer floor divisions. Bit-identical to the SQL
+    mirror with no float summation anywhere.
+
+    Scale shape: a six-group aggregate — per-batch sort+reduceat partials
+    over a tiny composite code, one six-row ``groupby``; the shuffle
+    moves ≤ 6 rows per block regardless of corpus size. The shipdate
+    predicate is pushed into the parquet read.
+    """
+    import os
+
+    import pyarrow.dataset as pads
+
+    cut = pa.scalar(np.datetime64(cutoff + "T23:59:59.999999"),
+                    pa.timestamp("us"))
+    cols = ["l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax"]
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=cols,
+                         filter=(pads.field("l_shipdate") <= cut))
+
+    FLAGS = ["A", "N", "R"]
+    STATS = ["F", "O"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        rf = pc.index_in(batch.column("l_returnflag"),
+                         pa.array(FLAGS)).to_numpy().astype(np.int64)
+        ls = pc.index_in(batch.column("l_linestatus"),
+                         pa.array(STATS)).to_numpy().astype(np.int64)
+        code = rf * len(STATS) + ls
+        qty_c = np.rint(batch.column("l_quantity").to_numpy() * 100
+                        ).astype(np.int64)
+        price_c = np.rint(batch.column("l_extendedprice").to_numpy() * 100
+                          ).astype(np.int64)
+        disc_c = np.rint(batch.column("l_discount").to_numpy() * 100
+                         ).astype(np.int64)
+        tax_c = np.rint(batch.column("l_tax").to_numpy() * 100
+                        ).astype(np.int64)
+        disc_price = price_c * (100 - disc_c)
+        charge = disc_price * (100 + tax_c)
+        # int64 sums segment-by-segment (bincount weights would round-trip
+        # through float64, losing exactness above 2^53 per batch)
+        order = np.argsort(code, kind="stable")
+        code_s = code[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(code_s)) + 1]) \
+            if len(code_s) else np.array([], np.int64)
+        out = {"code": code_s[starts] if len(code_s) else
+               np.array([], np.int64)}
+        for name, vals in (("sum_qty_q2", qty_c),
+                           ("sum_base_price_q2", price_c),
+                           ("sum_disc_price_q4", disc_price),
+                           ("sum_charge_q6", charge),
+                           ("sum_disc_q2", disc_c)):
+            v = vals[order]
+            out[name] = np.add.reduceat(v, starts) if len(v) else \
+                np.array([], np.int64)
+        out["count_order"] = np.diff(np.concatenate(
+            [starts, [len(code_s)]])) if len(code_s) else \
+            np.array([], np.int64)
+        return pa.table({k: pa.array(np.asarray(v), pa.int64())
+                         for k, v in out.items()})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=131072).groupby("code").aggregate(
+        Sum("sum_qty_q2", alias_name="sum_qty_q2"),
+        Sum("sum_base_price_q2", alias_name="sum_base_price_q2"),
+        Sum("sum_disc_price_q4", alias_name="sum_disc_price_q4"),
+        Sum("sum_charge_q6", alias_name="sum_charge_q6"),
+        Sum("sum_disc_q2", alias_name="sum_disc_q2"),
+        Sum("count_order", alias_name="count_order")).to_pandas()
+
+    agg = agg.sort_values("code").reset_index(drop=True)
+    code = agg["code"].to_numpy()
+    n = agg["count_order"].to_numpy().astype(np.int64)
+    out = pa.table({
+        "l_returnflag": pa.array([FLAGS[c // len(STATS)] for c in code]),
+        "l_linestatus": pa.array([STATS[c % len(STATS)] for c in code]),
+        "sum_qty_q2": pa.array(agg["sum_qty_q2"], pa.int64()),
+        "sum_base_price_q2": pa.array(agg["sum_base_price_q2"], pa.int64()),
+        "sum_disc_price_q4": pa.array(agg["sum_disc_price_q4"], pa.int64()),
+        "sum_charge_q6": pa.array(agg["sum_charge_q6"], pa.int64()),
+        "avg_qty_q6": pa.array(
+            agg["sum_qty_q2"].to_numpy() * 10000 // n, pa.int64()),
+        "avg_price_q6": pa.array(
+            agg["sum_base_price_q2"].to_numpy() * 10000 // n, pa.int64()),
+        "avg_disc_q6": pa.array(
+            agg["sum_disc_q2"].to_numpy() * 10000 // n, pa.int64()),
+        "count_order": pa.array(n, pa.int64())})
+    return out
+
+
+def shipping_priority_topk(sf_dir: str, segment: str = "BUILDING",
+                           date: str = "1998-07-01", k: int = 10,
+                           n_buckets: int = 64) -> pa.Table:
+    """TPC-H Q3 shape: top-k unshipped orders by revenue for one market
+    segment — customer ⋉ orders ⨝ lineitem with date predicates on both
+    fact tables. Output (l_orderkey, revenue_q4, o_orderdate,
+    o_orderpriority), revenue desc / orderkey asc, first ``k``.
+
+    Composition of the repo's own join primitives, all distributed:
+    segment customers filter orders via :func:`semi_anti_join` (the
+    right side ships deduplicated int64 keys only — a segment is ~1/5th
+    of all customers, far too big to broadcast at 100 TB); lineitem
+    pre-aggregates per-batch to (orderkey, revenue-cents) partials; ONE
+    further hash(orderkey) bucket exchange joins the two and keeps a
+    per-bucket top-k, so the driver merges ≤ k·n_buckets tiny rows.
+    Revenue is exact integer arithmetic: Σ price_c·(100−disc_c), units
+    1e-4 dollars (same contract as :func:`pricing_summary`).
+    """
+    import os
+
+    import pyarrow.dataset as pads
+
+    from bge_m3_onnx_ray.hashing import splitmix64
+
+    cut = pa.scalar(np.datetime64(date + "T00:00:00", "us"),
+                    pa.timestamp("us"))
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey"],
+        filter=(pads.field("c_mktsegment") == segment))
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+        filter=(pads.field("o_orderdate") < cut))
+    orders_seg = semi_anti_join(orders, cust, "o_custkey", "c_custkey",
+                                n_buckets=n_buckets)
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy()
+        price_c = np.rint(batch.column("l_extendedprice").to_numpy() * 100
+                          ).astype(np.int64)
+        disc_c = np.rint(batch.column("l_discount").to_numpy() * 100
+                         ).astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        order = np.argsort(ok, kind="stable")
+        ok, rev = ok[order], rev[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(ok)) + 1]) \
+            if len(ok) else np.array([], np.int64)
+        keys = ok[starts] if len(ok) else np.array([], np.int64)
+        sums = np.add.reduceat(rev, starts) if len(ok) else \
+            np.array([], np.int64)
+        return pa.table({
+            "o_orderkey": pa.array(keys, pa.int64()),
+            "revenue_q4": pa.array(sums, pa.int64()),
+            "o_orderdate": pa.nulls(len(keys), pa.timestamp("us")),
+            "o_orderpriority": pa.nulls(len(keys), pa.string()),
+            "_side": pa.array(np.ones(len(keys), np.int64)),
+            "_jb": pa.array((splitmix64(keys.astype(np.uint64))
+                             % np.uint64(n_buckets)).astype(np.int64))})
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") > cut)).map_batches(
+        line_partial, batch_format="pyarrow", batch_size=131072)
+
+    def orders_tag(batch: pa.Table) -> pa.Table:
+        okeys = batch.column("o_orderkey").to_numpy()
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+            "revenue_q4": pa.array(np.zeros(len(okeys), np.int64)),
+            "o_orderdate": batch.column("o_orderdate"),
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "_side": pa.array(np.zeros(len(okeys), np.int64)),
+            "_jb": pa.array((splitmix64(okeys.astype(np.uint64))
+                             % np.uint64(n_buckets)).astype(np.int64))})
+
+    tagged = orders_seg.map_batches(orders_tag, batch_format="pyarrow")
+
+    def join_topk(g: pa.Table) -> pa.Table:
+        side = g.column("_side").to_numpy()
+        keys = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        om = side == 0
+        orows = np.flatnonzero(om)
+        empty = pa.table({
+            "l_orderkey": pa.array([], pa.int64()),
+            "revenue_q4": pa.array([], pa.int64()),
+            "o_orderdate_s": pa.array([], pa.int64()),
+            "o_orderpriority": pa.array([], pa.string())})
+        if not len(orows):
+            return empty
+        okeys = keys[orows]
+        oo = np.argsort(okeys, kind="stable")
+        okeys_s, orows_s = okeys[oo], orows[oo]
+        lkeys = keys[~om]
+        lrev = g.column("revenue_q4").to_numpy()[~om]
+        pos = np.searchsorted(okeys_s, lkeys)
+        hit = (pos < len(okeys_s))
+        hit[hit] &= okeys_s[np.minimum(pos[hit], len(okeys_s) - 1)] \
+            == lkeys[hit]
+        rev = np.zeros(len(okeys_s), np.int64)
+        np.add.at(rev, pos[hit], lrev[hit])
+        nz = rev > 0
+        if not nz.any():
+            return empty
+        cand = np.flatnonzero(nz)
+        # per-bucket top-k (revenue desc, orderkey asc): lexsort on
+        # (-rev, okey) — both int64, fully deterministic
+        o2 = np.lexsort((okeys_s[cand], -rev[cand]))[:k]
+        pick = cand[o2]
+        out = g.take(pa.array(orows_s[pick], pa.int64()))
+        # epoch seconds, not raw timestamps: the driver's value-hash
+        # compares integers identically across engines
+        odate = out.column("o_orderdate").cast(pa.int64())
+        odate_s = pa.array(odate.to_numpy(zero_copy_only=False) // 1_000_000,
+                           pa.int64())
+        return pa.table({
+            "l_orderkey": out.column("o_orderkey"),
+            "revenue_q4": pa.array(rev[pick], pa.int64()),
+            "o_orderdate_s": odate_s,
+            "o_orderpriority": out.column("o_orderpriority")})
+
+    parts = tagged.union(line).groupby("_jb").map_groups(
+        join_topk, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["revenue_q4", "l_orderkey"], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(parts, preserve_index=False)

@@ -1491,3 +1491,71 @@ def test_ivfpq_full_probe_equals_plain_pq(ray_session):
     assert len(one) <= len(full)
     hit = one.merge(full, on=["query_id", "vec_id"], how="inner")
     assert len(hit) > 0
+
+
+def test_pricing_summary_matches_duckdb(ray_session):
+    """TPC-H Q1: integer-cents arithmetic matches a DuckDB mirror
+    bit-for-bit — no float summation on either side."""
+    import duckdb
+    import pandas as pd
+
+    from bge_m3_onnx_ray.stages.relational import pricing_summary
+
+    sf = "/root/testdata/sf0.001"
+    got = pricing_summary(sf).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+WITH b AS (SELECT l_returnflag, l_linestatus,
+  CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+  CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+  CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+  FROM read_parquet('{sf}/lineitem.parquet')
+  WHERE l_shipdate <= TIMESTAMP '2000-09-02 23:59:59.999999')
+SELECT l_returnflag, l_linestatus,
+  sum(qty_c)::BIGINT AS sum_qty_q2,
+  sum(price_c)::BIGINT AS sum_base_price_q2,
+  sum(price_c * (100 - disc_c))::BIGINT AS sum_disc_price_q4,
+  sum(price_c * (100 - disc_c) * (100 + tax_c))::BIGINT AS sum_charge_q6,
+  (sum(qty_c) * 10000 // count(*))::BIGINT AS avg_qty_q6,
+  (sum(price_c) * 10000 // count(*))::BIGINT AS avg_price_q6,
+  (sum(disc_c) * 10000 // count(*))::BIGINT AS avg_disc_q6,
+  count(*)::BIGINT AS count_order
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+""").df()
+    pd.testing.assert_frame_equal(got[want.columns].reset_index(drop=True),
+                                  want.reset_index(drop=True))
+
+
+def test_shipping_priority_topk_matches_duckdb(ray_session):
+    """TPC-H Q3: top-10 by exact integer revenue with the deterministic
+    (revenue desc, orderkey asc) tie-break matches DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from bge_m3_onnx_ray.stages.relational import shipping_priority_topk
+
+    sf = "/root/testdata/sf0.001"
+    got = shipping_priority_topk(sf).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+WITH l AS (SELECT l_orderkey,
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+    AS revenue_q4
+  FROM read_parquet('{sf}/lineitem.parquet')
+  WHERE l_shipdate > TIMESTAMP '1998-07-01' GROUP BY 1)
+SELECT o.o_orderkey AS l_orderkey, l.revenue_q4,
+       CAST(epoch(o.o_orderdate) AS BIGINT) AS o_orderdate_s,
+       o.o_orderpriority
+FROM read_parquet('{sf}/orders.parquet') o
+JOIN read_parquet('{sf}/customer.parquet') c
+  ON c.c_custkey = o.o_custkey
+JOIN l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-07-01'
+ORDER BY revenue_q4 DESC, l_orderkey LIMIT 10
+""").df()
+    assert len(got) == 10
+    pd.testing.assert_frame_equal(got[want.columns].reset_index(drop=True),
+                                  want.reset_index(drop=True))
