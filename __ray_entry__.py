@@ -1004,6 +1004,13 @@ def _q_events_running(sf_dir):
     return user_running_totals(_events(sf_dir))
 
 
+def _q_events_interarrival(sf_dir):
+    # LAG window: per-user previous-event delta + id, -1 sentinels for
+    # each user's first event; pure int64 microsecond arithmetic
+    from bge_m3_onnx_ray.stages.events import interarrival
+    return interarrival(_events(sf_dir))
+
+
 def _q_events_distinct_daily(sf_dir):
     # exact distributed COUNT DISTINCT per day: per-batch pair dedupe ->
     # one pair-bucket shuffle -> per-bucket distinct counts -> tiny sum
@@ -1431,6 +1438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_moving_hourly": _q_events_moving,
         "events_user_running_totals": _q_events_running,
+        "events_interarrival": _q_events_interarrival,
         "events_value_percentile_ranks": _q_events_percentile_ranks,
         "events_distinct_users_daily": _q_events_distinct_daily,
         "events_value_percentiles": _q_events_percentiles,
@@ -4171,6 +4179,14 @@ FROM e ORDER BY event_id
 SELECT (epoch_us(ts) // 1000000 // 86400) * 86400 AS day,
        count(DISTINCT user_id)::BIGINT AS distinct_users
 FROM events GROUP BY 1
+""",
+        "events_interarrival": """
+SELECT event_id, user_id,
+       COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1)::BIGINT
+         AS delta_us,
+       COALESCE(lag(event_id) OVER w, -1)::BIGINT AS prev_event_id
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
 """,
         "events_value_stats": """
 WITH e AS (SELECT event_type,

@@ -351,6 +351,55 @@ def user_running_totals(ds: rd.Dataset, n_buckets: int = 512) -> rd.Dataset:
         .groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
+def interarrival(ds: rd.Dataset, n_buckets: int = 512) -> rd.Dataset:
+    """Per-user inter-arrival LAG window: for every event, the
+    microsecond delta to the SAME user's previous event and that
+    event's id (SQL: ``lag(...) OVER (PARTITION BY user ORDER BY ts,
+    event_id)``). First event per user → -1 sentinels (integer-stable
+    across engines, unlike NULL). Output one row per event:
+    (event_id, user_id, delta_us, prev_event_id).
+
+    Same ONE hash-bucket-of-user shuffle + vectorized multi-user kernel
+    as :func:`user_running_totals`; all arithmetic is int64 timestamp
+    microseconds — nothing float anywhere."""
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = g.num_rows
+        order = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")])
+        tbl = g.take(order)
+        users = tbl.column("user_id").combine_chunks()
+        ts_us = tbl.column("ts").cast(pa.int64()).to_numpy()
+        eid = tbl.column("event_id").to_numpy()
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = np.asarray(
+            pc.not_equal(users.slice(1), users.slice(0, n - 1))
+            .to_numpy(zero_copy_only=False))
+        delta = np.empty(n, np.int64)
+        prev = np.empty(n, np.int64)
+        delta[0], prev[0] = -1, -1
+        delta[1:] = ts_us[1:] - ts_us[:-1]
+        prev[1:] = eid[:-1]
+        delta[first], prev[first] = -1, -1
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": users,
+            "delta_us": pa.array(delta, pa.int64()),
+            "prev_event_id": pa.array(prev, pa.int64())})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from bge_m3_onnx_ray.hashing import P53, poly_hash
+        b = (poly_hash(t.column("user_id"), P53) % np.uint64(n_buckets))
+        return t.append_column("_bucket", pa.array(b.astype(np.int64)))
+
+    return ds.select_columns(["event_id", "ts", "user_id"]) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
 def distinct_users_daily(ds: rd.Dataset, n_buckets: int = 256) -> rd.Dataset:
     """Exact COUNT(DISTINCT user_id) per UTC day — the cardinality
     aggregation, exact path.

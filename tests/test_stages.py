@@ -1559,3 +1559,29 @@ ORDER BY revenue_q4 DESC, l_orderkey LIMIT 10
     assert len(got) == 10
     pd.testing.assert_frame_equal(got[want.columns].reset_index(drop=True),
                                   want.reset_index(drop=True))
+
+
+def test_interarrival_matches_pandas_lag(ray_session):
+    """LAG window: per-user previous-event delta/id equal a pandas
+    groupby-shift mirror, -1 sentinels on each user's first event."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.events import interarrival
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    got = interarrival(rd.read_parquet(path)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+    df = pq.read_table(path).to_pandas()
+    df["ts_us"] = df["ts"].astype("int64")   # dtype is datetime64[us]
+    df = df.sort_values(["user_id", "ts_us", "event_id"])
+    g = df.groupby("user_id", sort=False)
+    df["delta_us"] = (df["ts_us"] - g["ts_us"].shift(1)).fillna(-1)
+    df["prev_event_id"] = g["event_id"].shift(1).fillna(-1)
+    want = df.sort_values("event_id")[
+        ["event_id", "user_id", "delta_us", "prev_event_id"]] \
+        .astype("int64").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[want.columns].astype("int64"), want)
