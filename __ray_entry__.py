@@ -1242,6 +1242,13 @@ def _q_gopher_repetition(sf_dir):
     return gopher_repetition(_docs(sf_dir))
 
 
+def _q_corpus_curation(sf_dir):
+    # composed curation funnel: langid -> gopher -> quality -> dedup,
+    # one corpus read, per-stage survivor counts
+    from bge_m3_onnx_ray.stages.text import corpus_curation
+    return corpus_curation(_docs(sf_dir))
+
+
 def _q_mixture_sample(sf_dir):
     from bge_m3_onnx_ray.stages.text import mixture_sample
     return mixture_sample(_docs(sf_dir).select_columns(["doc_id", "source"]))
@@ -1406,6 +1413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_token_count": _q_bpe_token_count,
         "gopher_repetition": _q_gopher_repetition,
+        "corpus_curation": _q_corpus_curation,
         "mixture_sample": _q_mixture_sample,
         "unigram_surprise": _q_unigram_surprise,
         "text_variations": _q_text_variations,
@@ -3890,6 +3898,67 @@ SELECT wc.doc_id, wc.n_words, wmax.max_word_count,
                     <= 18 * (wc.n_words - 1)
              THEN 1 ELSE 0 END)::INTEGER AS keep
 FROM wc JOIN wmax USING (doc_id) LEFT JOIN bmax USING (doc_id)
+""",
+        # composed curation funnel: the per-doc predicates are verbatim
+        # mirrors of the langid / gopher_repetition / quality_score
+        # oracles, composed cumulatively; stage 4 is distinct-text among
+        # stage-3 survivors (the exact_dedup group count)
+        "corpus_curation": """
+WITH d AS (SELECT doc_id, text,
+                  regexp_extract_all(lower(text), '[0-9a-z_]+') AS ts
+           FROM documents),
+l AS (SELECT doc_id,
+  len(list_filter(ts, x -> x IN ('the','and','of','to','a','in','is','it'))) AS c_en,
+  len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','un','los'))) AS c_es,
+  len(list_filter(ts, x -> x IN ('der','die','und','das','ist','nicht','mit','ein'))) AS c_de,
+  len(list_filter(ts, x -> x IN ('le','la','de','et','les','des','un','une'))) AS c_fr
+  FROM d),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                generate_subscripts(string_split(text, ' '), 1) AS pos
+         FROM documents),
+wc AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+              sum(length(tok))::BIGINT AS sum_word_chars
+       FROM toks GROUP BY doc_id),
+wmax AS (SELECT doc_id, max(c)::BIGINT AS max_word_count
+         FROM (SELECT doc_id, tok, count(*) AS c FROM toks
+               GROUP BY doc_id, tok) GROUP BY doc_id),
+bmax AS (SELECT doc_id, max(c)::BIGINT AS max_bigram_count
+         FROM (SELECT a.doc_id, a.tok AS t1, b.tok AS t2, count(*) AS c
+               FROM toks a JOIN toks b
+                 ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+               GROUP BY a.doc_id, a.tok, b.tok) GROUP BY doc_id),
+g AS (SELECT wc.doc_id,
+       (CASE WHEN wc.n_words >= 5
+              AND 3 * wc.n_words <= wc.sum_word_chars
+              AND wc.sum_word_chars <= 10 * wc.n_words
+              AND 5 * wmax.max_word_count <= wc.n_words
+              AND 100 * coalesce(bmax.max_bigram_count, 0)
+                    <= 18 * (wc.n_words - 1)
+             THEN 1 ELSE 0 END) AS keep
+      FROM wc JOIN wmax USING (doc_id) LEFT JOIN bmax USING (doc_id)),
+q AS (SELECT doc_id, len(ts)::BIGINT AS n_words,
+  CAST(floor(len(list_filter(ts, x -> x IN ('the','and','of','to','a','in','is','it')))::DOUBLE
+             / greatest(len(ts), 1)::DOUBLE * 1000000) AS BIGINT)
+    AS stop_ratio_q6
+  FROM d),
+f AS (SELECT d.doc_id, d.text,
+        (CASE WHEN l.c_en > 0 AND l.c_en >= l.c_es AND l.c_en >= l.c_de
+                   AND l.c_en >= l.c_fr THEN 1 ELSE 0 END) AS a1,
+        g.keep AS a2,
+        (CASE WHEN q.n_words >= 10 AND q.stop_ratio_q6 >= 40000
+              THEN 1 ELSE 0 END) AS a3
+      FROM d JOIN l USING (doc_id) JOIN g USING (doc_id)
+             JOIN q USING (doc_id))
+SELECT 0::BIGINT AS stage_idx, 'total' AS stage, count(*)::BIGINT AS n_docs
+FROM f
+UNION ALL SELECT 1, 'lang_en', count(*)::BIGINT FROM f WHERE a1 = 1
+UNION ALL SELECT 2, 'gopher_keep', count(*)::BIGINT FROM f
+  WHERE a1 = 1 AND a2 = 1
+UNION ALL SELECT 3, 'quality', count(*)::BIGINT FROM f
+  WHERE a1 = 1 AND a2 = 1 AND a3 = 1
+UNION ALL SELECT 4, 'exact_dedup', count(DISTINCT text)::BIGINT FROM f
+  WHERE a1 = 1 AND a2 = 1 AND a3 = 1
+ORDER BY stage_idx
 """,
         "unigram_surprise": f"""
 WITH toks AS (

@@ -532,58 +532,60 @@ def gopher_repetition(ds: rd.Dataset) -> rd.Dataset:
     plausible document length (2048 * (2^21)^2 < 2^63 tolerates ~2M
     distinct words per batch).
     """
-    import pyarrow.compute as pc
-
-    def stats(t: pa.Table) -> pa.Table:
-        n = len(t)
-        toks = pc.split_pattern(t.column("text"), " ")
-        n_words = pc.list_value_length(toks).to_numpy().astype(np.int64)
-        flat = pc.list_flatten(toks)
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_words)
-        codes = np.unique(np.asarray(flat), return_inverse=True)[1]
-        v = np.int64(codes.max() + 2) if len(codes) else np.int64(2)
-
-        # per-(doc, word) max — composite key is doc-major so np.unique's
-        # sorted output groups by doc and one reduceat gives the maxima
-        out_w = np.zeros(n, np.int64)
-        if len(codes):
-            uk, kc = np.unique(doc_idx * v + codes, return_counts=True)
-            udoc = uk // v
-            b = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
-            out_w[udoc[b]] = np.maximum.reduceat(kc, b)
-
-        out_b = np.zeros(n, np.int64)
-        if len(codes) > 1:
-            same = doc_idx[1:] == doc_idx[:-1]
-            if same.any():
-                bk = (doc_idx[:-1][same] * v + codes[:-1][same]) * v \
-                    + codes[1:][same]
-                ub, bc = np.unique(bk, return_counts=True)
-                bdoc = ub // (v * v)
-                bb = np.flatnonzero(np.r_[True, bdoc[1:] != bdoc[:-1]])
-                out_b[bdoc[bb]] = np.maximum.reduceat(bc, bb)
-
-        sum_chars = np.zeros(n, np.int64)
-        if len(codes):
-            lens = pc.utf8_length(flat).to_numpy().astype(np.int64)
-            db = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
-            sum_chars[doc_idx[db]] = np.add.reduceat(lens, db)
-
-        keep = ((n_words >= 5)
-                & (3 * n_words <= sum_chars) & (sum_chars <= 10 * n_words)
-                & (5 * out_w <= n_words)
-                & (100 * out_b <= 18 * (n_words - 1)))
-        return pa.table({
-            "doc_id": t.column("doc_id"),
-            "n_words": pa.array(n_words, pa.int64()),
-            "max_word_count": pa.array(out_w, pa.int64()),
-            "max_bigram_count": pa.array(out_b, pa.int64()),
-            "sum_word_chars": pa.array(sum_chars, pa.int64()),
-            "keep": pa.array(keep.astype(np.int32), pa.int32()),
-        })
-
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        stats, batch_format="pyarrow", batch_size=2048)
+        gopher_stats, batch_format="pyarrow", batch_size=2048)
+
+
+def gopher_stats(t: pa.Table) -> pa.Table:
+    """Per-batch Gopher repetition kernel (see :func:`gopher_repetition`
+    for the semantics and the composite-key bound)."""
+    import pyarrow.compute as pc
+    n = len(t)
+    toks = pc.split_pattern(t.column("text"), " ")
+    n_words = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(toks)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_words)
+    codes = np.unique(np.asarray(flat), return_inverse=True)[1]
+    v = np.int64(codes.max() + 2) if len(codes) else np.int64(2)
+
+    # per-(doc, word) max — composite key is doc-major so np.unique's
+    # sorted output groups by doc and one reduceat gives the maxima
+    out_w = np.zeros(n, np.int64)
+    if len(codes):
+        uk, kc = np.unique(doc_idx * v + codes, return_counts=True)
+        udoc = uk // v
+        b = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+        out_w[udoc[b]] = np.maximum.reduceat(kc, b)
+
+    out_b = np.zeros(n, np.int64)
+    if len(codes) > 1:
+        same = doc_idx[1:] == doc_idx[:-1]
+        if same.any():
+            bk = (doc_idx[:-1][same] * v + codes[:-1][same]) * v \
+                + codes[1:][same]
+            ub, bc = np.unique(bk, return_counts=True)
+            bdoc = ub // (v * v)
+            bb = np.flatnonzero(np.r_[True, bdoc[1:] != bdoc[:-1]])
+            out_b[bdoc[bb]] = np.maximum.reduceat(bc, bb)
+
+    sum_chars = np.zeros(n, np.int64)
+    if len(codes):
+        lens = pc.utf8_length(flat).to_numpy().astype(np.int64)
+        db = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
+        sum_chars[doc_idx[db]] = np.add.reduceat(lens, db)
+
+    keep = ((n_words >= 5)
+            & (3 * n_words <= sum_chars) & (sum_chars <= 10 * n_words)
+            & (5 * out_w <= n_words)
+            & (100 * out_b <= 18 * (n_words - 1)))
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "n_words": pa.array(n_words, pa.int64()),
+        "max_word_count": pa.array(out_w, pa.int64()),
+        "max_bigram_count": pa.array(out_b, pa.int64()),
+        "sum_word_chars": pa.array(sum_chars, pa.int64()),
+        "keep": pa.array(keep.astype(np.int32), pa.int32()),
+    })
 
 
 def mixture_sample(ds: rd.Dataset, seed: int = 29) -> rd.Dataset:
@@ -882,3 +884,78 @@ def distribution_rollup(ds: rd.Dataset) -> pa.Table:
         ["lang", "source"]).reset_index(drop=True)
     out["n_docs"] = out["n_docs"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+class CurationFlags:
+    """Per-batch kernel for :func:`corpus_curation`: every curation
+    signal in ONE pass over the text (language vote, Gopher repetition,
+    stopword-quality, content hash) so the corpus is read exactly once.
+    Emits per-doc cumulative pass flags p1 ⊇ p2 ⊇ p3 plus the
+    106-bit content-hash lanes used by the dedup stage."""
+
+    def __init__(self, min_words: int = 10,
+                 min_stop_ratio_q6: int = 40_000):
+        self.langid = LangId()
+        self.quality = QualityScore()
+        self.min_words = min_words
+        self.min_stop = min_stop_ratio_q6
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from bge_m3_onnx_ray.hashing import P53, poly_hash
+        lg = self.langid(t).column("lang_guess")
+        q = self.quality(t)
+        g = gopher_stats(t)
+        p1 = pc.equal(lg, "en").to_numpy(zero_copy_only=False)
+        p2 = p1 & g.column("keep").to_numpy().astype(bool)
+        p3 = p2 & (q.column("n_words").to_numpy() >= self.min_words) \
+            & (q.column("stop_ratio_q6").to_numpy() >= self.min_stop)
+        h1 = poly_hash(t.column("text"), P53)
+        h2 = poly_hash(t.column("text"), P53, base=np.uint64(257))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "h1": pa.array(h1.astype(np.int64)),
+            "h2": pa.array(h2.astype(np.int64)),
+            "p1": pa.array(p1.astype(np.int8), pa.int8()),
+            "p2": pa.array(p2.astype(np.int8), pa.int8()),
+            "p3": pa.array(p3.astype(np.int8), pa.int8())})
+
+
+def corpus_curation(ds: rd.Dataset, min_words: int = 10,
+                    min_stop_ratio_q6: int = 40_000) -> pa.Table:
+    """Composed training-data curation funnel — the RefinedWeb/FineWeb
+    pipeline shape: language filter → Gopher repetition filter →
+    stopword-quality filter → exact dedup, each stage over the previous
+    stage's survivors. Output (stage_idx, stage, n_docs): five rows,
+    the per-stage survivor counts a curation run reports.
+
+    Scale shape: the corpus is read ONCE (all signals in one
+    ``map_batches`` kernel); the flags table is ~40 B/row (≈3 orders
+    smaller than the text) and is materialized so the count pass and
+    the dedup pass don't re-read the corpus; the dedup count is a
+    bucket-reduced distinct over the 106-bit content hash — one 16-byte
+    exchange of stage-3 survivors, never the text."""
+    from ray.data.aggregate import Count
+
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    flags = ds.select_columns(["doc_id", "text"]).map_batches(
+        task_stage(CurationFlags, min_words=min_words,
+                   min_stop_ratio_q6=min_stop_ratio_q6),
+        batch_format="pyarrow", batch_size=2048).materialize()
+
+    agg = flags.aggregate(Count(alias_name="n"),
+                          Sum("p1", alias_name="c1"),
+                          Sum("p2", alias_name="c2"),
+                          Sum("p3", alias_name="c3"))
+    survivors = flags.filter(expr="p3 == 1").select_columns(["h1", "h2"])
+    n4 = bucket_reduce(survivors, ["h1", "h2"],
+                       [(None, "count", "n")]).count()
+    names = ["total", "lang_en", "gopher_keep", "quality", "exact_dedup"]
+    counts = [int(agg["n"]), int(agg["c1"]), int(agg["c2"]),
+              int(agg["c3"]), int(n4)]
+    return pa.table({
+        "stage_idx": pa.array(range(5), pa.int64()),
+        "stage": pa.array(names, pa.string()),
+        "n_docs": pa.array(counts, pa.int64())})

@@ -1585,3 +1585,31 @@ def test_interarrival_matches_pandas_lag(ray_session):
         .astype("int64").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got[want.columns].astype("int64"), want)
+
+
+def test_corpus_curation_funnel(ray_session):
+    """Composed curation funnel: each stage drops exactly the docs its
+    predicate says, and the dedup stage collapses identical survivors."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.text import corpus_curation
+
+    good = ("the data table is in the a of it to store value row fast "
+            "merge key scan")                     # en, varied, stopwordy
+    docs = [
+        good,                                      # survives all
+        good,                                      # exact dup of above
+        "el la de que y en un los datos tabla",    # es -> drops at lang
+        "the word word word word word word word word word",  # gopher max-word
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",  # en? no stopwords -> lang 'other'
+        good + " extra tail words here now",       # survives, distinct
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string())}))
+    out = corpus_curation(ds).to_pandas().set_index("stage")["n_docs"]
+    assert out["total"] == 6
+    assert out["lang_en"] == 4          # es doc + no-stopword doc drop
+    assert out["gopher_keep"] == 3      # repeated-word doc drops
+    assert out["quality"] == 3          # survivors are stopword-rich
+    assert out["exact_dedup"] == 2      # the two identical docs collapse
