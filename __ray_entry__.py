@@ -1019,9 +1019,12 @@ def _q_events_distinct_daily(sf_dir):
 
 
 def _q_hll_distinct_users(sf_dir):
-    # HyperLogLog cardinality sketch (rows-only: approximate by design;
-    # accuracy gated in pytest against the exact count) — the fixed-
-    # memory COUNT DISTINCT for when the exact pair exchange is too big
+    # HyperLogLog cardinality sketch — the fixed-memory COUNT DISTINCT
+    # for when the exact pair exchange is too big. SQL-checked: the
+    # sketch is deterministic given splitmix64, which the oracle
+    # re-derives in UBIGINT arithmetic, so registers (and the linear-
+    # counting estimate) match bit-for-bit; accuracy vs the exact count
+    # is additionally gated in pytest
     import pyarrow as pa
     from bge_m3_onnx_ray.stages.sketch import hll_distinct
     r = hll_distinct(_events(sf_dir), "user_id")
@@ -3828,6 +3831,45 @@ SELECT doc_id, w AS n_words,
        CAST(floor(key * 1000000) AS BIGINT) AS key_q6
 FROM ranked WHERE rnk <= 100
 ORDER BY doc_id
+""",
+        # HyperLogLog sketch, mirrored EXACTLY: splitmix64 re-derived in
+        # UBIGINT/HUGEINT arithmetic (64x64 multiply mod 2^64 via 32-bit
+        # split — a full INT128 product of two ~2^64 factors overflows),
+        # rank via DuckDB's unpadded bin() (64 - bit_length + 1), and the
+        # linear-counting branch (always taken at these SFs: zeros > 0,
+        # raw estimate << 2.5m). The sketch is deterministic given the
+        # hash, so the "approximate" op has an exact oracle.
+        "hll_distinct_users": """
+WITH v AS (SELECT DISTINCT CAST(user_id AS UBIGINT) AS x FROM events),
+s0 AS (SELECT CAST((CAST(x AS HUGEINT) + 11400714819323198485)
+                   % 18446744073709551616 AS UBIGINT) AS z FROM v),
+x1 AS (SELECT xor(z, z >> 30) AS z FROM s0),
+s1 AS (SELECT CAST((((CAST(z >> 32 AS HUGEINT) * 484763065
+                      + CAST(z & 4294967295 AS HUGEINT) * 3210233709)
+                     % 4294967296) * 4294967296
+                    + CAST(z & 4294967295 AS HUGEINT) * 484763065)
+                   % 18446744073709551616 AS UBIGINT) AS z FROM x1),
+x2 AS (SELECT xor(z, z >> 27) AS z FROM s1),
+s2 AS (SELECT CAST((((CAST(z >> 32 AS HUGEINT) * 321982955
+                      + CAST(z & 4294967295 AS HUGEINT) * 2496678331)
+                     % 4294967296) * 4294967296
+                    + CAST(z & 4294967295 AS HUGEINT) * 321982955)
+                   % 18446744073709551616 AS UBIGINT) AS z FROM x2),
+h AS (SELECT xor(z, z >> 31) AS h FROM s2),
+rt AS (SELECT h >> 50 AS idx,
+              CAST(CAST(h AS HUGEINT) * 16384
+                   % 18446744073709551616 AS UBIGINT) AS tail
+       FROM h),
+regs AS (SELECT idx, max(CASE WHEN tail = 0 THEN 51
+                              ELSE least(64 - length(bin(tail)) + 1, 51)
+                         END) AS r
+         FROM rt GROUP BY idx),
+z AS (SELECT 16384 - count(*) AS zeros, count(*) AS nonzero FROM regs)
+SELECT 14::BIGINT AS p,
+       CAST(floor(16384.0 * ln(16384.0 / zeros)) AS BIGINT)
+         AS estimate_floor,
+       nonzero::BIGINT AS registers_nonzero
+FROM z
 """,
         # heavy hitters: terms with tf >= 2000 ppm of all tokens — the
         # engine's count-min candidates-then-exact-verify result is
