@@ -719,6 +719,14 @@ def _q_simhash(sf_dir):
     return simhash(_docs(sf_dir))
 
 
+def _q_simhash_dup_pairs(sf_dir):
+    # Hamming-space near-dup pairs: 4-band pigeonhole candidates +
+    # exact popcount verify; oracle = plain all-pairs Hamming join
+    # (equivalent at this scale since group_cap > any band group)
+    from bge_m3_onnx_ray.stages.dedup import simhash_dup_pairs
+    return simhash_dup_pairs(_docs(sf_dir))
+
+
 def _q_embedding_dups(sf_dir):
     from bge_m3_onnx_ray.stages.dedup import embedding_dup_pairs
     return embedding_dup_pairs(_embeddings(sf_dir), threshold=0.4)
@@ -1431,6 +1439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_contamination": _q_contamination,
         "redact_pii": _q_redact_pii,
         "simhash": _q_simhash,
+        "simhash_dup_pairs": _q_simhash_dup_pairs,
         "embedding_dup_pairs": _q_embedding_dups,
         "ann_cosine_topk": _q_ann,
         "ann_filtered_topk": _q_ann_filtered,
@@ -3773,6 +3782,17 @@ ORDER BY conv_id, turn_idx
 """.replace("__SRC__", _transcripts_src_sql()),
         "doc_fingerprint": _fingerprint_sql(),
         "simhash": _simhash_sql(),
+        # Hamming near-dup pairs: the engine's 4-band pigeonhole
+        # candidates + popcount verify EQUAL the plain all-pairs
+        # Hamming <= 3 join (no false negatives at <= 3 by pigeonhole;
+        # group_cap=1000 exceeds every band group at this scale)
+        "simhash_dup_pairs": f"""
+WITH sh AS ({_simhash_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
         "minhash_lsh_candidates": _minhash_sql(),
         "redact_pii": _redact_sql(),
         "benchmark_contamination": f"""

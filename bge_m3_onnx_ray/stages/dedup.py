@@ -727,6 +727,124 @@ def simhash(ds: rd.Dataset) -> rd.Dataset:
         task_stage(SimHashStage), batch_format="pyarrow", batch_size=2048)
 
 
+# -------------------------------------------- SimHash near-dup pairs
+
+# 4 bands covering the 53 simhash bits as (shift, width): any pair
+# within Hamming distance <= 3 is identical in >= 1 band (pigeonhole),
+# so banded candidate generation has no false negatives at the default
+# ``max_hamming=3`` (Manku/Jain/Sarma 2007, WWW — "Detecting
+# near-duplicates for web crawling" uses the same split-and-probe).
+_SIMHASH_BANDS = ((0, 14), (14, 13), (27, 13), (40, 13))
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    b = _POP8[np.ascontiguousarray(x.astype(np.uint64)).view(np.uint8)]
+    return b.reshape(len(x), 8).sum(axis=1, dtype=np.int64)
+
+
+def _simhash_band_pair_kernel(group: pa.Table, cap: int,
+                              max_hamming: int) -> pa.Table:
+    """One hash BUCKET of (band, band_val, doc_id, simhash) rows →
+    verified near-dup pairs: triangle candidates per identical
+    (band, band_val) key-group (size 2..cap, the LSH hot-key guard),
+    then the EXACT popcount(xor) filter — candidates never leave the
+    kernel, only verified pairs do."""
+    import pyarrow.compute as pc
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+    n = group.num_rows
+    if n < 2:
+        return empty
+    order = pc.sort_indices(group, sort_keys=[
+        ("band", "ascending"), ("band_val", "ascending"),
+        ("doc_id", "ascending")])
+    tbl = group.take(order)
+    change = np.zeros(n - 1, bool)
+    for c in ("band", "band_val"):
+        col = tbl.column(c).combine_chunks()
+        change |= np.asarray(pc.not_equal(col.slice(1), col.slice(0, n - 1))
+                             .to_numpy(zero_copy_only=False))
+    bounds = np.concatenate([[0], np.flatnonzero(change) + 1, [n]])
+    sizes = np.diff(bounds)
+    docs = tbl.column("doc_id").to_numpy()
+    sims = tbl.column("simhash").to_numpy().astype(np.uint64)
+    keep = (sizes >= 2) & (sizes <= cap)
+    if not keep.any():
+        return empty
+    out_a, out_b, out_h = [], [], []
+    kept_sizes = sizes[keep]
+    kept_starts = bounds[:-1][keep]
+    for s in np.unique(kept_sizes):
+        starts = kept_starts[kept_sizes == s]
+        ai, bi = np.triu_indices(int(s), k=1)
+        ia = (starts[:, None] + ai[None, :]).ravel()
+        ib = (starts[:, None] + bi[None, :]).ravel()
+        ham = _popcount64(sims[ia] ^ sims[ib])
+        ok = ham <= max_hamming
+        out_a.append(docs[ia[ok]])          # doc-sorted in group: a < b
+        out_b.append(docs[ib[ok]])
+        out_h.append(ham[ok])
+    return pa.table({"doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                     "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+                     "hamming": pa.array(np.concatenate(out_h), pa.int64())})
+
+
+def simhash_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
+                      group_cap: int = 1000,
+                      n_buckets: int = 1024) -> rd.Dataset:
+    """SimHash near-duplicate PAIRS: docs whose 53-bit simhashes differ
+    in at most ``max_hamming`` bits — the web-crawl near-dup shape
+    (Manku et al. 2007) the reference's dedup family lacks a
+    Hamming-space member for.
+
+    Scale shape: simhash is map-only; each doc then emits 4 tiny
+    (band, band_val) rows and ONE bucket-keyed shuffle moves them —
+    16 B/row keys, never the text. Candidates are generated and
+    popcount-VERIFIED inside the bucket kernel (only true pairs leave),
+    and a pair found by several bands dedupes in a second 16-byte
+    bucket exchange. ``group_cap`` bounds the O(g²) blowup of a hot
+    band value (boilerplate corpora) exactly like the ngram/MinHash
+    paths; with the default 4 bands the pigeonhole guarantee means NO
+    false negatives at max_hamming <= 3 (up to capped groups — the
+    documented LSH trade, cap >> any sf0.01 group so the SQL oracle is
+    the plain all-pairs Hamming join)."""
+    from bge_m3_onnx_ray.hashing import P53
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    sh = simhash(ds)
+
+    def explode(t: pa.Table) -> pa.Table:
+        sim = t.column("simhash").to_numpy().astype(np.uint64)
+        doc = t.column("doc_id").to_numpy()
+        parts = []
+        for band, (off, w) in enumerate(_SIMHASH_BANDS):
+            bv = ((sim >> np.uint64(off)) & np.uint64((1 << w) - 1))
+            parts.append(pa.table({
+                "band": pa.array(np.full(len(doc), band, np.int64)),
+                "band_val": pa.array(bv.astype(np.int64)),
+                "doc_id": pa.array(doc, pa.int64()),
+                "simhash": t.column("simhash")}))
+        return pa.concat_tables(parts)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        band = t.column("band").to_numpy().astype(np.uint64)
+        bv = t.column("band_val").to_numpy().astype(np.uint64)
+        h = (band * np.uint64(131) + bv) % P53
+        return t.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
+
+    verified = sh.map_batches(explode, batch_format="pyarrow") \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(
+            lambda g: _simhash_band_pair_kernel(g, group_cap, max_hamming),
+            batch_format="pyarrow")
+    return bucket_reduce(verified, ["doc_a", "doc_b"],
+                         [("hamming", "min", "hamming")])
+
+
 # ------------------------------------------------- embedding near-dup
 
 _PAIR_SCHEMA = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),

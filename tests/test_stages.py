@@ -132,6 +132,36 @@ def test_simhash_identical_and_distant(docs_ds):
     assert out.loc[5] == 0                 # empty doc → zero signature
 
 
+def test_simhash_dup_pairs_matches_bruteforce(docs_ds):
+    """Banded pigeonhole candidates + popcount verify == the all-pairs
+    Hamming join on the engine's own signatures (4 bands catch every
+    pair at distance <= 3), with one pair row per pair even when
+    several bands agree."""
+    from bge_m3_onnx_ray.stages.dedup import simhash, simhash_dup_pairs
+    sig = simhash(docs_ds).to_pandas().set_index("doc_id")["simhash"]
+    want = sorted(
+        (a, b, bin(int(sig[a]) ^ int(sig[b])).count("1"))
+        for i, a in enumerate(sig.index) for b in sig.index[i + 1:]
+        if bin(int(sig[a]) ^ int(sig[b])).count("1") <= 3)
+    got = simhash_dup_pairs(docs_ds).to_pandas()
+    got_t = sorted(map(tuple, got[["doc_a", "doc_b", "hamming"]]
+                       .astype(int).itertuples(index=False)))
+    assert got_t == want
+    assert len(got) == len(got.drop_duplicates(["doc_a", "doc_b"]))
+
+
+def test_simhash_dup_pairs_group_cap(ray_session):
+    """A band group larger than group_cap emits nothing through that
+    band (the LSH hot-key guard) — identical docs all share every band,
+    so cap=2 suppresses a 3-clone cluster entirely."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.dedup import simhash_dup_pairs
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["same text here"] * 3, pa.string())})
+    assert simhash_dup_pairs(rd.from_arrow(t)).count() == 3  # all pairs
+    assert simhash_dup_pairs(rd.from_arrow(t), group_cap=2).count() == 0
+
+
 def test_langid(docs_ds):
     from bge_m3_onnx_ray.stages.text import langid
     out = langid(docs_ds).to_pandas().set_index("doc_id")["lang_guess"]
