@@ -1314,6 +1314,11 @@ def _q_shipping_priority_topk(sf_dir):
     return shipping_priority_topk(sf_dir)
 
 
+def _q_local_supplier_volume(sf_dir):
+    from bge_m3_onnx_ray.stages.relational import local_supplier_volume
+    return local_supplier_volume(sf_dir)
+
+
 def _q_multimodal_decode(sf_dir):
     import ray.data as rd
 
@@ -1473,6 +1478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution": _q_customer_order_distribution,
         "pricing_summary": _q_pricing_summary,
         "shipping_priority_topk": _q_shipping_priority_topk,
+        "local_supplier_volume": _q_local_supplier_volume,
         "customers_no_urgent": _q_customers_no_urgent,
         "customers_with_urgent": _q_customers_semi_urgent,
         "events_sessionize": _q_sessionize,
@@ -4409,6 +4415,26 @@ JOIN l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = 'BUILDING'
   AND o.o_orderdate < TIMESTAMP '1998-07-01'
 ORDER BY revenue_q4 DESC, l_orderkey LIMIT 10
+""",
+        # TPC-H Q5: same-nation customer+supplier revenue per nation of
+        # one region in one order-date year, exact 1e-4-dollar integers
+        "local_supplier_volume": """
+SELECT n.n_name,
+  sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+    AS revenue_q4
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue_q4 DESC
 """,
         "customers_no_urgent": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer c

@@ -302,6 +302,8 @@ def equi_join(left: rd.Dataset, right: rd.Dataset, left_key: str,
         ok = (pos < len(run_key)) & (run_key[np.minimum(
             pos, len(run_key) - 1)] == keys[lrows])
         li = lrows[ok]
+        if not len(li):      # both sides present, zero key overlap
+            return g.take(pa.array([], pa.int64())).select(all_cols)
         pi = pos[ok]
         # fan out left rows across duplicate right keys (run expansion)
         reps = run_len[pi]
@@ -587,3 +589,170 @@ def shipping_priority_topk(sf_dir: str, segment: str = "BUILDING",
         ["revenue_q4", "l_orderkey"], ascending=[False, True]
     ).head(k).reset_index(drop=True)
     return pa.Table.from_pandas(parts, preserve_index=False)
+
+
+def local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                          date_from: str = "1996-01-01",
+                          date_to: str = "1997-01-01",
+                          n_buckets: int = 64) -> rd.Dataset:
+    """TPC-H Q5 shape: revenue per nation from lineitems where the
+    CUSTOMER and the SUPPLIER sit in the same nation of one region,
+    within an order-date year — the six-table join (customer ⨝ orders
+    ⨝ lineitem ⨝ supplier ⨝ nation ⨝ region). Output
+    (n_name, revenue_q4), revenue in exact 1e-4-dollar integers (the
+    :func:`pricing_summary` contract).
+
+    Scale shape, table by table: region/nation are constant-size (5/25
+    rows at ANY scale factor) — driver-resolved; supplier is the
+    classic broadcast dimension (suppkey → nationkey, two ints/row,
+    resolved inside the lineitem map so the fact table never shuffles
+    for it); customer⨝orders is a true both-sides-large
+    :func:`equi_join` (ONE hash(custkey) exchange, date-pruned orders
+    at the read); the joined (orderkey, c_nationkey) stream then meets
+    per-batch pre-aggregated lineitem partials — (orderkey, s_nation,
+    cents) rows, supplier already resolved and non-region suppliers
+    dropped — in ONE further hash(orderkey) exchange whose kernel joins,
+    applies the c_nation == s_nation equality, and reduces to
+    ≤ n_nations rows per bucket. No stage materializes a fact table."""
+    import os
+
+    import ray
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from bge_m3_onnx_ray.hashing import splitmix64
+
+    # --- constant-size dimensions, driver-side
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rkeys = {k for k, name in zip(reg.column("r_regionkey").to_pylist(),
+                                  reg.column("r_name").to_pylist())
+             if name == region}
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nat_name = {}
+    for nk, nn, nr in zip(nat.column("n_nationkey").to_pylist(),
+                          nat.column("n_name").to_pylist(),
+                          nat.column("n_regionkey").to_pylist()):
+        if nr in rkeys:
+            nat_name[nk] = nn
+    nat_keys = sorted(nat_name)
+
+    # --- supplier: the broadcast dimension (suppkey -> nationkey,
+    # region nations only), shipped once via the object store
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    skeys = sup.column("s_suppkey").to_numpy()
+    snat = sup.column("s_nationkey").to_numpy()
+    in_region = np.isin(snat, nat_keys)
+    order = np.argsort(skeys[in_region])
+    sup_ref = ray.put((skeys[in_region][order], snat[in_region][order]))
+
+    # --- customer ⨝ orders: both large, one hash(custkey) exchange
+    cut0 = pa.scalar(np.datetime64(date_from + "T00:00:00", "us"),
+                     pa.timestamp("us"))
+    cut1 = pa.scalar(np.datetime64(date_to + "T00:00:00", "us"),
+                     pa.timestamp("us"))
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+        filter=pads.field("c_nationkey").isin(nat_keys))
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= cut0)
+               & (pads.field("o_orderdate") < cut1))
+    ord_nat = equi_join(orders, cust, "o_custkey", "c_custkey",
+                        ["c_nationkey"], n_buckets=n_buckets)
+
+    def orders_tag(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy()
+        return pa.table({
+            "k": pa.array(ok, pa.int64()),
+            "nat": t.column("c_nationkey").cast(pa.int64()),
+            "rev": pa.array(np.zeros(len(ok), np.int64)),
+            "_side": pa.array(np.zeros(len(ok), np.int64)),
+            "_jb": pa.array((splitmix64(ok.astype(np.uint64))
+                             % np.uint64(n_buckets)).astype(np.int64))})
+
+    # --- lineitem partials: supplier resolved via the broadcast, exact
+    # cents, pre-aggregated per (orderkey, s_nation) before the exchange
+    def line_partial(batch: pa.Table) -> pa.Table:
+        sk, sn = ray.get(sup_ref)
+        lsk = batch.column("l_suppkey").to_numpy()
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "nat": pa.array([], pa.int64()),
+                          "rev": pa.array([], pa.int64()),
+                          "_side": pa.array([], pa.int64()),
+                          "_jb": pa.array([], pa.int64())})
+        if not len(sk):
+            return empty
+        pos = np.minimum(np.searchsorted(sk, lsk), len(sk) - 1)
+        hit = sk[pos] == lsk                  # drops non-region suppliers
+        if not hit.any():
+            return empty
+        ok = batch.column("l_orderkey").to_numpy()[hit]
+        nat_l = sn[pos[hit]].astype(np.int64)
+        price_c = np.rint(batch.column("l_extendedprice").to_numpy()[hit]
+                          * 100).astype(np.int64)
+        disc_c = np.rint(batch.column("l_discount").to_numpy()[hit]
+                         * 100).astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        o = np.lexsort((nat_l, ok))
+        ok, nat_l, rev = ok[o], nat_l[o], rev[o]
+        change = (np.diff(ok) != 0) | (np.diff(nat_l) != 0)
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        keys = ok[starts]
+        return pa.table({
+            "k": pa.array(keys, pa.int64()),
+            "nat": pa.array(nat_l[starts], pa.int64()),
+            "rev": pa.array(np.add.reduceat(rev, starts), pa.int64()),
+            "_side": pa.array(np.ones(len(keys), np.int64)),
+            "_jb": pa.array((splitmix64(keys.astype(np.uint64))
+                             % np.uint64(n_buckets)).astype(np.int64))})
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]).map_batches(
+        line_partial, batch_format="pyarrow", batch_size=131072)
+
+    max_nat = (max(nat_keys) + 1) if nat_keys else 1
+
+    def join_reduce(g: pa.Table) -> pa.Table:
+        side = g.column("_side").to_numpy()
+        keys = g.column("k").to_numpy()
+        nats = g.column("nat").to_numpy()
+        om = side == 0
+        okeys, onat = keys[om], nats[om]
+        o = np.argsort(okeys, kind="stable")
+        okeys, onat = okeys[o], onat[o]
+        lkeys = keys[~om]
+        lnat = nats[~om]
+        lrev = g.column("rev").to_numpy()[~om]
+        empty = pa.table({"n_nationkey": pa.array([], pa.int64()),
+                          "revenue_q4": pa.array([], pa.int64())})
+        if not len(okeys) or not len(lkeys):
+            return empty
+        pos = np.minimum(np.searchsorted(okeys, lkeys), len(okeys) - 1)
+        hit = (okeys[pos] == lkeys) & (onat[pos] == lnat)  # local-supplier
+        if not hit.any():
+            return empty
+        out = np.zeros(max_nat, np.int64)
+        np.add.at(out, lnat[hit], lrev[hit])
+        nz = np.flatnonzero(out)
+        return pa.table({"n_nationkey": pa.array(nz, pa.int64()),
+                         "revenue_q4": pa.array(out[nz], pa.int64())})
+
+    tagged = ord_nat.map_batches(orders_tag, batch_format="pyarrow")
+    agg = tagged.union(line).groupby("_jb").map_groups(
+        join_reduce, batch_format="pyarrow") \
+        .groupby("n_nationkey").aggregate(Sum("revenue_q4",
+                                              alias_name="revenue_q4"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        nk = t.column("n_nationkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array([nat_name[int(k)] for k in nk], pa.string()),
+            "revenue_q4": t.column("revenue_q4").cast(pa.int64())})
+
+    return agg.map_batches(finalize, batch_format="pyarrow") \
+        .sort("revenue_q4", descending=True)

@@ -1643,3 +1643,41 @@ def test_corpus_curation_funnel(ray_session):
     assert out["gopher_keep"] == 3      # repeated-word doc drops
     assert out["quality"] == 3          # survivors are stopword-rich
     assert out["exact_dedup"] == 2      # the two identical docs collapse
+
+
+def test_local_supplier_volume_matches_duckdb(ray_session):
+    """TPC-H Q5: six-table same-nation join over exact integer revenue
+    matches DuckDB, including nations with zero qualifying lineitems
+    being absent."""
+    import duckdb
+    import pandas as pd
+
+    from bge_m3_onnx_ray.stages.relational import local_supplier_volume
+
+    sf = "/root/testdata/sf0.001"
+    got = local_supplier_volume(sf).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+SELECT n.n_name,
+  sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+    AS revenue_q4
+FROM read_parquet('{sf}/customer.parquet') c
+JOIN read_parquet('{sf}/orders.parquet') o ON c.c_custkey = o.o_custkey
+JOIN read_parquet('{sf}/lineitem.parquet') l
+  ON l.l_orderkey = o.o_orderkey
+JOIN read_parquet('{sf}/supplier.parquet') s
+  ON l.l_suppkey = s.s_suppkey
+JOIN read_parquet('{sf}/nation.parquet') n
+  ON s.s_nationkey = n.n_nationkey
+JOIN read_parquet('{sf}/region.parquet') r
+  ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name ORDER BY revenue_q4 DESC, n.n_name
+""").df()
+    got = got.sort_values(["revenue_q4", "n_name"],
+                          ascending=[False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want)
