@@ -1260,6 +1260,13 @@ def _q_corpus_curation(sf_dir):
     return corpus_curation(_docs(sf_dir))
 
 
+def _q_source_divergence(sf_dir):
+    # per-source unigram drift vs the corpus: exact integer
+    # total-variation distance (the log-free KL stand-in)
+    from bge_m3_onnx_ray.stages.text import source_divergence
+    return source_divergence(_docs(sf_dir))
+
+
 def _q_mixture_sample(sf_dir):
     from bge_m3_onnx_ray.stages.text import mixture_sample
     return mixture_sample(_docs(sf_dir).select_columns(["doc_id", "source"]))
@@ -1431,6 +1438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": _q_gopher_repetition,
         "corpus_curation": _q_corpus_curation,
         "mixture_sample": _q_mixture_sample,
+        "source_divergence": _q_source_divergence,
         "unigram_surprise": _q_unigram_surprise,
         "text_variations": _q_text_variations,
         "exact_dedup": _q_exact_dedup,
@@ -4027,6 +4035,31 @@ UNION ALL SELECT 3, 'quality', count(*)::BIGINT FROM f
 UNION ALL SELECT 4, 'exact_dedup', count(DISTINCT text)::BIGINT FROM f
   WHERE a1 = 1 AND a2 = 1 AND a3 = 1
 ORDER BY stage_idx
+""",
+        # per-source total-variation drift: every product stays integer
+        # (HUGEINT here, guarded int64 engine-side), division is exact
+        # floor — no float enters either side
+        "source_divergence": f"""
+WITH toks AS (SELECT source, unnest(regexp_extract_all(lower(text),
+    '{_TOKEN_RE_SQL}')) AS term FROM documents),
+tf AS (SELECT source, term, count(*)::HUGEINT AS c FROM toks
+       GROUP BY 1, 2),
+ct AS (SELECT term, sum(c)::HUGEINT AS c_t FROM tf GROUP BY 1),
+ns AS (SELECT source, sum(c)::HUGEINT AS n_s FROM tf GROUP BY 1),
+tot AS (SELECT sum(c)::HUGEINT AS n FROM tf),
+grid AS (SELECT ns.source, ct.term, ns.n_s, ct.c_t
+         FROM ns CROSS JOIN ct),
+diffs AS (SELECT g.source,
+                 abs(coalesce(tf.c, 0) * tot.n - g.c_t * g.n_s) AS d
+          FROM grid g
+          LEFT JOIN tf ON tf.source = g.source AND tf.term = g.term
+          CROSS JOIN tot),
+s AS (SELECT source, sum(d)::HUGEINT AS big_s FROM diffs GROUP BY 1)
+SELECT s.source, CAST(ns.n_s AS BIGINT) AS n_tokens,
+       CAST(big_s * 1000000000 // (2 * ns.n_s * tot.n) AS BIGINT)
+         AS tv_q9
+FROM s JOIN ns USING (source) CROSS JOIN tot
+ORDER BY s.source
 """,
         "unigram_surprise": f"""
 WITH toks AS (

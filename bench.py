@@ -443,7 +443,9 @@ def run_bench() -> dict:
               "events_moving_hourly", "events_user_running_totals",
               "bm25_documents_topk_resharded", "ann_filtered_topk",
               "rank_eval_ndcg_documents",
-              "phrase_prefix_documents_topk"]
+              "phrase_prefix_documents_topk", "simhash_dup_pairs",
+              "local_supplier_volume", "corpus_curation",
+              "hll_distinct_users"]
     qs = m.queries()
     for name in wanted:
         t0 = time.perf_counter()

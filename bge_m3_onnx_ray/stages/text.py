@@ -959,3 +959,127 @@ def corpus_curation(ds: rd.Dataset, min_words: int = 10,
         "stage_idx": pa.array(range(5), pa.int64()),
         "stage": pa.array(names, pa.string()),
         "n_docs": pa.array(counts, pa.int64())})
+
+
+# ------------------------------------------------ source divergence
+
+class _SourceTermPartial:
+    """Per-batch (term, source, c) partials — one row per (term, source)
+    per batch, the pre-aggregation that keeps the term shuffle
+    vocabulary-sized instead of token-sized."""
+
+    def __init__(self):
+        self.tok = DeterministicTokenizer()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_idx, codes, uniques, tfs, _ = \
+            self.tok.batch_term_counts_coded(t.column("text"))
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "source": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        if not len(codes):
+            return empty
+        sd = t.column("source").combine_chunks().dictionary_encode()
+        s_idx = np.asarray(sd.indices)[doc_idx].astype(np.int64)
+        nsrc = len(sd.dictionary)
+        k = codes.astype(np.int64) * nsrc + s_idx
+        uk, inv = np.unique(k, return_inverse=True)
+        c = np.bincount(inv, weights=tfs).astype(np.int64)
+        return pa.table({
+            "term": uniques.take(pa.array(uk // nsrc, pa.int64()))
+                           .cast(pa.string()),
+            "source": sd.dictionary.take(pa.array(uk % nsrc, pa.int64()))
+                                   .cast(pa.string()),
+            "c": pa.array(c, pa.int64())})
+
+
+def source_divergence(ds: rd.Dataset, n_buckets: int = 256) -> pa.Table:
+    """Per-source unigram-distribution drift vs the whole corpus, as the
+    EXACT total-variation distance — the integer-exact stand-in for the
+    KL/perplexity drift monitor a mixture-training pipeline runs per
+    domain (the CCNet/Pile per-source quality-monitoring shape, kept
+    log-free so the DuckDB oracle hash-matches; cf.
+    :func:`unigram_surprise` for the same convention).
+
+    TV(P_s, Q) = ½ Σ_t |c_st·N − c_t·N_s| / (N_s·N) with every product
+    in int64 (guarded: raises when N_s·N approaches 2^62 — at that
+    scale, split the numerator into high/low lanes) and the final
+    division done in arbitrary-precision Python on ≤ n_sources rows.
+    Output (source, n_tokens, tv_q9), tv quantized to 1e-9.
+
+    Scale shape: tokens pre-aggregate per batch to (term, source)
+    partials; ONE vocabulary-sized bucket_reduce finalizes counts (and
+    is materialized — read twice, never re-tokenized); a tiny per-source
+    total pass broadcasts (sources, N_s, N); a second term-bucketed
+    exchange computes per-bucket per-source |·| partial sums fully
+    vectorized (a term's every source row shares its bucket, so c_t is
+    in-bucket; absent sources get their c_t·N_s term via a bucket-total
+    baseline plus a per-present-row correction). The driver only ever
+    holds n_buckets × n_sources partials."""
+    import ray
+
+    from bge_m3_onnx_ray.hashing import P53, poly_hash
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    counts = bucket_reduce(
+        ds.select_columns(["source", "text"]).map_batches(
+            task_stage(_SourceTermPartial), batch_format="pyarrow",
+            batch_size=4096),
+        ["term", "source"], [("c", "sum", "c")]).materialize()
+
+    ns_df = bucket_reduce(counts, ["source"], [("c", "sum", "n")], 16) \
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    srcs = ns_df["source"].to_numpy().astype(str)
+    ns_arr = ns_df["n"].to_numpy().astype(np.int64)
+    total = int(ns_arr.sum())
+    if total and ns_arr.max() * total >= (1 << 62):
+        raise ValueError("source_divergence int64 range exceeded: "
+                         "split |c_st*N - c_t*N_s| into hi/lo lanes")
+    ref = ray.put((srcs, ns_arr, total))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = poly_hash(t.column("term"), P53)
+        return t.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
+
+    def kernel(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        srcs_l, ns_l, n_l = ray.get(ref)
+        n = g.num_rows
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "s_partial": pa.array([], pa.int64())})
+        if not n:
+            return empty
+        order = pc.sort_indices(g, sort_keys=[("term", "ascending")])
+        tbl = g.take(order)
+        c = tbl.column("c").to_numpy()
+        term = tbl.column("term").combine_chunks()
+        change = np.asarray(pc.not_equal(term.slice(1), term.slice(0, n - 1))
+                            .to_numpy(zero_copy_only=False))
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        c_t_run = np.add.reduceat(c, starts)            # per distinct term
+        run_id = np.zeros(n, np.int64)
+        run_id[starts[1:]] = 1
+        run_id = np.cumsum(run_id)
+        c_t = c_t_run[run_id]                           # per row
+        # baseline: every source absent from every term in this bucket
+        acc = int(c_t_run.sum()) * ns_l.astype(np.int64)
+        # correction for the (term, source) rows actually present
+        si = np.searchsorted(srcs_l, tbl.column("source")
+                             .to_numpy(zero_copy_only=False).astype(str))
+        adj = np.abs(c * n_l - c_t * ns_l[si]) - c_t * ns_l[si]
+        np.add.at(acc, si, adj)
+        return pa.table({"source": pa.array(srcs_l, pa.string()),
+                         "s_partial": pa.array(acc, pa.int64())})
+
+    parts = counts.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(kernel, batch_format="pyarrow") \
+        .to_pandas()
+    sums = parts.groupby("source")["s_partial"].sum()
+    tv = []
+    for s, n_s in zip(srcs, ns_arr):
+        num = int(sums.get(s, 0)) * 1_000_000_000
+        tv.append(num // (2 * int(n_s) * total) if total and n_s else 0)
+    return pa.table({"source": pa.array(srcs, pa.string()),
+                     "n_tokens": pa.array(ns_arr, pa.int64()),
+                     "tv_q9": pa.array(tv, pa.int64())})

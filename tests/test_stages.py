@@ -1681,3 +1681,29 @@ GROUP BY n.n_name ORDER BY revenue_q4 DESC, n.n_name
     got = got.sort_values(["revenue_q4", "n_name"],
                           ascending=[False, True]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_source_divergence_analytic(ray_session):
+    """Exact TV identities: a source with the corpus-identical unigram
+    distribution diverges 0; two equal-size disjoint-vocabulary sources
+    each sit at TV = (N - N_s)/N = 1/2."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.text import source_divergence
+
+    def tbl(rows):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array([t for t, _ in rows], pa.string()),
+            "source": pa.array([s for _, s in rows], pa.string())}))
+
+    # identical distributions -> 0 for both
+    out = source_divergence(tbl([("aa bb cc", "x"), ("aa bb cc", "y")])
+                            ).to_pandas().set_index("source")
+    assert out.loc["x", "tv_q9"] == 0 and out.loc["y", "tv_q9"] == 0
+    # disjoint equal-size vocabularies -> exactly 1/2 each
+    out = source_divergence(tbl([("aa bb cc dd", "x"), ("ee ff gg hh", "y")])
+                            ).to_pandas().set_index("source")
+    assert out.loc["x", "tv_q9"] == 500_000_000
+    assert out.loc["y", "tv_q9"] == 500_000_000
+    assert out["n_tokens"].tolist() == [4, 4]
