@@ -952,6 +952,12 @@ def _q_lsh_buckets(sf_dir):
     return lsh_buckets(emb, dim=dim)
 
 
+def _q_embedding_centroids(sf_dir):
+    # per-label mean embedding in exact integer q6 space (long form)
+    from bge_m3_onnx_ray.stages.ann import embedding_centroids
+    return embedding_centroids(_embeddings(sf_dir))
+
+
 def _q_jaccard_verify(sf_dir):
     from bge_m3_onnx_ray.stages.dedup import ngram_pair_candidates, verify_jaccard
     cands = ngram_pair_candidates(_docs(sf_dir), n=3, min_common=2) \
@@ -1466,6 +1472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_cosine_topk": _q_ivf,
         "hybrid_rrf_topk": _q_hybrid,
         "lsh_buckets": _q_lsh_buckets,
+        "embedding_centroids": _q_embedding_centroids,
         "doc_term_weights": _q_doc_term_weights,
         "revenue_by_segment": _q_revenue_by_segment,
         "events_hourly": _q_events_hourly,
@@ -3821,6 +3828,22 @@ FROM sh JOIN bench USING (shingle)
 GROUP BY sh.doc_id
 """,
         "lsh_buckets": _lsh_buckets_sql(),
+        # per-label mean embedding: q6 quantization in DOUBLE (exactly
+        # the engine's float64 path), int sums, one floor division on
+        # positives — the +2e6 offset keeps // sign-unambiguous
+        "embedding_centroids": """
+WITH e AS (SELECT label, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) - 1 AS dim
+           FROM embeddings),
+q AS (SELECT label, dim,
+             CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+               + 2000000 AS qv
+      FROM e)
+SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+       count(*)::BIGINT AS n_vecs,
+       (sum(qv) // count(*) - 2000000)::BIGINT AS centroid_q6
+FROM q GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "ngram_jaccard_verify": _jaccard_verify_sql(),
         "minhash_jaccard_verify": _minhash_jaccard_verify_sql(),
         "lsh_dup_pairs": _lsh_dup_pairs_sql(n_planes=8, threshold=0.0),

@@ -1116,3 +1116,67 @@ def ivfpq_topk(codes: rd.Dataset, centroids: np.ndarray,
 
     return partials.groupby("query_id").map_groups(
         merge, batch_format="pyarrow")
+
+
+# -------------------------------------------- per-group vector mean
+
+def _centroid_partial(t: pa.Table) -> pa.Table:
+    """Per-batch (label, dim, s, n) partials of the q6-quantized
+    embedding sum — the list-column aggregation pre-reduce. Components
+    are offset by +2e6 before summation so every intermediate is
+    POSITIVE and integer floor-division at the end is sign-unambiguous
+    (engine // and SQL // agree on non-negatives; they differ on
+    negative operands)."""
+    m = _embedding_matrix(t.column("embedding"))
+    n, d = m.shape
+    if not n:
+        return pa.table({"label": pa.array([], pa.int64()),
+                         "dim": pa.array([], pa.int64()),
+                         "s": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    q = np.floor(m * 1e6).astype(np.int64) + 2_000_000
+    labels = t.column("label").to_numpy()
+    uniq, inv = np.unique(labels, return_inverse=True)
+    sums = np.zeros((len(uniq), d), np.int64)
+    np.add.at(sums, inv, q)
+    counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+    k = len(uniq)
+    return pa.table({
+        "label": pa.array(np.repeat(uniq.astype(np.int64), d)),
+        "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+        "s": pa.array(sums.ravel(), pa.int64()),
+        "n": pa.array(np.repeat(counts, d), pa.int64())})
+
+
+def embedding_centroids(ds: rd.Dataset) -> rd.Dataset:
+    """Per-label mean embedding, integer-exact — the vector AGGREGATE
+    (list-column groupby) a clustering/labeling pipeline reports, kept
+    on the repo's no-float-summation contract: components quantize to
+    1e-6 (in float64, matching SQL DOUBLE math exactly), sums are int64
+    (range: 3e6 x n_vectors — safe to ~3x10^12 rows/label), and the
+    mean is one floor division. Output long-form (label, dim, n_vecs,
+    centroid_q6) — scalar columns only, so the driver's value-hash
+    needs no list support.
+
+    Scale shape: each batch pre-reduces to k x dim partial rows (vector
+    count never crosses the exchange), then ONE bucket_reduce over
+    (label, dim) — the shuffle moves k x dim x n_blocks tiny rows, and
+    a final map divides. No stage holds more than one batch of
+    vectors."""
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    parts = ds.select_columns(["label", "embedding"]).map_batches(
+        _centroid_partial, batch_format="pyarrow", batch_size=4096)
+    agg = bucket_reduce(parts, ["label", "dim"],
+                        [("s", "sum", "s"), ("n", "sum", "n")], 64)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy()
+        n = t.column("n").to_numpy()
+        return pa.table({
+            "label": t.column("label"),
+            "dim": t.column("dim"),
+            "n_vecs": pa.array(n, pa.int64()),
+            "centroid_q6": pa.array(s // n - 2_000_000, pa.int64())})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

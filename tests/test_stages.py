@@ -1707,3 +1707,25 @@ def test_source_divergence_analytic(ray_session):
     assert out.loc["x", "tv_q9"] == 500_000_000
     assert out.loc["y", "tv_q9"] == 500_000_000
     assert out["n_tokens"].tolist() == [4, 4]
+
+
+def test_embedding_centroids_exact(ray_session):
+    """Per-label q6 centroid equals the quantize-then-floor-divide
+    arithmetic done by hand, including negative components."""
+    import ray.data as rd
+    from bge_m3_onnx_ray.stages.ann import embedding_centroids
+    vecs = np.array([[0.5, -0.25], [0.1, -0.35], [1.0, 1.0]], np.float32)
+    labels = [7, 7, 9]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(3), pa.int64()),
+        "label": pa.array(labels, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32()))}))
+    out = embedding_centroids(ds).to_pandas() \
+        .set_index(["label", "dim"])["centroid_q6"]
+    q = np.floor(vecs.astype(np.float64) * 1e6).astype(np.int64)
+    assert out.loc[(7, 0)] == (q[0, 0] + q[1, 0] + 2 * 2_000_000) // 2 \
+        - 2_000_000
+    assert out.loc[(7, 1)] == (q[0, 1] + q[1, 1] + 2 * 2_000_000) // 2 \
+        - 2_000_000
+    assert out.loc[(9, 0)] == 1_000_000 and out.loc[(9, 1)] == 1_000_000
