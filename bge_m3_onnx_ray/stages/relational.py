@@ -594,7 +594,7 @@ def shipping_priority_topk(sf_dir: str, segment: str = "BUILDING",
 def local_supplier_volume(sf_dir: str, region: str = "ASIA",
                           date_from: str = "1996-01-01",
                           date_to: str = "1997-01-01",
-                          n_buckets: int = 64) -> rd.Dataset:
+                          n_buckets: int = 64) -> pa.Table:
     """TPC-H Q5 shape: revenue per nation from lineitems where the
     CUSTOMER and the SUPPLIER sit in the same nation of one region,
     within an order-date year — the six-table join (customer ⨝ orders
@@ -748,11 +748,11 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
         .groupby("n_nationkey").aggregate(Sum("revenue_q4",
                                               alias_name="revenue_q4"))
 
-    def finalize(t: pa.Table) -> pa.Table:
-        nk = t.column("n_nationkey").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "n_name": pa.array([nat_name[int(k)] for k in nk], pa.string()),
-            "revenue_q4": t.column("revenue_q4").cast(pa.int64())})
-
-    return agg.map_batches(finalize, batch_format="pyarrow") \
-        .sort("revenue_q4", descending=True)
+    # final result is <= n_nations rows: sort driver-side (a Ray sort
+    # pays seconds of all-to-all fixed cost for a 5-row table)
+    out = agg.to_pandas().sort_values(
+        ["revenue_q4", "n_nationkey"], ascending=[False, True])
+    return pa.table({
+        "n_name": pa.array([nat_name[int(k)] for k in out["n_nationkey"]],
+                           pa.string()),
+        "revenue_q4": pa.array(out["revenue_q4"].to_numpy(), pa.int64())})
