@@ -1266,6 +1266,13 @@ def _q_corpus_curation(sf_dir):
     return corpus_curation(_docs(sf_dir))
 
 
+def _q_source_overlap(sf_dir):
+    # cross-source contamination matrix: distinct shared 3-gram
+    # shingles per source pair
+    from bge_m3_onnx_ray.stages.dedup import source_overlap
+    return source_overlap(_docs(sf_dir))
+
+
 def _q_source_divergence(sf_dir):
     # per-source unigram drift vs the corpus: exact integer
     # total-variation distance (the log-free KL stand-in)
@@ -1445,6 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": _q_corpus_curation,
         "mixture_sample": _q_mixture_sample,
         "source_divergence": _q_source_divergence,
+        "source_overlap": _q_source_overlap,
         "unigram_surprise": _q_unigram_surprise,
         "text_variations": _q_text_variations,
         "exact_dedup": _q_exact_dedup,
@@ -4058,6 +4066,24 @@ UNION ALL SELECT 3, 'quality', count(*)::BIGINT FROM f
 UNION ALL SELECT 4, 'exact_dedup', count(DISTINCT text)::BIGINT FROM f
   WHERE a1 = 1 AND a2 = 1 AND a3 = 1
 ORDER BY stage_idx
+""",
+        # cross-source overlap: distinct shared 3-gram shingles per
+        # source pair (identical shingle strings to the engine's
+        # vectorized builder)
+        "source_overlap": f"""
+WITH toks AS (SELECT source, doc_id,
+    regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ts
+  FROM documents),
+sh AS (SELECT DISTINCT source,
+              ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+       FROM (SELECT source, ts,
+                    unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS i
+             FROM toks)),
+pairs AS (SELECT a.source AS src_a, b.source AS src_b
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.source < b.source)
+SELECT src_a, src_b, count(*)::BIGINT AS n_shared_shingles
+FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # per-source total-variation drift: every product stays integer
         # (HUGEINT here, guarded int64 engine-side), division is exact

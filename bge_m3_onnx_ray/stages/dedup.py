@@ -1089,3 +1089,117 @@ def keep_best(clusters: rd.Dataset, docs: rd.Dataset,
         .groupby("_jb").map_groups(join_kernel, batch_format="pyarrow")
     return joined.map_batches(add_cluster_bucket, batch_format="pyarrow") \
         .groupby("_cb").map_groups(argmax_kernel, batch_format="pyarrow")
+
+
+# ---------------------------------------------- cross-source overlap
+
+class _SourceShingles(ShingleStage):
+    """(shingle, source) rows, distinct per batch — the contamination
+    matrix's pre-deduped exchange rows (final distinctness happens in
+    the bucket kernel, where every copy of a (shingle, source) pair
+    lands by construction)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        shingles, doc_idx, _ = self._shingles(batch.column("text"))
+        if not len(shingles):
+            return pa.table({"shingle": pa.array([], pa.string()),
+                             "source": pa.array([], pa.string())})
+        sde = batch.column("source").combine_chunks().dictionary_encode()
+        s_idx = np.asarray(sde.indices).astype(np.int64)[doc_idx]
+        de = shingles.dictionary_encode()
+        codes = np.asarray(de.indices).astype(np.int64)
+        nsrc = max(len(sde.dictionary), 1)
+        upair = np.unique(codes * nsrc + s_idx)
+        return pa.table({
+            "shingle": de.dictionary.take(pa.array(upair // nsrc))
+                                    .cast(pa.string()),
+            "source": sde.dictionary.take(pa.array(upair % nsrc))
+                                    .cast(pa.string())})
+
+
+def source_overlap(ds: rd.Dataset, n: int = 3,
+                   n_buckets: int = 256) -> pa.Table:
+    """Cross-source contamination matrix: for every source pair, how
+    many DISTINCT word-``n``-gram shingles the two sources share — the
+    "is my web scrape leaking into my books corpus" diagnostic run
+    before mixing training domains (the cross-split twin of
+    :func:`bge_m3_onnx_ray.stages.decontam` benchmark contamination).
+    Output (src_a, src_b, n_shared_shingles), src_a < src_b.
+
+    Scale shape: batches emit per-batch-distinct (shingle, source) rows
+    (never the text); ONE hash(shingle) bucket exchange makes them
+    globally distinct and emits per-shingle source pairs fully
+    vectorized — a shingle shared by s sources costs s(s-1)/2 pair
+    increments, bounded by n_sources², NOT corpus size; each bucket
+    returns at most n_sources² count rows and the driver merges
+    n_buckets of those tiny tables. Assumes n_sources is dimension-like
+    (≤ ~10³) — with more sources, bucket the pair space too."""
+    from bge_m3_onnx_ray.hashing import P53, poly_hash
+
+    rows = ds.select_columns(["source", "text"]).map_batches(
+        task_stage(_SourceShingles, n=n), batch_format="pyarrow",
+        batch_size=2048)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = poly_hash(t.column("shingle"), P53)
+        return t.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
+
+    def kernel(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        empty = pa.table({"src_a": pa.array([], pa.string()),
+                          "src_b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if not g.num_rows:
+            return empty
+        sh = g.column("shingle").combine_chunks().dictionary_encode()
+        sc = g.column("source").combine_chunks().dictionary_encode()
+        nsrc = max(len(sc.dictionary), 1)
+        # re-code sources to LEXICOGRAPHIC ranks so (lo, hi) ordering
+        # is by string, stable across buckets (dictionary codes are
+        # first-appearance order and differ bucket to bucket)
+        dic = np.asarray(sc.dictionary.to_pylist(), dtype=object)
+        sorted_idx = np.argsort(dic.astype(str))
+        remap = np.empty(nsrc, np.int64)
+        remap[sorted_idx] = np.arange(nsrc)
+        dic_sorted = dic[sorted_idx]
+        key = np.asarray(sh.indices).astype(np.int64) * nsrc \
+            + remap[np.asarray(sc.indices).astype(np.int64)]
+        key = np.unique(key)                      # global distinctness
+        shi, si = key // nsrc, key % nsrc
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(shi)) + 1])
+        sizes = np.diff(np.concatenate([starts, [len(shi)]]))
+        counts = np.zeros(nsrc * nsrc, np.int64)
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            st = starts[sizes == s]
+            ai, bi = np.triu_indices(int(s), k=1)
+            pa_i = si[(st[:, None] + ai[None, :])].ravel()
+            pb_i = si[(st[:, None] + bi[None, :])].ravel()
+            lo = np.minimum(pa_i, pb_i)
+            hi = np.maximum(pa_i, pb_i)
+            np.add.at(counts, lo * nsrc + hi, 1)
+        nz = np.flatnonzero(counts)
+        if not len(nz):
+            return empty
+        return pa.table({
+            "src_a": pa.array(dic_sorted[nz // nsrc].astype(str),
+                              pa.string()),
+            "src_b": pa.array(dic_sorted[nz % nsrc].astype(str),
+                              pa.string()),
+            "n": pa.array(counts[nz], pa.int64())})
+
+    parts = rows.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(kernel, batch_format="pyarrow") \
+        .to_pandas()
+    if not len(parts):
+        return pa.table({"src_a": pa.array([], pa.string()),
+                         "src_b": pa.array([], pa.string()),
+                         "n_shared_shingles": pa.array([], pa.int64())})
+    out = parts.groupby(["src_a", "src_b"], as_index=False)["n"].sum() \
+        .sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    return pa.table({
+        "src_a": pa.array(out["src_a"], pa.string()),
+        "src_b": pa.array(out["src_b"], pa.string()),
+        "n_shared_shingles": pa.array(out["n"].to_numpy(), pa.int64())})

@@ -1729,3 +1729,28 @@ def test_embedding_centroids_exact(ray_session):
     assert out.loc[(7, 1)] == (q[0, 1] + q[1, 1] + 2 * 2_000_000) // 2 \
         - 2_000_000
     assert out.loc[(9, 0)] == 1_000_000 and out.loc[(9, 1)] == 1_000_000
+
+
+def test_source_overlap_counts(ray_session):
+    """Shared-shingle counts per source pair: hand-countable fixture
+    (shared 3-grams across sources, none within a single source), pair
+    orientation lexicographic regardless of arrival order."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.dedup import source_overlap
+
+    docs = [
+        ("alpha beta gamma delta", "zweb"),   # shingles: a b g / b g d
+        ("alpha beta gamma", "books"),        # shares 'alpha beta gamma'
+        ("beta gamma delta", "code"),         # shares 'beta gamma delta'
+        ("unrelated text entirely here", "books"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array([t for t, _ in docs], pa.string()),
+        "source": pa.array([s for _, s in docs], pa.string())}))
+    out = source_overlap(ds).to_pandas().set_index(["src_a", "src_b"])
+    assert out.loc[("books", "zweb"), "n_shared_shingles"] == 1
+    assert out.loc[("code", "zweb"), "n_shared_shingles"] == 1
+    assert ("books", "code") not in out.index
+    assert (out.reset_index()["src_a"] < out.reset_index()["src_b"]).all()
