@@ -1049,6 +1049,13 @@ def _q_hll_distinct_users(sf_dir):
                          [r["registers_nonzero"]], pa.int64())})
 
 
+def _q_events_value_deciles(sf_dir):
+    # per-event decile bucket within its type (quantile featurizer):
+    # histogram-derived cutoffs broadcast once, map-only assignment
+    from bge_m3_onnx_ray.stages.events import value_deciles
+    return value_deciles(_events(sf_dir))
+
+
 def _q_events_percentiles(sf_dir):
     # exact percentiles via the bounded-domain histogram (the exchange
     # carries (type, grid value) counts, never rows)
@@ -1490,6 +1497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_percentile_ranks": _q_events_percentile_ranks,
         "events_distinct_users_daily": _q_events_distinct_daily,
         "events_value_percentiles": _q_events_percentiles,
+        "events_value_deciles": _q_events_value_deciles,
         "events_value_stats": _q_events_stats,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "histogram_n_chars": _q_histogram_n_chars,
@@ -4572,6 +4580,23 @@ SELECT event_type,
        quantile_disc(q2, 0.95)::BIGINT AS p95,
        quantile_disc(q2, 0.99)::BIGINT AS p99
 FROM e GROUP BY event_type
+""",
+        # per-event decile bucket: quantile_disc cutoffs on the q2 grid,
+        # value EQUAL to a cutoff stays in the lower bucket
+        "events_value_deciles": """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS q2
+           FROM events),
+c0 AS (SELECT event_type,
+              quantile_disc(q2, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+                AS cl
+       FROM e GROUP BY event_type),
+cuts AS (SELECT event_type, unnest(cl) AS c FROM c0)
+SELECT e.event_id::BIGINT AS event_id, e.event_type,
+       e.q2 AS value_q2,
+       (1 + count(*) FILTER (WHERE e.q2 > cuts.c))::BIGINT AS decile
+FROM e JOIN cuts USING (event_type)
+GROUP BY 1, 2, 3
 """,
         "events_hopping": """
 WITH n AS (SELECT unnest(range(0, 4)) AS j),

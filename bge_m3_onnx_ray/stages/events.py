@@ -920,3 +920,47 @@ def anomaly_days(ds: rd.Dataset) -> pa.Table:
     return pa.Table.from_pandas(
         res[["event_type", "day", "n_events", "flagged"]],
         preserve_index=False)
+
+
+def value_deciles(ds: rd.Dataset) -> rd.Dataset:
+    """Per-event decile bucket of ``value`` within its event_type — the
+    quantile-bucketing featurizer (the ML-feature twin of
+    :func:`percentiles_value_by_type`): decile d means the value exceeds
+    exactly d−1 of the 9 per-type decile cutoffs (``quantile_disc``
+    semantics on the lossless q2 grid; a value EQUAL to a cutoff stays
+    in the lower bucket). Output (event_id, event_type, value_q2,
+    decile ∈ 1..10).
+
+    Scale shape: cutoffs come from the histogram path (the exchange is
+    types × grid values, row-count-independent), are broadcast once as
+    a (type → 9 ints) table, and the assignment pass is map-only — a
+    searchsorted per batch, no second shuffle."""
+    import ray
+
+    cuts = percentiles_value_by_type(
+        ds, qs=(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)).to_pandas()
+    cuts = cuts.sort_values("event_type").reset_index(drop=True)
+    types = cuts["event_type"].to_numpy().astype(str)
+    cols = [f"p{i}" for i in range(10, 100, 10)]
+    mat = cuts[cols].to_numpy().astype(np.int64)      # (n_types, 9)
+    ref = ray.put((types, mat))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        t_l, m_l = ray.get(ref)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False) \
+            .astype(str)
+        q2 = np.floor(batch.column("value").to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        ti = np.searchsorted(t_l, et)
+        # rows of unseen types cannot occur (cutoffs derive from the
+        # same dataset), so ti indexes are always valid
+        row_cuts = m_l[ti]                            # (n, 9)
+        decile = 1 + (q2[:, None] > row_cuts).sum(axis=1)
+        return pa.table({
+            "event_id": batch.column("event_id").cast(pa.int64()),
+            "event_type": batch.column("event_type").cast(pa.string()),
+            "value_q2": pa.array(q2, pa.int64()),
+            "decile": pa.array(decile.astype(np.int64), pa.int64())})
+
+    return ds.select_columns(["event_id", "event_type", "value"]) \
+        .map_batches(assign, batch_format="pyarrow", batch_size=65536)

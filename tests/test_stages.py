@@ -1754,3 +1754,22 @@ def test_source_overlap_counts(ray_session):
     assert out.loc[("code", "zweb"), "n_shared_shingles"] == 1
     assert ("books", "code") not in out.index
     assert (out.reset_index()["src_a"] < out.reset_index()["src_b"]).all()
+
+
+def test_value_deciles_semantics(ray_session):
+    """Decile assignment: ~equal mass per bucket on a uniform grid and
+    boundary values stay in the LOWER bucket (quantile_disc cutoffs)."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.events import value_deciles
+
+    vals = [float(i) for i in range(1, 101)]      # 1.00..100.00
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array(range(100), pa.int64()),
+        "event_type": pa.array(["t"] * 100, pa.string()),
+        "value": pa.array(vals, pa.float64())}))
+    out = value_deciles(ds).to_pandas().sort_values("event_id")
+    assert out["decile"].value_counts().eq(10).all()   # 10 per bucket
+    # value 10.0 == the p10 cutoff -> decile 1; 10.01-equivalent -> 2
+    assert out.loc[out.value_q2 == 1000, "decile"].iloc[0] == 1
+    assert out.loc[out.value_q2 == 1100, "decile"].iloc[0] == 2
