@@ -1273,6 +1273,13 @@ def _q_corpus_curation(sf_dir):
     return corpus_curation(_docs(sf_dir))
 
 
+def _q_hashed_features(sf_dir):
+    # vocabulary-free feature hashing (HashingVectorizer shape):
+    # map-only, long-form sparse vectors
+    from bge_m3_onnx_ray.stages.text import hashed_features
+    return hashed_features(_docs(sf_dir))
+
+
 def _q_source_overlap(sf_dir):
     # cross-source contamination matrix: distinct shared 3-gram
     # shingles per source pair
@@ -1460,6 +1467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "source_divergence": _q_source_divergence,
         "source_overlap": _q_source_overlap,
+        "hashed_features": _q_hashed_features,
         "unigram_surprise": _q_unigram_surprise,
         "text_variations": _q_text_variations,
         "exact_dedup": _q_exact_dedup,
@@ -3102,6 +3110,24 @@ FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
 """
 
 
+def _hashed_features_sql(dim: int = 1024) -> str:
+    from bge_m3_onnx_ray.hashing import P53
+    p = int(P53)
+    return f"""
+WITH RECURSIVE {_powt_sql('powt', p, _MAXLEN_SQL)},
+toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+       GROUP BY 1, 2),
+terms AS (SELECT DISTINCT term FROM tf),
+{_poly_hash_sql('terms', 'term', 'term', p, 'powt', 'th')},
+f AS (SELECT tf.doc_id, (th.h % {dim})::BIGINT AS feat_idx,
+             sum((CASE WHEN ((th.h // {dim}) % 2) = 0 THEN 1 ELSE -1 END)
+                 * tf.tf)::BIGINT AS feat_val
+      FROM tf JOIN th ON th.term = tf.term GROUP BY 1, 2)
+SELECT doc_id, feat_idx, feat_val FROM f WHERE feat_val != 0
+"""
+
+
 def _simhash_sql() -> str:
     from bge_m3_onnx_ray.hashing import P53
     p = int(P53)
@@ -4075,6 +4101,10 @@ UNION ALL SELECT 4, 'exact_dedup', count(DISTINCT text)::BIGINT FROM f
   WHERE a1 = 1 AND a2 = 1 AND a3 = 1
 ORDER BY stage_idx
 """,
+        # feature hashing: idx = poly_hash(term) mod 1024, sign from the
+        # next hash bit, signed tf sums; zero-sum features dropped on
+        # both sides
+        "hashed_features": _hashed_features_sql(),
         # cross-source overlap: distinct shared 3-gram shingles per
         # source pair (identical shingle strings to the engine's
         # vectorized builder)

@@ -1083,3 +1083,57 @@ def source_divergence(ds: rd.Dataset, n_buckets: int = 256) -> pa.Table:
     return pa.table({"source": pa.array(srcs, pa.string()),
                      "n_tokens": pa.array(ns_arr, pa.int64()),
                      "tv_q9": pa.array(tv, pa.int64())})
+
+
+# ------------------------------------------------- feature hashing
+
+class _HashedFeatures:
+    """Per-batch hashing-trick featurizer: tokens → (doc_id, feat_idx,
+    feat_val) long-form sparse vectors, fully vectorized (one poly-hash
+    sweep over the batch's UNIQUE terms, one composite-key reduce for
+    the per-(doc, idx) signed sums)."""
+
+    def __init__(self, dim: int):
+        self.tok = DeterministicTokenizer()
+        self.dim = dim
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from bge_m3_onnx_ray.hashing import P53, poly_hash
+        doc_idx, codes, uniques, tfs, _ = \
+            self.tok.batch_term_counts_coded(t.column("text"))
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "feat_idx": pa.array([], pa.int64()),
+                          "feat_val": pa.array([], pa.int64())})
+        if not len(codes):
+            return empty
+        h = poly_hash(uniques, P53)
+        idx = (h % np.uint64(self.dim)).astype(np.int64)[codes]
+        sign = np.where(((h // np.uint64(self.dim)) & np.uint64(1))
+                        .astype(np.int64)[codes] == 0, 1, -1)
+        k = doc_idx * self.dim + idx
+        uk, inv = np.unique(k, return_inverse=True)
+        vals = np.zeros(len(uk), np.int64)
+        np.add.at(vals, inv, sign * tfs.astype(np.int64))
+        docs = t.column("doc_id").to_numpy()
+        keep = vals != 0            # signed collisions can cancel
+        uk, vals = uk[keep], vals[keep]
+        return pa.table({
+            "doc_id": pa.array(docs[uk // self.dim], pa.int64()),
+            "feat_idx": pa.array(uk % self.dim, pa.int64()),
+            "feat_val": pa.array(vals, pa.int64())})
+
+
+def hashed_features(ds: rd.Dataset, dim: int = 1024) -> rd.Dataset:
+    """Feature hashing (Weinberger et al. 2009, "Feature hashing for
+    large scale multitask learning" — the sklearn HashingVectorizer /
+    VW shape): each doc becomes a ``dim``-dimensional sparse vector,
+    feat_idx = hash(term) mod dim, value = Σ ±tf with the unbiasing
+    sign bit drawn from the next hash bit. Stateless and vocabulary-
+    free — the reason the trick exists at 100 TB: no dictionary to
+    build, broadcast, or keep consistent across shards; the whole op
+    is ONE map-only pass. Zero-sum features (signed collisions that
+    cancel) are dropped on both sides. Output long-form
+    (doc_id, feat_idx, feat_val)."""
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        task_stage(_HashedFeatures, dim=dim), batch_format="pyarrow",
+        batch_size=4096)

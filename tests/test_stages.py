@@ -1773,3 +1773,25 @@ def test_value_deciles_semantics(ray_session):
     # value 10.0 == the p10 cutoff -> decile 1; 10.01-equivalent -> 2
     assert out.loc[out.value_q2 == 1000, "decile"].iloc[0] == 1
     assert out.loc[out.value_q2 == 1100, "decile"].iloc[0] == 2
+
+
+def test_hashed_features_properties(ray_session):
+    """Feature hashing: identical docs get identical sparse vectors,
+    indices stay in [0, dim), and per-doc signed mass is bounded by
+    token count."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.text import hashed_features
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["the quick brown fox",
+                                    "the quick brown fox",
+                                    "entirely different words here"],
+                                   pa.string())})
+    out = hashed_features(rd.from_arrow(t), dim=64).to_pandas()
+    assert out.feat_idx.between(0, 63).all()
+    v0 = out[out.doc_id == 0].sort_values("feat_idx").reset_index(drop=True)
+    v1 = out[out.doc_id == 1].sort_values("feat_idx").reset_index(drop=True)
+    assert (v0[["feat_idx", "feat_val"]].values
+            == v1[["feat_idx", "feat_val"]].values).all()
+    assert out[out.doc_id == 0].feat_val.abs().sum() <= 4
