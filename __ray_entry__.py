@@ -1273,6 +1273,16 @@ def _q_corpus_curation(sf_dir):
     return corpus_curation(_docs(sf_dir))
 
 
+def _q_dup_triangles(sf_dir):
+    # triangle count of the ngram near-dup graph (degree-oriented
+    # node-iterator); n_wedges is engine-evidence only — the SQL
+    # oracle checks edges and triangles
+    from bge_m3_onnx_ray.stages.dedup import (ngram_pair_candidates,
+                                              triangle_count)
+    return triangle_count(ngram_pair_candidates(_docs(sf_dir), n=3,
+                                                min_common=2))
+
+
 def _q_hashed_features(sf_dir):
     # vocabulary-free feature hashing (HashingVectorizer shape):
     # map-only, long-form sparse vectors
@@ -1468,6 +1478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_divergence": _q_source_divergence,
         "source_overlap": _q_source_overlap,
         "hashed_features": _q_hashed_features,
+        "dup_triangles": _q_dup_triangles,
         "unigram_surprise": _q_unigram_surprise,
         "text_variations": _q_text_variations,
         "exact_dedup": _q_exact_dedup,
@@ -4277,6 +4288,36 @@ SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 WHERE a.shingle IN (SELECT shingle FROM ok)
 GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+""",
+        # triangle count of the ngram dup graph: same edge set as
+        # ngram_dup_pairs; wedges mirror the engine's (deg, id)
+        # orientation; triangles are the a<b<c three-way self-join
+        "dup_triangles": f"""
+WITH toks AS (SELECT doc_id,
+    regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS i
+        FROM toks)),
+ok AS (SELECT shingle FROM sh GROUP BY shingle
+       HAVING count(*) BETWEEN 2 AND 1000),
+e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE a.shingle IN (SELECT shingle FROM ok)
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+nodes AS (SELECT doc_a AS node FROM e UNION ALL SELECT doc_b FROM e),
+deg AS (SELECT node, count(*)::BIGINT AS deg FROM nodes GROUP BY 1),
+o AS (SELECT CASE WHEN da.deg < db.deg
+                    OR (da.deg = db.deg AND e.doc_a < e.doc_b)
+                  THEN e.doc_a ELSE e.doc_b END AS src
+      FROM e JOIN deg da ON da.node = e.doc_a
+             JOIN deg db ON db.node = e.doc_b),
+w AS (SELECT coalesce(sum(c * (c - 1) // 2), 0)::BIGINT AS n_wedges
+      FROM (SELECT src, count(*)::BIGINT AS c FROM o GROUP BY 1)),
+t AS (SELECT count(*)::BIGINT AS n_triangles
+      FROM e ab JOIN e bc ON bc.doc_a = ab.doc_b
+                JOIN e ca ON ca.doc_a = ab.doc_a AND ca.doc_b = bc.doc_b),
+m AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+SELECT m.n_edges, w.n_wedges, t.n_triangles FROM m, w, t
 """,
         "dup_clusters": f"""
 WITH RECURSIVE toks AS (SELECT doc_id,

@@ -1795,3 +1795,27 @@ def test_hashed_features_properties(ray_session):
     assert (v0[["feat_idx", "feat_val"]].values
             == v1[["feat_idx", "feat_val"]].values).all()
     assert out[out.doc_id == 0].feat_val.abs().sum() <= 4
+
+
+def test_triangle_count_known_graphs(ray_session):
+    """Hand-countable graphs: K4 has 4 triangles / 6 edges; a path has
+    none; a star emits zero wedges under degree orientation (the hub is
+    never a wedge source)."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.dedup import triangle_count
+
+    def g(edges):
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([a for a, b in edges], pa.int64()),
+            "doc_b": pa.array([b for a, b in edges], pa.int64())}))
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    out = triangle_count(g(k4)).to_pandas().iloc[0]
+    assert out.n_edges == 6 and out.n_triangles == 4
+    path = [(0, 1), (1, 2), (2, 3)]
+    out = triangle_count(g(path)).to_pandas().iloc[0]
+    assert out.n_triangles == 0
+    star = [(0, i) for i in range(1, 8)]
+    out = triangle_count(g(star)).to_pandas().iloc[0]
+    assert out.n_wedges == 0 and out.n_triangles == 0
