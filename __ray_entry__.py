@@ -1049,6 +1049,13 @@ def _q_hll_distinct_users(sf_dir):
                          [r["registers_nonzero"]], pa.int64())})
 
 
+def _q_events_type_transitions(sf_dir):
+    # per-user first-order Markov transition counts: one user-bucket
+    # exchange, counts pre-aggregated per bucket
+    from bge_m3_onnx_ray.stages.events import type_transitions
+    return type_transitions(_events(sf_dir))
+
+
 def _q_events_value_deciles(sf_dir):
     # per-event decile bucket within its type (quantile featurizer):
     # histogram-derived cutoffs broadcast once, map-only assignment
@@ -1517,6 +1524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_daily": _q_events_distinct_daily,
         "events_value_percentiles": _q_events_percentiles,
         "events_value_deciles": _q_events_value_deciles,
+        "events_type_transitions": _q_events_type_transitions,
         "events_value_stats": _q_events_stats,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "histogram_n_chars": _q_histogram_n_chars,
@@ -4651,6 +4659,15 @@ SELECT event_type,
        quantile_disc(q2, 0.95)::BIGINT AS p95,
        quantile_disc(q2, 0.99)::BIGINT AS p99
 FROM e GROUP BY event_type
+""",
+        # per-user consecutive event-type transition counts (LAG window)
+        "events_type_transitions": """
+WITH w AS (SELECT event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT prev AS type_from, event_type AS type_to, count(*)::BIGINT AS n
+FROM w WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # per-event decile bucket: quantile_disc cutoffs on the q2 grid,
         # value EQUAL to a cutoff stays in the lower bucket

@@ -964,3 +964,60 @@ def value_deciles(ds: rd.Dataset) -> rd.Dataset:
 
     return ds.select_columns(["event_id", "event_type", "value"]) \
         .map_batches(assign, batch_format="pyarrow", batch_size=65536)
+
+
+def type_transitions(ds: rd.Dataset, n_buckets: int = 512) -> rd.Dataset:
+    """Per-user event-type TRANSITION counts (the first-order Markov /
+    sequence-mining aggregate): for every consecutive pair of a user's
+    events ordered by (ts, event_id), count (type_from, type_to) pairs
+    globally. Output (type_from, type_to, n), one row per observed
+    transition. SQL twin: ``lag(event_type) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id)`` then GROUP BY.
+
+    Scale shape: the same ONE hash-bucket-of-user exchange as
+    :func:`interarrival` — each bucket's kernel sorts its users once,
+    shifts the type codes, and PRE-AGGREGATES transition counts before
+    they leave (output per bucket ≤ n_types², not n_events); a tiny
+    bucket_reduce finishes."""
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = g.num_rows
+        empty = pa.table({"type_from": pa.array([], pa.string()),
+                          "type_to": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        order = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")])
+        tbl = g.take(order)
+        users = tbl.column("user_id").combine_chunks()
+        et = tbl.column("event_type").combine_chunks().dictionary_encode()
+        codes = np.asarray(et.indices).astype(np.int64)
+        k = max(len(et.dictionary), 1)
+        same = ~np.asarray(
+            pc.not_equal(users.slice(1), users.slice(0, n - 1))
+            .to_numpy(zero_copy_only=False))
+        key = codes[:-1][same] * k + codes[1:][same]
+        if not len(key):
+            return empty
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "type_from": et.dictionary.take(pa.array(uk // k))
+                                      .cast(pa.string()),
+            "type_to": et.dictionary.take(pa.array(uk % k))
+                                    .cast(pa.string()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from bge_m3_onnx_ray.hashing import P53, poly_hash
+        b = (poly_hash(t.column("user_id"), P53) % np.uint64(n_buckets))
+        return t.append_column("_bucket", pa.array(b.astype(np.int64)))
+
+    parts = ds.select_columns(["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+    return bucket_reduce(parts, ["type_from", "type_to"],
+                         [("n", "sum", "n")], 16)

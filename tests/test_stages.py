@@ -1819,3 +1819,31 @@ def test_triangle_count_known_graphs(ray_session):
     star = [(0, i) for i in range(1, 8)]
     out = triangle_count(g(star)).to_pandas().iloc[0]
     assert out.n_wedges == 0 and out.n_triangles == 0
+
+
+def test_type_transitions_matches_pandas(ray_session):
+    """Transition counts equal a pandas groupby-shift on a fixture with
+    interleaved users (the per-user ordering must not leak across
+    users)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.events import type_transitions
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 12, n),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s")})
+    got = type_transitions(rd.from_pandas(df)).to_pandas() \
+        .sort_values(["type_from", "type_to"]).reset_index(drop=True)
+    s = df.sort_values(["user_id", "ts", "event_id"])
+    s["prev"] = s.groupby("user_id")["event_type"].shift()
+    want = s.dropna(subset=["prev"]).groupby(
+        ["prev", "event_type"]).size().reset_index(name="n") \
+        .rename(columns={"prev": "type_from", "event_type": "type_to"}) \
+        .sort_values(["type_from", "type_to"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want.astype({"n": "int64"}), check_dtype=False)
