@@ -746,6 +746,19 @@ def _q_ann(sf_dir):
         k=10, exclude={int(v): int(v) for v in qdf.vec_id})
 
 
+def _q_knn_label_vote(sf_dir):
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.stages.ann import knn_label_vote
+    emb = _embeddings(sf_dir)
+    qdf = emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 5)),
+                          batch_format="pyarrow").to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    return knn_label_vote(
+        emb, np.stack(qdf.embedding.to_numpy()), qdf.vec_id.to_numpy(),
+        k=10, exclude={int(v): int(v) for v in qdf.vec_id})
+
+
 def _q_ivf_disk(sf_dir):
     # persisted IVF index: partitioned-by-list parquet + probe-pruned
     # partition READS; nprobe=all == brute force (the SQL gate)
@@ -1502,6 +1515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "embedding_dup_pairs": _q_embedding_dups,
         "ann_cosine_topk": _q_ann,
+        "knn_label_vote": _q_knn_label_vote,
         "ann_filtered_topk": _q_ann_filtered,
         "pq_adc_topk": _q_pq_adc,
         "ivfpq_adc_topk": _q_ivfpq_adc,
@@ -4390,6 +4404,24 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """,
         "ivf_cosine_topk": _ANN_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        # k-NN classifier: majority label of the exact top-10, ties to
+        # the smaller label — same ranking CTE as _ANN_SQL
+        "knn_label_vote": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 5),
+sims AS (SELECT q.query_id, e.vec_id, e.label,
+                list_cosine_similarity(q.qv, e.embedding) AS cos
+         FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, vec_id) AS rnk FROM sims),
+votes AS (SELECT query_id, label, count(*)::BIGINT AS n_votes
+          FROM ranked WHERE rnk <= 10 GROUP BY 1, 2),
+best AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY n_votes DESC, label) AS r FROM votes)
+SELECT query_id::BIGINT AS query_id, label::BIGINT AS predicted_label,
+       n_votes
+FROM best WHERE r = 1 ORDER BY query_id
+""",
         "ann_filtered_topk": _ANN_FILTERED_SQL,
         "ann_int8_topk": _ANN_INT8_SQL,
         "ivf_disk_cosine_topk": _ANN_SQL,

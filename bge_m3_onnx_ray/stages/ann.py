@@ -1180,3 +1180,35 @@ def embedding_centroids(ds: rd.Dataset) -> rd.Dataset:
             "centroid_q6": pa.array(s // n - 2_000_000, pa.int64())})
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def knn_label_vote(ds: rd.Dataset, query_vecs: np.ndarray,
+                   query_ids: np.ndarray, k: int = 10,
+                   exclude: dict[int, int] | None = None) -> pa.Table:
+    """k-NN classification over the embedding column: each query's
+    predicted label is the majority vote of its exact cosine top-k
+    (tie-break: higher vote count, then SMALLER label). Output
+    (query_id, predicted_label, n_votes).
+
+    Scale shape: the neighbor search is :func:`brute_force_topk`
+    (broadcast queries, per-batch partial top-k, tiny merge); neighbor
+    labels attach via the bucketed :func:`~bge_m3_onnx_ray.stages
+    .relational.equi_join` — the corpus side ships only (vec_id, label)
+    int pairs, the top-k side is queries x k rows — and the vote itself
+    is driver-side over those few rows."""
+    from bge_m3_onnx_ray.stages.relational import equi_join
+
+    topk = brute_force_topk(ds, query_vecs, query_ids, k=k,
+                            exclude=exclude)
+    labels = ds.select_columns(["vec_id", "label"])
+    df = equi_join(topk, labels, "vec_id", "vec_id", ["label"]) \
+        .to_pandas()
+    votes = df.groupby(["query_id", "label"]).size() \
+        .reset_index(name="n_votes") \
+        .sort_values(["query_id", "n_votes", "label"],
+                     ascending=[True, False, True])
+    best = votes.groupby("query_id").head(1).sort_values("query_id")
+    return pa.table({
+        "query_id": pa.array(best["query_id"].to_numpy(), pa.int64()),
+        "predicted_label": pa.array(best["label"].to_numpy(), pa.int64()),
+        "n_votes": pa.array(best["n_votes"].to_numpy(), pa.int64())})

@@ -1847,3 +1847,38 @@ def test_type_transitions_matches_pandas(ray_session):
         .sort_values(["type_from", "type_to"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got, want.astype({"n": "int64"}), check_dtype=False)
+
+
+def test_knn_label_vote(ray_session):
+    """Majority vote on a planted two-cluster corpus: a query inside
+    cluster A predicts A's label with a full slate of votes; the
+    vote-count tie (k=2, one neighbor each) goes to the smaller
+    label."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.ann import knn_label_vote
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(0, 0.01, (10, 8)) + np.array([1.0] + [0.0] * 7)
+    b = rng.normal(0, 0.01, (10, 8)) + np.array([0.0] * 7 + [1.0])
+    m = np.vstack([a, b]).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(20), pa.int64()),
+        "label": pa.array([3] * 10 + [8] * 10, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in m],
+                              pa.list_(pa.float32()))}))
+    out = knn_label_vote(ds, m[:1], np.array([0]), k=5,
+                         exclude={0: 0}).to_pandas()
+    assert out.predicted_label.tolist() == [3]
+    assert out.n_votes.tolist() == [5]
+    # tie at k=2 between one 3-vote and one 8-vote? force it: query
+    # midway, k=2 -> nearest from each cluster is not guaranteed, so
+    # build the tie explicitly with k=2 on a 1-per-cluster corpus
+    ds2 = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "label": pa.array([9, 4], pa.int64()),
+        "embedding": pa.array([m[0].tolist(), m[10].tolist()],
+                              pa.list_(pa.float32()))}))
+    mid = ((m[0] + m[10]) / 2)[None, :]
+    out2 = knn_label_vote(ds2, mid, np.array([100]), k=2).to_pandas()
+    assert out2.predicted_label.tolist() == [4]   # smaller label wins tie
