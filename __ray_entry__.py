@@ -746,6 +746,13 @@ def _q_ann(sf_dir):
         k=10, exclude={int(v): int(v) for v in qdf.vec_id})
 
 
+def _q_centroid_outliers(sf_dir):
+    # per-vector cosine to its own label centroid (mislabel detector);
+    # integer dot/norms, one IEEE sqrt expression at the end
+    from bge_m3_onnx_ray.stages.ann import centroid_outliers
+    return centroid_outliers(_embeddings(sf_dir))
+
+
 def _q_knn_label_vote(sf_dir):
     import pyarrow.compute as pc
 
@@ -1516,6 +1523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dups,
         "ann_cosine_topk": _q_ann,
         "knn_label_vote": _q_knn_label_vote,
+        "centroid_outliers": _q_centroid_outliers,
         "ann_filtered_topk": _q_ann_filtered,
         "pq_adc_topk": _q_pq_adc,
         "ivfpq_adc_topk": _q_ivfpq_adc,
@@ -3903,6 +3911,32 @@ FROM sh JOIN bench USING (shingle)
 GROUP BY sh.doc_id
 """,
         "lsh_buckets": _lsh_buckets_sql(),
+        # cosine of each vector to its label centroid: integer dot and
+        # norms on the q6 grid, single IEEE sqrt/divide at the end
+        "centroid_outliers": """
+WITH e AS (SELECT vec_id, label, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) - 1 AS dim
+           FROM embeddings),
+q AS (SELECT vec_id, label, dim,
+             CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+      FROM e),
+cent AS (SELECT label, dim,
+                (sum(qv + 2000000) // count(*) - 2000000)::BIGINT AS c
+         FROM q GROUP BY 1, 2),
+j AS (SELECT q.vec_id, q.label,
+             sum(q.qv * c.c)::BIGINT AS dot,
+             sum(q.qv * q.qv)::BIGINT AS nv,
+             sum(c.c * c.c)::BIGINT AS nc
+      FROM q JOIN cent c ON c.label = q.label AND c.dim = q.dim
+      GROUP BY 1, 2)
+SELECT vec_id::BIGINT AS vec_id, label::BIGINT AS label,
+       CASE WHEN nv > 0 AND nc > 0
+            THEN CAST(floor(dot / (sqrt(CAST(nv AS DOUBLE))
+                                   * sqrt(CAST(nc AS DOUBLE)))
+                            * 1000000) AS BIGINT)
+            ELSE 0 END AS cos_to_centroid_q6
+FROM j ORDER BY vec_id
+""",
         # per-label mean embedding: q6 quantization in DOUBLE (exactly
         # the engine's float64 path), int sums, one floor division on
         # positives — the +2e6 offset keeps // sign-unambiguous

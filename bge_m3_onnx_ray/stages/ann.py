@@ -1212,3 +1212,52 @@ def knn_label_vote(ds: rd.Dataset, query_vecs: np.ndarray,
         "query_id": pa.array(best["query_id"].to_numpy(), pa.int64()),
         "predicted_label": pa.array(best["label"].to_numpy(), pa.int64()),
         "n_votes": pa.array(best["n_votes"].to_numpy(), pa.int64())})
+
+
+def centroid_outliers(ds: rd.Dataset) -> rd.Dataset:
+    """Per-vector cosine to its OWN label's centroid — the
+    mislabeled-sample / outlier detector run after any labeling or
+    clustering pass (low cosine = the vector disagrees with its
+    cluster). Output (vec_id, label, cos_to_centroid_q6), every row.
+
+    Exactness: both the vector and the centroid live on the q6 integer
+    grid (:func:`embedding_centroids`), the dot product and both
+    squared norms are INT64 sums of integer products (bounds: dim x
+    1e12 per product sum — safe beyond 10^5 dims), and the only float
+    step is the final ``dot / (sqrt(nv) * sqrt(nc))`` — one IEEE
+    expression evaluated identically by numpy and SQL, then floored to
+    q6. Scale shape: centroids are a k x dim driver table broadcast
+    once; the scoring pass is map-only."""
+    import ray
+
+    cents = embedding_centroids(ds).to_pandas()
+    cents = cents.sort_values(["label", "dim"])
+    labels_u = np.sort(cents["label"].unique()).astype(np.int64)
+    d = int(cents["dim"].max()) + 1 if len(cents) else 0
+    cmat = cents["centroid_q6"].to_numpy().astype(np.int64) \
+        .reshape(len(labels_u), d)
+    # |c|^2 in int64: components bounded by the q6 grid (|c_d| <= 2e6),
+    # so dim x 4e12 stays far under 2^63
+    cnorm = (cmat * cmat).sum(axis=1, dtype=np.int64)
+    ref = ray.put((labels_u, cmat, cnorm.astype(np.float64)))
+
+    def score(t: pa.Table) -> pa.Table:
+        l_u, c_m, c_n = ray.get(ref)
+        m = _embedding_matrix(t.column("embedding"))
+        v = np.floor(m * 1e6).astype(np.int64)
+        lab = t.column("label").to_numpy().astype(np.int64)
+        li = np.searchsorted(l_u, lab)
+        dot = (v * c_m[li]).sum(axis=1).astype(np.float64)
+        nv = (v * v).sum(axis=1).astype(np.float64)
+        nc = c_n[li]
+        denom = np.sqrt(nv) * np.sqrt(nc)
+        cos = np.divide(dot, denom, out=np.zeros(len(v)),
+                        where=denom > 0)
+        return pa.table({
+            "vec_id": t.column("vec_id").cast(pa.int64()),
+            "label": pa.array(lab, pa.int64()),
+            "cos_to_centroid_q6": pa.array(
+                np.floor(cos * 1e6).astype(np.int64), pa.int64())})
+
+    return ds.select_columns(["vec_id", "label", "embedding"]) \
+        .map_batches(score, batch_format="pyarrow", batch_size=4096)

@@ -1882,3 +1882,26 @@ def test_knn_label_vote(ray_session):
     mid = ((m[0] + m[10]) / 2)[None, :]
     out2 = knn_label_vote(ds2, mid, np.array([100]), k=2).to_pandas()
     assert out2.predicted_label.tolist() == [4]   # smaller label wins tie
+
+
+def test_centroid_outliers_flags_mislabel(ray_session):
+    """A vector planted in cluster A but labeled B scores far below its
+    (wrong) label's centroid; in-cluster vectors score near 1."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.ann import centroid_outliers
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(0, 0.01, (10, 8)) + np.array([1.0] + [0.0] * 7)
+    b = rng.normal(0, 0.01, (10, 8)) + np.array([0.0] * 7 + [1.0])
+    m = np.vstack([a, b]).astype(np.float32)
+    labels = [0] * 10 + [1] * 10
+    labels[0] = 1                      # plant a mislabel
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(20), pa.int64()),
+        "label": pa.array(labels, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in m],
+                              pa.list_(pa.float32()))}))
+    out = centroid_outliers(ds).to_pandas().set_index("vec_id")
+    assert out.loc[0, "cos_to_centroid_q6"] < 500_000      # the outlier
+    assert (out.drop(0)["cos_to_centroid_q6"] > 900_000).all()
