@@ -1069,6 +1069,12 @@ def _q_hll_distinct_users(sf_dir):
                          [r["registers_nonzero"]], pa.int64())})
 
 
+def _q_events_new_users_daily(sf_dir):
+    # growth accounting: first-seen day per user + cumulative count
+    from bge_m3_onnx_ray.stages.events import new_users_daily
+    return new_users_daily(_events(sf_dir))
+
+
 def _q_events_type_transitions(sf_dir):
     # per-user first-order Markov transition counts: one user-bucket
     # exchange, counts pre-aggregated per bucket
@@ -1331,6 +1337,13 @@ def _q_source_divergence(sf_dir):
     return source_divergence(_docs(sf_dir))
 
 
+def _q_lang_length_pivot(sf_dir):
+    # wide-format crosstab: langid rows x length-category columns,
+    # pivoted BEFORE the exchange
+    from bge_m3_onnx_ray.stages.text import lang_length_pivot
+    return lang_length_pivot(_docs(sf_dir))
+
+
 def _q_mixture_sample(sf_dir):
     from bge_m3_onnx_ray.stages.text import mixture_sample
     return mixture_sample(_docs(sf_dir).select_columns(["doc_id", "source"]))
@@ -1506,6 +1519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": _q_source_overlap,
         "hashed_features": _q_hashed_features,
         "dup_triangles": _q_dup_triangles,
+        "lang_length_pivot": _q_lang_length_pivot,
         "unigram_surprise": _q_unigram_surprise,
         "text_variations": _q_text_variations,
         "exact_dedup": _q_exact_dedup,
@@ -1547,6 +1561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_percentiles": _q_events_percentiles,
         "events_value_deciles": _q_events_value_deciles,
         "events_type_transitions": _q_events_type_transitions,
+        "events_new_users_daily": _q_events_new_users_daily,
         "events_value_stats": _q_events_stats,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "histogram_n_chars": _q_histogram_n_chars,
@@ -4172,6 +4187,23 @@ ORDER BY stage_idx
         # next hash bit, signed tf sums; zero-sum features dropped on
         # both sides
         "hashed_features": _hashed_features_sql(),
+        # PIVOT: language rows x length-category columns, reusing the
+        # langid CASE and the tokenizer word counts
+        "lang_length_pivot": f"""
+WITH lg AS ({_langid_sql()}),
+wc AS (SELECT doc_id,
+              len(regexp_extract_all(lower(text),
+                  '{_TOKEN_RE_SQL}'))::BIGINT AS n_words
+       FROM documents)
+SELECT lg.lang_guess,
+  sum(CASE WHEN wc.n_words <= 10 THEN 1 ELSE 0 END)::BIGINT AS n_short,
+  sum(CASE WHEN wc.n_words > 10 AND wc.n_words <= 30
+       THEN 1 ELSE 0 END)::BIGINT AS n_medium,
+  sum(CASE WHEN wc.n_words > 30 THEN 1 ELSE 0 END)::BIGINT AS n_long,
+  count(*)::BIGINT AS n_total
+FROM lg JOIN wc USING (doc_id)
+GROUP BY 1 ORDER BY 1
+""",
         # cross-source overlap: distinct shared 3-gram shingles per
         # source pair (identical shingle strings to the engine's
         # vectorized builder)
@@ -4725,6 +4757,17 @@ SELECT event_type,
        quantile_disc(q2, 0.95)::BIGINT AS p95,
        quantile_disc(q2, 0.99)::BIGINT AS p99
 FROM e GROUP BY event_type
+""",
+        # first-seen-day histogram + running cumulative user count
+        "events_new_users_daily": """
+WITH f AS (SELECT user_id, min(epoch_us(ts)) AS us FROM events
+           GROUP BY 1),
+d AS (SELECT (us // 1000000 // 86400) * 86400 AS day,
+             count(*)::BIGINT AS n_new
+      FROM f GROUP BY 1)
+SELECT day::BIGINT AS day, n_new AS n_new_users,
+       sum(n_new) OVER (ORDER BY day)::BIGINT AS cum_users
+FROM d ORDER BY day
 """,
         # per-user consecutive event-type transition counts (LAG window)
         "events_type_transitions": """

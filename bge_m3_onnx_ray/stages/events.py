@@ -1021,3 +1021,42 @@ def type_transitions(ds: rd.Dataset, n_buckets: int = 512) -> rd.Dataset:
         .groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
     return bucket_reduce(parts, ["type_from", "type_to"],
                          [("n", "sum", "n")], 16)
+
+
+def new_users_daily(ds: rd.Dataset) -> pa.Table:
+    """Growth accounting: per UTC day, how many users had their FIRST
+    EVER event that day, plus the running cumulative user count — the
+    new-vs-returning split every activity dashboard opens with. Output
+    (day, n_new_users, cum_users), day in epoch seconds.
+
+    Scale shape: ONE bucket_reduce computes min(ts) per user (16-byte
+    rows, the same exchange class as exact_dedup); the per-day histogram
+    of those firsts is ≤ n_days rows, so the cumulative sum runs on the
+    driver."""
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "us": t.column("ts").cast(pa.int64())})
+
+    firsts = bucket_reduce(
+        ds.select_columns(["user_id", "ts"]).map_batches(
+            to_us, batch_format="pyarrow", batch_size=65536),
+        ["user_id"], [("us", "min", "us")])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        day = (t.column("us").to_numpy() // 1_000_000 // 86_400) * 86_400
+        ud, cnt = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(ud, pa.int64()),
+                         "n_new": pa.array(cnt.astype(np.int64))})
+
+    hist = bucket_reduce(
+        firsts.map_batches(day_partial, batch_format="pyarrow"),
+        ["day"], [("n_new", "sum", "n_new")], 8).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    return pa.table({
+        "day": pa.array(hist["day"].to_numpy(), pa.int64()),
+        "n_new_users": pa.array(hist["n_new"].to_numpy(), pa.int64()),
+        "cum_users": pa.array(hist["n_new"].cumsum().to_numpy(),
+                              pa.int64())})

@@ -1137,3 +1137,55 @@ def hashed_features(ds: rd.Dataset, dim: int = 1024) -> rd.Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
         task_stage(_HashedFeatures, dim=dim), batch_format="pyarrow",
         batch_size=4096)
+
+
+def lang_length_pivot(ds: rd.Dataset) -> rd.Dataset:
+    """PIVOT / crosstab: documents cross-tabulated as language rows ×
+    length-category columns — the wide-format report shape (SQL PIVOT /
+    pandas crosstab). Output (lang_guess, n_short, n_medium, n_long,
+    n_total), one row per detected language.
+
+    Scale shape: each batch computes langid + length category locally
+    and pre-reduces to ≤ n_langs wide partial rows (the pivot happens
+    BEFORE the exchange — a long-format groupby would shuffle
+    n_langs × n_categories rows and still need the widening), then one
+    tiny bucket_reduce sums the partials."""
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    class _PivotPartial:
+        def __init__(self):
+            self.langid = LangId()
+            self.lencat = LengthCategorize()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lg = self.langid(t).column("lang_guess")
+            cat = self.lencat(t).column("category")
+            ld = lg.combine_chunks().dictionary_encode()
+            li = np.asarray(ld.indices).astype(np.int64)
+            cat_np = cat.to_numpy(zero_copy_only=False).astype(str)
+            ci = np.select([cat_np == "short", cat_np == "medium"],
+                           [0, 1], default=2)
+            k = max(len(ld.dictionary), 1)
+            counts = np.zeros((k, 3), np.int64)
+            np.add.at(counts, (li, ci), 1)
+            return pa.table({
+                "lang_guess": ld.dictionary.cast(pa.string()),
+                "n_short": pa.array(counts[:, 0], pa.int64()),
+                "n_medium": pa.array(counts[:, 1], pa.int64()),
+                "n_long": pa.array(counts[:, 2], pa.int64())})
+
+    parts = ds.select_columns(["doc_id", "text"]).map_batches(
+        task_stage(_PivotPartial), batch_format="pyarrow",
+        batch_size=4096)
+    agg = bucket_reduce(parts, ["lang_guess"],
+                        [("n_short", "sum", "n_short"),
+                         ("n_medium", "sum", "n_medium"),
+                         ("n_long", "sum", "n_long")], 8)
+
+    def add_total(t: pa.Table) -> pa.Table:
+        tot = (t.column("n_short").to_numpy()
+               + t.column("n_medium").to_numpy()
+               + t.column("n_long").to_numpy())
+        return t.append_column("n_total", pa.array(tot, pa.int64()))
+
+    return agg.map_batches(add_total, batch_format="pyarrow")

@@ -1905,3 +1905,32 @@ def test_centroid_outliers_flags_mislabel(ray_session):
     out = centroid_outliers(ds).to_pandas().set_index("vec_id")
     assert out.loc[0, "cos_to_centroid_q6"] < 500_000      # the outlier
     assert (out.drop(0)["cos_to_centroid_q6"] > 900_000).all()
+
+
+def test_lang_length_pivot_totals(docs_ds):
+    """Pivot columns sum to the per-language doc counts and the grand
+    total equals the corpus size."""
+    from bge_m3_onnx_ray.stages.text import lang_length_pivot, langid
+    out = lang_length_pivot(docs_ds).to_pandas()
+    assert (out.n_short + out.n_medium + out.n_long == out.n_total).all()
+    langs = langid(docs_ds).to_pandas()["lang_guess"].value_counts()
+    for _, r in out.iterrows():
+        assert r.n_total == langs[r.lang_guess]
+
+
+def test_new_users_daily_cumulative(ray_session):
+    """First-seen-day semantics: a user active on several days counts
+    only on their first; cumulative reaches the distinct user total."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.events import new_users_daily
+
+    day = 86_400
+    rows = [(0, 0), (0, day), (1, 0), (2, day), (2, 2 * day), (3, 2 * day)]
+    df = pd.DataFrame({
+        "user_id": [u for u, _ in rows],
+        "ts": pd.to_datetime([t for _, t in rows], unit="s")})
+    out = new_users_daily(rd.from_pandas(df)).to_pandas()
+    assert out.n_new_users.tolist() == [2, 1, 1]
+    assert out.cum_users.tolist() == [2, 3, 4]
