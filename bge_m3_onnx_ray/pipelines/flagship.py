@@ -2427,9 +2427,11 @@ def bm25_documents_topk_resharded(sf_dir: str, k: int = 10,
     idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
     dst = idx + f"-reshard{new_dps}"
     shutil.rmtree(dst, ignore_errors=True)
-    # the cached index may carry a positions artifact (phrase keys build
-    # it in place); this key only runs BM25, so drop it explicitly
-    reshard_index(idx, dst, new_dps, drop=("positions",))
+    # the cached index may carry positions/attrs artifacts (phrase and
+    # filtered keys build them in place); this key only runs BM25, so
+    # drop both explicitly — tombstones stay guarded: dropping those
+    # WOULD change results
+    reshard_index(idx, dst, new_dps, drop=("positions", "attrs"))
     out = search(dst, DOC_QUERIES, QueryConfig(k=k)).to_pandas()
     out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
     out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
