@@ -1337,6 +1337,19 @@ def _q_source_divergence(sf_dir):
     return source_divergence(_docs(sf_dir))
 
 
+def _q_curated_corpus(sf_dir):
+    # end-to-end curation JOB: filter -> dedup-keep-min -> resumable
+    # source-partitioned parquet write -> read the sink back (the
+    # gated rows are what a trainer would load)
+    import shutil
+
+    from bge_m3_onnx_ray.stages.text import curated_corpus_write
+    out = os.path.join("/tmp/bm25_curated",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out, ignore_errors=True)
+    return curated_corpus_write(_docs(sf_dir), out)
+
+
 def _q_lang_length_pivot(sf_dir):
     # wide-format crosstab: langid rows x length-category columns,
     # pivoted BEFORE the exchange
@@ -1520,6 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashed_features": _q_hashed_features,
         "dup_triangles": _q_dup_triangles,
         "lang_length_pivot": _q_lang_length_pivot,
+        "curated_corpus": _q_curated_corpus,
         "unigram_surprise": _q_unigram_surprise,
         "text_variations": _q_text_variations,
         "exact_dedup": _q_exact_dedup,
@@ -3378,6 +3392,53 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
 """
 
 
+_CURATION_CTES = """WITH d AS (SELECT doc_id, text,
+                  regexp_extract_all(lower(text), '[0-9a-z_]+') AS ts
+           FROM documents),
+l AS (SELECT doc_id,
+  len(list_filter(ts, x -> x IN ('the','and','of','to','a','in','is','it'))) AS c_en,
+  len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','un','los'))) AS c_es,
+  len(list_filter(ts, x -> x IN ('der','die','und','das','ist','nicht','mit','ein'))) AS c_de,
+  len(list_filter(ts, x -> x IN ('le','la','de','et','les','des','un','une'))) AS c_fr
+  FROM d),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                generate_subscripts(string_split(text, ' '), 1) AS pos
+         FROM documents),
+wc AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+              sum(length(tok))::BIGINT AS sum_word_chars
+       FROM toks GROUP BY doc_id),
+wmax AS (SELECT doc_id, max(c)::BIGINT AS max_word_count
+         FROM (SELECT doc_id, tok, count(*) AS c FROM toks
+               GROUP BY doc_id, tok) GROUP BY doc_id),
+bmax AS (SELECT doc_id, max(c)::BIGINT AS max_bigram_count
+         FROM (SELECT a.doc_id, a.tok AS t1, b.tok AS t2, count(*) AS c
+               FROM toks a JOIN toks b
+                 ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+               GROUP BY a.doc_id, a.tok, b.tok) GROUP BY doc_id),
+g AS (SELECT wc.doc_id,
+       (CASE WHEN wc.n_words >= 5
+              AND 3 * wc.n_words <= wc.sum_word_chars
+              AND wc.sum_word_chars <= 10 * wc.n_words
+              AND 5 * wmax.max_word_count <= wc.n_words
+              AND 100 * coalesce(bmax.max_bigram_count, 0)
+                    <= 18 * (wc.n_words - 1)
+             THEN 1 ELSE 0 END) AS keep
+      FROM wc JOIN wmax USING (doc_id) LEFT JOIN bmax USING (doc_id)),
+q AS (SELECT doc_id, len(ts)::BIGINT AS n_words,
+  CAST(floor(len(list_filter(ts, x -> x IN ('the','and','of','to','a','in','is','it')))::DOUBLE
+             / greatest(len(ts), 1)::DOUBLE * 1000000) AS BIGINT)
+    AS stop_ratio_q6
+  FROM d),
+f AS (SELECT d.doc_id, d.text,
+        (CASE WHEN l.c_en > 0 AND l.c_en >= l.c_es AND l.c_en >= l.c_de
+                   AND l.c_en >= l.c_fr THEN 1 ELSE 0 END) AS a1,
+        g.keep AS a2,
+        (CASE WHEN q.n_words >= 10 AND q.stop_ratio_q6 >= 40000
+              THEN 1 ELSE 0 END) AS a3
+      FROM d JOIN l USING (doc_id) JOIN g USING (doc_id)
+             JOIN q USING (doc_id))"""
+
+
 def _langid_sql() -> str:
     from bge_m3_onnx_ray.stages.text import LANG_ORDER, STOPWORDS
 
@@ -4126,52 +4187,7 @@ FROM wc JOIN wmax USING (doc_id) LEFT JOIN bmax USING (doc_id)
         # mirrors of the langid / gopher_repetition / quality_score
         # oracles, composed cumulatively; stage 4 is distinct-text among
         # stage-3 survivors (the exact_dedup group count)
-        "corpus_curation": """
-WITH d AS (SELECT doc_id, text,
-                  regexp_extract_all(lower(text), '[0-9a-z_]+') AS ts
-           FROM documents),
-l AS (SELECT doc_id,
-  len(list_filter(ts, x -> x IN ('the','and','of','to','a','in','is','it'))) AS c_en,
-  len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','un','los'))) AS c_es,
-  len(list_filter(ts, x -> x IN ('der','die','und','das','ist','nicht','mit','ein'))) AS c_de,
-  len(list_filter(ts, x -> x IN ('le','la','de','et','les','des','un','une'))) AS c_fr
-  FROM d),
-toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-                generate_subscripts(string_split(text, ' '), 1) AS pos
-         FROM documents),
-wc AS (SELECT doc_id, count(*)::BIGINT AS n_words,
-              sum(length(tok))::BIGINT AS sum_word_chars
-       FROM toks GROUP BY doc_id),
-wmax AS (SELECT doc_id, max(c)::BIGINT AS max_word_count
-         FROM (SELECT doc_id, tok, count(*) AS c FROM toks
-               GROUP BY doc_id, tok) GROUP BY doc_id),
-bmax AS (SELECT doc_id, max(c)::BIGINT AS max_bigram_count
-         FROM (SELECT a.doc_id, a.tok AS t1, b.tok AS t2, count(*) AS c
-               FROM toks a JOIN toks b
-                 ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-               GROUP BY a.doc_id, a.tok, b.tok) GROUP BY doc_id),
-g AS (SELECT wc.doc_id,
-       (CASE WHEN wc.n_words >= 5
-              AND 3 * wc.n_words <= wc.sum_word_chars
-              AND wc.sum_word_chars <= 10 * wc.n_words
-              AND 5 * wmax.max_word_count <= wc.n_words
-              AND 100 * coalesce(bmax.max_bigram_count, 0)
-                    <= 18 * (wc.n_words - 1)
-             THEN 1 ELSE 0 END) AS keep
-      FROM wc JOIN wmax USING (doc_id) LEFT JOIN bmax USING (doc_id)),
-q AS (SELECT doc_id, len(ts)::BIGINT AS n_words,
-  CAST(floor(len(list_filter(ts, x -> x IN ('the','and','of','to','a','in','is','it')))::DOUBLE
-             / greatest(len(ts), 1)::DOUBLE * 1000000) AS BIGINT)
-    AS stop_ratio_q6
-  FROM d),
-f AS (SELECT d.doc_id, d.text,
-        (CASE WHEN l.c_en > 0 AND l.c_en >= l.c_es AND l.c_en >= l.c_de
-                   AND l.c_en >= l.c_fr THEN 1 ELSE 0 END) AS a1,
-        g.keep AS a2,
-        (CASE WHEN q.n_words >= 10 AND q.stop_ratio_q6 >= 40000
-              THEN 1 ELSE 0 END) AS a3
-      FROM d JOIN l USING (doc_id) JOIN g USING (doc_id)
-             JOIN q USING (doc_id))
+        "corpus_curation": _CURATION_CTES + """
 SELECT 0::BIGINT AS stage_idx, 'total' AS stage, count(*)::BIGINT AS n_docs
 FROM f
 UNION ALL SELECT 1, 'lang_en', count(*)::BIGINT FROM f WHERE a1 = 1
@@ -4187,6 +4203,16 @@ ORDER BY stage_idx
         # next hash bit, signed tf sums; zero-sum features dropped on
         # both sides
         "hashed_features": _hashed_features_sql(),
+        # end-to-end curated-corpus write, gated on the read-back rows:
+        # survivors of the full predicate chain, min doc_id per text
+        "curated_corpus": _CURATION_CTES + """,
+kept AS (SELECT min(f.doc_id) AS doc_id
+         FROM f WHERE a1 = 1 AND a2 = 1 AND a3 = 1
+         GROUP BY f.text)
+SELECT dd.doc_id, dd.lang, dd.source, dd.n_chars
+FROM documents dd JOIN kept USING (doc_id)
+ORDER BY dd.doc_id
+""",
         # PIVOT: language rows x length-category columns, reusing the
         # langid CASE and the tokenizer word counts
         "lang_length_pivot": f"""

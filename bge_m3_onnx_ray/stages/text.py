@@ -1189,3 +1189,48 @@ def lang_length_pivot(ds: rd.Dataset) -> rd.Dataset:
         return t.append_column("n_total", pa.array(tot, pa.int64()))
 
     return agg.map_batches(add_total, batch_format="pyarrow")
+
+
+def curated_corpus_write(ds: rd.Dataset, out_dir: str,
+                         resume: bool = True) -> rd.Dataset:
+    """The END-TO-END curation job: apply the full
+    :func:`corpus_curation` filter chain (lang → Gopher → quality),
+    exact-dedup the survivors keeping each text's smallest doc_id, and
+    WRITE the curated corpus as resumable source-partitioned Parquet
+    (:func:`bge_m3_onnx_ray.sinks.write_partitioned`) — then read the
+    sink back and return it, so the gated result is what a downstream
+    trainer would actually load. Output rows: (doc_id, lang, source,
+    n_chars).
+
+    Scale shape: the corpus is read once for flags (tiny rows), once
+    more to materialize survivors — both streaming; the survivor-id
+    set never sits on the driver (canonical ids come from a 16-byte
+    bucket_reduce and reach the doc stream via the bucketed
+    semi-join); the write is one directory per source with a manifest,
+    so a re-run after a crash skips finished sources at the FILTER
+    stage."""
+    import os
+
+    from bge_m3_onnx_ray.sinks import write_partitioned
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+    from bge_m3_onnx_ray.stages.relational import semi_anti_join
+
+    flags = ds.select_columns(["doc_id", "text"]).map_batches(
+        task_stage(CurationFlags), batch_format="pyarrow",
+        batch_size=2048)
+    keep = bucket_reduce(
+        flags.filter(expr="p3 == 1").select_columns(["h1", "h2",
+                                                     "doc_id"]),
+        ["h1", "h2"], [("doc_id", "min", "doc_id")]) \
+        .select_columns(["doc_id"])
+    kept = semi_anti_join(
+        ds.select_columns(["doc_id", "lang", "source", "n_chars"]),
+        keep, "doc_id", "doc_id")
+    write_partitioned(kept, out_dir, "source", resume=resume)
+
+    parts = sorted(d for d in os.listdir(out_dir)
+                   if d.startswith("part="))
+    # select away the hive "part=" column the reader infers from paths
+    return rd.read_parquet([os.path.join(out_dir, d, "data.parquet")
+                            for d in parts]) \
+        .select_columns(["doc_id", "lang", "source", "n_chars"])

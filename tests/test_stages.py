@@ -1934,3 +1934,34 @@ def test_new_users_daily_cumulative(ray_session):
     out = new_users_daily(rd.from_pandas(df)).to_pandas()
     assert out.n_new_users.tolist() == [2, 1, 1]
     assert out.cum_users.tolist() == [2, 3, 4]
+
+
+def test_curated_corpus_write_and_resume(ray_session, tmp_path):
+    """The end-to-end curation job: written partitions carry manifests,
+    read-back equals filter+dedup semantics, and a second run resumes
+    (skips every finished partition) with byte-identical output."""
+    import json
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.text import curated_corpus_write
+
+    good = ("the data table is in the a of it to store value row fast "
+            "merge key scan")
+    docs = [(good, "s1"), (good, "s2"),          # dup across sources
+            (good + " more tail", "s1"),
+            ("el la de que y en un los datos", "s2")]   # drops at lang
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array([t for t, _ in docs], pa.string()),
+        "lang": pa.array(["en"] * len(docs), pa.string()),
+        "source": pa.array([s for _, s in docs], pa.string()),
+        "n_chars": pa.array([len(t) for t, _ in docs], pa.int64())}))
+    out = str(tmp_path / "curated")
+    got = curated_corpus_write(ds, out).to_pandas()
+    assert sorted(got.doc_id) == [0, 2]          # dup keeps min doc_id
+    man = sorted((tmp_path / "curated" / "_manifest").iterdir())
+    assert [m.name for m in man] == ["s1.json"]  # s2 has no survivors
+    sha_before = json.loads(man[0].read_text())["sha256"]
+    got2 = curated_corpus_write(ds, out).to_pandas()   # resume run
+    assert sorted(got2.doc_id) == [0, 2]
+    assert json.loads(man[0].read_text())["sha256"] == sha_before
