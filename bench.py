@@ -445,7 +445,10 @@ def run_bench() -> dict:
               "rank_eval_ndcg_documents",
               "phrase_prefix_documents_topk", "simhash_dup_pairs",
               "local_supplier_volume", "corpus_curation",
-              "hll_distinct_users"]
+              "hll_distinct_users", "source_divergence", "source_overlap",
+              "dup_triangles", "hashed_features", "embedding_centroids",
+              "events_value_deciles", "events_type_transitions",
+              "knn_label_vote", "curated_corpus"]
     qs = m.queries()
     for name in wanted:
         t0 = time.perf_counter()
