@@ -1069,6 +1069,12 @@ def _q_hll_distinct_users(sf_dir):
                          [r["registers_nonzero"]], pa.int64())})
 
 
+def _q_events_user_top_type(sf_dir):
+    # per-user mode (argmax-per-group): pair counts then bucketed argmax
+    from bge_m3_onnx_ray.stages.events import user_top_type
+    return user_top_type(_events(sf_dir))
+
+
 def _q_events_new_users_daily(sf_dir):
     # growth accounting: first-seen day per user + cumulative count
     from bge_m3_onnx_ray.stages.events import new_users_daily
@@ -1576,6 +1582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_deciles": _q_events_value_deciles,
         "events_type_transitions": _q_events_type_transitions,
         "events_new_users_daily": _q_events_new_users_daily,
+        "events_user_top_type": _q_events_user_top_type,
         "events_value_stats": _q_events_stats,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "histogram_n_chars": _q_histogram_n_chars,
@@ -4783,6 +4790,16 @@ SELECT event_type,
        quantile_disc(q2, 0.95)::BIGINT AS p95,
        quantile_disc(q2, 0.99)::BIGINT AS p99
 FROM e GROUP BY event_type
+""",
+        # per-user mode of event_type: highest count, ties to the
+        # lexicographically smaller type
+        "events_user_top_type": """
+WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY n DESC, event_type) AS rk FROM c)
+SELECT user_id::BIGINT AS user_id, event_type AS top_type, n
+FROM r WHERE rk = 1 ORDER BY user_id
 """,
         # first-seen-day histogram + running cumulative user count
         "events_new_users_daily": """

@@ -1060,3 +1060,51 @@ def new_users_daily(ds: rd.Dataset) -> pa.Table:
         "n_new_users": pa.array(hist["n_new"].to_numpy(), pa.int64()),
         "cum_users": pa.array(hist["n_new"].cumsum().to_numpy(),
                               pa.int64())})
+
+
+def user_top_type(ds: rd.Dataset, n_buckets: int = 256) -> rd.Dataset:
+    """Per-user MODE: each user's most frequent event_type (ties to the
+    lexicographically smaller type) with its count — the argmax-per-
+    group aggregate SQL spells ``mode()`` / ``row_number() = 1``.
+    Output (user_id, top_type, n).
+
+    Scale shape: (user, type) pair counts via ONE bucket_reduce (pairs
+    per user are bounded by the type vocabulary, so rows out ≈ users ×
+    types, far below events); the argmax runs inside a second
+    user-bucketed kernel as one lexsort + boundary take — no per-user
+    Python."""
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    counts = bucket_reduce(
+        ds.select_columns(["user_id", "event_type"]),
+        ["user_id", "event_type"], [(None, "count", "n")], n_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from bge_m3_onnx_ray.hashing import splitmix64
+        u = t.column("user_id").to_numpy().astype(np.uint64)
+        return t.append_column("_ub", pa.array(
+            (splitmix64(u) % np.uint64(64)).astype(np.int64)))
+
+    def argmax_kernel(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = g.num_rows
+        if not n:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "top_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        # (user asc, n desc, type asc): each user's first row is its mode
+        order = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("n", "descending"),
+            ("event_type", "ascending")])
+        tbl = g.take(order)
+        users = tbl.column("user_id").to_numpy()
+        firsts = np.concatenate([[0], np.flatnonzero(np.diff(users)) + 1])
+        pick = pa.array(firsts, pa.int64())
+        return pa.table({
+            "user_id": tbl.column("user_id").take(pick),
+            "top_type": tbl.column("event_type").take(pick)
+                           .cast(pa.string()),
+            "n": tbl.column("n").take(pick)})
+
+    return counts.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_ub").map_groups(argmax_kernel, batch_format="pyarrow")

@@ -1965,3 +1965,21 @@ def test_curated_corpus_write_and_resume(ray_session, tmp_path):
     got2 = curated_corpus_write(ds, out).to_pandas()   # resume run
     assert sorted(got2.doc_id) == [0, 2]
     assert json.loads(man[0].read_text())["sha256"] == sha_before
+
+
+def test_user_top_type_mode_and_ties(ray_session):
+    """Per-user mode: count argmax, with the count tie going to the
+    lexicographically smaller type."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.events import user_top_type
+
+    rows = [(1, "b"), (1, "b"), (1, "a"),          # user 1: b wins 2-1
+            (2, "z"), (2, "c")]                    # user 2: tie -> c
+    df = pd.DataFrame({"user_id": [u for u, _ in rows],
+                       "event_type": [e for _, e in rows]})
+    out = user_top_type(rd.from_pandas(df)).to_pandas() \
+        .set_index("user_id").sort_index()
+    assert out.loc[1, "top_type"] == "b" and out.loc[1, "n"] == 2
+    assert out.loc[2, "top_type"] == "c" and out.loc[2, "n"] == 1
