@@ -1343,6 +1343,13 @@ def _q_source_divergence(sf_dir):
     return source_divergence(_docs(sf_dir))
 
 
+def _q_quality_rank(sf_dir):
+    # global row_number without a global sort: score-histogram prefix
+    # broadcast + one score-keyed exchange
+    from bge_m3_onnx_ray.stages.text import quality_rank
+    return quality_rank(_docs(sf_dir))
+
+
 def _q_curated_corpus(sf_dir):
     # end-to-end curation JOB: filter -> dedup-keep-min -> resumable
     # source-partitioned parquet write -> read the sink back (the
@@ -1540,6 +1547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_triangles": _q_dup_triangles,
         "lang_length_pivot": _q_lang_length_pivot,
         "curated_corpus": _q_curated_corpus,
+        "quality_rank": _q_quality_rank,
         "unigram_surprise": _q_unigram_surprise,
         "text_variations": _q_text_variations,
         "exact_dedup": _q_exact_dedup,
@@ -4210,6 +4218,23 @@ ORDER BY stage_idx
         # next hash bit, signed tf sums; zero-sum features dropped on
         # both sides
         "hashed_features": _hashed_features_sql(),
+        # exact global curriculum rank (row_number by stop-ratio desc,
+        # doc_id) — engine computes it shuffle-light via histogram
+        # prefix sums; "rank" quoted: reserved word
+        "quality_rank": f"""
+WITH c AS (SELECT doc_id,
+  regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ts
+  FROM documents),
+q AS (SELECT doc_id,
+  CAST(floor(len(list_filter(ts, x -> x IN ({en})))::DOUBLE
+             / greatest(len(ts), 1)::DOUBLE * 1000000) AS BIGINT)
+    AS stop_ratio_q6
+  FROM c)
+SELECT doc_id, stop_ratio_q6,
+       row_number() OVER (ORDER BY stop_ratio_q6 DESC, doc_id)::BIGINT
+         AS "rank"
+FROM q ORDER BY doc_id
+""",
         # end-to-end curated-corpus write, gated on the read-back rows:
         # survivors of the full predicate chain, min doc_id per text
         "curated_corpus": _CURATION_CTES + """,

@@ -1234,3 +1234,68 @@ def curated_corpus_write(ds: rd.Dataset, out_dir: str,
     return rd.read_parquet([os.path.join(out_dir, d, "data.parquet")
                             for d in parts]) \
         .select_columns(["doc_id", "lang", "source", "n_chars"])
+
+
+def quality_rank(ds: rd.Dataset, n_buckets: int = 256) -> rd.Dataset:
+    """Global curriculum rank: every doc's exact ``row_number() OVER
+    (ORDER BY stop_ratio_q6 DESC, doc_id)`` — the ordering a
+    curriculum-learning data loader consumes — WITHOUT a global sort.
+    Output (doc_id, stop_ratio_q6, rank).
+
+    The TeraSort-rank decomposition: rank = (#docs with a strictly
+    higher score) + (position among same-score docs by doc_id) + 1.
+    The first term comes from a score HISTOGRAM (bucket_reduce →
+    driver prefix-sum over distinct quantized scores — the q6 grid
+    bounds distinct values independent of corpus size) broadcast once;
+    the second from ONE score-keyed exchange whose kernel sorts each
+    score group by doc_id. No stage ever holds the corpus ordered."""
+    import ray
+
+    from bge_m3_onnx_ray.hashing import splitmix64
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    scores = ds.select_columns(["doc_id", "text"]).map_batches(
+        task_stage(QualityScore), batch_format="pyarrow",
+        batch_size=4096).select_columns(["doc_id", "stop_ratio_q6"]) \
+        .materialize()
+
+    hist = bucket_reduce(scores, ["stop_ratio_q6"],
+                         [(None, "count", "n")], 32).to_pandas() \
+        .sort_values("stop_ratio_q6", ascending=False)
+    vals = hist["stop_ratio_q6"].to_numpy().astype(np.int64)
+    offs = np.concatenate([[0], hist["n"].to_numpy().cumsum()[:-1]]) \
+        .astype(np.int64)
+    # vals is DESC; store ascending for searchsorted
+    order = np.argsort(vals)
+    ref = ray.put((vals[order], offs[order]))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        s = t.column("stop_ratio_q6").to_numpy().astype(np.uint64)
+        return t.append_column("_qb", pa.array(
+            (splitmix64(s) % np.uint64(n_buckets)).astype(np.int64)))
+
+    def rank_kernel(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        v_l, o_l = ray.get(ref)
+        n = g.num_rows
+        if not n:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "stop_ratio_q6": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        order = pc.sort_indices(g, sort_keys=[
+            ("stop_ratio_q6", "ascending"), ("doc_id", "ascending")])
+        tbl = g.take(order)
+        s = tbl.column("stop_ratio_q6").to_numpy()
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(s)) + 1])
+        run_id = np.zeros(n, np.int64)
+        run_id[starts[1:]] = 1
+        run_id = np.cumsum(run_id)
+        pos_in_run = np.arange(n) - starts[run_id]
+        base = o_l[np.searchsorted(v_l, s)]
+        return pa.table({
+            "doc_id": tbl.column("doc_id"),
+            "stop_ratio_q6": tbl.column("stop_ratio_q6"),
+            "rank": pa.array(base + pos_in_run + 1, pa.int64())})
+
+    return scores.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_qb").map_groups(rank_kernel, batch_format="pyarrow")

@@ -1983,3 +1983,15 @@ def test_user_top_type_mode_and_ties(ray_session):
         .set_index("user_id").sort_index()
     assert out.loc[1, "top_type"] == "b" and out.loc[1, "n"] == 2
     assert out.loc[2, "top_type"] == "c" and out.loc[2, "n"] == 1
+
+
+def test_quality_rank_is_permutation(docs_ds):
+    """Global rank is an exact 1..N permutation ordered by
+    (stop_ratio desc, doc_id asc) — equal to a driver-side argsort."""
+    from bge_m3_onnx_ray.stages.text import quality_rank
+    out = quality_rank(docs_ds).to_pandas()
+    n = len(out)
+    assert sorted(out["rank"]) == list(range(1, n + 1))
+    want = out.sort_values(["stop_ratio_q6", "doc_id"],
+                           ascending=[False, True])
+    assert want["rank"].tolist() == list(range(1, n + 1))
