@@ -1343,6 +1343,13 @@ def _q_source_divergence(sf_dir):
     return source_divergence(_docs(sf_dir))
 
 
+def _q_sanitize_docs(sf_dir):
+    # input hygiene: null fill + control-char strip + codepoint cap,
+    # flags kept auditable
+    from bge_m3_onnx_ray.stages.text import sanitize_docs
+    return sanitize_docs(_docs(sf_dir))
+
+
 def _q_quality_rank(sf_dir):
     # global row_number without a global sort: score-histogram prefix
     # broadcast + one score-keyed exchange
@@ -1548,6 +1555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_pivot": _q_lang_length_pivot,
         "curated_corpus": _q_curated_corpus,
         "quality_rank": _q_quality_rank,
+        "sanitize_docs": _q_sanitize_docs,
         "unigram_surprise": _q_unigram_surprise,
         "text_variations": _q_text_variations,
         "exact_dedup": _q_exact_dedup,
@@ -4218,6 +4226,23 @@ ORDER BY stage_idx
         # next hash bit, signed tf sums; zero-sum features dropped on
         # both sides
         "hashed_features": _hashed_features_sql(),
+        # input hygiene mirror: same RE2 class, codepoint semantics on
+        # both sides (utf8_length / length, slice / substring)
+        "sanitize_docs": """
+SELECT doc_id,
+  substring(regexp_replace(coalesce(text, ''),
+            '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+            1, 100000) AS text_clean,
+  (CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS was_null,
+  (length(coalesce(text, ''))
+   - length(regexp_replace(coalesce(text, ''),
+            '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')))::BIGINT
+    AS n_ctrl_removed,
+  (CASE WHEN length(regexp_replace(coalesce(text, ''),
+               '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'))
+             > 100000 THEN 1 ELSE 0 END)::BIGINT AS was_truncated
+FROM documents ORDER BY doc_id
+""",
         # exact global curriculum rank (row_number by stop-ratio desc,
         # doc_id) — engine computes it shuffle-light via histogram
         # prefix sums; "rank" quoted: reserved word

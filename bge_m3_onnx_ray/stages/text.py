@@ -1299,3 +1299,40 @@ def quality_rank(ds: rd.Dataset, n_buckets: int = 256) -> rd.Dataset:
 
     return scores.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("_qb").map_groups(rank_kernel, batch_format="pyarrow")
+
+
+def sanitize_docs(ds: rd.Dataset, max_chars: int = 100_000) -> rd.Dataset:
+    """Input hygiene — the stage a real 100 TB corpus hits FIRST: null
+    texts become empty (flagged), C0 control characters (except
+    tab/newline/CR) and DEL are stripped, and text is capped at
+    ``max_chars`` codepoints. Output (doc_id, text_clean, was_null,
+    n_ctrl_removed, was_truncated) — flags kept so the cleaning is
+    auditable rather than silent.
+
+    Map-only, all-Arrow: fill_null → one RE2 ``replace_substring_regex``
+    → codepoint slice; the DuckDB oracle mirrors with coalesce /
+    regexp_replace (RE2 on both sides) / substring, so the gate covers
+    the exact byte behavior."""
+    import pyarrow.compute as pc
+
+    ctrl = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+    def clean(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        was_null = pc.is_null(txt)
+        filled = pc.fill_null(txt, "")
+        len0 = pc.utf8_length(filled)
+        stripped = pc.replace_substring_regex(filled, ctrl, "")
+        len1 = pc.utf8_length(stripped)
+        clipped = pc.utf8_slice_codeunits(stripped, 0, max_chars)
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "text_clean": clipped.cast(pa.string()) if hasattr(
+                clipped, "cast") else clipped,
+            "was_null": pc.cast(was_null, pa.int64()),
+            "n_ctrl_removed": pc.cast(pc.subtract(len0, len1), pa.int64()),
+            "was_truncated": pc.cast(
+                pc.greater(len1, max_chars), pa.int64())})
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        clean, batch_format="pyarrow", batch_size=8192)

@@ -1995,3 +1995,37 @@ def test_quality_rank_is_permutation(docs_ds):
     want = out.sort_values(["stop_ratio_q6", "doc_id"],
                            ascending=[False, True])
     assert want["rank"].tolist() == list(range(1, n + 1))
+
+
+def test_sanitize_docs_nulls_ctrl_cap(ray_session):
+    """Hygiene semantics on hostile input: nulls flagged and emptied,
+    control chars stripped (tab/newline kept), codepoint cap flagged —
+    and the same rows match the DuckDB mirror."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.text import sanitize_docs
+
+    texts = ["ok text", None, "bad\x00\x01mid", "tab\tand\nnl keep",
+             "x" * 30]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = sanitize_docs(rd.from_arrow(t), max_chars=10).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.loc[1, "was_null"] == 1 and got.loc[1, "text_clean"] == ""
+    assert got.loc[2, "text_clean"] == "badmid"
+    assert got.loc[2, "n_ctrl_removed"] == 2
+    assert got.loc[3, "text_clean"] == "tab\tand\nnl"[:10]
+    assert got.loc[4, "was_truncated"] == 1
+    assert got.loc[4, "text_clean"] == "x" * 10
+    con = duckdb.connect()
+    con.register("tt", t)
+    want = con.execute("""
+SELECT doc_id,
+  substring(regexp_replace(coalesce(text, ''),
+            '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+            1, 10) AS text_clean
+FROM tt ORDER BY doc_id""").df()
+    pd.testing.assert_series_equal(got["text_clean"], want["text_clean"],
+                                   check_names=False)
