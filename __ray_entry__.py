@@ -1343,6 +1343,13 @@ def _q_source_divergence(sf_dir):
     return source_divergence(_docs(sf_dir))
 
 
+def _q_bootstrap_mean_chars(sf_dir):
+    # Poissonized bootstrap: deterministic integer multiplicities, so
+    # every replicate is SQL-reproducible bit-for-bit
+    from bge_m3_onnx_ray.stages.text import bootstrap_mean_chars
+    return bootstrap_mean_chars(_docs(sf_dir))
+
+
 def _q_sanitize_docs(sf_dir):
     # input hygiene: null fill + control-char strip + codepoint cap,
     # flags kept auditable
@@ -1556,6 +1563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_corpus": _q_curated_corpus,
         "quality_rank": _q_quality_rank,
         "sanitize_docs": _q_sanitize_docs,
+        "bootstrap_mean_chars": _q_bootstrap_mean_chars,
         "unigram_surprise": _q_unigram_surprise,
         "text_variations": _q_text_variations,
         "exact_dedup": _q_exact_dedup,
@@ -3462,6 +3470,52 @@ f AS (SELECT d.doc_id, d.text,
              JOIN q USING (doc_id))"""
 
 
+def _splitmix_sql(src: str, carry: str) -> str:
+    """CTE chain re-deriving splitmix64 over ``src.x`` (UBIGINT) in
+    UBIGINT/HUGEINT arithmetic (64x64 multiply mod 2^64 via 32-bit
+    split), carrying ``carry`` columns through to ``smh(carry..., h)``.
+    Same construction as the hll_distinct_users oracle."""
+    return f"""
+sm0 AS (SELECT {carry}, CAST((CAST(x AS HUGEINT) + 11400714819323198485)
+                   % 18446744073709551616 AS UBIGINT) AS z FROM {src}),
+smx1 AS (SELECT {carry}, xor(z, z >> 30) AS z FROM sm0),
+sm1 AS (SELECT {carry}, CAST((((CAST(z >> 32 AS HUGEINT) * 484763065
+                      + CAST(z & 4294967295 AS HUGEINT) * 3210233709)
+                     % 4294967296) * 4294967296
+                    + CAST(z & 4294967295 AS HUGEINT) * 484763065)
+                   % 18446744073709551616 AS UBIGINT) AS z FROM smx1),
+smx2 AS (SELECT {carry}, xor(z, z >> 27) AS z FROM sm1),
+sm2 AS (SELECT {carry}, CAST((((CAST(z >> 32 AS HUGEINT) * 321982955
+                      + CAST(z & 4294967295 AS HUGEINT) * 2496678331)
+                     % 4294967296) * 4294967296
+                    + CAST(z & 4294967295 AS HUGEINT) * 321982955)
+                   % 18446744073709551616 AS UBIGINT) AS z FROM smx2),
+smh AS (SELECT {carry}, xor(z, z >> 31) AS h FROM sm2)"""
+
+
+def _bootstrap_sql(n_replicates: int = 200) -> str:
+    from bge_m3_onnx_ray.stages.text import _POIS1_T
+    cases = " + ".join(
+        f"(CASE WHEN h >= {int(t)}::UBIGINT THEN 1 ELSE 0 END)"
+        for t in _POIS1_T)
+    return f"""
+WITH reps AS (SELECT unnest(range(0, {n_replicates})) AS b),
+rows_ AS (SELECT CAST(d.doc_id * {n_replicates} + reps.b AS UBIGINT)
+                   AS x,
+                 reps.b, d.n_chars
+          FROM documents d CROSS JOIN reps),
+{_splitmix_sql('rows_', 'b, n_chars')},
+w AS (SELECT b, n_chars, ({cases})::BIGINT AS w FROM smh),
+agg AS (SELECT b AS replicate, sum(w)::BIGINT AS n_eff,
+               sum(w * n_chars)::BIGINT AS sum_chars
+        FROM w GROUP BY 1)
+SELECT replicate::BIGINT AS replicate, n_eff, sum_chars,
+       (CASE WHEN n_eff > 0 THEN sum_chars * 1000000 // n_eff
+             ELSE -1 END)::BIGINT AS mean_q6
+FROM agg ORDER BY replicate
+"""
+
+
 def _langid_sql() -> str:
     from bge_m3_onnx_ray.stages.text import LANG_ORDER, STOPWORDS
 
@@ -4226,6 +4280,7 @@ ORDER BY stage_idx
         # next hash bit, signed tf sums; zero-sum features dropped on
         # both sides
         "hashed_features": _hashed_features_sql(),
+        "bootstrap_mean_chars": _bootstrap_sql(),
         # input hygiene mirror: same RE2 class, codepoint semantics on
         # both sides (utf8_length / length, slice / substring)
         "sanitize_docs": """

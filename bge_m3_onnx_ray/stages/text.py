@@ -1336,3 +1336,64 @@ def sanitize_docs(ds: rd.Dataset, max_chars: int = 100_000) -> rd.Dataset:
 
     return ds.select_columns(["doc_id", "text"]).map_batches(
         clean, batch_format="pyarrow", batch_size=8192)
+
+
+# ------------------------------------------------ Poissonized bootstrap
+
+# Poisson(1) CDF as exact uint64 thresholds (floor(cdf_k * 2^64),
+# k = 0..12; residual mass ~1e-13 truncated identically on both sides).
+# A row's bootstrap multiplicity in replicate b is the number of
+# thresholds its splitmix64(doc_id*B + b) draw clears.
+_POIS1_T = np.array([
+    6786177901268885504, 13572355802537771008, 16965444753172213760,
+    18096474403383695360, 18379231815936565248, 18435783298447138816,
+    18445208545532233728, 18446555009401532416, 18446723317385195520,
+    18446742018272268288, 18446743888360976384, 18446744058369040384,
+    18446744072536379392], np.uint64)
+
+
+def bootstrap_mean_chars(ds: rd.Dataset, n_replicates: int = 200
+                         ) -> rd.Dataset:
+    """Bootstrap uncertainty for a corpus statistic (mean n_chars),
+    done the way 100 TB allows: the classic resample-with-replacement
+    is Poissonized (Chamandy et al. 2012, "Estimating uncertainty for
+    massive data streams" — each row independently contributes
+    Poisson(1) copies to each replicate), so every replicate becomes a
+    MAP-SIDE weighted partial sum — no random access, no row ever
+    leaves its block; the exchange carries n_replicates tiny rows per
+    batch. Multiplicities are DETERMINISTIC integers (splitmix64 draw
+    vs exact uint64 CDF thresholds), so the DuckDB oracle reproduces
+    every replicate bit-for-bit. Output (replicate, n_eff, sum_chars,
+    mean_q6) — the driver of a real pipeline takes percentiles of
+    mean_q6 for the CI."""
+    from bge_m3_onnx_ray.hashing import splitmix64
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    B = int(n_replicates)
+
+    def partial(t: pa.Table) -> pa.Table:
+        doc = t.column("doc_id").to_numpy().astype(np.uint64)
+        v = t.column("n_chars").to_numpy().astype(np.int64)
+        reps = np.arange(B, dtype=np.uint64)
+        h = splitmix64((doc[:, None] * np.uint64(B)
+                        + reps[None, :]).ravel())
+        w = np.searchsorted(_POIS1_T, h, side="right") \
+            .reshape(len(doc), B).astype(np.int64)
+        return pa.table({
+            "replicate": pa.array(np.arange(B, dtype=np.int64)),
+            "n_eff": pa.array(w.sum(axis=0)),
+            "sum_chars": pa.array((w * v[:, None]).sum(axis=0))})
+
+    agg = bucket_reduce(
+        ds.select_columns(["doc_id", "n_chars"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=4096),
+        ["replicate"], [("n_eff", "sum", "n_eff"),
+                        ("sum_chars", "sum", "sum_chars")], 16)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n_eff").to_numpy()
+        s = t.column("sum_chars").to_numpy()
+        mean = np.where(n > 0, (s * 1_000_000) // np.maximum(n, 1), -1)
+        return t.append_column("mean_q6", pa.array(mean, pa.int64()))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -2029,3 +2029,28 @@ SELECT doc_id,
 FROM tt ORDER BY doc_id""").df()
     pd.testing.assert_series_equal(got["text_clean"], want["text_clean"],
                                    check_names=False)
+
+
+def test_bootstrap_mean_chars_statistics(ray_session):
+    """Poissonized bootstrap sanity: replicate means center on the true
+    mean (CI spans it), n_eff centers on n, and the replicates are
+    deterministic across runs."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.text import bootstrap_mean_chars
+
+    rng = np.random.default_rng(2)
+    n = 2000
+    chars = rng.integers(50, 500, n)
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "n_chars": pa.array(chars, pa.int64())})
+    out = bootstrap_mean_chars(rd.from_arrow(t), n_replicates=100) \
+        .to_pandas().sort_values("replicate").reset_index(drop=True)
+    assert len(out) == 100
+    true_mean_q6 = int(chars.sum() * 1_000_000 // n)
+    lo, hi = out.mean_q6.quantile([0.025, 0.975])
+    assert lo <= true_mean_q6 <= hi
+    assert abs(out.n_eff.mean() - n) < n * 0.02
+    out2 = bootstrap_mean_chars(rd.from_arrow(t), n_replicates=100) \
+        .to_pandas().sort_values("replicate").reset_index(drop=True)
+    assert (out2.mean_q6 == out.mean_q6).all()
