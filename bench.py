@@ -448,7 +448,9 @@ def run_bench() -> dict:
               "hll_distinct_users", "source_divergence", "source_overlap",
               "dup_triangles", "hashed_features", "embedding_centroids",
               "events_value_deciles", "events_type_transitions",
-              "knn_label_vote", "curated_corpus"]
+              "knn_label_vote", "curated_corpus", "quality_rank",
+              "sanitize_docs", "bootstrap_mean_chars",
+              "events_user_top_type"]
     qs = m.queries()
     for name in wanted:
         t0 = time.perf_counter()
