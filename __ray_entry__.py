@@ -4039,16 +4039,31 @@ ORDER BY conv_id, turn_idx
 """.replace("__SRC__", _transcripts_src_sql()),
         "doc_fingerprint": _fingerprint_sql(),
         "simhash": _simhash_sql(),
-        # Hamming near-dup pairs: the engine's 4-band pigeonhole
-        # candidates + popcount verify EQUAL the plain all-pairs
-        # Hamming <= 3 join (no false negatives at <= 3 by pigeonhole;
-        # group_cap=1000 exceeds every band group at this scale)
+        # Hamming near-dup pairs with the engine's EXACT banded
+        # semantics mirrored: candidates only through (band, band_val)
+        # groups of 2..1000 docs (the LSH hot-key cap — it BINDS on
+        # dup-dense corpora like sf0.1), distinct across bands, then
+        # the popcount <= 3 verify. On corpora where no band group
+        # exceeds the cap this equals the plain all-pairs Hamming join
+        # (pigeonhole: 4 bands over 53 bits).
         "simhash_dup_pairs": f"""
-WITH sh AS ({_simhash_sql()})
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+WITH sh AS ({_simhash_sql()}),
+bdef(band, shft, msk) AS (VALUES (0, 0, 16383), (1, 14, 8191),
+                                 (2, 27, 8191), (3, 40, 8191)),
+bands AS (SELECT sh.doc_id, sh.simhash, bdef.band,
+                 (sh.simhash >> bdef.shft) & bdef.msk AS bv
+          FROM sh CROSS JOIN bdef),
+ok AS (SELECT band, bv FROM bands GROUP BY 1, 2
+       HAVING count(*) BETWEEN 2 AND 1000),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         JOIN ok ON ok.band = a.band AND ok.bv = a.bv)
+SELECT c.doc_a, c.doc_b,
+       bit_count(xor(sa.simhash, sb.simhash))::BIGINT AS hamming
+FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
 """,
         "minhash_lsh_candidates": _minhash_sql(),
         "redact_pii": _redact_sql(),

@@ -1822,57 +1822,66 @@ def bm25_transcripts_topk(sf_dir: str, method: str = "wand", k: int = 10,
     cfg = IndexConfig(docs_per_shard=TRANSCRIPTS_DOCS_PER_SHARD,
                       term_buckets=8)
     idx = _cached_index(rd.read_parquet(path), f"transcripts-n{n_turns}", cfg)
-    qcfg = QueryConfig(k=3 * k, method=method)
-    if decay_tau is not None:
-        _ensure_day_attrs(idx, path)
-        import pyarrow.parquet as pq
-        days = [int(pq.read_table(os.path.join(path, f), columns=["ts"])
-                    .column("ts").cast(pa.timestamp("us")).cast(pa.int64())
-                    .to_numpy().max() // 1_000_000 // 86_400)
-                for f in sorted(os.listdir(path))]
-        origin = max(days)          # newest day, derived from the data
-        qcfg = QueryConfig(k=3 * k, method=method,
-                           decay_attr=("day", float(origin),
-                                       float(decay_tau)))
-    elif role is not None or weights is not None:
-        # faceted search / function score both key on the turn role (the
-        # 'role' attrs side table is derived once per index — index.attrs)
-        from bge_m3_onnx_ray.index.attrs import build_doc_attrs, has_doc_attrs
-        if not has_doc_attrs(idx, "role"):
-            build_doc_attrs(rd.read_parquet(path), idx, "role")
-        if role is not None:
-            qcfg = QueryConfig(k=3 * k, method=method,
-                               filter_attr="role", filter_value=role)
-        else:
-            qcfg = QueryConfig(k=3 * k, method=method,
+    def make_qcfg(fetch: int) -> QueryConfig:
+        if decay_tau is not None:
+            _ensure_day_attrs(idx, path)
+            import pyarrow.parquet as pq
+            days = [int(pq.read_table(os.path.join(path, f),
+                                      columns=["ts"])
+                        .column("ts").cast(pa.timestamp("us"))
+                        .cast(pa.int64())
+                        .to_numpy().max() // 1_000_000 // 86_400)
+                    for f in sorted(os.listdir(path))]
+            origin = max(days)      # newest day, derived from the data
+            return QueryConfig(k=fetch, method=method,
+                               decay_attr=("day", float(origin),
+                                           float(decay_tau)))
+        if role is not None or weights is not None:
+            # faceted search / function score both key on the turn role
+            # (the 'role' attrs side table is derived once per index)
+            from bge_m3_onnx_ray.index.attrs import (build_doc_attrs,
+                                                     has_doc_attrs)
+            if not has_doc_attrs(idx, "role"):
+                build_doc_attrs(rd.read_parquet(path), idx, "role")
+            if role is not None:
+                return QueryConfig(k=fetch, method=method,
+                                   filter_attr="role", filter_value=role)
+            return QueryConfig(k=fetch, method=method,
                                weight_attr="role", attr_weights=weights)
+        return QueryConfig(k=fetch, method=method)
+
     # over-fetch then re-rank on the QUANTIZED score with the docID
     # tie-break: the oracle ranks on floor(score*1e6) (ulp-stable across
     # engines), so a quantized-tie group straddling the raw-score k
-    # boundary must be resolved identically on both sides; 3k covers any
-    # realistic tie-group width
-    out = search(idx, gen_queries(50), qcfg)
-    df = out.to_pandas()
-    df["score_q6"] = np.floor(df["score"].to_numpy() * 1e6).astype(np.int64)
-    df = df.sort_values(["query_id", "score_q6", "conv_id", "turn_idx"],
-                        ascending=[True, False, True, True]) \
-        .reset_index(drop=True)
-    df["rank"] = df.groupby("query_id").cumcount().astype(np.int32) + 1
-    # tie-width guard: if a query's fetch is saturated AND its k-th
-    # quantized score equals its last fetched one, the tie group may
-    # extend past the fetch and the raw-score cut could have dropped
-    # members the oracle keeps — fail loudly instead of silently
-    # diverging from the oracle (detect the risk, don't assume it away)
-    kth = df[df["rank"] == k].set_index("query_id").score_q6
-    g = df.groupby("query_id")
-    last = g.score_q6.last()          # df is score-desc sorted: the cut row
-    nfetch = g.size()
-    risky = (nfetch >= 3 * k) & (kth.reindex(nfetch.index) == last)
-    if bool(risky.any()):
+    # boundary must be resolved identically on both sides. The tie-width
+    # guard — if a query's fetch is saturated AND its k-th quantized
+    # score equals its last fetched one, the tie group may extend past
+    # the fetch and the raw-score cut could have dropped members the
+    # oracle keeps — escalates the fetch instead of assuming the risk
+    # away; only an implausibly wide tie (> 100k rows) still raises.
+    for mult in (3, 20, 100, 10_000):
+        fetch = mult * k
+        out = search(idx, gen_queries(50), make_qcfg(fetch))
+        df = out.to_pandas()
+        df["score_q6"] = np.floor(df["score"].to_numpy() * 1e6) \
+            .astype(np.int64)
+        df = df.sort_values(["query_id", "score_q6", "conv_id",
+                             "turn_idx"],
+                            ascending=[True, False, True, True]) \
+            .reset_index(drop=True)
+        df["rank"] = df.groupby("query_id").cumcount() \
+            .astype(np.int32) + 1
+        kth = df[df["rank"] == k].set_index("query_id").score_q6
+        g = df.groupby("query_id")
+        last = g.score_q6.last()      # score-desc sorted: the cut row
+        nfetch = g.size()
+        risky = (nfetch >= fetch) & (kth.reindex(nfetch.index) == last)
+        if not bool(risky.any()):
+            break
+    else:
         raise RuntimeError(
-            f"quantized-score tie group wider than the {3 * k}-row "
-            f"over-fetch for queries {list(risky[risky].index)[:5]}; "
-            f"re-run with a larger fetch")
+            f"quantized-score tie group wider than the {fetch}-row "
+            f"over-fetch for queries {list(risky[risky].index)[:5]}")
     df = df[df["rank"] <= k]
     return pa.Table.from_pandas(
         df[["query_id", "rank", "conv_id", "turn_idx", "score_q6"]],
