@@ -1322,7 +1322,13 @@ def triangle_count(pairs: rd.Dataset, n_buckets: int = 256) -> pa.Table:
         a = g.column("a").to_numpy()
         b = g.column("b").to_numpy()
         em = is_e == 1
-        ek = a[em] * (1 << 31) + b[em]          # doc ids < 2^31 by contract
+        # pack (a, b) into one sortable int64 — requires ids < 2^31;
+        # enforced, not assumed (beyond it, switch to a lexicographic
+        # two-column searchsorted)
+        if len(b) and b.max() >= (1 << 31):
+            raise ValueError("triangle_count int64 pair packing needs "
+                             "doc ids < 2^31")
+        ek = a[em] * (1 << 31) + b[em]
         wk = a[~em] * (1 << 31) + b[~em]
         n_w = len(wk)
         if not len(ek) or not n_w:
