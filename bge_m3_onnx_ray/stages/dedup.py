@@ -1233,10 +1233,14 @@ def triangle_count(pairs: rd.Dataset, n_buckets: int = 256) -> pa.Table:
         return pa.table({"node": pa.array(np.concatenate([a, b]),
                                           pa.int64())})
 
-    edges = pairs.select_columns(["doc_a", "doc_b"])
+    # edges feeds THREE consumers (degree count, the join left side,
+    # the membership side) and deg feeds two — materialize both, or Ray
+    # re-executes the whole upstream (the pair-generation shuffle) per
+    # consumer
+    edges = pairs.select_columns(["doc_a", "doc_b"]).materialize()
     deg = bucket_reduce(
         edges.map_batches(endpoints, batch_format="pyarrow"),
-        ["node"], [(None, "count", "deg")])
+        ["node"], [(None, "count", "deg")]).materialize()
 
     da = deg.map_batches(lambda t: pa.table(
         {"node": t.column("node"), "deg_a": t.column("deg")}),
