@@ -49,8 +49,20 @@ def main() -> None:
                     f"read_parquet('{sf}/{tbl}.parquet')")
 
     queries, oracles = entry.queries(), entry.oracle_sql()
+    # the transcripts-family oracles are PINNED to the sf0.01 fixture
+    # (the driver's correctness-gate scale — _transcripts_src_sql);
+    # the engine keys scale with sf_dir, so comparing them at any other
+    # SF is a category error, not a failure
+    pinned = {k for k in queries
+              if k.startswith(("bm25_transcripts", "transcripts_",
+                               "phrase_transcripts"))
+              or k == "facet_histogram_day"}
+    gate_sf = os.path.basename(os.path.normpath(sf)) == "sf0.01"
     n_fail = 0
     for key in queries:
+        if not gate_sf and key in pinned:
+            print(f"{key} PINNED(sf0.01 oracle) skipped", flush=True)
+            continue
         t0 = time.time()
         try:
             t = queries[key](sf)
