@@ -1343,6 +1343,13 @@ def _q_source_divergence(sf_dir):
     return source_divergence(_docs(sf_dir))
 
 
+def _q_bloom_contamination(sf_dir):
+    # Bloom-sketch decontamination: OR-reduced bitmap aggregate +
+    # map-only probe; false positives deterministic, so SQL-exact
+    from bge_m3_onnx_ray.stages.decontam import bloom_contamination
+    return bloom_contamination(_docs(sf_dir))
+
+
 def _q_bootstrap_mean_chars(sf_dir):
     # Poissonized bootstrap: deterministic integer multiplicities, so
     # every replicate is SQL-reproducible bit-for-bit
@@ -1564,6 +1571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_rank": _q_quality_rank,
         "sanitize_docs": _q_sanitize_docs,
         "bootstrap_mean_chars": _q_bootstrap_mean_chars,
+        "bloom_contamination": _q_bloom_contamination,
         "unigram_surprise": _q_unigram_surprise,
         "text_variations": _q_text_variations,
         "exact_dedup": _q_exact_dedup,
@@ -3516,6 +3524,39 @@ FROM agg ORDER BY replicate
 """
 
 
+def _bloom_contamination_sql(m_bits: int = 1 << 17, k: int = 4) -> str:
+    from bge_m3_onnx_ray.hashing import P53
+    p = int(P53)
+    return f"""
+WITH RECURSIVE {_powt_sql('powt', p, _MAXLEN_SQL)},
+toks AS (SELECT doc_id,
+    regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ts
+  FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+       FROM (SELECT doc_id, ts,
+                    unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS i
+             FROM toks)),
+terms AS (SELECT DISTINCT shingle AS term FROM sh),
+{_poly_hash_sql('terms', 'term', 'term', p, 'powt', 'th')},
+jj AS (SELECT unnest(range(0, {k})) AS j),
+rows_ AS (SELECT th.term, jj.j,
+                 CAST(th.h * 8 + jj.j AS UBIGINT) AS x
+          FROM th CROSS JOIN jj),
+{_splitmix_sql('rows_', 'term, j')},
+posn AS (SELECT term, j, CAST(h % {m_bits} AS BIGINT) AS pos FROM smh),
+bb AS (SELECT DISTINCT posn.pos FROM sh
+       JOIN posn ON posn.term = sh.shingle
+       WHERE sh.doc_id % 97 = 0),
+hits AS (SELECT sh.doc_id, sh.shingle
+         FROM sh JOIN posn ON posn.term = sh.shingle
+         LEFT JOIN bb ON bb.pos = posn.pos
+         GROUP BY 1, 2 HAVING count(bb.pos) = {k})
+SELECT doc_id, count(*)::BIGINT AS n_bloom_hits
+FROM hits GROUP BY 1 ORDER BY 1
+"""
+
+
 def _langid_sql() -> str:
     from bge_m3_onnx_ray.stages.text import LANG_ORDER, STOPWORDS
 
@@ -4296,6 +4337,7 @@ ORDER BY stage_idx
         # both sides
         "hashed_features": _hashed_features_sql(),
         "bootstrap_mean_chars": _bootstrap_sql(),
+        "bloom_contamination": _bloom_contamination_sql(),
         # input hygiene mirror: same RE2 class, codepoint semantics on
         # both sides (utf8_length / length, slice / substring)
         "sanitize_docs": """

@@ -133,3 +133,89 @@ def contaminated_docs(corpus: rd.Dataset, bench: rd.Dataset,
     return corpus.select_columns(["doc_id", "text"]).map_batches(
         task_stage(_MatchBenchmark, n=n, bench_ref=bench_ref),
         batch_format="pyarrow")
+
+
+# ----------------------------------------------- Bloom-sketch variant
+
+def _bloom_positions(shingles, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions: lane j of a shingle is
+    splitmix64(poly_hash(shingle) * 8 + j) % m_bits — deterministic and
+    re-derivable in DuckDB (poly-hash CTE + the splitmix UBIGINT
+    chain), so the sketch has an EXACT oracle, false positives
+    included."""
+    from bge_m3_onnx_ray.hashing import P53, poly_hash, splitmix64
+    sx = poly_hash(shingles, P53)                       # < 2^53
+    js = np.arange(k, dtype=np.uint64)
+    return (splitmix64((sx[:, None] * np.uint64(8)) + js[None, :])
+            % np.uint64(m_bits))
+
+
+def bloom_contamination(ds: rd.Dataset, m_bits: int = 1 << 17,
+                        k: int = 4, n: int = 3) -> rd.Dataset:
+    """Benchmark decontamination through a BLOOM FILTER — the
+    fixed-memory form of :func:`benchmark_shingle_hashes` +
+    ``_MatchBenchmark`` for when the benchmark side outgrows an exact
+    broadcast (m_bits/8 bytes total, vs 16 B per distinct shingle
+    exact): per corpus doc, how many of its distinct word-``n``-grams
+    the filter claims are benchmark shingles (includes the sketch's
+    false positives — deterministic ones: the hash lanes are exactly
+    re-derivable, so the DuckDB oracle reproduces every false positive
+    bit-for-bit). Benchmark set = docs with doc_id % 97 == 0, as in the
+    exact operator. Output (doc_id, n_bloom_hits), hits > 0 only.
+
+    Scale shape: the filter builds as a ``Dataset.aggregate``
+    tree-reduce of per-block partial BITMAPS (merge is elementwise OR —
+    associative/commutative, the HLL register shape); the corpus probe
+    is map-only against the broadcast bitmap. No shuffle anywhere."""
+    import ray
+    from ray.data.aggregate import AggregateFn
+
+    words = m_bits // 64
+
+    class _BenchShingles(ShingleStage):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            d = batch.column("doc_id").to_numpy()
+            return super().__call__(batch.filter(pa.array(d % 97 == 0)))
+
+    def acc_block(bits: np.ndarray, block: pa.Table) -> np.ndarray:
+        sh = block.column("shingle")
+        if not len(sh):
+            return bits
+        pos = _bloom_positions(sh.combine_chunks(), m_bits, k).ravel()
+        np.bitwise_or.at(bits, (pos // 64).astype(np.int64),
+                         np.uint64(1) << (pos % np.uint64(64)))
+        return bits
+
+    agg = AggregateFn(init=lambda _: np.zeros(words, np.uint64),
+                      merge=np.bitwise_or,
+                      accumulate_block=acc_block, name="bloom")
+    bench_sh = ds.select_columns(["doc_id", "text"]).map_batches(
+        task_stage(_BenchShingles, n=n), batch_format="pyarrow",
+        batch_size=2048)
+    bits = bench_sh.aggregate(agg)["bloom"]
+    ref = ray.put(bits)
+
+    class _Probe(ShingleStage):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            t = ShingleStage.__call__(self, batch)
+            empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                              "n_bloom_hits": pa.array([], pa.int64())})
+            if not t.num_rows:
+                return empty
+            b = ray.get(ref)
+            pos = _bloom_positions(t.column("shingle").combine_chunks(),
+                                   m_bits, k)
+            hit = ((b[(pos // 64).astype(np.int64)]
+                    >> (pos % np.uint64(64))) & np.uint64(1)) \
+                .astype(bool).all(axis=1)
+            doc = t.column("doc_id").to_numpy()
+            ud, inv = np.unique(doc, return_inverse=True)
+            cnt = np.bincount(inv, weights=hit, minlength=len(ud)) \
+                .astype(np.int64)
+            nz = cnt > 0
+            return pa.table({
+                "doc_id": pa.array(ud[nz], pa.int64()),
+                "n_bloom_hits": pa.array(cnt[nz], pa.int64())})
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        task_stage(_Probe, n=n), batch_format="pyarrow", batch_size=2048)

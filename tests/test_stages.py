@@ -2054,3 +2054,32 @@ def test_bootstrap_mean_chars_statistics(ray_session):
     out2 = bootstrap_mean_chars(rd.from_arrow(t), n_replicates=100) \
         .to_pandas().sort_values("replicate").reset_index(drop=True)
     assert (out2.mean_q6 == out.mean_q6).all()
+
+
+def test_bloom_contamination_superset_of_exact(ray_session):
+    """The Bloom sketch can only ADD false positives: every doc the
+    exact decontamination flags is flagged by the sketch with at least
+    as many hits; a tiny filter (high FP rate) still behaves."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.decontam import bloom_contamination
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, 12)) for _ in range(200)]
+    texts[5] = texts[0]                 # doc 5 shares doc 0's shingles
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    big = bloom_contamination(ds, m_bits=1 << 17).to_pandas() \
+        .set_index("doc_id")
+    # bench docs (id % 97 == 0: 0, 97, 194) self-hit on all shingles
+    assert big.loc[0, "n_bloom_hits"] == 10
+    assert big.loc[5, "n_bloom_hits"] == 10     # exact duplicate of 0
+    tiny = bloom_contamination(ds, m_bits=256).to_pandas() \
+        .set_index("doc_id")
+    # smaller filter: hit sets only grow (FPs), never shrink
+    common = big.index.intersection(tiny.index)
+    assert len(common) == len(big.index)
+    assert (tiny.loc[common, "n_bloom_hits"]
+            >= big.loc[common, "n_bloom_hits"]).all()
