@@ -1229,6 +1229,12 @@ def _q_events_retention(sf_dir):
                                 preserve_index=False)
 
 
+def _q_distribution_cube(sf_dir):
+    # GROUP BY CUBE: all four grouping sets from one flat aggregate
+    from bge_m3_onnx_ray.stages.text import distribution_cube
+    return distribution_cube(_docs(sf_dir))
+
+
 def _q_distribution_rollup(sf_dir):
     # GROUP BY ROLLUP(lang, source): flat counts + per-lang subtotals +
     # grand total, NULL levels rendered '(all)'
@@ -1551,6 +1557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_documents": _q_weighted_sample,
         "corpus_diff_documents": _q_corpus_diff,
         "distribution_rollup": _q_distribution_rollup,
+        "distribution_cube": _q_distribution_cube,
         "doc_fingerprint": _q_fingerprint,
         "distribution_counts": _q_distribution_counts,
         "corpus_sample": _q_corpus_sample,
@@ -4171,6 +4178,14 @@ SELECT coalesce(lang, '(all)') AS lang,
        count(*)::BIGINT AS n_docs
 FROM documents
 GROUP BY ROLLUP (lang, source)
+ORDER BY lang, source
+""",
+        "distribution_cube": """
+SELECT coalesce(lang, '(all)') AS lang,
+       coalesce(source, '(all)') AS source,
+       count(*)::BIGINT AS n_docs
+FROM documents
+GROUP BY CUBE (lang, source)
 ORDER BY lang, source
 """,
         "corpus_diff_documents": """

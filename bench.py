@@ -450,7 +450,8 @@ def run_bench() -> dict:
               "events_value_deciles", "events_type_transitions",
               "knn_label_vote", "curated_corpus", "quality_rank",
               "sanitize_docs", "bootstrap_mean_chars",
-              "events_user_top_type"]
+              "events_user_top_type", "bloom_contamination",
+              "distribution_cube"]
     qs = m.queries()
     for name in wanted:
         t0 = time.perf_counter()

@@ -886,6 +886,30 @@ def distribution_rollup(ds: rd.Dataset) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def distribution_cube(ds: rd.Dataset) -> pa.Table:
+    """GROUP BY CUBE(lang, source): the ROLLUP result plus the
+    per-SOURCE subtotal slice — all four grouping sets, NULL levels
+    rendered '(all)'. Same scale shape as :func:`distribution_rollup`:
+    ONE distributed flat aggregate; every coarser set derives from the
+    (types x sources)-sized flat table on the driver."""
+    import pandas as pd
+
+    flat = distribution_rollup(ds).to_pandas()
+    flat = flat[(flat.lang != "(all)") & (flat.source != "(all)")]
+    sub_l = flat.groupby("lang", as_index=False)["n_docs"].sum()
+    sub_l["source"] = "(all)"
+    sub_s = flat.groupby("source", as_index=False)["n_docs"].sum()
+    sub_s["lang"] = "(all)"
+    total = pd.DataFrame([{"lang": "(all)", "source": "(all)",
+                           "n_docs": int(flat["n_docs"].sum())}])
+    out = pd.concat([flat, sub_l[["lang", "source", "n_docs"]],
+                     sub_s[["lang", "source", "n_docs"]], total],
+                    ignore_index=True).sort_values(
+        ["lang", "source"]).reset_index(drop=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 class CurationFlags:
     """Per-batch kernel for :func:`corpus_curation`: every curation
     signal in ONE pass over the text (language vote, Gopher repetition,

@@ -2083,3 +2083,28 @@ def test_bloom_contamination_superset_of_exact(ray_session):
     assert len(common) == len(big.index)
     assert (tiny.loc[common, "n_bloom_hits"]
             >= big.loc[common, "n_bloom_hits"]).all()
+
+
+def test_distribution_cube_grouping_sets(ray_session):
+    """CUBE contains all four grouping sets and every subtotal equals
+    the sum of its finer rows."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.text import distribution_cube
+    rng = np.random.default_rng(4)
+    n = 300
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array(rng.choice(["en", "es", "de"], n), pa.string()),
+        "source": pa.array(rng.choice(["s1", "s2", "s3", "s4"], n),
+                           pa.string())})
+    out = distribution_cube(rd.from_arrow(t)).to_pandas()
+    flat = out[(out.lang != "(all)") & (out.source != "(all)")]
+    total = out[(out.lang == "(all)") & (out.source == "(all)")]
+    assert total.n_docs.iloc[0] == flat.n_docs.sum()
+    for src, g in flat.groupby("source"):
+        row = out[(out.lang == "(all)") & (out.source == src)]
+        assert row.n_docs.iloc[0] == g.n_docs.sum()
+    for lang, g in flat.groupby("lang"):
+        row = out[(out.lang == lang) & (out.source == "(all)")]
+        assert row.n_docs.iloc[0] == g.n_docs.sum()
