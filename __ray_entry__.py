@@ -1451,6 +1451,11 @@ def _q_shipping_priority_topk(sf_dir):
     return shipping_priority_topk(sf_dir)
 
 
+def _q_nation_volume_shipping(sf_dir):
+    from bge_m3_onnx_ray.stages.relational import nation_volume_shipping
+    return nation_volume_shipping(sf_dir)
+
+
 def _q_local_supplier_volume(sf_dir):
     from bge_m3_onnx_ray.stages.relational import local_supplier_volume
     return local_supplier_volume(sf_dir)
@@ -1634,6 +1639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "shipping_priority_topk": _q_shipping_priority_topk,
         "local_supplier_volume": _q_local_supplier_volume,
+        "nation_volume_shipping": _q_nation_volume_shipping,
         "customers_no_urgent": _q_customers_no_urgent,
         "customers_with_urgent": _q_customers_semi_urgent,
         "events_sessionize": _q_sessionize,
@@ -4892,6 +4898,26 @@ JOIN l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = 'BUILDING'
   AND o.o_orderdate < TIMESTAMP '1998-07-01'
 ORDER BY revenue_q4 DESC, l_orderkey LIMIT 10
+""",
+        # TPC-H Q7: cross-nation shipping volume per (supp_nation,
+        # cust_nation, ship year) for the unordered nation pair
+        "nation_volume_shipping": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+         AS revenue_q4
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """,
         # TPC-H Q5: same-nation customer+supplier revenue per nation of
         # one region in one order-date year, exact 1e-4-dollar integers

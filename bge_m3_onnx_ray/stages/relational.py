@@ -756,3 +756,170 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
         "n_name": pa.array([nat_name[int(k)] for k in out["n_nationkey"]],
                            pa.string()),
         "revenue_q4": pa.array(out["revenue_q4"].to_numpy(), pa.int64())})
+
+
+def nation_volume_shipping(sf_dir: str, nation_a: str = "NATION_2",
+                           nation_b: str = "NATION_7",
+                           date_from: str = "1996-01-01",
+                           date_to: str = "1998-01-01",
+                           n_buckets: int = 64) -> pa.Table:
+    """TPC-H Q7 shape: shipping volume BETWEEN two nations per
+    (supplier nation, customer nation, ship year) — the directional
+    trade-flow report. Output (supp_nation, cust_nation, l_year,
+    revenue_q4), exact 1e-4-dollar integers.
+
+    Same composition as :func:`local_supplier_volume` (constant
+    dimensions driver-side, supplier broadcast into the lineitem map,
+    customer⨝orders as a true large-large :func:`equi_join`, one
+    final hash(orderkey) exchange whose kernel joins and reduces), with
+    two differences: lineitem partials keep the SHIP YEAR as part of
+    the pre-aggregation key, and the kernel's accept predicate is the
+    unordered nation PAIR {a, b} with direction preserved in the
+    output key."""
+    import os
+
+    import ray
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from bge_m3_onnx_ray.hashing import splitmix64
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    name_of = dict(zip(nat.column("n_nationkey").to_pylist(),
+                       nat.column("n_name").to_pylist()))
+    key_of = {v: k for k, v in name_of.items()}
+    ka, kb = key_of[nation_a], key_of[nation_b]
+    pair_keys = [ka, kb]
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    skeys = sup.column("s_suppkey").to_numpy()
+    snat = sup.column("s_nationkey").to_numpy()
+    in_pair = np.isin(snat, pair_keys)
+    order = np.argsort(skeys[in_pair])
+    sup_ref = ray.put((skeys[in_pair][order], snat[in_pair][order]))
+
+    cut0 = pa.scalar(np.datetime64(date_from + "T00:00:00", "us"),
+                     pa.timestamp("us"))
+    cut1 = pa.scalar(np.datetime64(date_to + "T00:00:00", "us"),
+                     pa.timestamp("us"))
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+        filter=pads.field("c_nationkey").isin(pair_keys))
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    ord_nat = equi_join(orders, cust, "o_custkey", "c_custkey",
+                        ["c_nationkey"], n_buckets=n_buckets)
+
+    def orders_tag(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy()
+        return pa.table({
+            "k": pa.array(ok, pa.int64()),
+            "nat": t.column("c_nationkey").cast(pa.int64()),
+            "year": pa.array(np.zeros(len(ok), np.int64)),
+            "rev": pa.array(np.zeros(len(ok), np.int64)),
+            "_side": pa.array(np.zeros(len(ok), np.int64)),
+            "_jb": pa.array((splitmix64(ok.astype(np.uint64))
+                             % np.uint64(n_buckets)).astype(np.int64))})
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        sk, sn = ray.get(sup_ref)
+        lsk = batch.column("l_suppkey").to_numpy()
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "nat": pa.array([], pa.int64()),
+                          "year": pa.array([], pa.int64()),
+                          "rev": pa.array([], pa.int64()),
+                          "_side": pa.array([], pa.int64()),
+                          "_jb": pa.array([], pa.int64())})
+        if not len(sk):
+            return empty
+        pos = np.minimum(np.searchsorted(sk, lsk), len(sk) - 1)
+        hit = sk[pos] == lsk
+        if not hit.any():
+            return empty
+        ok = batch.column("l_orderkey").to_numpy()[hit]
+        nat_l = sn[pos[hit]].astype(np.int64)
+        ship_us = batch.column("l_shipdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy()[hit]
+        # UTC year via the days-since-epoch → (y, m, d) civil algorithm
+        # is overkill: numpy datetime64 gives the year directly
+        year = (ship_us.astype("datetime64[us]")
+                .astype("datetime64[Y]").astype(np.int64) + 1970)
+        price_c = np.rint(batch.column("l_extendedprice").to_numpy()[hit]
+                          * 100).astype(np.int64)
+        disc_c = np.rint(batch.column("l_discount").to_numpy()[hit]
+                         * 100).astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        o = np.lexsort((year, nat_l, ok))
+        ok, nat_l, year, rev = ok[o], nat_l[o], year[o], rev[o]
+        change = (np.diff(ok) != 0) | (np.diff(nat_l) != 0) \
+            | (np.diff(year) != 0)
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        return pa.table({
+            "k": pa.array(ok[starts], pa.int64()),
+            "nat": pa.array(nat_l[starts], pa.int64()),
+            "year": pa.array(year[starts], pa.int64()),
+            "rev": pa.array(np.add.reduceat(rev, starts), pa.int64()),
+            "_side": pa.array(np.ones(len(starts), np.int64)),
+            "_jb": pa.array((splitmix64(ok[starts].astype(np.uint64))
+                             % np.uint64(n_buckets)).astype(np.int64))})
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= cut0)
+               & (pads.field("l_shipdate") < cut1)).map_batches(
+        line_partial, batch_format="pyarrow", batch_size=131072)
+
+    def join_reduce(g: pa.Table) -> pa.Table:
+        side = g.column("_side").to_numpy()
+        keys = g.column("k").to_numpy()
+        nats = g.column("nat").to_numpy()
+        om = side == 0
+        okeys, onat = keys[om], nats[om]
+        o = np.argsort(okeys, kind="stable")
+        okeys, onat = okeys[o], onat[o]
+        lkeys, lnat = keys[~om], nats[~om]
+        lyear = g.column("year").to_numpy()[~om]
+        lrev = g.column("rev").to_numpy()[~om]
+        empty = pa.table({"s_nat": pa.array([], pa.int64()),
+                          "c_nat": pa.array([], pa.int64()),
+                          "l_year": pa.array([], pa.int64()),
+                          "revenue_q4": pa.array([], pa.int64())})
+        if not len(okeys) or not len(lkeys):
+            return empty
+        pos = np.minimum(np.searchsorted(okeys, lkeys), len(okeys) - 1)
+        hit = (okeys[pos] == lkeys) & (onat[pos] != lnat)  # cross-nation
+        if not hit.any():
+            return empty
+        c_nat = onat[pos[hit]]
+        s_nat, yr, rv = lnat[hit], lyear[hit], lrev[hit]
+        key = (s_nat * 32 + c_nat) * 4096 + (yr - 1970)
+        uk, inv = np.unique(key, return_inverse=True)
+        out = np.zeros(len(uk), np.int64)
+        np.add.at(out, inv, rv)
+        return pa.table({
+            "s_nat": pa.array(uk // 4096 // 32, pa.int64()),
+            "c_nat": pa.array(uk // 4096 % 32, pa.int64()),
+            "l_year": pa.array(uk % 4096 + 1970, pa.int64()),
+            "revenue_q4": pa.array(out, pa.int64())})
+
+    tagged = ord_nat.map_batches(orders_tag, batch_format="pyarrow")
+    parts = tagged.union(line).groupby("_jb").map_groups(
+        join_reduce, batch_format="pyarrow").to_pandas()
+    if parts.empty:        # zero qualifying lineitems: keep the schema
+        return pa.table({"supp_nation": pa.array([], pa.string()),
+                         "cust_nation": pa.array([], pa.string()),
+                         "l_year": pa.array([], pa.int64()),
+                         "revenue_q4": pa.array([], pa.int64())})
+    agg = parts.groupby(["s_nat", "c_nat", "l_year"], as_index=False)[
+        "revenue_q4"].sum().sort_values(["s_nat", "c_nat", "l_year"])
+    return pa.table({
+        "supp_nation": pa.array([name_of[int(k)] for k in agg["s_nat"]],
+                                pa.string()),
+        "cust_nation": pa.array([name_of[int(k)] for k in agg["c_nat"]],
+                                pa.string()),
+        "l_year": pa.array(agg["l_year"].to_numpy(), pa.int64()),
+        "revenue_q4": pa.array(agg["revenue_q4"].to_numpy(), pa.int64())})

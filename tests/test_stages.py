@@ -2108,3 +2108,41 @@ def test_distribution_cube_grouping_sets(ray_session):
     for lang, g in flat.groupby("lang"):
         row = out[(out.lang == lang) & (out.source == "(all)")]
         assert row.n_docs.iloc[0] == g.n_docs.sum()
+
+
+def test_nation_volume_shipping_matches_duckdb(ray_session):
+    """TPC-H Q7: both directions of the nation pair, split by ship
+    year, exact integer revenue vs DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from bge_m3_onnx_ray.stages.relational import nation_volume_shipping
+
+    sf = "/root/testdata/sf0.001"
+    got = nation_volume_shipping(sf).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+         AS revenue_q4
+FROM read_parquet('{sf}/supplier.parquet') s
+JOIN read_parquet('{sf}/lineitem.parquet') l
+  ON s.s_suppkey = l.l_suppkey
+JOIN read_parquet('{sf}/orders.parquet') o
+  ON o.o_orderkey = l.l_orderkey
+JOIN read_parquet('{sf}/customer.parquet') c
+  ON c.c_custkey = o.o_custkey
+JOIN read_parquet('{sf}/nation.parquet') n1
+  ON s.s_nationkey = n1.n_nationkey
+JOIN read_parquet('{sf}/nation.parquet') n2
+  ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""").df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
