@@ -1451,6 +1451,11 @@ def _q_shipping_priority_topk(sf_dir):
     return shipping_priority_topk(sf_dir)
 
 
+def _q_returned_item_topk(sf_dir):
+    from bge_m3_onnx_ray.stages.relational import returned_item_topk
+    return returned_item_topk(sf_dir)
+
+
 def _q_nation_volume_shipping(sf_dir):
     from bge_m3_onnx_ray.stages.relational import nation_volume_shipping
     return nation_volume_shipping(sf_dir)
@@ -1640,6 +1645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority_topk": _q_shipping_priority_topk,
         "local_supplier_volume": _q_local_supplier_volume,
         "nation_volume_shipping": _q_nation_volume_shipping,
+        "returned_item_topk": _q_returned_item_topk,
         "customers_no_urgent": _q_customers_no_urgent,
         "customers_with_urgent": _q_customers_semi_urgent,
         "events_sessionize": _q_sessionize,
@@ -4898,6 +4904,23 @@ JOIN l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = 'BUILDING'
   AND o.o_orderdate < TIMESTAMP '1998-07-01'
 ORDER BY revenue_q4 DESC, l_orderkey LIMIT 10
+""",
+        # TPC-H Q10: top-20 customers by returned-item revenue in the
+        # window, decorated with name/nation; (revenue desc, custkey)
+        "returned_item_topk": """
+WITH r AS (SELECT o.o_custkey,
+  sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+    AS revenue_q4
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  GROUP BY 1)
+SELECT c.c_custkey, c.c_name, n.n_name, r.revenue_q4
+FROM r JOIN customer c ON c.c_custkey = r.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY r.revenue_q4 DESC, c.c_custkey LIMIT 20
 """,
         # TPC-H Q7: cross-nation shipping volume per (supp_nation,
         # cust_nation, ship year) for the unordered nation pair

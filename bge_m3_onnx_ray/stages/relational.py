@@ -923,3 +923,135 @@ def nation_volume_shipping(sf_dir: str, nation_a: str = "NATION_2",
                                 pa.string()),
         "l_year": pa.array(agg["l_year"].to_numpy(), pa.int64()),
         "revenue_q4": pa.array(agg["revenue_q4"].to_numpy(), pa.int64())})
+
+
+def returned_item_topk(sf_dir: str, date_from: str = "1996-01-01",
+                       date_to: str = "1996-07-01", k: int = 20,
+                       n_buckets: int = 64) -> pa.Table:
+    """TPC-H Q10 shape: the top-``k`` customers by revenue LOST to
+    returned items (l_returnflag = 'R') in one order-date window,
+    decorated with customer name/nation. Output (c_custkey, c_name,
+    n_name, revenue_q4), revenue desc / custkey asc.
+
+    The aggregate-then-decorate composition: revenue per CUSTOMER
+    reduces distributedly (lineitem 'R' partials join date-filtered
+    orders in ONE hash(orderkey) exchange that re-keys to custkey and
+    pre-reduces; a bucket_reduce finishes the per-customer sums); each
+    bucket then keeps only its local top-k so the driver merges
+    ≤ k x n_buckets rows; customer/nation attributes attach AFTER the
+    cut — k rows decorate driver-side, the full customer table is
+    never joined."""
+    import os
+
+    import ray
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from bge_m3_onnx_ray.hashing import splitmix64
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    cut0 = pa.scalar(np.datetime64(date_from + "T00:00:00", "us"),
+                     pa.timestamp("us"))
+    cut1 = pa.scalar(np.datetime64(date_to + "T00:00:00", "us"),
+                     pa.timestamp("us"))
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= cut0)
+               & (pads.field("o_orderdate") < cut1))
+
+    def orders_tag(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy()
+        return pa.table({
+            "k": pa.array(ok, pa.int64()),
+            "cust": t.column("o_custkey").cast(pa.int64()),
+            "rev": pa.array(np.zeros(len(ok), np.int64)),
+            "_side": pa.array(np.zeros(len(ok), np.int64)),
+            "_jb": pa.array((splitmix64(ok.astype(np.uint64))
+                             % np.uint64(n_buckets)).astype(np.int64))})
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy()
+        price_c = np.rint(batch.column("l_extendedprice").to_numpy()
+                          * 100).astype(np.int64)
+        disc_c = np.rint(batch.column("l_discount").to_numpy()
+                         * 100).astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        o = np.argsort(ok, kind="stable")
+        ok, rev = ok[o], rev[o]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(ok)) + 1]) \
+            if len(ok) else np.array([], np.int64)
+        keys = ok[starts] if len(ok) else np.array([], np.int64)
+        sums = np.add.reduceat(rev, starts) if len(ok) else \
+            np.array([], np.int64)
+        return pa.table({
+            "k": pa.array(keys, pa.int64()),
+            "cust": pa.array(np.zeros(len(keys), np.int64)),
+            "rev": pa.array(sums, pa.int64()),
+            "_side": pa.array(np.ones(len(keys), np.int64)),
+            "_jb": pa.array((splitmix64(keys.astype(np.uint64))
+                             % np.uint64(n_buckets)).astype(np.int64))})
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_returnflag") == "R")).map_batches(
+        line_partial, batch_format="pyarrow", batch_size=131072)
+
+    def join_rekey(g: pa.Table) -> pa.Table:
+        side = g.column("_side").to_numpy()
+        keys = g.column("k").to_numpy()
+        om = side == 0
+        okeys, ocust = keys[om], g.column("cust").to_numpy()[om]
+        o = np.argsort(okeys, kind="stable")
+        okeys, ocust = okeys[o], ocust[o]
+        lkeys = keys[~om]
+        lrev = g.column("rev").to_numpy()[~om]
+        empty = pa.table({"cust": pa.array([], pa.int64()),
+                          "rev": pa.array([], pa.int64())})
+        if not len(okeys) or not len(lkeys):
+            return empty
+        pos = np.minimum(np.searchsorted(okeys, lkeys), len(okeys) - 1)
+        hit = okeys[pos] == lkeys
+        if not hit.any():
+            return empty
+        cust = ocust[pos[hit]]
+        uk, inv = np.unique(cust, return_inverse=True)
+        out = np.zeros(len(uk), np.int64)
+        np.add.at(out, inv, lrev[hit])
+        return pa.table({"cust": pa.array(uk, pa.int64()),
+                         "rev": pa.array(out, pa.int64())})
+
+    per_cust = bucket_reduce(
+        orders.map_batches(orders_tag, batch_format="pyarrow")
+        .union(line).groupby("_jb").map_groups(
+            join_rekey, batch_format="pyarrow"),
+        ["cust"], [("rev", "sum", "rev")])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        c = t.column("cust").to_numpy()
+        r = t.column("rev").to_numpy()
+        o = np.lexsort((c, -r))[:k]
+        return pa.table({"cust": pa.array(c[o], pa.int64()),
+                         "rev": pa.array(r[o], pa.int64())})
+
+    cand = per_cust.map_batches(local_topk, batch_format="pyarrow") \
+        .to_pandas().sort_values(["rev", "cust"],
+                                 ascending=[False, True]).head(k)
+
+    # decorate ONLY the k winners: predicate-pushdown read of just
+    # their customer rows, never the full table
+    cust_t = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=[("c_custkey", "in", cand["cust"].tolist())])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    name_of = dict(zip(nat.column("n_nationkey").to_pylist(),
+                       nat.column("n_name").to_pylist()))
+    cdf = cust_t.to_pandas().set_index("c_custkey").loc[cand["cust"]]
+    return pa.table({
+        "c_custkey": pa.array(cand["cust"].to_numpy(), pa.int64()),
+        "c_name": pa.array(cdf["c_name"].to_numpy(), pa.string()),
+        "n_name": pa.array([name_of[int(x)]
+                            for x in cdf["c_nationkey"]], pa.string()),
+        "revenue_q4": pa.array(cand["rev"].to_numpy(), pa.int64())})

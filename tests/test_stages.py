@@ -2146,3 +2146,38 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""").df()
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   want.reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_returned_item_topk_matches_duckdb(ray_session):
+    """TPC-H Q10: top-k by returned revenue with name/nation
+    decoration matches DuckDB, including the (revenue desc, custkey)
+    tie order."""
+    import duckdb
+    import pandas as pd
+
+    from bge_m3_onnx_ray.stages.relational import returned_item_topk
+
+    sf = "/root/testdata/sf0.001"
+    got = returned_item_topk(sf, k=10).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+WITH r AS (SELECT o.o_custkey,
+  sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+    AS revenue_q4
+  FROM read_parquet('{sf}/lineitem.parquet') l
+  JOIN read_parquet('{sf}/orders.parquet') o
+    ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  GROUP BY 1)
+SELECT c.c_custkey, c.c_name, n.n_name, r.revenue_q4
+FROM r JOIN read_parquet('{sf}/customer.parquet') c
+  ON c.c_custkey = r.o_custkey
+JOIN read_parquet('{sf}/nation.parquet') n
+  ON n.n_nationkey = c.c_nationkey
+ORDER BY r.revenue_q4 DESC, c.c_custkey LIMIT 10""").df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
