@@ -1451,6 +1451,11 @@ def _q_shipping_priority_topk(sf_dir):
     return shipping_priority_topk(sf_dir)
 
 
+def _q_promo_revenue_share(sf_dir):
+    from bge_m3_onnx_ray.stages.relational import promo_revenue_share
+    return promo_revenue_share(sf_dir)
+
+
 def _q_returned_item_topk(sf_dir):
     from bge_m3_onnx_ray.stages.relational import returned_item_topk
     return returned_item_topk(sf_dir)
@@ -1646,6 +1651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": _q_local_supplier_volume,
         "nation_volume_shipping": _q_nation_volume_shipping,
         "returned_item_topk": _q_returned_item_topk,
+        "promo_revenue_share": _q_promo_revenue_share,
         "customers_no_urgent": _q_customers_no_urgent,
         "customers_with_urgent": _q_customers_semi_urgent,
         "events_sessionize": _q_sessionize,
@@ -4904,6 +4910,25 @@ JOIN l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = 'BUILDING'
   AND o.o_orderdate < TIMESTAMP '1998-07-01'
 ORDER BY revenue_q4 DESC, l_orderkey LIMIT 10
+""",
+        # TPC-H Q14: promoted-class revenue share of one ship month,
+        # percent as an exact integer floor on the 1e-6 grid
+        "promo_revenue_share": """
+WITH b AS (SELECT
+  CAST(round(l.l_extendedprice * 100) AS BIGINT)
+    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev,
+  (p.p_type = 'ECONOMY') AS is_promo
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l.l_shipdate < TIMESTAMP '1996-04-01')
+SELECT coalesce(sum(rev) FILTER (WHERE is_promo), 0)::BIGINT
+         AS promo_revenue_q4,
+       coalesce(sum(rev), 0)::BIGINT AS total_revenue_q4,
+       (CASE WHEN coalesce(sum(rev), 0) > 0
+             THEN 100 * coalesce(sum(rev) FILTER (WHERE is_promo), 0)
+                  * 1000000 // sum(rev)
+             ELSE 0 END)::BIGINT AS promo_pct_q6
+FROM b
 """,
         # TPC-H Q10: top-20 customers by returned-item revenue in the
         # window, decorated with name/nation; (revenue desc, custkey)

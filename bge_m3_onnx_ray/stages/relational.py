@@ -1055,3 +1055,69 @@ def returned_item_topk(sf_dir: str, date_from: str = "1996-01-01",
         "n_name": pa.array([name_of[int(x)]
                             for x in cdf["c_nationkey"]], pa.string()),
         "revenue_q4": pa.array(cand["rev"].to_numpy(), pa.int64())})
+
+
+def promo_revenue_share(sf_dir: str, promo_type: str = "ECONOMY",
+                        date_from: str = "1996-03-01",
+                        date_to: str = "1996-04-01") -> pa.Table:
+    """TPC-H Q14 shape: the share of one ship-month's revenue that came
+    from a promoted part class — lineitem ⨝ part with the ratio
+    aggregate. Output one row (promo_revenue_q4, total_revenue_q4,
+    promo_pct_q6), all integer-exact (percent = floor of the integer
+    ratio on the 1e-6 grid).
+
+    Scale shape: part is the broadcast dimension (partkey → one bool,
+    shipped once as a sorted key array + bitmask); the lineitem pass is
+    map-only with per-batch PAIRED partial sums — two int64s per batch
+    cross the (tree-reduce) aggregation, no shuffle anywhere."""
+    import os
+
+    import ray
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    pk = part.column("p_partkey").to_numpy()
+    promo = (np.asarray(part.column("p_type").to_pylist(), dtype=object)
+             == promo_type)
+    order = np.argsort(pk)
+    ref = ray.put((pk[order], promo[order]))
+
+    cut0 = pa.scalar(np.datetime64(date_from + "T00:00:00", "us"),
+                     pa.timestamp("us"))
+    cut1 = pa.scalar(np.datetime64(date_to + "T00:00:00", "us"),
+                     pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k, isp = ray.get(ref)
+        lpk = batch.column("l_partkey").to_numpy()
+        price_c = np.rint(batch.column("l_extendedprice").to_numpy()
+                          * 100).astype(np.int64)
+        disc_c = np.rint(batch.column("l_discount").to_numpy()
+                         * 100).astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        if len(k):
+            pos = np.minimum(np.searchsorted(k, lpk), len(k) - 1)
+            hit = k[pos] == lpk
+            promo_rev = int(rev[hit & isp[pos]].sum())
+            total_rev = int(rev[hit].sum())
+        else:
+            promo_rev = total_rev = 0
+        return pa.table({"promo": pa.array([promo_rev], pa.int64()),
+                         "total": pa.array([total_rev], pa.int64())})
+
+    agg = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= cut0)
+               & (pads.field("l_shipdate") < cut1)).map_batches(
+        partial, batch_format="pyarrow", batch_size=131072).aggregate(
+        Sum("promo", alias_name="promo"), Sum("total", alias_name="total"))
+    p, t = int(agg["promo"]), int(agg["total"])
+    pct_q6 = (100 * p * 1_000_000) // t if t else 0
+    return pa.table({
+        "promo_revenue_q4": pa.array([p], pa.int64()),
+        "total_revenue_q4": pa.array([t], pa.int64()),
+        "promo_pct_q6": pa.array([pct_q6], pa.int64())})

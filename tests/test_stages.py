@@ -2181,3 +2181,17 @@ ORDER BY r.revenue_q4 DESC, c.c_custkey LIMIT 10""").df()
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   want.reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_promo_revenue_share_identities(ray_session):
+    """Q14 identities: promo <= total; an all-promo window reports
+    exactly 100%; integer floor semantics on the percent."""
+    from bge_m3_onnx_ray.stages.relational import promo_revenue_share
+
+    sf = "/root/testdata/sf0.001"
+    out = promo_revenue_share(sf).to_pandas().iloc[0]
+    assert 0 <= out.promo_revenue_q4 <= out.total_revenue_q4
+    if out.total_revenue_q4:
+        assert out.promo_pct_q6 == (100 * int(out.promo_revenue_q4)
+                                    * 1_000_000
+                                    ) // int(out.total_revenue_q4)
