@@ -1069,6 +1069,12 @@ def _q_hll_distinct_users(sf_dir):
                          [r["registers_nonzero"]], pa.int64())})
 
 
+def _q_events_value_zscore(sf_dir):
+    # per-type population z-score: integer moments, one IEEE sqrt
+    from bge_m3_onnx_ray.stages.events import value_zscore
+    return value_zscore(_events(sf_dir))
+
+
 def _q_events_user_top_type(sf_dir):
     # per-user mode (argmax-per-group): pair counts then bucketed argmax
     from bge_m3_onnx_ray.stages.events import user_top_type
@@ -1637,6 +1643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_transitions": _q_events_type_transitions,
         "events_new_users_daily": _q_events_new_users_daily,
         "events_user_top_type": _q_events_user_top_type,
+        "events_value_zscore": _q_events_value_zscore,
         "events_value_stats": _q_events_stats,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "histogram_n_chars": _q_histogram_n_chars,
@@ -5041,6 +5048,24 @@ SELECT event_type,
        quantile_disc(q2, 0.95)::BIGINT AS p95,
        quantile_disc(q2, 0.99)::BIGINT AS p99
 FROM e GROUP BY event_type
+""",
+        # per-type population z-score: z = (v*n - S) / sqrt(n*SS - S^2),
+        # integer moments, the one sqrt mirrored exactly
+        "events_value_zscore": """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS q2
+           FROM events),
+m AS (SELECT event_type, count(*)::BIGINT AS n, sum(q2)::BIGINT AS s,
+             sum(q2 * q2)::BIGINT AS ss
+      FROM e GROUP BY 1)
+SELECT e.event_id::BIGINT AS event_id, e.event_type, e.q2 AS value_q2,
+       (CASE WHEN m.n * m.ss - m.s * m.s > 0
+             THEN CAST(floor((e.q2 * m.n - m.s)
+                             / sqrt(CAST(m.n * m.ss - m.s * m.s
+                                         AS DOUBLE)) * 1000000)
+                       AS BIGINT)
+             ELSE 0 END) AS z_q6
+FROM e JOIN m USING (event_type)
 """,
         # per-user mode of event_type: highest count, ties to the
         # lexicographically smaller type

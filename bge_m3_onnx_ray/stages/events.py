@@ -1108,3 +1108,68 @@ def user_top_type(ds: rd.Dataset, n_buckets: int = 256) -> rd.Dataset:
 
     return counts.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("_ub").map_groups(argmax_kernel, batch_format="pyarrow")
+
+
+def value_zscore(ds: rd.Dataset) -> rd.Dataset:
+    """Per-event POPULATION z-score of ``value`` within its event_type —
+    the standardization featurizer. Kept on the integer-exact contract:
+    per-type (n, Σv, Σv²) are int64 sums over the lossless q2 grid
+    (range bound: n·Σv² < 2^63 — holds to ~10^10 rows at |v| ≤ 200),
+    and z = (v·n − Σv) / sqrt(n·Σv² − (Σv)²) is ONE IEEE expression
+    evaluated identically by numpy and SQL before the q6 floor.
+    Output (event_id, event_type, value_q2, z_q6); degenerate types
+    (zero variance) emit z_q6 = 0.
+
+    Scale shape: the moment pass is a per-batch partial → tiny
+    bucket_reduce (3 ints per type); moments broadcast once; the
+    scoring pass is map-only."""
+    import ray
+
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    def moments(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").combine_chunks().dictionary_encode()
+        codes = np.asarray(et.indices).astype(np.int64)
+        q2 = np.floor(t.column("value").to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        k = max(len(et.dictionary), 1)
+        n = np.bincount(codes, minlength=k).astype(np.int64)
+        s = np.bincount(codes, weights=q2, minlength=k).astype(np.int64)
+        ss = np.bincount(codes, weights=q2 * q2, minlength=k) \
+            .astype(np.int64)
+        return pa.table({"event_type": et.dictionary.cast(pa.string()),
+                         "n": pa.array(n), "s": pa.array(s),
+                         "ss": pa.array(ss)})
+
+    mom = bucket_reduce(
+        ds.select_columns(["event_type", "value"]).map_batches(
+            moments, batch_format="pyarrow", batch_size=65536),
+        ["event_type"], [("n", "sum", "n"), ("s", "sum", "s"),
+                         ("ss", "sum", "ss")], 8).to_pandas() \
+        .sort_values("event_type")
+    types = mom["event_type"].to_numpy().astype(str)
+    ref = ray.put((types, mom["n"].to_numpy().astype(np.int64),
+                   mom["s"].to_numpy().astype(np.int64),
+                   mom["ss"].to_numpy().astype(np.int64)))
+
+    def score(t: pa.Table) -> pa.Table:
+        t_l, n_l, s_l, ss_l = ray.get(ref)
+        et = t.column("event_type").to_numpy(zero_copy_only=False) \
+            .astype(str)
+        q2 = np.floor(t.column("value").to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        ti = np.searchsorted(t_l, et)
+        n, s, ss = n_l[ti], s_l[ti], ss_l[ti]
+        var_n2 = (n * ss - s * s).astype(np.float64)   # n^2 * variance
+        num = (q2 * n - s).astype(np.float64)
+        z = np.divide(num, np.sqrt(var_n2),
+                      out=np.zeros(len(q2)), where=var_n2 > 0)
+        return pa.table({
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "event_type": t.column("event_type").cast(pa.string()),
+            "value_q2": pa.array(q2, pa.int64()),
+            "z_q6": pa.array(np.floor(z * 1e6).astype(np.int64),
+                             pa.int64())})
+
+    return ds.select_columns(["event_id", "event_type", "value"]) \
+        .map_batches(score, batch_format="pyarrow", batch_size=65536)

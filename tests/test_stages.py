@@ -2195,3 +2195,25 @@ def test_promo_revenue_share_identities(ray_session):
         assert out.promo_pct_q6 == (100 * int(out.promo_revenue_q4)
                                     * 1_000_000
                                     ) // int(out.total_revenue_q4)
+
+
+def test_value_zscore_statistics(ray_session):
+    """z-scores have ~zero mean and unit population variance per type;
+    a constant type degenerates to all-zero z."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.events import value_zscore
+
+    rng = np.random.default_rng(6)
+    n = 1000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": ["a"] * (n - 10) + ["const"] * 10,
+        "value": np.concatenate([rng.normal(50, 10, n - 10),
+                                 np.full(10, 7.0)])})
+    out = value_zscore(rd.from_pandas(df)).to_pandas()
+    za = out[out.event_type == "a"].z_q6.to_numpy() / 1e6
+    assert abs(za.mean()) < 1e-3
+    assert abs(za.std() - 1.0) < 1e-2
+    assert (out[out.event_type == "const"].z_q6 == 0).all()
