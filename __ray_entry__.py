@@ -1355,6 +1355,13 @@ def _q_source_divergence(sf_dir):
     return source_divergence(_docs(sf_dir))
 
 
+def _q_chars_words_correlation(sf_dir):
+    # Pearson r between char and token lengths: integer moments, one
+    # IEEE expression (the audit sanity statistic)
+    from bge_m3_onnx_ray.stages.text import chars_words_correlation
+    return chars_words_correlation(_docs(sf_dir))
+
+
 def _q_bloom_contamination(sf_dir):
     # Bloom-sketch decontamination: OR-reduced bitmap aggregate +
     # map-only probe; false positives deterministic, so SQL-exact
@@ -1600,6 +1607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sanitize_docs": _q_sanitize_docs,
         "bootstrap_mean_chars": _q_bootstrap_mean_chars,
         "bloom_contamination": _q_bloom_contamination,
+        "chars_words_correlation": _q_chars_words_correlation,
         "unigram_surprise": _q_unigram_surprise,
         "text_variations": _q_text_variations,
         "exact_dedup": _q_exact_dedup,
@@ -4378,6 +4386,25 @@ ORDER BY stage_idx
         "hashed_features": _hashed_features_sql(),
         "bootstrap_mean_chars": _bootstrap_sql(),
         "bloom_contamination": _bloom_contamination_sql(),
+        # Pearson r on integer moments; same token counts as the engine
+        "chars_words_correlation": f"""
+WITH d AS (SELECT n_chars::BIGINT AS x,
+                  len(regexp_extract_all(lower(text),
+                      '{_TOKEN_RE_SQL}'))::BIGINT AS y
+           FROM documents),
+m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+             sum(y * y)::BIGINT AS syy, sum(x * y)::BIGINT AS sxy
+      FROM d)
+SELECT n AS n_docs,
+       (CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN CAST(floor((n * sxy - sx * sy)
+                    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                       * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                    * 1000000) AS BIGINT)
+             ELSE 0 END) AS r_q6
+FROM m
+""",
         # input hygiene mirror: same RE2 class, codepoint semantics on
         # both sides (utf8_length / length, slice / substring)
         "sanitize_docs": """

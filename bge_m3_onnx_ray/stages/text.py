@@ -1421,3 +1421,49 @@ def bootstrap_mean_chars(ds: rd.Dataset, n_replicates: int = 200
         return t.append_column("mean_q6", pa.array(mean, pa.int64()))
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def chars_words_correlation(ds: rd.Dataset) -> pa.Table:
+    """Corpus-level Pearson correlation between document length in
+    characters and in tokens — the sanity statistic a data audit
+    reports (r far from ~1 flags a tokenizer or encoding problem).
+    Output one row (n_docs, r_q6), integer-exact: all five moments
+    (n, Σx, Σy, Σx², Σy², Σxy) are int64 sums, and
+    r = (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − (Σx)²) · sqrt(n·Σy² − (Σy)²))
+    is one IEEE expression evaluated identically by numpy and SQL
+    before the q6 floor. Degenerate variance → r_q6 = 0.
+
+    Scale shape: per-batch moment partials (6 ints), one tiny
+    tree-reduce — no shuffle. Moment magnitudes: n·Σxy needs
+    n·x·y·n < 2^63 — holds to ~10^9 docs at 10^5-char documents;
+    beyond, split lanes."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column("n_chars").to_numpy().astype(np.int64)
+        _, _, _, _, dls = DeterministicTokenizer() \
+            .batch_term_counts_coded(t.column("text"))
+        y = dls.astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64())})
+
+    agg = ds.select_columns(["n_chars", "text"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=8192).aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+        Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"))
+    n, sx, sy = int(agg["n"]), int(agg["sx"]), int(agg["sy"])
+    sxx, syy, sxy = int(agg["sxx"]), int(agg["syy"]), int(agg["sxy"])
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    if vx > 0 and vy > 0:
+        r = (n * sxy - sx * sy) / (np.sqrt(float(vx)) * np.sqrt(float(vy)))
+        r_q6 = int(np.floor(r * 1e6))
+    else:
+        r_q6 = 0
+    return pa.table({"n_docs": pa.array([n], pa.int64()),
+                     "r_q6": pa.array([r_q6], pa.int64())})

@@ -2217,3 +2217,24 @@ def test_value_zscore_statistics(ray_session):
     assert abs(za.mean()) < 1e-3
     assert abs(za.std() - 1.0) < 1e-2
     assert (out[out.event_type == "const"].z_q6 == 0).all()
+
+
+def test_chars_words_correlation_bounds(ray_session):
+    """Pearson identities: perfectly linear lengths give r = 1 - ulp;
+    constant token counts degenerate to 0."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.text import chars_words_correlation
+
+    texts = ["w " * k for k in range(1, 21)]   # chars exactly 2*words
+    t = pa.table({"doc_id": pa.array(range(20), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "n_chars": pa.array([len(s) for s in texts],
+                                      pa.int64())})
+    out = chars_words_correlation(rd.from_arrow(t)).to_pandas().iloc[0]
+    assert out.n_docs == 20 and out.r_q6 in (999_999, 1_000_000)
+    const = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                      "text": pa.array(["a b"] * 5, pa.string()),
+                      "n_chars": pa.array([3, 4, 5, 6, 7], pa.int64())})
+    out2 = chars_words_correlation(rd.from_arrow(const)).to_pandas().iloc[0]
+    assert out2.r_q6 == 0
