@@ -1069,6 +1069,13 @@ def _q_hll_distinct_users(sf_dir):
                          [r["registers_nonzero"]], pa.int64())})
 
 
+def _q_events_value_mad(sf_dir):
+    # robust per-type location/scale: exact quantile_disc median + MAD
+    # on the q2 grid, no floats anywhere
+    from bge_m3_onnx_ray.stages.events import value_mad
+    return value_mad(_events(sf_dir))
+
+
 def _q_events_value_zscore(sf_dir):
     # per-type population z-score: integer moments, one IEEE sqrt
     from bge_m3_onnx_ray.stages.events import value_zscore
@@ -1652,6 +1659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_new_users_daily": _q_events_new_users_daily,
         "events_user_top_type": _q_events_user_top_type,
         "events_value_zscore": _q_events_value_zscore,
+        "events_value_mad": _q_events_value_mad,
         "events_value_stats": _q_events_stats,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "histogram_n_chars": _q_histogram_n_chars,
@@ -5075,6 +5083,18 @@ SELECT event_type,
        quantile_disc(q2, 0.95)::BIGINT AS p95,
        quantile_disc(q2, 0.99)::BIGINT AS p99
 FROM e GROUP BY event_type
+""",
+        # robust per-type median + MAD, both exact quantile_disc picks
+        "events_value_mad": """
+WITH e AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS q2
+           FROM events),
+m AS (SELECT event_type, quantile_disc(q2, 0.5)::BIGINT AS median_q2
+      FROM e GROUP BY 1)
+SELECT e.event_type, m.median_q2,
+       quantile_disc(abs(e.q2 - m.median_q2), 0.5)::BIGINT AS mad_q2
+FROM e JOIN m USING (event_type)
+GROUP BY 1, 2 ORDER BY 1
 """,
         # per-type population z-score: z = (v*n - S) / sqrt(n*SS - S^2),
         # integer moments, the one sqrt mirrored exactly

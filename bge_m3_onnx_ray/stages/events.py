@@ -1173,3 +1173,61 @@ def value_zscore(ds: rd.Dataset) -> rd.Dataset:
 
     return ds.select_columns(["event_id", "event_type", "value"]) \
         .map_batches(score, batch_format="pyarrow", batch_size=65536)
+
+
+def value_mad(ds: rd.Dataset) -> rd.Dataset:
+    """Per-type ROBUST location/scale: the median and the median
+    absolute deviation of ``value`` — the outlier-resistant twin of
+    :func:`stats_value_by_type`, with NO floats anywhere: both
+    statistics are exact ``quantile_disc`` picks on the lossless q2
+    integer grid (median first, then the median of |v − median|).
+    Output (event_type, median_q2, mad_q2).
+
+    Scale shape: two histogram passes (each exchange bounded by
+    types × grid values, row-count-independent) with the per-type
+    medians broadcast between them; the deviation histogram derives
+    from the VALUE histogram directly — the corpus is read once."""
+    import ray
+
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").combine_chunks().dictionary_encode()
+        codes = np.asarray(et.indices).astype(np.int64)
+        q2 = np.floor(t.column("value").to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        # composite (type, value) count via np.unique on pairs
+        pair = np.stack([codes, q2], axis=1)
+        uk, cnt = np.unique(pair, axis=0, return_counts=True)
+        return pa.table({
+            "event_type": et.dictionary.take(pa.array(uk[:, 0]))
+                            .cast(pa.string()),
+            "value_q2": pa.array(uk[:, 1], pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    hist = bucket_reduce(
+        ds.select_columns(["event_type", "value"]).map_batches(
+            hist_partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "value_q2"], [("n", "sum", "n")], 32).to_pandas()
+
+    def disc_median(g):
+        g = g.sort_values("value_q2")
+        cum = g["n"].cumsum()
+        total = int(cum.iloc[-1])
+        rank = max(int(np.ceil(0.5 * total)), 1)
+        return int(g["value_q2"].to_numpy()[np.searchsorted(
+            cum.to_numpy(), rank)])
+
+    med = {t: disc_median(g) for t, g in hist.groupby("event_type")}
+    # deviation histogram straight from the value histogram (no re-read)
+    hist["dev"] = (hist["value_q2"]
+                   - hist["event_type"].map(med)).abs().astype(np.int64)
+    dev = hist.groupby(["event_type", "dev"], as_index=False)["n"].sum() \
+        .rename(columns={"dev": "value_q2"})
+    mad = {t: disc_median(g) for t, g in dev.groupby("event_type")}
+    types = sorted(med)
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "median_q2": pa.array([med[t] for t in types], pa.int64()),
+        "mad_q2": pa.array([mad[t] for t in types], pa.int64())}))

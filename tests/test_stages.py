@@ -2238,3 +2238,17 @@ def test_chars_words_correlation_bounds(ray_session):
                       "n_chars": pa.array([3, 4, 5, 6, 7], pa.int64())})
     out2 = chars_words_correlation(rd.from_arrow(const)).to_pandas().iloc[0]
     assert out2.r_q6 == 0
+
+
+def test_value_mad_robustness(ray_session):
+    """Median/MAD shrug off a gross outlier that wrecks mean/stddev."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.events import value_mad
+
+    vals = [10.0] * 5 + [12.0] * 5 + [1_000_000.0]   # one wild point
+    df = pd.DataFrame({"event_type": ["t"] * len(vals), "value": vals})
+    out = value_mad(rd.from_pandas(df)).to_pandas().iloc[0]
+    assert out.median_q2 == 1200        # 12.00
+    assert out.mad_q2 == 200            # |10-12| = 2.00 dominates
