@@ -1069,6 +1069,13 @@ def _q_hll_distinct_users(sf_dir):
                          [r["registers_nonzero"]], pa.int64())})
 
 
+def _q_events_hourly_trend(sf_dir):
+    # per-type OLS slope of hourly counts, all-integer with the
+    # +1e9 offset so negative-slope floor matches across engines
+    from bge_m3_onnx_ray.stages.events import hourly_trend
+    return hourly_trend(_events(sf_dir))
+
+
 def _q_events_value_mad(sf_dir):
     # robust per-type location/scale: exact quantile_disc median + MAD
     # on the q2 grid, no floats anywhere
@@ -1660,6 +1667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_top_type": _q_events_user_top_type,
         "events_value_zscore": _q_events_value_zscore,
         "events_value_mad": _q_events_value_mad,
+        "events_hourly_trend": _q_events_hourly_trend,
         "events_value_stats": _q_events_stats,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "histogram_n_chars": _q_histogram_n_chars,
@@ -5083,6 +5091,28 @@ SELECT event_type,
        quantile_disc(q2, 0.95)::BIGINT AS p95,
        quantile_disc(q2, 0.99)::BIGINT AS p99
 FROM e GROUP BY event_type
+""",
+        # per-type OLS slope of hourly counts: integer moments in
+        # HUGEINT, +1e9 offset makes trunc-division == floor
+        "events_hourly_trend": """
+WITH h AS (SELECT event_type,
+                  (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour,
+                  count(*)::HUGEINT AS y
+           FROM events GROUP BY 1, 2),
+x AS (SELECT event_type,
+             (hour - (SELECT min(hour) FROM h)) // 3600 AS x, y
+      FROM h),
+m AS (SELECT event_type, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+             sum(y)::HUGEINT AS sy, sum(x * x)::HUGEINT AS sxx,
+             sum(x * y)::HUGEINT AS sxy
+      FROM x GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+       (CASE WHEN n * sxx - sx * sx > 0
+             THEN CAST(((n * sxy - sx * sy) * 1000000
+                        + 1000000000 * (n * sxx - sx * sx))
+                       // (n * sxx - sx * sx) - 1000000000 AS BIGINT)
+             ELSE 0 END) AS slope_q6
+FROM m ORDER BY event_type
 """,
         # robust per-type median + MAD, both exact quantile_disc picks
         "events_value_mad": """

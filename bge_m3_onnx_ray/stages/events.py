@@ -1231,3 +1231,44 @@ def value_mad(ds: rd.Dataset) -> rd.Dataset:
         "event_type": pa.array(types, pa.string()),
         "median_q2": pa.array([med[t] for t in types], pa.int64()),
         "mad_q2": pa.array([mad[t] for t in types], pa.int64())}))
+
+
+def hourly_trend(ds: rd.Dataset) -> pa.Table:
+    """Per-type activity TREND: the OLS slope of hourly event counts
+    over the observed hours (events/hour per hour — positive = growing
+    traffic), in PURE integer arithmetic: x = hour index from the
+    corpus's first hour, y = hourly count, slope = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²) floored onto the 1e-6 grid through a +1e9 offset so
+    floor and truncate agree on negative slopes (DuckDB ``//``
+    truncates; Python floors). Hours with zero events of a type are NOT
+    regression points (both sides identically). Output (event_type,
+    n_hours, slope_q6).
+
+    Scale shape: rides :func:`hourly_agg`'s distributed histogram
+    (types × hours rows — bounded by the time range, not the event
+    count); the per-type regression is driver math on that aggregate."""
+    hourly = hourly_agg(ds).to_pandas()
+    if not len(hourly):
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_hours": pa.array([], pa.int64()),
+                         "slope_q6": pa.array([], pa.int64())})
+    h0 = int(hourly["hour"].min())
+    hourly["x"] = (hourly["hour"] - h0) // 3600
+    out_t, out_n, out_s = [], [], []
+    OFF = 1_000_000_000
+    for et, g in sorted(hourly.groupby("event_type")):
+        x = g["x"].to_numpy().astype(object)     # python ints: no overflow
+        y = g["n_events"].to_numpy().astype(object)
+        n = len(g)
+        sx, sy = sum(x), sum(y)
+        sxx = sum(v * v for v in x)
+        sxy = sum(a * b for a, b in zip(x, y))
+        d = n * sxx - sx * sx
+        slope_q6 = ((n * sxy - sx * sy) * 1_000_000 + OFF * d) // d - OFF \
+            if d > 0 else 0
+        out_t.append(et)
+        out_n.append(n)
+        out_s.append(int(slope_q6))
+    return pa.table({"event_type": pa.array(out_t, pa.string()),
+                     "n_hours": pa.array(out_n, pa.int64()),
+                     "slope_q6": pa.array(out_s, pa.int64())})

@@ -2252,3 +2252,30 @@ def test_value_mad_robustness(ray_session):
     out = value_mad(rd.from_pandas(df)).to_pandas().iloc[0]
     assert out.median_q2 == 1200        # 12.00
     assert out.mad_q2 == 200            # |10-12| = 2.00 dominates
+
+
+def test_hourly_trend_known_slope(ray_session):
+    """A planted linear ramp recovers its exact slope; a flat series
+    reports zero; a NEGATIVE slope floors identically to the oracle's
+    offset-division (the DuckDB trunc-vs-floor trap)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.events import hourly_trend
+
+    rows = []
+    for h in range(10):
+        rows += [("up", h)] * (5 + 3 * h)     # count = 5 + 3h
+        rows += [("flat", h)] * 7
+        rows += [("down", h)] * (40 - 4 * h)  # count = 40 - 4h
+    df = pd.DataFrame({
+        "event_type": [t for t, _ in rows],
+        "ts": pd.to_datetime([h * 3600 for _, h in rows], unit="s"),
+        "value": 1.0,
+        "event_id": np.arange(len(rows), dtype=np.int64),
+        "user_id": np.zeros(len(rows), dtype=np.int64)})
+    out = hourly_trend(rd.from_pandas(df)).to_pandas() \
+        .set_index("event_type")
+    assert out.loc["up", "slope_q6"] == 3_000_000
+    assert out.loc["flat", "slope_q6"] == 0
+    assert out.loc["down", "slope_q6"] == -4_000_000
