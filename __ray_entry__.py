@@ -1069,6 +1069,12 @@ def _q_hll_distinct_users(sf_dir):
                          [r["registers_nonzero"]], pa.int64())})
 
 
+def _q_events_user_gini(sf_dir):
+    # activity-concentration Gini over per-user counts, exact rational
+    from bge_m3_onnx_ray.stages.events import user_gini
+    return user_gini(_events(sf_dir))
+
+
 def _q_events_hourly_trend(sf_dir):
     # per-type OLS slope of hourly counts, all-integer with the
     # +1e9 offset so negative-slope floor matches across engines
@@ -1668,6 +1674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_zscore": _q_events_value_zscore,
         "events_value_mad": _q_events_value_mad,
         "events_hourly_trend": _q_events_hourly_trend,
+        "events_user_gini": _q_events_user_gini,
         "events_value_stats": _q_events_stats,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "histogram_n_chars": _q_histogram_n_chars,
@@ -5091,6 +5098,23 @@ SELECT event_type,
        quantile_disc(q2, 0.95)::BIGINT AS p95,
        quantile_disc(q2, 0.99)::BIGINT AS p99
 FROM e GROUP BY event_type
+""",
+        # Gini of events-per-user on rank-weighted sorted counts; the
+        # +1e9 offset keeps // floor-consistent (num can be ~0)
+        "events_user_gini": """
+WITH c AS (SELECT user_id, count(*)::HUGEINT AS y FROM events
+           GROUP BY 1),
+r AS (SELECT y, row_number() OVER (ORDER BY y, user_id) AS i FROM c),
+m AS (SELECT count(*)::HUGEINT AS n, sum(y)::HUGEINT AS s,
+             sum(i * y)::HUGEINT AS w
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n_users, CAST(s AS BIGINT) AS total_events,
+       (CASE WHEN s > 0
+             THEN CAST(((2 * w - (n + 1) * s) * 1000000
+                        + 1000000000 * n * s) // (n * s)
+                       - 1000000000 AS BIGINT)
+             ELSE 0 END) AS gini_q6
+FROM m
 """,
         # per-type OLS slope of hourly counts: integer moments in
         # HUGEINT, +1e9 offset makes trunc-division == floor

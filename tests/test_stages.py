@@ -2279,3 +2279,23 @@ def test_hourly_trend_known_slope(ray_session):
     assert out.loc["up", "slope_q6"] == 3_000_000
     assert out.loc["flat", "slope_q6"] == 0
     assert out.loc["down", "slope_q6"] == -4_000_000
+
+
+def test_user_gini_extremes(ray_session):
+    """Gini identities: perfectly equal counts -> 0; one user owning
+    everything -> (n-1)/n."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.events import user_gini
+
+    eq = pd.DataFrame({"user_id": np.repeat(np.arange(10), 5)})
+    out = user_gini(rd.from_pandas(eq)).to_pandas().iloc[0]
+    assert out.gini_q6 == 0 and out.n_users == 10
+    skew = pd.DataFrame({"user_id": [0] * 91 + list(range(1, 10))})
+    out2 = user_gini(rd.from_pandas(skew)).to_pandas().iloc[0]
+    # counts (91,1x9): exact G = (2*W - 11*100) / (10*100)
+    y = sorted([91] + [1] * 9)
+    w = sum((i + 1) * v for i, v in enumerate(y))
+    want = ((2 * w - 11 * 100) * 1_000_000) // 1000
+    assert out2.gini_q6 == want
