@@ -1375,6 +1375,18 @@ def _q_source_divergence(sf_dir):
     return source_divergence(_docs(sf_dir))
 
 
+def _q_lexical_diversity(sf_dir):
+    # per-doc TTR + hapax fraction (repetition/OOV quality signals)
+    from bge_m3_onnx_ray.stages.text import lexical_diversity
+    return lexical_diversity(_docs(sf_dir))
+
+
+def _q_source_dup_rate(sf_dir):
+    # per-source within-source duplicate rate (curation dashboard)
+    from bge_m3_onnx_ray.stages.text import source_dup_rate
+    return source_dup_rate(_docs(sf_dir))
+
+
 def _q_chars_words_correlation(sf_dir):
     # Pearson r between char and token lengths: integer moments, one
     # IEEE expression (the audit sanity statistic)
@@ -1628,6 +1640,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_mean_chars": _q_bootstrap_mean_chars,
         "bloom_contamination": _q_bloom_contamination,
         "chars_words_correlation": _q_chars_words_correlation,
+        "lexical_diversity": _q_lexical_diversity,
+        "source_dup_rate": _q_source_dup_rate,
         "unigram_surprise": _q_unigram_surprise,
         "text_variations": _q_text_variations,
         "exact_dedup": _q_exact_dedup,
@@ -4409,6 +4423,35 @@ ORDER BY stage_idx
         "hashed_features": _hashed_features_sql(),
         "bootstrap_mean_chars": _bootstrap_sql(),
         "bloom_contamination": _bloom_contamination_sql(),
+        # per-doc TTR + hapax fraction, same tokenizer both sides
+        "lexical_diversity": f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+       GROUP BY 1, 2),
+per AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+               count(*)::BIGINT AS n_types,
+               sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax
+        FROM tf GROUP BY 1)
+SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.n_types, 0) AS n_types,
+       (coalesce(p.n_types, 0) * 1000000
+        // greatest(coalesce(p.n_tokens, 0), 1))::BIGINT AS ttr_q6,
+       (coalesce(p.hapax, 0) * 1000000
+        // greatest(coalesce(p.n_tokens, 0), 1))::BIGINT AS hapax_q6
+FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id
+""",
+        # within-source exact-duplicate rate
+        "source_dup_rate": """
+WITH g AS (SELECT source, text, count(*)::BIGINT AS n FROM documents
+           GROUP BY 1, 2),
+s AS (SELECT source, sum(n)::BIGINT AS n_docs,
+             count(*)::BIGINT AS n_distinct
+      FROM g GROUP BY 1)
+SELECT source, n_docs, n_distinct,
+       ((n_docs - n_distinct) * 1000000
+        // greatest(n_docs, 1))::BIGINT AS dup_rate_q6
+FROM s ORDER BY source
+""",
         # Pearson r on integer moments; same token counts as the engine
         "chars_words_correlation": f"""
 WITH d AS (SELECT n_chars::BIGINT AS x,

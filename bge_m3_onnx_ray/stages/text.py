@@ -1467,3 +1467,93 @@ def chars_words_correlation(ds: rd.Dataset) -> pa.Table:
         r_q6 = 0
     return pa.table({"n_docs": pa.array([n], pa.int64()),
                      "r_q6": pa.array([r_q6], pa.int64())})
+
+
+class _LexicalDiversity:
+    """Per-batch TTR/hapax kernel: distinct-type and hapax counts from
+    the tokenizer's coded per-(doc, term) rows — one np.unique, no
+    per-doc loop."""
+
+    def __init__(self):
+        self.tok = DeterministicTokenizer()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_idx, codes, _, tfs, doc_lens = \
+            self.tok.batch_term_counts_coded(t.column("text"))
+        n = t.num_rows
+        types = np.zeros(n, np.int64)
+        hapax = np.zeros(n, np.int64)
+        if len(codes):
+            np.add.at(types, doc_idx, 1)
+            np.add.at(hapax, doc_idx, (tfs == 1).astype(np.int64))
+        toks = doc_lens.astype(np.int64)
+        den = np.maximum(toks, 1)
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n_tokens": pa.array(toks, pa.int64()),
+            "n_types": pa.array(types, pa.int64()),
+            "ttr_q6": pa.array(types * 1_000_000 // den, pa.int64()),
+            "hapax_q6": pa.array(hapax * 1_000_000 // den, pa.int64())})
+
+
+def lexical_diversity(ds: rd.Dataset) -> rd.Dataset:
+    """Per-doc lexical-diversity quality signals: type-token ratio and
+    hapax (once-only term) fraction — low TTR flags the repetitive
+    template/spam tail that Gopher-style filters target, high hapax
+    the OOV-garbage tail. Map-only; ratios are exact integer floor
+    divisions on the 1e-6 grid (q6), token counts from the shared
+    tokenizer so the SQL mirror is term-identical."""
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        task_stage(_LexicalDiversity), batch_format="pyarrow",
+        batch_size=4096)
+
+
+def source_dup_rate(ds: rd.Dataset) -> rd.Dataset:
+    """Per-source WITHIN-source exact-duplicate rate — the curation
+    dashboard's "which feed is spamming us" metric. Output (source,
+    n_docs, n_distinct, dup_rate_q6) with dup_rate = 1 − distinct/docs
+    on the exact integer grid.
+
+    Scale shape: the exchange is the exact-dedup one — 16-byte content
+    hash + source per row, counts pre-reduced per (source, hash)
+    bucket; the per-source rollup is a second tiny reduce over
+    source-keyed rows."""
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    def add_key(t: pa.Table) -> pa.Table:
+        from bge_m3_onnx_ray.hashing import P53, poly_hash
+        h1 = poly_hash(t.column("text"), P53)
+        h2 = poly_hash(t.column("text"), P53, base=np.uint64(257))
+        return pa.table({"source": t.column("source").cast(pa.string()),
+                         "h1": pa.array(h1.astype(np.int64)),
+                         "h2": pa.array(h2.astype(np.int64))})
+
+    groups = bucket_reduce(
+        ds.select_columns(["source", "text"]).map_batches(
+            add_key, batch_format="pyarrow", batch_size=4096),
+        ["source", "h1", "h2"], [(None, "count", "n")])
+
+    def per_source(t: pa.Table) -> pa.Table:
+        src = t.column("source").combine_chunks().dictionary_encode()
+        codes = np.asarray(src.indices).astype(np.int64)
+        n = t.column("n").to_numpy()
+        k = max(len(src.dictionary), 1)
+        docs = np.zeros(k, np.int64)
+        np.add.at(docs, codes, n)
+        dist = np.bincount(codes, minlength=k).astype(np.int64)
+        return pa.table({"source": src.dictionary.cast(pa.string()),
+                         "n_docs": pa.array(docs, pa.int64()),
+                         "n_distinct": pa.array(dist, pa.int64())})
+
+    agg = bucket_reduce(
+        groups.map_batches(per_source, batch_format="pyarrow"),
+        ["source"], [("n_docs", "sum", "n_docs"),
+                     ("n_distinct", "sum", "n_distinct")], 8)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        d = t.column("n_docs").to_numpy()
+        u = t.column("n_distinct").to_numpy()
+        rate = (d - u) * 1_000_000 // np.maximum(d, 1)
+        return t.append_column("dup_rate_q6", pa.array(rate, pa.int64()))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -2299,3 +2299,41 @@ def test_user_gini_extremes(ray_session):
     w = sum((i + 1) * v for i, v in enumerate(y))
     want = ((2 * w - 11 * 100) * 1_000_000) // 1000
     assert out2.gini_q6 == want
+
+
+def test_lexical_diversity_values(ray_session):
+    """All-distinct text -> TTR = hapax = 1; all-same-token text ->
+    TTR = 1/n, hapax = 0; empty doc -> zeros."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.text import lexical_diversity
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["a b c d", "x x x x", ""],
+                                   pa.string())})
+    out = lexical_diversity(rd.from_arrow(t)).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[0, "ttr_q6"] == 1_000_000
+    assert out.loc[0, "hapax_q6"] == 1_000_000
+    assert out.loc[1, "ttr_q6"] == 250_000 and out.loc[1, "hapax_q6"] == 0
+    assert out.loc[2, "n_tokens"] == 0 and out.loc[2, "ttr_q6"] == 0
+
+
+def test_source_dup_rate(ray_session):
+    """Within-source dup rate: duplicates count inside their own source
+    only."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.text import source_dup_rate
+
+    rows = [("same", "s1"), ("same", "s1"), ("other", "s1"),
+            ("same", "s2")]            # cross-source copy is NOT a dup
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array([a for a, _ in rows], pa.string()),
+                  "source": pa.array([b for _, b in rows], pa.string())})
+    out = source_dup_rate(rd.from_arrow(t)).to_pandas() \
+        .set_index("source")
+    assert out.loc["s1", "n_docs"] == 3
+    assert out.loc["s1", "n_distinct"] == 2
+    assert out.loc["s1", "dup_rate_q6"] == 333_333
+    assert out.loc["s2", "dup_rate_q6"] == 0
