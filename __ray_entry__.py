@@ -1069,6 +1069,12 @@ def _q_hll_distinct_users(sf_dir):
                          [r["registers_nonzero"]], pa.int64())})
 
 
+def _q_events_user_span(sf_dir):
+    # per-user FIRST/LAST aggregate + active span
+    from bge_m3_onnx_ray.stages.events import user_span
+    return user_span(_events(sf_dir))
+
+
 def _q_events_user_gini(sf_dir):
     # activity-concentration Gini over per-user counts, exact rational
     from bge_m3_onnx_ray.stages.events import user_gini
@@ -1689,6 +1695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": _q_events_value_mad,
         "events_hourly_trend": _q_events_hourly_trend,
         "events_user_gini": _q_events_user_gini,
+        "events_user_span": _q_events_user_span,
         "events_value_stats": _q_events_stats,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "histogram_n_chars": _q_histogram_n_chars,
@@ -5141,6 +5148,23 @@ SELECT event_type,
        quantile_disc(q2, 0.95)::BIGINT AS p95,
        quantile_disc(q2, 0.99)::BIGINT AS p99
 FROM e GROUP BY event_type
+""",
+        # per-user first/last event (by ts, event_id) + active span
+        "events_user_span": """
+WITH w AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+                  row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS rf,
+                  row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rl,
+                  count(*) OVER (PARTITION BY user_id) AS n
+           FROM events),
+f AS (SELECT user_id, event_type AS first_type, us AS us0, n FROM w
+      WHERE rf = 1),
+l AS (SELECT user_id, event_type AS last_type, us AS us1 FROM w
+      WHERE rl = 1)
+SELECT f.user_id::BIGINT AS user_id, f.first_type, l.last_type,
+       f.n::BIGINT AS n_events, (l.us1 - f.us0)::BIGINT AS span_us
+FROM f JOIN l USING (user_id) ORDER BY user_id
 """,
         # Gini of events-per-user on rank-weighted sorted counts; the
         # +1e9 offset keeps // floor-consistent (num can be ~0)

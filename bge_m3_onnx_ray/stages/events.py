@@ -371,7 +371,8 @@ def interarrival(ds: rd.Dataset, n_buckets: int = 512) -> rd.Dataset:
                           ("event_id", "ascending")])
         tbl = g.take(order)
         users = tbl.column("user_id").combine_chunks()
-        ts_us = tbl.column("ts").cast(pa.int64()).to_numpy()
+        ts_us = tbl.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy()
         eid = tbl.column("event_id").to_numpy()
         first = np.empty(n, bool)
         first[0] = True
@@ -1038,7 +1039,8 @@ def new_users_daily(ds: rd.Dataset) -> pa.Table:
     def to_us(t: pa.Table) -> pa.Table:
         return pa.table({
             "user_id": t.column("user_id").cast(pa.int64()),
-            "us": t.column("ts").cast(pa.int64())})
+            "us": t.column("ts").cast(pa.timestamp("us"))
+                   .cast(pa.int64())})
 
     firsts = bucket_reduce(
         ds.select_columns(["user_id", "ts"]).map_batches(
@@ -1305,3 +1307,55 @@ def user_gini(ds: rd.Dataset) -> pa.Table:
     return pa.table({"n_users": pa.array([n], pa.int64()),
                      "total_events": pa.array([s], pa.int64()),
                      "gini_q6": pa.array([int(gini_q6)], pa.int64())})
+
+
+def user_span(ds: rd.Dataset, n_buckets: int = 256) -> rd.Dataset:
+    """Per-user FIRST/LAST aggregate: the first and last event (by ts,
+    event_id) with their types, plus the active span — the
+    account-lifetime summary behind retention analysis. Output
+    (user_id, first_type, last_type, n_events, span_us).
+
+    Scale shape: ONE hash-bucket-of-user exchange; each bucket kernel
+    sorts its users once and takes run boundaries — the same shape as
+    :func:`interarrival`, but emitting one row per user instead of per
+    event."""
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = g.num_rows
+        if not n:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "first_type": pa.array([], pa.string()),
+                             "last_type": pa.array([], pa.string()),
+                             "n_events": pa.array([], pa.int64()),
+                             "span_us": pa.array([], pa.int64())})
+        order = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")])
+        tbl = g.take(order)
+        users = tbl.column("user_id").to_numpy()
+        # normalize any parquet timestamp unit (ms/us/ns) before the
+        # integer view — the sessionize lesson
+        ts_us = tbl.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy()
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(users)) + 1])
+        ends = np.concatenate([starts[1:], [n]]) - 1
+        return pa.table({
+            "user_id": pa.array(users[starts], pa.int64()),
+            "first_type": tbl.column("event_type")
+                             .take(pa.array(starts)).cast(pa.string()),
+            "last_type": tbl.column("event_type")
+                            .take(pa.array(ends)).cast(pa.string()),
+            "n_events": pa.array(ends - starts + 1, pa.int64()),
+            "span_us": pa.array(ts_us[ends] - ts_us[starts], pa.int64())})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from bge_m3_onnx_ray.hashing import splitmix64
+        u = t.column("user_id").to_numpy().astype(np.uint64)
+        return t.append_column("_bucket", pa.array(
+            (splitmix64(u) % np.uint64(n_buckets)).astype(np.int64)))
+
+    return ds.select_columns(["event_id", "ts", "user_id",
+                              "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")

@@ -2337,3 +2337,25 @@ def test_source_dup_rate(ray_session):
     assert out.loc["s1", "n_distinct"] == 2
     assert out.loc["s1", "dup_rate_q6"] == 333_333
     assert out.loc["s2", "dup_rate_q6"] == 0
+
+
+def test_user_span_first_last(ray_session):
+    """First/last pick by (ts, event_id) including the same-timestamp
+    tie, and span covers exactly the user's own events."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.events import user_span
+
+    rows = [(1, 100, "a"), (1, 100, "b"),    # ts tie: event_id orders
+            (1, 500, "c"), (2, 50, "z")]
+    df = pd.DataFrame({
+        "user_id": [u for u, _, _ in rows],
+        "ts": pd.to_datetime([t for _, t, _ in rows], unit="s"),
+        "event_type": [e for _, _, e in rows],
+        "event_id": np.arange(4, dtype=np.int64)})
+    out = user_span(rd.from_pandas(df)).to_pandas().set_index("user_id")
+    assert out.loc[1, "first_type"] == "a"
+    assert out.loc[1, "last_type"] == "c"
+    assert out.loc[1, "span_us"] == 400 * 1_000_000
+    assert out.loc[2, "n_events"] == 1 and out.loc[2, "span_us"] == 0
