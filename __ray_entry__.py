@@ -1350,6 +1350,14 @@ def _q_corpus_curation(sf_dir):
     return corpus_curation(_docs(sf_dir))
 
 
+def _q_dup_pagerank(sf_dir):
+    # integer-exact PageRank over the ngram dup graph (floor division
+    # is part of the recurrence spec, so SQL reproduces every bit)
+    from bge_m3_onnx_ray.stages.dedup import ngram_pair_candidates, pagerank
+    return pagerank(ngram_pair_candidates(_docs(sf_dir), n=3,
+                                          min_common=2))
+
+
 def _q_dup_triangles(sf_dir):
     # triangle count of the ngram near-dup graph (degree-oriented
     # node-iterator); n_wedges is engine-evidence only — the SQL
@@ -1639,6 +1647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": _q_source_overlap,
         "hashed_features": _q_hashed_features,
         "dup_triangles": _q_dup_triangles,
+        "dup_pagerank": _q_dup_pagerank,
         "lang_length_pivot": _q_lang_length_pivot,
         "curated_corpus": _q_curated_corpus,
         "quality_rank": _q_quality_rank,
@@ -3608,6 +3617,41 @@ FROM agg ORDER BY replicate
 """
 
 
+def _pagerank_sql(n_iter: int = 5) -> str:
+    """Integer PageRank oracle: the ngram dup graph both-ways, then
+    ``n_iter`` UNROLLED join-aggregate steps (standard SQL forbids
+    aggregates in a recursive member) of the exact integer recurrence
+    r' = 150e6 + Σ (850·r) // (1000·outdeg)."""
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(
+            f"r{i} AS (SELECT ed.dst AS node,\n"
+            f"  (150000000 + sum((850 * r{i-1}.rank)\n"
+            f"                   // (1000 * dg.outdeg)))::BIGINT AS rank\n"
+            f"  FROM ed JOIN r{i-1} ON r{i-1}.node = ed.src\n"
+            f"  JOIN dg ON dg.src = ed.src GROUP BY ed.dst)")
+    chain = ",\n".join(steps)
+    return f"""
+WITH toks AS (SELECT doc_id,
+    regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS i
+        FROM toks)),
+ok AS (SELECT shingle FROM sh GROUP BY shingle
+       HAVING count(*) BETWEEN 2 AND 1000),
+e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE a.shingle IN (SELECT shingle FROM ok)
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+ed AS (SELECT doc_a AS src, doc_b AS dst FROM e
+       UNION ALL SELECT doc_b, doc_a FROM e),
+dg AS (SELECT src, count(*)::BIGINT AS outdeg FROM ed GROUP BY 1),
+r0 AS (SELECT src AS node, 1000000000::BIGINT AS rank FROM dg),
+{chain}
+SELECT node AS doc_id, rank AS rank_q9 FROM r{n_iter} ORDER BY doc_id
+"""
+
+
 def _bloom_contamination_sql(m_bits: int = 1 << 17, k: int = 4) -> str:
     from bge_m3_onnx_ray.hashing import P53
     p = int(P53)
@@ -4712,6 +4756,7 @@ FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 WHERE a.shingle IN (SELECT shingle FROM ok)
 GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
 """,
+        "dup_pagerank": _pagerank_sql(),
         # triangle count of the ngram dup graph: same edge set as
         # ngram_dup_pairs; wedges mirror the engine's (deg, id)
         # orientation; triangles are the a<b<c three-way self-join

@@ -1353,3 +1353,166 @@ def triangle_count(pairs: rd.Dataset, n_buckets: int = 256) -> pa.Table:
         "n_wedges": pa.array([int(parts["n_wedges"].sum())], pa.int64()),
         "n_triangles": pa.array([int(parts["n_triangles"].sum())],
                                 pa.int64())})
+
+
+# --------------------------------------------------------- PageRank
+
+def pagerank(pairs: rd.Dataset, n_iter: int = 5,
+             n_buckets: int = 128) -> rd.Dataset:
+    """Integer-exact PageRank over the undirected pair graph — "which
+    document is the CENTER of its near-dup neighborhood" (a centrality
+    prior for dedup representative selection beyond keep-longest).
+    Output (doc_id, rank_q9) after ``n_iter`` power iterations.
+
+    The recurrence is defined ON INTEGERS so two engines cannot drift:
+    r_0(v) = 10^9; r_{t+1}(v) = 150_000_000 + Σ_{u→v} (850 · r_t(u))
+    // (1000 · outdeg(u)) with both directions of every undirected
+    edge; floor division is part of the SPEC (the DuckDB oracle runs
+    the same recurrence as a recursive CTE — bit-equal at every
+    iteration, no floats, no convergence tolerance). Dangling nodes
+    cannot exist here (every node has an edge by construction).
+
+    Scale shape: outdegrees reduce once (16-byte rows); each iteration
+    is ONE bucketed exchange — ranks ship to their node's edge bucket,
+    contributions pre-aggregate per target inside the kernel, a
+    bucket_reduce finishes — and materializes (the next iteration's
+    input), so lineage stays one-iteration deep. 10^9-scale ranks keep
+    Σ contributions < 2^63 for graphs to ~10^9 nodes."""
+    from bge_m3_onnx_ray.hashing import splitmix64
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy()
+        b = t.column("doc_b").to_numpy()
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
+        both_dirs, batch_format="pyarrow").materialize()
+    deg = bucket_reduce(
+        edges.map_batches(lambda t: t.select(["src"]),
+                          batch_format="pyarrow"),
+        ["src"], [(None, "count", "outdeg")])
+
+    ranks = deg.map_batches(
+        lambda t: pa.table({"node": t.column("src"),
+                            "rank": pa.array(
+                                np.full(t.num_rows, 1_000_000_000,
+                                        np.int64)),
+                            "outdeg": t.column("outdeg")}),
+        batch_format="pyarrow").materialize()
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        return pa.table({
+            "node": pa.array(s, pa.int64()),
+            "dst": t.column("dst"),
+            "rank": pa.array(np.zeros(len(s), np.int64)),
+            "outdeg": pa.array(np.zeros(len(s), np.int64)),
+            "_side": pa.array(np.ones(len(s), np.int64)),
+            "_pb": pa.array((splitmix64(s.astype(np.uint64))
+                             % np.uint64(n_buckets)).astype(np.int64))})
+
+    tagged_edges = edges.map_batches(tag_edges,
+                                     batch_format="pyarrow").materialize()
+
+    def tag_ranks(t: pa.Table) -> pa.Table:
+        nd = t.column("node").to_numpy()
+        return pa.table({
+            "node": pa.array(nd, pa.int64()),
+            "dst": pa.array(np.zeros(len(nd), np.int64)),
+            "rank": t.column("rank"),
+            "outdeg": t.column("outdeg"),
+            "_side": pa.array(np.zeros(len(nd), np.int64)),
+            "_pb": pa.array((splitmix64(nd.astype(np.uint64))
+                             % np.uint64(n_buckets)).astype(np.int64))})
+
+    def contrib_kernel(g: pa.Table) -> pa.Table:
+        side = g.column("_side").to_numpy()
+        node = g.column("node").to_numpy()
+        rm = side == 0
+        rnode = node[rm]
+        rrank = g.column("rank").to_numpy()[rm]
+        rdeg = g.column("outdeg").to_numpy()[rm]
+        enode, edst = node[~rm], g.column("dst").to_numpy()[~rm]
+        empty = pa.table({"dst": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if not len(rnode) or not len(enode):
+            return empty
+        o = np.argsort(rnode)
+        rnode, rrank, rdeg = rnode[o], rrank[o], rdeg[o]
+        pos = np.minimum(np.searchsorted(rnode, enode), len(rnode) - 1)
+        hit = rnode[pos] == enode          # always true: deg from edges
+        share = (850 * rrank[pos]) // (1000 * np.maximum(rdeg[pos], 1))
+        uk, inv = np.unique(edst[hit], return_inverse=True)
+        out = np.zeros(len(uk), np.int64)
+        np.add.at(out, inv, share[hit])
+        return pa.table({"dst": pa.array(uk, pa.int64()),
+                         "c": pa.array(out, pa.int64())})
+
+    for _ in range(n_iter):
+        contrib = bucket_reduce(
+            ranks.map_batches(tag_ranks, batch_format="pyarrow")
+            .union(tagged_edges).groupby("_pb").map_groups(
+                contrib_kernel, batch_format="pyarrow"),
+            ["dst"], [("c", "sum", "c")])
+        # every node receives >= 1 contribution (undirected graph), so
+        # the contrib table spans all nodes; re-attach outdeg by the
+        # same bucketed join shape
+        joined = contrib.map_batches(
+            lambda t: pa.table({
+                "node": t.column("dst"),
+                "dst": pa.array(np.zeros(t.num_rows, np.int64)),
+                "rank": pa.array(t.column("c").to_numpy()
+                                 + 150_000_000, pa.int64()),
+                "outdeg": pa.array(np.zeros(t.num_rows, np.int64)),
+                "_side": pa.array(np.full(t.num_rows, 2, np.int64)),
+                "_pb": pa.array(
+                    (splitmix64(t.column("dst").to_numpy()
+                                .astype(np.uint64))
+                     % np.uint64(n_buckets)).astype(np.int64))}),
+            batch_format="pyarrow")
+
+        def merge_deg(g: pa.Table) -> pa.Table:
+            side = g.column("_side").to_numpy()
+            node = g.column("node").to_numpy()
+            dm = side == 0
+            dnode = node[dm]
+            ddeg = g.column("outdeg").to_numpy()[dm]
+            cnode = node[side == 2]
+            crank = g.column("rank").to_numpy()[side == 2]
+            if not len(cnode):
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "rank": pa.array([], pa.int64()),
+                                 "outdeg": pa.array([], pa.int64())})
+            o = np.argsort(dnode)
+            dnode, ddeg = dnode[o], ddeg[o]
+            pos = np.minimum(np.searchsorted(dnode, cnode),
+                             len(dnode) - 1)
+            return pa.table({
+                "node": pa.array(cnode, pa.int64()),
+                "rank": pa.array(crank, pa.int64()),
+                "outdeg": pa.array(ddeg[pos], pa.int64())})
+
+        ranks = ranks.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "dst": pa.array(np.zeros(t.num_rows, np.int64)),
+                "rank": pa.array(np.zeros(t.num_rows, np.int64)),
+                "outdeg": t.column("outdeg"),
+                "_side": pa.array(np.zeros(t.num_rows, np.int64)),
+                "_pb": pa.array(
+                    (splitmix64(t.column("node").to_numpy()
+                                .astype(np.uint64))
+                     % np.uint64(n_buckets)).astype(np.int64))}),
+            batch_format="pyarrow").union(joined) \
+            .groupby("_pb").map_groups(merge_deg,
+                                       batch_format="pyarrow") \
+            .materialize()
+
+    return ranks.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"),
+                            "rank_q9": t.column("rank")}),
+        batch_format="pyarrow")

@@ -2359,3 +2359,32 @@ def test_user_span_first_last(ray_session):
     assert out.loc[1, "last_type"] == "c"
     assert out.loc[1, "span_us"] == 400 * 1_000_000
     assert out.loc[2, "n_events"] == 1 and out.loc[2, "span_us"] == 0
+
+
+def test_pagerank_integer_recurrence(ray_session):
+    """The integer recurrence computed by hand on a path graph matches
+    the engine exactly; a symmetric graph gives equal ranks."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.dedup import pagerank
+
+    def g(edges):
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([a for a, b in edges], pa.int64()),
+            "doc_b": pa.array([b for a, b in edges], pa.int64())}))
+
+    # triangle: perfectly symmetric -> all ranks equal at every step
+    out = pagerank(g([(0, 1), (1, 2), (0, 2)]), n_iter=3).to_pandas()
+    assert out.rank_q9.nunique() == 1
+    # path 0-1-2: hand-run the recurrence
+    r = {0: 10**9, 1: 10**9, 2: 10**9}
+    deg = {0: 1, 1: 2, 2: 1}
+    for _ in range(2):
+        nr = {}
+        for v, ins in {0: [1], 1: [0, 2], 2: [1]}.items():
+            nr[v] = 150_000_000 + sum(
+                (850 * r[u]) // (1000 * deg[u]) for u in ins)
+        r = nr
+    out = pagerank(g([(0, 1), (1, 2)]), n_iter=2).to_pandas() \
+        .set_index("doc_id")["rank_q9"]
+    assert {k: int(v) for k, v in out.items()} == r
