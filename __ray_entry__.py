@@ -1350,6 +1350,25 @@ def _q_corpus_curation(sf_dir):
     return corpus_curation(_docs(sf_dir))
 
 
+def _q_dup_cluster_sizes(sf_dir):
+    # component-size histogram of the dup graph: how big do template
+    # cliques get (the capacity-planning view of dup_clusters)
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+    from bge_m3_onnx_ray.stages.dedup import (dup_clusters,
+                                              ngram_pair_candidates)
+    labels = dup_clusters(ngram_pair_candidates(_docs(sf_dir), n=3,
+                                                min_common=2))
+    per_cluster = bucket_reduce(labels, ["cluster_id"],
+                                [(None, "count", "sz")], 64).to_pandas()
+    hist = per_cluster.groupby("sz").size().sort_index()
+    import pyarrow as pa
+    return pa.table({
+        "cluster_size": pa.array(hist.index.to_numpy().astype("int64"),
+                                 pa.int64()),
+        "n_clusters": pa.array(hist.to_numpy().astype("int64"),
+                               pa.int64())})
+
+
 def _q_dup_pagerank(sf_dir):
     # integer-exact PageRank over the ngram dup graph (floor division
     # is part of the recurrence spec, so SQL reproduces every bit)
@@ -1648,6 +1667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashed_features": _q_hashed_features,
         "dup_triangles": _q_dup_triangles,
         "dup_pagerank": _q_dup_pagerank,
+        "dup_cluster_sizes": _q_dup_cluster_sizes,
         "lang_length_pivot": _q_lang_length_pivot,
         "curated_corpus": _q_curated_corpus,
         "quality_rank": _q_quality_rank,
@@ -4808,6 +4828,32 @@ reach(u, v) AS (
   SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v)
 SELECT u::BIGINT AS doc_id, min(v)::BIGINT AS cluster_id
 FROM reach GROUP BY u
+""",
+        # component-size histogram over the same recursive closure
+        "dup_cluster_sizes": f"""
+WITH RECURSIVE toks AS (SELECT doc_id,
+    regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS i
+        FROM toks)),
+ok AS (SELECT shingle FROM sh GROUP BY shingle
+       HAVING count(*) BETWEEN 2 AND 1000),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle IN (SELECT shingle FROM ok)
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+labels AS (SELECT u AS doc_id, min(v) AS cluster_id
+           FROM reach GROUP BY u),
+sz AS (SELECT cluster_id, count(*)::BIGINT AS s FROM labels GROUP BY 1)
+SELECT s AS cluster_size, count(*)::BIGINT AS n_clusters
+FROM sz GROUP BY 1 ORDER BY 1
 """,
         "dedup_keep_best": f"""
 WITH RECURSIVE toks AS (SELECT doc_id,
