@@ -1529,6 +1529,11 @@ def _q_shipping_priority_topk(sf_dir):
     return shipping_priority_topk(sf_dir)
 
 
+def _q_disjunctive_filter_revenue(sf_dir):
+    from bge_m3_onnx_ray.stages.relational import disjunctive_filter_revenue
+    return disjunctive_filter_revenue(sf_dir)
+
+
 def _q_promo_revenue_share(sf_dir):
     from bge_m3_onnx_ray.stages.relational import promo_revenue_share
     return promo_revenue_share(sf_dir)
@@ -1740,6 +1745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_volume_shipping": _q_nation_volume_shipping,
         "returned_item_topk": _q_returned_item_topk,
         "promo_revenue_share": _q_promo_revenue_share,
+        "disjunctive_filter_revenue": _q_disjunctive_filter_revenue,
         "customers_no_urgent": _q_customers_no_urgent,
         "customers_with_urgent": _q_customers_semi_urgent,
         "events_sessionize": _q_sessionize,
@@ -5108,6 +5114,20 @@ JOIN l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = 'BUILDING'
   AND o.o_orderdate < TIMESTAMP '1998-07-01'
 ORDER BY revenue_q4 DESC, l_orderkey LIMIT 10
+""",
+        # TPC-H Q19: OR of three brand/size/quantity conjunctions
+        "disjunctive_filter_revenue": """
+SELECT count(*)::BIGINT AS n_matches,
+       coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))),
+           0)::BIGINT AS revenue_q4
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND round(l.l_quantity) BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 11 AND 25
+       AND round(l.l_quantity) BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 26 AND 50
+       AND round(l.l_quantity) BETWEEN 20 AND 50)
 """,
         # TPC-H Q14: promoted-class revenue share of one ship month,
         # percent as an exact integer floor on the 1e-6 grid

@@ -1121,3 +1121,71 @@ def promo_revenue_share(sf_dir: str, promo_type: str = "ECONOMY",
         "promo_revenue_q4": pa.array([p], pa.int64()),
         "total_revenue_q4": pa.array([t], pa.int64()),
         "promo_pct_q6": pa.array([pct_q6], pa.int64())})
+
+
+def disjunctive_filter_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q19 shape: revenue from lineitems matching an OR of three
+    brand/size/quantity predicate conjunctions — the disjunctive
+    multi-attribute filter that defeats naive pushdown (no single
+    column prunes it). Output one row (n_matches, revenue_q4).
+
+    Predicates (adapted to the synthetic domains):
+      (Brand#1,  size 1..10,  qty 1..15)
+    | (Brand#7,  size 11..25, qty 10..30)
+    | (Brand#13, size 26..50, qty 20..50)
+
+    Scale shape: part ships once as a broadcast (sorted partkey +
+    int8 predicate-class code: which brand/size clause a part can
+    satisfy, or none — the part-side half of each conjunction is
+    resolved BEFORE the scan); the lineitem pass is map-only, applying
+    the quantity half against the broadcast class. Exact integer
+    cents; no shuffle."""
+    import os
+
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part.column("p_partkey").to_numpy()
+    brand = np.asarray(part.column("p_brand").to_pylist(), dtype=object)
+    size = part.column("p_size").to_numpy()
+    cls = np.full(len(pk), -1, np.int8)
+    cls[(brand == "Brand#1") & (size >= 1) & (size <= 10)] = 0
+    cls[(brand == "Brand#7") & (size >= 11) & (size <= 25)] = 1
+    cls[(brand == "Brand#13") & (size >= 26) & (size <= 50)] = 2
+    order = np.argsort(pk)
+    ref = ray.put((pk[order], cls[order]))
+    qlo = np.array([1, 10, 20], np.int64)
+    qhi = np.array([15, 30, 50], np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k, c = ray.get(ref)
+        lpk = batch.column("l_partkey").to_numpy()
+        qty = np.rint(batch.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        pos = np.minimum(np.searchsorted(k, lpk), len(k) - 1) \
+            if len(k) else np.zeros(len(lpk), np.int64)
+        pcls = np.where((len(k) > 0) & (k[pos] == lpk), c[pos], -1)
+        ok = pcls >= 0
+        okc = pcls[ok].astype(np.int64)
+        ok2 = (qty[ok] >= qlo[okc]) & (qty[ok] <= qhi[okc])
+        idx = np.flatnonzero(ok)[ok2]
+        price_c = np.rint(batch.column("l_extendedprice").to_numpy()[idx]
+                          * 100).astype(np.int64)
+        disc_c = np.rint(batch.column("l_discount").to_numpy()[idx]
+                         * 100).astype(np.int64)
+        rev = int((price_c * (100 - disc_c)).sum())
+        return pa.table({"n": pa.array([len(idx)], pa.int64()),
+                         "rev": pa.array([rev], pa.int64())})
+
+    agg = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=131072).aggregate(
+        Sum("n", alias_name="n"), Sum("rev", alias_name="rev"))
+    return pa.table({
+        "n_matches": pa.array([int(agg["n"])], pa.int64()),
+        "revenue_q4": pa.array([int(agg["rev"])], pa.int64())})

@@ -2388,3 +2388,28 @@ def test_pagerank_integer_recurrence(ray_session):
     out = pagerank(g([(0, 1), (1, 2)]), n_iter=2).to_pandas() \
         .set_index("doc_id")["rank_q9"]
     assert {k: int(v) for k, v in out.items()} == r
+
+
+def test_disjunctive_filter_revenue_nonempty(ray_session):
+    """Q19: the disjunction matches a nonzero subset at sf0.01 and the
+    revenue equals the sum over exactly those matches (vs DuckDB)."""
+    import duckdb
+
+    from bge_m3_onnx_ray.stages.relational import disjunctive_filter_revenue
+
+    sf = "/root/testdata/sf0.01"
+    got = disjunctive_filter_revenue(sf).to_pandas().iloc[0]
+    con = duckdb.connect()
+    want = con.execute(f"""
+SELECT count(*), coalesce(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+  * (100 - CAST(round(l.l_discount*100) AS BIGINT))), 0)
+FROM read_parquet('{sf}/lineitem.parquet') l
+JOIN read_parquet('{sf}/part.parquet') p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND round(l.l_quantity) BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 11 AND 25
+       AND round(l.l_quantity) BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 26 AND 50
+       AND round(l.l_quantity) BETWEEN 20 AND 50)""").fetchone()
+    assert got.n_matches == want[0] > 0
+    assert got.revenue_q4 == want[1]
