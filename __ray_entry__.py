@@ -680,6 +680,21 @@ def _q_contamination(sf_dir):
     return contaminated_docs(_docs(sf_dir), bench, n=3)
 
 
+def _q_contamination_ratio(sf_dir):
+    # containment form: exact fraction of a doc's shingles found in
+    # the benchmark slice — the quarantine threshold signal
+    import pyarrow as pa
+
+    from bge_m3_onnx_ray.stages.decontam import contamination_ratio
+
+    def pick(t):
+        ids = t.column("doc_id").to_numpy()
+        return t.filter(pa.array(ids % 97 == 0))
+
+    bench = _docs(sf_dir).map_batches(pick, batch_format="pyarrow")
+    return contamination_ratio(_docs(sf_dir), bench, n=3)
+
+
 def _q_redact_pii(sf_dir):
     # PII scrub: the corpus is deterministically decorated with synthetic
     # emails / IPs / phone numbers (doc_id-derived, mirrored in SQL since
@@ -1693,6 +1708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_dup_pairs": _q_lsh_dup_pairs,
         "minhash_lsh_candidates": _q_minhash,
         "benchmark_contamination": _q_contamination,
+        "contamination_ratio": _q_contamination_ratio,
         "redact_pii": _q_redact_pii,
         "simhash": _q_simhash,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
@@ -4272,6 +4288,23 @@ bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
 SELECT sh.doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_hit_ngrams
 FROM sh JOIN bench USING (shingle)
 GROUP BY sh.doc_id
+""",
+        # containment ratio: the any-overlap oracle extended with the
+        # per-doc distinct-shingle total and the exact q6 fraction
+        "contamination_ratio": f"""
+WITH toks AS (SELECT doc_id,
+    regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS i
+        FROM toks)),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM sh
+        GROUP BY 1),
+hit AS (SELECT sh.doc_id, count(*)::BIGINT AS n_hit
+        FROM sh JOIN bench USING (shingle) GROUP BY 1)
+SELECT h.doc_id::BIGINT AS doc_id, t.n_shingles, h.n_hit,
+       (h.n_hit * 1000000 // t.n_shingles)::BIGINT AS containment_q6
+FROM hit h JOIN tot t USING (doc_id) ORDER BY h.doc_id
 """,
         "lsh_buckets": _lsh_buckets_sql(),
         # cosine of each vector to its label centroid: integer dot and

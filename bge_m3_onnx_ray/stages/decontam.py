@@ -219,3 +219,60 @@ def bloom_contamination(ds: rd.Dataset, m_bits: int = 1 << 17,
 
     return ds.select_columns(["doc_id", "text"]).map_batches(
         task_stage(_Probe, n=n), batch_format="pyarrow", batch_size=2048)
+
+
+class _MatchRatio(_MatchBenchmark):
+    """The containment form: per doc, distinct-shingle TOTAL and hit
+    counts plus the exact q6 ratio — the thresholdable signal
+    ("quarantine above 80% containment" vs the any-overlap flag)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.stage(batch)
+        doc = t.column("doc_id").to_numpy()
+        q1 = t.column("h1").to_numpy()
+        q2 = t.column("h2").to_numpy()
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_shingles": pa.array([], pa.int64()),
+                          "n_hit": pa.array([], pa.int64()),
+                          "containment_q6": pa.array([], pa.int64())})
+        if not len(q1):
+            return empty
+        if len(self.b1):
+            lo = np.searchsorted(self.b1, q1, "left")
+            hi = np.searchsorted(self.b1, q1, "right")
+            hit = np.zeros(len(q1), bool)
+            single = hi - lo == 1
+            hit[single] = self.b2[lo[single]] == q2[single]
+            for i in np.flatnonzero(hi - lo > 1):
+                hit[i] = q2[i] in self.b2[lo[i]:hi[i]]
+        else:
+            hit = np.zeros(len(q1), bool)
+        bounds = np.concatenate([[0], np.flatnonzero(
+            doc[1:] != doc[:-1]) + 1])
+        totals = np.diff(np.concatenate([bounds, [len(doc)]]))
+        hits = np.add.reduceat(hit.astype(np.int64), bounds)
+        keep = hits > 0
+        if not keep.any():
+            return empty
+        return pa.table({
+            "doc_id": pa.array(doc[bounds][keep], pa.int64()),
+            "n_shingles": pa.array(totals[keep], pa.int64()),
+            "n_hit": pa.array(hits[keep], pa.int64()),
+            "containment_q6": pa.array(
+                hits[keep] * 1_000_000 // totals[keep], pa.int64())})
+
+
+def contamination_ratio(corpus: rd.Dataset, bench: rd.Dataset,
+                        n: int = 3) -> rd.Dataset:
+    """Containment decontamination (Lee et al. 2022 "Deduplicating
+    training data makes language models better" use the same
+    fraction-of-ngrams-shared form): per flagged doc, the exact share
+    of its distinct shingles found in the benchmark — a quarantine
+    THRESHOLD signal where :func:`contaminated_docs` is the any-overlap
+    flag. Output (doc_id, n_shingles, n_hit, containment_q6), hits > 0
+    only. Same shuffle-free broadcast shape."""
+    import ray
+    bench_ref = ray.put(benchmark_shingle_hashes(bench, n))
+    return corpus.select_columns(["doc_id", "text"]).map_batches(
+        task_stage(_MatchRatio, n=n, bench_ref=bench_ref),
+        batch_format="pyarrow")

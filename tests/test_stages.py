@@ -2413,3 +2413,29 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
        AND round(l.l_quantity) BETWEEN 20 AND 50)""").fetchone()
     assert got.n_matches == want[0] > 0
     assert got.revenue_q4 == want[1]
+
+
+def test_contamination_ratio_semantics(ray_session):
+    """Containment: a full copy of a benchmark doc scores 1.0; a
+    half-overlapping doc scores its exact shingle fraction; disjoint
+    docs are absent."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.decontam import contamination_ratio
+
+    bench_text = "a b c d e"                  # shingles: abc bcd cde
+    corpus = [bench_text,                     # full copy -> 1.0
+              "a b c x y z",                  # 1 of 4 shingles hit
+              "q r s t u v"]                  # disjoint
+    corp = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(corpus, pa.string())}))
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array([bench_text], pa.string())}))
+    out = contamination_ratio(corp, bench).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[0, "containment_q6"] == 1_000_000
+    assert out.loc[1, "n_shingles"] == 4 and out.loc[1, "n_hit"] == 1
+    assert out.loc[1, "containment_q6"] == 250_000
+    assert 2 not in out.index
