@@ -784,7 +784,7 @@ def significant_terms_documents(sf_dir: str, k: int = 10) -> pa.Table:
     import pandas as pd
 
     from bge_m3_onnx_ray.index.artifacts import ConvOffsets, IndexMeta
-    from bge_m3_onnx_ray.index.facets import matching_docs
+    from bge_m3_onnx_ray.index.facets import match_counts, matching_docs
     from bge_m3_onnx_ray.stages._groups import bucket_reduce
     key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
     idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
@@ -801,7 +801,13 @@ def significant_terms_documents(sf_dir: str, k: int = 10) -> pa.Table:
                          "doc_id": pa.array(ids.to_numpy(), pa.int64())})
 
     mt = m.map_batches(to_table_ids, batch_format="pyarrow")
-    n_matches = mt.to_pandas().groupby("query_id").size().to_dict()
+    # Per-query match-set sizes come from the distributed per-shard
+    # candidate counter (index/facets.py match_counts) — one small
+    # (query_id, n_matches) table reaches the driver, never the full
+    # O(corpus) (query_id, doc_id) match set.
+    nm = match_counts(idx, DOC_QUERIES).to_pandas()
+    n_matches = dict(zip(nm["query_id"].astype(int),
+                         nm["n_matches"].astype(int)))
     fg = bucket_reduce(
         mt.map_batches(_FgTermCounts,
                        fn_constructor_kwargs={"corpus_path": corpus},
