@@ -903,7 +903,9 @@ class _PairBlockCos:
 
 def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.4,
                         max_vectors: int = 1_000_000,
-                        block_size: int = 4096) -> rd.Dataset:
+                        block_size: int = 4096,
+                        exact: bool = False,
+                        n_planes: int = 12, seed: int = 11) -> rd.Dataset:
     """ALL pairs with cosine >= threshold — the exact baseline, computed
     block×block: vectors are cut into normalized blocks of
     ``block_size`` rows (the driver streams batches and puts ONE block
@@ -913,10 +915,14 @@ def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.4,
     vec_a < vec_b.
 
     Total compute is still O(N²·dim) — that is what "exact all-pairs"
-    means — so the ``max_vectors`` cap is ENFORCED: above it this raises
-    and names :func:`lsh_bucket_pairs` (the LSH-bucketed scale path).
-    The cap bounds tile COUNT, not memory: at 10⁶ vectors the fan-out is
-    ~30k tiles of ~33 MB sims each."""
+    means — so ``max_vectors`` bounds the exact path. Beyond the cap an
+    unknown-scale caller is AUTO-ROUTED to :func:`lsh_bucket_pairs`
+    (random-hyperplane candidates, exact per-bucket cosine verify —
+    same output schema, LSH-recall instead of total recall; ``n_planes``
+    / ``seed`` tune it). Pass ``exact=True`` to forbid the approximate
+    fallback, in which case exceeding the cap raises. The cap bounds
+    tile COUNT, not memory: at 10⁶ vectors the fan-out is ~30k tiles of
+    ~33 MB sims each."""
     import ray
 
     from bge_m3_onnx_ray.stages.ann import _embedding_matrix, _normalize
@@ -924,11 +930,15 @@ def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.4,
     src = ds.select_columns(["vec_id", "embedding"])
     n = src.count()
     if n > max_vectors:
-        raise ValueError(
-            f"embedding_dup_pairs is the exact all-pairs baseline, capped "
-            f"at max_vectors={max_vectors} (got {n}): O(N^2) tiles do not "
-            f"scale past ~10^6 vectors. Use lsh_bucket_pairs() for larger "
-            f"corpora, or raise max_vectors explicitly.")
+        if exact:
+            raise ValueError(
+                f"embedding_dup_pairs(exact=True) is the exact all-pairs "
+                f"baseline, capped at max_vectors={max_vectors} (got {n}): "
+                f"O(N^2) tiles do not scale past ~10^6 vectors. Use "
+                f"lsh_bucket_pairs() / exact=False for larger corpora, or "
+                f"raise max_vectors explicitly.")
+        return lsh_bucket_pairs(src, threshold=threshold,
+                                n_planes=n_planes, seed=seed)
     block_refs = []
     buf_ids: list[np.ndarray] = []
     buf_ms: list[np.ndarray] = []

@@ -90,18 +90,29 @@ def test_dup_clusters_local_minimum(ray_session):
 
 
 def test_embedding_dup_pairs_cap_enforced(ray_session):
-    """The exact all-pairs baseline must REFUSE inputs beyond its
-    broadcast-matrix contract instead of quietly eating driver memory."""
+    """Beyond the exact-path cap the operator auto-routes to the LSH
+    candidates-then-verify composition (same schema, every returned
+    pair exactly verified); ``exact=True`` forbids the fallback and
+    refuses instead of quietly eating driver memory."""
     import ray.data as rd
     from bge_m3_onnx_ray.stages.dedup import embedding_dup_pairs
     rng = np.random.default_rng(3)
-    m = rng.normal(size=(20, 4)).astype(np.float32)
+    base = rng.normal(size=(10, 4)).astype(np.float32)
+    m = np.concatenate([base, base + 1e-4])        # 10 near-dup pairs
     ds = rd.from_arrow(pa.table({
         "vec_id": pa.array(np.arange(20), pa.int64()),
         "embedding": pa.array([v.tolist() for v in m],
                               pa.list_(pa.float32()))}))
     with pytest.raises(ValueError, match="lsh_bucket_pairs"):
-        embedding_dup_pairs(ds, max_vectors=10)
+        embedding_dup_pairs(ds, max_vectors=10, exact=True)
+    # default beyond-cap path: LSH-verified pairs, exact subset of truth
+    routed = embedding_dup_pairs(ds, threshold=0.999,
+                                 max_vectors=10).to_pandas()
+    exact = embedding_dup_pairs(ds, threshold=0.999,
+                                max_vectors=20).to_pandas()
+    key = lambda df: set(zip(df.vec_a, df.vec_b, df.cos_q2))
+    assert len(routed) > 0 and (routed.vec_a < routed.vec_b).all()
+    assert key(routed) <= key(exact)      # every routed pair is real
     # under the cap the operator still works
     out = embedding_dup_pairs(ds, threshold=0.99, max_vectors=20).to_pandas()
     assert len(out) == 0 or (out.vec_a < out.vec_b).all()
