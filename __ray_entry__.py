@@ -897,44 +897,57 @@ def _q_ann_filtered(sf_dir):
 
 def _q_pq_adc(sf_dir):
     # product quantization: 64-dim float -> 8 one-byte codes (64x vs
-    # float64), queries answered by ADC lookup-table sums over the codes
-    # column — the memory-side ANN scale path. Approximate by design:
-    # rows-only driver check; recall/determinism gated in pytest
-    # (tests/test_stages.py::test_pq_adc_recall_and_determinism)
+    # float64), queries answered by ADC lookup-table sums over the
+    # codes column — the memory-side ANN scale path. The driver key
+    # runs the INTEGER-exact variant (deterministic int8 codebooks =
+    # k smallest-hash corpus rows; integer encode argmin; integer ADC
+    # LUT sums) so the DuckDB oracle re-derives every code and score
+    # bit-for-bit — a value-hash gate, not rows-only. The float
+    # k-means-trained path (pq_train/pq_topk) stays the bench recall
+    # row (tests/test_stages.py::test_pq_adc_recall_and_determinism).
     import pyarrow.compute as pc
 
-    from bge_m3_onnx_ray.stages.ann import pq_encode, pq_topk, pq_train
+    from bge_m3_onnx_ray.stages.ann import (pq_adc_int8_topk,
+                                            pq_books_int8, pq_encode_int8)
     emb = _embeddings(sf_dir)
     qdf = emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 5)),
                           batch_format="pyarrow").to_pandas()
     qdf = qdf.sort_values("vec_id")
-    books = pq_train(emb, m=8, k=32, n_iters=3)
-    codes = pq_encode(emb, books)
-    return pq_topk(codes, books, np.stack(qdf.embedding.to_numpy()),
-                   qdf.vec_id.to_numpy(), k=10,
-                   exclude={int(v): int(v) for v in qdf.vec_id})
+    books = pq_books_int8(emb, m=8, k=32)
+    codes = pq_encode_int8(emb, books)
+    return pq_adc_int8_topk(codes, books, np.stack(qdf.embedding.to_numpy()),
+                            qdf.vec_id.to_numpy(), k=10,
+                            exclude={int(v): int(v) for v in qdf.vec_id})
 
 
 def _q_ivfpq_adc(sf_dir):
     # IVF+PQ composed: probe-pruned lists, ADC within — the
     # 10^12-vector index body (list-partitioned m-byte codes, floats
-    # discarded). Approximate by design: rows-only; nprobe=all ==
-    # plain-PQ exactness gated in pytest (test_ivfpq_full_probe...)
+    # discarded). Driver key probes ALL lists so the probe set cannot
+    # perturb results (the ivf_all_probe pattern): the SQL oracle then
+    # checks the whole k-means-assign -> list filter -> integer ADC
+    # plumbing end-to-end with a value hash; nprobe < n_lists
+    # recall/speed is a bench row and
+    # tests/test_stages.py::test_ivfpq_full_probe... gates
+    # probe-all == plain-PQ equality. m=16 (4-dim subspaces, 16
+    # codewords) distinguishes this gate from pq_adc_topk's m=8/k=32.
     import pyarrow.compute as pc
 
-    from bge_m3_onnx_ray.stages.ann import (ivfpq_encode, ivfpq_topk,
-                                            kmeans_centroids, pq_train)
+    from bge_m3_onnx_ray.stages.ann import (ivfpq_encode_int8,
+                                            kmeans_centroids,
+                                            pq_adc_int8_topk, pq_books_int8)
     emb = _embeddings(sf_dir)
     qdf = emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 5)),
                           batch_format="pyarrow").to_pandas()
     qdf = qdf.sort_values("vec_id")
     cents = kmeans_centroids(emb, n_lists=16, n_iters=3)
-    books = pq_train(emb, m=8, k=32, n_iters=3)
-    codes = ivfpq_encode(emb, cents, books)
-    return ivfpq_topk(codes, cents, books,
-                      np.stack(qdf.embedding.to_numpy()),
-                      qdf.vec_id.to_numpy(), k=10, nprobe=4,
-                      exclude={int(v): int(v) for v in qdf.vec_id})
+    books = pq_books_int8(emb, m=16, k=16)
+    codes = ivfpq_encode_int8(emb, cents, books)
+    return pq_adc_int8_topk(codes, books,
+                            np.stack(qdf.embedding.to_numpy()),
+                            qdf.vec_id.to_numpy(), k=10,
+                            exclude={int(v): int(v) for v in qdf.vec_id},
+                            centroids=cents, nprobe=16)
 
 
 def _q_ann_int8(sf_dir):
@@ -4057,6 +4070,71 @@ ORDER BY query_id, "rank"
 """
 
 
+def _pq_adc_sql(m: int, k_codes: int, dim: int = 64) -> str:
+    """Bit-mirror of the integer-exact PQ ADC path
+    (stages/ann.py pq_books_int8 / pq_encode_int8 / pq_adc_int8_topk):
+    per-vector max-abs int8 quantization (the _ANN_INT8_SQL grid),
+    codebooks = the k_codes smallest-hash(vec_id) rows (Fibonacci
+    multiply mod 2^64 >> 1, ties by vec_id) sliced per subspace,
+    encode = argmin of integer x·x - 2x·c + c·c (ties → smallest cid),
+    score = sum of m integer LUT dots, rank (adc_dot desc, vec_id asc).
+    Every intermediate is an exact int64 (subspace dots ≤ 8·127²), so
+    the driver gate is a value-hash match. Probing all IVF lists (the
+    ivfpq driver key) cannot change this result, so one oracle serves
+    both compositions."""
+    sub = dim // m
+    return f"""
+WITH base AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+sc AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS s
+       FROM base),
+qv AS (SELECT vec_id, CASE WHEN s = 0 OR s IS NULL
+         THEN list_transform(e, x -> CAST(0 AS BIGINT))
+         ELSE list_transform(e, x -> CAST(floor((127.0 * x) / s + 0.5)
+                                          AS BIGINT)) END AS q
+       FROM sc),
+hh AS (SELECT vec_id, q,
+              (CAST((CAST(vec_id AS HUGEINT) * 11400714819323198485)
+                    % 18446744073709551616 AS UBIGINT) >> 1) AS h
+       FROM qv),
+seeds AS (SELECT q, row_number() OVER (ORDER BY h, vec_id) - 1 AS cid
+          FROM hh ORDER BY h, vec_id LIMIT {k_codes}),
+subs AS (SELECT unnest(range({m})) AS j),
+books AS (SELECT s.cid, u.j,
+                 list_slice(s.q, u.j*{sub} + 1, u.j*{sub} + {sub}) AS bq
+          FROM seeds s CROSS JOIN subs u),
+rows_q AS (SELECT vec_id, j,
+                  list_slice(q, j*{sub} + 1, j*{sub} + {sub}) AS xq
+           FROM qv CROSS JOIN subs),
+dists AS (SELECT r.vec_id, r.j, b.cid,
+                 CAST(list_dot_product(r.xq, r.xq) AS BIGINT)
+                 - 2 * CAST(list_dot_product(r.xq, b.bq) AS BIGINT)
+                 + CAST(list_dot_product(b.bq, b.bq) AS BIGINT) AS d
+          FROM rows_q r JOIN books b ON b.j = r.j),
+codes AS (SELECT vec_id, j, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                        ORDER BY d, cid) AS rn FROM dists)
+          WHERE rn = 1),
+queries AS (SELECT vec_id AS query_id, j, xq FROM rows_q
+            WHERE vec_id < 5),
+scores AS (SELECT qq.query_id, c.vec_id,
+                  CAST(SUM(CAST(list_dot_product(qq.xq, b.bq) AS BIGINT))
+                       AS BIGINT) AS adc_dot
+           FROM queries qq
+           JOIN codes c ON c.j = qq.j
+           JOIN books b ON b.j = c.j AND b.cid = c.cid
+           WHERE c.vec_id <> qq.query_id
+           GROUP BY qq.query_id, c.vec_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_dot DESC, vec_id) AS rnk FROM scores)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
+       vec_id::BIGINT AS vec_id, adc_dot
+FROM ranked WHERE rnk <= 10
+ORDER BY query_id, "rank"
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from bge_m3_onnx_ray.stages.text import STOPWORDS
     en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
@@ -4958,6 +5036,8 @@ FROM best WHERE r = 1 ORDER BY query_id
         "ivf_disk_cosine_topk": _ANN_SQL,
         "ivf_disk_cosine_topk_appended": _ANN_SQL,
         "ivf_disk_int8_topk": _ANN_INT8_SQL,
+        "pq_adc_topk": _pq_adc_sql(m=8, k_codes=32),
+        "ivfpq_adc_topk": _pq_adc_sql(m=16, k_codes=16),
         "embedding_contamination": """
 WITH bench AS (SELECT vec_id AS bid, embedding AS bv FROM embeddings
                WHERE vec_id < 20),

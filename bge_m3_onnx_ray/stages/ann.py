@@ -1118,6 +1118,185 @@ def ivfpq_topk(codes: rd.Dataset, centroids: np.ndarray,
         merge, batch_format="pyarrow")
 
 
+# ------------------------------ integer-exact (SQL-gated) PQ ADC path
+
+def pq_books_int8(ds: rd.Dataset, m: int = 8, k: int = 32) -> np.ndarray:
+    """Deterministic INTEGER PQ codebooks — no float training. Codewords
+    are the ``k`` corpus rows with the smallest ``hash(vec_id)`` (the
+    :class:`_KMeansSeed` order, ties by vec_id), int8-quantized per FULL
+    vector on :func:`quantize_int8`'s max-abs grid, then sliced per
+    subspace. Every downstream operation (encode argmin over integer
+    squared distances, ADC integer LUT sums) is then exact int64
+    arithmetic, bit-mirrored by the DuckDB oracle
+    (``__ray_entry__._pq_adc_sql``) — the same discipline that
+    SQL-gates :func:`int8_topk`. Returns int64 ``(m, k, dim/m)``."""
+    seeds = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        task_stage(_KMeansSeed, k=k),
+        batch_format="pyarrow", batch_size=8192).to_pandas()
+    seeds = seeds.sort_values(["h", "vec_id"]).head(k)
+    full = quantize_int8(np.vstack(seeds["embedding"].to_numpy()))
+    dim = full.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return np.stack([full[:, j * sub:(j + 1) * sub] for j in range(m)])
+
+
+class _EncodeInt8:
+    """Per-subspace nearest INT8 codeword by exact integer squared
+    distance ``x·x - 2 x·c + c·c`` (ties → smallest cid, numpy
+    argmin's first-hit); carries ``list_id`` through when present (the
+    IVF+PQ body)."""
+
+    def __init__(self, b_ref):
+        import ray
+        self.books = ray.get(b_ref)            # int64 (m, k, sub)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = quantize_int8(_embedding_matrix(batch.column("embedding")))
+        mm, kk, sd = self.books.shape
+        codes = np.empty((len(x), mm), np.uint8)
+        for j in range(mm):
+            xs = x[:, j * sd:(j + 1) * sd]
+            b = self.books[j]
+            d = (xs * xs).sum(1)[:, None] - 2 * (xs @ b.T) \
+                + (b * b).sum(1)[None, :]
+            codes[:, j] = np.argmin(d, axis=1).astype(np.uint8)
+        cols = {"vec_id": batch.column("vec_id")}
+        if "list_id" in batch.column_names:
+            cols["list_id"] = batch.column("list_id")
+        cols["code"] = pa.array([c.tobytes() for c in codes], pa.binary())
+        return pa.table(cols)
+
+
+def pq_encode_int8(ds: rd.Dataset, books: np.ndarray) -> rd.Dataset:
+    """(vec_id, code): integer-deterministic PQ encoding — same stored
+    index shape as :func:`pq_encode`, every assignment exact int64."""
+    import ray
+    b_ref = ray.put(np.ascontiguousarray(books))
+    return ds.select_columns(["vec_id", "embedding"]).map_batches(
+        task_stage(_EncodeInt8, b_ref=b_ref),
+        batch_format="pyarrow", batch_size=8192)
+
+
+def ivfpq_encode_int8(ds: rd.Dataset, centroids: np.ndarray,
+                      books: np.ndarray) -> rd.Dataset:
+    """(vec_id, list_id, code): the IVF+PQ index body with
+    integer-deterministic codes — list-partitioned m-byte codes, floats
+    discarded, every code SQL-re-derivable."""
+    import ray
+    b_ref = ray.put(np.ascontiguousarray(books))
+    return ivf_assign(ds, centroids).map_batches(
+        task_stage(_EncodeInt8, b_ref=b_ref),
+        batch_format="pyarrow", batch_size=8192)
+
+
+class _PqAdcIntPartial:
+    """ADC partial top-k with an INTEGER LUT: per query an (m x k)
+    table of exact int64 subspace dots; candidate score = sum of m
+    gathers — no floats anywhere, so rank (adc_dot desc, vec_id asc)
+    is engine/oracle exact. Rows carrying a ``list_id`` column are
+    probe-filtered per query (the IVF+PQ composition) before any
+    gather."""
+
+    def __init__(self, q_ref, k: int):
+        import ray
+        (self.qids, self.luts, self.exclude,
+         self.probes, self.union) = ray.get(q_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.union is not None and "list_id" in batch.column_names:
+            lists = batch.column("list_id").to_numpy()
+            keep = np.isin(lists, self.union)
+            batch = batch.filter(pa.array(keep))
+            lsub = lists[keep]
+        else:
+            lsub = None
+        out_q, out_v, out_s = [], [], []
+        if batch.num_rows:
+            vids = batch.column("vec_id").to_numpy()
+            bc = batch.column("code").combine_chunks()
+            mm = self.luts.shape[1]
+            codes = np.frombuffer(
+                b"".join(bc.to_pylist()), np.uint8).reshape(-1, mm)
+            k = self.k
+            for qi, qid in enumerate(self.qids):
+                lut = self.luts[qi]
+                s = lut[np.arange(mm)[None, :], codes].sum(axis=1)
+                mask = np.ones(len(vids), bool)
+                if lsub is not None:
+                    mask &= np.isin(lsub, self.probes[qi])
+                ex = self.exclude.get(int(qid))
+                if ex is not None:
+                    mask &= vids != ex
+                idx = np.flatnonzero(mask)
+                if not len(idx):
+                    continue
+                kk = min(k, len(idx))
+                if len(idx) > kk:
+                    kth = -np.partition(-s[idx], kk - 1)[kk - 1]
+                    top = idx[s[idx] >= kth]
+                else:
+                    top = idx
+                out_q.extend([qid] * len(top))
+                out_v.extend(vids[top].tolist())
+                out_s.extend(s[top].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "adc_dot": pa.array(out_s, pa.int64())})
+
+
+def pq_adc_int8_topk(codes: rd.Dataset, books: np.ndarray,
+                     query_vecs: np.ndarray, query_ids: np.ndarray,
+                     k: int = 10,
+                     exclude: dict[int, int] | None = None,
+                     centroids: np.ndarray | None = None,
+                     nprobe: int | None = None) -> rd.Dataset:
+    """Integer-exact ADC top-k over an int8-PQ-coded corpus. Output
+    (query_id, rank, vec_id, adc_dot) — every column int, rank by
+    (adc_dot desc, vec_id asc) — so the driver gate is a value-hash
+    match, not rows-only. Pass ``centroids``+``nprobe`` (and codes that
+    carry ``list_id``) for the IVF+PQ composition: rows outside the
+    probed lists drop before any LUT gather."""
+    import ray
+
+    q = quantize_int8(np.asarray(query_vecs, np.float64))
+    mm, kk, sd = books.shape
+    luts = np.empty((len(q), mm, kk), np.int64)
+    for j in range(mm):
+        luts[:, j, :] = q[:, j * sd:(j + 1) * sd] @ books[j].T
+    if centroids is not None:
+        cs = np.asarray(query_vecs, np.float64) \
+            @ np.ascontiguousarray(centroids, np.float64).T
+        npb = min(nprobe or centroids.shape[0], centroids.shape[0])
+        probes = np.argsort(-cs, axis=1)[:, :npb].astype(np.int64)
+        union = np.unique(probes)
+    else:
+        probes, union = None, None
+    q_ref = ray.put((np.asarray(query_ids, np.int64), luts,
+                     dict(exclude or {}), probes, union))
+
+    partials = codes.map_batches(
+        task_stage(_PqAdcIntPartial, q_ref=q_ref, k=k),
+        batch_format="pyarrow", batch_size=8192)
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        s = group.column("adc_dot").to_numpy()
+        v = group.column("vec_id").to_numpy()
+        order = np.lexsort((v, -s))[:k]
+        return pa.table({
+            "query_id": pa.array(np.full(len(order), qid), pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32),
+                             pa.int32()),
+            "vec_id": pa.array(v[order], pa.int64()),
+            "adc_dot": pa.array(s[order], pa.int64())})
+
+    return partials.groupby("query_id").map_groups(
+        merge, batch_format="pyarrow")
+
+
 # -------------------------------------------- per-group vector mean
 
 def _centroid_partial(t: pa.Table) -> pa.Table:

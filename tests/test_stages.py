@@ -1534,6 +1534,47 @@ def test_ivfpq_full_probe_equals_plain_pq(ray_session):
     assert len(hit) > 0
 
 
+def test_pq_adc_int8_probe_all_equals_plain(ray_session):
+    """The INTEGER-exact (SQL-gated) ADC path: IVF+PQ at nprobe =
+    n_lists must equal plain integer ADC over the same books exactly,
+    and the whole path must be deterministic across runs (pure integer
+    arithmetic end-to-end)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.ann import (ivfpq_encode_int8,
+                                            kmeans_centroids,
+                                            pq_adc_int8_topk,
+                                            pq_books_int8, pq_encode_int8)
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((5, 32)) * 4.0
+    m = np.vstack([centers[i % 5] + rng.standard_normal(32) * 1.5
+                   for i in range(400)])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(400), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in m],
+                              pa.list_(pa.float32()))}))
+    cents = kmeans_centroids(ds, n_lists=8, n_iters=3)
+    books = pq_books_int8(ds, m=8, k=16)
+    q, qids = m[:4], np.arange(4)
+
+    def norm(df):
+        return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    plain = norm(pq_adc_int8_topk(pq_encode_int8(ds, books), books,
+                                  q, qids, k=10).to_pandas())
+    ivf = norm(pq_adc_int8_topk(ivfpq_encode_int8(ds, cents, books), books,
+                                q, qids, k=10, centroids=cents,
+                                nprobe=8).to_pandas())
+    pd.testing.assert_frame_equal(
+        plain, ivf.drop(columns=[c for c in ivf.columns
+                                 if c not in plain.columns]))
+    again = norm(pq_adc_int8_topk(pq_encode_int8(ds, books), books,
+                                  q, qids, k=10).to_pandas())
+    pd.testing.assert_frame_equal(plain, again)
+
+
 def test_pricing_summary_matches_duckdb(ray_session):
     """TPC-H Q1: integer-cents arithmetic matches a DuckDB mirror
     bit-for-bit — no float summation on either side."""
