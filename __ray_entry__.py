@@ -474,6 +474,15 @@ def _q_bm25_transcripts_collapsed(sf_dir):
     return bm25_transcripts_topk_collapsed(sf_dir)
 
 
+def _q_bm25_transcripts_collapsed_wand(sf_dir):
+    # field collapsing UNDER WAND: the theta bound is conv-granular
+    # (score_wand collapse_starts) — must equal the exhaustive collapsed
+    # ranking bit-for-bit, gated by the same collapse oracle SQL
+    from bge_m3_onnx_ray.pipelines.flagship import \
+        bm25_transcripts_topk_collapsed
+    return bm25_transcripts_topk_collapsed(sf_dir, method="wand")
+
+
 def _q_bool(sf_dir):
     # compound bool query: must intersection as the allowed mask for the
     # exhaustive scorer; should terms boost, must_not excludes
@@ -1660,6 +1669,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_transcripts_topk_weighted": _q_bm25_transcripts_weighted,
         "bm25_transcripts_topk_recency": _q_bm25_transcripts_recency,
         "bm25_transcripts_topk_collapsed": _q_bm25_transcripts_collapsed,
+        "bm25_transcripts_topk_collapsed_wand":
+            _q_bm25_transcripts_collapsed_wand,
         "bm25_transcripts_conv_topk": _q_bm25_transcripts_conv_sum,
         "rank_eval_documents": _q_rank_eval,
         "rank_eval_ndcg_documents": _q_rank_eval_ndcg,
@@ -4265,6 +4276,8 @@ ORDER BY pmi_q6 DESC, x, y LIMIT 50
         "bm25_transcripts_topk_recency": _bm25_transcripts_sql(
             decay_tau=30.0),
         "bm25_transcripts_topk_collapsed": _bm25_transcripts_sql(
+            collapse=True),
+        "bm25_transcripts_topk_collapsed_wand": _bm25_transcripts_sql(
             collapse=True),
         "bm25_transcripts_conv_topk": _bm25_transcripts_sql(
             conv_sum=True),

@@ -24,6 +24,27 @@ from bge_m3_onnx_ray._native import install_populate_alloc  # noqa: E402
 
 install_populate_alloc()
 
+
+def _mute_schema_hash_noise() -> None:
+    """Drop Ray Data's per-block "Failed to hash the schemas (for
+    deduplication)" warning. It fires on EVERY block whose Arrow schema
+    carries parquet pandas-metadata (a dict makes ``pa.Schema``
+    unhashable — harmless: Ray just skips a dedup fast path), which
+    floods worker logs thousands of times per run and buries real
+    warnings. Scoped to that one message; everything else on the logger
+    still passes. Runs in every worker via package import."""
+    import logging
+
+    class _Filter(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow").addFilter(_Filter())
+
+
+_mute_schema_hash_noise()
+
 __all__ = ["IndexConfig", "QueryConfig", "build_index", "search",
            "append_index", "build_positions", "phrase_search",
            "compact_index"]

@@ -167,9 +167,10 @@ class QueryConfig:
     # best-scoring turn (then conv_id). Exact under sharding: each shard
     # keeps its per-conv best before its top-k cut, and the merge
     # collapses again across shards — a conv in the global collapsed
-    # top-k is provably in some shard's collapsed top-k. Requires
-    # method="exhaustive" in "or" mode (WAND's theta bound prunes on the
-    # k-th best DOC, which overshoots the k-th best CONV).
+    # top-k is provably in some shard's collapsed top-k. Works with both
+    # methods: under WAND the running top-k is kept collapsed so the
+    # theta bound is the k-th best CONVERSATION score (conv-granular
+    # pruning, still rank-exact — see score_wand's docstring).
     collapse: bool = False
     # parent-level ranking (the Elasticsearch has_child / join-field
     # score_mode="sum" shape): rank CONVERSATIONS by the sum of their

@@ -256,7 +256,8 @@ def score_wand(enc_postings: dict[str, EncodedPostings], qterms: list[str],
                contribs: dict[str, np.ndarray] | None = None,
                allowed: np.ndarray | None = None,
                excluded: np.ndarray | None = None,
-               msm: int = 0):
+               msm: int = 0,
+               collapse_starts: np.ndarray | None = None):
     """Vectorized block-max top-k (the WAND/BMW pruning idea — Ding & Suel
     2011 — re-expressed for batch execution instead of a per-posting
     cursor loop, which measured ~47x slower than numpy scoring).
@@ -293,7 +294,16 @@ def score_wand(enc_postings: dict[str, EncodedPostings], qterms: list[str],
     match count is the doc's exact global count, and filtering on it
     before the running top-k keeps pruning exact (removing candidates
     only ever lowers the competition for theta; segment bounds stay
-    upper bounds for the docs that remain)."""
+    upper bounds for the docs that remain).
+
+    ``collapse_starts`` (field collapsing): theta becomes CONV-granular —
+    the running top-k holds per-conversation best candidates (collapsed
+    with :func:`_collapse_best` after every chunk), so theta is the k-th
+    best CONVERSATION score. Pruning stays exact: a pruned doc has
+    score < theta; if its conversation reaches the final top-k, that
+    conv's best is >= theta (theta only grows), so the pruned doc was
+    never the conv representative, and == theta ties survive because
+    pruning keeps >= theta segments."""
     terms = [t for t in qterms if t in enc_postings]
     if not terms:
         return np.empty(0, np.float64), np.empty(0, np.int64)
@@ -396,8 +406,17 @@ def score_wand(enc_postings: dict[str, EncodedPostings], qterms: list[str],
             mkeep = counts >= msm
             scores, union = scores[mkeep], union[mkeep]
         scores, union = _apply_allowed(scores, union, allowed, excluded)
-        top_s, top_d = _topk_merge(np.concatenate([top_s, scores]),
-                                   np.concatenate([top_d, union]), k)
+        if collapse_starts is not None:
+            # re-collapse the union of the running (already-collapsed)
+            # top-k and this chunk: per-conv best of bests, then the
+            # conv-granular k cut — theta = k-th conv score
+            cs = np.concatenate([top_s, scores])
+            cd = np.concatenate([top_d, union])
+            cs, cd = _collapse_best(cs, cd, collapse_starts)
+            top_s, top_d = _topk_merge(cs, cd, k)
+        else:
+            top_s, top_d = _topk_merge(np.concatenate([top_s, scores]),
+                                       np.concatenate([top_d, union]), k)
         if len(top_d) == k:
             theta = top_s[-1]
         # exponential chunk growth: the first small chunks seed theta from
@@ -531,10 +550,8 @@ class ShardScorer:
                                                  or conv_sum):
             raise ValueError(f'similarity="{similarity}" requires '
                              'method="exhaustive", mode="or"')
-        if collapse and method == "wand" and mode == "or":
-            raise ValueError('collapse requires method="exhaustive" '
-                             '(WAND theta prunes on the k-th doc, not '
-                             "the k-th conversation)")
+        # collapse under WAND is supported: score_wand's theta turns
+        # conv-granular (see its docstring) — no method restriction
         self.idfs = idfs
         self._lookup = None if idfs is not None else _DictDfLookup(self.meta)
         self.k = k
@@ -852,7 +869,8 @@ class ShardScorer:
                                           m.avgdl, m.k1, m.b, self.k,
                                           m.block_size, decoded=decoded,
                                           allowed=allowed, excluded=excluded,
-                                          msm=self.msm)
+                                          msm=self.msm,
+                                          collapse_starts=self._collapse_starts)
             elif self._conv_sum:
                 # no top-k cut: an aggregation visits every matched turn.
                 # k = 2**62 makes _topk_merge keep the full (sorted) set;
@@ -989,10 +1007,8 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
     cache; the only shuffle is the tiny per-query merge.
     """
     cfg = cfg or QueryConfig()
-    if cfg.collapse and cfg.mode == "or" and cfg.method != "exhaustive":
-        raise ValueError('collapse requires method="exhaustive" in "or" '
-                         "mode (WAND theta prunes on the k-th doc, not "
-                         "the k-th conversation)")
+    # collapse composes with both methods: under WAND the theta bound is
+    # conv-granular (score_wand's collapse_starts path)
     if (cfg.weight_attr is not None or cfg.decay_attr is not None) \
             and (cfg.method != "exhaustive" or cfg.mode != "or"):
         raise ValueError('weight_attr/decay_attr (function score) require '
@@ -1241,10 +1257,8 @@ def search_bulk(index_dir: str, queries: rd.Dataset,
     rows are emitted shard-major per batch so a scorer actor's shard LRU
     and per-batch decode memo get long same-shard runs."""
     cfg = cfg or QueryConfig()
-    if cfg.collapse and cfg.mode == "or" and cfg.method != "exhaustive":
-        raise ValueError('collapse requires method="exhaustive" in "or" '
-                         "mode (WAND theta prunes on the k-th doc, not "
-                         "the k-th conversation)")
+    # collapse composes with both methods: under WAND the theta bound is
+    # conv-granular (score_wand's collapse_starts path)
     if (cfg.weight_attr is not None or cfg.decay_attr is not None) \
             and (cfg.method != "exhaustive" or cfg.mode != "or"):
         raise ValueError('weight_attr/decay_attr (function score) require '

@@ -293,7 +293,8 @@ def bm25_documents_topk_appended(sf_dir: str, k: int = 10) -> pa.Table:
 
 
 def bm25_transcripts_topk_collapsed(sf_dir: str, k: int = 10,
-                                    n_turns: int | None = None) -> pa.Table:
+                                    n_turns: int | None = None,
+                                    method: str = "exhaustive") -> pa.Table:
     """Field-collapsed flagship: at most ONE result per CONVERSATION,
     conversations ranked by their best-scoring turn — the Lucene/Solr
     collapse / Elasticsearch field_collapse shape, and the natural
@@ -315,7 +316,7 @@ def bm25_transcripts_topk_collapsed(sf_dir: str, k: int = 10,
                       term_buckets=8)
     idx = _cached_index(rd.read_parquet(path), f"transcripts-n{n_turns}", cfg)
     out = search(idx, gen_queries(50),
-                 QueryConfig(k=3 * k, method="exhaustive", collapse=True))
+                 QueryConfig(k=3 * k, method=method, collapse=True))
     df = out.to_pandas()
     df["score_q6"] = np.floor(df["score"].to_numpy() * 1e6).astype(np.int64)
     df = df.sort_values(["query_id", "score_q6", "conv_id"],

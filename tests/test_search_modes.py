@@ -477,11 +477,22 @@ def test_collapse_parity(tiny_index, tiny_corpus, mode):
         assert list(have.score) == list(want.score), qid  # bit-identical
 
 
-def test_collapse_wand_raises(tiny_index):
+def test_collapse_wand_equals_exhaustive(tiny_index, tiny_corpus):
+    """Collapse under WAND: the conv-granular theta bound must be
+    rank- and score-exact — bit-identical to exhaustive+collapse,
+    including equal-score ties broken by doc_id."""
+    import pandas as pd
     idx, _ = tiny_index
-    with pytest.raises(ValueError, match="collapse"):
-        search(idx, [(0, "data")],
-               QueryConfig(k=10, method="wand", collapse=True))
+    _, _, queries = tiny_corpus
+    ex = search(idx, queries,
+                QueryConfig(k=10, method="exhaustive",
+                            collapse=True)).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    wd = search(idx, queries,
+                QueryConfig(k=10, method="wand",
+                            collapse=True)).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ex, wd)
 
 
 def test_boost_wand_equals_exhaustive(tiny_index):
