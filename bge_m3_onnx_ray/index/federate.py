@@ -103,7 +103,8 @@ def search_federated(index_dirs: list[str], queries,
                                    "avgdl_override": avgdl},
             batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
             concurrency=cfg.scorer_concurrency, num_cpus=1)
-        member = merge_topk(partials, ConvOffsets.load(d), cfg.k)
+        member = merge_topk(partials, ConvOffsets.load(d), cfg.k,
+                            rows_bound=len(pairs) * cfg.k)
         member = member.map_batches(
             lambda t, _i=i: t.append_column(
                 "index_id", pa.array(np.full(t.num_rows, _i, np.int32))),

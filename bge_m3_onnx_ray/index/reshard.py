@@ -111,6 +111,24 @@ def reshard_index(src_dir: str, dst_dir: str, new_docs_per_shard: int,
 
     def task(batch: pa.Table) -> pa.Table:
         out = []
+        # per-invocation decoded-file cache: work items arrive sorted by
+        # (bucket, new_shard), so every new shard cut from the same old
+        # shard hits the same cache entry — a SPLIT (ndps < odps) decodes
+        # each old file ~once per batch instead of once per new shard
+        # (odps/ndps x fewer decodes; the dominant reshard cost)
+        cache: dict = {}
+
+        def decoded(s: int, b: int):
+            got = cache.get((s, b))
+            if got is None:
+                if len(cache) >= 8:             # bound per-task heap
+                    cache.clear()
+                tbl = pq.read_table(postings_file(src_dir, s, b))
+                vocab = np.asarray(tbl.column("term").to_pylist(), object)
+                got = (vocab,) + decode_postings_file(tbl, block_size)
+                cache[(s, b)] = got
+            return got
+
         for t, b in zip(batch.column("new_shard").to_pylist(),
                         batch.column("bucket").to_pylist()):
             lo, hi = t * ndps, min((t + 1) * ndps, n_docs)
@@ -123,24 +141,20 @@ def reshard_index(src_dir: str, dst_dir: str, new_docs_per_shard: int,
                 p = postings_file(src_dir, s, b)
                 if not os.path.exists(p):
                     continue
-                tbl = pq.read_table(p)
-                counts, dids, tfs, dls = decode_postings_file(
-                    tbl, block_size)
+                fvocab, counts, dids, tfs, dls = decoded(s, b)
                 m = (dids >= lo) & (dids < hi)
                 if not m.any():
-                    voff += tbl.num_rows
-                    vocabs.append(np.asarray(
-                        tbl.column("term").to_pylist(), object))
+                    voff += len(fvocab)
+                    vocabs.append(fvocab)
                     continue
                 row_of = np.repeat(
-                    np.arange(tbl.num_rows, dtype=np.int64), counts)
-                vocabs.append(np.asarray(
-                    tbl.column("term").to_pylist(), object))
+                    np.arange(len(fvocab), dtype=np.int64), counts)
+                vocabs.append(fvocab)
                 code_parts.append(row_of[m] + voff)
                 d_parts.append(dids[m])
                 tf_parts.append(tfs[m])
                 dl_parts.append(dls[m])
-                voff += tbl.num_rows
+                voff += len(fvocab)
             path = postings_file(dst_dir, t, b)
             if not code_parts:
                 nbytes = atomic_write_parquet(
@@ -172,13 +186,23 @@ def reshard_index(src_dir: str, dst_dir: str, new_docs_per_shard: int,
 
     def lens_task(batch: pa.Table) -> pa.Table:
         out = []
+        lcache: dict = {}
+
+        def lens_of(s: int) -> pa.Table:
+            got = lcache.get(s)
+            if got is None:
+                if len(lcache) >= 8:
+                    lcache.clear()
+                got = lcache[s] = pq.read_table(doc_lens_file(src_dir, s))
+            return got
+
         for t in batch.column("new_shard").to_pylist():
             lo, hi = t * ndps, min((t + 1) * ndps, n_docs)
             olds = [s for s in old_shards
                     if s * odps < hi and (s + 1) * odps > lo]
             parts = []
             for s in olds:
-                tbl = pq.read_table(doc_lens_file(src_dir, s))
+                tbl = lens_of(s)
                 ids = tbl.column("doc_id").to_numpy()
                 m = (ids >= lo) & (ids < hi)
                 parts.append(tbl.filter(pa.array(m)))
@@ -193,13 +217,19 @@ def reshard_index(src_dir: str, dst_dir: str, new_docs_per_shard: int,
             ("total_len", pa.int64())]))
 
     buckets = meta.term_buckets
+    # bucket-major, new_shard ascending: consecutive work items cut
+    # their slices from the SAME old postings file, so the per-task
+    # decode cache turns a split's odps/ndps re-decodes into ~1; batch
+    # size spans one old shard's worth of new shards (x2 for boundary
+    # straddle) so the cache actually sees the run
     pairs = rd.from_items([{"new_shard": t, "bucket": b}
-                           for t in range(n_new) for b in range(buckets)])
+                           for b in range(buckets) for t in range(n_new)])
+    bs = max(4, min(256, 2 * ((odps + ndps - 1) // ndps)))
     pstats = pairs.map_batches(task, batch_format="pyarrow",
-                               batch_size=4).to_pandas()
+                               batch_size=bs).to_pandas()
     lens = rd.from_items([{"new_shard": t} for t in range(n_new)]) \
         .map_batches(lens_task, batch_format="pyarrow",
-                     batch_size=4).to_pandas()
+                     batch_size=bs).to_pandas()
 
     fp = meta.stats.get("config_fingerprint", "") + f"-reshard{ndps}"
     shards = {}

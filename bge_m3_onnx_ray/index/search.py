@@ -732,6 +732,21 @@ class ShardScorer:
         if self._lookup is not None:  # bulk path: one dict probe per batch
             self.idfs = self._lookup.idfs_for(
                 {t for ts in termss for t in ts})
+        # batch-level postings pre-warm: one union read per (shard,
+        # bucket) file for ALL the batch's queries instead of a filtered
+        # parquet open per (query, shard) item — at many-tiny-shards
+        # geometries (reshard to docs_per_shard=64: ~1k shards) the
+        # per-open fixed cost, not decoding, dominates the fan-out
+        warm: dict[int, set] = {}
+        for terms2, negs2, demotes2, shard2 in zip(termss, negss,
+                                                   demotess, shards):
+            s = warm.setdefault(int(shard2), set())
+            s.update(terms2)
+            s.update(negs2 or ())
+            s.update(demotes2 or ())
+        if len(warm) <= self.cache_size:    # never pre-warm past the LRU
+            for shard2, ts2 in warm.items():
+                self._shard_postings(shard2, sorted(ts2))
         # decoded-postings memo for THIS batch: many queries in a batch hit
         # the same (shard, term) — decode once, not once per query row
         dec_memo: dict[tuple[int, str], tuple] = {}
@@ -921,7 +936,8 @@ class ShardScorer:
 
 def merge_topk(partials: rd.Dataset, offsets: ConvOffsets, k: int,
                n_buckets: int = 256, collapse: bool = False,
-               conv_sum: bool = False) -> rd.Dataset:
+               conv_sum: bool = False,
+               rows_bound: int | None = None) -> rd.Dataset:
     """Global per-query top-k over scorer partials — ONE shuffle keyed by
     a hash BUCKET of query_id (many queries per map_groups call, the
     per-group-Python-call rule), merged by a vectorized multi-query
@@ -930,7 +946,14 @@ def merge_topk(partials: rd.Dataset, offsets: ConvOffsets, k: int,
 
     ``collapse``: a conversation straddling a shard boundary arrives as
     one per-shard-best row per shard — dedupe to the global per-conv best
-    (same (score desc, doc_id asc) rule) before ranking."""
+    (same (score desc, doc_id asc) rule) before ranking.
+
+    ``rows_bound``: caller-known upper bound on the partial row count
+    (n_work_items × k). When it fits comfortably on the driver the
+    merge kernel runs there on the concatenated partials instead of
+    paying a Ray groupby's all-to-all fixed cost — the kernel is
+    query-independent, so the result is row-identical either way. A
+    10^6-shard index blows the bound and takes the exchange."""
 
     def add_bucket(t: pa.Table) -> pa.Table:
         q = t.column("query_id").to_numpy().astype(np.uint64)
@@ -982,6 +1005,13 @@ def merge_topk(partials: rd.Dataset, offsets: ConvOffsets, k: int,
             "conv_id": pa.array(conv, pa.string()),
             "turn_idx": pa.array(turn, pa.int32()),
         }, schema=RESULT_SCHEMA)
+
+    if rows_bound is not None and rows_bound <= 262_144:
+        import ray
+        tbl = pa.concat_tables(ray.get(partials.to_arrow_refs()))
+        if tbl.num_rows == 0:
+            return rd.from_arrow(RESULT_SCHEMA.empty_table())
+        return rd.from_arrow(multi_merge(tbl.combine_chunks()))
 
     return partials.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("_qb").map_groups(multi_merge, batch_format="pyarrow")
@@ -1229,7 +1259,11 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
     out = merge_topk(partials, offsets, fetch, collapse=cfg.collapse,
-                     conv_sum=cfg.conv_score_mode == "sum")
+                     conv_sum=cfg.conv_score_mode == "sum",
+                     # conv_sum emits one row per matched CONV per item
+                     # (unbounded by k) — only the exchange path there
+                     rows_bound=(None if cfg.conv_score_mode == "sum"
+                                 else len(pairs) * fetch))
     if cfg.offset:
         out = out.map_batches(
             lambda t, _o=cfg.offset: t.filter(pc.greater(t.column("rank"), _o)),
@@ -1400,7 +1434,8 @@ def search_bool(index_dir: str,
                                "mode": "bool"},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
-    return merge_topk(partials, offsets, cfg.k)
+    return merge_topk(partials, offsets, cfg.k,
+                      rows_bound=len(pairs) * cfg.k)
 
 
 def search_boosting(index_dir: str,
@@ -1461,7 +1496,8 @@ def search_boosting(index_dir: str,
                                "demote_weight": float(negative_boost)},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)
-    return merge_topk(partials, offsets, cfg.k)
+    return merge_topk(partials, offsets, cfg.k,
+                      rows_bound=len(pairs) * cfg.k)
 
 
 def rescore_search(index_dir: str, queries, cfg: QueryConfig | None = None,

@@ -606,9 +606,11 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
     rows at ANY scale factor) — driver-resolved; supplier is the
     classic broadcast dimension (suppkey → nationkey, two ints/row,
     resolved inside the lineitem map so the fact table never shuffles
-    for it); customer⨝orders is a true both-sides-large
-    :func:`equi_join` (ONE hash(custkey) exchange, date-pruned orders
-    at the read); the joined (orderkey, c_nationkey) stream then meets
+    for it); customer⨝orders picks its join by parquet-footer stats —
+    a broadcast custkey→nationkey lookup while customer fits a worker
+    (≤8M keys), else a true both-sides-large :func:`equi_join` (ONE
+    hash(custkey) exchange, date-pruned orders at the read); the
+    joined (orderkey, c_nationkey) stream then meets
     per-batch pre-aggregated lineitem partials — (orderkey, s_nation,
     cents) rows, supplier already resolved and non-region suppliers
     dropped — in ONE further hash(orderkey) exchange whose kernel joins,
@@ -646,22 +648,51 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
     order = np.argsort(skeys[in_region])
     sup_ref = ray.put((skeys[in_region][order], snat[in_region][order]))
 
-    # --- customer ⨝ orders: both large, one hash(custkey) exchange
+    # --- customer ⨝ orders: ADAPTIVE join selection on parquet stats
+    # (footer row count — zero data read). Below the broadcast bound the
+    # region-filtered custkey→nationkey map ships once via the object
+    # store and the join happens inside the orders scan (what a planner
+    # picks for a dimension-sized build side); past it, the both-sides-
+    # large hash(custkey) exchange (:func:`equi_join`) takes over. 8M
+    # keys ≈ 128 MB of int64 pairs — comfortably one worker's heap.
     cut0 = pa.scalar(np.datetime64(date_from + "T00:00:00", "us"),
                      pa.timestamp("us"))
     cut1 = pa.scalar(np.datetime64(date_to + "T00:00:00", "us"),
                      pa.timestamp("us"))
-    cust = rd.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_nationkey"],
-        filter=pads.field("c_nationkey").isin(nat_keys))
+    cust_path = os.path.join(sf_dir, "customer.parquet")
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey"],
         filter=(pads.field("o_orderdate") >= cut0)
                & (pads.field("o_orderdate") < cut1))
-    ord_nat = equi_join(orders, cust, "o_custkey", "c_custkey",
-                        ["c_nationkey"], n_buckets=n_buckets)
+    broadcast_cust = pq.ParquetFile(cust_path).metadata.num_rows <= 8_000_000
+    if broadcast_cust:
+        ct = pq.read_table(cust_path, columns=["c_custkey", "c_nationkey"],
+                           filters=[("c_nationkey", "in", nat_keys)])
+        ck = ct.column("c_custkey").to_numpy()
+        cn = ct.column("c_nationkey").to_numpy().astype(np.int64)
+        co = np.argsort(ck)
+        cust_ref = ray.put((ck[co], cn[co]))
+
+        def resolve_nation(t: pa.Table) -> pa.Table:
+            ckk, cnn = ray.get(cust_ref)
+            ocust = t.column("o_custkey").to_numpy()
+            if not len(ckk):
+                return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                                 "c_nationkey": pa.array([], pa.int64())})
+            pos = np.minimum(np.searchsorted(ckk, ocust), len(ckk) - 1)
+            hit = ckk[pos] == ocust          # drops non-region customers
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey").filter(pa.array(hit)),
+                "c_nationkey": pa.array(cnn[pos[hit]], pa.int64())})
+
+        ord_nat = orders.map_batches(resolve_nation, batch_format="pyarrow")
+    else:
+        cust = rd.read_parquet(
+            cust_path, columns=["c_custkey", "c_nationkey"],
+            filter=pads.field("c_nationkey").isin(nat_keys))
+        ord_nat = equi_join(orders, cust, "o_custkey", "c_custkey",
+                            ["c_nationkey"], n_buckets=n_buckets)
 
     def orders_tag(t: pa.Table) -> pa.Table:
         ok = t.column("o_orderkey").to_numpy()
@@ -744,13 +775,15 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
 
     tagged = ord_nat.map_batches(orders_tag, batch_format="pyarrow")
     agg = tagged.union(line).groupby("_jb").map_groups(
-        join_reduce, batch_format="pyarrow") \
-        .groupby("n_nationkey").aggregate(Sum("revenue_q4",
-                                              alias_name="revenue_q4"))
+        join_reduce, batch_format="pyarrow")
 
-    # final result is <= n_nations rows: sort driver-side (a Ray sort
-    # pays seconds of all-to-all fixed cost for a 5-row table)
-    out = agg.to_pandas().sort_values(
+    # join_reduce emits <= n_nations rows PER BUCKET (it reduces to the
+    # nation histogram inside the kernel), so the driver sees at most
+    # n_buckets x 25 rows at ANY scale factor — sum + sort here instead
+    # of paying a Ray sort-aggregate's all-to-all fixed cost for a
+    # bounded-size table
+    out = agg.to_pandas().groupby("n_nationkey", as_index=False) \
+        .agg(revenue_q4=("revenue_q4", "sum")).sort_values(
         ["revenue_q4", "n_nationkey"], ascending=[False, True])
     return pa.table({
         "n_name": pa.array([nat_name[int(k)] for k in out["n_nationkey"]],
