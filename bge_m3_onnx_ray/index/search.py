@@ -1237,6 +1237,14 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
     # merge), then drop ranks <= offset — ranks stay GLOBAL (offset+1..),
     # so page boundaries are stable under the deterministic tie-break
     fetch = cfg.k + cfg.offset
+    # size the scorer pool to the WORK, not the autoscaler: a fixed pool
+    # of min(batches, cap) actors skips the ramp-up rounds the (lo, hi)
+    # autoscaling pool pays on every one-shot search (measured ~0.3 s on
+    # a 10-batch fan-out), and a 1-batch search spawns exactly 1 actor
+    conc = cfg.scorer_concurrency
+    if isinstance(conc, tuple):
+        n_batches = -(-len(pairs) // cfg.scorer_batch_size)
+        conc = min(max(conc[0], n_batches), conc[1])
     partials = fanout.map_batches(
         ShardScorer,
         fn_constructor_kwargs={"index_dir": index_dir, "idfs": idfs,
@@ -1257,7 +1265,7 @@ def search(index_dir: str, queries, cfg: QueryConfig | None = None,
                                "after_ref": after_ref,
                                "conv_sum": cfg.conv_score_mode == "sum"},
         batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
-        concurrency=cfg.scorer_concurrency, num_cpus=1)
+        concurrency=conc, num_cpus=1)
     out = merge_topk(partials, offsets, fetch, collapse=cfg.collapse,
                      conv_sum=cfg.conv_score_mode == "sum",
                      # conv_sum emits one row per matched CONV per item

@@ -1951,8 +1951,7 @@ def rank_eval_ndcg_documents(sf_dir: str, k: int = 10) -> pa.Table:
     grades contribute identically to IDCG regardless of tie order.
     Output (query_id, dcg_q6, ndcg_q6) — q6-quantized floats, the
     repo-wide oracle convention."""
-    from bge_m3_onnx_ray.index.facets import (match_grade_histogram,
-                                              match_grades)
+    from bge_m3_onnx_ray.index.facets import match_grades_and_histogram
     key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
     idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
     top = search(idx, DOC_QUERIES, QueryConfig(k=k, method="wand")) \
@@ -1960,11 +1959,15 @@ def rank_eval_ndcg_documents(sf_dir: str, k: int = 10) -> pa.Table:
     top["doc_id"] = top["conv_id"].str.slice(4).astype(np.int64)
     allow = {int(qid): np.sort(g["doc_id"].to_numpy())
              for qid, g in top.groupby("query_id")}
-    gr = match_grades(idx, DOC_QUERIES, allow).to_pandas()
+    # one fused postings scan yields BOTH nDCG inputs (observed grades +
+    # the ideal histogram partials) — was two identical scans + a reduce
+    both = match_grades_and_histogram(idx, DOC_QUERIES, allow).to_pandas()
+    gr = both[both["kind"] == 0]
     grade_of = {(int(q), int(d)): int(g)
-                for q, d, g in zip(gr["query_id"], gr["doc_id"],
-                                   gr["grade"])}
-    hist = match_grade_histogram(idx, DOC_QUERIES).to_pandas()
+                for q, d, g in zip(gr["query_id"], gr["key"], gr["val"])}
+    hist = both[both["kind"] == 1].groupby(
+        ["query_id", "key"], as_index=False)["val"].sum().rename(
+        columns={"key": "grade", "val": "n_docs"})
     rows = []
     for qid, g in top.groupby("query_id"):
         g = g.sort_values("rank")
@@ -2428,11 +2431,13 @@ def bm25_documents_topk_restored(sf_dir: str, k: int = 10) -> pa.Table:
 
 
 def bm25_documents_topk_resharded(sf_dir: str, k: int = 10,
-                                  new_dps: int = 64) -> pa.Table:
+                                  new_dps: int = 500) -> pa.Table:
     """Search over a RESHARDED index (the Elasticsearch _split/_shrink
     lifecycle): the cached documents index (docs_per_shard=4096) is
-    re-partitioned to docs_per_shard=64 — postings decoded, sliced at
-    the new boundaries and re-encoded, with NO corpus re-read — and the
+    re-partitioned to docs_per_shard=500 — an UNALIGNED split (500 does
+    not divide 4096), so new shards straddle old boundaries and every
+    slice path is exercised; postings are decoded, sliced at the new
+    boundaries and re-encoded, with NO corpus re-read — and the
     standard BM25 oracle gates the result (scores are bit-identical:
     resharding moves postings, never changes global stats). Same result
     shape as :func:`bm25_documents_topk`."""
