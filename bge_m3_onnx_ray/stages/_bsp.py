@@ -55,6 +55,13 @@ def _split_block(tbl: pa.Table, key_col: str, n_buckets: int):
 
 
 @ray.remote
+def _untuple(x):
+    """num_returns=1 hands the caller ONE ref to the whole 1-tuple a
+    fan-out task returns — unwrap it so B=1 matches the B>1 shape."""
+    return x[0]
+
+
+@ray.remote
 def _concat_bucket(*parts):
     parts = [p for p in parts if p is not None and p.num_rows]
     if not parts:
@@ -72,7 +79,7 @@ def partition_by(ds: rd.Dataset, key_col: str,
     outs = [_split_block.options(num_returns=n_buckets)
             .remote(r, key_col, n_buckets) for r in refs]
     if n_buckets == 1:
-        outs = [[o] for o in outs]          # num_returns=1 unwraps
+        outs = [[_untuple.remote(o)] for o in outs]
     return [_concat_bucket.remote(*[o[b] for o in outs])
             for b in range(n_buckets)]
 
@@ -168,7 +175,7 @@ def pagerank_bsp(edges: rd.Dataset, n_iter: int,
         outs = [_pr_contrib.options(num_returns=B).remote(ranks[b], prep[b], B)
                 for b in range(B)]
         if B == 1:
-            outs = [[o] for o in outs]
+            outs = [[_untuple.remote(o)] for o in outs]
         ranks = [_pr_fold.remote(prep[b], *[outs[s][b] for s in range(B)])
                  for b in range(B)]
     return rd.from_arrow_refs(
@@ -311,19 +318,19 @@ def min_label_bsp(edges: rd.Dataset, max_rounds: int,
         msgs = [_cc_msgs.options(num_returns=B).remote(labels[b], prep[b], B)
                 for b in range(B)]
         if B == 1:
-            msgs = [[m] for m in msgs]
+            msgs = [[_untuple.remote(m)] for m in msgs]
         t_lab = [_cc_fold.remote(labels[b], prep[b],
                                  *[msgs[s][b] for s in range(B)])
                  for b in range(B)]
         qs = [_cc_query.options(num_returns=B).remote(t_lab[b], prep[b], B)
               for b in range(B)]
         if B == 1:
-            qs = [[q] for q in qs]
+            qs = [[_untuple.remote(q)] for q in qs]
         ans = [_cc_answer.options(num_returns=B)
                .remote(t_lab[b], prep[b], B, *[qs[s][b] for s in range(B)])
                for b in range(B)]
         if B == 1:
-            ans = [[a] for a in ans]
+            ans = [[_untuple.remote(a)] for a in ans]
         applied = [_cc_apply.options(num_returns=2)
                    .remote(t_lab[b], prep[b], old[b],
                            *[ans[s][b] for s in range(B)])
