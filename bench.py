@@ -425,46 +425,6 @@ def run_bench() -> dict:
     out["federated"] = {"single_index_sec": round(solo_sec, 2),
                         "two_member_sec": round(time.perf_counter() - t0, 2)}
 
-    # ---- serve-path actor sweep at a BIG index: p50 vs actors at a
-    # fixed corpus — the "add nodes to cut latency" story. p50 tracks
-    # docs/actor (per-query work is a dense scatter-add over the
-    # actor's doc range), so the sweep shows the knee directly; WAND
-    # p50 at the same size shows block-max skipping inside serve
-    # actors, not just the batch path. The index builds once and is
-    # REUSED across bench runs via the resume manifest (a re-run over a
-    # complete index is a no-op).
-    if not os.environ.get("BENCH_SKIP_SERVE_SWEEP"):
-        sw_turns = int(os.environ.get("BENCH_SERVE_SWEEP_TURNS", 64_000_000))
-        sw_idx = f"/tmp/bm25_bench/serve_sweep_{sw_turns // 1_000_000}M"
-        t0 = time.perf_counter()
-        build_index(transcripts_path(sw_turns), sw_idx, IndexConfig())
-        sw_build = round(time.perf_counter() - t0, 2)
-        sweep = {}
-        for na in (16, 24, 32):
-            t0 = time.perf_counter()
-            s = Searcher(sw_idx, n_actors=na)
-            s.search("warm up the actors")
-            ready = round(time.perf_counter() - t0, 2)
-            lat_e, lat_w = [], []
-            for qid, text in gen_queries(12)[:12]:
-                t0 = time.perf_counter()
-                s.search_batch([(qid, text)], method="exhaustive")
-                lat_e.append(time.perf_counter() - t0)
-                t0 = time.perf_counter()
-                s.search_batch([(qid, text)], method="wand")
-                lat_w.append(time.perf_counter() - t0)
-            s.shutdown()
-            sweep[na] = {
-                "docs_per_actor": round(sw_turns / na),
-                "fleet_ready_sec": ready,
-                "p50_exhaustive_ms": round(float(np.median(
-                    np.asarray(lat_e) * 1000)), 1),
-                "p50_wand_ms": round(float(np.median(
-                    np.asarray(lat_w) * 1000)), 1)}
-        out["serve_sweep"] = {"n_turns": sw_turns,
-                              "build_or_resume_sec": sw_build,
-                              "actors": sweep}
-
     # ---- documents-table operator suite over SF_DIR
     if os.environ.get("BENCH_SKIP_QUERIES"):
         out["queries"] = {}
@@ -506,6 +466,50 @@ def run_bench() -> dict:
             r.materialize()
         qtimes[name] = round(time.perf_counter() - t0, 2)
     out["queries"] = qtimes
+
+    # ---- serve-path actor sweep at a BIG index (LAST: decoding a
+    # 64M-turn index into actors evicts the sf page cache and frees
+    # plasma only gradually — running it before the query suite
+    # inflated the first suite keys ~2 s each): p50 vs actors at a
+    # fixed corpus — the "add nodes to cut latency" story. p50 tracks
+    # docs/actor (per-query work is a dense scatter-add over the
+    # actor's doc range), so the sweep shows the knee directly; WAND
+    # p50 at the same size shows block-max skipping inside serve
+    # actors, not just the batch path. The index builds once and is
+    # REUSED across bench runs via the resume manifest (a re-run over a
+    # complete index is a no-op).
+    if not os.environ.get("BENCH_SKIP_SERVE_SWEEP"):
+        sw_turns = int(os.environ.get("BENCH_SERVE_SWEEP_TURNS", 64_000_000))
+        sw_idx = f"/tmp/bm25_bench/serve_sweep_{sw_turns // 1_000_000}M"
+        t0 = time.perf_counter()
+        build_index(transcripts_path(sw_turns), sw_idx, IndexConfig())
+        sw_build = round(time.perf_counter() - t0, 2)
+        sweep = {}
+        for na in (16, 24, 32):
+            t0 = time.perf_counter()
+            s = Searcher(sw_idx, n_actors=na)
+            s.search("warm up the actors")
+            ready = round(time.perf_counter() - t0, 2)
+            lat_e, lat_w = [], []
+            for qid, text in gen_queries(12)[:12]:
+                t0 = time.perf_counter()
+                s.search_batch([(qid, text)], method="exhaustive")
+                lat_e.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                s.search_batch([(qid, text)], method="wand")
+                lat_w.append(time.perf_counter() - t0)
+            s.shutdown()
+            sweep[na] = {
+                "docs_per_actor": round(sw_turns / na),
+                "fleet_ready_sec": ready,
+                "p50_exhaustive_ms": round(float(np.median(
+                    np.asarray(lat_e) * 1000)), 1),
+                "p50_wand_ms": round(float(np.median(
+                    np.asarray(lat_w) * 1000)), 1)}
+        out["serve_sweep"] = {"n_turns": sw_turns,
+                              "build_or_resume_sec": sw_build,
+                              "actors": sweep}
+
     return out
 
 

@@ -803,7 +803,8 @@ def nation_volume_shipping(sf_dir: str, nation_a: str = "NATION_2",
 
     Same composition as :func:`local_supplier_volume` (constant
     dimensions driver-side, supplier broadcast into the lineitem map,
-    customer⨝orders as a true large-large :func:`equi_join`, one
+    customer⨝orders by adaptive join selection — broadcast below the
+    8M-customer footer-stats bound, :func:`equi_join` past it — one
     final hash(orderkey) exchange whose kernel joins and reduces), with
     two differences: lineitem partials keep the SHIP YEAR as part of
     the pre-aggregation key, and the kernel's accept predicate is the
@@ -836,14 +837,40 @@ def nation_volume_shipping(sf_dir: str, nation_a: str = "NATION_2",
                      pa.timestamp("us"))
     cut1 = pa.scalar(np.datetime64(date_to + "T00:00:00", "us"),
                      pa.timestamp("us"))
-    cust = rd.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_nationkey"],
-        filter=pads.field("c_nationkey").isin(pair_keys))
+    # adaptive customer join — same parquet-footer-stats rule as
+    # :func:`local_supplier_volume`: broadcast the pair-filtered
+    # custkey→nationkey map while customer fits a worker, else the
+    # both-sides-large hash(custkey) exchange
+    cust_path = os.path.join(sf_dir, "customer.parquet")
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_custkey"])
-    ord_nat = equi_join(orders, cust, "o_custkey", "c_custkey",
-                        ["c_nationkey"], n_buckets=n_buckets)
+    if pq.ParquetFile(cust_path).metadata.num_rows <= 8_000_000:
+        ct = pq.read_table(cust_path, columns=["c_custkey", "c_nationkey"],
+                           filters=[("c_nationkey", "in", pair_keys)])
+        ck = ct.column("c_custkey").to_numpy()
+        cn = ct.column("c_nationkey").to_numpy().astype(np.int64)
+        co = np.argsort(ck)
+        cust_ref = ray.put((ck[co], cn[co]))
+
+        def resolve_nation(t: pa.Table) -> pa.Table:
+            ckk, cnn = ray.get(cust_ref)
+            ocust = t.column("o_custkey").to_numpy()
+            if not len(ckk):
+                return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                                 "c_nationkey": pa.array([], pa.int64())})
+            pos = np.minimum(np.searchsorted(ckk, ocust), len(ckk) - 1)
+            hit = ckk[pos] == ocust          # drops out-of-pair customers
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey").filter(pa.array(hit)),
+                "c_nationkey": pa.array(cnn[pos[hit]], pa.int64())})
+
+        ord_nat = orders.map_batches(resolve_nation, batch_format="pyarrow")
+    else:
+        cust = rd.read_parquet(
+            cust_path, columns=["c_custkey", "c_nationkey"],
+            filter=pads.field("c_nationkey").isin(pair_keys))
+        ord_nat = equi_join(orders, cust, "o_custkey", "c_custkey",
+                            ["c_nationkey"], n_buckets=n_buckets)
 
     def orders_tag(t: pa.Table) -> pa.Table:
         ok = t.column("o_orderkey").to_numpy()
