@@ -1438,6 +1438,14 @@ def _q_dup_pagerank(sf_dir):
     return pagerank(_cached_ngram_pairs(sf_dir))
 
 
+def _q_dup_pagerank_weighted(sf_dir):
+    # edge-strength-aware centrality: shared-shingle counts (n_common)
+    # weight the rank shares — strong near-dup ties pull more mass;
+    # same integer recurrence, same recursive-SQL mirror
+    from bge_m3_onnx_ray.stages.dedup import pagerank
+    return pagerank(_cached_ngram_pairs(sf_dir), weighted=True)
+
+
 def _q_dup_triangles(sf_dir):
     # triangle count of the ngram near-dup graph (degree-oriented
     # node-iterator); n_wedges is engine-evidence only — the SQL
@@ -1729,6 +1737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashed_features": _q_hashed_features,
         "dup_triangles": _q_dup_triangles,
         "dup_pagerank": _q_dup_pagerank,
+        "dup_pagerank_weighted": _q_dup_pagerank_weighted,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
         "lang_length_pivot": _q_lang_length_pivot,
         "curated_corpus": _q_curated_corpus,
@@ -3701,16 +3710,20 @@ FROM agg ORDER BY replicate
 """
 
 
-def _pagerank_sql(n_iter: int = 5) -> str:
+def _pagerank_sql(n_iter: int = 5, weighted: bool = False) -> str:
     """Integer PageRank oracle: the ngram dup graph both-ways, then
     ``n_iter`` UNROLLED join-aggregate steps (standard SQL forbids
     aggregates in a recursive member) of the exact integer recurrence
-    r' = 150e6 + Σ (850·r) // (1000·outdeg)."""
+    r' = 150e6 + Σ (850·r·w) // (1000·W) — w ≡ 1 / W = outdeg in the
+    unweighted form, w = n_common (shared-shingle count) / W = Σw in
+    the weighted form."""
+    wmul = " * ed.w" if weighted else ""
+    wagg = "sum(ed.w)" if weighted else "count(*)"
     steps = []
     for i in range(1, n_iter + 1):
         steps.append(
             f"r{i} AS (SELECT ed.dst AS node,\n"
-            f"  (150000000 + sum((850 * r{i-1}.rank)\n"
+            f"  (150000000 + sum((850 * r{i-1}.rank{wmul})\n"
             f"                   // (1000 * dg.outdeg)))::BIGINT AS rank\n"
             f"  FROM ed JOIN r{i-1} ON r{i-1}.node = ed.src\n"
             f"  JOIN dg ON dg.src = ed.src GROUP BY ed.dst)")
@@ -3723,13 +3736,14 @@ sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shin
         FROM toks)),
 ok AS (SELECT shingle FROM sh GROUP BY shingle
        HAVING count(*) BETWEEN 2 AND 1000),
-e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*)::BIGINT AS w
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       WHERE a.shingle IN (SELECT shingle FROM ok)
       GROUP BY 1, 2 HAVING count(*) >= 2),
-ed AS (SELECT doc_a AS src, doc_b AS dst FROM e
-       UNION ALL SELECT doc_b, doc_a FROM e),
-dg AS (SELECT src, count(*)::BIGINT AS outdeg FROM ed GROUP BY 1),
+ed AS (SELECT doc_a AS src, doc_b AS dst, w FROM e
+       UNION ALL SELECT doc_b, doc_a, w FROM e),
+dg AS (SELECT src, {wagg}::BIGINT AS outdeg FROM ed GROUP BY 1),
 r0 AS (SELECT src AS node, 1000000000::BIGINT AS rank FROM dg),
 {chain}
 SELECT node AS doc_id, rank AS rank_q9 FROM r{n_iter} ORDER BY doc_id
@@ -4925,6 +4939,7 @@ WHERE a.shingle IN (SELECT shingle FROM ok)
 GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
 """,
         "dup_pagerank": _pagerank_sql(),
+        "dup_pagerank_weighted": _pagerank_sql(weighted=True),
         # triangle count of the ngram dup graph: same edge set as
         # ngram_dup_pairs; wedges mirror the engine's (deg, id)
         # orientation; triangles are the a<b<c three-way self-join

@@ -100,19 +100,25 @@ def pick_buckets(ds: rd.Dataset, n_buckets: int) -> int:
 
 @ray.remote
 def _pr_prep(tbl, n_buckets: int):
-    """Per-bucket static edge state: sorted unique nodes, outdeg,
-    edge arrays (src index into nodes, dst, dst bucket)."""
+    """Per-bucket static edge state: sorted unique nodes, per-node total
+    out-WEIGHT (= outdeg when the edge table has no ``w`` column), edge
+    arrays (src index into nodes, dst, dst bucket, edge weight)."""
     if tbl is None or tbl.num_rows == 0:
         z = np.empty(0, np.int64)
-        return (z, z, z, z, z)
+        return (z, z, z, z, z, z)
     src = tbl.column("src").to_numpy()
     dst = tbl.column("dst").to_numpy()
+    w = (tbl.column("w").to_numpy().astype(np.int64)
+         if "w" in tbl.column_names
+         else np.ones(len(src), np.int64))
     o = np.argsort(src, kind="stable")
-    src, dst = src[o], dst[o]
+    src, dst, w = src[o], dst[o], w[o]
     nodes, counts = np.unique(src, return_counts=True)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    wout = np.add.reduceat(w, starts)
     src_idx = np.repeat(np.arange(len(nodes), dtype=np.int64), counts)
-    return (nodes, counts.astype(np.int64), src_idx, dst,
-            bucket_of(dst, n_buckets))
+    return (nodes, wout.astype(np.int64), src_idx, dst,
+            bucket_of(dst, n_buckets), w)
 
 
 @ray.remote
@@ -123,13 +129,18 @@ def _pr_init(prep):
 
 @ray.remote
 def _pr_contrib(rank, prep, n_buckets: int):
-    """share(u→v) = (850·r(u)) // (1000·outdeg(u)), pre-summed per dst
-    within this bucket, split per destination bucket (num_returns)."""
-    nodes, outdeg, src_idx, dst, dstb = prep
+    """share(u→v) = (850·r(u)·w(u,v)) // (1000·W(u)) with W(u) the
+    total out-weight (both reduce to the unweighted recurrence at
+    w≡1, where the ·1 multiply cannot change a floor division),
+    pre-summed per dst within this bucket, split per destination
+    bucket (num_returns). Overflow bound: 850·r·w stays < 2^63 for
+    r ~ 10^9-scale ranks and w < ~10^6 — shared-shingle counts are
+    orders of magnitude below that."""
+    nodes, wout, src_idx, dst, dstb, w = prep
     if not len(dst):
         e = (np.empty(0, np.int64), np.empty(0, np.int64))
         return tuple(e for _ in range(n_buckets))
-    share = (850 * rank[src_idx]) // (1000 * outdeg[src_idx])
+    share = (850 * rank[src_idx] * w) // (1000 * wout[src_idx])
     order = np.lexsort((dst, dstb))
     d2, b2, s2 = dst[order], dstb[order], share[order]
     chg = np.empty(len(d2), bool)

@@ -1215,7 +1215,7 @@ def triangle_count(pairs: rd.Dataset, n_buckets: int = 256) -> pa.Table:
 # --------------------------------------------------------- PageRank
 
 def pagerank(pairs: rd.Dataset, n_iter: int = 5,
-             n_buckets: int = 128) -> rd.Dataset:
+             n_buckets: int = 128, weighted: bool = False) -> rd.Dataset:
     """Integer-exact PageRank over the undirected pair graph — "which
     document is the CENTER of its near-dup neighborhood" (a centrality
     prior for dedup representative selection beyond keep-longest).
@@ -1228,6 +1228,13 @@ def pagerank(pairs: rd.Dataset, n_iter: int = 5,
     the same recurrence as a recursive CTE — bit-equal at every
     iteration, no floats, no convergence tolerance). Dangling nodes
     cannot exist here (every node has an edge by construction).
+
+    ``weighted=True`` uses the pairs' ``n_common`` column (shared-
+    shingle count) as an integer edge weight: share(u→v) =
+    (850 · r(u) · w(u,v)) // (1000 · W(u)) with W(u) = Σ out-weights —
+    strong near-dup ties pull more rank mass than borderline ones,
+    the edge-strength-aware representative prior. Still integer-exact
+    and oracle-mirrored; w ≡ 1 degenerates to the unweighted spec.
 
     Runs on the bucketed BSP task engine
     (:mod:`bge_m3_onnx_ray.stages._bsp`): outdegrees and edges are
@@ -1243,6 +1250,18 @@ def pagerank(pairs: rd.Dataset, n_iter: int = 5,
     cluster. 10^9-scale ranks keep Σ contributions < 2^63 for graphs
     to ~10^9 nodes."""
     from bge_m3_onnx_ray.stages._bsp import pagerank_bsp
-    edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
-        _both_directions, batch_format="pyarrow").materialize()
+    if weighted:
+        def both_w(t: pa.Table) -> pa.Table:
+            a = t.column("doc_a").to_numpy()
+            b = t.column("doc_b").to_numpy()
+            w = t.column("n_common").to_numpy().astype(np.int64)
+            return pa.table({
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+                "w": pa.array(np.concatenate([w, w]), pa.int64())})
+        edges = pairs.select_columns(["doc_a", "doc_b", "n_common"]) \
+            .map_batches(both_w, batch_format="pyarrow").materialize()
+    else:
+        edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
+            _both_directions, batch_format="pyarrow").materialize()
     return pagerank_bsp(edges, n_iter, n_buckets)

@@ -79,3 +79,37 @@ def test_min_label_bsp_nonconvergence_raises(ray_session):
     from bge_m3_onnx_ray.stages._bsp import min_label_bsp
     with pytest.raises(RuntimeError, match="did not converge"):
         min_label_bsp(_edges([(i, i + 1) for i in range(63)]), 1, 4)
+
+
+def test_pagerank_bsp_weighted(ray_session):
+    """Weighted recurrence: hand-run r' = 150e6 + Σ(850·r·w)//(1000·W)
+    on a 3-node path with unequal weights; w≡1 must equal unweighted."""
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.dedup import pagerank
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([0, 1], pa.int64()),
+        "doc_b": pa.array([1, 2], pa.int64()),
+        "n_common": pa.array([3, 5], pa.int64())}))
+    out = pagerank(pairs, n_iter=2, weighted=True).to_pandas() \
+        .set_index("doc_id")["rank_q9"]
+    r = {0: 10**9, 1: 10**9, 2: 10**9}
+    w = {(0, 1): 3, (1, 0): 3, (1, 2): 5, (2, 1): 5}
+    W = {0: 3, 1: 8, 2: 5}
+    for _ in range(2):
+        nr = {}
+        for v, ins in {0: [1], 1: [0, 2], 2: [1]}.items():
+            nr[v] = 150_000_000 + sum(
+                (850 * r[u] * w[(u, v)]) // (1000 * W[u]) for u in ins)
+        r = nr
+    assert {k: int(v) for k, v in out.items()} == r
+    ones = rd.from_arrow(pa.table({
+        "doc_a": pa.array([0, 1], pa.int64()),
+        "doc_b": pa.array([1, 2], pa.int64()),
+        "n_common": pa.array([1, 1], pa.int64())}))
+    a = pagerank(ones, n_iter=2, weighted=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = pagerank(ones.select_columns(["doc_a", "doc_b"]),
+                 n_iter=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
