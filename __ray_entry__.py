@@ -1438,6 +1438,13 @@ def _q_dup_pagerank(sf_dir):
     return pagerank(_cached_ngram_pairs(sf_dir))
 
 
+def _q_dup_bfs_depth(sf_dir):
+    # near-dup hop distance to the kept representative (component-min):
+    # min-plus BFS fixpoint on the BSP engine, SQL-unrolled oracle
+    from bge_m3_onnx_ray.stages.dedup import bfs_depth
+    return bfs_depth(_cached_ngram_pairs(sf_dir))
+
+
 def _q_dup_pagerank_weighted(sf_dir):
     # edge-strength-aware centrality: shared-shingle counts (n_common)
     # weight the rank shares — strong near-dup ties pull more mass;
@@ -1738,6 +1745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_triangles": _q_dup_triangles,
         "dup_pagerank": _q_dup_pagerank,
         "dup_pagerank_weighted": _q_dup_pagerank_weighted,
+        "dup_bfs_depth": _q_dup_bfs_depth,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
         "lang_length_pivot": _q_lang_length_pivot,
         "curated_corpus": _q_curated_corpus,
@@ -3750,6 +3758,43 @@ SELECT node AS doc_id, rank AS rank_q9 FROM r{n_iter} ORDER BY doc_id
 """
 
 
+def _bfs_depth_sql(n_steps: int = 32) -> str:
+    """Min-plus BFS oracle: packed state v·2^20 relaxed ``n_steps``
+    unrolled min-join steps — the fixpoint equals the engine's BSP
+    result whenever the dup graph's diameter fits the unroll (the
+    engine raises loudly on deeper graphs instead of mismatching)."""
+    k = 1 << 20
+    steps = []
+    for i in range(1, n_steps + 1):
+        steps.append(
+            f"s{i} AS MATERIALIZED (SELECT node, min(v)::BIGINT AS v FROM (\n"
+            f"  SELECT node, v FROM s{i-1}\n"
+            f"  UNION ALL\n"
+            f"  SELECT ed.dst AS node, s.v + 1 FROM ed\n"
+            f"  JOIN s{i-1} s ON s.node = ed.src) GROUP BY node)")
+    chain = ",\n".join(steps)
+    return f"""
+WITH toks AS (SELECT doc_id,
+    regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ts FROM documents),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS i
+        FROM toks)),
+ok AS (SELECT shingle FROM sh GROUP BY shingle
+       HAVING count(*) BETWEEN 2 AND 1000),
+e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE a.shingle IN (SELECT shingle FROM ok)
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+ed AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM e
+       UNION ALL SELECT doc_b, doc_a FROM e),
+s0 AS (SELECT DISTINCT src AS node, (src * {k})::BIGINT AS v FROM ed),
+{chain}
+SELECT node::BIGINT AS doc_id, (v // {k})::BIGINT AS cluster_id,
+       (v % {k})::BIGINT AS depth
+FROM s{n_steps} ORDER BY doc_id
+"""
+
+
 def _bloom_contamination_sql(m_bits: int = 1 << 17, k: int = 4) -> str:
     from bge_m3_onnx_ray.hashing import P53
     p = int(P53)
@@ -4940,6 +4985,7 @@ GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
 """,
         "dup_pagerank": _pagerank_sql(),
         "dup_pagerank_weighted": _pagerank_sql(weighted=True),
+        "dup_bfs_depth": _bfs_depth_sql(),
         # triangle count of the ngram dup graph: same edge set as
         # ngram_dup_pairs; wedges mirror the engine's (deg, id)
         # orientation; triangles are the a<b<c three-way self-join

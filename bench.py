@@ -442,7 +442,7 @@ def run_bench() -> dict:
               # downstream analytic reuses them, mirroring a real
               # curation run (graph once, analytics fan out)
               "dup_cluster_sizes", "dedup_keep_best", "dup_triangles",
-              "dup_pagerank", "dup_pagerank_weighted",
+              "dup_pagerank", "dup_pagerank_weighted", "dup_bfs_depth",
               "profile_documents", "weighted_sample_documents",
               "transcripts_sft_pairs", "corpus_diff_documents",
               "stratified_split_documents", "heavy_hitter_terms",

@@ -359,3 +359,103 @@ def min_label_bsp(edges: rd.Dataset, max_rounds: int,
             f"(component diameter too large); raise max_rounds")
     return rd.from_arrow_refs(
         [_cc_table.remote(prep[b], labels[b]) for b in range(B)])
+
+
+# -------------------------------------- min-plus BFS (depth from root)
+
+DIST_BITS = 20          # packed state: root * 2^20 + dist (dist < 2^20)
+
+
+@ray.remote
+def _mp_init(prep):
+    nodes = prep[0]
+    return nodes * np.int64(1 << DIST_BITS)
+
+
+@ray.remote
+def _mp_msgs(state, prep, n_buckets: int):
+    """Wave A: every edge u→v carries state(u) + 1 (the +1 lands in the
+    dist field — no carry while dist < 2^20); pre-min per dst within
+    the bucket, split per destination bucket."""
+    nodes, src_idx, dst, dstb = prep
+    if not len(dst):
+        e = (np.empty(0, np.int64), np.empty(0, np.int64))
+        return tuple(e for _ in range(n_buckets))
+    s = state[src_idx] + 1
+    order = np.lexsort((dst, dstb))
+    d2, b2, s2 = dst[order], dstb[order], s[order]
+    chg = np.empty(len(d2), bool)
+    chg[0] = True
+    chg[1:] = (d2[1:] != d2[:-1]) | (b2[1:] != b2[:-1])
+    st = np.flatnonzero(chg)
+    dsts, bks = d2[st], b2[st]
+    mins = np.minimum.reduceat(s2, st)
+    bounds = np.searchsorted(bks, np.arange(n_buckets + 1))
+    return tuple((dsts[bounds[i]:bounds[i + 1]],
+                  mins[bounds[i]:bounds[i + 1]])
+                 for i in range(n_buckets))
+
+
+@ray.remote
+def _mp_fold(state, prep, *partials):
+    """Wave B: s'(v) = min(s(v), incoming mins) — integer min on the
+    packed value IS lexicographic min on (root, dist). Returns
+    (new state, changed count)."""
+    nodes = prep[0]
+    new = state.copy()
+    for d, m in partials:
+        if len(d):
+            np.minimum.at(new, np.searchsorted(nodes, d), m)
+    return new, int((new != state).sum())
+
+
+@ray.remote
+def _mp_table(prep, state) -> pa.Table:
+    nodes = prep[0]
+    return pa.table({
+        "doc_id": pa.array(nodes, pa.int64()),
+        "cluster_id": pa.array(state >> np.int64(DIST_BITS), pa.int64()),
+        "depth": pa.array(state & np.int64((1 << DIST_BITS) - 1),
+                          pa.int64())})
+
+
+def minplus_bfs_bsp(edges: rd.Dataset, max_rounds: int,
+                    n_buckets: int, stats: dict | None = None) -> rd.Dataset:
+    """Unweighted BFS depth from each node to its component's MINIMUM
+    node (the dup-cluster representative): the min-plus fixpoint of
+    s(v) = min(v·2^20, min_{u→v} s(u) + 1) over packed (root, dist)
+    int64 states — integer min is order-free, so results are
+    bit-identical at any bucket count. O(diameter) rounds (pointer
+    doubling would corrupt distances, so none here); raises past
+    ``max_rounds`` rather than returning wrong depths. Packing bound:
+    docIDs < 2^43, depths < 2^20."""
+    B = pick_buckets(edges, n_buckets)
+    pairs = [_cc_prep.options(num_returns=2).remote(t, B)
+             for t in partition_by(edges, "src", B)]
+    # reuse _cc_prep's (nodes, src_idx, dst, dstb) edge layout; its
+    # initial labels (second return) are ignored
+    prep = [p[0] for p in pairs]
+    state = [_mp_init.remote(p) for p in prep]
+    rounds = 0
+    converged = False
+    for _ in range(max_rounds):
+        rounds += 1
+        msgs = [_mp_msgs.options(num_returns=B).remote(state[b], prep[b], B)
+                for b in range(B)]
+        if B == 1:
+            msgs = [[_untuple.remote(m)] for m in msgs]
+        folded = [_mp_fold.options(num_returns=2)
+                  .remote(state[b], prep[b], *[msgs[s][b] for s in range(B)])
+                  for b in range(B)]
+        state = [f[0] for f in folded]
+        if sum(ray.get([f[1] for f in folded])) == 0:
+            converged = True
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"minplus_bfs_bsp did not converge within {max_rounds} "
+            f"rounds (component diameter too large); raise max_rounds")
+    return rd.from_arrow_refs(
+        [_mp_table.remote(prep[b], state[b]) for b in range(B)])

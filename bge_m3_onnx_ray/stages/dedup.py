@@ -1265,3 +1265,23 @@ def pagerank(pairs: rd.Dataset, n_iter: int = 5,
         edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
             _both_directions, batch_format="pyarrow").materialize()
     return pagerank_bsp(edges, n_iter, n_buckets)
+
+
+def bfs_depth(pairs: rd.Dataset, max_rounds: int = 256) -> rd.Dataset:
+    """BFS depth of every dup-graph node from its cluster REPRESENTATIVE
+    (the component-min docID): how many near-dup hops separate a doc
+    from the copy dedup keeps — 0 for the representative itself, 1 for
+    its direct near-dups, deeper for chain-of-edits tails. Output
+    (doc_id, cluster_id, depth).
+
+    The min-plus fixpoint s(v) = min(v·2^20, min_{u~v} s(u)+1) over
+    packed (root, dist) int64 states, run on the BSP task engine
+    (O(diameter) rounds — pointer doubling would corrupt distances).
+    Integer-exact; the DuckDB oracle unrolls the same recurrence a
+    fixed number of steps, so both sides reach the identical fixpoint
+    whenever the graph's diameter fits the unroll (the engine raises
+    loudly past ``max_rounds`` instead of returning wrong depths)."""
+    from bge_m3_onnx_ray.stages._bsp import minplus_bfs_bsp
+    edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
+        _both_directions, batch_format="pyarrow").materialize()
+    return minplus_bfs_bsp(edges, max_rounds, 1024)

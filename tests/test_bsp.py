@@ -113,3 +113,23 @@ def test_pagerank_bsp_weighted(ray_session):
                  n_iter=2).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_minplus_bfs_depths(ray_session):
+    """Path + branch graph: depths equal hand-computed BFS distances
+    from the component min; B=1 equals many-bucket."""
+    from bge_m3_onnx_ray.stages._bsp import minplus_bfs_bsp
+    pairs = [(5, 9), (9, 2), (2, 7), (30, 40), (30, 50)]
+    st = {}
+    out = minplus_bfs_bsp(_edges(pairs), 64, 8, stats=st).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[2, "depth"] == 0 and out.loc[2, "cluster_id"] == 2
+    assert out.loc[9, "depth"] == 1 and out.loc[7, "depth"] == 1
+    assert out.loc[5, "depth"] == 2
+    assert out.loc[30, "depth"] == 0 and out.loc[40, "depth"] == 1 \
+        and out.loc[50, "depth"] == 1
+    one = minplus_bfs_bsp(_edges(pairs), 64, 1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    many = minplus_bfs_bsp(_edges(pairs), 64, 5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert one.equals(many)
