@@ -1584,6 +1584,14 @@ def _q_doc_term_weights(sf_dir):
     return doc_term_weights(_docs(sf_dir), max_doc_id=50)
 
 
+def _q_large_volume_customers(sf_dir):
+    # TPC-H Q18 shape: per-order quantity sums reduce distributedly;
+    # the threshold bounds the qualifying set, which broadcasts into a
+    # pruned orders scan; names attach from a custkey-pruned read
+    from bge_m3_onnx_ray.stages.relational import large_volume_customers
+    return large_volume_customers(sf_dir)
+
+
 def _q_revenue_by_segment(sf_dir):
     from bge_m3_onnx_ray.stages.relational import revenue_by_segment
     return revenue_by_segment(sf_dir)
@@ -1789,6 +1797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": _q_embedding_centroids,
         "doc_term_weights": _q_doc_term_weights,
         "revenue_by_segment": _q_revenue_by_segment,
+        "large_volume_customers": _q_large_volume_customers,
         "events_hourly": _q_events_hourly,
         "events_moving_hourly": _q_events_moving,
         "events_user_running_totals": _q_events_running,
@@ -3758,6 +3767,29 @@ SELECT node AS doc_id, rank AS rank_q9 FROM r{n_iter} ORDER BY doc_id
 """
 
 
+def _large_volume_customers_sql(thr: float = 250.0, k: int = 100) -> str:
+    """Q18 oracle: per-order quantity sums, threshold filter, customer
+    decoration, (totalprice desc, orderkey) top-k — all integer-exact
+    in q2 units."""
+    return f"""
+WITH sums AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS sum_qty_q2
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > {int(round(thr * 100))})
+SELECT c.c_name,
+       o.o_custkey::BIGINT AS c_custkey,
+       o.o_orderkey::BIGINT AS o_orderkey,
+       epoch_us(o.o_orderdate::TIMESTAMP)::BIGINT AS o_orderdate_us,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_q2,
+       s.sum_qty_q2
+FROM sums s
+JOIN orders o ON o.o_orderkey = s.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o_totalprice_q2 DESC, o_orderkey LIMIT {k}
+"""
+
+
 def _bfs_depth_sql(n_steps: int = 32) -> str:
     """Min-plus BFS oracle: packed state v·2^20 relaxed ``n_steps``
     unrolled min-join steps — the fixpoint equals the engine's BSP
@@ -4986,6 +5018,7 @@ GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
         "dup_pagerank": _pagerank_sql(),
         "dup_pagerank_weighted": _pagerank_sql(weighted=True),
         "dup_bfs_depth": _bfs_depth_sql(),
+        "large_volume_customers": _large_volume_customers_sql(),
         # triangle count of the ngram dup graph: same edge set as
         # ngram_dup_pairs; wedges mirror the engine's (deg, id)
         # orientation; triangles are the a<b<c three-way self-join

@@ -1249,3 +1249,105 @@ def disjunctive_filter_revenue(sf_dir: str) -> pa.Table:
     return pa.table({
         "n_matches": pa.array([int(agg["n"])], pa.int64()),
         "revenue_q4": pa.array([int(agg["rev"])], pa.int64())})
+
+
+def large_volume_customers(sf_dir: str, qty_threshold: float = 250.0,
+                           k: int = 100, n_buckets: int = 64) -> pa.Table:
+    """TPC-H Q18 shape: customers whose ORDERS carry a total lineitem
+    quantity above ``qty_threshold`` — the large-volume-order report.
+    Output (c_name, c_custkey, o_orderkey, o_orderdate_us,
+    o_totalprice_q2, sum_qty_q2), ordered o_totalprice desc /
+    o_orderkey asc, top ``k``; quantities and prices in exact
+    1e-2-unit integers (the :func:`pricing_summary` contract).
+
+    Scale shape: per-order quantity sums reduce distributedly
+    (``bucket_reduce`` on hash(orderkey) — 16-byte rows); the
+    THRESHOLD bounds the qualifying set (≤ total corpus quantity /
+    threshold orders can exceed it, a data-independent cap), so the
+    qualifying (orderkey, sum) map broadcasts via the object store
+    into a pruned orders scan, customer names attach from a
+    custkey-pruned footer-gated read, and only ≤ qualifying-count
+    rows ever reach the driver for the final top-k sort."""
+    import os
+
+    import ray
+    import pyarrow.parquet as pq
+
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        q2 = np.rint(t.column("l_quantity").to_numpy() * 100).astype(np.int64)
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "q2": pa.array(q2, pa.int64())})
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"]).map_batches(
+        qty_partial, batch_format="pyarrow")
+    sums = bucket_reduce(line, ["l_orderkey"], [("q2", "sum", "sum_qty_q2")],
+                         n_buckets)
+    thr = int(round(qty_threshold * 100))
+    heavy = sums.map_batches(
+        lambda t, _thr=thr: t.filter(
+            pa.compute.greater(t.column("sum_qty_q2"), _thr)),
+        batch_format="pyarrow").to_pandas()
+    if heavy.empty:
+        return pa.table({"c_name": pa.array([], pa.string()),
+                         "c_custkey": pa.array([], pa.int64()),
+                         "o_orderkey": pa.array([], pa.int64()),
+                         "o_orderdate_us": pa.array([], pa.int64()),
+                         "o_totalprice_q2": pa.array([], pa.int64()),
+                         "sum_qty_q2": pa.array([], pa.int64())})
+    hk = heavy["l_orderkey"].to_numpy()
+    hs = heavy["sum_qty_q2"].to_numpy()
+    o = np.argsort(hk)
+    heavy_ref = ray.put((hk[o], hs[o]))
+
+    def orders_pick(t: pa.Table) -> pa.Table:
+        kk, ss = ray.get(heavy_ref)
+        ok = t.column("o_orderkey").to_numpy()
+        pos = np.minimum(np.searchsorted(kk, ok), len(kk) - 1)
+        hit = kk[pos] == ok
+        if not hit.any():
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "o_custkey": pa.array([], pa.int64()),
+                             "o_orderdate_us": pa.array([], pa.int64()),
+                             "o_totalprice_q2": pa.array([], pa.int64()),
+                             "sum_qty_q2": pa.array([], pa.int64())})
+        price_q2 = np.rint(t.column("o_totalprice").to_numpy()[hit]
+                           * 100).astype(np.int64)
+        od = t.column("o_orderdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy()[hit]
+        return pa.table({
+            "o_orderkey": pa.array(ok[hit], pa.int64()),
+            "o_custkey": t.column("o_custkey").filter(pa.array(hit))
+                .cast(pa.int64()),
+            "o_orderdate_us": pa.array(od, pa.int64()),
+            "o_totalprice_q2": pa.array(price_q2, pa.int64()),
+            "sum_qty_q2": pa.array(ss[pos[hit]], pa.int64())})
+
+    picked = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"]).map_batches(
+        orders_pick, batch_format="pyarrow").to_pandas()
+    picked = picked.sort_values(
+        ["o_totalprice_q2", "o_orderkey"],
+        ascending=[False, True]).head(k)
+    ckeys = sorted(set(int(c) for c in picked["o_custkey"]))
+    names = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_name"],
+                          filters=[("c_custkey", "in", ckeys)])
+    name_of = dict(zip(names.column("c_custkey").to_pylist(),
+                       names.column("c_name").to_pylist()))
+    return pa.table({
+        "c_name": pa.array([name_of[int(c)] for c in picked["o_custkey"]],
+                           pa.string()),
+        "c_custkey": pa.array(picked["o_custkey"].to_numpy().astype("int64"),
+                              pa.int64()),
+        "o_orderkey": pa.array(picked["o_orderkey"].to_numpy(), pa.int64()),
+        "o_orderdate_us": pa.array(picked["o_orderdate_us"].to_numpy(),
+                                   pa.int64()),
+        "o_totalprice_q2": pa.array(picked["o_totalprice_q2"].to_numpy(),
+                                    pa.int64()),
+        "sum_qty_q2": pa.array(picked["sum_qty_q2"].to_numpy(), pa.int64())})
