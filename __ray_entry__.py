@@ -1584,6 +1584,13 @@ def _q_doc_term_weights(sf_dir):
     return doc_term_weights(_docs(sf_dir), max_doc_id=50)
 
 
+def _q_forecast_revenue_change(sf_dir):
+    # TPC-H Q6 shape: pure scan-aggregate, predicates pushed to the
+    # read, two int64 partials per batch, no shuffle
+    from bge_m3_onnx_ray.stages.relational import forecast_revenue_change
+    return forecast_revenue_change(sf_dir)
+
+
 def _q_large_volume_customers(sf_dir):
     # TPC-H Q18 shape: per-order quantity sums reduce distributedly;
     # the threshold bounds the qualifying set, which broadcasts into a
@@ -1798,6 +1805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_term_weights": _q_doc_term_weights,
         "revenue_by_segment": _q_revenue_by_segment,
         "large_volume_customers": _q_large_volume_customers,
+        "forecast_revenue_change": _q_forecast_revenue_change,
         "events_hourly": _q_events_hourly,
         "events_moving_hourly": _q_events_moving,
         "events_user_running_totals": _q_events_running,
@@ -3790,6 +3798,20 @@ ORDER BY o_totalprice_q2 DESC, o_orderkey LIMIT {k}
 """
 
 
+def _forecast_revenue_change_sql() -> str:
+    """Q6 oracle: same cent-grid band, shipdate window, quantity cap."""
+    return """
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT))::BIGINT AS revenue_q4,
+       count(*)::BIGINT AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24.0
+"""
+
+
 def _bfs_depth_sql(n_steps: int = 32) -> str:
     """Min-plus BFS oracle: packed state v·2^20 relaxed ``n_steps``
     unrolled min-join steps — the fixpoint equals the engine's BSP
@@ -5019,6 +5041,7 @@ GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
         "dup_pagerank_weighted": _pagerank_sql(weighted=True),
         "dup_bfs_depth": _bfs_depth_sql(),
         "large_volume_customers": _large_volume_customers_sql(),
+        "forecast_revenue_change": _forecast_revenue_change_sql(),
         # triangle count of the ngram dup graph: same edge set as
         # ngram_dup_pairs; wedges mirror the engine's (deg, id)
         # orientation; triangles are the a<b<c three-way self-join

@@ -458,7 +458,7 @@ def run_bench() -> dict:
               "sanitize_docs", "bootstrap_mean_chars",
               "events_user_top_type", "bloom_contamination",
               "distribution_cube", "nation_volume_shipping", "returned_item_topk",
-              "large_volume_customers", "promo_revenue_share", "events_value_zscore", "chars_words_correlation", "events_value_mad", "events_hourly_trend", "events_user_gini", "lexical_diversity", "source_dup_rate", "events_user_span", "disjunctive_filter_revenue", "contamination_ratio"]
+              "large_volume_customers", "forecast_revenue_change", "promo_revenue_share", "events_value_zscore", "chars_words_correlation", "events_value_mad", "events_hourly_trend", "events_user_gini", "lexical_diversity", "source_dup_rate", "events_user_span", "disjunctive_filter_revenue", "contamination_ratio"]
     qs = m.queries()
     for name in wanted:
         t0 = time.perf_counter()

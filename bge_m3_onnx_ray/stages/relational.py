@@ -1351,3 +1351,54 @@ def large_volume_customers(sf_dir: str, qty_threshold: float = 250.0,
         "o_totalprice_q2": pa.array(picked["o_totalprice_q2"].to_numpy(),
                                     pa.int64()),
         "sum_qty_q2": pa.array(picked["sum_qty_q2"].to_numpy(), pa.int64())})
+
+
+def forecast_revenue_change(sf_dir: str, date_from: str = "1996-01-01",
+                            date_to: str = "1997-01-01",
+                            disc_lo: float = 0.05, disc_hi: float = 0.07,
+                            qty_below: float = 24.0) -> pa.Table:
+    """TPC-H Q6 shape: revenue that would be recovered by eliminating a
+    discount band on small-quantity orders in one ship-year —
+    sum(extendedprice · discount) over the filtered lineitems. Output
+    one row (revenue_q4, n_lineitems), revenue in exact 1e-4-dollar
+    integers (price cents × discount cents).
+
+    Scale shape: the purest scan-aggregate — ship-date, discount-band
+    and quantity predicates push into the parquet read; each batch
+    reduces to TWO int64 partials (revenue sum + row count), and a
+    tree reduce finishes. No shuffle, no driver-side rows."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    cut0 = pa.scalar(np.datetime64(date_from + "T00:00:00", "us"),
+                     pa.timestamp("us"))
+    cut1 = pa.scalar(np.datetime64(date_to + "T00:00:00", "us"),
+                     pa.timestamp("us"))
+    # the band compares on the exact cent grid (mirrored in SQL):
+    # disc_c in [round(lo*100), round(hi*100)], qty < qty_below
+    lo_c = int(round(disc_lo * 100))
+    hi_c = int(round(disc_hi * 100))
+
+    def partial(t: pa.Table) -> pa.Table:
+        price_c = np.rint(t.column("l_extendedprice").to_numpy()
+                          * 100).astype(np.int64)
+        disc_c = np.rint(t.column("l_discount").to_numpy()
+                         * 100).astype(np.int64)
+        qty = t.column("l_quantity").to_numpy()
+        keep = (disc_c >= lo_c) & (disc_c <= hi_c) & (qty < qty_below)
+        rev = int(np.sum(price_c[keep] * disc_c[keep]))
+        return pa.table({"revenue_q4": pa.array([rev], pa.int64()),
+                         "n_lineitems": pa.array([int(keep.sum())],
+                                                 pa.int64())})
+
+    agg = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount", "l_quantity"],
+        filter=(pads.field("l_shipdate") >= cut0)
+               & (pads.field("l_shipdate") < cut1)).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    return pa.table({
+        "revenue_q4": pa.array([int(agg["revenue_q4"].sum())], pa.int64()),
+        "n_lineitems": pa.array([int(agg["n_lineitems"].sum())],
+                                pa.int64())})
