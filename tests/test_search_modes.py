@@ -1066,3 +1066,30 @@ def test_dismax(tiny_index, tiny_corpus):
                            rtol=0, atol=1e-12), (qid, text)
     with pytest.raises(ValueError, match="dismax"):
         search(idx, queries[:1], QueryConfig(k=5, dismax_tie=tie))
+
+
+def test_merge_topk_driver_path_equals_exchange(tiny_index, tiny_corpus):
+    """The rows_bound driver-side merge and the groupby exchange are the
+    SAME kernel on the same partials — row-identical results. Forces
+    the exchange by nulling rows_bound (the 10^6-shard code path) and
+    compares against the default small-fan-out driver path."""
+    import bge_m3_onnx_ray.index.search as S
+    idx, _ = tiny_index
+    _, _, queries = tiny_corpus
+    cfg = QueryConfig(k=10)
+    a = search(idx, queries, cfg).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    orig = S.merge_topk
+
+    def force_exchange(partials, offsets, k, n_buckets=256,
+                       collapse=False, conv_sum=False, rows_bound=None):
+        return orig(partials, offsets, k, n_buckets, collapse,
+                    conv_sum, None)
+
+    S.merge_topk = force_exchange
+    try:
+        b = search(idx, queries, cfg).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    finally:
+        S.merge_topk = orig
+    assert a.equals(b)
