@@ -277,3 +277,45 @@ def gen_clustered_embeddings(n: int = 50_000, dim: int = 32,
         "embedding": pa.array([v.tolist() for v in vecs.astype(np.float32)],
                               pa.list_(pa.float32())),
     })
+
+
+def transcripts_path_big(n_turns: int, seed: int = 42,
+                         chunk_turns: int = 8_000_000) -> str:
+    """Chunk-deterministic BIG-corpus fixture for capstone-scale builds
+    (quarter-billion+ turns). The v2 generator (:func:`transcripts_path`)
+    draws every random array for the WHOLE corpus before writing —
+    ~60 GB of Python strings at 512M turns — so it cannot reach
+    half-billion scale on a 128 GB node. This variant generates
+    independent ``chunk_turns`` slices (per-chunk rng seeded by
+    ``(seed, chunk)``, conv ids prefixed by chunk so they never
+    collide), writing each chunk before generating the next — peak
+    memory is ONE chunk. Still a pure function of
+    ``(n_turns, seed, chunk_turns)``; NOT byte-compatible with the v2
+    stream (golden/oracle-pinned tests stay on v2)."""
+    import pyarrow.compute as pc
+    d = os.path.join(CACHE_ROOT,
+                     f"transcripts-v3big-n{n_turns}-s{seed}-c{chunk_turns}")
+    if os.path.isdir(d):
+        return d
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    tmp = d + f".tmp-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    start = 0
+    ci = 0
+    while start < n_turns:
+        n = min(chunk_turns, n_turns - start)
+        t = gen_transcripts(n, seed + 1_000_003 * ci)
+        conv = pc.binary_join_element_wise(
+            pa.scalar(f"c{ci:04d}-"), t.column("conv_id").cast(pa.string()),
+            "")
+        t = t.set_column(t.schema.get_field_index("conv_id"),
+                         "conv_id", conv)
+        pq.write_table(t, os.path.join(tmp, f"part-{ci:05d}.parquet"),
+                       row_group_size=32768)
+        start += n
+        ci += 1
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d
