@@ -1599,6 +1599,36 @@ def _q_large_volume_customers(sf_dir):
     return large_volume_customers(sf_dir)
 
 
+def _q_top_supplier(sf_dir):
+    # TPC-H Q15 shape: per-supplier revenue via bucket_reduce, global
+    # max by tree partials, tie-exact winner filter, pruned name read
+    from bge_m3_onnx_ray.stages.relational import top_supplier
+    return top_supplier(sf_dir)
+
+
+def _q_small_quantity_revenue(sf_dir):
+    # TPC-H Q17 shape: per-part (sum, count) reduce; the 20%-of-average
+    # threshold applied as an exact integer rational in a second
+    # shuffle-free scan
+    from bge_m3_onnx_ray.stages.relational import small_quantity_revenue
+    return small_quantity_revenue(sf_dir)
+
+
+def _q_sales_opportunity(sf_dir):
+    # TPC-H Q22 shape: positive-balance average as two int64 partials,
+    # distributed NOT EXISTS via semi_anti_join, per-nation partials
+    from bge_m3_onnx_ray.stages.relational import sales_opportunity
+    return sales_opportunity(sf_dir)
+
+
+def _q_market_share(sf_dir):
+    # TPC-H Q8 shape: numerator/denominator revenue rational per order
+    # year — broadcast part/supplier dims, adaptive region-customer
+    # filter, ONE hash(orderkey) tagged-union exchange
+    from bge_m3_onnx_ray.stages.relational import market_share
+    return market_share(sf_dir)
+
+
 def _q_revenue_by_segment(sf_dir):
     from bge_m3_onnx_ray.stages.relational import revenue_by_segment
     return revenue_by_segment(sf_dir)
@@ -1806,6 +1836,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": _q_revenue_by_segment,
         "large_volume_customers": _q_large_volume_customers,
         "forecast_revenue_change": _q_forecast_revenue_change,
+        "top_supplier": _q_top_supplier,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "sales_opportunity": _q_sales_opportunity,
+        "market_share": _q_market_share,
         "events_hourly": _q_events_hourly,
         "events_moving_hourly": _q_events_moving,
         "events_user_running_totals": _q_events_running,
@@ -5042,6 +5076,77 @@ GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
         "dup_bfs_depth": _bfs_depth_sql(),
         "large_volume_customers": _large_volume_customers_sql(),
         "forecast_revenue_change": _forecast_revenue_change_sql(),
+        # Q15 oracle: quarter revenue per supplier, max-subquery tie
+        # semantics, q4 integer grid
+        "top_supplier": """
+WITH r AS (SELECT l_suppkey,
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+    AS total_revenue_q4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1)
+SELECT r.l_suppkey::BIGINT AS s_suppkey, s.s_name, r.total_revenue_q4
+FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue_q4 = (SELECT max(total_revenue_q4) FROM r)
+ORDER BY s_suppkey
+""",
+        # Q17 oracle: the 20%-of-average threshold as the exact integer
+        # rational qty_q2 * 5 * count < sum_q2 — no float division
+        "small_quantity_revenue": """
+WITH s AS (SELECT l_partkey,
+                  sum(CAST(round(l_quantity * 100) AS BIGINT)) sq,
+                  count(*) c
+           FROM lineitem GROUP BY 1)
+SELECT coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)), 0)
+         ::BIGINT AS revenue_q2,
+       count(*)::BIGINT AS n_lineitems
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN s ON s.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#12'
+  AND CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * s.c < s.sq
+""",
+        # Q22 oracle: balance above the positive average as the exact
+        # rational bal_q2 * count > sum_q2; NOT EXISTS after the cutoff
+        "sales_opportunity": """
+WITH ab AS (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) s,
+                   count(*) c
+            FROM customer
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0),
+el AS (SELECT c_custkey, c_nationkey,
+              CAST(round(c_acctbal * 100) AS BIGINT) bal_c
+       FROM customer, ab
+       WHERE CAST(round(c_acctbal * 100) AS BIGINT) * ab.c > ab.s
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c_custkey
+                           AND o.o_orderdate >= TIMESTAMP '1999-01-01'))
+SELECT n.n_name, count(*)::BIGINT AS n_custs,
+       sum(bal_c)::BIGINT AS total_acctbal_q2
+FROM el JOIN nation n ON n.n_nationkey = el.c_nationkey
+GROUP BY 1 ORDER BY 1
+""",
+        # Q8 oracle: the market share stays a rational — target-nation
+        # and total revenue sums per order year, both exact int64
+        "market_share": """
+SELECT extract(year FROM o.o_orderdate)::BIGINT AS o_year,
+  sum(CASE WHEN sn.n_name = 'NATION_2'
+           THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+           ELSE 0 END)::BIGINT AS numerator_q4,
+  sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+    AS denominator_q4
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+JOIN supplier su ON su.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = su.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+GROUP BY 1 ORDER BY 1
+""",
         # triangle count of the ngram dup graph: same edge set as
         # ngram_dup_pairs; wedges mirror the engine's (deg, id)
         # orientation; triangles are the a<b<c three-way self-join

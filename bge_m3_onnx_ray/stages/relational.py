@@ -1402,3 +1402,462 @@ def forecast_revenue_change(sf_dir: str, date_from: str = "1996-01-01",
         "revenue_q4": pa.array([int(agg["revenue_q4"].sum())], pa.int64()),
         "n_lineitems": pa.array([int(agg["n_lineitems"].sum())],
                                 pa.int64())})
+
+
+def top_supplier(sf_dir: str, date_from: str = "1996-01-01",
+                 date_to: str = "1996-04-01",
+                 n_buckets: int = 64) -> pa.Table:
+    """TPC-H Q15 shape: the supplier(s) with the maximum lineitem
+    revenue in one ship-date quarter. Output (s_suppkey, s_name,
+    total_revenue_q4) ordered by s_suppkey — every supplier tied at the
+    max qualifies, exactly the CREATE VIEW / max-subquery semantics.
+
+    Scale shape: per-supplier revenue reduces distributedly (per-batch
+    np.unique partials, then ``bucket_reduce`` on hash(suppkey) —
+    16-byte rows); the reduced table MATERIALIZES once (it is one row
+    per active supplier) and is consumed twice without recompute: a
+    tree max (one int64 per bucket reaches the driver) and a stream
+    filter for rows equal to the max (ties only — a handful of rows).
+    Names attach from a suppkey-pruned footer-gated read."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    cut0 = pa.scalar(np.datetime64(date_from + "T00:00:00", "us"),
+                     pa.timestamp("us"))
+    cut1 = pa.scalar(np.datetime64(date_to + "T00:00:00", "us"),
+                     pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = t.column("l_suppkey").to_numpy()
+        price_c = np.rint(t.column("l_extendedprice").to_numpy()
+                          * 100).astype(np.int64)
+        disc_c = np.rint(t.column("l_discount").to_numpy()
+                         * 100).astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        uk, inv = np.unique(sk, return_inverse=True)
+        out = np.zeros(len(uk), np.int64)
+        np.add.at(out, inv, rev)
+        return pa.table({"l_suppkey": pa.array(uk, pa.int64()),
+                         "rev": pa.array(out, pa.int64())})
+
+    sums = bucket_reduce(
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_suppkey", "l_extendedprice", "l_discount"],
+            filter=(pads.field("l_shipdate") >= cut0)
+                   & (pads.field("l_shipdate") < cut1)).map_batches(
+            partial, batch_format="pyarrow"),
+        ["l_suppkey"], [("rev", "sum", "total_revenue_q4")],
+        n_buckets).materialize()
+
+    mx = sums.map_batches(
+        lambda t: pa.table({"m": pa.array(
+            [int(t.column("total_revenue_q4").to_numpy().max())
+             if t.num_rows else -1], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    if mx.empty or int(mx["m"].max()) < 0:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_revenue_q4": pa.array([], pa.int64())})
+    best = int(mx["m"].max())
+    winners = sums.map_batches(
+        lambda t, _b=best: t.filter(
+            pa.compute.equal(t.column("total_revenue_q4"), _b)),
+        batch_format="pyarrow").to_pandas().sort_values("l_suppkey")
+    skeys = [int(s) for s in winners["l_suppkey"]]
+    names = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                          columns=["s_suppkey", "s_name"],
+                          filters=[("s_suppkey", "in", skeys)])
+    name_of = dict(zip(names.column("s_suppkey").to_pylist(),
+                       names.column("s_name").to_pylist()))
+    return pa.table({
+        "s_suppkey": pa.array(skeys, pa.int64()),
+        "s_name": pa.array([name_of[s] for s in skeys], pa.string()),
+        "total_revenue_q4": pa.array(
+            winners["total_revenue_q4"].to_numpy(), pa.int64())})
+
+
+def small_quantity_revenue(sf_dir: str, brand: str = "Brand#12",
+                           n_buckets: int = 64) -> pa.Table:
+    """TPC-H Q17 shape: revenue from SMALL-quantity orders of one
+    brand's parts — lineitems whose quantity is below 20% of that
+    part's corpus-wide average. Output one row (revenue_q2,
+    n_lineitems); the threshold test is the exact rational
+    ``qty·5·count(part) < sum_qty(part)`` (both sides integer on the
+    1e-2 grid), so no float division on either side.
+
+    Scale shape: the brand's partkey set comes from a footer-gated
+    predicate read and broadcasts once via ``ray.put`` (brand
+    selectivity bounds it — TPC-H brands are ~1/25 of parts; a
+    many-million-part corpus would swap this side into ``equi_join``,
+    the documented adaptive rule of :func:`local_supplier_volume`);
+    pass 1 reduces per-part (sum_qty, count) over a pruned
+    2-column scan (``bucket_reduce``, partials only cross); the
+    per-part stats — bounded by the brand's part count — broadcast
+    back for pass 2, a shuffle-free filtered scan-aggregate emitting
+    two int64 partials per batch."""
+    import os
+
+    import ray
+    import pyarrow.parquet as pq
+
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    pt = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                       columns=["p_partkey"],
+                       filters=[("p_brand", "=", brand)])
+    pkeys = np.sort(pt.column("p_partkey").to_numpy().astype(np.int64))
+    if not len(pkeys):
+        return pa.table({"revenue_q2": pa.array([0], pa.int64()),
+                         "n_lineitems": pa.array([0], pa.int64())})
+    pk_ref = ray.put(pkeys)
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        pk = ray.get(pk_ref)
+        lp = t.column("l_partkey").to_numpy()
+        pos = np.minimum(np.searchsorted(pk, lp), len(pk) - 1)
+        hit = pk[pos] == lp
+        if not hit.any():
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "sq": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        lph = lp[hit]
+        q2 = np.rint(t.column("l_quantity").to_numpy()[hit]
+                     * 100).astype(np.int64)
+        uk, inv = np.unique(lph, return_inverse=True)
+        sq = np.zeros(len(uk), np.int64)
+        np.add.at(sq, inv, q2)
+        cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table({"l_partkey": pa.array(uk, pa.int64()),
+                         "sq": pa.array(sq, pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    stats = bucket_reduce(
+        rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                        columns=["l_partkey", "l_quantity"]).map_batches(
+            qty_partial, batch_format="pyarrow"),
+        ["l_partkey"], [("sq", "sum", "sum_q2"), ("cnt", "sum", "n")],
+        n_buckets).to_pandas()
+    if stats.empty:
+        return pa.table({"revenue_q2": pa.array([0], pa.int64()),
+                         "n_lineitems": pa.array([0], pa.int64())})
+    o = np.argsort(stats["l_partkey"].to_numpy())
+    stat_ref = ray.put((stats["l_partkey"].to_numpy()[o],
+                        stats["sum_q2"].to_numpy()[o],
+                        stats["n"].to_numpy()[o]))
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        pk, sq, cn = ray.get(stat_ref)
+        lp = t.column("l_partkey").to_numpy()
+        pos = np.minimum(np.searchsorted(pk, lp), len(pk) - 1)
+        hit = pk[pos] == lp
+        q2 = np.rint(t.column("l_quantity").to_numpy() * 100).astype(np.int64)
+        # qty < 0.2·avg  ⟺  qty_q2·5·n < sum_q2 (exact rational)
+        small = hit & (q2 * 5 * cn[pos] < sq[pos])
+        price_c = np.rint(t.column("l_extendedprice").to_numpy()[small]
+                          * 100).astype(np.int64)
+        return pa.table({
+            "revenue_q2": pa.array([int(price_c.sum())], pa.int64()),
+            "n_lineitems": pa.array([int(small.sum())], pa.int64())})
+
+    agg = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"]).map_batches(
+        rev_partial, batch_format="pyarrow").to_pandas()
+    return pa.table({
+        "revenue_q2": pa.array([int(agg["revenue_q2"].sum())], pa.int64()),
+        "n_lineitems": pa.array([int(agg["n_lineitems"].sum())],
+                                pa.int64())})
+
+
+def sales_opportunity(sf_dir: str, cutoff: str = "1999-01-01",
+                      n_buckets: int = 64) -> pa.Table:
+    """TPC-H Q22 shape: per-nation count and balance of RICH-but-IDLE
+    customers — account balance above the corpus average of positive
+    balances, and no orders on or after ``cutoff``. Output (n_name,
+    n_custs, total_acctbal_q2) ordered by n_name; the wealth threshold
+    is the exact rational ``bal_q2 · count > sum_q2`` (no float
+    division on either side).
+
+    Scale shape: the positive-balance average reduces to TWO int64
+    partials per batch (shuffle-free scan); the NOT EXISTS is the
+    repo's distributed :func:`semi_anti_join` — ONE hash(custkey)
+    exchange where the date-pruned orders side ships deduplicated
+    int64 keys only; the surviving rows pre-reduce per nation inside
+    a final map (nation cardinality is bounded), so the driver sums
+    25-row partials."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    cut = pa.scalar(np.datetime64(cutoff + "T00:00:00", "us"),
+                    pa.timestamp("us"))
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        bal_c = np.rint(t.column("c_acctbal").to_numpy()
+                        * 100).astype(np.int64)
+        pos = bal_c > 0
+        return pa.table({"s": pa.array([int(bal_c[pos].sum())], pa.int64()),
+                         "c": pa.array([int(pos.sum())], pa.int64())})
+
+    ab = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_acctbal"]).map_batches(
+        bal_partial, batch_format="pyarrow").to_pandas()
+    sum_c, cnt = int(ab["s"].sum()), int(ab["c"].sum())
+
+    def rich(t: pa.Table) -> pa.Table:
+        bal_c = np.rint(t.column("c_acctbal").to_numpy()
+                        * 100).astype(np.int64)
+        keep = bal_c * cnt > sum_c          # bal > avg(positive), exact
+        return pa.table({
+            "c_custkey": t.column("c_custkey").filter(pa.array(keep)),
+            "c_nationkey": t.column("c_nationkey").filter(
+                pa.array(keep)).cast(pa.int64()),
+            "bal_c": pa.array(bal_c[keep], pa.int64())})
+
+    rich_ds = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
+        rich, batch_format="pyarrow")
+    active = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"],
+                             filter=pads.field("o_orderdate") >= cut)
+    idle = semi_anti_join(rich_ds, active, "c_custkey", "o_custkey",
+                          anti=True, n_buckets=n_buckets)
+
+    def nat_partial(t: pa.Table) -> pa.Table:
+        nk = t.column("c_nationkey").to_numpy()
+        bal = t.column("bal_c").to_numpy()
+        uk, inv = np.unique(nk, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, bal)
+        return pa.table({
+            "nk": pa.array(uk, pa.int64()),
+            "n_custs": pa.array(np.bincount(inv, minlength=len(uk))
+                                .astype(np.int64)),
+            "total_acctbal_q2": pa.array(s, pa.int64())})
+
+    parts = idle.map_batches(nat_partial,
+                             batch_format="pyarrow").to_pandas()
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat.column("n_nationkey").to_pylist(),
+                       nat.column("n_name").to_pylist()))
+    if parts.empty:
+        return pa.table({"n_name": pa.array([], pa.string()),
+                         "n_custs": pa.array([], pa.int64()),
+                         "total_acctbal_q2": pa.array([], pa.int64())})
+    agg = parts.groupby("nk", as_index=False).sum()
+    agg["n_name"] = [name_of[int(k)] for k in agg["nk"]]
+    agg = agg.sort_values("n_name")
+    return pa.table({
+        "n_name": pa.array(agg["n_name"].tolist(), pa.string()),
+        "n_custs": pa.array(agg["n_custs"].to_numpy(), pa.int64()),
+        "total_acctbal_q2": pa.array(agg["total_acctbal_q2"].to_numpy(),
+                                     pa.int64())})
+
+
+def market_share(sf_dir: str, region: str = "ASIA",
+                 supp_nation: str = "NATION_2", p_type: str = "PROMO",
+                 n_buckets: int = 64) -> pa.Table:
+    """TPC-H Q8 shape: one supplier nation's share of a region's
+    revenue in one part type, by order year. Output (o_year,
+    numerator_q4, denominator_q4) — the share stays a RATIONAL
+    (target-nation revenue, total revenue) so both sides are exact
+    int64 sums; consumers divide.
+
+    Scale shape: nation/region resolve driver-side (bounded dims);
+    supplier→nationkey and the type-filtered partkey set broadcast
+    while their footer row counts fit a worker (≤8M — the
+    :func:`local_supplier_volume` adaptive rule), else they swap into
+    :func:`equi_join`; the customer region filter reuses the same
+    adaptive rule to tag date-complete ORDERS with (orderkey, year);
+    lineitem partials pre-reduce per orderkey (num, den); ONE
+    hash(orderkey) tagged-union exchange joins orders tags with line
+    partials and emits per-year partials, so the driver sums ≤ years
+    rows per bucket."""
+    import os
+
+    import ray
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from bge_m3_onnx_ray.hashing import splitmix64
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rkey = {n: k for k, n in zip(reg.column("r_regionkey").to_pylist(),
+                                 reg.column("r_name").to_pylist())}[region]
+    nk = nat.column("n_nationkey").to_numpy()
+    nr = nat.column("n_regionkey").to_numpy()
+    region_nations = set(int(k) for k in nk[nr == rkey])
+    target_nk = {n: k for k, n in zip(nat.column("n_nationkey").to_pylist(),
+                                      nat.column("n_name").to_pylist())
+                 }[supp_nation]
+
+    sup_path = os.path.join(sf_dir, "supplier.parquet")
+    sup = pq.read_table(sup_path, columns=["s_suppkey", "s_nationkey"])
+    sk = sup.column("s_suppkey").to_numpy()
+    sn = sup.column("s_nationkey").to_numpy().astype(np.int64)
+    so = np.argsort(sk)
+    sup_ref = ray.put((sk[so], sn[so]))
+
+    part_path = os.path.join(sf_dir, "part.parquet")
+    pt = pq.read_table(part_path, columns=["p_partkey"],
+                       filters=[("p_type", "=", p_type)])
+    pk_ref = ray.put(np.sort(pt.column("p_partkey").to_numpy()
+                             .astype(np.int64)))
+
+    # orders tagged (orderkey, year) for region customers — adaptive
+    cust_path = os.path.join(sf_dir, "customer.parquet")
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    if pq.ParquetFile(cust_path).metadata.num_rows <= 8_000_000:
+        ct = pq.read_table(cust_path, columns=["c_custkey"],
+                           filters=[("c_nationkey", "in",
+                                     sorted(region_nations))])
+        cust_ref = ray.put(np.sort(ct.column("c_custkey").to_numpy()
+                                   .astype(np.int64)))
+
+        def region_orders(t: pa.Table) -> pa.Table:
+            ck = ray.get(cust_ref)
+            oc = t.column("o_custkey").to_numpy()
+            if not len(ck):
+                return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                                 "o_year": pa.array([], pa.int64())})
+            pos = np.minimum(np.searchsorted(ck, oc), len(ck) - 1)
+            hit = ck[pos] == oc
+            od = t.column("o_orderdate").cast(pa.timestamp("us")) \
+                .cast(pa.int64()).to_numpy()[hit]
+            yr = (od.astype("datetime64[us]").astype("datetime64[Y]")
+                  .astype(np.int64) + 1970)
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey").filter(pa.array(hit)),
+                "o_year": pa.array(yr, pa.int64())})
+
+        ord_yr = orders.map_batches(region_orders, batch_format="pyarrow")
+    else:
+        cust = rd.read_parquet(
+            cust_path, columns=["c_custkey"],
+            filter=pads.field("c_nationkey").isin(
+                sorted(region_nations)))
+        joined = equi_join(orders, cust, "o_custkey", "c_custkey", [],
+                           n_buckets=n_buckets)
+
+        def to_year(t: pa.Table) -> pa.Table:
+            od = t.column("o_orderdate").cast(pa.timestamp("us")) \
+                .cast(pa.int64()).to_numpy()
+            yr = (od.astype("datetime64[us]").astype("datetime64[Y]")
+                  .astype(np.int64) + 1970)
+            return pa.table({"o_orderkey": t.column("o_orderkey"),
+                             "o_year": pa.array(yr, pa.int64())})
+
+        ord_yr = joined.map_batches(to_year, batch_format="pyarrow")
+
+    def orders_tag(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy()
+        return pa.table({
+            "k": pa.array(ok, pa.int64()),
+            "year": t.column("o_year").cast(pa.int64()),
+            "num": pa.array(np.zeros(len(ok), np.int64)),
+            "den": pa.array(np.zeros(len(ok), np.int64)),
+            "_side": pa.array(np.zeros(len(ok), np.int64)),
+            "_jb": pa.array((splitmix64(ok.astype(np.uint64))
+                             % np.uint64(n_buckets)).astype(np.int64))})
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        pk = ray.get(pk_ref)
+        sk_, sn_ = ray.get(sup_ref)
+        lp = t.column("l_partkey").to_numpy()
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "year": pa.array([], pa.int64()),
+                          "num": pa.array([], pa.int64()),
+                          "den": pa.array([], pa.int64()),
+                          "_side": pa.array([], pa.int64()),
+                          "_jb": pa.array([], pa.int64())})
+        if not len(pk):
+            return empty
+        ppos = np.minimum(np.searchsorted(pk, lp), len(pk) - 1)
+        hit = pk[ppos] == lp
+        if not hit.any():
+            return empty
+        ok = t.column("l_orderkey").to_numpy()[hit]
+        ls = t.column("l_suppkey").to_numpy()[hit]
+        spos = np.minimum(np.searchsorted(sk_, ls), len(sk_) - 1)
+        is_target = (sk_[spos] == ls) & (sn_[spos] == target_nk)
+        price_c = np.rint(t.column("l_extendedprice").to_numpy()[hit]
+                          * 100).astype(np.int64)
+        disc_c = np.rint(t.column("l_discount").to_numpy()[hit]
+                         * 100).astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        uk, inv = np.unique(ok, return_inverse=True)
+        den = np.zeros(len(uk), np.int64)
+        np.add.at(den, inv, rev)
+        num = np.zeros(len(uk), np.int64)
+        np.add.at(num, inv, np.where(is_target, rev, 0))
+        return pa.table({
+            "k": pa.array(uk, pa.int64()),
+            "year": pa.array(np.zeros(len(uk), np.int64)),
+            "num": pa.array(num, pa.int64()),
+            "den": pa.array(den, pa.int64()),
+            "_side": pa.array(np.ones(len(uk), np.int64)),
+            "_jb": pa.array((splitmix64(uk.astype(np.uint64))
+                             % np.uint64(n_buckets)).astype(np.int64))})
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"]).map_batches(
+        line_partial, batch_format="pyarrow", batch_size=131072)
+
+    def join_reduce(g: pa.Table) -> pa.Table:
+        side = g.column("_side").to_numpy()
+        keys = g.column("k").to_numpy()
+        om = side == 0
+        okeys = keys[om]
+        oyear = g.column("year").to_numpy()[om]
+        o = np.argsort(okeys, kind="stable")
+        okeys, oyear = okeys[o], oyear[o]
+        lkeys = keys[~om]
+        lnum = g.column("num").to_numpy()[~om]
+        lden = g.column("den").to_numpy()[~om]
+        empty = pa.table({"o_year": pa.array([], pa.int64()),
+                          "numerator_q4": pa.array([], pa.int64()),
+                          "denominator_q4": pa.array([], pa.int64())})
+        if not len(okeys) or not len(lkeys):
+            return empty
+        pos = np.minimum(np.searchsorted(okeys, lkeys), len(okeys) - 1)
+        hit = okeys[pos] == lkeys
+        if not hit.any():
+            return empty
+        yr = oyear[pos[hit]]
+        uk, inv = np.unique(yr, return_inverse=True)
+        num = np.zeros(len(uk), np.int64)
+        den = np.zeros(len(uk), np.int64)
+        np.add.at(num, inv, lnum[hit])
+        np.add.at(den, inv, lden[hit])
+        return pa.table({"o_year": pa.array(uk, pa.int64()),
+                         "numerator_q4": pa.array(num, pa.int64()),
+                         "denominator_q4": pa.array(den, pa.int64())})
+
+    parts = ord_yr.map_batches(orders_tag, batch_format="pyarrow") \
+        .union(line).groupby("_jb").map_groups(
+        join_reduce, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pa.table({"o_year": pa.array([], pa.int64()),
+                         "numerator_q4": pa.array([], pa.int64()),
+                         "denominator_q4": pa.array([], pa.int64())})
+    agg = parts.groupby("o_year", as_index=False).sum() \
+        .sort_values("o_year")
+    return pa.table({
+        "o_year": pa.array(agg["o_year"].to_numpy(), pa.int64()),
+        "numerator_q4": pa.array(agg["numerator_q4"].to_numpy(),
+                                 pa.int64()),
+        "denominator_q4": pa.array(agg["denominator_q4"].to_numpy(),
+                                   pa.int64())})

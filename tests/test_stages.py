@@ -2491,3 +2491,137 @@ def test_contamination_ratio_semantics(ray_session):
     assert out.loc[1, "n_shingles"] == 4 and out.loc[1, "n_hit"] == 1
     assert out.loc[1, "containment_q6"] == 250_000
     assert 2 not in out.index
+
+
+def test_top_supplier_matches_duckdb(ray_session):
+    """TPC-H Q15: per-supplier quarter revenue max with tie-exact
+    winner semantics matches DuckDB on the q4 integer grid."""
+    import duckdb
+    import pandas as pd
+
+    from bge_m3_onnx_ray.stages.relational import top_supplier
+
+    sf = "/root/testdata/sf0.001"
+    got = top_supplier(sf).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+WITH r AS (SELECT l_suppkey,
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+    AS total_revenue_q4
+FROM read_parquet('{sf}/lineitem.parquet')
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1)
+SELECT r.l_suppkey::BIGINT AS s_suppkey, s.s_name, r.total_revenue_q4
+FROM r JOIN read_parquet('{sf}/supplier.parquet') s
+  ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue_q4 = (SELECT max(total_revenue_q4) FROM r)
+ORDER BY s_suppkey
+""").df()
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) >= 1
+
+
+def test_small_quantity_revenue_matches_duckdb(ray_session):
+    """TPC-H Q17: the 20%-of-average cutoff as the exact rational
+    qty_q2 * 5 * count < sum_q2 matches DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from bge_m3_onnx_ray.stages.relational import small_quantity_revenue
+
+    sf = "/root/testdata/sf0.001"
+    got = small_quantity_revenue(sf).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+WITH s AS (SELECT l_partkey,
+                  sum(CAST(round(l_quantity * 100) AS BIGINT)) sq,
+                  count(*) c
+           FROM read_parquet('{sf}/lineitem.parquet') GROUP BY 1)
+SELECT coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)), 0)
+         ::BIGINT AS revenue_q2,
+       count(*)::BIGINT AS n_lineitems
+FROM read_parquet('{sf}/lineitem.parquet') l
+JOIN read_parquet('{sf}/part.parquet') p ON l.l_partkey = p.p_partkey
+JOIN s ON s.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#12'
+  AND CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * s.c < s.sq
+""").df()
+    pd.testing.assert_frame_equal(got, want)
+    assert int(got["n_lineitems"][0]) > 0
+
+
+def test_sales_opportunity_matches_duckdb(ray_session):
+    """TPC-H Q22: rich-but-idle customers per nation — the exact
+    rational wealth threshold and the distributed NOT EXISTS match
+    DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from bge_m3_onnx_ray.stages.relational import sales_opportunity
+
+    sf = "/root/testdata/sf0.001"
+    got = sales_opportunity(sf).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+WITH ab AS (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) s,
+                   count(*) c
+            FROM read_parquet('{sf}/customer.parquet')
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0),
+el AS (SELECT c_custkey, c_nationkey,
+              CAST(round(c_acctbal * 100) AS BIGINT) bal_c
+       FROM read_parquet('{sf}/customer.parquet'), ab
+       WHERE CAST(round(c_acctbal * 100) AS BIGINT) * ab.c > ab.s
+         AND NOT EXISTS (
+           SELECT 1 FROM read_parquet('{sf}/orders.parquet') o
+           WHERE o.o_custkey = c_custkey
+             AND o.o_orderdate >= TIMESTAMP '1999-01-01'))
+SELECT n.n_name, count(*)::BIGINT AS n_custs,
+       sum(bal_c)::BIGINT AS total_acctbal_q2
+FROM el JOIN read_parquet('{sf}/nation.parquet') n
+  ON n.n_nationkey = el.c_nationkey
+GROUP BY 1 ORDER BY 1
+""").df()
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) >= 1
+
+
+def test_market_share_matches_duckdb(ray_session):
+    """TPC-H Q8: the share stays a rational — numerator and
+    denominator revenue sums per order year match DuckDB exactly."""
+    import duckdb
+    import pandas as pd
+
+    from bge_m3_onnx_ray.stages.relational import market_share
+
+    sf = "/root/testdata/sf0.001"
+    got = market_share(sf).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+SELECT extract(year FROM o.o_orderdate)::BIGINT AS o_year,
+  sum(CASE WHEN sn.n_name = 'NATION_2'
+           THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+           ELSE 0 END)::BIGINT AS numerator_q4,
+  sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+    AS denominator_q4
+FROM read_parquet('{sf}/lineitem.parquet') l
+JOIN read_parquet('{sf}/part.parquet') p
+  ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+JOIN read_parquet('{sf}/supplier.parquet') su
+  ON su.s_suppkey = l.l_suppkey
+JOIN read_parquet('{sf}/nation.parquet') sn
+  ON sn.n_nationkey = su.s_nationkey
+JOIN read_parquet('{sf}/orders.parquet') o
+  ON o.o_orderkey = l.l_orderkey
+JOIN read_parquet('{sf}/customer.parquet') c
+  ON c.c_custkey = o.o_custkey
+JOIN read_parquet('{sf}/nation.parquet') cn
+  ON cn.n_nationkey = c.c_nationkey
+JOIN read_parquet('{sf}/region.parquet') r
+  ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+GROUP BY 1 ORDER BY 1
+""").df()
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) >= 1
