@@ -1629,6 +1629,20 @@ def _q_market_share(sf_dir):
     return market_share(sf_dir)
 
 
+def _q_order_gap_stats(sf_dir):
+    # LAG-window shape: per-customer inter-order day gaps, one
+    # hash(custkey) exchange, per-nation partials bound the driver rows
+    from bge_m3_onnx_ray.stages.relational import order_gap_stats
+    return order_gap_stats(sf_dir)
+
+
+def _q_customer_running_totals(sf_dir):
+    # running-SUM window shape: distributed top-k spenders, broadcast
+    # winner keys, per-bucket cumsum over co-located orders
+    from bge_m3_onnx_ray.stages.relational import customer_running_totals
+    return customer_running_totals(sf_dir)
+
+
 def _q_revenue_by_segment(sf_dir):
     from bge_m3_onnx_ray.stages.relational import revenue_by_segment
     return revenue_by_segment(sf_dir)
@@ -1840,6 +1854,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue": _q_small_quantity_revenue,
         "sales_opportunity": _q_sales_opportunity,
         "market_share": _q_market_share,
+        "order_gap_stats": _q_order_gap_stats,
+        "customer_running_totals": _q_customer_running_totals,
         "events_hourly": _q_events_hourly,
         "events_moving_hourly": _q_events_moving,
         "events_user_running_totals": _q_events_running,
@@ -5125,6 +5141,42 @@ SELECT n.n_name, count(*)::BIGINT AS n_custs,
        sum(bal_c)::BIGINT AS total_acctbal_q2
 FROM el JOIN nation n ON n.n_nationkey = el.c_nationkey
 GROUP BY 1 ORDER BY 1
+""",
+        # LAG-window oracle: gaps from the same deterministic frame
+        # (PARTITION BY customer ORDER BY o_orderdate, o_orderkey)
+        "order_gap_stats": """
+WITH g AS (SELECT o_custkey,
+  datediff('day', lag(o_orderdate) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+    o_orderdate) AS gap
+  FROM orders)
+SELECT n.n_name,
+  count(DISTINCT g.o_custkey)::BIGINT AS n_custs,
+  count(g.gap)::BIGINT AS n_gaps,
+  sum(g.gap)::BIGINT AS sum_gap_days,
+  max(g.gap)::BIGINT AS max_gap_days
+FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE g.gap IS NOT NULL GROUP BY 1 ORDER BY 1
+""",
+        # running-SUM window oracle: cumulative spend of the top-20
+        # spenders on the exact cent grid, same tie-deterministic frame
+        "customer_running_totals": """
+WITH sp AS (SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) s
+            FROM orders GROUP BY 1),
+top AS (SELECT o_custkey FROM sp ORDER BY s DESC, o_custkey LIMIT 20)
+SELECT o.o_custkey::BIGINT AS c_custkey,
+  o.o_orderkey::BIGINT AS o_orderkey,
+  epoch_us(o.o_orderdate::TIMESTAMP)::BIGINT AS o_orderdate_us,
+  CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_q2,
+  sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) OVER (
+      PARTITION BY o.o_custkey ORDER BY o.o_orderdate, o.o_orderkey
+      ROWS UNBOUNDED PRECEDING)::BIGINT AS running_q2,
+  row_number() OVER (PARTITION BY o.o_custkey
+                     ORDER BY o.o_orderdate, o.o_orderkey)::BIGINT AS rn
+FROM orders o JOIN top t ON t.o_custkey = o.o_custkey
+ORDER BY c_custkey, rn
 """,
         # Q8 oracle: the market share stays a rational — target-nation
         # and total revenue sums per order year, both exact int64

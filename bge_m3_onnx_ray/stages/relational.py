@@ -1861,3 +1861,226 @@ def market_share(sf_dir: str, region: str = "ASIA",
                                  pa.int64()),
         "denominator_q4": pa.array(agg["denominator_q4"].to_numpy(),
                                    pa.int64())})
+
+
+def order_gap_stats(sf_dir: str, n_buckets: int = 64) -> pa.Table:
+    """LAG-window shape: per-nation statistics of the day gaps between
+    a customer's consecutive orders (ordered by o_orderdate,
+    o_orderkey — the deterministic LAG frame). Output (n_name,
+    n_custs, n_gaps, sum_gap_days, max_gap_days) ordered by n_name;
+    n_custs counts customers with at least two orders. Order dates sit
+    on the midnight grid, so gaps are exact integer days.
+
+    Scale shape: ONE hash(custkey) exchange co-locates each customer's
+    orders; the per-bucket kernel lexsorts once, diffs within customer
+    runs, resolves nationkey from the footer-gated broadcast
+    custkey→nationkey map (≤8M-row rule of
+    :func:`local_supplier_volume`; a bigger dimension swaps into
+    :func:`equi_join`), and pre-reduces to per-nation partials —
+    nation cardinality bounds what reaches the driver."""
+    import os
+
+    import ray
+    import pyarrow.parquet as pq
+
+    from bge_m3_onnx_ray.hashing import splitmix64
+
+    cust_path = os.path.join(sf_dir, "customer.parquet")
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_orderkey",
+                                      "o_orderdate"])
+    big_cust = pq.ParquetFile(cust_path).metadata.num_rows > 8_000_000
+    if not big_cust:
+        ct = pq.read_table(cust_path, columns=["c_custkey", "c_nationkey"])
+        ck = ct.column("c_custkey").to_numpy()
+        cn = ct.column("c_nationkey").to_numpy().astype(np.int64)
+        co = np.argsort(ck)
+        cust_ref = ray.put((ck[co], cn[co]))
+        src = orders
+    else:
+        cust_ref = None
+        cust = rd.read_parquet(cust_path,
+                               columns=["c_custkey", "c_nationkey"])
+        src = equi_join(orders, cust, "o_custkey", "c_custkey",
+                        ["c_nationkey"], n_buckets=n_buckets)
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t.column("o_custkey").to_numpy().astype(np.uint64)
+        return t.append_column("_jb", pa.array(
+            (splitmix64(k) % np.uint64(n_buckets)).astype(np.int64)))
+
+    def kernel(g: pa.Table) -> pa.Table:
+        cust = g.column("o_custkey").to_numpy()
+        ok = g.column("o_orderkey").to_numpy()
+        od = g.column("o_orderdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy()
+        empty = pa.table({"nk": pa.array([], pa.int64()),
+                          "n_custs": pa.array([], pa.int64()),
+                          "n_gaps": pa.array([], pa.int64()),
+                          "sum_gap_days": pa.array([], pa.int64()),
+                          "max_gap_days": pa.array([], pa.int64())})
+        if not len(cust):
+            return empty
+        o = np.lexsort((ok, od, cust))
+        cust, od = cust[o], od[o]
+        same = np.concatenate([[False], np.diff(cust) == 0])
+        gaps = np.diff(od, prepend=od[:1]) // 86_400_000_000
+        gaps = gaps[same]                       # one per LAG pair
+        gcust = cust[same]
+        if not len(gcust):
+            return empty
+        if cust_ref is not None:
+            ckk, cnn = ray.get(cust_ref)
+            pos = np.minimum(np.searchsorted(ckk, gcust), len(ckk) - 1)
+            nat = cnn[pos]
+        else:
+            nk_col = g.column("c_nationkey").to_numpy().astype(np.int64)
+            nat = nk_col[o][same]
+        # per-customer first-gap flags count distinct multi-order custs
+        first = np.concatenate([[True], np.diff(gcust) != 0])
+        uk, inv = np.unique(nat, return_inverse=True)
+        ncust = np.zeros(len(uk), np.int64)
+        np.add.at(ncust, inv[first], 1)
+        ngap = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        sgap = np.zeros(len(uk), np.int64)
+        np.add.at(sgap, inv, gaps)
+        mgap = np.full(len(uk), -1, np.int64)
+        np.maximum.at(mgap, inv, gaps)
+        return pa.table({"nk": pa.array(uk, pa.int64()),
+                         "n_custs": pa.array(ncust, pa.int64()),
+                         "n_gaps": pa.array(ngap, pa.int64()),
+                         "sum_gap_days": pa.array(sgap, pa.int64()),
+                         "max_gap_days": pa.array(mgap, pa.int64())})
+
+    parts = src.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_jb").map_groups(kernel,
+                                   batch_format="pyarrow").to_pandas()
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat.column("n_nationkey").to_pylist(),
+                       nat.column("n_name").to_pylist()))
+    if parts.empty:
+        return pa.table({"n_name": pa.array([], pa.string()),
+                         "n_custs": pa.array([], pa.int64()),
+                         "n_gaps": pa.array([], pa.int64()),
+                         "sum_gap_days": pa.array([], pa.int64()),
+                         "max_gap_days": pa.array([], pa.int64())})
+    agg = parts.groupby("nk", as_index=False).agg(
+        n_custs=("n_custs", "sum"), n_gaps=("n_gaps", "sum"),
+        sum_gap_days=("sum_gap_days", "sum"),
+        max_gap_days=("max_gap_days", "max"))
+    agg["n_name"] = [name_of[int(k)] for k in agg["nk"]]
+    agg = agg.sort_values("n_name")
+    return pa.table({
+        "n_name": pa.array(agg["n_name"].tolist(), pa.string()),
+        "n_custs": pa.array(agg["n_custs"].to_numpy(), pa.int64()),
+        "n_gaps": pa.array(agg["n_gaps"].to_numpy(), pa.int64()),
+        "sum_gap_days": pa.array(agg["sum_gap_days"].to_numpy(),
+                                 pa.int64()),
+        "max_gap_days": pa.array(agg["max_gap_days"].to_numpy(),
+                                 pa.int64())})
+
+
+def customer_running_totals(sf_dir: str, k: int = 20,
+                            n_buckets: int = 64) -> pa.Table:
+    """Running-sum window shape: the cumulative spend trajectory of the
+    top-``k`` customers by total order value. Output (c_custkey,
+    o_orderkey, o_orderdate_us, o_totalprice_q2, running_q2, rn)
+    ordered (c_custkey, rn) — running_q2 is SUM OVER (PARTITION BY
+    customer ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED
+    PRECEDING) on the exact cent grid, rn the matching row_number.
+
+    Scale shape: per-customer spend reduces distributedly
+    (``bucket_reduce`` on hash(custkey)); each reduced block keeps its
+    LOCAL (spend desc, custkey) top-k so the driver merges
+    ≤ k · n_blocks candidate rows; the k winner keys broadcast into a
+    pruned orders scan, and ONE hash(custkey) exchange co-locates each
+    winner's orders for the per-bucket cumsum kernel — the result is
+    bounded by the winners' order counts, never the orders table."""
+    import os
+
+    import ray
+
+    from bge_m3_onnx_ray.hashing import splitmix64
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    def spend_partial(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy()
+        p2 = np.rint(t.column("o_totalprice").to_numpy()
+                     * 100).astype(np.int64)
+        uk, inv = np.unique(ck, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, p2)
+        return pa.table({"o_custkey": pa.array(uk, pa.int64()),
+                         "s": pa.array(s, pa.int64())})
+
+    sums = bucket_reduce(
+        rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                        columns=["o_custkey", "o_totalprice"]).map_batches(
+            spend_partial, batch_format="pyarrow"),
+        ["o_custkey"], [("s", "sum", "spend_q2")], n_buckets)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        sp = t.column("spend_q2").to_numpy()
+        ck = t.column("o_custkey").to_numpy()
+        keep = np.lexsort((ck, -sp))[:k]
+        return t.take(pa.array(np.sort(keep), pa.int64()))
+
+    cand = sums.map_batches(local_topk,
+                            batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["spend_q2", "o_custkey"],
+                            ascending=[False, True]).head(k)
+    win_ref = ray.put(np.sort(cand["o_custkey"].to_numpy()
+                              .astype(np.int64)))
+
+    def pick(t: pa.Table) -> pa.Table:
+        wk = ray.get(win_ref)
+        ck = t.column("o_custkey").to_numpy()
+        pos = np.minimum(np.searchsorted(wk, ck), len(wk) - 1)
+        hit = wk[pos] == ck
+        t = t.filter(pa.array(hit))
+        kk = t.column("o_custkey").to_numpy().astype(np.uint64)
+        return t.append_column("_jb", pa.array(
+            (splitmix64(kk) % np.uint64(n_buckets)).astype(np.int64)))
+
+    def cumsum_kernel(g: pa.Table) -> pa.Table:
+        ck = g.column("o_custkey").to_numpy()
+        ok = g.column("o_orderkey").to_numpy()
+        od = g.column("o_orderdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy()
+        p2 = np.rint(g.column("o_totalprice").to_numpy()
+                     * 100).astype(np.int64)
+        if not len(ck):
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "o_orderkey": pa.array([], pa.int64()),
+                             "o_orderdate_us": pa.array([], pa.int64()),
+                             "o_totalprice_q2": pa.array([], pa.int64()),
+                             "running_q2": pa.array([], pa.int64()),
+                             "rn": pa.array([], pa.int64())})
+        o = np.lexsort((ok, od, ck))
+        ck, ok, od, p2 = ck[o], ok[o], od[o], p2[o]
+        run = np.cumsum(p2)
+        first = np.concatenate([[0], np.flatnonzero(np.diff(ck)) + 1])
+        base = np.zeros(len(ck), np.int64)
+        base[first[1:]] = run[first[1:] - 1]
+        base = np.maximum.accumulate(base)
+        rn = np.arange(len(ck), dtype=np.int64) \
+            - np.repeat(first, np.diff(np.concatenate([first, [len(ck)]]))) + 1
+        return pa.table({
+            "c_custkey": pa.array(ck, pa.int64()),
+            "o_orderkey": pa.array(ok, pa.int64()),
+            "o_orderdate_us": pa.array(od, pa.int64()),
+            "o_totalprice_q2": pa.array(p2, pa.int64()),
+            "running_q2": pa.array(run - base, pa.int64()),
+            "rn": pa.array(rn, pa.int64())})
+
+    rows = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice"]).map_batches(
+        pick, batch_format="pyarrow").groupby("_jb").map_groups(
+        cumsum_kernel, batch_format="pyarrow").to_pandas()
+    rows = rows.sort_values(["c_custkey", "rn"]).reset_index(drop=True)
+    return pa.Table.from_pandas(rows, preserve_index=False)

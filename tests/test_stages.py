@@ -2625,3 +2625,68 @@ GROUP BY 1 ORDER BY 1
 """).df()
     pd.testing.assert_frame_equal(got, want)
     assert len(got) >= 1
+
+
+def test_order_gap_stats_matches_duckdb(ray_session):
+    """LAG window: per-nation inter-order day-gap stats equal DuckDB's
+    window-function result under the same deterministic frame."""
+    import duckdb
+    import pandas as pd
+
+    from bge_m3_onnx_ray.stages.relational import order_gap_stats
+
+    sf = "/root/testdata/sf0.001"
+    got = order_gap_stats(sf).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+WITH g AS (SELECT o_custkey,
+  datediff('day', lag(o_orderdate) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+    o_orderdate) AS gap
+  FROM read_parquet('{sf}/orders.parquet'))
+SELECT n.n_name,
+  count(DISTINCT g.o_custkey)::BIGINT AS n_custs,
+  count(g.gap)::BIGINT AS n_gaps,
+  sum(g.gap)::BIGINT AS sum_gap_days,
+  max(g.gap)::BIGINT AS max_gap_days
+FROM g JOIN read_parquet('{sf}/customer.parquet') c
+  ON c.c_custkey = g.o_custkey
+JOIN read_parquet('{sf}/nation.parquet') n
+  ON n.n_nationkey = c.c_nationkey
+WHERE g.gap IS NOT NULL GROUP BY 1 ORDER BY 1
+""").df()
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) >= 1
+
+
+def test_customer_running_totals_matches_duckdb(ray_session):
+    """Running-SUM window: top-20 spenders' cumulative trajectories
+    equal DuckDB's SUM OVER / ROW_NUMBER on the cent grid."""
+    import duckdb
+    import pandas as pd
+
+    from bge_m3_onnx_ray.stages.relational import customer_running_totals
+
+    sf = "/root/testdata/sf0.001"
+    got = customer_running_totals(sf).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+WITH sp AS (SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) s
+            FROM read_parquet('{sf}/orders.parquet') GROUP BY 1),
+top AS (SELECT o_custkey FROM sp ORDER BY s DESC, o_custkey LIMIT 20)
+SELECT o.o_custkey::BIGINT AS c_custkey,
+  o.o_orderkey::BIGINT AS o_orderkey,
+  epoch_us(o.o_orderdate::TIMESTAMP)::BIGINT AS o_orderdate_us,
+  CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_q2,
+  sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) OVER (
+      PARTITION BY o.o_custkey ORDER BY o.o_orderdate, o.o_orderkey
+      ROWS UNBOUNDED PRECEDING)::BIGINT AS running_q2,
+  row_number() OVER (PARTITION BY o.o_custkey
+                     ORDER BY o.o_orderdate, o.o_orderkey)::BIGINT AS rn
+FROM read_parquet('{sf}/orders.parquet') o
+JOIN top t ON t.o_custkey = o.o_custkey
+ORDER BY c_custkey, rn
+""").df()
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 20
