@@ -448,6 +448,13 @@ def _q_near(sf_dir):
     return near_documents_topk(sf_dir)
 
 
+def _q_near_ordered(sf_dir):
+    # ordered proximity (SpanNear inOrder): term_a strictly precedes
+    # term_b within the slop window; BM25 over the directional pair count
+    from bge_m3_onnx_ray.pipelines.flagship import near_ordered_documents_topk
+    return near_ordered_documents_topk(sf_dir)
+
+
 def _q_bm25_not(sf_dir):
     # negated-term retrieval: "-word" excludes documents containing it
     # (candidate filter before top-k; scores unchanged BM25 sums)
@@ -1732,6 +1739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_transcripts_topk": _q_phrase_transcripts,
         "phrase_documents_topk_appended": _q_phrase_appended,
         "near_documents_topk": _q_near,
+        "near_ordered_documents_topk": _q_near_ordered,
         "bm25_documents_topk_quoted": _q_quoted,
         "bm25_documents_topk_prefix": _q_prefix,
         "bm25_documents_explain": _q_explain,
@@ -3302,20 +3310,23 @@ FROM ranked WHERE rnk <= {k} ORDER BY query_id, "rank"
 """
 
 
-def _near_sql(k: int = 10) -> str:
+def _near_sql(k: int = 10, ordered: bool = False) -> str:
     """Proximity (NEAR) oracle: tf = count of ordered position pairs of
     (term_a at i, term_b at j) with i != j and |i - j| <= slop — a
     windowed self-join over generate_subscripts positions; BM25 over the
     pair count, quantized-rank tie-break (mirror of
-    index/positions.NearScorer)."""
+    index/positions.NearScorer). ``ordered=True`` mirrors
+    SpanNear(inOrder): the window narrows to a.pos + 1 .. a.pos + slop."""
     from bge_m3_onnx_ray.pipelines.flagship import DOC_NEAR_QUERIES
     match_ctes, union_parts = [], []
     for qid, ta, tb, slop in DOC_NEAR_QUERIES:
+        win = (f"b.pos BETWEEN a.pos + 1 AND a.pos + {slop}" if ordered
+               else f"b.pos <> a.pos AND b.pos BETWEEN a.pos - {slop} "
+                    f"AND a.pos + {slop}")
         match_ctes.append(
             f"m{qid} AS (SELECT a.doc_id, count(*)::DOUBLE AS tf "
             f"FROM ptoks a JOIN ptoks b ON b.doc_id = a.doc_id "
-            f"AND b.pos <> a.pos AND b.pos BETWEEN a.pos - {slop} "
-            f"AND a.pos + {slop} "
+            f"AND {win} "
             f"WHERE a.tok = '{ta}' AND b.tok = '{tb}' GROUP BY a.doc_id)")
         union_parts.append(f"SELECT {qid} AS query_id, doc_id, tf FROM m{qid}")
     ctes = ",\n".join(match_ctes)
@@ -4399,6 +4410,7 @@ ORDER BY pmi_q6 DESC, x, y LIMIT 50
             parse_negation=True),
         "phrase_transcripts_topk": _phrase_transcripts_sql(),
         "near_documents_topk": _near_sql(),
+        "near_ordered_documents_topk": _near_sql(ordered=True),
         "bm25_documents_topk_quoted": _quoted_sql(),
         "bm25_documents_topk_prefix": _prefix_sql(),
         "bm25_documents_explain": _explain_sql(),

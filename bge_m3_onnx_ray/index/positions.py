@@ -710,7 +710,8 @@ class NearScorer(PhraseScorer):
     exactly."""
 
     @staticmethod
-    def _near_hits(occ: dict, ta: str, tb: str, slop: int
+    def _near_hits(occ: dict, ta: str, tb: str, slop: int,
+                   in_order: bool = False
                    ) -> tuple[np.ndarray, np.ndarray]:
         a = occ.get(ta)
         bq = occ.get(tb)
@@ -723,11 +724,17 @@ class NearScorer(PhraseScorer):
             raise OverflowError("near key packing overflow")
         kb = bq[0] * P + bq[1]
         base = a[0] * P
-        lo = base + np.maximum(a[1] - slop, 0)
-        hi = base + a[1] + slop
+        if in_order:
+            # SpanNear(inOrder): term_a strictly precedes term_b,
+            # 0 < j - i <= slop — no self-pair by construction
+            lo = base + a[1] + 1
+            hi = base + a[1] + slop
+        else:
+            lo = base + np.maximum(a[1] - slop, 0)
+            hi = base + a[1] + slop
         cnt = (np.searchsorted(kb, hi, side="right")
                - np.searchsorted(kb, lo, side="left")).astype(np.int64)
-        if ta == tb:
+        if ta == tb and not in_order:
             cnt -= 1  # remove the self-pair i == j
         udocs, inv = np.unique(a[0], return_inverse=True)
         tfs = np.bincount(inv, weights=cnt).astype(np.int64)
@@ -741,10 +748,15 @@ class NearScorer(PhraseScorer):
         tbs = batch.column("term_b").to_pylist()
         slops = batch.column("slop").to_pylist()
         shards = batch.column("shard").to_pylist()
-        for qid, ta, tb, slop, shard in zip(qids, tas, tbs, slops, shards):
+        orders = (batch.column("in_order").to_pylist()
+                  if "in_order" in batch.column_names
+                  else [0] * batch.num_rows)
+        for qid, ta, tb, slop, shard, ordr in zip(qids, tas, tbs, slops,
+                                                  shards, orders):
             shard = int(shard)
             occ = self._shard_occurrences(shard, [ta, tb])
-            docs, tfs = self._near_hits(occ, ta, tb, int(slop))
+            docs, tfs = self._near_hits(occ, ta, tb, int(slop),
+                                        in_order=bool(ordr))
             if not len(docs):
                 continue
             dl_docs, dls = self._shard_dls(shard)
@@ -827,11 +839,14 @@ def search_quoted(index_dir: str, queries, cfg=None) -> rd.Dataset:
 
 
 def near_search(index_dir: str, queries, k: int = 10,
-                batch_size: int = 64) -> rd.Dataset:
+                batch_size: int = 64, in_order: bool = False) -> rd.Dataset:
     """Proximity top-k: ``queries`` = list[(query_id, term_a, term_b,
     slop)] — documents where the two terms occur within ``slop`` token
     positions, scored by BM25 over the pair count (same
-    match→df→score→merge plan as :func:`phrase_search`)."""
+    match→df→score→merge plan as :func:`phrase_search`).
+    ``in_order=True`` is the Lucene SpanNear(inOrder) contract: only
+    pairs where term_a strictly PRECEDES term_b (0 < j - i <= slop)
+    count."""
     _require_positions(index_dir)
     meta = IndexMeta(index_dir)
     offsets = ConvOffsets.load(index_dir)
@@ -843,7 +858,7 @@ def near_search(index_dir: str, queries, k: int = 10,
         return toks[0] if toks else ""
 
     rows = [{"query_id": int(q), "term_a": norm(a), "term_b": norm(b),
-             "slop": int(s), "shard": sh}
+             "slop": int(s), "shard": sh, "in_order": int(in_order)}
             for sh in meta.shards
             for q, a, b, s in queries if norm(a) and norm(b)]
     if not rows:

@@ -1235,6 +1235,34 @@ def near_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
         preserve_index=False)
 
 
+def near_ordered_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Ordered-proximity (SpanNear inOrder) top-k over the documents
+    corpus: tf = position pairs where term_a strictly PRECEDES term_b
+    within the slop window (0 < j - i <= slop), scored by BM25 over the
+    pair count. Same query set and conventions as
+    :func:`near_documents_topk`; hash-matches the directional windowed
+    self-join DuckDB oracle."""
+    from bge_m3_onnx_ray.index.positions import build_positions, near_search
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    build_positions(documents_as_transcripts(sf_dir), idx)
+    out = near_search(idx, DOC_NEAR_QUERIES, k, in_order=True).to_pandas()
+    if not len(out):
+        import pandas as pd
+        out = pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                            "rank": pd.Series([], dtype=np.int32),
+                            "doc_id": pd.Series([], dtype=np.int64),
+                            "tf": pd.Series([], dtype=np.int64),
+                            "score_q6": pd.Series([], dtype=np.int64)})
+        return pa.Table.from_pandas(out, preserve_index=False)
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["query_id", "rank", "doc_id", "tf", "score_q6"]],
+        preserve_index=False)
+
+
 def bm25_documents_topk_not(sf_dir: str, k: int = 10) -> pa.Table:
     """Negated-term retrieval: "-word" tokens exclude documents
     containing that term (candidate filter before top-k, scores are the

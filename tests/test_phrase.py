@@ -177,6 +177,19 @@ def test_near_kernel():
     # OOV side
     d, t = NearScorer._near_hits(occ, "a", "zzz", 3)
     assert len(d) == 0
+    # ordered (SpanNear inOrder): a must PRECEDE b — doc0 a@0 b@2 counts,
+    # doc1 a@5 b@9 is 4 ahead so only slop>=4 counts
+    d, t = NearScorer._near_hits(occ, "a", "b", 3, in_order=True)
+    assert d.tolist() == [0] and t.tolist() == [1]
+    d, t = NearScorer._near_hits(occ, "b", "a", 3, in_order=True)
+    assert len(d) == 0  # b@2 -> a within (3,5]: a@0 behind, a@10 too far
+    d, t = NearScorer._near_hits(occ, "b", "a", 8, in_order=True)
+    assert d.tolist() == [0] and t.tolist() == [1]  # b@2 -> a@10
+    # same-term ordered: (1,2), (1,9)? no (gap 8>2), (2,9)? no -> 1 pair
+    d, t = NearScorer._near_hits(
+        {"x": (np.array([7, 7, 7]), np.array([1, 2, 9]))}, "x", "x", 2,
+        in_order=True)
+    assert d.tolist() == [7] and t.tolist() == [1]
 
 
 def test_near_engine_vs_pure_python(positions_index):
@@ -210,6 +223,28 @@ def test_near_engine_vs_pure_python(positions_index):
                                   float(oi.doc_lens[int(r.doc_id)]),
                                   w, oi.avgdl, oi.k1, oi.b)
             assert r.score == pytest.approx(exp, abs=0.0)
+
+
+def test_near_ordered_engine_vs_pure_python(positions_index):
+    from bge_m3_onnx_ray.index.positions import near_search
+    idx, oi = positions_index
+    freq = sorted(oi.postings, key=lambda t: -len(oi.postings[t]))
+    queries = [(0, freq[0], freq[1], 3), (1, freq[1], freq[0], 3),
+               (2, freq[0], freq[0], 2)]
+    got = near_search(idx, queries, k=10_000_000,
+                      in_order=True).to_pandas()
+    for qid, ta, tb, slop in queries:
+        mine = got[got.query_id == qid].sort_values("doc_id")
+        want = {}
+        for doc_id, toks in enumerate(oi.doc_tokens):
+            pa_ = [i for i, w in enumerate(toks) if w == ta]
+            pb_ = [i for i, w in enumerate(toks) if w == tb]
+            tf = sum(1 for i in pa_ for j in pb_ if 0 < j - i <= slop)
+            if tf:
+                want[doc_id] = tf
+        assert len(mine) == len(want), (qid, ta, tb)
+        for _, r in mine.iterrows():
+            assert want[int(r.doc_id)] == int(r.tf)
 
 
 def test_distributed_rank_tail_equals_fast_path(positions_index, monkeypatch):
