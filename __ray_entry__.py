@@ -705,6 +705,18 @@ def _q_exact_dedup(sf_dir):
     return exact_dedup(_docs(sf_dir))
 
 
+def _q_segment_dedup(sf_dir):
+    # C4/RefinedWeb duplicated-line removal on 8-token segments:
+    # keep-first across the corpus, three bucketed int64 exchanges,
+    # docs reassembled from surviving segments
+    import pyarrow as pa
+
+    from bge_m3_onnx_ray.stages.dedup import segment_dedup
+    out = segment_dedup(_docs(sf_dir)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _q_ngram_pairs(sf_dir):
     return _cached_ngram_pairs(sf_dir)
 
@@ -1826,6 +1838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_surprise": _q_unigram_surprise,
         "text_variations": _q_text_variations,
         "exact_dedup": _q_exact_dedup,
+        "segment_dedup": _q_segment_dedup,
         "ngram_dup_pairs": _q_ngram_pairs,
         "ngram_jaccard_verify": _q_jaccard_verify,
         "minhash_jaccard_verify": _q_minhash_jaccard_verify,
@@ -5082,6 +5095,25 @@ SELECT doc_id,
         "exact_dedup": """
 SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups
 FROM documents GROUP BY text
+""",
+        # C4-style duplicated-line removal on 8-token segments:
+        # keep-first (min (doc_id, seg_idx)) per distinct segment,
+        # docs reassembled from survivors in segment order
+        "segment_dedup": f"""
+WITH toks AS (SELECT doc_id,
+    regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ts FROM documents),
+segs AS (SELECT doc_id, i AS seg_idx,
+           array_to_string(ts[((i-1)*8+1):least(i*8, len(ts))], ' ') AS seg
+         FROM toks,
+              unnest(range(1, cast((len(ts)+7)//8 AS INT) + 1)) AS t(i)),
+keep AS (SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg
+                            ORDER BY doc_id, seg_idx) rn FROM segs)
+SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_segs,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                           ORDER BY seg_idx), '') AS clean_text
+FROM keep GROUP BY doc_id ORDER BY doc_id
 """,
         "ngram_dup_pairs": f"""
 WITH toks AS (SELECT doc_id,

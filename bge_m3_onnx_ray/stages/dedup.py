@@ -1285,3 +1285,172 @@ def bfs_depth(pairs: rd.Dataset, max_rounds: int = 256) -> rd.Dataset:
     edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
         _both_directions, batch_format="pyarrow").materialize()
     return minplus_bfs_bsp(edges, max_rounds, 1024)
+
+
+def segment_dedup(ds: rd.Dataset, window: int = 8,
+                  n_buckets: int = 64) -> rd.Dataset:
+    """Segment-level exact dedup — the C4/RefinedWeb "remove duplicated
+    lines across the corpus" step, on fixed ``window``-token segments
+    (the corpus has no line structure; the op is granularity-agnostic).
+    Every segment whose exact token run appears elsewhere keeps only its
+    FIRST occurrence (min (doc_id, seg_idx) corpus-wide); docs are
+    reassembled from their surviving segments. Output (doc_id, n_segs,
+    n_dropped, clean_text) for every doc with >= 1 segment.
+
+    Scale shape — three bucketed int64 exchanges, none keyed on text:
+    1. winner per distinct segment: ``bucket_reduce`` min over the
+       packed (doc_id << 16 | seg_idx) occurrence key, keyed by the
+       106-bit segment content hash (16 B/row crosses, not segments);
+    2. keep/drop: tagged union of segment rows and winners on a hash
+       bucket, one searchsorted join per bucket (segment TEXT rides
+       only this exchange, once);
+    3. reassembly: hash(doc_id) buckets; per-bucket sort by (doc,
+       seg_idx) and one vectorized ListArray + binary_join pass
+       rebuilds clean_text — no per-doc Python loop."""
+    import pyarrow.compute as pc
+
+    from bge_m3_onnx_ray.hashing import P53, poly_hash, splitmix64
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    tok = DeterministicTokenizer()
+
+    def segments(t: pa.Table) -> pa.Table:
+        flat, offs = tok.batch_token_lists(t.column("text"))
+        lens = np.diff(offs)
+        nseg = (lens + window - 1) // window
+        total = int(nseg.sum())
+        empty = pa.table({"h1": pa.array([], pa.int64()),
+                          "h2": pa.array([], pa.int64()),
+                          "pack": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "seg_idx": pa.array([], pa.int64()),
+                          "seg": pa.array([], pa.string())})
+        if total == 0:
+            return empty
+        if int(nseg.max()) >= (1 << 16):
+            raise ValueError("doc exceeds 2^16 segments; raise the pack "
+                             "width before indexing such documents")
+        cum = np.zeros(len(nseg), np.int64)
+        np.cumsum(nseg[:-1], out=cum[1:])
+        seg_idx = np.arange(total, dtype=np.int64) - np.repeat(cum, nseg)
+        starts = np.repeat(offs[:-1], nseg) + seg_idx * window
+        bounds = np.append(starts, offs[-1]).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(bounds, flat)
+        segs = pc.binary_join(lists, pa.scalar(" ", pa.large_string()))
+        h1 = poly_hash(segs, P53).astype(np.int64)
+        h2 = poly_hash(segs, P53, base=np.uint64(257)).astype(np.int64)
+        doc_ids = np.repeat(t.column("doc_id").to_numpy(), nseg)
+        return pa.table({"h1": pa.array(h1),
+                         "h2": pa.array(h2),
+                         "pack": pa.array(doc_ids * 65536 + seg_idx),
+                         "doc_id": pa.array(doc_ids, pa.int64()),
+                         "seg_idx": pa.array(seg_idx, pa.int64()),
+                         "seg": segs.cast(pa.string())})
+
+    seg_ds = ds.select_columns(["doc_id", "text"]).map_batches(
+        segments, batch_format="pyarrow").materialize()
+    winners = bucket_reduce(
+        seg_ds.select_columns(["h1", "h2", "pack"]),
+        ["h1", "h2"], [("pack", "min", "win")], n_buckets)
+
+    def tag_seg(t: pa.Table) -> pa.Table:
+        h = t.column("h1").to_numpy().astype(np.uint64)
+        return pa.table({
+            "h1": t.column("h1"), "h2": t.column("h2"),
+            "pack": t.column("pack"), "doc_id": t.column("doc_id"),
+            "seg_idx": t.column("seg_idx"), "seg": t.column("seg"),
+            "_side": pa.array(np.zeros(t.num_rows, np.int64)),
+            "_jb": pa.array((splitmix64(h) % np.uint64(n_buckets))
+                            .astype(np.int64))})
+
+    def tag_win(t: pa.Table) -> pa.Table:
+        h = t.column("h1").to_numpy().astype(np.uint64)
+        return pa.table({
+            "h1": t.column("h1"), "h2": t.column("h2"),
+            "pack": t.column("win"),
+            "doc_id": pa.array(np.zeros(t.num_rows, np.int64)),
+            "seg_idx": pa.array(np.zeros(t.num_rows, np.int64)),
+            "seg": pa.nulls(t.num_rows, pa.string()),
+            "_side": pa.array(np.ones(t.num_rows, np.int64)),
+            "_jb": pa.array((splitmix64(h) % np.uint64(n_buckets))
+                            .astype(np.int64))})
+
+    def keep_kernel(g: pa.Table) -> pa.Table:
+        side = g.column("_side").to_numpy()
+        h1 = g.column("h1").to_numpy()
+        h2 = g.column("h2").to_numpy()
+        pack = g.column("pack").to_numpy()
+        sm, wm = side == 0, side == 1
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "seg_idx": pa.array([], pa.int64()),
+                          "seg": pa.array([], pa.string()),
+                          "kept": pa.array([], pa.int64())})
+        if not sm.any():
+            return empty
+        wi = np.flatnonzero(wm)
+        worder = np.lexsort((h2[wi], h1[wi]))
+        wh1, wh2, wwin = h1[wi][worder], h2[wi][worder], pack[wi][worder]
+        si = np.flatnonzero(sm)
+        pos = np.searchsorted(wh1, h1[si])
+        # winner exists for every segment by construction; resolve the
+        # h1 run by scanning to the matching h2 (runs are collision-rare)
+        pos = np.minimum(pos, len(wh1) - 1)
+        bad = (wh1[pos] != h1[si]) | (wh2[pos] != h2[si])
+        while bad.any():
+            pos[bad] += 1
+            pos = np.minimum(pos, len(wh1) - 1)
+            nb = (wh1[pos] != h1[si]) | (wh2[pos] != h2[si])
+            if nb[bad].all():
+                raise AssertionError("segment winner missing in bucket")
+            bad = nb
+        kept = (pack[si] == wwin[pos]).astype(np.int64)
+        return pa.table({
+            "doc_id": g.column("doc_id").take(pa.array(si, pa.int64())),
+            "seg_idx": g.column("seg_idx").take(pa.array(si, pa.int64())),
+            "seg": g.column("seg").take(pa.array(si, pa.int64())),
+            "kept": pa.array(kept, pa.int64())})
+
+    marked = seg_ds.map_batches(tag_seg, batch_format="pyarrow").union(
+        winners.map_batches(tag_win, batch_format="pyarrow")) \
+        .groupby("_jb").map_groups(keep_kernel, batch_format="pyarrow")
+
+    def doc_bucket(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy().astype(np.uint64)
+        return t.append_column("_db", pa.array(
+            (splitmix64(d) % np.uint64(n_buckets)).astype(np.int64)))
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        doc = g.column("doc_id").to_numpy()
+        idx = g.column("seg_idx").to_numpy()
+        kept = g.column("kept").to_numpy()
+        if not len(doc):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_segs": pa.array([], pa.int64()),
+                             "n_dropped": pa.array([], pa.int64()),
+                             "clean_text": pa.array([], pa.string())})
+        o = np.lexsort((idx, doc))
+        doc, idx, kept = doc[o], idx[o], kept[o]
+        segs = g.column("seg").take(pa.array(o, pa.int64()))
+        first = np.concatenate([[0], np.flatnonzero(np.diff(doc)) + 1])
+        counts = np.diff(np.concatenate([first, [len(doc)]]))
+        nd = np.zeros(len(first), np.int64)
+        np.add.at(nd, np.repeat(np.arange(len(first)), counts),
+                  1 - kept)
+        km = np.flatnonzero(kept == 1)
+        kdoc = doc[km]
+        ksegs = segs.take(pa.array(km, pa.int64())).cast(pa.large_string())
+        if isinstance(ksegs, pa.ChunkedArray):
+            ksegs = ksegs.combine_chunks()
+        kb = np.searchsorted(kdoc, doc[first])      # kept-run starts
+        bounds = np.append(kb, len(kdoc)).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(bounds, ksegs)
+        import pyarrow.compute as pc
+        txt = pc.binary_join(lists, pa.scalar(" ", pa.large_string()))
+        return pa.table({
+            "doc_id": pa.array(doc[first], pa.int64()),
+            "n_segs": pa.array(counts, pa.int64()),
+            "n_dropped": pa.array(nd, pa.int64()),
+            "clean_text": txt.cast(pa.string())})
+
+    return marked.map_batches(doc_bucket, batch_format="pyarrow") \
+        .groupby("_db").map_groups(rebuild, batch_format="pyarrow")

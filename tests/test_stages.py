@@ -2690,3 +2690,61 @@ ORDER BY c_custkey, rn
 """).df()
     pd.testing.assert_frame_equal(got, want)
     assert len(got) > 20
+
+
+def test_segment_dedup_matches_duckdb(ray_session):
+    """C4-style duplicated-segment removal: keep-first across the
+    corpus on 8-token segments, reassembled docs equal the DuckDB
+    window-function mirror byte-for-byte."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.dedup import segment_dedup
+
+    d = "/root/testdata/sf0.001/documents.parquet"
+    got = segment_dedup(rd.read_parquet(d, columns=["doc_id", "text"])) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.execute(f"""
+WITH toks AS (SELECT doc_id,
+    regexp_extract_all(lower(text), '[0-9a-z_]+') ts
+  FROM read_parquet('{d}')),
+segs AS (SELECT doc_id, i AS seg_idx,
+           array_to_string(ts[((i-1)*8+1):least(i*8, len(ts))], ' ') AS seg
+         FROM toks,
+              unnest(range(1, cast((len(ts)+7)//8 AS INT) + 1)) AS t(i)),
+keep AS (SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg
+                            ORDER BY doc_id, seg_idx) rn FROM segs)
+SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_segs,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                           ORDER BY seg_idx), '') AS clean_text
+FROM keep GROUP BY doc_id ORDER BY doc_id
+""").df()
+    pd.testing.assert_frame_equal(got, want)
+    assert int(want["n_dropped"].sum()) > 0  # the fixture HAS dups
+
+
+def test_segment_dedup_keep_first_invariants(ray_session):
+    """An undropped doc's clean_text is its normalized token stream; a
+    full duplicate of an earlier doc loses every segment."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.dedup import segment_dedup
+
+    texts = ["alpha beta gamma delta epsilon zeta eta theta iota kappa",
+             "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+             "unique words entirely different from the first documents"]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = segment_dedup(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "n_dropped"] == 0
+    assert out.loc[0, "clean_text"] == texts[0]
+    assert out.loc[1, "n_dropped"] == out.loc[1, "n_segs"]
+    assert out.loc[1, "clean_text"] == ""
+    assert out.loc[2, "n_dropped"] == 0
+    assert out.loc[2, "clean_text"] == texts[2]
