@@ -458,7 +458,13 @@ def run_bench() -> dict:
               "sanitize_docs", "bootstrap_mean_chars",
               "events_user_top_type", "bloom_contamination",
               "distribution_cube", "nation_volume_shipping", "returned_item_topk",
-              "large_volume_customers", "forecast_revenue_change", "promo_revenue_share", "events_value_zscore", "chars_words_correlation", "events_value_mad", "events_hourly_trend", "events_user_gini", "lexical_diversity", "source_dup_rate", "events_user_span", "disjunctive_filter_revenue", "contamination_ratio"]
+              "large_volume_customers", "forecast_revenue_change", "promo_revenue_share", "events_value_zscore", "chars_words_correlation", "events_value_mad", "events_hourly_trend", "events_user_gini", "lexical_diversity", "source_dup_rate", "events_user_span", "disjunctive_filter_revenue", "contamination_ratio",
+              # round-5 additions: Q8/Q15/Q17/Q22, the two window
+              # shapes, ordered NEAR, and C4 segment dedup
+              "market_share", "top_supplier", "small_quantity_revenue",
+              "sales_opportunity", "order_gap_stats",
+              "customer_running_totals", "near_ordered_documents_topk",
+              "segment_dedup"]
     qs = m.queries()
     for name in wanted:
         t0 = time.perf_counter()
