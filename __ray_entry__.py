@@ -1648,6 +1648,20 @@ def _q_market_share(sf_dir):
     return market_share(sf_dir)
 
 
+def _q_order_priority_check(sf_dir):
+    # TPC-H Q4 shape: EXISTS via the distributed semi join (lineitem
+    # side ships deduplicated int64 keys), per-priority partials
+    from bge_m3_onnx_ray.stages.relational import order_priority_check
+    return order_priority_check(sf_dir)
+
+
+def _q_late_shipment_counts(sf_dir):
+    # TPC-H Q12 shape: equi-join with a RESIDUAL cross-side date
+    # predicate inside the bucket kernel; <=4 partial rows per bucket
+    from bge_m3_onnx_ray.stages.relational import late_shipment_counts
+    return late_shipment_counts(sf_dir)
+
+
 def _q_order_gap_stats(sf_dir):
     # LAG-window shape: per-customer inter-order day gaps, one
     # hash(custkey) exchange, per-nation partials bound the driver rows
@@ -1877,6 +1891,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": _q_market_share,
         "order_gap_stats": _q_order_gap_stats,
         "customer_running_totals": _q_customer_running_totals,
+        "order_priority_check": _q_order_priority_check,
+        "late_shipment_counts": _q_late_shipment_counts,
         "events_hourly": _q_events_hourly,
         "events_moving_hourly": _q_events_moving,
         "events_user_running_totals": _q_events_running,
@@ -5184,6 +5200,29 @@ el AS (SELECT c_custkey, c_nationkey,
 SELECT n.n_name, count(*)::BIGINT AS n_custs,
        sum(bal_c)::BIGINT AS total_acctbal_q2
 FROM el JOIN nation n ON n.n_nationkey = el.c_nationkey
+GROUP BY 1 ORDER BY 1
+""",
+        # Q4 oracle: EXISTS over returned lineitems, quarter-pruned
+        "order_priority_check": """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY 1 ORDER BY 1
+""",
+        # Q12 oracle: the residual lateness predicate compares columns
+        # from both join sides — shipped > ordered + 30 days
+        "late_shipment_counts": """
+SELECT l.l_linestatus,
+  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
 GROUP BY 1 ORDER BY 1
 """,
         # LAG-window oracle: gaps from the same deterministic frame

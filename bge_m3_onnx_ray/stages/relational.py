@@ -2084,3 +2084,164 @@ def customer_running_totals(sf_dir: str, k: int = 20,
         cumsum_kernel, batch_format="pyarrow").to_pandas()
     rows = rows.sort_values(["c_custkey", "rn"]).reset_index(drop=True)
     return pa.Table.from_pandas(rows, preserve_index=False)
+
+
+def order_priority_check(sf_dir: str, date_from: str = "1996-01-01",
+                         date_to: str = "1996-04-01",
+                         n_buckets: int = 64) -> pa.Table:
+    """TPC-H Q4 shape: orders placed in one quarter that had at least
+    one RETURNED lineitem (l_returnflag = 'R' — the fixture's stand-in
+    for the commit-date breach), counted per order priority. Output
+    (o_orderpriority, order_count) ordered by priority.
+
+    Scale shape: the EXISTS is the repo's distributed
+    :func:`semi_anti_join` — ONE hash(orderkey) exchange; the lineitem
+    side ships deduplicated int64 orderkeys only (returnflag filter
+    applied at the scan), the orders side is date-pruned at the read;
+    surviving rows pre-reduce to per-priority partials (priority
+    cardinality is 5), so the driver sums tiny tables."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    cut0 = pa.scalar(np.datetime64(date_from + "T00:00:00", "us"),
+                     pa.timestamp("us"))
+    cut1 = pa.scalar(np.datetime64(date_to + "T00:00:00", "us"),
+                     pa.timestamp("us"))
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") >= cut0)
+               & (pads.field("o_orderdate") < cut1))
+    returned = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey"],
+        filter=pads.field("l_returnflag") == "R")
+    hits = semi_anti_join(orders, returned, "o_orderkey", "l_orderkey",
+                          n_buckets=n_buckets)
+
+    def pri_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        vc = pc.value_counts(t.column("o_orderpriority"))
+        return pa.table({
+            "o_orderpriority": vc.field("values").cast(pa.string()),
+            "c": vc.field("counts").cast(pa.int64())})
+
+    parts = hits.map_batches(pri_partial,
+                             batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                         "order_count": pa.array([], pa.int64())})
+    agg = parts.groupby("o_orderpriority", as_index=False)["c"].sum() \
+        .sort_values("o_orderpriority")
+    return pa.table({
+        "o_orderpriority": pa.array(agg["o_orderpriority"].tolist(),
+                                    pa.string()),
+        "order_count": pa.array(agg["c"].to_numpy(), pa.int64())})
+
+
+def late_shipment_counts(sf_dir: str, late_days: int = 30,
+                         n_buckets: int = 64) -> pa.Table:
+    """TPC-H Q12 shape: lineitems shipped more than ``late_days`` after
+    their order date ("late shipments"), counted per line status and
+    split into high-priority (1-URGENT / 2-HIGH) vs low-priority
+    orders. Output (l_linestatus, high_line_count, low_line_count)
+    ordered by status. The lateness predicate is a RESIDUAL condition —
+    it compares columns from BOTH sides, so it cannot push into either
+    scan and must run inside the join kernel.
+
+    Scale shape: ONE hash(orderkey) tagged-union exchange (the
+    :func:`nation_volume_shipping` plan): orders ship (orderkey,
+    is_high, orderdate), lineitems ship per-row (orderkey, shipdate,
+    status code); each bucket's kernel joins by searchsorted, applies
+    the residual date comparison vectorized, and reduces to ≤ 4 partial
+    rows — per-(status, priority-class) counts — per bucket."""
+    import os
+
+    from bge_m3_onnx_ray.hashing import splitmix64
+
+    def orders_tag(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy()
+        pri = t.column("o_orderpriority").to_pylist()
+        high = np.array([p in ("1-URGENT", "2-HIGH") for p in pri],
+                        np.int64)
+        od = t.column("o_orderdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy()
+        return pa.table({
+            "k": pa.array(ok, pa.int64()),
+            "v1": pa.array(high, pa.int64()),          # is_high
+            "v2": pa.array(od, pa.int64()),            # orderdate_us
+            "_side": pa.array(np.zeros(len(ok), np.int64)),
+            "_jb": pa.array((splitmix64(ok.astype(np.uint64))
+                             % np.uint64(n_buckets)).astype(np.int64))})
+
+    def line_tag(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy()
+        sd = t.column("l_shipdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy()
+        st = t.column("l_linestatus").to_pylist()
+        code = np.array([0 if s == "F" else 1 for s in st], np.int64)
+        return pa.table({
+            "k": pa.array(ok, pa.int64()),
+            "v1": pa.array(code, pa.int64()),          # status code
+            "v2": pa.array(sd, pa.int64()),            # shipdate_us
+            "_side": pa.array(np.ones(len(ok), np.int64)),
+            "_jb": pa.array((splitmix64(ok.astype(np.uint64))
+                             % np.uint64(n_buckets)).astype(np.int64))})
+
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def kernel(g: pa.Table) -> pa.Table:
+        side = g.column("_side").to_numpy()
+        keys = g.column("k").to_numpy()
+        v1 = g.column("v1").to_numpy()
+        v2 = g.column("v2").to_numpy()
+        om = side == 0
+        okeys, ohigh, odate = keys[om], v1[om], v2[om]
+        o = np.argsort(okeys, kind="stable")
+        okeys, ohigh, odate = okeys[o], ohigh[o], odate[o]
+        lkeys, lcode, lship = keys[~om], v1[~om], v2[~om]
+        empty = pa.table({"status_code": pa.array([], pa.int64()),
+                          "high": pa.array([], pa.int64()),
+                          "low": pa.array([], pa.int64())})
+        if not len(okeys) or not len(lkeys):
+            return empty
+        pos = np.minimum(np.searchsorted(okeys, lkeys), len(okeys) - 1)
+        hit = okeys[pos] == lkeys
+        # residual predicate: shipped more than late_days after order
+        late = hit & (lship > odate[pos] + late_us)
+        if not late.any():
+            return empty
+        code = lcode[late]
+        high = ohigh[pos[late]]
+        key = code * 2 + high
+        cnt = np.bincount(key, minlength=4).astype(np.int64)
+        return pa.table({
+            "status_code": pa.array([0, 0, 1, 1], pa.int64()),
+            "high": pa.array([0, cnt[1], 0, cnt[3]], pa.int64()),
+            "low": pa.array([cnt[0], 0, cnt[2], 0], pa.int64())})
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"]) \
+        .map_batches(orders_tag, batch_format="pyarrow")
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"]) \
+        .map_batches(line_tag, batch_format="pyarrow")
+    parts = orders.union(line).groupby("_jb").map_groups(
+        kernel, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pa.table({"l_linestatus": pa.array([], pa.string()),
+                         "high_line_count": pa.array([], pa.int64()),
+                         "low_line_count": pa.array([], pa.int64())})
+    agg = parts.groupby("status_code", as_index=False).sum() \
+        .sort_values("status_code")
+    keep = (agg["high"] + agg["low"]) > 0
+    agg = agg[keep]
+    return pa.table({
+        "l_linestatus": pa.array(["F" if c == 0 else "O"
+                                  for c in agg["status_code"]],
+                                 pa.string()),
+        "high_line_count": pa.array(agg["high"].to_numpy(), pa.int64()),
+        "low_line_count": pa.array(agg["low"].to_numpy(), pa.int64())})

@@ -2748,3 +2748,55 @@ def test_segment_dedup_keep_first_invariants(ray_session):
     assert out.loc[1, "clean_text"] == ""
     assert out.loc[2, "n_dropped"] == 0
     assert out.loc[2, "clean_text"] == texts[2]
+
+
+def test_order_priority_check_matches_duckdb(ray_session):
+    """TPC-H Q4: per-priority counts of quarter orders with a returned
+    lineitem (distributed EXISTS) match DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from bge_m3_onnx_ray.stages.relational import order_priority_check
+
+    sf = "/root/testdata/sf0.001"
+    got = order_priority_check(sf).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM read_parquet('{sf}/orders.parquet') o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM read_parquet('{sf}/lineitem.parquet') l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY 1 ORDER BY 1
+""").df()
+    pd.testing.assert_frame_equal(got, want)
+    assert int(got["order_count"].sum()) > 0
+
+
+def test_late_shipment_counts_matches_duckdb(ray_session):
+    """TPC-H Q12: the residual (cross-side) lateness predicate inside
+    the bucket join kernel matches DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from bge_m3_onnx_ray.stages.relational import late_shipment_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = late_shipment_counts(sf).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+SELECT l.l_linestatus,
+  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM read_parquet('{sf}/lineitem.parquet') l
+JOIN read_parquet('{sf}/orders.parquet') o
+  ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+GROUP BY 1 ORDER BY 1
+""").df()
+    pd.testing.assert_frame_equal(got, want)
+    assert int((got["high_line_count"] + got["low_line_count"]).sum()) > 0
