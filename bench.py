@@ -464,7 +464,8 @@ def run_bench() -> dict:
               "market_share", "top_supplier", "small_quantity_revenue",
               "sales_opportunity", "order_gap_stats",
               "customer_running_totals", "near_ordered_documents_topk",
-              "segment_dedup"]
+              "segment_dedup", "order_priority_check",
+              "late_shipment_counts"]
     qs = m.queries()
     for name in wanted:
         t0 = time.perf_counter()
