@@ -1662,6 +1662,14 @@ def _q_late_shipment_counts(sf_dir):
     return late_shipment_counts(sf_dir)
 
 
+def _q_suppliers_kept_waiting(sf_dir):
+    # TPC-H Q21 shape: multi-EXISTS self-join as ONE hash(orderkey)
+    # exchange — per-order distinct-supplier reduction picks the sole
+    # returned supplier on multi-supplier orders
+    from bge_m3_onnx_ray.stages.relational import suppliers_kept_waiting
+    return suppliers_kept_waiting(sf_dir)
+
+
 def _q_order_gap_stats(sf_dir):
     # LAG-window shape: per-customer inter-order day gaps, one
     # hash(custkey) exchange, per-nation partials bound the driver rows
@@ -1893,6 +1901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_running_totals": _q_customer_running_totals,
         "order_priority_check": _q_order_priority_check,
         "late_shipment_counts": _q_late_shipment_counts,
+        "suppliers_kept_waiting": _q_suppliers_kept_waiting,
         "events_hourly": _q_events_hourly,
         "events_moving_hourly": _q_events_moving,
         "events_user_running_totals": _q_events_running,
@@ -5201,6 +5210,21 @@ SELECT n.n_name, count(*)::BIGINT AS n_custs,
        sum(bal_c)::BIGINT AS total_acctbal_q2
 FROM el JOIN nation n ON n.n_nationkey = el.c_nationkey
 GROUP BY 1 ORDER BY 1
+""",
+        # Q21 oracle: the sole-failure multi-EXISTS self-join
+        "suppliers_kept_waiting": """
+SELECT s.s_name, count(DISTINCT l1.l_orderkey)::BIGINT AS numwait
+FROM lineitem l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10
 """,
         # Q4 oracle: EXISTS over returned lineitems, quarter-pruned
         "order_priority_check": """

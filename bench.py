@@ -465,7 +465,7 @@ def run_bench() -> dict:
               "sales_opportunity", "order_gap_stats",
               "customer_running_totals", "near_ordered_documents_topk",
               "segment_dedup", "order_priority_check",
-              "late_shipment_counts"]
+              "late_shipment_counts", "suppliers_kept_waiting"]
     qs = m.queries()
     for name in wanted:
         t0 = time.perf_counter()

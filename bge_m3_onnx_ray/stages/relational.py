@@ -2245,3 +2245,112 @@ def late_shipment_counts(sf_dir: str, late_days: int = 30,
                                  pa.string()),
         "high_line_count": pa.array(agg["high"].to_numpy(), pa.int64()),
         "low_line_count": pa.array(agg["low"].to_numpy(), pa.int64())})
+
+
+def suppliers_kept_waiting(sf_dir: str, k: int = 10,
+                           n_buckets: int = 64) -> pa.Table:
+    """TPC-H Q21 shape: suppliers who were the SOLE failure on
+    multi-supplier orders — supplier s has a returned lineitem
+    (l_returnflag = 'R', the fixture's commit-breach stand-in) on an
+    order with >= 2 distinct suppliers where NO other supplier's item
+    was returned. Output top-``k`` (s_name, numwait) ordered
+    (numwait desc, s_name) — numwait counts DISTINCT such orders.
+
+    The multi-EXISTS self-join runs as ONE hash(orderkey) exchange over
+    a 3-column lineitem projection: each bucket's kernel finds distinct
+    (order, supplier) pairs by sort + run detection, reduces per order
+    to (n_suppliers, n_returned_suppliers), and selects the sole
+    returned supplier where (n >= 2, n_r == 1) — emitting per-supplier
+    partial counts. A ``bucket_reduce`` on suppkey finishes the sums;
+    per-block local top-k bounds the driver merge (exact because
+    supplier names are zero-padded, so name order == suppkey order);
+    names decorate from a suppkey-pruned read after the cut."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from bge_m3_onnx_ray.hashing import splitmix64
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    def tag(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy().astype(np.uint64)
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_suppkey": t.column("l_suppkey"),
+            "r": pa.array((np.asarray(
+                t.column("l_returnflag").to_pandas()) == "R")
+                .astype(np.int64)),
+            "_jb": pa.array((splitmix64(ok) % np.uint64(n_buckets))
+                            .astype(np.int64))})
+
+    def kernel(g: pa.Table) -> pa.Table:
+        ok = g.column("l_orderkey").to_numpy()
+        sk = g.column("l_suppkey").to_numpy()
+        rf = g.column("r").to_numpy()
+        empty = pa.table({"l_suppkey": pa.array([], pa.int64()),
+                          "numwait": pa.array([], pa.int64())})
+        if not len(ok):
+            return empty
+        o = np.lexsort((sk, ok))
+        ok, sk, rf = ok[o], sk[o], rf[o]
+        # distinct (order, supplier) pairs with any-returned flag
+        newpair = np.concatenate([[True], (np.diff(ok) != 0)
+                                  | (np.diff(sk) != 0)])
+        starts = np.flatnonzero(newpair)
+        ends = np.append(starts[1:], len(ok))
+        pair_ok = ok[starts]
+        pair_sk = sk[starts]
+        pair_r = np.maximum.reduceat(rf, starts)
+        pair_r[ends == starts] = 0  # unreachable, defensive
+        # per-order reduction over pairs
+        ofirst = np.concatenate([[0],
+                                 np.flatnonzero(np.diff(pair_ok)) + 1])
+        ocnt = np.diff(np.append(ofirst, len(pair_ok)))
+        oid = np.repeat(np.arange(len(ofirst)), ocnt)
+        n_r = np.zeros(len(ofirst), np.int64)
+        np.add.at(n_r, oid, pair_r)
+        ridx = np.zeros(len(ofirst), np.int64)
+        np.add.at(ridx, oid, pair_r * np.arange(len(pair_ok)))
+        sole = (ocnt >= 2) & (n_r == 1)
+        if not sole.any():
+            return empty
+        winners = pair_sk[ridx[sole]]
+        uk, inv = np.unique(winners, return_inverse=True)
+        return pa.table({
+            "l_suppkey": pa.array(uk, pa.int64()),
+            "numwait": pa.array(np.bincount(inv, minlength=len(uk))
+                                .astype(np.int64))})
+
+    parts = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"]).map_batches(
+        tag, batch_format="pyarrow").groupby("_jb").map_groups(
+        kernel, batch_format="pyarrow")
+    sums = bucket_reduce(parts, ["l_suppkey"],
+                         [("numwait", "sum", "numwait")], n_buckets)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        nw = t.column("numwait").to_numpy()
+        sk = t.column("l_suppkey").to_numpy()
+        keep = np.lexsort((sk, -nw))[:k]
+        return t.take(pa.array(np.sort(keep), pa.int64()))
+
+    cand = sums.map_batches(local_topk,
+                            batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return pa.table({"s_name": pa.array([], pa.string()),
+                         "numwait": pa.array([], pa.int64())})
+    skeys = sorted(int(s) for s in cand["l_suppkey"])
+    names = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                          columns=["s_suppkey", "s_name"],
+                          filters=[("s_suppkey", "in", skeys)])
+    name_of = dict(zip(names.column("s_suppkey").to_pylist(),
+                       names.column("s_name").to_pylist()))
+    cand["s_name"] = [name_of[int(s)] for s in cand["l_suppkey"]]
+    cand = cand.sort_values(["numwait", "s_name"],
+                            ascending=[False, True]).head(k)
+    return pa.table({
+        "s_name": pa.array(cand["s_name"].tolist(), pa.string()),
+        "numwait": pa.array(cand["numwait"].to_numpy(), pa.int64())})

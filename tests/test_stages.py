@@ -2800,3 +2800,34 @@ GROUP BY 1 ORDER BY 1
 """).df()
     pd.testing.assert_frame_equal(got, want)
     assert int((got["high_line_count"] + got["low_line_count"]).sum()) > 0
+
+
+def test_suppliers_kept_waiting_matches_duckdb(ray_session):
+    """TPC-H Q21: the sole-returned-supplier multi-EXISTS self-join
+    (one hash(orderkey) exchange, per-order distinct-supplier
+    reduction) matches DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from bge_m3_onnx_ray.stages.relational import suppliers_kept_waiting
+
+    sf = "/root/testdata/sf0.001"
+    got = suppliers_kept_waiting(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.execute(f"""
+SELECT s.s_name, count(DISTINCT l1.l_orderkey)::BIGINT AS numwait
+FROM read_parquet('{sf}/lineitem.parquet') l1
+JOIN read_parquet('{sf}/supplier.parquet') s
+  ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM read_parquet('{sf}/lineitem.parquet') l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM read_parquet('{sf}/lineitem.parquet') l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10
+""").df()
+    pd.testing.assert_frame_equal(got, want)
+    assert int(got["numwait"].sum()) > 0
