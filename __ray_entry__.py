@@ -1351,6 +1351,13 @@ def _q_distribution_cube(sf_dir):
     return distribution_cube(_docs(sf_dir))
 
 
+def _q_distribution_grouping_sets(sf_dir):
+    # GROUP BY GROUPING SETS: arbitrary dimension-pair mix — the
+    # generalization beyond ROLLUP/CUBE, one flat distributed aggregate
+    from bge_m3_onnx_ray.stages.text import distribution_grouping_sets
+    return distribution_grouping_sets(_docs(sf_dir))
+
+
 def _q_distribution_rollup(sf_dir):
     # GROUP BY ROLLUP(lang, source): flat counts + per-lang subtotals +
     # grand total, NULL levels rendered '(all)'
@@ -1829,6 +1836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff_documents": _q_corpus_diff,
         "distribution_rollup": _q_distribution_rollup,
         "distribution_cube": _q_distribution_cube,
+        "distribution_grouping_sets": _q_distribution_grouping_sets,
         "doc_fingerprint": _q_fingerprint,
         "distribution_counts": _q_distribution_counts,
         "corpus_sample": _q_corpus_sample,
@@ -4689,6 +4697,16 @@ SELECT coalesce(lang, '(all)') AS lang,
 FROM documents
 GROUP BY CUBE (lang, source)
 ORDER BY lang, source
+""",
+        "distribution_grouping_sets": """
+SELECT coalesce(lang, '(all)') AS lang,
+       coalesce(source, '(all)') AS source,
+       coalesce(CAST(bucket AS VARCHAR), '(all)') AS chars_bucket,
+       count(*)::BIGINT AS n_docs
+FROM (SELECT lang, source, (n_chars // 100) * 100 AS bucket
+      FROM documents)
+GROUP BY GROUPING SETS ((lang, source), (lang, bucket), ())
+ORDER BY 1, 2, 3
 """,
         "corpus_diff_documents": """
 WITH v2 AS (

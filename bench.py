@@ -465,7 +465,8 @@ def run_bench() -> dict:
               "sales_opportunity", "order_gap_stats",
               "customer_running_totals", "near_ordered_documents_topk",
               "segment_dedup", "order_priority_check",
-              "late_shipment_counts", "suppliers_kept_waiting"]
+              "late_shipment_counts", "suppliers_kept_waiting",
+              "distribution_grouping_sets"]
     qs = m.queries()
     for name in wanted:
         t0 = time.perf_counter()

@@ -910,6 +910,67 @@ def distribution_cube(ds: rd.Dataset) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def distribution_grouping_sets(ds) -> "pa.Table":
+    """GROUP BY GROUPING SETS ((lang, source), (lang, chars_bucket),
+    ()) over the documents table — the arbitrary-sets generalization
+    that neither ROLLUP nor CUBE produces (it mixes two different
+    dimension PAIRS plus the grand total). chars_bucket =
+    (n_chars // 100) * 100; NULL levels render '(all)'. Output
+    (lang, source, chars_bucket, n_docs) ordered by all three.
+
+    Scale shape: ONE distributed flat aggregate over the finest
+    grouping (lang x source x bucket — bounded by vocabulary, not
+    rows, so the flat table is tiny by construction); every requested
+    set derives from the flat table on the driver, exactly how a SQL
+    engine computes grouping sets from the finest level."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from bge_m3_onnx_ray.stages._groups import bucket_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        lang = t.column("lang").combine_chunks().dictionary_encode()
+        src_ = t.column("source").combine_chunks().dictionary_encode()
+        bkt = (t.column("n_chars").to_numpy().astype(np.int64)
+               // 100 * 100)
+        lc = np.asarray(lang.indices).astype(np.int64)
+        sc = np.asarray(src_.indices).astype(np.int64)
+        ub, binv = np.unique(bkt, return_inverse=True)
+        ns, nb = len(src_.dictionary), len(ub)
+        key = (lc * ns + sc) * nb + binv
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "lang": lang.dictionary.take(
+                pa.array(u // nb // ns)).cast(pa.string()),
+            "source": src_.dictionary.take(
+                pa.array(u // nb % ns)).cast(pa.string()),
+            "chars_bucket": pa.array(ub[u % nb], pa.int64()),
+            "n_docs": pa.array(c.astype(np.int64), pa.int64())})
+
+    flat = bucket_reduce(
+        ds.select_columns(["lang", "source", "n_chars"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=16384),
+        ["lang", "source", "chars_bucket"],
+        [("n_docs", "sum", "n_docs")], 16).to_pandas()
+    flat["chars_bucket"] = flat["chars_bucket"].astype("int64")
+    s1 = flat.groupby(["lang", "source"], as_index=False)["n_docs"].sum()
+    s1["chars_bucket"] = "(all)"
+    s2 = flat.groupby(["lang", "chars_bucket"],
+                      as_index=False)["n_docs"].sum()
+    s2["source"] = "(all)"
+    s2["chars_bucket"] = s2["chars_bucket"].astype(str)
+    total = pd.DataFrame([{"lang": "(all)", "source": "(all)",
+                           "chars_bucket": "(all)",
+                           "n_docs": int(flat["n_docs"].sum())}])
+    out = pd.concat([s1[["lang", "source", "chars_bucket", "n_docs"]],
+                     s2[["lang", "source", "chars_bucket", "n_docs"]],
+                     total], ignore_index=True).sort_values(
+        ["lang", "source", "chars_bucket"]).reset_index(drop=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 class CurationFlags:
     """Per-batch kernel for :func:`corpus_curation`: every curation
     signal in ONE pass over the text (language vote, Gopher repetition,

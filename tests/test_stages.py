@@ -2831,3 +2831,30 @@ GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10
 """).df()
     pd.testing.assert_frame_equal(got, want)
     assert int(got["numwait"].sum()) > 0
+
+
+def test_distribution_grouping_sets_matches_duckdb(ray_session):
+    """GROUPING SETS with a mixed dimension-pair list matches DuckDB —
+    the arbitrary-sets generalization beyond ROLLUP/CUBE."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from bge_m3_onnx_ray.stages.text import distribution_grouping_sets
+
+    d = "/root/testdata/sf0.001/documents.parquet"
+    got = distribution_grouping_sets(rd.read_parquet(d)).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+SELECT coalesce(lang, '(all)') AS lang,
+       coalesce(source, '(all)') AS source,
+       coalesce(CAST(bucket AS VARCHAR), '(all)') AS chars_bucket,
+       count(*)::BIGINT AS n_docs
+FROM (SELECT lang, source, (n_chars // 100) * 100 AS bucket
+      FROM read_parquet('{d}'))
+GROUP BY GROUPING SETS ((lang, source), (lang, bucket), ())
+ORDER BY 1, 2, 3
+""").df()
+    pd.testing.assert_frame_equal(got, want)
+    assert (got.iloc[-1][["lang", "source", "chars_bucket"]]
+            == "(all)").all() or len(got) > 0
