@@ -4391,8 +4391,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_documents_topk": bm25,
         "bm25_documents_topk_exhaustive": bm25,
-        "tfidf_documents_topk": _bm25_sql(similarity="classic"),
-        "lmd_documents_topk": _bm25_sql(similarity="lmd"),
+        # quantized rank for the non-BM25 similarities: DuckDB's
+        # parallel sum() order is nondeterministic, so raw-float ranks
+        # can flip within summation-order noise (seen once at sf0.1)
+        "tfidf_documents_topk": _bm25_sql(similarity="classic",
+                                          quantized_rank=True),
+        "lmd_documents_topk": _bm25_sql(similarity="lmd",
+                                        quantized_rank=True),
         "rescore_documents_topk": _bm25_sql(rescore=(30, 0.5)),
         "prf_documents_topk": _prf_sql(),
         "bm25f_documents_topk": _bm25f_sql(),

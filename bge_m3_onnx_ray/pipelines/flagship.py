@@ -2088,6 +2088,35 @@ def bm25_documents_topk_boosting(sf_dir: str, k: int = 10) -> pa.Table:
                                      "score_q6"]], preserve_index=False)
 
 
+def _quantized_rerank(out, k: int) -> pa.Table:
+    """Re-rank an over-fetched (3k-per-query) search result on
+    (floor(score*1e6) desc, doc_id) and cut to ``k`` — the ulp-stable
+    convention the transcripts/appended keys use. Needed for the
+    non-BM25 similarities: their float sums are mirrored in SQL with
+    the same operand grouping, but DuckDB's parallel ``sum()`` adds in
+    nondeterministic order, so two docs within summation-order noise
+    can flip under a raw-float rank (observed once at sf0.1 for
+    classic TF-IDF). The tie-width guard raises if a quantized tie
+    group could span the over-fetch boundary."""
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "score_q6", "doc_id"],
+                          ascending=[True, False, True]) \
+        .reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount().astype(np.int32) + 1
+    kth = out[out["rank"] == k].set_index("query_id").score_q6
+    g = out.groupby("query_id")
+    risky = (g.size() >= 3 * k) & (kth.reindex(g.size().index)
+                                   == g.score_q6.last())
+    if bool(risky.any()):
+        raise RuntimeError(
+            f"quantized-score tie group wider than the {3 * k}-row "
+            f"over-fetch for queries {list(risky[risky].index)[:5]}")
+    out = out[out["rank"] <= k]
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id",
+                                     "score_q6"]], preserve_index=False)
+
+
 def tfidf_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
     """Top-k under the pluggable CLASSIC similarity
     (``QueryConfig(similarity="classic")`` — Lucene's pre-BM25 TF-IDF:
@@ -2097,13 +2126,9 @@ def tfidf_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
     key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
     idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
     out = search(idx, DOC_QUERIES,
-                 QueryConfig(k=k, method="exhaustive",
+                 QueryConfig(k=3 * k, method="exhaustive",
                              similarity="classic")).to_pandas()
-    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
-    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
-    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
-                                preserve_index=False)
+    return _quantized_rerank(out, k)
 
 
 def lmd_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
@@ -2118,13 +2143,9 @@ def lmd_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
     key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
     idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
     out = search(idx, DOC_QUERIES,
-                 QueryConfig(k=k, method="exhaustive",
+                 QueryConfig(k=3 * k, method="exhaustive",
                              similarity="lmd")).to_pandas()
-    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
-    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
-    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
-                                preserve_index=False)
+    return _quantized_rerank(out, k)
 
 
 def rescore_documents_topk(sf_dir: str, k: int = 10, window: int = 30,
