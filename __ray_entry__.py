@@ -303,6 +303,14 @@ def _q_stopworded(sf_dir):
     return bm25_documents_topk_stopworded(sf_dir)
 
 
+def _q_synindexed(sf_dir):
+    # index-time synonym analyzer (replace-mode): class members
+    # normalize to a canonical term at index AND query time
+    from bge_m3_onnx_ray.pipelines.flagship import (
+        bm25_documents_topk_synindexed)
+    return bm25_documents_topk_synindexed(sf_dir)
+
+
 def _q_match_counts(sf_dir):
     # total-hit counts (track_total_hits): exact OR match counts
     from bge_m3_onnx_ray.pipelines.flagship import match_counts_documents
@@ -1789,6 +1797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_documents": _q_substring,
         "bm25_documents_topk_stemmed": _q_stemmed,
         "bm25_documents_topk_stopworded": _q_stopworded,
+        "bm25_documents_topk_synindexed": _q_synindexed,
         "match_counts_documents": _q_match_counts,
         "bm25_documents_topk_search_after": _q_search_after,
         "significant_terms_documents": _q_significant_terms,
@@ -2886,6 +2895,52 @@ def _stop_sql(k: int = 10) -> str:
     return f"""
 WITH toks AS (SELECT doc_id, term FROM ({_TOKS})
               WHERE term NOT IN ({stop_list})),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM toks)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+qterms(query_id, term) AS (VALUES {', '.join(vals)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM qterms q
+  JOIN dfs d ON d.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scores)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
+       doc_id::BIGINT AS doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_q6
+FROM ranked WHERE rnk <= {k} ORDER BY query_id, "rank"
+"""
+
+
+def _synidx_sql(k: int = 10) -> str:
+    """Index-time synonym oracle: the corpus token stream mapped through
+    the SAME synonym classes (CASE over SYNONYM_MAP) before tf/dl/df/
+    stats; query tokens normalized by the engine's own
+    SynonymTokenizer."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_SYNIDX_QUERIES
+    from bge_m3_onnx_ray.tokenizer import SYNONYM_MAP, SynonymTokenizer
+    tok = SynonymTokenizer()
+    case = "CASE term " + " ".join(
+        f"WHEN '{s}' THEN '{d}'" for s, d in SYNONYM_MAP) + " ELSE term END"
+    vals = []
+    for qid, text in DOC_SYNIDX_QUERIES:
+        for t in sorted(set(tok.tokenize(text))):
+            vals.append(f"({qid}, '{t}')")
+    return f"""
+WITH toks AS (SELECT doc_id, {case} AS term FROM ({_TOKS})),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
@@ -4472,6 +4527,7 @@ ORDER BY pmi_q6 DESC, x, y LIMIT 50
         "substring_documents": _substring_sql(),
         "bm25_documents_topk_stemmed": _stem_sql(),
         "bm25_documents_topk_stopworded": _stop_sql(),
+        "bm25_documents_topk_synindexed": _synidx_sql(),
         "match_counts_documents": _match_counts_sql(),
         "bm25_documents_topk_search_after": _bm25_sql(offset=10),
         "significant_terms_documents": _significant_terms_sql(),

@@ -960,6 +960,43 @@ def bm25_documents_topk_stopworded(sf_dir: str, k: int = 10) -> pa.Table:
                                 preserve_index=False)
 
 
+# Index-time synonym queries: a canonical-form query, a source-form
+# query (normalizes at query time through the same analyzer), a second
+# class, and an unmapped plain query.
+DOC_SYNIDX_QUERIES: list[tuple[int, str]] = [
+    (0, "merge row"),       # canonical: matches docs with join/group/merge
+    (1, "join value"),      # source form: query normalizes join -> merge
+    (2, "scan table"),      # scan -> query class
+    (3, "data stream"),     # no mapped words: plain BM25
+]
+
+_DOC_SYNIDX_CFG = IndexConfig(docs_per_shard=4096, term_buckets=8,
+                              block_size=128, tokenizer_spec="syn_en")
+
+
+def bm25_documents_topk_synindexed(sf_dir: str, k: int = 10) -> pa.Table:
+    """INDEX-TIME synonym retrieval (the counterpart of the query-time
+    ``bm25_documents_topk_synonyms``): the ``syn_en`` analyzer
+    normalizes every synonym-class member to its canonical form at
+    index AND query time (Lucene replace-mode SynonymFilter), so df,
+    tf and dl reflect the merged classes and any class member matches
+    documents containing any other member. Same shape/oracle
+    conventions as :func:`bm25_documents_topk`; the DuckDB oracle
+    applies the identical mapping as a word-boundary regexp_replace
+    chain over the corpus and normalizes query tokens through the
+    engine's own tokenizer."""
+    key = "documents-synidx-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key,
+                        _DOC_SYNIDX_CFG)
+    out = search(idx, DOC_SYNIDX_QUERIES,
+                 QueryConfig(k=k, method="wand")).to_pandas()
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["query_id", "rank", "doc_id", "score_q6"]],
+                                preserve_index=False)
+
+
 # Substring (grep-style contains) patterns: cross-token spans the
 # inverted index cannot answer, a within-token infix, and a no-match.
 DOC_SUBSTRINGS: list[tuple[int, str]] = [

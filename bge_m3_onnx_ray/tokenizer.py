@@ -452,6 +452,47 @@ class StopTokenizer(DeterministicTokenizer):
         return _counts_from_flat(*self.batch_token_lists(texts))
 
 
+# Index-time synonym classes (spec "syn_en"): source → canonical.
+# Replace-mode (Lucene SynonymFilter with replacement, Solr index-side
+# synonyms): every source token NORMALIZES to its class canonical at
+# both index and query time, so dl is unchanged and any member of a
+# class matches documents containing any other member. Weak enough to
+# mirror exactly in SQL (a word-boundary regexp_replace chain).
+SYNONYM_MAP: tuple[tuple[str, str], ...] = (
+    ("join", "merge"),
+    ("group", "merge"),
+    ("scan", "query"),
+)
+
+
+class SynonymTokenizer(DeterministicTokenizer):
+    """Analyzer chain: the deterministic tokenizer + replace-mode
+    synonym normalization over :data:`SYNONYM_MAP`. Batch path is
+    columnar: one ``index_in`` over the flat token array, a ``take``
+    of the canonical forms, and a ``coalesce`` — no Python loop."""
+
+    def __init__(self):
+        super().__init__()
+        self._src = [s for s, _ in SYNONYM_MAP]
+        self._dst = [d for _, d in SYNONYM_MAP]
+        self._map = dict(SYNONYM_MAP)
+
+    def tokenize(self, text: str) -> list[str]:
+        return [self._map.get(w, w) for w in super().tokenize(text)]
+
+    def batch_token_lists(self, texts):
+        import pyarrow.compute as pc
+        flat, offsets = super().batch_token_lists(texts)
+        if not len(flat):
+            return flat, offsets
+        idx = pc.index_in(flat, value_set=pa.array(self._src, flat.type))
+        repl = pc.take(pa.array(self._dst, flat.type), idx)
+        return pc.coalesce(repl, flat), offsets
+
+    def batch_term_counts_coded(self, texts):
+        return _counts_from_flat(*self.batch_token_lists(texts))
+
+
 def default_vocab_path() -> str:
     """The committed toy vocabulary proving the subword seam."""
     return os.path.join(os.path.dirname(__file__), "data", "toy_vocab.txt")
@@ -472,6 +513,8 @@ def make_tokenizer(spec: str = "deterministic"):
         return StemTokenizer()
     if spec == "stop_en":
         return StopTokenizer()
+    if spec == "syn_en":
+        return SynonymTokenizer()
     if spec == "vocab":
         return VocabSubwordTokenizer(default_vocab_path())
     if spec.startswith("vocab:"):

@@ -117,3 +117,53 @@ def test_stop_tokenizer_batch_equals_scalar():
     assert batch == [t.tokenize(x) for x in texts]
     assert t.tokenize("the quick fox") == ["quick", "fox"]
     assert t.tokenize("a and of the") == []
+
+
+def test_synonym_tokenizer_paths_agree():
+    """syn_en: the columnar batch path equals the Python path, mapping
+    applied; class members normalize to one canonical term."""
+    import pyarrow as pa
+
+    from bge_m3_onnx_ray.tokenizer import SynonymTokenizer, make_tokenizer
+
+    tok = make_tokenizer("syn_en")
+    assert isinstance(tok, SynonymTokenizer)
+    texts = ["fast join and group by key", "scan the table", "plain data",
+             ""]
+    flat, offs = tok.batch_token_lists(pa.array(texts))
+    flat = flat.to_pylist()
+    got = [flat[offs[i]:offs[i + 1]] for i in range(len(texts))]
+    want = [tok.tokenize(t) for t in texts]
+    assert got == want
+    assert "merge" in got[0] and "join" not in got[0] \
+        and "group" not in got[0]
+    assert got[1][0] == "query"      # scan -> query
+
+
+def test_synonym_index_matches_class_members(ray_session, tmp_path):
+    """A query for one class member matches documents containing only
+    ANOTHER member — the index-time synonym contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import bge_m3_onnx_ray as eng
+    from bge_m3_onnx_ray.config import IndexConfig, QueryConfig
+
+    t = pa.table({
+        "conv_id": pa.array(["c0", "c1", "c2"], pa.string()),
+        "turn_idx": pa.array([0, 0, 0], pa.int32()),
+        "role": pa.array(["user"] * 3, pa.string()),
+        "text": pa.array(["the join runs", "the group runs",
+                          "nothing here"], pa.string()),
+        "tool": pa.array([""] * 3, pa.string()),
+        "ts": pa.array([0, 0, 0], pa.timestamp("us")),
+    })
+    src = tmp_path / "corpus"
+    src.mkdir()
+    pq.write_table(t, str(src / "part-0.parquet"))
+    idx = str(tmp_path / "idx")
+    eng.build_index(str(src), idx,
+                    IndexConfig(docs_per_shard=4, term_buckets=2,
+                                tokenizer_spec="syn_en"))
+    out = eng.search(idx, [(0, "join")], QueryConfig(k=10)).to_pandas()
+    assert sorted(out["conv_id"]) == ["c0", "c1"]   # both class members
