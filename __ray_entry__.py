@@ -463,6 +463,13 @@ def _q_near_ordered(sf_dir):
     return near_ordered_documents_topk(sf_dir)
 
 
+def _q_span_near(sf_dir):
+    # n-term ordered span (SpanNearQuery inOrder beyond two terms):
+    # tf = position chains with every gap <= slop, counting DP
+    from bge_m3_onnx_ray.pipelines.flagship import span_near_documents_topk
+    return span_near_documents_topk(sf_dir)
+
+
 def _q_bm25_not(sf_dir):
     # negated-term retrieval: "-word" excludes documents containing it
     # (candidate filter before top-k; scores unchanged BM25 sums)
@@ -1789,6 +1796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_documents_topk_appended": _q_phrase_appended,
         "near_documents_topk": _q_near,
         "near_ordered_documents_topk": _q_near_ordered,
+        "span_near_documents_topk": _q_span_near,
         "bm25_documents_topk_quoted": _q_quoted,
         "bm25_documents_topk_prefix": _q_prefix,
         "bm25_documents_explain": _q_explain,
@@ -3467,6 +3475,71 @@ FROM ranked WHERE rnk <= {k} ORDER BY query_id, "rank"
 """
 
 
+def _span_near_sql(k: int = 10) -> str:
+    """N-term ordered span oracle: tf = count of position chains
+    p1 < ... < pn with every consecutive gap <= slop — a CHAINED
+    windowed self-join (t2.pos BETWEEN t1.pos+1 AND t1.pos+slop AND
+    ...); BM25 over the chain count, quantized-rank tie-break (mirror
+    of index/positions.SpanNearScorer's counting DP — both sides count
+    the same chain tuples)."""
+    from bge_m3_onnx_ray.pipelines.flagship import DOC_SPAN_QUERIES
+    from bge_m3_onnx_ray.tokenizer import tokenize
+    match_ctes, union_parts = [], []
+    for qid, text, slop in DOC_SPAN_QUERIES:
+        ts = tokenize(text)
+        joins, conds = [], []
+        for i, t in enumerate(ts):
+            a = f"t{i}"
+            if i == 0:
+                joins.append(f"ptoks {a}")
+            else:
+                joins.append(
+                    f"JOIN ptoks {a} ON {a}.doc_id = t0.doc_id "
+                    f"AND {a}.pos BETWEEN t{i-1}.pos + 1 "
+                    f"AND t{i-1}.pos + {slop}")
+            conds.append(f"{a}.tok = '{t}'")
+        match_ctes.append(
+            f"m{qid} AS (SELECT t0.doc_id, count(*)::DOUBLE AS tf "
+            f"FROM {' '.join(joins)} "
+            f"WHERE {' AND '.join(conds)} GROUP BY t0.doc_id)")
+        union_parts.append(f"SELECT {qid} AS query_id, doc_id, tf FROM m{qid}")
+    ctes = ",\n".join(match_ctes)
+    unions = "\nUNION ALL ".join(union_parts)
+    return f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text),
+                 '{_TOKEN_RE_SQL}') AS ts FROM documents),
+ptoks AS (SELECT doc_id, generate_subscripts(ts, 1) AS pos,
+                 unnest(ts) AS tok FROM lists),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM lists),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT sum(len(ts)) FROM lists)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+{ctes},
+matches AS ({unions}),
+dfs AS (SELECT query_id, count(*)::DOUBLE AS df FROM matches
+        GROUP BY query_id),
+scores AS (
+  SELECT m.query_id, m.doc_id, m.tf,
+         ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           * (m.tf * 2.2) / (m.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+           AS score
+  FROM matches m
+  JOIN dfs f ON f.query_id = m.query_id
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s),
+ranked AS (
+  SELECT query_id, doc_id, tf,
+         CAST(floor(score * 1000000) AS BIGINT) AS score_q6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(floor(score * 1000000) AS BIGINT)
+                              DESC, doc_id) AS rnk
+  FROM scores)
+SELECT query_id::BIGINT AS query_id, rnk::INTEGER AS "rank",
+       doc_id::BIGINT AS doc_id, tf::BIGINT AS tf, score_q6
+FROM ranked WHERE rnk <= {k} ORDER BY query_id, "rank"
+"""
+
+
 def _phrase_transcripts_sql(sf_dir: str = "/root/testdata/sf0.01",
                             k: int = 10) -> str:
     """Exact-phrase BM25 oracle over the multi-turn transcripts fixture:
@@ -4517,6 +4590,7 @@ ORDER BY pmi_q6 DESC, x, y LIMIT 50
         "phrase_transcripts_topk": _phrase_transcripts_sql(),
         "near_documents_topk": _near_sql(),
         "near_ordered_documents_topk": _near_sql(ordered=True),
+        "span_near_documents_topk": _span_near_sql(),
         "bm25_documents_topk_quoted": _quoted_sql(),
         "bm25_documents_topk_prefix": _prefix_sql(),
         "bm25_documents_explain": _explain_sql(),

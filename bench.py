@@ -466,7 +466,8 @@ def run_bench() -> dict:
               "customer_running_totals", "near_ordered_documents_topk",
               "segment_dedup", "order_priority_check",
               "late_shipment_counts", "suppliers_kept_waiting",
-              "distribution_grouping_sets", "bm25_documents_topk_synindexed"]
+              "distribution_grouping_sets", "bm25_documents_topk_synindexed",
+              "span_near_documents_topk"]
     qs = m.queries()
     for name in wanted:
         t0 = time.perf_counter()

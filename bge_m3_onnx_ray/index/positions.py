@@ -772,6 +772,111 @@ class NearScorer(PhraseScorer):
                         schema=_MATCH_SCHEMA)
 
 
+class SpanNearScorer(PhraseScorer):
+    """N-term ordered span actor (Lucene SpanNearQuery, inOrder=true,
+    generalized beyond the 2-term :class:`NearScorer`): input rows
+    (query_id, terms, slop, shard); a MATCH is a position chain
+    p1 < p2 < ... < pn with every gap 0 < p_{j+1} - p_j <= slop, and
+    tf counts the chains — exactly what a chained windowed self-join
+    counts, so the SQL mirror is exact.
+
+    Kernel: chain-counting dynamic programming over packed
+    (doc << log2(P)) + pos keys — per term one searchsorted window
+    (prefix-sum of chain counts ending in (q-slop .. q-1)), O(total
+    occurrences · n_terms), no per-chain enumeration."""
+
+    @staticmethod
+    def _span_hits(occ: dict, terms: list[str], slop: int
+                   ) -> tuple[np.ndarray, np.ndarray]:
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        per_term = [occ.get(t) for t in terms]
+        if not per_term or any(p is None for p in per_term):
+            return empty
+        max_pos = max(int(p[1].max()) for p in per_term) + slop + 2
+        max_doc = max(int(p[0].max()) for p in per_term) + 1
+        P = np.int64(1) << max(21, int(max_pos).bit_length())
+        if int(max_doc) * int(P) >= (1 << 62):
+            raise OverflowError("span key packing overflow")
+        kprev = per_term[0][0] * P + per_term[0][1]
+        w = np.ones(len(kprev), np.int64)
+        for j in range(1, len(terms)):
+            kj = per_term[j][0] * P + per_term[j][1]
+            cum = np.concatenate([[0], np.cumsum(w)])
+            # chains ending strictly before kj within the slop window;
+            # P > max_pos + slop keeps the window inside the document
+            lo = np.searchsorted(kprev, kj - slop, side="left")
+            hi = np.searchsorted(kprev, kj, side="left")
+            wj = cum[hi] - cum[lo]
+            keep = wj > 0
+            kprev, w = kj[keep], wj[keep]
+            if not len(kprev):
+                return empty
+        docs, inv = np.unique(kprev // P, return_inverse=True)
+        tfs = np.zeros(len(docs), np.int64)
+        np.add.at(tfs, inv, w)
+        return docs, tfs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_t, out_l = [], [], [], []
+        qids = batch.column("query_id").to_pylist()
+        termss = batch.column("terms").to_pylist()
+        slops = batch.column("slop").to_pylist()
+        shards = batch.column("shard").to_pylist()
+        for qid, terms, slop, shard in zip(qids, termss, slops, shards):
+            shard = int(shard)
+            occ = self._shard_occurrences(shard, sorted(set(terms)))
+            docs, tfs = self._span_hits(occ, list(terms), int(slop))
+            if not len(docs):
+                continue
+            dl_docs, dls = self._shard_dls(shard)
+            dl = dls[np.searchsorted(dl_docs, docs)]
+            out_q.extend([qid] * len(docs))
+            out_d.extend(docs.tolist())
+            out_t.extend(tfs.tolist())
+            out_l.extend(dl.tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "tf": pa.array(out_t, pa.int64()),
+                         "dl": pa.array(out_l, pa.int64())},
+                        schema=_MATCH_SCHEMA)
+
+
+def span_near_search(index_dir: str, queries, k: int = 10,
+                     batch_size: int = 64) -> rd.Dataset:
+    """N-term ordered proximity top-k: ``queries`` = list[(query_id,
+    text, slop)]; the text's tokens must appear IN ORDER with every
+    consecutive gap <= ``slop``; tf = number of such position chains,
+    scored by BM25 (same match -> df -> score -> merge plan as
+    :func:`phrase_search`). slop=1 degenerates to the exact phrase."""
+    _require_positions(index_dir)
+    meta = IndexMeta(index_dir)
+    offsets = ConvOffsets.load(index_dir)
+    from bge_m3_onnx_ray.tokenizer import make_tokenizer
+    tok = make_tokenizer(meta.stats.get("tokenizer_spec", "deterministic"))
+    rows = []
+    for qid, text, slop in queries:
+        ts = tok.tokenize(str(text))
+        if ts:
+            rows.append({"query_id": int(qid), "terms": ts,
+                         "slop": int(slop)})
+    pairs = [dict(r, shard=s) for s in meta.shards for r in rows]
+    if not pairs:
+        return rd.from_arrow(PHRASE_RESULT_SCHEMA.empty_table())
+    pairs.sort(key=lambda r: r["shard"])
+    from bge_m3_onnx_ray.stages._pool import task_stage
+    fanout = rd.from_arrow(pa.table({
+        "query_id": pa.array([p["query_id"] for p in pairs], pa.int64()),
+        "terms": pa.array([p["terms"] for p in pairs],
+                          pa.list_(pa.string())),
+        "slop": pa.array([p["slop"] for p in pairs], pa.int64()),
+        "shard": pa.array([p["shard"] for p in pairs], pa.int64())}))
+    matches = fanout.map_batches(
+        task_stage(SpanNearScorer, index_dir=index_dir),
+        batch_format="pyarrow", batch_size=batch_size,
+        num_cpus=1).materialize()
+    return _score_and_rank_matches(matches, meta, offsets, k)
+
+
 _QUOTE_RE = None  # compiled lazily (module import stays cheap)
 
 

@@ -960,6 +960,45 @@ def bm25_documents_topk_stopworded(sf_dir: str, k: int = 10) -> pa.Table:
                                 preserve_index=False)
 
 
+# N-term ordered span queries: (query_id, text, slop) — tokens must
+# appear in order with every consecutive gap <= slop; a 3-term chain,
+# a wider-slop 3-term chain, a 2-term sanity case, and an OOV no-op.
+DOC_SPAN_QUERIES: list[tuple[int, str, int]] = [
+    (0, "key value table", 3),
+    (1, "fast row merge", 4),
+    (2, "slow fast", 2),
+    (3, "data zzzneverseen part", 3),    # OOV middle term: zero rows
+]
+
+
+def span_near_documents_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """N-term ordered span retrieval (Lucene SpanNearQuery inOrder
+    beyond two terms): tf counts position chains p1 < ... < pn with
+    every gap <= slop, scored by BM25 — the chain count is exactly
+    what the oracle's chained windowed self-join counts. Same
+    shape/oracle conventions as :func:`near_documents_topk`."""
+    from bge_m3_onnx_ray.index.positions import (build_positions,
+                                                 span_near_search)
+    key = "documents-" + os.path.basename(os.path.normpath(sf_dir))
+    idx = _cached_index(documents_as_transcripts(sf_dir), key, _DOC_CFG)
+    build_positions(documents_as_transcripts(sf_dir), idx)
+    out = span_near_search(idx, DOC_SPAN_QUERIES, k).to_pandas()
+    if not len(out):
+        import pandas as pd
+        out = pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                            "rank": pd.Series([], dtype=np.int32),
+                            "doc_id": pd.Series([], dtype=np.int64),
+                            "tf": pd.Series([], dtype=np.int64),
+                            "score_q6": pd.Series([], dtype=np.int64)})
+        return pa.Table.from_pandas(out, preserve_index=False)
+    out["doc_id"] = out["conv_id"].str.slice(4).astype(np.int64)
+    out["score_q6"] = np.floor(out["score"].to_numpy() * 1e6).astype(np.int64)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["query_id", "rank", "doc_id", "tf", "score_q6"]],
+        preserve_index=False)
+
+
 # Index-time synonym queries: a canonical-form query, a source-form
 # query (normalizes at query time through the same analyzer), a second
 # class, and an unmapped plain query.

@@ -416,3 +416,55 @@ def test_phrase_prefix_vs_pure_python(positions_index):
         for (_, row), (d, tf, s) in zip(mine.iterrows(), scored):
             assert int(row.doc_id) == d and int(row.tf) == tf, (qid, text)
             assert row.score == pytest.approx(s, abs=0.0), (qid, text)
+
+
+def test_span_near_kernel():
+    from bge_m3_onnx_ray.index.positions import SpanNearScorer
+    # doc0: a@0 b@2 c@4 -> chain (0,2,4) with slop>=2; b@9 adds none
+    occ = {"a": (np.array([0, 0]), np.array([0, 12])),
+           "b": (np.array([0, 0]), np.array([2, 9])),
+           "c": (np.array([0]), np.array([4]))}
+    d, t = SpanNearScorer._span_hits(occ, ["a", "b", "c"], 2)
+    assert d.tolist() == [0] and t.tolist() == [1]
+    # slop 1 breaks the 2-gaps
+    d, t = SpanNearScorer._span_hits(occ, ["a", "b", "c"], 1)
+    assert len(d) == 0
+    # chain COUNTING: two a's before one b within slop -> tf = 2
+    occ2 = {"a": (np.array([5, 5]), np.array([1, 2])),
+            "b": (np.array([5]), np.array([3]))}
+    d, t = SpanNearScorer._span_hits(occ2, ["a", "b"], 2)
+    assert d.tolist() == [5] and t.tolist() == [2]
+    # OOV term
+    d, t = SpanNearScorer._span_hits(occ, ["a", "zzz"], 3)
+    assert len(d) == 0
+    # same-term chains: x@1,2,9 slop 2 -> (1,2) only
+    d, t = SpanNearScorer._span_hits(
+        {"x": (np.array([7, 7, 7]), np.array([1, 2, 9]))}, ["x", "x"], 2)
+    assert d.tolist() == [7] and t.tolist() == [1]
+
+
+def test_span_near_engine_vs_pure_python(positions_index):
+    from itertools import product
+
+    from bge_m3_onnx_ray.index.positions import span_near_search
+    idx, oi = positions_index
+    freq = sorted(oi.postings, key=lambda t: -len(oi.postings[t]))
+    queries = [(0, f"{freq[0]} {freq[1]}", 3),
+               (1, f"{freq[0]} {freq[2]} {freq[1]}", 4),
+               (2, f"{freq[0]} {freq[0]}", 2)]
+    got = span_near_search(idx, queries, k=10_000_000).to_pandas()
+    for qid, text, slop in queries:
+        terms = text.split()
+        mine = got[got.query_id == qid].sort_values("doc_id")
+        want = {}
+        for doc_id, toks in enumerate(oi.doc_tokens):
+            pos = [[i for i, w in enumerate(toks) if w == t]
+                   for t in terms]
+            tf = sum(1 for chain in product(*pos)
+                     if all(0 < chain[j + 1] - chain[j] <= slop
+                            for j in range(len(chain) - 1)))
+            if tf:
+                want[doc_id] = tf
+        assert len(mine) == len(want), (qid, text)
+        for _, r in mine.iterrows():
+            assert want[int(r.doc_id)] == int(r.tf), (qid, r.doc_id)
